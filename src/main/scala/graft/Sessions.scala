@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for engine session configuration so Verify, Bench, tests,
+  * and library users all run with the same semantics.
+  */
+object Sessions {
+
+  /** Configs that affect correctness/semantics — applied to any builder. */
+  def withEngineConfigs(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
+      // and convert in Tables.load (Spark has no native nanos type).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized for the harness box: `local[cpus]`, shuffle
+    * partitions matched to cores (not the 200 default — SURVEY §7 env
+    * notes), AQE on so runtime coalescing/skew-splitting still applies at
+    * cluster scale.
+    */
+  def local(appName: String, cpus: Int): SparkSession = {
+    val s = withEngineConfigs(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", cpus.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def cpusFromEnv(default: Int = 4): Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(default)
+}
