@@ -1,0 +1,216 @@
+package graft.analytics
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Training-data pipeline operators as correctness-gated queries
+  * (dedup / similarity search / text analysis / multimodal — the
+  * engine extensions the reference never had but a 100 TB corpus needs).
+  *
+  * Oracle policy: everything ANSI-SQL-expressible gets a DuckDB oracle;
+  * the hash-sketch operators (MinHash/SimHash/SRP — xxhash64-based, not
+  * reproducible in DuckDB) are rows-only here and instead verified
+  * against their exact quadratic counterparts in the ScalaTest suite
+  * (LSH candidates must contain every exact pair: recall check).
+  */
+object DataOpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // -------------------------------------------------------- dedup
+    NamedQuery(
+      "q20_dedup_exact",
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.exact(docs(s, dir), "doc_id", Seq("text"))
+          .select("doc_id", "dup_count")
+          .orderBy("doc_id")),
+
+    // MinHash+LSH near-dup (xxhash sketches → no SQL oracle; recall vs
+    // q22's exact relation is asserted in DedupSpec).
+    NamedQuery(
+      "q21_minhash_lsh",
+      None,
+      (s, dir) =>
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+            shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          .orderBy("id_a", "id_b")),
+
+    // Exact 3-gram-shingle Jaccard ground truth (quadratic — gate-scale
+    // only; the scale path is q21).
+    NamedQuery(
+      "q22_ngram_jaccard",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id,
+             |        list_distinct(list_transform(range(len(tok) - 2),
+             |          i -> array_to_string(tok[i+1:i+3], ' '))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+             |        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup with pigeonhole chunk blocking (rows-only: xxhash
+    // sketch; hamming-vs-jaccard sanity in DedupSpec).
+    NamedQuery(
+      "q23_simhash",
+      None,
+      (s, dir) =>
+        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDistance = 3)
+          .orderBy("id_a", "id_b")),
+
+    // Embedding-cosine near-dup, exact quadratic form (double-cast before
+    // arithmetic keeps both engines on the same fold).
+    NamedQuery(
+      "q24_embed_neardup",
+      Some("""WITH e AS (SELECT vec_id,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+             |        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) cosine
+             |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.4)
+          .orderBy("id_a", "id_b")),
+
+    // --------------------------------------------- similarity search
+    // Brute-force cosine top-k for the vec_id=0 query vector — the exact
+    // baseline every ANN variant is measured against.
+    NamedQuery(
+      "q25_ann_topk",
+      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+             |           FROM embeddings WHERE vec_id = 0),
+             |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |      FROM embeddings),
+             |s AS (SELECT vec_id,
+             |        ROUND(list_dot_product(v, qv)
+             |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) cosine
+             |      FROM e, q)
+             |SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        VectorOps.bruteForceTopK(e, "vec_id", "embedding", q, 20)
+      }),
+
+    // SRP-LSH ANN (approximate, hash-bucketed — rows-only; recall vs q25
+    // asserted in SimilaritySpec).
+    NamedQuery(
+      "q26_ann_lsh",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        VectorOps.srpTopK(e, "vec_id", "embedding", q, 20)
+      }),
+
+    // ----------------------------------------------- text analysis
+    NamedQuery(
+      "q27_token_count",
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+              |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpeishPattern}')) AS BIGINT) AS bpeish_tokens,
+              |  CAST(length(text) AS BIGINT) AS n_chars
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    NamedQuery(
+      "q28_quality_score",
+      Some("""WITH m AS (SELECT doc_id, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) n_chars,
+             |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct
+             |      FROM documents),
+             |c AS (SELECT doc_id, n_chars, punct,
+             |        CAST(len(toks) AS DOUBLE) n_tok,
+             |        CAST(len(list_filter(toks,
+             |          t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE) stop_hits
+             |      FROM m)
+             |SELECT doc_id,
+             |  CAST(n_tok AS BIGINT) AS n_tokens,
+             |  ROUND((n_chars - (n_tok - 1)) / n_tok, 4) AS avg_token_len,
+             |  ROUND(stop_hits / n_tok, 4) AS stopword_ratio,
+             |  ROUND(punct / n_chars, 4) AS punct_ratio,
+             |  ROUND(GREATEST(0.0, LEAST(1.0,
+             |    0.5 * LEAST(n_tok / 50.0, 1.0)
+             |    + 0.4 * LEAST(stop_hits / n_tok * 5, 1.0)
+             |    + 0.1 * (1.0 - LEAST(punct / n_chars * 10, 1.0)))), 4) AS quality_score
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.qualityMetrics(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    NamedQuery(
+      "q29_lang_id",
+      Some {
+        val scoreSql = LanguageId.profiles.map { case (l, gs) =>
+          val terms = gs.map(g =>
+            s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
+          s"CAST(${terms.mkString(" + ")} AS BIGINT) AS score_$l"
+        }.mkString(",\n        ")
+        val langs = LanguageId.profiles.map(_._1)
+        val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+          val later = langs.drop(i + 1)
+          s"WHEN ${later.map(o => s"score_$l >= score_$o").mkString(" AND ")} THEN '$l'"
+        }.mkString("\n    ", "\n    ", s"\n    ELSE '${langs.last}'")
+        s"""WITH s AS (SELECT doc_id,
+           |        $scoreSql
+           |      FROM documents)
+           |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |  CASE $caseChain END AS predicted_lang
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) =>
+        LanguageId(docs(s, dir), "text")
+          .select((Seq(col("doc_id")) ++
+            LanguageId.profiles.map { case (l, _) => col(s"score_$l") } :+
+            col("predicted_lang")): _*)
+          .orderBy("doc_id")),
+
+    NamedQuery(
+      "q30_fingerprint",
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+          .select("doc_id", "rolling_fp")
+          .orderBy("doc_id")),
+
+    // ------------------------------------------------- multimodal
+    NamedQuery(
+      "q31_multimodal_meta",
+      Some("""WITH m AS (SELECT doc_id,
+             |        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] media_type,
+             |        encode(text) payload,
+             |        CAST(doc_id % 640 AS INT) + 1 width
+             |      FROM documents)
+             |SELECT media_type, count(*) AS n_items,
+             |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+             |  CAST(MAX(width) AS BIGINT) AS max_width
+             |FROM m GROUP BY 1 ORDER BY media_type""".stripMargin),
+      (s, dir) =>
+        Multimodal.metadataSummary(Multimodal.fromDocuments(docs(s, dir))))
+  )
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and run decode / feature-extract
+  * stages as partition-batched transforms.
+  *
+  * The actual codec work (JPEG decode, audio resample, frame sampling)
+  * needs native libraries that are not in this container, so the decode
+  * kernel is a clearly marked DETERMINISTIC STUB — but everything Spark
+  * cares about is real: the schema contract, the batch iteration shape
+  * (one decoder init per partition, amortized across rows — the Scala
+  * analog of `mapInPandas`), partitioning, and the downstream columnar
+  * handoff.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata, the schema a 100 TB corpus
+    * would carry (payload in parquet binary or out-of-line object refs).
+    */
+  final case class MediaRow(
+      doc_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      feature: Array[Double])
+
+  /** Wrap a text table as a fake media corpus: payload = UTF-8 bytes.
+    * Lets the full pipeline run against the driver's `documents` table.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      // Deterministic fake modality assignment.
+      element_at(lit(Array("image", "audio", "video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+
+  /** STUB decode kernel: a real implementation would hand `payload` to a
+    * codec (libjpeg / ffmpeg) initialized once per partition. The stub
+    * derives a deterministic 4-dim "feature" from the bytes so the
+    * pipeline shape, batching, and schema are fully exercised.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Double] = {
+    // ??? <- real codec goes here; deterministic fake below.
+    var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xffL
+      sum += b; if (b > mx) mx = b; if (b < mn) mn = b
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    Array(n.toDouble, sum.toDouble / n, mx.toDouble, mn.toDouble)
+  }
+
+  /** Partition-batched decode + feature extraction. `mapPartitions` is
+    * the deliberate choice here (SURVEY preference order (d)): codec
+    * initialization is expensive and must amortize across a partition,
+    * exactly like a Pandas-UDF batch on the Python side.
+    */
+  // Pre-derived encoders: runtime derivation via spark.implicits trips
+  // scala-reflection in REPL classloaders (sbt console / spark-shell).
+  private implicit val mediaRowEnc: org.apache.spark.sql.Encoder[MediaRow] =
+    org.apache.spark.sql.Encoders.product[MediaRow]
+  private implicit val mediaFeaturesEnc: org.apache.spark.sql.Encoder[MediaFeatures] =
+    org.apache.spark.sql.Encoders.product[MediaFeatures]
+
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] =
+    media.as[MediaRow].mapPartitions { rows =>
+      // (stub) per-partition decoder init would happen here, once.
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          decodeStub(r.payload))
+      }
+    }
+
+  /** SQL-expressible slice of the pipeline (payload length + modality
+    * metadata) — this is what the cross-engine oracle checks; the stub
+    * features are covered by the ScalaTest suite instead.
+    */
+  def metadataSummary(media: DataFrame): DataFrame =
+    media.groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"),
+        max(col("width")).cast("long").as("max_width"))
+      .orderBy("media_type")
+}

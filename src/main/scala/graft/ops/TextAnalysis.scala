@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level text analysis: token counting, quality scoring, and
+  * order-sensitive fingerprinting. All map-only codegen'd projections —
+  * the 100 TB cost is exactly one pass over the text column, and column
+  * pruning means the scan reads nothing else.
+  */
+object TextAnalysis {
+
+  /** Stopword list used by the quality heuristic (drawn from the fixture
+    * vocabulary; any list works — the point is the ratio semantics).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Whitespace and BPE-ish token counts per document. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      TextFunctions.wsTokenCount(col(textCol)).cast("long").as("ws_tokens"),
+      TextFunctions.bpeishTokenCount(col(textCol)).cast("long").as("bpeish_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Quality metrics: length, token stats, stopword ratio, punctuation
+    * ratio, and a composite score in [0, 1]. Ratios are int/int divisions
+    * in double (exact, engine-portable); the composite is rounded past
+    * the meaningful precision.
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFunctions.tokens(t)
+    val nTok = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val stopHits = TextFunctions.markerTokenCount(toks, Stopwords).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("double")
+    val avgTokLen = (nChars - (nTok - 1)) / nTok // chars minus separators
+    val stopRatio = stopHits / nTok
+    val punctRatio = punct / nChars
+    // Heuristic composite: reward mid-length docs and presence of
+    // stopwords, penalize punctuation soup. Bounded to [0,1].
+    val lengthScore = least(nTok / lit(50.0), lit(1.0))
+    val score = greatest(lit(0.0),
+      least(lit(1.0),
+        lit(0.5) * lengthScore + lit(0.4) * least(stopRatio * 5, lit(1.0)) +
+          lit(0.1) * (lit(1.0) - least(punctRatio * 10, lit(1.0)))))
+    df.select(col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      round(avgTokLen, 4).as("avg_token_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(score, 4).as("quality_score"))
+  }
+
+  /** Order-sensitive rolling-hash fingerprint per document (see
+    * [[TextFunctions.polyFingerprint]]), plus an order-insensitive
+    * content hash for exact-dup grouping.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol),
+      TextFunctions.polyFingerprint(toks).as("rolling_fp"),
+      xxhash64(col(textCol)).as("content_hash"))
+  }
+}

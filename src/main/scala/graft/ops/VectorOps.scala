@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built from
+  * higher-order array functions so it compiles into whole-stage codegen.
+  *
+  * Everything casts to double *before* arithmetic: float accumulation is
+  * not associative enough to survive an engine hash-compare, and the
+  * left-to-right `aggregate` fold gives a deterministic summation order.
+  */
+object VectorOps {
+
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Left-to-right fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force top-k cosine neighbors of one query vector.
+    *
+    * The query vector is a literal, so the whole computation is a
+    * map-only projection plus a global top-k (`orderBy.limit` →
+    * TakeOrderedAndProject, which holds only k rows per partition and
+    * merges k·p rows at the driver — safe at any scale).
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val dv = toDoubleVec(col(vecCol))
+    val sim = dot(dv, lit(query.toArray)) / (l2Norm(dv) * lit(qNorm))
+    df.select(col(idCol), round(sim, roundTo).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Signed-random-projection bucket: the sign pattern of `planes`
+    * pseudo-random hyperplane projections, packed into a long. Plane
+    * coefficients are xxhash64-derived uniforms in [-0.5, 0.5) keyed by
+    * (seedBase + plane, dimension) — fixed seeds, reproducible runs.
+    */
+  def srpBucket(vec: Column, planes: Int, seedBase: Int = 0): Column = {
+    val signs = transform(sequence(lit(0), lit(planes - 1)), pIdx => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * ((pmod(xxhash64(pIdx + lit(seedBase), i), lit(1000000L)).cast("double") / lit(1000000.0)) - lit(0.5))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(signs, sequence(lit(0), lit(planes - 1)),
+        (s, p) => call_function("shiftleft", s, p)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** ANN top-k via SRP-LSH: score only vectors sharing the query's
+    * bucket in at least one of `tables` independent hash tables.
+    * Approximate — recall is tested against [[bruteForceTopK]] in the
+    * suite; at 100 TB the candidate set per query is a few buckets
+    * instead of the full corpus, and the bucket columns can be
+    * precomputed and partitioned-by for repeated query workloads.
+    */
+  def srpTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      planes: Int = 4,
+      tables: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.withColumn("dv", toDoubleVec(col(vecCol)))
+    val withBuckets = (0 until tables).foldLeft(v) { (d, t) =>
+      d.withColumn(s"b$t", srpBucket(col("dv"), planes, t * planes))
+    }
+    // The query's buckets come from running the identical expression on a
+    // one-row frame — same codegen path, so corpus and query agree bit-for-bit.
+    val qRow = (0 until tables).foldLeft(Seq(Tuple1(query.toArray)).toDF("qv")) {
+      (d, t) => d.withColumn(s"b$t", srpBucket(col("qv"), planes, t * planes))
+    }.select((0 until tables).map(t => col(s"b$t")): _*).head()
+    val cand = (0 until tables)
+      .map(t => col(s"b$t") === lit(qRow.getLong(t)))
+      .reduce(_ || _)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    withBuckets.filter(cand)
+      .select(col(idCol),
+        round(dot(col("dv"), lit(query.toArray)) / (l2Norm(col("dv")) * lit(qNorm)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}
