@@ -27,6 +27,41 @@ object Demo {
     val approx = VectorOps.srpTopK(embs, "vec_id", "embedding", q, 20)
       .collect().map(_.getLong(0)).toSet
     println(s"[demo] ann recall@20 = ${(exact & approx).size}/20")
+
+    telegramPipeline(spark)
     spark.stop()
+  }
+
+  /** Full reference dataflow, driven through the public pipeline API:
+    * webhook JSONs in an inbox → streaming ingest (chat filter, daily
+    * partitions) → D-1 batch ETL (flatten, dedup, compact) → `telegram`
+    * table → the reference's Q2 and Q5.
+    */
+  private def telegramPipeline(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import java.nio.file.Files
+    import graft.pipeline._
+    val inbox = Files.createTempDirectory("demo_inbox")
+    val raw = Files.createTempDirectory("demo_raw").toString
+    val enriched = Files.createTempDirectory("demo_enriched").toString
+    def m(u: Long, mid: Long, chat: Long, date: Long, text: String) =
+      s"""{"update_id":$u,"message":{"message_id":$mid,"from":{"id":7,"is_bot":false,"first_name":"Ana"},"chat":{"id":$chat,"type":"group"},"date":$date,"text":"$text"}}"""
+    Files.write(inbox.resolve("a.json"), java.util.List.of(
+      m(1, 1, -100, 1704628800L, "hello"),
+      m(2, 2, -100, 1704628860L, "world"),
+      m(3, 3, -999, 1704628920L, "wrong chat"),
+      m(4, 2, -100, 1704628860L, "world"), // redelivery
+      """{"update_id":5,"edited_message":{"message_id":1}}""",
+      "garbage not json"))
+    val q = IngestJob.start(spark, inbox.toString, raw, raw + ".ckpt", chatId = -100L)
+    q.awaitTermination()
+    val day = java.time.LocalDate.now(java.time.ZoneId.of(IngestJob.PipelineTz))
+    val (rows, rejects) = EtlJob.run(spark, raw, enriched, day)
+    EtlJob.registerTable(spark, enriched)
+    println(s"[demo] telegram etl: rows=$rows rejects=$rejects (expect 2, 0: " +
+      "wrong-chat/corrupt dropped at ingest, redelivery deduped at etl)")
+    println("[demo] telegram Q2:")
+    TelegramQueries.sql(spark, 2).show(truncate = false)
+    println("[demo] telegram Q5:")
+    TelegramQueries.sql(spark, 5).show(truncate = false)
   }
 }

@@ -1,0 +1,118 @@
+package graft.analytics
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.streaming.EventStreams
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Streaming operators under the correctness gate.
+  *
+  * Both queries REALLY run Structured Streaming (file source → memory
+  * sink inside the builder) and are checked against a DuckDB batch
+  * formulation of the same semantics:
+  *   - q32: tumbling 1-hour windows ≡ `date_trunc('hour', ts)` group-by
+  *   - q33: 30-min-gap sessionization via flatMapGroupsWithState with
+  *     event-time timeouts ≡ the classic lag/cumsum window-function
+  *     sessionization
+  *
+  * A far-future sentinel row (user_id = -1, filtered from the output)
+  * pushes the watermark past every real event so open sessions time out
+  * and emit — the batch-closure analog of stream retirement.
+  */
+object StreamingQueries {
+
+  private val runId = new AtomicInteger(0)
+
+  /** events schema as the streaming file source needs it: ts arrives as
+    * parquet TIMESTAMP(NANOS) = epoch-nanos long under nanosAsLong.
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The file source wants a directory: stage the single events file
+    * into a fresh temp dir (hard copy — cheap at gate scale).
+    */
+  private def stageEventsDir(dir: String): java.nio.file.Path = {
+    val stage = Files.createTempDirectory("graft_stream_src")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    stage
+  }
+
+  private def streamEvents(s: SparkSession, srcDir: String): DataFrame =
+    s.readStream.schema(eventsRawSchema)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  val all: Seq[NamedQuery] = Seq(
+
+    NamedQuery(
+      "q32_stream_hourly",
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |       event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      (s, dir) => {
+        val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
+        val q = EventStreams.hourlyRollup(streamEvents(s, stageEventsDir(dir).toString))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete") // emit open windows too = batch semantics
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("window_start", "event_type")
+      }),
+
+    NamedQuery(
+      "q33_sessionization",
+      Some("""WITH e AS (SELECT user_id, event_id, ts, value,
+             |        epoch_us(ts) // 1000000 AS sec FROM events),
+             |o AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+             |             OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                ROWS UNBOUNDED PRECEDING) AS sess_id FROM o)
+             |SELECT user_id, CAST(sess_id AS BIGINT) AS session_id,
+             |       count(*) AS n_events,
+             |       strftime(make_timestamp(min(sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       ROUND(SUM(value), 2) AS sum_value
+             |FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_id""".stripMargin),
+      (s, dir) => {
+        // Stage the source into a temp dir so a sentinel batch can be
+        // appended after the real data to advance the watermark.
+        val stage = stageEventsDir(dir)
+        val stream = streamEvents(s, stage.toString)
+        val name = s"graft_sessionize_${runId.incrementAndGet()}"
+        val q = EventStreams.sessionize(EventStreams.asSessionEvents(stream))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .start()
+        try {
+          q.processAllAvailable()
+          // Sentinel: one event far past everything → watermark jumps →
+          // every open session times out and emits on the next batch.
+          val maxTs = Tables.load(s, dir, "events").agg(max("ts")).head().getTimestamp(0)
+          import s.implicits._
+          Seq((-1L, (maxTs.getTime / 1000 + 365L * 86400) * 1000000000L,
+              -1L, "sentinel", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .write.mode("append").parquet(stage.toString)
+          q.processAllAvailable()
+        } finally q.stop()
+        val w = Window.partitionBy("user_id").orderBy("session_start")
+        s.table(name)
+          .filter(col("user_id") >= 0)
+          .withColumn("session_id", row_number().over(w).cast("long"))
+          .select("user_id", "session_id", "n_events", "session_start", "sum_value")
+          .withColumn("sum_value", round(col("sum_value"), 2))
+          .orderBy("user_id", "session_id")
+      })
+  )
+}

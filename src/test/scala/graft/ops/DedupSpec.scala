@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+
+  test("exact dedup collapses constructed duplicates to min id") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", Seq("text"))
+      .select("doc_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("MinHash-LSH finds every exact near-dup pair (recall 1.0 here) with no false positives") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // The >= threshold verify step makes LSH ⊆ exact; banding determines recall.
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("SimHash: identical texts at distance 0; near-dups within radius are a subset of Jaccard pairs' universe") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)) === Some(0L))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("embedding near-dup pairs are symmetric-free (id_a < id_b) and above threshold") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val out = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.4).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= 0.4))
+  }
+
+  test("LSH skew guard drops degenerate buckets instead of going quadratic") {
+    // 200 identical docs → one bucket of 200 > maxBucket=50 → dropped.
+    val df = (1L to 200L).map(i => (i, "same same same same")).toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairs(df, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 50)
+    assert(out.count() === 0)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** End-to-end smoke of the reference pipeline (SURVEY §5.2): fixture
+  * webhook JSONs → (ingest) raw zone → ETL → enriched parquet →
+  * `telegram` table → golden outputs for Q1–Q5.
+  *
+  * Fixture design (FIXTURES.md A2): 2 days × 3 users; a NULL-text row
+  * Q4 must skip; dates pinned on a Sunday→Monday ISO-week boundary so
+  * Q5's Presto dow (Mon=1…Sun=7) and ISO week are observable.
+  */
+class PipelineEndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def msg(updateId: Long, msgId: Long, userId: Long, name: String,
+      isBot: Boolean, date: Long, text: Option[String]): String = {
+    val textPart = text.map(t => s""","text":"$t"""").getOrElse("")
+    s"""{"update_id":$updateId,"message":{"message_id":$msgId,"from":{"id":$userId,"is_bot":$isBot,"first_name":"$name"},"chat":{"id":-100,"type":"group"},"date":$date$textPart}}"""
+  }
+
+  // 2024-01-07 = Sunday (isodow 7, ISO week 1); 2024-01-08 = Monday (1, week 2)
+  val day1 = java.time.LocalDate.of(2024, 1, 7)
+  val day2 = java.time.LocalDate.of(2024, 1, 8)
+  val t1 = 1704628800L // 2024-01-07 12:00:00 UTC
+  val t2 = 1704720600L // 2024-01-08 13:30:00 UTC
+
+  def writeRawZone(): Path = {
+    val raw = Files.createTempDirectory("raw_zone")
+    val d1 = Files.createDirectories(raw.resolve(s"context_date=$day1"))
+    val d2 = Files.createDirectories(raw.resolve(s"context_date=$day2"))
+    Files.write(d1.resolve("a.json"), Seq(
+      msg(1, 101, 11, "Ana", false, t1, Some("hello")),
+      msg(2, 102, 11, "Ana", false, t1 + 60, Some("hi")),
+      msg(3, 103, 12, "Bob", false, t1 + 120, None), // NULL text
+      // webhook redelivery: same (chat_id, message_id) again
+      msg(4, 102, 11, "Ana", false, t1 + 60, Some("hi")),
+      // non-message update — must reject-route, not abort the day
+      """{"update_id":5,"edited_message":{"message_id":101,"chat":{"id":-100,"type":"group"},"date":1704628801}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    Files.write(d2.resolve("b.json"), Seq(
+      msg(6, 201, 11, "Ana", false, t2, Some("abcdef")),
+      msg(7, 202, 12, "Bob", false, t2 + 60, Some("abcd")),
+      msg(8, 203, 12, "Bob", false, t2 + 120, None),
+      msg(9, 204, 13, "Cat", true, t2 + 180, Some("meow"))
+    ).mkString("\n").getBytes("UTF-8"))
+    raw
+  }
+
+  lazy val enrichedDir: String = {
+    val raw = writeRawZone()
+    val enriched = Files.createTempDirectory("enriched_zone").toString
+    val (n1, rej1) = EtlJob.run(spark, raw.toString, enriched, day1)
+    val (n2, rej2) = EtlJob.run(spark, raw.toString, enriched, day2)
+    assert(n1 === 3) // 4 messages minus 1 redelivery dup
+    assert(rej1 === 1) // the edited_message
+    assert(n2 === 4 && rej2 === 0)
+    EtlJob.registerTable(spark, enriched)
+    enriched
+  }
+
+  test("U2 compaction: one parquet file per day partition") {
+    val d = new java.io.File(s"$enrichedDir/context_date=$day1")
+    assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+  }
+
+  test("Q1: scan + limit") {
+    assert(TelegramQueries.sql(spark, 1).count() === 7)
+  }
+
+  test("Q2: daily counts, newest first (golden)") {
+    val rows = TelegramQueries.sql(spark, 2).collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+    assert(rows.toSeq === Seq(("2024-01-08", 4L), ("2024-01-07", 3L)))
+  }
+
+  test("Q3: per-user daily counts (golden)") {
+    val rows = TelegramQueries.sql(spark, 3).collect()
+      .map(r => (r.getLong(0), r.get(2).toString, r.getLong(3))).toSet
+    assert(rows === Set(
+      (11L, "2024-01-08", 1L), (12L, "2024-01-08", 2L), (13L, "2024-01-08", 1L),
+      (11L, "2024-01-07", 2L), (12L, "2024-01-07", 1L)))
+  }
+
+  test("Q4: avg(length(text)) truncated, NULLs skipped (golden)") {
+    val rows = TelegramQueries.sql(spark, 4).collect()
+      .map(r => ((r.getLong(0), r.get(2).toString), Option(r.get(3)))).toMap
+    // Ana day1: lengths (5, 2) → avg 3.5 → trunc 3
+    assert(rows((11L, "2024-01-07")) === Some(3))
+    // Bob day1: only a NULL text → AVG over empty → NULL
+    assert(rows((12L, "2024-01-07")) === None)
+    // Bob day2: one NULL skipped, one len-4 → 4
+    assert(rows((12L, "2024-01-08")) === Some(4))
+  }
+
+  test("Q5: Presto dow (Mon=1..Sun=7) + ISO week on the boundary (golden)") {
+    val rows = TelegramQueries.sql(spark, 5).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // Sunday 12:xx UTC events → (hour 12, dow 7, week 1), 3 messages
+    // Monday 13:xx UTC events → (hour 13, dow 1, week 2), 4 messages
+    assert(rows.toSeq === Seq((12, 7, 1, 3L), (13, 1, 2, 4L)))
+  }
+
+  test("Q2-Q5 DataFrame builders match the SQL front end") {
+    val telegram = spark.table("telegram")
+    for ((df, n) <- Seq(
+        TelegramQueries.q2(telegram) -> 2, TelegramQueries.q3(telegram) -> 3,
+        TelegramQueries.q4(telegram) -> 4, TelegramQueries.q5(telegram) -> 5)) {
+      val a = df.collect().map(_.toSeq.map(v => Option(v).map(_.toString))).toSet
+      val b = TelegramQueries.sql(spark, n).collect()
+        .map(_.toSeq.map(v => Option(v).map(_.toString))).toSet
+      assert(a === b, s"Q$n DataFrame vs SQL mismatch")
+    }
+  }
+
+  test("IngestJob: routing filter + corrupt handling + date stamping (S1/S2/P1)") {
+    val inbox = Files.createTempDirectory("inbox")
+    Files.write(inbox.resolve("m1.json"),
+      msg(1, 900, 11, "Ana", false, t1, Some("keep me")).getBytes("UTF-8"))
+    Files.write(inbox.resolve("m2.json"), // wrong chat → dropped (ipynb:323-325)
+      msg(2, 901, 11, "Ana", false, t1, Some("wrong chat"))
+        .replace("\"id\":-100", "\"id\":-200").getBytes("UTF-8"))
+    Files.write(inbox.resolve("m3.json"), "not json at all".getBytes("UTF-8"))
+    val rawOut = Files.createTempDirectory("raw_out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = IngestJob.start(spark, inbox.toString, rawOut, ckpt, chatId = -100L)
+    q.awaitTermination()
+    val written = spark.read.schema(TelegramSchema.updateSchema).json(rawOut)
+    assert(written.count() === 1)
+    assert(written.select("message.message_id").head().getLong(0) === 900L)
+    // partition dir carries today's ingestion date in the pipeline tz
+    val today = java.time.LocalDate.now(java.time.ZoneId.of(IngestJob.PipelineTz))
+    assert(new java.io.File(s"$rawOut/context_date=$today").exists())
+  }
+}
