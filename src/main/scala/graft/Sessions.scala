@@ -29,6 +29,7 @@ object Sessions {
         .config("spark.sql.shuffle.partitions", cpus.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(s)
     s
   }
 

@@ -36,9 +36,17 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` hash families, the
     * minimum of `xxhash64(seed, shingle)` over the document's shingle
-    * set. Entirely array expressions — no UDF, no extra pass.
+    * set. Native codegen'd expression
+    * ([[graft.functions.MinHashSignature]]); the composable form below
+    * defines the semantics and pins them in the parity test.
     */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    graft.functions.GraftFunctions.minhashSignature(shingleSet, numHashes)
+
+  /** Built-ins-only formulation of [[minhashSignature]] (reference
+    * semantics; O(numHashes × shingles) lambda steps — not the fast path).
+    */
+  def minhashSignatureComposable(shingleSet: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(shingleSet, s => xxhash64(h, s))))
 
@@ -71,36 +79,53 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df
+    // Shingle sets are computed once and kept OUT of the bucket shuffle:
+    // buckets carry only (band, bucket, id); candidate pairs join back to
+    // the sets for the single verify pass. At 8 bands this is 8× less
+    // shuffle volume than carrying the arrays through the explode.
+    val withSets = df
       .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val buckets = withSig
-      .select(col(idCol), col("sh"), explode(lshBands(col("sig"), bands, r)).as("bb"))
-      .select(col(idCol), col("sh"), col("bb.band"), col("bb.bucket"))
-    // Skew guard: cap bucket size before the self-join.
-    val counted = buckets
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val a = counted.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = counted.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val sets = withSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sets
+      .select(col(idCol),
+        explode(lshBands(minhashSignature(col("sh"), numHashes), bands, r)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    // Skew guard: cap bucket size before the self-join. An aggregate of
+    // oversized buckets (tiny by construction) broadcast as an anti-join
+    // — cheaper than a window function, which would sort-shuffle every
+    // posting just to attach a count.
+    val oversized = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "bucket")
+    val counted = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    val a = counted.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = counted.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
-      .groupBy("id_a", "id_b")
-      .agg(round(first(col("jac")), 6).as("jaccard"))
+      .select("id_a", "id_b")
+      .distinct() // each pair verified exactly once, however many bands agree
+    val result = candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    result
   }
 
   // ----------------------------------------------------- exact n-gram Jaccard
 
   /** Ground-truth near-dup relation: all pairs with shingle-set Jaccard
-    * >= threshold. Quadratic — the oracle for `minhashLshPairs`, not a
-    * scale path.
+    * >= threshold. EXACT, but not quadratic: any qualifying pair
+    * (jaccard >= t > 0) shares at least one shingle, so candidates come
+    * from an inverted-index self-join on shingles, and the join's
+    * per-pair match count IS |A ∩ B| — no array intersection ever runs
+    * (the equi-join + count formulation of set-similarity join, à la
+    * Vernica et al.). Work is Σ_shingle n_shingle², i.e. proportional to
+    * real shingle overlap, not to |docs|²; a hot-shingle frequency cut
+    * would bound the worst case at corpus scale.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -110,12 +135,17 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val s = df.select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = s.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b)
+      .select(col(idCol), col("sh"), size(col("sh")).as("sz"))
+    val ex = s.select(col(idCol), col("sz"), explode(col("sh")).as("shingle"))
+    val a = ex.select(col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+    val b = ex.select(col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("c")) // = |A ∩ B|: shingle sets are distinct
       .select(col("id_a"), col("id_b"),
-        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(col("c").cast("double") /
+          (col("sz_a") + col("sz_b") - col("c")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -123,9 +153,15 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset: each token's xxhash64
     * contributes ±1 per bit position; the sketch takes the sign of each
-    * accumulated position. One pass of array expressions per row.
+    * accumulated position. Native codegen'd expression
+    * ([[graft.functions.SimHash64]]); semantics pinned by the
+    * composable form in the parity test.
     */
-  def simhash(toks: Column): Column = {
+  def simhash(toks: Column): Column =
+    graft.functions.GraftFunctions.simhash(toks)
+
+  /** Built-ins-only formulation of [[simhash]] (reference semantics). */
+  def simhashComposable(toks: Column): Column = {
     val contrib = (t: Column) =>
       transform(sequence(lit(0), lit(63)),
         b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))

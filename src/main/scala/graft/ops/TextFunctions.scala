@@ -20,16 +20,21 @@ object TextFunctions {
   /** Word n-gram shingles: sliding windows of `n` tokens joined by a
     * space. Guarded so texts shorter than `n` tokens yield an empty
     * array (Spark's `sequence(0, negative)` would count *down*).
+    * Reference formulation — pins the semantics of the native
+    * [[graft.functions.WordShingles]] in the parity test.
     */
-  def shingles(toks: Column, n: Int): Column =
+  def shinglesComposable(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct shingle set for Jaccard-style set similarity. */
+  /** Distinct shingle set for Jaccard-style set similarity — native
+    * single-pass expression (the map-side entry fee of every text
+    * near-dup operator).
+    */
   def shingleSet(text: Column, n: Int): Column =
-    array_distinct(shingles(tokens(text), n))
+    graft.functions.GraftFunctions.shingles(tokens(text), n)
 
   /** |A ∩ B| / |A ∪ B| over two pre-distinct string arrays. Integer
     * cardinalities divided in double — bit-identical across engines, so

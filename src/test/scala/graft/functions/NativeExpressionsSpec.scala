@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.{Tables, TestSpark}
+import graft.ops.{Dedup, TextFunctions, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native codegen expressions must be bit-identical with the composable
+  * built-ins formulations they replace — parity checked over the real
+  * corpus, plus null/edge semantics.
+  */
+class NativeExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_dot ≡ aggregate/zip_with fold over the embeddings corpus") {
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+    val diff = e.select(
+      (VectorOps.dot(col("v"), col("v")) -
+        VectorOps.dotComposable(col("v"), col("v"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff === 0.0)
+  }
+
+  test("graft_dot: length mismatch and null element → NULL (zip_with parity)") {
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val out = df.select(VectorOps.dot(col("a"), col("b")).as("d")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 11.0)
+  }
+
+  test("graft_simhash ≡ composable simhash over the documents corpus") {
+    val toks = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+    val n = toks.select(Dedup.simhash(col("t")).as("a"),
+        Dedup.simhashComposable(col("t")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n === 0)
+  }
+
+  test("graft_minhash ≡ composable signature over the documents corpus") {
+    val sh = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(TextFunctions.shingleSet(col("text"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+    val n = sh.select(Dedup.minhashSignature(col("s"), 16).as("a"),
+        Dedup.minhashSignatureComposable(col("s"), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n === 0)
+  }
+
+  test("graft_shingles ≡ composable shingle set over the documents corpus") {
+    val d = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+    val n = d.select(
+        array_sort(graft.functions.GraftFunctions.shingles(col("t"), 3)).as("a"),
+        array_sort(array_distinct(TextFunctions.shinglesComposable(col("t"), 3))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(n === 0)
+    // short docs: fewer tokens than n → empty array, not null, not error
+    val short = Seq(Tuple1(Array("a", "b"))).toDF("t")
+      .select(graft.functions.GraftFunctions.shingles(col("t"), 3).as("s")).head()
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
+  test("sketches of empty arrays are NULL") {
+    val df = Seq(Tuple1(Array.empty[String])).toDF("t")
+    val r = df.select(Dedup.simhash(col("t")).as("s"),
+      Dedup.minhashSignature(col("t"), 4).as("m")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SQL surface: graft_dot / graft_simhash resolve by name") {
+    Tables.registerViews(spark, TestSpark.Sf001)
+    val r = spark.sql(
+      """SELECT graft_dot(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                 transform(embedding, x -> CAST(x AS DOUBLE))) AS d
+        |FROM embeddings LIMIT 1""".stripMargin).head()
+    assert(r.getDouble(0) > 0.0)
+  }
+}
