@@ -123,6 +123,18 @@ object DataOpsQueries {
         VectorOps.srpTopK(e, "vec_id", "embedding", q, 20)
       }),
 
+    // IVF ANN (coarse-quantized probe — rows-only; recall vs q25
+    // asserted in SimilaritySpec).
+    NamedQuery(
+      "q39_ann_ivf",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        VectorOps.ivfTopK(e, "vec_id", "embedding", q, 20)
+      }),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",

@@ -1,0 +1,111 @@
+package graft.analytics
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subquery and set-operator coverage (absent from the reference —
+  * SURVEY §2.8 — but part of a complete SQL surface).
+  *
+  * The correlated scalar subquery is the interesting one: Catalyst
+  * de-correlates it into an aggregate + join (visible as an extra
+  * HashAggregate/Join pair in the plan), which is exactly the rewrite
+  * you'd hand-write at scale — no RBO/driver-side loops.
+  */
+object SubqueryQueries {
+
+  private def sql(q: String)(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(q)
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // TPC-H Q17 shape: per-part average quantity as a correlated scalar
+    // subquery. Quantities are integer-valued doubles, so AVG is an
+    // exact-sum division — the 0.5*avg threshold compares identically
+    // across engines.
+    NamedQuery(
+      "q19_scalar_subquery",
+      Some("""SELECT p_brand, count(*) AS n_small,
+             |       ROUND(SUM(l_extendedprice), 2) AS small_qty_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+             |                    FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      sql("""SELECT p_brand, count(*) AS n_small,
+            |       ROUND(SUM(l_extendedprice), 2) AS small_qty_revenue
+            |FROM lineitem JOIN part ON l_partkey = p_partkey
+            |WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+            |                    FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+            |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // IN-subquery (Catalyst plans a left-semi join after de-correlation).
+    NamedQuery(
+      "q34_in_subquery",
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      sql("""SELECT o_orderpriority, count(*) AS n
+            |FROM orders
+            |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    NamedQuery(
+      "q35_intersect",
+      Some("""SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
+             |INTERSECT
+             |SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+             |ORDER BY user_id, d""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        e.filter(col("event_type") === "click").select("user_id", "d")
+          .intersect(e.filter(col("event_type") === "purchase").select("user_id", "d"))
+          .orderBy("user_id", "d")
+      }),
+
+    NamedQuery(
+      "q36_except",
+      Some("""SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'view'
+             |EXCEPT
+             |SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+             |ORDER BY user_id, d""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+        e.filter(col("event_type") === "view").select("user_id", "d")
+          .except(e.filter(col("event_type") === "error").select("user_id", "d"))
+          .orderBy("user_id", "d")
+      }),
+
+    // CUBE: all grouping-set combinations; NULL ordering pinned both sides.
+    NamedQuery(
+      "q37_cube",
+      Some("""SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+             |       ROUND(SUM(value), 2) AS sum_value
+             |FROM events
+             |WHERE user_id < 10
+             |GROUP BY CUBE(event_type, d)
+             |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin),
+      sql("""SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+            |       ROUND(SUM(value), 2) AS sum_value
+            |FROM events
+            |WHERE user_id < 10
+            |GROUP BY CUBE(event_type, d)
+            |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin)),
+
+    // Approximate distinct (HLL++): sketch-based, so no cross-engine
+    // oracle — the suite bounds its error against exact instead.
+    NamedQuery(
+      "q38_approx_distinct",
+      None,
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct("user_id").as("approx_users"),
+            approx_count_distinct("props", 0.02).as("approx_props"))
+          .orderBy("event_type"))
+  )
+}

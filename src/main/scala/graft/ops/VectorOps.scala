@@ -74,6 +74,57 @@ object VectorOps {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** ANN top-k via IVF (inverted-file) coarse quantization: vectors are
+    * assigned to their nearest of `nCentroids` coarse centroids (a
+    * map-only argmax), and a query scans only its `nProbe` nearest
+    * centroid lists. Centroids here are the first `nCentroids` corpus
+    * vectors by id — deterministic and cheap; production would run
+    * k-means and persist the assignment as a partition column, making
+    * the probe a partition-pruned scan.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents: Array[(Int, Array[Double], Double)] = df
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(toDoubleVec(col(vecCol)).as("v")).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val v = r.getSeq[Double](0).toArray
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    def centroidSims(vec: Column, norm: Column): Seq[(Column, Int)] =
+      cents.toSeq.map { case (i, cv, cn) =>
+        (dot(vec, lit(cv)) / (norm * lit(cn)), i)
+      }
+    // argmax via greatest over (sim, idx) structs — lexicographic, ties
+    // resolved toward the higher index, deterministically.
+    def nearestCentroid(vec: Column, norm: Column): Column =
+      greatest(centroidSims(vec, norm).map { case (s, i) =>
+        struct(s.as("sim"), lit(i).as("idx"))
+      }: _*).getField("idx")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val probes = cents
+      .map { case (i, cv, cn) =>
+        (i, cv.zip(query).map { case (a, b) => a * b }.sum / (cn * qNorm))
+      }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
+    val v = df
+      .withColumn("dv", toDoubleVec(col(vecCol)))
+      .withColumn("nrm", l2Norm(col("dv")))
+      .withColumn("cluster", nearestCentroid(col("dv"), col("nrm")))
+    v.filter(col("cluster").isin(probes: _*))
+      .select(col(idCol),
+        round(dot(col("dv"), lit(query.toArray)) / (col("nrm") * lit(qNorm)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k via SRP-LSH: score only vectors sharing the query's
     * bucket in at least one of `tables` independent hash tables.
     * Approximate — recall is tested against [[bruteForceTopK]] in the

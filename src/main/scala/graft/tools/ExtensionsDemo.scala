@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftExtensions, Sessions}
+
+/** Proves the `spark.sql.extensions` registration path: builds a session
+  * whose ONLY graft wiring is `withExtensions(new GraftExtensions)` (no
+  * FunctionRegistry call) and resolves the native functions from SQL.
+  * Must run in a fresh JVM — extensions bind at session construction.
+  */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.withEngineConfigs(
+      SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-extensions-demo")
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new GraftExtensions))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_simhash(array('a', 'b')) AS sh,
+        |       size(graft_minhash(array('a', 'b'), 8)) AS mh,
+        |       graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS sg""".stripMargin).head()
+    println(s"[ext] dot=${r.getDouble(0)} simhash=${r.getLong(1)} " +
+      s"minhashLen=${r.getInt(2)} shingles=${r.getSeq[String](3).mkString(",")}")
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(2) == 8)
+    assert(r.getSeq[String](3) == Seq("a b", "b c", "c b"))
+    println("[ext] OK: extensions-injected functions resolve from SQL")
+    spark.stop()
+  }
+}

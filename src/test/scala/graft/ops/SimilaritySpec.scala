@@ -30,6 +30,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall@20 = $recall — buckets degenerated")
   }
 
+  test("IVF ANN: finds the query itself and recalls a sane fraction of true top-k") {
+    val exact = VectorOps.bruteForceTopK(embs, "vec_id", "embedding", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = VectorOps.ivfTopK(embs, "vec_id", "embedding", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L), "probed lists must contain the query's own list")
+    val recall = (exact & approx).size / 20.0
+    assert(recall >= 0.25, s"recall@20 = $recall — probe lists degenerated")
+  }
+
+  test("approx_count_distinct stays within its error bound of exact") {
+    val events = graft.Tables.load(spark, TestSpark.Sf001, "events")
+    val rows = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"),
+        approx_count_distinct("user_id").as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.1, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("cosine is symmetric and bounded on real vectors") {
     val two = embs.filter(col("vec_id") < 2)
       .select(VectorOps.toDoubleVec(col("embedding")).as("v")).collect()
