@@ -210,6 +210,50 @@ object DataOpsQueries {
           .select("doc_id", "rolling_fp")
           .orderBy("doc_id")),
 
+    // Capstone: the composed corpus-cleaning pipeline through its exact
+    // stages (annotate → quality gate → exact dedup → per-language
+    // summary). The near-dup prune stage is sketch-based and therefore
+    // suite-covered, not oracle-covered.
+    NamedQuery(
+      "q40_corpus_stats",
+      Some {
+        val scoreSql = LanguageId.profiles.map { case (l, gs) =>
+          val terms = gs.map(g =>
+            s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
+          s"CAST(${terms.mkString(" + ")} AS BIGINT) AS score_$l"
+        }.mkString(",\n          ")
+        val langs = LanguageId.profiles.map(_._1)
+        val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+          val later = langs.drop(i + 1)
+          s"WHEN ${later.map(o => s"score_$l >= score_$o").mkString(" AND ")} THEN '$l'"
+        }.mkString("\n      ", "\n      ", s"\n      ELSE '${langs.last}'")
+        s"""WITH m AS (SELECT doc_id, text, string_split(text, ' ') toks,
+           |        CAST(length(text) AS DOUBLE) n_chars,
+           |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct,
+           |          $scoreSql
+           |      FROM documents),
+           |c AS (SELECT *, CAST(len(toks) AS DOUBLE) n_tok,
+           |        CAST(len(list_filter(toks,
+           |          t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE) stop_hits
+           |      FROM m),
+           |q AS (SELECT doc_id, text, CAST(n_tok AS BIGINT) n_tokens,
+           |        ROUND(GREATEST(0.0, LEAST(1.0,
+           |          0.5 * LEAST(n_tok / 50.0, 1.0)
+           |          + 0.4 * LEAST(stop_hits / n_tok * 5, 1.0)
+           |          + 0.1 * (1.0 - LEAST(punct / n_chars * 10, 1.0)))), 4) quality_score,
+           |        CASE $caseChain END predicted_lang
+           |      FROM c),
+           |f AS (SELECT * FROM q WHERE quality_score >= 0.3 AND n_tokens BETWEEN 5 AND 5000),
+           |d AS (SELECT f.* FROM f JOIN
+           |        (SELECT text, min(doc_id) AS keep FROM f GROUP BY text) k
+           |        ON f.doc_id = k.keep)
+           |SELECT predicted_lang, count(*) AS n_docs,
+           |       ROUND(AVG(quality_score), 4) AS mean_quality,
+           |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      (s, dir) => CorpusPipeline.stats(docs(s, dir))),
+
     // ------------------------------------------------- multimodal
     NamedQuery(
       "q31_multimodal_meta",

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data cleaning pipeline — what the individual
+  * operators exist for. One declarative plan:
+  *
+  *   annotate (lang-id, quality, token counts)   — map-only
+  *   → filter (quality floor, length window)     — pushed predicates
+  *   → exact dedup (content hash groupBy)        — 1 shuffle
+  *   → near-dup prune (MinHash-LSH, keep min id) — sketch + bucket join
+  *
+  * Everything before the dedup shuffles is a single codegen'd pass over
+  * the text column; at 100 TB the pipeline's cost is the scan plus two
+  * bounded shuffles. `clean` returns the surviving rows with their
+  * annotations; `stats` is the SQL-expressible summary used by the
+  * correctness gate (near-dup pruning excluded there — hash sketches
+  * aren't oracle-reproducible; the suite covers that stage instead).
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      minTokens: Int = 5,
+      maxTokens: Int = 5000,
+      nearDupThreshold: Double = 0.5)
+
+  /** Map-only annotation pass: no shuffle, one pass over text. */
+  def annotate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val quality = TextAnalysis.qualityMetrics(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("quality_score"))
+    docs
+      .join(quality, idCol) // Catalyst collapses this self-join of projections
+      .withColumn("predicted_lang", LanguageId.predict(col(textCol)))
+  }
+
+  /** Quality gate: predicates over the annotations. */
+  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =
+    annotated.filter(
+      col("quality_score") >= cfg.minQuality &&
+        col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+
+  /** Keep the lowest id per exact text. */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, idCol, "left_semi")
+  }
+
+  /** Drop the higher-id member of every near-dup pair. */
+  def nearDupPrune(df: DataFrame, cfg: Config,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val losers = Dedup.minhashLshPairs(df, idCol, textCol,
+        threshold = cfg.nearDupThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, idCol, "left_anti")
+  }
+
+  /** The full pipeline. */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    nearDupPrune(qualityFilter(annotate(docs), cfg), cfg)
+
+  /** Deterministic, SQL-expressible summary after the exact stages
+    * (annotate → filter → exact dedup): per predicted language, the
+    * survivor count and mean quality.
+    */
+  def stats(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    exactDedup(qualityFilter(annotate(docs), cfg))
+      .groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality_score"), 4).as("mean_quality"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+      .orderBy("predicted_lang")
+}
