@@ -28,6 +28,10 @@ object Demo {
       .collect().map(_.getLong(0)).toSet
     println(s"[demo] ann recall@20 = ${(exact & approx).size}/20")
 
+    val cleaned = CorpusPipeline.clean(docs)
+    println(s"[demo] corpus clean: ${docs.count()} docs -> ${cleaned.count()} survivors")
+    CorpusPipeline.stats(docs).show(truncate = false)
+
     telegramPipeline(spark)
     spark.stop()
   }
