@@ -70,6 +70,30 @@ object StreamingQueries {
         s.table(name).orderBy("window_start", "event_type")
       }),
 
+    // Streaming exact dedup: the source dir is staged with the events
+    // file TWICE (every row an exact duplicate); watermarked
+    // dropDuplicates collapses them, so counts match the single-copy
+    // batch oracle.
+    NamedQuery(
+      "q41_stream_dedup",
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val stage = stageEventsDir(dir)
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          stage.resolve("events_dup.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+        val q = EventStreams.dedupStream(streamEvents(s, stage.toString))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("event_type")
+      }),
+
     NamedQuery(
       "q33_sessionization",
       Some("""WITH e AS (SELECT user_id, event_id, ts, value,

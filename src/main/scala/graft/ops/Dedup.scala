@@ -149,6 +149,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact set-similarity join with PREFIX FILTERING (Chaudhuri/Xiao
+    * style): shingles get a global rarity order (document frequency,
+    * then value); each document indexes only its first
+    * `|A| − ⌈t·|A|⌉ + 1` shingles in that order. Any pair with
+    * Jaccard ≥ t has overlap ≥ ⌈t·|A|⌉, which cannot fit entirely in
+    * the non-indexed suffix — so joining prefix postings against full
+    * postings finds every qualifying pair, while the hot shingles that
+    * blow up a plain inverted-index join sort to the END of documents'
+    * orders and mostly drop out of prefixes. Same exact result as
+    * [[ngramJaccardPairs]] (equivalence-tested); better worst case when
+    * shingle frequency is skewed — on uniform corpora the ranking
+    * window costs more than it saves (measured 8.4s vs 2.6s at sf0.1
+    * on the synthetic docs), so pick by data shape.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val s = df.select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), col("sh"), size(col("sh")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = s.select(col(idCol), col("sz"), explode(col("sh")).as("shingle"))
+    val docFreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = postings.join(docFreq, "shingle")
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("df"), col("shingle"))))
+    // prefix length |A| − ⌈t·|A|⌉ + 1
+    val prefix = ranked
+      .filter(col("rank") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("shingle"), col(idCol).as("id_p"))
+    val full = postings.select(col("shingle"), col(idCol).as("id_f"))
+    val candidates = prefix.join(full, "shingle")
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+    candidates
+      .join(s.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(s.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over the token multiset: each token's xxhash64

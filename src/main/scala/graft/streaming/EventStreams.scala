@@ -30,6 +30,17 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: `dropDuplicates` keyed on the event
+    * id with a watermark bounding the dedup state — the engine-native
+    * answer to at-least-once upstream delivery (the reference's webhook
+    * redelivery problem, SURVEY §3.4, in stream form). State holds only
+    * keys younger than the watermark horizon.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id", "ts")
+
   // ------------------------------------------------------ sessionization
 
   final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -30,6 +30,15 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("prefix-filtered set-similarity join ≡ plain inverted-index join (exactness)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3))
+    val pref = canon(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3))
+    assert(plain.nonEmpty)
+    assert(pref === plain)
+  }
+
   test("SimHash: identical texts at distance 0; near-dups within radius are a subset of Jaccard pairs' universe") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
       .toDF("doc_id", "text")
