@@ -4,10 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench", Sessions.cpusFromEnv())
+    // Headline set = every query except the three micro-batch streaming
+    // runs (q32/q33/q41): those measure Structured Streaming machinery
+    // (temp staging, checkpoints, state store), not engine throughput.
+    // Their SEMANTICS are benched via the batch formulations q42/q43 and
+    // correctness-gated via the streaming runs in Verify.
+    val headline = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) =>
+        Set("q32_stream_hourly", "q33_sessionization", "q41_stream_dedup")(name) }
     // Warm-up: session init + first codegen compile land outside timings.
     try SparkEntry.queries("q01_scan_topk")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -52,13 +52,70 @@ object StreamingQueries {
       .parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** The lag/cumsum window-function sessionization — the batch
+    * formulation of [[EventStreams.sessionize]]'s semantics, shared by
+    * q42 and the streaming≡batch suite.
+    */
+  def batchSessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("sec") - col("prev") > EventStreams.GapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(timestamp_seconds(min("sec")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        round(sum("value"), 2).as("sum_value"))
+      .select("user_id", "session_id", "n_events", "session_start", "sum_value")
+      .orderBy("user_id", "session_id")
+  }
+
+  private val hourlyOracle =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  private val sessionOracle =
+    """WITH e AS (SELECT user_id, event_id, ts, value,
+      |        epoch_us(ts) // 1000000 AS sec FROM events),
+      |o AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |             OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS UNBOUNDED PRECEDING) AS sess_id FROM o)
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS session_id,
+      |       count(*) AS n_events,
+      |       strftime(make_timestamp(min(sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       ROUND(SUM(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_id""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+
+    // Batch formulations of the two streaming semantics — same oracles,
+    // no micro-batch machinery. These are what a throughput bench should
+    // measure; q32/q33 prove the streaming path computes the same thing.
+    NamedQuery(
+      "q42_sessionization_batch",
+      Some(sessionOracle),
+      (s, dir) => batchSessionize(Tables.load(s, dir, "events"))),
+
+    NamedQuery(
+      "q43_hourly_batch",
+      Some(hourlyOracle),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .orderBy("window_start", "event_type")),
 
     NamedQuery(
       "q32_stream_hourly",
-      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-             |       event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      Some(hourlyOracle),
       (s, dir) => {
         val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
         val q = EventStreams.hourlyRollup(streamEvents(s, stageEventsDir(dir).toString))
@@ -96,18 +153,7 @@ object StreamingQueries {
 
     NamedQuery(
       "q33_sessionization",
-      Some("""WITH e AS (SELECT user_id, event_id, ts, value,
-             |        epoch_us(ts) // 1000000 AS sec FROM events),
-             |o AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
-             |             OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
-             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                ROWS UNBOUNDED PRECEDING) AS sess_id FROM o)
-             |SELECT user_id, CAST(sess_id AS BIGINT) AS session_id,
-             |       count(*) AS n_events,
-             |       strftime(make_timestamp(min(sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
-             |       ROUND(SUM(value), 2) AS sum_value
-             |FROM s GROUP BY user_id, sess_id ORDER BY user_id, session_id""".stripMargin),
+      Some(sessionOracle),
       (s, dir) => {
         // Stage the source into a temp dir so a sentinel batch can be
         // appended after the real data to advance the watermark.

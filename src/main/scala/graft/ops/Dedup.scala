@@ -83,10 +83,12 @@ object Dedup {
     // buckets carry only (band, bucket, id); candidate pairs join back to
     // the sets for the single verify pass. At 8 bands this is 8× less
     // shuffle volume than carrying the arrays through the explode.
-    val withSets = df
+    // Sets are recomputed per consumer rather than cached: the native
+    // shingle expression makes recompute cheaper than the cache-eviction
+    // risk of persisting inside a library call the caller can't unpersist.
+    val sets = df
       .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sets = withSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sets
       .select(col(idCol),
         explode(lshBands(minhashSignature(col("sh"), numHashes), bands, r)).as("bb"))
@@ -172,7 +174,6 @@ object Dedup {
     val s = df.select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col(idCol), col("sh"), size(col("sh")).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = s.select(col(idCol), col("sz"), explode(col("sh")).as("shingle"))
     val docFreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = postings.join(docFreq, "shingle")

@@ -19,23 +19,8 @@ class EventStreamsSpec extends AnyFunSuite {
       .build(spark, TestSpark.Sf001)
       .collect().map(_.toSeq).toSet
 
-    val events = Tables.load(spark, TestSpark.Sf001, "events")
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val sec = col("ts").cast("long")
-    val batch = events
-      .withColumn("sec", sec)
-      .withColumn("prev", lag(col("sec"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev").isNull || col("sec") - col("prev") > EventStreams.GapSeconds, 1)
-          .otherwise(0))
-      .withColumn("sess_id",
-        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-      .groupBy("user_id", "sess_id")
-      .agg(count(lit(1)).as("n_events"),
-        date_format(timestamp_seconds(min("sec")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        round(sum("value"), 2).as("sum_value"))
-      .select(col("user_id"), col("sess_id").as("session_id"),
-        col("n_events"), col("session_start"), col("sum_value"))
+    val batch = graft.analytics.StreamingQueries
+      .batchSessionize(Tables.load(spark, TestSpark.Sf001, "events"))
       .collect().map(_.toSeq).toSet
 
     assert(streamed === batch)
