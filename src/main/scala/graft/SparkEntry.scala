@@ -16,7 +16,8 @@ object SparkEntry {
       analytics.JoinQueries.all ++
       analytics.DataOpsQueries.all ++
       analytics.StreamingQueries.all ++
-      analytics.SubqueryQueries.all
+      analytics.SubqueryQueries.all ++
+      analytics.WideQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reference Q2 shape (daily count, ipynb:817–825) over the events table.

@@ -1,0 +1,134 @@
+package graft.analytics
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Salting
+
+/** Breadth coverage: reshaping (pivot/unpivot), order statistics,
+  * scalar-string surface, array aggregation, and the salted-aggregation
+  * operator — whose oracle is the PLAIN group-by, making semantic
+  * transparency of the skew mitigation a gate-checked property.
+  */
+object WideQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // PIVOT: long → wide crosstab. Oracle spells it as FILTERed counts
+    // (portable); Spark uses the real pivot operator with pinned values
+    // (never let pivot infer values from data — that's an extra job and
+    // nondeterministic column order).
+    NamedQuery(
+      "q44_pivot",
+      Some(s"""SELECT CAST(ts AS DATE) AS d,
+              |  ${EventTypes.map(t =>
+                 s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t")
+                 .mkString(",\n  ")}
+              |FROM events GROUP BY 1 ORDER BY d""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .pivot("event_type", EventTypes)
+          .agg(count(lit(1)))
+          .na.fill(0L, EventTypes)
+          .orderBy("d")),
+
+    // UNPIVOT: wide → long melt, then aggregate the melted metric.
+    NamedQuery(
+      "q45_unpivot",
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+             |)
+             |SELECT metric, count(*) AS n, ROUND(SUM(value), 2) AS total
+             |FROM u GROUP BY metric ORDER BY metric""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .unpivot(Array(col("l_orderkey")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "value")
+          .groupBy("metric")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("metric")),
+
+    // Exact percentiles (linear interpolation on the sorted multiset —
+    // Spark `percentile` ≡ DuckDB `quantile_cont`).
+    NamedQuery(
+      "q46_percentile",
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+          .orderBy("l_returnflag")),
+
+    // Scalar string surface: upper/substr/trim/concat/lpad/replace.
+    NamedQuery(
+      "q47_string_funcs",
+      Some("""SELECT doc_id,
+             |  upper(substr(text, 1, 10)) AS head_upper,
+             |  CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
+             |  concat(lang, '_', source) AS lang_source,
+             |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+             |  replace(substr(text, 1, 20), ' ', '_') AS head_snake
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            upper(substring(col("text"), 1, 10)).as("head_upper"),
+            length(trim(col("text"))).cast("long").as("trimmed_len"),
+            concat(col("lang"), lit("_"), col("source")).as("lang_source"),
+            lpad(col("doc_id").cast("string"), 6, "0").as("padded_id"),
+            call_function("replace", substring(col("text"), 1, 20), lit(" "), lit("_")).as("head_snake"))
+          .orderBy("doc_id")),
+
+    // Array aggregation (sorted, stringified for a type-stable compare)
+    // + conditional aggregate.
+    NamedQuery(
+      "q48_array_agg",
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+             |  CAST(count(*) FILTER (WHERE value > 10.0) AS BIGINT) AS n_big
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+            sum(when(col("value") > 10.0, 1).otherwise(0)).cast("long").as("n_big"))
+          .orderBy("user_id")),
+
+    // Salted two-phase aggregation: the oracle is the PLAIN group-by —
+    // the gate proves the skew path changes performance shape, never
+    // results. (Sums rounded: the salted summation tree differs.)
+    NamedQuery(
+      "q49_salted_agg",
+      Some("""SELECT l_suppkey, count(*) AS n, ROUND(SUM(l_quantity), 2) AS total_qty,
+             |       ROUND(MIN(l_extendedprice), 2) AS min_price,
+             |       ROUND(MAX(l_extendedprice), 2) AS max_price
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+      (s, dir) =>
+        Salting.saltedAggregate(
+            Tables.load(s, dir, "lineitem"),
+            keys = Seq("l_suppkey"),
+            saltBy = Seq("l_orderkey", "l_linenumber"),
+            salt = 16,
+            counts = Seq("n"),
+            sums = Seq("total_qty" -> "l_quantity"),
+            mins = Seq("min_price" -> "l_extendedprice"),
+            maxs = Seq("max_price" -> "l_extendedprice"))
+          .select(col("l_suppkey"), col("n"),
+            round(col("total_qty"), 2).as("total_qty"),
+            round(col("min_price"), 2).as("min_price"),
+            round(col("max_price"), 2).as("max_price"))
+          .orderBy("l_suppkey"))
+  )
+}
