@@ -14,6 +14,11 @@ object Sessions {
       // and convert in Tables.load (Spark has no native nanos type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Streaming state off-heap in RocksDB: the HDFS-backed in-memory
+      // provider holds every key on the JVM heap — fine for tests, a
+      // non-starter for 100 TB/day sessionization state.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized for the harness box: `local[cpus]`, shuffle
