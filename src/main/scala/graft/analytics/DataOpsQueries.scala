@@ -214,6 +214,33 @@ object DataOpsQueries {
           .select("doc_id", "rolling_fp")
           .orderBy("doc_id")),
 
+    // Dedup GROUPS: connected components over the exact near-dup pair
+    // relation (iterative min-label propagation in Spark; transitive-
+    // closure recursive CTE in the oracle).
+    NamedQuery(
+      "q50_dedup_components",
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id,
+             |        list_distinct(list_transform(range(len(tok) - 2),
+             |          i -> array_to_string(tok[i+1:i+3], ' '))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+             |e AS (SELECT id_a s, id_b d FROM p UNION SELECT id_b, id_a FROM p),
+             |reach(s, d) AS (SELECT s, d FROM e
+             |                UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+             |SELECT node, CAST(min(comp) AS BIGINT) AS component FROM (
+             |  SELECT s AS node, d AS comp FROM reach UNION SELECT s, s FROM e
+             |) GROUP BY node ORDER BY node""".stripMargin),
+      (s, dir) => {
+        val edges = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+          .select("id_a", "id_b")
+        GraphOps.connectedComponents(edges).orderBy("node")
+      }),
+
     // Capstone: the composed corpus-cleaning pipeline through its exact
     // stages (annotate → quality gate → exact dedup → per-language
     // summary). The near-dup prune stage is sketch-based and therefore
