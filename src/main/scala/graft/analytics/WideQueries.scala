@@ -106,6 +106,61 @@ object WideQueries {
             sum(when(col("value") > 10.0, 1).otherwise(0)).cast("long").as("n_big"))
           .orderBy("user_id")),
 
+    // TPC-H Q6 shape: the pure-pushdown forecast query — every predicate
+    // reaches the parquet scan, the aggregate is a single partial/final
+    // pair over the surviving rows. discount×price products have 4
+    // decimals → ROUND(,4) is exact-grid-safe.
+    NamedQuery(
+      "q51_selective_revenue",
+      Some("""SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.03 AND 0.07
+             |  AND l_quantity < 24""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n"))),
+
+    // Event funnel: users progressing view → click → purchase by first-
+    // occurrence ordering — conditional min-timestamps per user, then
+    // stage predicates. One shuffle on user_id.
+    NamedQuery(
+      "q52_funnel",
+      Some("""WITH f AS (
+             |  SELECT user_id,
+             |    min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             |    min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             |    min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT count(*) AS n_users,
+             |  CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS viewed,
+             |  CAST(count(*) FILTER (WHERE t_view < t_click) AS BIGINT) AS then_clicked,
+             |  CAST(count(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase) AS BIGINT) AS then_purchased
+             |FROM f""".stripMargin),
+      (s, dir) => {
+        val f = Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        f.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1).otherwise(0)).cast("long").as("viewed"),
+          sum(when(col("t_view") < col("t_click"), 1).otherwise(0)).cast("long").as("then_clicked"),
+          sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1)
+            .otherwise(0)).cast("long").as("then_purchased"))
+      }),
+
     // Salted two-phase aggregation: the oracle is the PLAIN group-by —
     // the gate proves the skew path changes performance shape, never
     // results. (Sums rounded: the salted summation tree differs.)

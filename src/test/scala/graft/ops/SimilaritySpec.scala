@@ -52,6 +52,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: cosine drift bounded, zero vector safe") {
+    import org.apache.spark.sql.functions._
+    val q = embs
+      .withColumn("dv", VectorOps.toDoubleVec(col("embedding")))
+      .withColumn("qz", VectorOps.quantizeInt8(col("embedding")))
+      .withColumn("dq", VectorOps.dequantize(col("qz")))
+      .select(VectorOps.cosine(col("dv"), col("dq")).as("self_cos"))
+      .agg(min("self_cos")).head().getDouble(0)
+    // reconstructed vector stays nearly collinear with the original
+    assert(q > 0.999, s"min self-cosine after int8 round-trip = $q")
+    import spark.implicits._
+    val zero = Seq(Tuple1(Array(0f, 0f))).toDF("embedding")
+      .select(VectorOps.dequantize(VectorOps.quantizeInt8(col("embedding"))).as("v"))
+      .head().getSeq[Double](0)
+    assert(zero === Seq(0.0, 0.0))
+  }
+
   test("cosine is symmetric and bounded on real vectors") {
     val two = embs.filter(col("vec_id") < 2)
       .select(VectorOps.toDoubleVec(col("embedding")).as("v")).collect()
