@@ -29,4 +29,16 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.size === n)
     assert(got.values.toSet === Set(1L))
   }
+
+  test("distributed label-propagation path agrees with driver union-find") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L)).toDF("id_a", "id_b")
+    val small = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphOps.connectedComponents(edges, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === small)
+  }
 }
