@@ -16,6 +16,56 @@ object WideQueries {
 
   val all: Seq[NamedQuery] = Seq(
 
+    // Window-function frame surface in one query: row_number, lead,
+    // first_value, cumulative ROWS frame, bounded moving frame. Ties
+    // broken by event_id everywhere; running sums of 2-decimal values
+    // round safely at 2.
+    NamedQuery(
+      "q56_window_frames",
+      Some("""SELECT user_id, event_id,
+             |  CAST(row_number() OVER w AS BIGINT) AS rn,
+             |  lead(event_type) OVER w AS next_type,
+             |  first_value(event_type) OVER w AS first_type,
+             |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+             |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+             |FROM events WHERE user_id < 5
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, rn""".stripMargin),
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""SELECT user_id, event_id,
+                |  CAST(row_number() OVER w AS BIGINT) AS rn,
+                |  lead(event_type) OVER w AS next_type,
+                |  first_value(event_type) OVER w AS first_type,
+                |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+                |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+                |FROM events WHERE user_id < 5
+                |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                |ORDER BY user_id, rn""".stripMargin)
+      }),
+
+    // NULL-handling scalar surface: coalesce / nullif / CASE-null
+    // interplay, on synthesized nulls (the tables are null-free).
+    NamedQuery(
+      "q57_null_funcs",
+      Some("""SELECT doc_id,
+             |  COALESCE(NULLIF(lang, 'en'), 'default') AS lang_or_default,
+             |  CAST(COALESCE(NULLIF(n_chars, 157), 0) AS BIGINT) AS chars_or_zero,
+             |  CASE WHEN NULLIF(source, 'src0') IS NULL THEN 'primary' ELSE 'other' END AS source_class
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            coalesce(nullif(col("lang"), lit("en")), lit("default")).as("lang_or_default"),
+            coalesce(nullif(col("n_chars"), lit(157)), lit(0)).cast("long").as("chars_or_zero"),
+            when(nullif(col("source"), lit("src0")).isNull, "primary")
+              .otherwise("other").as("source_class"))
+          .orderBy("doc_id")),
+
     // PIVOT: long → wide crosstab. Oracle spells it as FILTERed counts
     // (portable); Spark uses the real pivot operator with pinned values
     // (never let pivot infer values from data — that's an extra job and
