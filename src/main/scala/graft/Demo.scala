@@ -12,6 +12,20 @@ object Demo {
     val spark = Sessions.local("graft-demo", Sessions.cpusFromEnv())
     val docs = Tables.load(spark, dir, "documents")
 
+    // Real image decode (JDK ImageIO): a generated mid-gray PNG must
+    // come back with true dimensions and ~128 mean luminance.
+    locally {
+      import spark.implicits._
+      val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val media = Seq((1L, "image", bos.toByteArray, 8, 4, 0)).toDF(
+        "doc_id", "media_type", "payload", "width", "height", "sample_rate")
+      val f = Multimodal.extractFeatures(media).collect().head
+      println(s"[demo] png decode features=${f.feature.mkString(",")}")
+    }
+
     val media = Multimodal.fromDocuments(docs)
     val feats = Multimodal.extractFeatures(media)
     println(s"[demo] multimodal features rows=${feats.count()}")

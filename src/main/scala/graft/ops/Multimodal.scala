@@ -47,13 +47,47 @@ object Multimodal {
       (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
       lit(16000).as("sample_rate"))
 
-  /** STUB decode kernel: a real implementation would hand `payload` to a
-    * codec (libjpeg / ffmpeg) initialized once per partition. The stub
-    * derives a deterministic 4-dim "feature" from the bytes so the
-    * pipeline shape, batching, and schema are fully exercised.
+  /** Decode kernel. Image payloads (PNG/JPEG magic) go through a REAL
+    * decoder — `javax.imageio` ships with the JDK, so no external codec
+    * is needed — yielding [width, height, meanLuminance, nPixels].
+    * Audio/video payloads would need ffmpeg-class libraries that are not
+    * in this container, so they take the clearly-marked DETERMINISTIC
+    * STUB (byte statistics); the Spark-side plumbing is identical either
+    * way.
     */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p.length > 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+
+  private def decodeImage(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var lum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            lum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        Some(Array(img.getWidth.toDouble, img.getHeight.toDouble, lum / n, n.toDouble))
+      }
+    } catch { case _: Exception => None }
+
   private def decodeStub(payload: Array[Byte]): Array[Double] = {
-    // ??? <- real codec goes here; deterministic fake below.
+    if (looksLikeImage(payload)) {
+      decodeImage(payload) match {
+        case Some(f) => return f
+        case None => () // corrupt image: fall through to byte stats
+      }
+    }
+    // ??? <- real audio/video codec goes here; deterministic fake below.
     var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
     var i = 0
     while (i < payload.length) {

@@ -50,6 +50,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(2L)) // permuted token lengths → different fp
   }
 
+  test("multimodal: real PNG payloads decode via ImageIO to true dimensions and luminance") {
+    // 4x2 image, left half black, right half white → mean luminance ~127.5
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((1L, "image", png, 4, 2, 0)).toDF(
+      "doc_id", "media_type", "payload", "width", "height", "sample_rate")
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.feature(0) === 4.0 && f.feature(1) === 2.0) // real decoded dims
+    assert(math.abs(f.feature(2) - 127.5) < 0.5) // mean luminance
+    assert(f.n_bytes === png.length.toLong)
+    // corrupt "PNG": magic bytes but garbage body → byte-stats fallback, no crash
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5, 6)
+    val cf = Multimodal.extractFeatures(
+      Seq((2L, "image", corrupt, 0, 0, 0)).toDF(
+        "doc_id", "media_type", "payload", "width", "height", "sample_rate"))
+      .collect().head
+    assert(cf.feature.length === 4)
+  }
+
   test("multimodal: feature extraction is deterministic and batch-shaped") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
     val f1 = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
