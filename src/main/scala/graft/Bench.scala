@@ -17,11 +17,16 @@ object Bench {
     catch { case _: Throwable => () }
     // Best of 2 runs per query: one JIT/page-cache-warm repeat removes
     // most run-to-run variance without changing what is measured.
+    // Failures report as -1 so a broken query can never read as a fast
+    // one (and -1 survives the min()).
     val results = headline.map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
       name -> math.min(run(), run())
     }

@@ -24,6 +24,27 @@ object Demo {
         "doc_id", "media_type", "payload", "width", "height", "sample_rate")
       val f = Multimodal.extractFeatures(media).collect().head
       println(s"[demo] png decode features=${f.feature.mkString(",")}")
+
+      // Real WAV decode: 0.5s of a 440 Hz sine at 8 kHz, 16-bit PCM —
+      // expect sampleRate=8000, duration=0.5, RMS ≈ 0.707 * amplitude.
+      val sr = 8000
+      val nSamples = sr / 2
+      val pcm = new Array[Byte](nSamples * 2)
+      for (i <- 0 until nSamples) {
+        val v = (math.sin(2 * math.Pi * 440 * i / sr) * 16384).toInt.toShort
+        pcm(i * 2) = (v & 0xff).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val afmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val wavBos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), afmt, nSamples.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBos)
+      val wavMedia = Seq((2L, "audio", wavBos.toByteArray, 0, 0, sr)).toDF(
+        "doc_id", "media_type", "payload", "width", "height", "sample_rate")
+      val wf = Multimodal.extractFeatures(wavMedia).collect().head
+      println(s"[demo] wav decode features=${wf.feature.mkString(",")}")
     }
 
     val media = Multimodal.fromDocuments(docs)

@@ -5,8 +5,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.nio.file.Files
-
 /** Source/sink format coverage beyond parquet: JSON and CSV round-trips
   * (write → schema'd read → aggregate), oracle-checked against the
   * original table — i.e. the gate proves the round-trip is lossless for
@@ -28,7 +26,9 @@ object FormatQueries {
              |FROM events WHERE user_id < 20
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_json_rt").toString
+        // Deterministic staging path + overwrite mode: repeated runs
+        // replace instead of leaking a new copy into /tmp each time.
+        val out = s"${sys.props("java.io.tmpdir")}/graft_stage/json_rt_${Integer.toHexString(dir.hashCode)}"
         Tables.load(s, dir, "events")
           .filter(col("user_id") < 20)
           .select(col("event_type"), col("value"))
@@ -49,7 +49,7 @@ object FormatQueries {
              |FROM lineitem WHERE l_suppkey < 20
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_csv_rt").toString
+        val out = s"${sys.props("java.io.tmpdir")}/graft_stage/csv_rt_${Integer.toHexString(dir.hashCode)}"
         Tables.load(s, dir, "lineitem")
           .filter(col("l_suppkey") < 20)
           .select(col("l_returnflag"), col("l_quantity"))

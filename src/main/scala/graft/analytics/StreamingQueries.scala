@@ -38,13 +38,22 @@ object StreamingQueries {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The file source wants a directory: stage the single events file
-    * into a fresh temp dir (hard copy — cheap at gate scale).
+    * under a DETERMINISTIC per-(source, run) path and clear it first —
+    * repeated Verify/Bench runs reuse the same roots instead of leaking
+    * a fresh copy into /tmp per invocation, and a prior run's sentinel
+    * rows can never contaminate the next.
     */
   private def stageEventsDir(dir: String): java.nio.file.Path = {
-    val stage = Files.createTempDirectory("graft_stream_src")
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_stage",
+      s"events_${Integer.toHexString(dir.hashCode)}_${runId.incrementAndGet()}")
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    Files.createDirectories(root)
     Files.copy(Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    stage
+      root.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    root
   }
 
   private def streamEvents(s: SparkSession, srcDir: String): DataFrame =

@@ -21,18 +21,22 @@ object HashSketches {
 
   def simhash64(toks: ArrayData): Any = {
     val n = toks.numElements()
-    if (n == 0) return null
+    // Parity with the composable form: aggregate over an empty array is
+    // the zero init → sketch 0L; a NULL token hashes to the bare seed
+    // (Spark's xxhash64 leaves the seed untouched for NULL input).
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      if (!toks.isNullAt(i)) {
-        val t = toks.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
-        var b = 0
-        while (b < 64) {
-          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
-          b += 1
+      val h =
+        if (toks.isNullAt(i)) Seed
+        else {
+          val t = toks.getUTF8String(i)
+          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
         }
+      var b = 0
+      while (b < 64) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
       }
       i += 1
     }
@@ -47,12 +51,21 @@ object HashSketches {
 
   def minhash(toks: ArrayData, numHashes: Int): Any = {
     val n = toks.numElements()
-    if (n == 0) return null
+    // Parity with the composable form: array_min over an empty transform
+    // is NULL per element, and a NULL shingle contributes the bare
+    // per-family seed (xxhash64(h, NULL) = hashInt(h, 42)).
+    if (n == 0) return new GenericArrayData(Array.fill[Any](numHashes)(null))
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val seeds = Array.tabulate(numHashes)(h => XXH64.hashInt(h, Seed))
     var i = 0
     while (i < n) {
-      if (!toks.isNullAt(i)) {
+      if (toks.isNullAt(i)) {
+        var h = 0
+        while (h < numHashes) {
+          if (seeds(h) < mins(h)) mins(h) = seeds(h)
+          h += 1
+        }
+      } else {
         val t = toks.getUTF8String(i)
         var h = 0
         while (h < numHashes) {
@@ -63,7 +76,7 @@ object HashSketches {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    new GenericArrayData(mins.map(Long.box): Array[Any])
   }
 }
 
@@ -101,7 +114,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // containsNull: an empty shingle set yields all-NULL elements
+  // (array_min-over-empty parity with the composable form).
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

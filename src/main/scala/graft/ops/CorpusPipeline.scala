@@ -57,9 +57,15 @@ object CorpusPipeline {
     df.join(losers, idCol, "left_anti")
   }
 
-  /** The full pipeline. */
+  /** The full pipeline. Exact dedup runs BEFORE the near-dup prune:
+    * mass-duplicated content would otherwise blow past the LSH skew
+    * guard's bucket cap (oversized buckets are dropped, so >maxBucket
+    * identical copies would all survive a sketch-only prune), and docs
+    * shorter than the shingle size have no sketch at all — the exact
+    * stage is what catches both.
+    */
   def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    nearDupPrune(qualityFilter(annotate(docs), cfg), cfg)
+    nearDupPrune(exactDedup(qualityFilter(annotate(docs), cfg)), cfg)
 
   /** Deterministic, SQL-expressible summary after the exact stages
     * (annotate → filter → exact dedup): per predicted language, the

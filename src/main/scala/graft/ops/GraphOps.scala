@@ -61,6 +61,9 @@ object GraphOps {
       val viaLabels = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label"))
+      // Superseded checkpoints are released by the ContextCleaner once
+      // the previous `labels` reference drops out of scope — the loop
+      // holds at most the current and in-flight copies strongly.
       // Checkpoint FIRST: the changed-count then runs against the
       // materialized result instead of re-executing the iteration's
       // whole lineage a second time.

@@ -80,6 +80,38 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** WAV/PCM decode through the JDK's javax.sound.sampled — real sample
+    * rate, duration, and RMS amplitude (first channel, 16-bit).
+    */
+  private def decodeWav(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      // The RMS loop below assumes 16-bit little-endian signed PCM; any
+      // other valid WAV encoding (float, 24-bit, big-endian) would
+      // silently reinterpret bytes — send those to the stub instead.
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return None
+      val bytes = in.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val n = bytes.length / frameSize
+      var rms = 0.0
+      var i = 0
+      while (i < n) {
+        val off = i * frameSize
+        val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort / 32768.0
+        rms += s * s
+        i += 1
+      }
+      Some(Array(fmt.getSampleRate.toDouble, n.toDouble / fmt.getSampleRate,
+        math.sqrt(rms / math.max(n, 1)), n.toDouble))
+    } catch { case _: Exception => None }
+
   private def decodeStub(payload: Array[Byte]): Array[Double] = {
     if (looksLikeImage(payload)) {
       decodeImage(payload) match {
@@ -87,7 +119,15 @@ object Multimodal {
         case None => () // corrupt image: fall through to byte stats
       }
     }
-    // ??? <- real audio/video codec goes here; deterministic fake below.
+    if (looksLikeWav(payload)) {
+      decodeWav(payload) match {
+        case Some(f) => return f
+        case None => ()
+      }
+    }
+    // ??? <- real video / compressed-audio codec goes here (needs
+    // ffmpeg-class libraries not in this container); deterministic fake
+    // byte-statistics below keep the pipeline exercised end-to-end.
     var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
     var i = 0
     while (i < payload.length) {

@@ -33,6 +33,8 @@ object Salting {
       sums: Seq[(String, String)] = Nil, // (outName, inCol)
       mins: Seq[(String, String)] = Nil,
       maxs: Seq[(String, String)] = Nil): DataFrame = {
+    require(counts.nonEmpty || sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
+      "saltedAggregate needs at least one aggregate (counts/sums/mins/maxs)")
     val saltCol = pmod(xxhash64(saltBy.map(col): _*), lit(salt)).as("_salt")
     val partialAggs =
       counts.map(out => count(lit(1)).as(out)) ++

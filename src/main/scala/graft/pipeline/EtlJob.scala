@@ -50,8 +50,12 @@ object EtlJob {
     val nRejects = Flatten.rejects(raw).count()
     val out = if (targetFiles == 1) enriched.coalesce(1)
               else enriched.repartition(targetFiles)
+    // Idempotent per-day write: dynamic partition overwrite replaces ONLY
+    // this day's partition, so a retried/backfilled run never duplicates
+    // rows (plain Append would double the day on every re-run).
     out.write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("context_date")
       .parquet(enrichedDir)
     val n = spark.read.parquet(enrichedDir)

@@ -55,7 +55,9 @@ object TelegramQueries {
       .withColumn("parsed_date_weeknum", PrestoCompat.prestoWeek(col("parsed_date")))
       .groupBy("parsed_date_hour", "parsed_date_weekday", "parsed_date_weeknum")
       .agg(count(lit(1)).as("message_amount"))
-      .orderBy("parsed_date_weeknum", "parsed_date_weekday")
+      // hour completes the unique sort key (the reference sorts only
+      // weeknum/weekday, ipynb:956 — same prefix, now deterministic)
+      .orderBy("parsed_date_weeknum", "parsed_date_weekday", "parsed_date_hour")
   }
 
   /** The same five queries as SQL text against a registered `telegram`
@@ -90,7 +92,7 @@ object TelegramQueries {
         |       count(1) AS message_amount
         |FROM hour_week_cte
         |GROUP BY parsed_date_hour, parsed_date_weekday, parsed_date_weeknum
-        |ORDER BY parsed_date_weeknum, parsed_date_weekday""".stripMargin)
+        |ORDER BY parsed_date_weeknum, parsed_date_weekday, parsed_date_hour""".stripMargin)
     case other => throw new IllegalArgumentException(s"no Q$other")
   }
 }

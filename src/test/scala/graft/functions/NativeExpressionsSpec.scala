@@ -65,11 +65,21 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(short.getSeq[String](0).isEmpty)
   }
 
-  test("sketches of empty arrays are NULL") {
-    val df = Seq(Tuple1(Array.empty[String])).toDF("t")
-    val r = df.select(Dedup.simhash(col("t")).as("s"),
-      Dedup.minhashSignature(col("t"), 4).as("m")).head()
-    assert(r.isNullAt(0) && r.isNullAt(1))
+  test("sketches of empty and null-element arrays match the composable forms exactly") {
+    val df = Seq(
+      Tuple1(Array.empty[String]),
+      Tuple1(Array[String](null, "a", null)),
+      Tuple1(Array[String]("a", "b"))).toDF("t")
+    val rows = df.select(
+      Dedup.simhash(col("t")).as("sn"),
+      Dedup.simhashComposable(col("t")).as("sc"),
+      Dedup.minhashSignature(col("t"), 4).as("mn"),
+      Dedup.minhashSignatureComposable(col("t"), 4).as("mc")).collect()
+    rows.foreach { r =>
+      assert(Option(r.get(0)) === Option(r.get(1)), s"simhash mismatch: $r")
+      assert(Option(r.get(2)).map(_.toString) === Option(r.get(3)).map(_.toString),
+        s"minhash mismatch: $r")
+    }
   }
 
   test("SQL surface: graft_dot / graft_simhash resolve by name") {

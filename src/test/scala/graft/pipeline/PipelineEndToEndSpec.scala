@@ -63,6 +63,17 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     enriched
   }
 
+  test("ETL re-run is idempotent: retrying a day replaces, never duplicates") {
+    enrichedDir // force the initial two runs
+    val before = spark.table("telegram").count()
+    // second run of day1 over the same raw zone (retry/backfill scenario)
+    val raw2 = writeRawZone()
+    val (n, _) = EtlJob.run(spark, raw2.toString, enrichedDir, day1)
+    EtlJob.registerTable(spark, enrichedDir)
+    assert(n === 3)
+    assert(spark.table("telegram").count() === before)
+  }
+
   test("U2 compaction: one parquet file per day partition") {
     val d = new java.io.File(s"$enrichedDir/context_date=$day1")
     assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1)
