@@ -27,8 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.DotName, exprs => ArrayDotProduct(exprs.head, exprs(1)))
     inject(GraftFunctions.SimHashName, exprs => SimHash64(exprs.head))
     inject(GraftFunctions.MinHashName, exprs => MinHashSignature(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue()))
+      GraftFunctions.literalInt(exprs(1), GraftFunctions.MinHashName, "numHashes")))
     inject(GraftFunctions.ShinglesName, exprs => WordShingles(exprs.head,
-      exprs(1).eval().asInstanceOf[Number].intValue()))
+      GraftFunctions.literalInt(exprs(1), GraftFunctions.ShinglesName, "n")))
   }
 }

@@ -17,6 +17,21 @@ object GraftFunctions {
   val MinHashName = "graft_minhash"
   val ShinglesName = "graft_shingles"
 
+  /** Extract a required integer-literal argument with a diagnosable
+    * error (a bare eval() on a non-foldable expression would surface as
+    * an opaque Catalyst UnsupportedOperationException).
+    */
+  private[graft] def literalInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, argName: String): Int = {
+    require(e.foldable, s"$fn: $argName must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be an integer literal, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -25,10 +40,10 @@ object GraftFunctions {
       SimHashName, exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       MinHashName, exprs => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+        literalInt(exprs(1), MinHashName, "numHashes")), "built-in")
     reg.createOrReplaceTempFunction(
       ShinglesName, exprs => WordShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+        literalInt(exprs(1), ShinglesName, "n")), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by

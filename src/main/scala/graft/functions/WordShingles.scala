@@ -48,13 +48,16 @@ object WordShingles {
     val window = new Array[UTF8String](n)
     var i = 0
     while (i <= len - n) {
+      // concat_ws SKIPS null elements (no doubled separator) — the
+      // composable reference does, so the native kernel must too.
       var j = 0
+      var k = 0
       while (j < n) {
         val t = toks.getUTF8String(i + j)
-        window(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (t != null) { window(k) = t; k += 1 }
         j += 1
       }
-      seen.add(UTF8String.concatWs(Space, window: _*))
+      seen.add(UTF8String.concatWs(Space, java.util.Arrays.copyOf(window, k): _*))
       i += 1
     }
     val out = new Array[Any](seen.size)

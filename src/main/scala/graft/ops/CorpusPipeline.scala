@@ -26,14 +26,15 @@ object CorpusPipeline {
       maxTokens: Int = 5000,
       nearDupThreshold: Double = 0.5)
 
-  /** Map-only annotation pass: no shuffle, one pass over text. */
-  def annotate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val quality = TextAnalysis.qualityMetrics(docs, idCol, textCol)
-      .select(col(idCol), col("n_tokens"), col("quality_score"))
+  /** Map-only annotation pass: pure `withColumn` expressions — truly no
+    * join and no shuffle (a self-join formulation would NOT be collapsed
+    * by Catalyst and would scan + tokenize the text twice).
+    */
+  def annotate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .join(quality, idCol) // Catalyst collapses this self-join of projections
+      .withColumn("n_tokens", TextAnalysis.nTokensCol(col(textCol)).cast("long"))
+      .withColumn("quality_score", round(TextAnalysis.qualityScoreCol(col(textCol)), 4))
       .withColumn("predicted_lang", LanguageId.predict(col(textCol)))
-  }
 
   /** Quality gate: predicates over the annotations. */
   def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =

@@ -236,6 +236,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDistance: Int = 3): DataFrame = {
+    // chunks must leave >=1 bit each or every row lands in one bucket
+    // (a silent full cross product); 15 keeps bitsPerChunk >= 4.
+    require(maxDistance >= 1 && maxDistance <= 15,
+      s"maxDistance must be in [1, 15], got $maxDistance")
     val chunks = maxDistance + 1
     val bitsPerChunk = 64 / chunks
     val sk = df

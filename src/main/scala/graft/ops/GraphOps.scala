@@ -36,15 +36,22 @@ object GraphOps {
       maxIterations: Int = 50,
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
-    val pairs = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-    // One pass decides AND collects: take(threshold+1) either hands the
-    // whole edge list to the driver path (it fit) or proves it's a big
-    // graph — the edge computation never runs twice.
+    // Ids normalized to long on BOTH paths (the output schema must not
+    // depend on which side of the threshold the graph lands).
+    val pairs = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The persisted pairs make the decide-and-collect single-cost: the
+    // take() materializes (at most threshold+1 rows of) the edge lineage
+    // once, and the big-graph loop reuses the persisted relation instead
+    // of re-running the (potentially expensive) edge computation.
     val taken = pairs.take(driverThreshold.toInt + 1)
-    if (taken.length <= driverThreshold)
+    if (taken.length <= driverThreshold) {
+      pairs.unpersist()
       return driverUnionFind(spark, taken.map(r => (r.getLong(0), r.getLong(1))))
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    }
+    val sym = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache() // reused every iteration; bounded by the pair relation
     var labels = sym.select(col("src").as("node")).distinct()
@@ -79,6 +86,7 @@ object GraphOps {
       i += 1
     }
     sym.unpersist()
+    pairs.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
 

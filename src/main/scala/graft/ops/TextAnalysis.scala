@@ -22,10 +22,34 @@ object TextAnalysis {
       TextFunctions.bpeishTokenCount(col(textCol)).cast("long").as("bpeish_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Token count of a text column (shared by qualityMetrics and the
+    * pipeline's annotation pass).
+    */
+  def nTokensCol(text: Column): Column = size(TextFunctions.tokens(text))
+
+  /** Composite quality score in [0, 1] as a pure column expression —
+    * usable as a `withColumn` with no join/shuffle. Ratios are int/int
+    * divisions in double (exact, engine-portable).
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val stopHits = TextFunctions.markerTokenCount(toks, Stopwords).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double")
+    val stopRatio = stopHits / nTok
+    val punctRatio = punct / nChars
+    // Heuristic composite: reward mid-length docs and presence of
+    // stopwords, penalize punctuation soup. Bounded to [0,1].
+    val lengthScore = least(nTok / lit(50.0), lit(1.0))
+    greatest(lit(0.0),
+      least(lit(1.0),
+        lit(0.5) * lengthScore + lit(0.4) * least(stopRatio * 5, lit(1.0)) +
+          lit(0.1) * (lit(1.0) - least(punctRatio * 10, lit(1.0)))))
+  }
+
   /** Quality metrics: length, token stats, stopword ratio, punctuation
-    * ratio, and a composite score in [0, 1]. Ratios are int/int divisions
-    * in double (exact, engine-portable); the composite is rounded past
-    * the meaningful precision.
+    * ratio, and the composite score.
     */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -35,21 +59,12 @@ object TextAnalysis {
     val stopHits = TextFunctions.markerTokenCount(toks, Stopwords).cast("double")
     val punct = (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("double")
     val avgTokLen = (nChars - (nTok - 1)) / nTok // chars minus separators
-    val stopRatio = stopHits / nTok
-    val punctRatio = punct / nChars
-    // Heuristic composite: reward mid-length docs and presence of
-    // stopwords, penalize punctuation soup. Bounded to [0,1].
-    val lengthScore = least(nTok / lit(50.0), lit(1.0))
-    val score = greatest(lit(0.0),
-      least(lit(1.0),
-        lit(0.5) * lengthScore + lit(0.4) * least(stopRatio * 5, lit(1.0)) +
-          lit(0.1) * (lit(1.0) - least(punctRatio * 10, lit(1.0)))))
     df.select(col(idCol),
       nTok.cast("long").as("n_tokens"),
       round(avgTokLen, 4).as("avg_token_len"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(score, 4).as("quality_score"))
+      round(stopHits / nTok, 4).as("stopword_ratio"),
+      round(punct / nChars, 4).as("punct_ratio"),
+      round(qualityScoreCol(t), 4).as("quality_score"))
   }
 
   /** Order-sensitive rolling-hash fingerprint per document (see

@@ -124,11 +124,14 @@ object VectorOps {
         (dot(vec, lit(cv)) / (norm * lit(cn)), i)
       }
     // argmax via greatest over (sim, idx) structs — lexicographic, ties
-    // resolved toward the higher index, deterministically.
-    def nearestCentroid(vec: Column, norm: Column): Column =
-      greatest(centroidSims(vec, norm).map { case (s, i) =>
+    // resolved toward the higher index, deterministically. greatest()
+    // needs >= 2 args; a single-centroid index is the trivial assignment.
+    def nearestCentroid(vec: Column, norm: Column): Column = {
+      val structs = centroidSims(vec, norm).map { case (s, i) =>
         struct(s.as("sim"), lit(i).as("idx"))
-      }: _*).getField("idx")
+      }
+      if (structs.size == 1) lit(0) else greatest(structs: _*).getField("idx")
+    }
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val probes = cents
       .map { case (i, cv, cn) =>

@@ -82,6 +82,23 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingles skips null tokens exactly like concat_ws (no doubled separator)") {
+    val df = Seq(Tuple1(Array[String]("a", null, "b", "c"))).toDF("t")
+    val r = df.select(
+      graft.functions.GraftFunctions.shingles(col("t"), 3).as("n"),
+      array_distinct(TextFunctions.shinglesComposable(col("t"), 3)).as("c")).head()
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+    assert(r.getSeq[String](0).contains("a b")) // null skipped, single space
+  }
+
+  test("non-literal numHashes argument fails with a diagnosable message") {
+    Tables.registerViews(spark, TestSpark.Sf001)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), doc_id) FROM documents").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("SQL surface: graft_dot / graft_simhash resolve by name") {
     Tables.registerViews(spark, TestSpark.Sf001)
     val r = spark.sql(
