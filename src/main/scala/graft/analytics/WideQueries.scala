@@ -48,6 +48,36 @@ object WideQueries {
                 |ORDER BY user_id, rn""".stripMargin)
       }),
 
+    // As-of join: every purchase matched to the user's most recent prior
+    // (<=) click — Spark-side by window composition (ops.AsOfJoin),
+    // oracle-side by DuckDB's native ASOF JOIN. Epoch-second casts keep
+    // the comparison on the engines' shared grid.
+    NamedQuery(
+      "q58_asof_join",
+      Some("""SELECT p.event_id, p.user_id,
+             |  CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_sec,
+             |  CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_sec,
+             |  ROUND(c.value, 2) AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("ts").cast("long").as("click_sec"), col("value").as("click_value"))
+        graft.ops.AsOfJoin.asOf(purchases, clicks,
+            keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            valueCols = Seq("click_sec", "click_value"))
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("purchase_sec"),
+            col("click_sec"), round(col("click_value"), 2).as("click_value"))
+          .orderBy("event_id")
+      }),
+
     // NULL-handling scalar surface: coalesce / nullif / CASE-null
     // interplay, on synthesized nulls (the tables are null-free).
     NamedQuery(

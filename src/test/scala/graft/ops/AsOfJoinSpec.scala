@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("as-of semantics: most recent prior, equal-ts matches, NULL when no prior") {
+    val left = Seq( // (id, key, ts)
+      (1L, "a", ts(100)), // after right@50 → 50
+      (2L, "a", ts(200)), // equal to right@200 → 200 (<= semantics)
+      (3L, "a", ts(40)),  // before any right → NULL
+      (4L, "b", ts(500))  // other key → right-b@400
+    ).toDF("id", "k", "t")
+    val right = Seq( // (key, ts, v)
+      ("a", ts(50), 1.0), ("a", ts(200), 2.0), ("a", ts(300), 3.0),
+      ("b", ts(400), 4.0)
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out === Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> Some(4.0)))
+  }
+
+  test("left rows and columns all survive; right rows never multiply the left") {
+    val left = Seq((1L, "a", ts(100), "payload")).toDF("id", "k", "t", "extra")
+    val right = Seq(("a", ts(10), 1.0), ("a", ts(20), 2.0), ("a", ts(30), 3.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.count() === 1) // three prior right rows, still one output row
+    assert(out.columns.toSeq === Seq("id", "k", "t", "extra", "v"))
+    assert(out.head().getAs[Double]("v") === 3.0) // the latest prior
+  }
+}
