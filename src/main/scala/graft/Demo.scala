@@ -61,7 +61,17 @@ object Demo {
       .collect().map(_.getLong(0)).toSet
     val approx = VectorOps.srpTopK(embs, "vec_id", "embedding", q, 20)
       .collect().map(_.getLong(0)).toSet
-    println(s"[demo] ann recall@20 = ${(exact & approx).size}/20")
+    // Honesty metric: an ANN whose candidate set approaches the corpus
+    // is brute force in disguise — report the scanned fraction.
+    val scanned = VectorOps.srpTopK(embs, "vec_id", "embedding", q, Int.MaxValue).count()
+    val total = embs.count()
+    println(s"[demo] srp recall@20 = ${(exact & approx).size}/20 " +
+      s"(scanned $scanned/$total = ${math.round(100.0 * scanned / total)}%)")
+    val ivf = VectorOps.ivfTopK(embs, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val ivfScanned = VectorOps.ivfTopK(embs, "vec_id", "embedding", q, Int.MaxValue).count()
+    println(s"[demo] ivf recall@20 = ${(exact & ivf).size}/20 " +
+      s"(scanned $ivfScanned/$total = ${math.round(100.0 * ivfScanned / total)}%)")
 
     val cleaned = CorpusPipeline.clean(docs)
     println(s"[demo] corpus clean: ${docs.count()} docs -> ${cleaned.count()} survivors")

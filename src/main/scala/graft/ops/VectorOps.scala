@@ -162,7 +162,7 @@ object VectorOps {
       vecCol: String,
       query: Seq[Double],
       k: Int,
-      planes: Int = 4,
+      planes: Int = 8,
       tables: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -175,8 +175,12 @@ object VectorOps {
     val qRow = (0 until tables).foldLeft(Seq(Tuple1(query.toArray)).toDF("qv")) {
       (d, t) => d.withColumn(s"b$t", srpBucket(col("qv"), planes, t * planes))
     }.select((0 until tables).map(t => col(s"b$t")): _*).head()
+    // Multi-probe: accept buckets within Hamming distance 1 of the
+    // query's bucket in any table — near neighbors that land one
+    // hyperplane-sign away (the dominant miss mode for SRP) are
+    // recovered at ~(planes+1)× candidate cost, still sublinear.
     val cand = (0 until tables)
-      .map(t => col(s"b$t") === lit(qRow.getLong(t)))
+      .map(t => bit_count(col(s"b$t").bitwiseXOR(lit(qRow.getLong(t)))) <= 1)
       .reduce(_ || _)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     withBuckets.filter(cand)
