@@ -78,7 +78,9 @@ object DataOpsQueries {
           .orderBy("id_a", "id_b")),
 
     // Embedding-cosine near-dup, exact quadratic form (double-cast before
-    // arithmetic keeps both engines on the same fold).
+    // arithmetic keeps both engines on the same fold). Gate-scale oracle
+    // ONLY — excluded from the bench headline; the benched scale path for
+    // the same relation is q59 (SRP-LSH bucketed).
     NamedQuery(
       "q24_embed_neardup",
       Some("""WITH e AS (SELECT vec_id,
@@ -92,6 +94,20 @@ object DataOpsQueries {
              |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) =>
         Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.4)
+          .orderBy("id_a", "id_b")),
+
+    // Same relation via SRP-LSH bucketing — the non-quadratic path
+    // (xxhash buckets → no SQL oracle; recall vs q24's exact relation is
+    // asserted in DedupSpec). planes=4 × tables=12 with Hamming-1
+    // probing: per-pair miss ≈ 1.2e-4 at cosine 0.40 (measured recall
+    // 66/66, 59/59, 920/920 at sf0.001/0.01/0.1); a production near-dup
+    // threshold (≥0.9) would use 16 planes for fine buckets.
+    NamedQuery(
+      "q59_embed_neardup_lsh",
+      None,
+      (s, dir) =>
+        Similarity.srpNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.4,
+            planes = 4, tables = 12)
           .orderBy("id_a", "id_b")),
 
     // --------------------------------------------- similarity search

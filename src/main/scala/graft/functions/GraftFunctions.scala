@@ -16,6 +16,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash"
   val MinHashName = "graft_minhash"
   val ShinglesName = "graft_shingles"
+  val SrpName = "graft_srp"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -44,6 +45,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       ShinglesName, exprs => WordShingles(exprs.head,
         literalInt(exprs(1), ShinglesName, "n")), "built-in")
+    reg.createOrReplaceTempFunction(
+      SrpName, exprs => SrpBucket(exprs.head,
+        literalInt(exprs(1), SrpName, "planes"),
+        literalInt(exprs(2), SrpName, "seedBase")), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -61,4 +66,10 @@ object GraftFunctions {
   /** Native distinct word n-gram shingles of a token array. */
   def shingles(toks: Column, n: Int): Column =
     call_function(ShinglesName, toks, org.apache.spark.sql.functions.lit(n))
+
+  /** Native SRP bucket (sign pattern of `planes` projections, packed). */
+  def srp(vec: Column, planes: Int, seedBase: Int): Column =
+    call_function(SrpName, vec,
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(seedBase))
 }

@@ -268,7 +268,8 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Quadratic ground truth (cast to double before any arithmetic so the
     * result is engine-portable); the scale path is SRP-LSH bucketing in
-    * [[Similarity.srpCandidates]].
+    * [[Similarity.srpNearDupPairs]], whose recall against this relation
+    * is measured in DedupSpec.
     */
   def embeddingNearDupPairs(
       df: DataFrame,

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SRP-LSH similarity join: embedding-cosine near-duplicate PAIRS
+  * without the all-pairs cross product — the scale path for the
+  * relation [[Dedup.embeddingNearDupPairs]] computes exactly.
+  *
+  * Same pipeline shape as [[Dedup.minhashLshPairs]]:
+  * map (bucket sketch) → shuffle only (table, bucket, id) → per-bucket
+  * equi-join → exact-cosine verify on the candidate pairs. The verify
+  * step makes the output a SUBSET of the exact relation (precision 1);
+  * recall is governed by (planes, tables, probing) and measured against
+  * the exact relation in DedupSpec.
+  *
+  * Recall math (for parameter choice): two vectors at angle θ agree on
+  * one hyperplane sign with p = 1 − θ/π. A table of `b` planes catches
+  * the pair with p^b exactly, or p^b + b·p^(b−1)(1−p) with Hamming-1
+  * probing; `t` independent tables make a miss (1 − catch)^t.
+  *   - near-dup regimes (cosine ≥ 0.9, p ≥ 0.86): 16 planes × 8 tables
+  *     gives recall > 0.98 with fine buckets — the 100 TB setting.
+  *   - loose thresholds (cosine ≈ 0.4, p ≈ 0.63): few planes + probing
+  *     is required (q59 uses 4 × 12 → theoretical recall 0.9999);
+  *     candidate volume rises accordingly because a 0.4-cosine "join"
+  *     is close to a random relation — LSH cannot be sublinear on a
+  *     relation that is itself near-quadratic.
+  *
+  * 100 TB notes: buckets carry only (table, bucket, id) — the dim-D
+  * vectors never enter the candidate shuffle; the verify join fetches
+  * them once per surviving pair. `maxBucket` drops degenerate buckets
+  * (e.g. the all-zero vector's) before the self-join, the same skew
+  * guard as the MinHash path.
+  */
+object Similarity {
+
+  /** Candidate pairs (id_a < id_b) sharing an SRP bucket in at least one
+    * of `tables` hash tables — Hamming-1 probed: pairs whose buckets
+    * differ by ONE plane sign in some table are also caught (the
+    * dominant miss mode for SRP), at (planes+1)× posting volume on one
+    * join side only.
+    */
+  def srpCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      tables: Int,
+      maxBucket: Int = 10000,
+      probe: Boolean = true): DataFrame = {
+    val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
+    // One row per (table, exact bucket, id): the only payload that shuffles.
+    val buckets = v.select(col(idCol),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          VectorOps.srpBucket(col("dv"), planes, t * planes).as("bucket"))): _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl"), col("tb.bucket"))
+    // Skew guard identical to minhashLshPairs: oversized buckets are tiny
+    // by construction, so they broadcast as an anti-join.
+    val oversized = buckets.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("tbl", "bucket")
+    val capped = buckets.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+    // Probe side: each posting also lands in its Hamming-1 neighbor
+    // buckets. Probing ONE side suffices — hamming(bx, by) <= 1 is
+    // symmetric, and least/greatest+distinct canonicalizes the pair.
+    val probeSide =
+      if (!probe) capped
+      else capped.select(col(idCol),
+        col("tbl"),
+        explode(array_union(array(col("bucket")),
+          transform(sequence(lit(0), lit(planes - 1)),
+            p => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("bucket"))
+    probeSide.select(col("tbl"), col("bucket"), col(idCol).as("id_p"))
+      .join(capped.select(col("tbl"), col("bucket"), col(idCol).as("id_f")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      // Dedup BEFORE verify: a pair that agrees in k tables would
+      // otherwise pay k dim-D dot products; the id-pair distinct is a
+      // narrow two-long shuffle (measured 11.5s → 6.5s at sf0.1 on the
+      // verify-duplicates alternative).
+      .distinct()
+  }
+
+  /** Near-duplicate pairs above a cosine threshold via SRP-LSH candidates
+    * + exact verify. Output schema and rounding match
+    * [[Dedup.embeddingNearDupPairs]] so recall is directly measurable.
+    */
+  def srpNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 16,
+      tables: Int = 8,
+      maxBucket: Int = 10000,
+      probe: Boolean = true): DataFrame = {
+    val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
+      .withColumn("nrm", VectorOps.l2Norm(col("dv")))
+    val candidates =
+      srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe)
+    candidates
+      .join(v.select(col(idCol).as("id_a"), col("dv").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(v.select(col(idCol).as("id_b"), col("dv").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

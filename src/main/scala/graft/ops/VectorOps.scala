@@ -59,8 +59,17 @@ object VectorOps {
     * pseudo-random hyperplane projections, packed into a long. Plane
     * coefficients are xxhash64-derived uniforms in [-0.5, 0.5) keyed by
     * (seedBase + plane, dimension) — fixed seeds, reproducible runs.
+    * Native codegen'd expression ([[graft.functions.SrpBucket]]); the
+    * composable form below defines the semantics and pins them in the
+    * parity test.
     */
-  def srpBucket(vec: Column, planes: Int, seedBase: Int = 0): Column = {
+  def srpBucket(vec: Column, planes: Int, seedBase: Int = 0): Column =
+    graft.functions.GraftFunctions.srp(vec, planes, seedBase)
+
+  /** Built-ins-only formulation of [[srpBucket]] (reference semantics;
+    * O(planes × dims) lambda steps per row — not the fast path).
+    */
+  def srpBucketComposable(vec: Column, planes: Int, seedBase: Int = 0): Column = {
     val signs = transform(sequence(lit(0), lit(planes - 1)), pIdx => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -65,6 +65,34 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(short.getSeq[String](0).isEmpty)
   }
 
+  test("graft_srp ≡ composable SRP bucket over the embeddings corpus, all tables") {
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+    val n = e.filter((0 until 8).map(t =>
+        VectorOps.srpBucket(col("v"), 8, t * 8) =!=
+          VectorOps.srpBucketComposable(col("v"), 8, t * 8)).reduce(_ || _))
+      .count()
+    assert(n === 0)
+  }
+
+  test("graft_srp edge semantics: empty / null-element / NaN vectors match composable") {
+    val df = Seq(
+      Tuple1(Array.empty[java.lang.Double]),
+      Tuple1(Array[java.lang.Double](1.0, null, 2.0)),
+      Tuple1(Array[java.lang.Double](Double.NaN, 1.0)),
+      Tuple1(Array[java.lang.Double](0.5, -0.25, 3.0))).toDF("v")
+    val rows = df.select(
+      VectorOps.srpBucket(col("v"), 8, 0).as("n"),
+      VectorOps.srpBucketComposable(col("v"), 8, 0).as("c")).collect()
+    rows.foreach { r =>
+      assert(Option(r.get(0)) === Option(r.get(1)), s"srp mismatch: $r")
+    }
+    // NULL input → NULL out (unary null propagation on both paths)
+    val nullRow = Seq(Tuple1(null: Array[java.lang.Double])).toDF("v")
+      .select(VectorOps.srpBucket(col("v"), 8, 0).as("n")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("sketches of empty and null-element arrays match the composable forms exactly") {
     val df = Seq(
       Tuple1(Array.empty[String]),

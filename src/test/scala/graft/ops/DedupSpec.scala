@@ -55,6 +55,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(2) >= 0.4))
   }
 
+  test("SRP-LSH embedding near-dup pairs: subset of exact relation, recall >= 0.95 (q59 gate)") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = canon(Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.4))
+    val lsh = canon(Similarity.srpNearDupPairs(embs, "vec_id", "embedding", 0.4,
+      planes = 4, tables = 12))
+    assert(exact.nonEmpty)
+    // exact-cosine verify ⇒ precision 1 (values included: same rounding)
+    assert(lsh.subsetOf(exact))
+    // measured 1.0 on this corpus; >= 0.95 keeps the gate robust to a
+    // regenerated fixture (theoretical per-pair miss ≈ 1.2e-4 at cos 0.4)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("SRP-LSH skew guard: degenerate identical vectors drop, distinct vectors survive") {
+    import spark.implicits._
+    // 60 copies of one vector (one bucket everywhere > maxBucket=20) plus
+    // two near-identical outliers that must still pair up.
+    val rows = (1L to 60L).map(i => (i, Array(1.0f, 0.0f, 0.0f))) ++
+      Seq((100L, Array(0.0f, 1.0f, 0.1f)), (101L, Array(0.0f, 1.0f, 0.11f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
+      planes = 4, tables = 12, maxBucket = 20)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((100L, 101L)))
+  }
+
   test("LSH skew guard drops degenerate buckets instead of going quadratic") {
     // 200 identical docs → one bucket of 200 > maxBucket=50 → dropped.
     val df = (1L to 200L).map(i => (i, "same same same same")).toDF("doc_id", "text")
