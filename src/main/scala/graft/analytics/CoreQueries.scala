@@ -64,17 +64,18 @@ object CoreQueries {
           .orderBy(col("context_date").desc, col("user_id"), col("event_type"))),
 
     // Reference Q4 (ipynb:888–903): CAST(AVG(length(text)) AS INT).
-    // Athena/Presto CAST truncates toward zero; DuckDB CAST rounds, so the
-    // oracle spells the truncation as FLOOR (values are non-negative).
+    // Presto/Trino CAST(double AS int) rounds to NEAREST (ties away from
+    // zero), unlike Spark's truncating cast — spelled as FLOOR(x + 0.5)
+    // on both sides (lengths are non-negative, so half-up ≡ half-away).
     NamedQuery(
       "q04_avg_text_len",
       Some("""SELECT lang, source,
-             |       CAST(FLOOR(AVG(LENGTH(text))) AS BIGINT) AS avg_message_length
+             |       CAST(FLOOR(AVG(LENGTH(text)) + 0.5) AS BIGINT) AS avg_message_length
              |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
       (s, dir) =>
         Tables.load(s, dir, "documents")
           .groupBy("lang", "source")
-          .agg(floor(avg(length(col("text")))).cast("long").as("avg_message_length"))
+          .agg(floor(avg(length(col("text"))) + lit(0.5)).cast("long").as("avg_message_length"))
           .orderBy("lang", "source")),
 
     // Reference Q5 (ipynb:928–958): message count per (hour, weekday, week).

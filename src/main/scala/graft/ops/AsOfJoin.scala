@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (most-recent-prior) join: for every left row, attach the right
   * row with the greatest timestamp <= the left timestamp within the same
@@ -10,23 +11,36 @@ import org.apache.spark.sql.functions._
   *
   * Implemented by composition (SURVEY preference (a)) rather than a
   * custom SparkPlan: tag and union both sides, then one window pass per
-  * key ordered by (ts, side) carries the right side's latest values
-  * forward with `last_value(ignoreNulls)`. Cost is exactly one shuffle
-  * on the key and one sort — identical to what a bespoke physical
-  * operator would pay — and the window is codegen'd.
+  * key ordered by (ts, side, tiebreak) carries the right side's latest
+  * row forward. Cost is exactly one shuffle on the key and one sort —
+  * identical to what a bespoke physical operator would pay — and the
+  * window is codegen'd.
+  *
+  * All `valueCols` are carried as ONE struct per right row, so they are
+  * always stitched from the SAME matched row, and a genuine NULL inside
+  * that row survives (the struct itself is never NULL for a right row,
+  * so `last(ignoreNulls)` skips left rows but not NULL fields). The
+  * earlier per-column `last(ignoreNulls)` formulation got both of those
+  * wrong.
   *
   * Equal timestamps match (`<=`, DuckDB/kdb ASOF semantics): the right
-  * side sorts before the left at a tie via the side tag.
+  * side sorts before the left at a tie via the side tag. Among right
+  * rows sharing (key, ts), the one with the GREATEST `tiebreakCols`
+  * (ascending window order → last wins) is matched, making the result
+  * deterministic; with no tiebreak the choice is arbitrary, as in
+  * DuckDB's native ASOF.
   */
 object AsOfJoin {
 
-  /** @param left      probe side (keeps all rows)
-    * @param right     reference side (its `valueCols` are attached)
-    * @param keyCols   equality keys present on both sides
-    * @param leftTs    event-time column on the left
-    * @param rightTs   event-time column on the right
-    * @param valueCols right-side columns to carry (attached with their
-    *                  own names; NULL when no prior right row exists)
+  /** @param left         probe side (keeps all rows)
+    * @param right        reference side (its `valueCols` are attached)
+    * @param keyCols      equality keys present on both sides
+    * @param leftTs       event-time column on the left
+    * @param rightTs      event-time column on the right
+    * @param valueCols    right-side columns to carry (attached with their
+    *                     own names; NULL when no prior right row exists)
+    * @param tiebreakCols right-side columns breaking equal-`rightTs` ties
+    *                     deterministically (greatest wins); empty = arbitrary
     */
   def asOf(
       left: DataFrame,
@@ -34,26 +48,32 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = StructType(valueCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+    val tbCols = tiebreakCols.map(c => s"_tb_$c")
     // side 0 = right (sorts first at timestamp ties → <= semantics)
     val taggedRight = right.select(
-      (keyCols.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
-        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
+          struct(valueCols.map(col): _*).as("_row")) ++
+        tiebreakCols.map(c => col(c).as(s"_tb_$c")): _*)
     val taggedLeft = left.select(
-      (leftCols.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
-    // unionByName with allowMissingColumns fills the left-only columns
-    // on the right side with NULLs.
+      leftCols.map(col) ++
+        Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
+          lit(null).cast(payloadType).as("_row")): _*)
+    // unionByName with allowMissingColumns fills the side-only columns
+    // (left payload cols, right tiebreak cols) with NULLs.
     val unioned = taggedRight.unionByName(taggedLeft, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(Seq(col("_ts").asc, col("_side").asc) ++ tbCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
+    unioned
+      .withColumn("_asof", last(col("_row"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"_asof_$c").as(c)): _*)
+        valueCols.map(c => col(s"_asof.$c").as(c)): _*)
   }
 }

@@ -31,11 +31,13 @@ object TelegramQueries {
       .orderBy(col("context_date").desc)
 
   /** Q4 (ipynb:888–903): CAST(AVG(length(text)) AS INT) per user per
-    * day — Presto CAST truncates toward zero; AVG skips NULL text.
+    * day — Presto/Trino CAST(double→int) rounds to NEAREST, ties away
+    * from zero (not a truncation); AVG skips NULL text. Lengths are
+    * non-negative, so FLOOR(x + 0.5) is exactly Presto's rounding.
     */
   def q4(telegram: DataFrame): DataFrame =
     telegram.groupBy("user_id", "user_first_name", "context_date")
-      .agg(floor(avg(length(col("text")))).cast("int").as("average_message_length"))
+      .agg(floor(avg(length(col("text"))) + lit(0.5)).cast("int").as("average_message_length"))
       .orderBy(col("context_date").desc)
 
   /** Q5 (ipynb:928–958): message count per (hour, ISO dow, ISO week).
@@ -75,7 +77,7 @@ object TelegramQueries {
         |ORDER BY context_date DESC""".stripMargin)
     case 4 => spark.sql(
       """SELECT user_id, user_first_name, context_date,
-        |       CAST(FLOOR(AVG(length(text))) AS INT) AS average_message_length
+        |       CAST(FLOOR(AVG(length(text)) + 0.5) AS INT) AS average_message_length
         |FROM telegram GROUP BY user_id, user_first_name, context_date
         |ORDER BY context_date DESC""".stripMargin)
     case 5 => spark.sql(

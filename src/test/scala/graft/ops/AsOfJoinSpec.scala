@@ -26,6 +26,46 @@ class AsOfJoinSpec extends AnyFunSuite {
       1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> Some(4.0)))
   }
 
+  test("NULL in the matched right row survives (not replaced by an older value)") {
+    // DuckDB ASOF semantics: the matched row is chosen by timestamp only;
+    // a NULL field in it stays NULL. The broken per-column carry would
+    // resurrect 1.0/"x" from ts=10 here.
+    val left = Seq((1L, "a", ts(100))).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts(10), Some(1.0), Some("x")),
+      ("a", ts(50), None: Option[Double], None: Option[String])
+    ).toDF("k", "rt", "v", "s")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v", "s")).head()
+    assert(out.isNullAt(3) && out.isNullAt(4))
+  }
+
+  test("all valueCols come from the SAME matched right row") {
+    // Latest prior row is (ts=50, v=NULL, s="new"): v must be NULL and s
+    // "new" — never (v=1.0 from ts=10, s="new" from ts=50) stitched.
+    val left = Seq((1L, "a", ts(100))).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts(10), Some(1.0), Some("old")),
+      ("a", ts(50), None: Option[Double], Some("new"))
+    ).toDF("k", "rt", "v", "s")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v", "s")).head()
+    assert(out.isNullAt(3))
+    assert(out.getString(4) === "new")
+  }
+
+  test("duplicate right timestamps: greatest tiebreak wins, deterministically") {
+    val left = Seq((1L, "a", ts(100))).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts(50), 7L, 1.0), ("a", ts(50), 9L, 2.0), ("a", ts(50), 8L, 3.0)
+    ).toDF("k", "rt", "seq", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt",
+      valueCols = Seq("seq", "v"), tiebreakCols = Seq("seq"))
+    // rerun twice to pin determinism across plans
+    for (_ <- 1 to 2) {
+      val r = out.collect().head
+      assert(r.getLong(3) === 9L && r.getDouble(4) === 2.0)
+    }
+  }
+
   test("left rows and columns all survive; right rows never multiply the left") {
     val left = Seq((1L, "a", ts(100), "payload")).toDF("id", "k", "t", "extra")
     val right = Seq(("a", ts(10), 1.0), ("a", ts(20), 2.0), ("a", ts(30), 3.0))

@@ -97,11 +97,12 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       (11L, "2024-01-07", 2L), (12L, "2024-01-07", 1L)))
   }
 
-  test("Q4: avg(length(text)) truncated, NULLs skipped (golden)") {
+  test("Q4: avg(length(text)) rounded to nearest (Presto cast), NULLs skipped (golden)") {
     val rows = TelegramQueries.sql(spark, 4).collect()
       .map(r => ((r.getLong(0), r.get(2).toString), Option(r.get(3)))).toMap
-    // Ana day1: lengths (5, 2) → avg 3.5 → trunc 3
-    assert(rows((11L, "2024-01-07")) === Some(3))
+    // Ana day1: lengths (5, 2) → avg 3.5 → Presto CAST rounds to 4
+    // (FLOOR would give 3 — this case pins rounding, not truncation)
+    assert(rows((11L, "2024-01-07")) === Some(4))
     // Bob day1: only a NULL text → AVG over empty → NULL
     assert(rows((12L, "2024-01-07")) === None)
     // Bob day2: one NULL skipped, one len-4 → 4
