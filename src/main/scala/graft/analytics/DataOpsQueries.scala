@@ -59,13 +59,16 @@ object DataOpsQueries {
              |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
              |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
              |ORDER BY id_a, id_b""".stripMargin),
-      // Plain inverted-index join: measured faster than the prefix-
-      // filtered variant on this corpus (no hot shingles — the rank
-      // window costs more than it saves; ngramJaccardPairsPrefix is the
-      // choice when shingle frequency is skewed).
+      // Inverted-index join with the hot-shingle cut armed at df > 100:
+      // inactive on this corpus (max shingle df is 25 at sf0.1, so the
+      // result is the oracle's exact relation), but bounding the join's
+      // worst case on boilerplate-heavy corpora at scale. Measured
+      // faster than the prefix-filtered variant here (the rank window
+      // costs more than it saves; ngramJaccardPairsPrefix remains the
+      // exact-recall choice when shingle frequency is skewed).
       (s, dir) =>
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-            shingleN = 3, threshold = 0.5)
+            shingleN = 3, threshold = 0.5, maxDocFreq = 100)
           .orderBy("id_a", "id_b")),
 
     // SimHash near-dup with pigeonhole chunk blocking (rows-only: xxhash

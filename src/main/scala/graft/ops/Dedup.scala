@@ -123,32 +123,76 @@ object Dedup {
     * >= threshold. EXACT, but not quadratic: any qualifying pair
     * (jaccard >= t > 0) shares at least one shingle, so candidates come
     * from an inverted-index self-join on shingles, and the join's
-    * per-pair match count IS |A ∩ B| — no array intersection ever runs
-    * (the equi-join + count formulation of set-similarity join, à la
-    * Vernica et al.). Work is Σ_shingle n_shingle², i.e. proportional to
-    * real shingle overlap, not to |docs|²; a hot-shingle frequency cut
-    * would bound the worst case at corpus scale.
+    * per-pair match count IS |A ∩ B| — no array intersection over full
+    * sets ever runs (the equi-join + count formulation of set-similarity
+    * join, à la Vernica et al.). Work is Σ_shingle n_shingle², i.e.
+    * proportional to real shingle overlap, not to |docs|².
+    *
+    * @param maxDocFreq hot-shingle frequency cut bounding the worst case
+    *   at corpus scale (0 = off). Shingles contained in more than
+    *   `maxDocFreq` documents are EXCLUDED from candidate generation —
+    *   one boilerplate shingle shared by 1 % of a 10⁹-doc corpus would
+    *   otherwise contribute (10⁷)² join rows on a single key. Found
+    *   pairs still score their EXACT Jaccard: each doc's (tiny) hot
+    *   shingle array rides along and `array_intersect` restores the hot
+    *   part of |A ∩ B| after the cold count. The only loss is pairs
+    *   whose ENTIRE intersection is hot — such a pair shares
+    *   ≥ t/(1+t)·(|A|+|B|) shingles, every one in >maxDocFreq docs,
+    *   i.e. pure boilerplate similarity (DedupSpec pins both the bound
+    *   and exactness of surviving scores).
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 0): DataFrame = {
     val s = df.select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col(idCol), col("sh"), size(col("sh")).as("sz"))
     val ex = s.select(col(idCol), col("sz"), explode(col("sh")).as("shingle"))
-    val a = ex.select(col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
-    val b = ex.select(col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("c")) // = |A ∩ B|: shingle sets are distinct
-      .select(col("id_a"), col("id_b"),
-        round(col("c").cast("double") /
-          (col("sz_a") + col("sz_b") - col("c")).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (maxDocFreq <= 0) {
+      val a = ex.select(col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+      val b = ex.select(col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("c")) // = |A ∩ B|: shingle sets are distinct
+        .select(col("id_a"), col("id_b"),
+          round(col("c").cast("double") /
+            (col("sz_a") + col("sz_b") - col("c")).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // At most Σdf/maxDocFreq distinct hot shingles exist — small enough
+      // to broadcast for the map-side anti/semi splits below.
+      val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select("shingle")
+      val cold = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+      // Per-doc hot-shingle arrays: one row per doc CONTAINING a hot
+      // shingle; each array is tiny (⊆ that doc's shingles ∩ hot set).
+      // Not force-broadcast — at boilerplate scale this can be a large
+      // fraction of the corpus; AQE picks broadcast when it is small.
+      val hotByDoc = ex.join(broadcast(hot), Seq("shingle"))
+        .groupBy(col(idCol))
+        .agg(collect_list(col("shingle")).as("hsh"))
+      val a = cold.select(col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+      val b = cold.select(col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("c_cold"))
+        .join(hotByDoc.select(col(idCol).as("id_a"), col("hsh").as("hsh_a")), Seq("id_a"), "left")
+        .join(hotByDoc.select(col(idCol).as("id_b"), col("hsh").as("hsh_b")), Seq("id_b"), "left")
+        .withColumn("c", col("c_cold") +
+          when(col("hsh_a").isNull || col("hsh_b").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("hsh_a"), col("hsh_b"))).cast("long")))
+        .select(col("id_a"), col("id_b"),
+          round(col("c").cast("double") /
+            (col("sz_a") + col("sz_b") - col("c")).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Exact set-similarity join with PREFIX FILTERING (Chaudhuri/Xiao

@@ -91,7 +91,12 @@ object EventStreams {
                 case s if sec - s.lastTs > GapSeconds =>
                   closed ::= Session(userId, fmt(s.start), s.n, s.sum)
                   SessionState(sec, sec, 1L, e.value)
-                case s => SessionState(s.start, sec, s.n + 1, s.sum + e.value)
+                case s =>
+                  // max(): an in-watermark out-of-order event from a later
+                  // micro-batch must never rewind last-seen (and with it
+                  // the timeout) — the batch lag/cumsum oracle keys the
+                  // gap off the max timestamp seen, not the arrival order.
+                  SessionState(s.start, math.max(s.lastTs, sec), s.n + 1, s.sum + e.value)
               }
             }
             if (st != null) {

@@ -39,6 +39,44 @@ class DedupSpec extends AnyFunSuite {
     assert(pref === plain)
   }
 
+  test("hot-shingle cut: exact scores for pairs sharing a cold shingle; only all-hot pairs drop") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Boilerplate footer in EVERY doc (its shingles hit df=14 > maxDocFreq=5);
+    // unique bodies keep body shingles at df <= 2.
+    val boiler = "common boiler plate footer text"
+    val corpus =
+      (1L to 10L).map(i => (i, s"body$i alpha$i beta$i gamma$i delta$i $boiler")) ++
+      Seq( // near-dup pair differing in one token → shares cold body shingles
+        (100L, s"same aaa bbb ccc ddd eee $boiler"),
+        (101L, s"same aaa bbb ccc ddd fff $boiler"),
+        // pure-boilerplate pair: intersection is ONLY hot shingles
+        (200L, boiler), (201L, boiler))
+    val df = corpus.toDF("doc_id", "text")
+    val exact = canon(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.3))
+    val cut = canon(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.3, maxDocFreq = 5))
+    // the documented recall bound: a pair drops iff its intersection is
+    // entirely hot — here, exactly the pairs touching a pure-boilerplate
+    // doc (200/201 contribute no cold shingle to any intersection)
+    assert(exact.map(t => (t._1, t._2)).contains((200L, 201L)))
+    val allHot = exact.filter(t => t._1 >= 200L || t._2 >= 200L)
+    assert(allHot.nonEmpty)
+    assert(cut === exact -- allHot)
+    // and the surviving near-dup pair scores its EXACT jaccard (hot shingles
+    // restored by the per-doc hot-array correction, not cold-count-only)
+    val exactScore = exact.find(t => (t._1, t._2) == ((100L, 101L))).map(_._3)
+    val cutScore = cut.find(t => (t._1, t._2) == ((100L, 101L))).map(_._3)
+    assert(exactScore.isDefined && cutScore === exactScore)
+  }
+
+  test("hot-shingle cut inactive on a uniform corpus: identical relation to the unbounded path") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    val cut = canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 100))
+    assert(plain.nonEmpty && cut === plain)
+  }
+
   test("SimHash: identical texts at distance 0; near-dups within radius are a subset of Jaccard pairs' universe") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
       .toDF("doc_id", "text")

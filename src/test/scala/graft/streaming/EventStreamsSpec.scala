@@ -26,6 +26,56 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("sessionize: in-watermark out-of-order event in a later micro-batch never rewinds last-seen") {
+    import spark.implicits._
+    // user 1, 30-min gap. Batch 1 delivers t=+1000s and t=+2000s; batch 2
+    // delivers t=+1900s OUT OF ORDER (within the 1h watermark) and then
+    // t=+3750s. Correct state keeps lastTs = 2000 → 3750-2000 = 1750 ≤ gap
+    // → ONE session of 4 events. A lastTs rewind to 1900 would split at
+    // 3750-1900 = 1850 > gap — exactly the bug this pins.
+    val base = 1700000000L
+    def row(id: Long, sec: Long) = (id, (base + sec) * 1000000000L, 1L, "click", 1.0, "{}")
+    val stage = java.nio.file.Files.createTempDirectory("sess_ooo")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1) // one file per batch → deterministic micro-batch order
+        .write.parquet(s"$stage/$name")
+
+    writeBatch("b1", Seq(row(1, 1000), row(2, 2000)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // force one micro-batch per file
+      .parquet(s"$stage/*/")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.sessionize(EventStreams.asSessionEvents(stream))
+      .writeStream.format("memory").queryName("sess_ooo_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", Seq(row(3, 1900), row(4, 3750)))
+      q.processAllAvailable()
+      // sentinel a year ahead → watermark passes → open session emits
+      writeBatch("b3", Seq((-1L, (base + 365L * 86400) * 1000000000L, -1L, "sentinel", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sess_ooo_t").filter(col("user_id") === 1L)
+      .select("session_start", "n_events", "sum_value").collect()
+    assert(sessions.length === 1, s"expected one merged session, got ${sessions.toSeq}")
+    assert(sessions.head.getLong(1) === 4L)
+    // and it agrees with the batch lag/cumsum formulation on the same rows
+    val batch = graft.analytics.StreamingQueries.batchSessionize(
+      Seq(row(1, 1000), row(2, 2000), row(3, 1900), row(4, 3750))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .collect()
+    assert(batch.length === 1 && batch.head.getAs[Long]("n_events") === 4L)
+  }
+
   test("streaming hourly rollup ≡ batch date_trunc group-by") {
     val streamed = graft.analytics.StreamingQueries.all
       .find(_.name == "q32_stream_hourly").get
