@@ -104,12 +104,92 @@ object VectorOps {
     transform(quantized.getField("q"),
       q => q.cast("double") * quantized.getField("scale"))
 
+  /** Spherical k-means centroids for IVF coarse quantization, over a
+    * bounded deterministic sample. The sample is a distributed top-k on
+    * a seeded hash of the vector (TakeOrderedAndProject: `sampleRows`
+    * rows per partition, one bounded driver merge — a pseudo-random
+    * sample with no full-corpus shuffle, safe at any corpus size).
+    * Lloyd then runs driver-side on the sample — O(sampleRows × k ×
+    * iters × dims) floating ops, microseconds next to one corpus scan —
+    * with k-means++ seeding and cosine (dot-on-unit-vector) assignment;
+    * empty clusters re-seed to the point farthest from its centroid.
+    * Returns unit-normalized centroids; deterministic for a fixed
+    * (seed, corpus).
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 4,
+      seed: Long = 42L,
+      sampleRows: Int = 4096): Array[Array[Double]] = {
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val unit: Array[Array[Double]] = df
+      .select(toDoubleVec(col(vecCol)).as("v"))
+      .filter(size(col("v")) > 0)
+      .orderBy(xxhash64(col("v"), lit(seed)))
+      .limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { p =>
+        val n = math.sqrt(dotA(p, p))
+        if (n == 0) p else p.map(_ / n)
+      }
+    if (unit.isEmpty) return Array.empty
+    val kk = math.min(k, unit.length)
+    val rnd = new scala.util.Random(seed)
+    // k-means++ on angular distance (1 - cosine): spread the seeds.
+    val seeds = scala.collection.mutable.ArrayBuffer(unit(rnd.nextInt(unit.length)))
+    while (seeds.length < kk) {
+      val d2 = unit.map { p =>
+        val d = 1.0 - seeds.iterator.map(c => dotA(p, c)).max
+        d * d
+      }
+      val total = d2.sum
+      if (total <= 0) seeds += unit(rnd.nextInt(unit.length))
+      else {
+        var r = rnd.nextDouble() * total; var i = 0
+        while (i < unit.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        seeds += unit(i)
+      }
+    }
+    var cents = seeds.toArray
+    val dims = unit.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val counts = new Array[Long](kk)
+      var worst = (0, 2.0) // (point idx, its cosine to its centroid)
+      unit.zipWithIndex.foreach { case (p, pi) =>
+        var best = 0; var bestSim = dotA(p, cents(0)); var c = 1
+        while (c < kk) {
+          val s = dotA(p, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+        }
+        var d = 0
+        while (d < dims) { sums(best)(d) += p(d); d += 1 }
+        counts(best) += 1
+        if (bestSim < worst._2) worst = (pi, bestSim)
+      }
+      cents = cents.indices.map { c =>
+        val m = if (counts(c) == 0) unit(worst._1) else sums(c)
+        val n = math.sqrt(dotA(m, m))
+        if (n == 0) cents(c) else m.map(_ / n)
+      }.toArray
+    }
+    cents
+  }
+
   /** ANN top-k via IVF (inverted-file) coarse quantization: vectors are
     * assigned to their nearest of `nCentroids` coarse centroids (a
     * map-only argmax), and a query scans only its `nProbe` nearest
-    * centroid lists. Centroids here are the first `nCentroids` corpus
-    * vectors by id — deterministic and cheap; production would run
-    * k-means and persist the assignment as a partition column, making
+    * centroid lists. Centroids come from [[kmeansCentroids]] (seeded,
+    * sample-based spherical k-means); `kmeansIters = 0` falls back to
+    * the first `nCentroids` corpus vectors by id — cheaper but blind to
+    * cluster structure (the suite shows it failing on clustered data).
+    * Production persists the assignment as a partition column, making
     * the probe a partition-pruned scan.
     */
   def ivfTopK(
@@ -119,15 +199,22 @@ object VectorOps {
       query: Seq[Double],
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents: Array[(Int, Array[Double], Double)] = df
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(toDoubleVec(col(vecCol)).as("v")).collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        val v = r.getSeq[Double](0).toArray
-        (i, v, math.sqrt(v.map(x => x * x).sum))
-      }
+      nProbe: Int = 4,
+      kmeansIters: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val base: Array[Array[Double]] =
+      if (kmeansIters > 0)
+        kmeansCentroids(df, vecCol, nCentroids, kmeansIters, seed)
+      else df
+        .orderBy(col(idCol)).limit(nCentroids)
+        .select(toDoubleVec(col(vecCol)).as("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    // Empty corpus (or all-empty vectors) → empty result, same schema —
+    // not a zero-arg greatest() analysis crash.
+    if (base.isEmpty)
+      return df.select(col(idCol), lit(0.0).as("cosine")).filter(lit(false))
+    val cents: Array[(Int, Array[Double], Double)] = base.zipWithIndex
+      .map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
     def centroidSims(vec: Column, norm: Column): Seq[(Column, Int)] =
       cents.toSeq.map { case (i, cv, cn) =>
         (dot(vec, lit(cv)) / (norm * lit(cn)), i)

@@ -40,6 +40,81 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall@20 = $recall — probe lists degenerated")
   }
 
+  test("IVF k-means centroids beat first-N-by-id on clustered data") {
+    import spark.implicits._
+    // Three well-separated clusters on the 4-sphere; ids ordered so the
+    // first-N centroid heuristic draws EVERY centroid from cluster-A-like
+    // vectors, leaving clusters B and C unrepresented. The first 3 ids
+    // have ZERO component in the query direction (z) with a wide y/w
+    // spread, so the pure-c query ties at sim 0 against all three
+    // centroids (deterministic tiebreak picks one) while each C point's
+    // assignment is decided by its own jitter — the query's probe list
+    // decorrelates from its true neighbors. k-means places one centroid
+    // per cluster and recalls everything, scanning exactly one cluster.
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]) =
+      base.map(x => x + 0.05 * rnd.nextGaussian())
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val c = Array(0.0, 0.0, 1.0, 0.0)
+    def aCent() = Array(1.0, 0.6 * rnd.nextGaussian(), 0.0, 0.6 * rnd.nextGaussian())
+    val rows =
+      (0L until 3L).map(i => (i, aCent())) ++
+      (3L until 100L).map(i => (i, jitter(a))) ++
+      (100L until 200L).map(i => (i, jitter(b))) ++
+      (200L until 300L).map(i => (i, jitter(c)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = c.toSeq
+    val exact = VectorOps.bruteForceTopK(df, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.forall(_ >= 200L)) // true neighbors are all in cluster C
+    val firstN = VectorOps.ivfTopK(df, "vec_id", "embedding", q, 20,
+        nCentroids = 3, nProbe = 1, kmeansIters = 0)
+      .collect().map(_.getLong(0)).toSet
+    val kmeans = VectorOps.ivfTopK(df, "vec_id", "embedding", q, 20,
+        nCentroids = 3, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & firstN).size <= 10, // measured 5/20, scanning 26/300
+      s"first-N centroids blind to cluster C should miss, hit ${(exact & firstN).size}")
+    assert((exact & kmeans).size === 20,
+      s"k-means recall@20 = ${(exact & kmeans).size}/20")
+    // and k-means does it scanning one cluster, not the corpus
+    val kmeansScanned = VectorOps.ivfTopK(df, "vec_id", "embedding", q, Int.MaxValue,
+        nCentroids = 3, nProbe = 1).count()
+    assert(kmeansScanned === 100L, s"scanned $kmeansScanned of 300")
+  }
+
+  test("IVF recall@20 >= 19/20 at sf0.01 (probe budget sized for a structureless corpus)") {
+    // The sf0.01 embeddings are near-uniform on the sphere (max
+    // off-diagonal cosine ~0.5): there are no clusters for ANY
+    // partition-probe ANN to exploit, so hitting 19/20 honestly costs a
+    // probe budget approaching the corpus (14/16 lists ~ 88% scanned —
+    // measured; 4/16 lists gives ~6/20, chance level for 25% coverage).
+    // The clustered-data test above is the regime IVF is FOR; this one
+    // pins that recall scales with budget when structure is absent, with
+    // the query scored OUT of corpus so no centroid list contains it for
+    // free (first-N "19/20 at 25%" in earlier rounds was exactly that
+    // artifact: the query was centroid #0 and its neighbors assigned to
+    // its own list).
+    val e01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val corpus = e01.filter(col("vec_id") =!= 0)
+    val q = e01.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = VectorOps.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = VectorOps.ivfTopK(corpus, "vec_id", "embedding", q, 20, nProbe = 14)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & approx).size >= 19, s"recall@20 = ${(exact & approx).size}/20")
+  }
+
+  test("IVF on an empty corpus returns an empty frame, not an analysis error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val out = VectorOps.ivfTopK(empty, "vec_id", "embedding", Seq(1.0, 0.0), 5)
+    assert(out.columns.toSeq === Seq("vec_id", "cosine"))
+    assert(out.count() === 0)
+  }
+
   test("approx_count_distinct stays within its error bound of exact") {
     val events = graft.Tables.load(spark, TestSpark.Sf001, "events")
     val rows = events.groupBy("event_type")
