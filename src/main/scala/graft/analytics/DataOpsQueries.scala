@@ -22,6 +22,27 @@ object DataOpsQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The synthetic embeddings are near-uniform (max pairwise cosine
+    * ≈ 0.51), so a production near-dup threshold (0.9) finds nothing in
+    * them. This plants ground truth: every vector gets a twin (id
+    * offset by 10M) perturbed elementwise by ±30 % with a deterministic
+    * parity sign — cosine(v, twin) ≈ 1/√1.09 ≈ 0.956, comfortably over
+    * 0.9, while cross pairs stay at natural (< 0.52) cosine. Fully
+    * column-expressed, reproducible, shared by q61 and the DedupSpec
+    * recall gate.
+    */
+  def twinCorpus(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twins = e.select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * (lit(1.0) + lit(0.3) *
+          when(pmod(col("vec_id") + i.cast("long"), lit(2L)) === 0, lit(1.0))
+            .otherwise(lit(-1.0)))).as("embedding"))
+    base.unionAll(twins)
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // -------------------------------------------------------- dedup
@@ -111,6 +132,20 @@ object DataOpsQueries {
       (s, dir) =>
         Similarity.srpNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.4,
             planes = 4, tables = 12)
+          .orderBy("id_a", "id_b")),
+
+    // The PRODUCTION SRP regime (threshold 0.9, 16 planes × 8 tables —
+    // the 100 TB parameter claim in Similarity's scaladoc) benched on
+    // the planted-twin corpus, since the natural corpus has no pairs
+    // over 0.9. Fine buckets keep candidate volume near the true pair
+    // count, unlike q59's loose-threshold regime whose relation is
+    // near-random. Rows-only; recall ≥ 0.95 vs the exact relation on
+    // the same corpus is gated in DedupSpec.
+    NamedQuery(
+      "q61_embed_neardup_prod",
+      None,
+      (s, dir) =>
+        Similarity.srpNearDupPairs(twinCorpus(embs(s, dir)), "vec_id", "embedding", 0.9)
           .orderBy("id_a", "id_b")),
 
     // --------------------------------------------- similarity search

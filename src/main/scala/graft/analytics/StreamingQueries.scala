@@ -122,6 +122,24 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
           .orderBy("window_start", "event_type")),
 
+    // Batch twin of q41's semantics: the corpus unioned with itself
+    // (every row an exact duplicate, the at-least-once redelivery shape)
+    // collapsed by the same (event_id, ts) key dropDuplicates uses in
+    // the stream — one hash-exchange on the key with a partial-agg
+    // map side; counts must equal the single-copy oracle.
+    NamedQuery(
+      "q60_dedup_batch",
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.unionAll(e)
+          .dropDuplicates("event_id", "ts")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }),
+
     NamedQuery(
       "q32_stream_hourly",
       Some(hourlyOracle),

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * one hyperplane sign with p = 1 − θ/π. A table of `b` planes catches
   * the pair with p^b exactly, or p^b + b·p^(b−1)(1−p) with Hamming-1
   * probing; `t` independent tables make a miss (1 − catch)^t.
-  *   - near-dup regimes (cosine ≥ 0.9, p ≥ 0.86): 16 planes × 8 tables
-  *     gives recall > 0.98 with fine buckets — the 100 TB setting.
+  *   - near-dup regimes: AT the cosine-0.9 boundary (p ≈ 0.856),
+  *     16 planes × 8 tables gives recall ≈ 0.95 with Hamming-1 probing
+  *     (≈ 0.50 without) — the 100 TB setting, benched as q61; recall
+  *     rises fast above the boundary (≈ 0.999 at cosine 0.95) because
+  *     real near-dups sit well inside it.
   *   - loose thresholds (cosine ≈ 0.4, p ≈ 0.63): few planes + probing
   *     is required (q59 uses 4 × 12 → theoretical recall 0.9999);
   *     candidate volume rises accordingly because a 0.4-cosine "join"
@@ -39,6 +42,21 @@ object Similarity {
     * differ by ONE plane sign in some table are also caught (the
     * dominant miss mode for SRP), at (planes+1)× posting volume on one
     * join side only.
+    *
+    * Skew bound: the exact-side guard drops buckets over `maxBucket`,
+    * and probe postings are pruned to buckets that survived it, so a
+    * join key's fan-in is ≤ maxBucket exact postings × (planes+1)·
+    * maxBucket probed postings (each of the planes+1 contributing
+    * neighbor buckets is itself capped) — the per-key worst case is
+    * (planes+1)·maxBucket², bounded, not corpus-dependent.
+    *
+    * `coverageGuard` (default on) runs one small eager aggregate over
+    * the per-bucket counts: if the skew guard would drop EVERY posting
+    * (corpus ≫ 2^planes × maxBucket, e.g. too few planes), the result
+    * would be silently empty — indistinguishable from "no near-dups" —
+    * so that case throws, and dropping >50 % warns on stderr. Costs one
+    * extra pass over the bucketing subplan; disable for single-pass
+    * production jobs monitored elsewhere.
     */
   def srpCandidatePairs(
       df: DataFrame,
@@ -47,7 +65,8 @@ object Similarity {
       planes: Int,
       tables: Int,
       maxBucket: Int = 10000,
-      probe: Boolean = true): DataFrame = {
+      probe: Boolean = true,
+      coverageGuard: Boolean = true): DataFrame = {
     val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
     // One row per (table, exact bucket, id): the only payload that shuffles.
     val buckets = v.select(col(idCol),
@@ -57,14 +76,35 @@ object Similarity {
       .select(col(idCol), col("tb.tbl"), col("tb.bucket"))
     // Skew guard identical to minhashLshPairs: oversized buckets are tiny
     // by construction, so they broadcast as an anti-join.
-    val oversized = buckets.groupBy("tbl", "bucket")
+    val bucketCounts = buckets.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("bucket_n"))
+    val oversized = bucketCounts
       .filter(col("bucket_n") > maxBucket)
       .select("tbl", "bucket")
+    if (coverageGuard) {
+      val st = bucketCounts.agg(
+        coalesce(sum("bucket_n"), lit(0L)).as("total"),
+        coalesce(sum(when(col("bucket_n") > maxBucket, col("bucket_n"))
+          .otherwise(0L)), lit(0L)).as("dropped")).head()
+      val (total, dropped) = (st.getLong(0), st.getLong(1))
+      if (total > 0 && dropped == total)
+        throw new IllegalStateException(
+          s"srpCandidatePairs: skew guard (maxBucket=$maxBucket) would drop ALL " +
+            s"$total postings — every bucket is oversized, the result would be " +
+            "silently empty. Raise maxBucket or planes (finer buckets).")
+      if (total > 0 && dropped * 2 > total)
+        System.err.println(
+          s"[graft] srpCandidatePairs: skew guard dropped $dropped/$total postings " +
+            s"(maxBucket=$maxBucket, planes=$planes) — recall may be poor; " +
+            "consider more planes or a larger maxBucket.")
+    }
     val capped = buckets.join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
     // Probe side: each posting also lands in its Hamming-1 neighbor
     // buckets. Probing ONE side suffices — hamming(bx, by) <= 1 is
     // symmetric, and least/greatest+distinct canonicalizes the pair.
+    // Probed postings aimed at a bucket the exact side dropped can join
+    // nothing — prune them before they shuffle, which also makes the
+    // per-key fan-in bound in the scaladoc tight.
     val probeSide =
       if (!probe) capped
       else capped.select(col(idCol),
@@ -72,6 +112,7 @@ object Similarity {
         explode(array_union(array(col("bucket")),
           transform(sequence(lit(0), lit(planes - 1)),
             p => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("bucket"))
+        .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
     probeSide.select(col("tbl"), col("bucket"), col(idCol).as("id_p"))
       .join(capped.select(col("tbl"), col("bucket"), col(idCol).as("id_f")),
         Seq("tbl", "bucket"))
@@ -97,11 +138,12 @@ object Similarity {
       planes: Int = 16,
       tables: Int = 8,
       maxBucket: Int = 10000,
-      probe: Boolean = true): DataFrame = {
+      probe: Boolean = true,
+      coverageGuard: Boolean = true): DataFrame = {
     val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
       .withColumn("nrm", VectorOps.l2Norm(col("dv")))
     val candidates =
-      srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe)
+      srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe, coverageGuard)
     candidates
       .join(v.select(col(idCol).as("id_a"), col("dv").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
       .join(v.select(col(idCol).as("id_b"), col("dv").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))

@@ -109,6 +109,42 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("production SRP regime (0.9 / 16 planes / 8 tables): recall >= 0.95 on planted twins (q61 gate)") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val corpus = graft.analytics.DataOpsQueries.twinCorpus(embs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = canon(Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9))
+    // the planted relation is exactly vector-vs-its-twin: no cross pair
+    // sneaks over 0.9, every planted twin lands over it
+    val n = embs.count()
+    assert(exact.map(t => (t._1, t._2)) ===
+      (0L until n).map(i => (i, i + 10000000L)).toSet)
+    val lsh = canon(Similarity.srpNearDupPairs(corpus, "vec_id", "embedding", 0.9))
+    assert(lsh.subsetOf(exact)) // exact-cosine verify ⇒ precision 1
+    val recall = lsh.size.toDouble / exact.size
+    // theoretical per-pair miss at cosine ≈ 0.956 with Hamming-1 probing
+    // is ~1.4e-3 over 8 tables; 0.95 keeps the gate robust
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("SRP coverage guard: throws when the skew cap would silently empty the result") {
+    import spark.implicits._
+    // 30 identical vectors, 4-plane buckets, maxBucket=5: every posting
+    // sits in an oversized bucket, so without the guard the pair set is
+    // empty and indistinguishable from 'no near-dups'.
+    val df = (1L to 30L).map(i => (i, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
+        planes = 4, tables = 2, maxBucket = 5)
+    }
+    assert(e.getMessage.contains("drop ALL"))
+    // opting out restores the old silent behavior for monitored jobs
+    val out = Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
+      planes = 4, tables = 2, maxBucket = 5, coverageGuard = false)
+    assert(out.count() === 0)
+  }
+
   test("SRP-LSH skew guard: degenerate identical vectors drop, distinct vectors survive") {
     import spark.implicits._
     // 60 copies of one vector (one bucket everywhere > maxBucket=20) plus
