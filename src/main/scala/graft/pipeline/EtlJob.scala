@@ -50,16 +50,19 @@ object EtlJob {
     val nRejects = Flatten.rejects(raw).count()
     val out = if (targetFiles == 1) enriched.coalesce(1)
               else enriched.repartition(targetFiles)
+    // Row count rides the write itself as an observed metric — at scale
+    // a re-read of the partition just to count what was written is a
+    // second full scan of the day.
+    val obs = org.apache.spark.sql.Observation(s"etl_$day")
     // Idempotent per-day write: dynamic partition overwrite replaces ONLY
     // this day's partition, so a retried/backfilled run never duplicates
     // rows (plain Append would double the day on every re-run).
-    out.write
+    out.observe(obs, count(lit(1)).as("n_rows")).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("context_date")
       .parquet(enrichedDir)
-    val n = spark.read.parquet(enrichedDir)
-      .filter(col("context_date") === lit(java.sql.Date.valueOf(day))).count()
+    val n = obs.get("n_rows").asInstanceOf[Long]
     (n, nRejects)
   }
 

@@ -37,9 +37,41 @@ object IngestJob {
       .withColumn("context_date",
         to_date(from_utc_timestamp(current_timestamp(), PipelineTz)))
 
-  /** Start the streaming job: inbox JSON → raw zone JSON, daily
-    * partitions. One output file per micro-batch per partition — the
-    * raw zone stays append-only and replayable.
+  /** File-inbox source — the gate-scale stand-in for the webhook: one
+    * JSON body per file under `inboxDir`.
+    */
+  def fileSource(spark: SparkSession, inboxDir: String): DataFrame =
+    spark.readStream
+      .schema(TelegramSchema.updateSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", TelegramSchema.CorruptCol)
+      .json(inboxDir)
+
+  /** Kafka-wire-shaped source adapter: any stream carrying raw webhook
+    * bodies in a `value` column (binary or string — the shape
+    * `spark.readStream.format("kafka").load()` emits) parses into the
+    * update schema under the same PERMISSIVE + corrupt-record contract
+    * as the file inbox. This is the 100 TB seam (SURVEY §2.1):
+    * {{{
+    * startFrom(fromMessageStream(
+    *   spark.readStream.format("kafka")
+    *     .option("kafka.bootstrap.servers", servers)
+    *     .option("subscribe", topic).load()),
+    *   rawDir, checkpointDir, chatId)
+    * }}}
+    * `route`/flatten/sink never see the transport, so swapping it
+    * changes no pipeline semantics (pinned by the MemoryStream variant
+    * in PipelineEndToEndSpec).
+    */
+  def fromMessageStream(messages: DataFrame): DataFrame =
+    messages.select(
+      from_json(col("value").cast("string"), TelegramSchema.updateSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> TelegramSchema.CorruptCol)).as("u"))
+      .select(col("u.*"))
+
+  /** Start the streaming job from the file inbox: inbox JSON → raw zone
+    * JSON, daily partitions.
     */
   def start(
       spark: SparkSession,
@@ -47,18 +79,29 @@ object IngestJob {
       rawDir: String,
       checkpointDir: String,
       chatId: Long,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val updates = spark.readStream
-      .schema(TelegramSchema.updateSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", TelegramSchema.CorruptCol)
-      .json(inboxDir)
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startFrom(fileSource(spark, inboxDir), rawDir, checkpointDir, chatId, trigger)
+
+  /** Start the streaming job from ANY update-shaped source ([[fileSource]],
+    * [[fromMessageStream]] over Kafka/MemoryStream, …). One output file
+    * per micro-batch per partition — the raw zone stays append-only and
+    * replayable; the sink format/options are injectable the same way the
+    * source is (raw zone default: verbatim JSON, SURVEY §2.2).
+    */
+  def startFrom(
+      updates: DataFrame,
+      rawDir: String,
+      checkpointDir: String,
+      chatId: Long,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkFormat: String = "json",
+      sinkOptions: Map[String, String] = Map.empty): StreamingQuery =
     route(updates, chatId).writeStream
-      .format("json")
+      .format(sinkFormat)
+      .options(sinkOptions)
       .option("path", rawDir)
       .option("checkpointLocation", checkpointDir)
       .partitionBy("context_date")
       .trigger(trigger)
       .start()
-  }
 }

@@ -148,4 +148,28 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val today = java.time.LocalDate.now(java.time.ZoneId.of(IngestJob.PipelineTz))
     assert(new java.io.File(s"$rawOut/context_date=$today").exists())
   }
+
+  test("IngestJob source seam: Kafka-wire MemoryStream routes identically to the file inbox") {
+    import spark.implicits._
+    // Same three deliveries as the file-inbox test, but arriving as a
+    // `value`-column stream (the Kafka wire shape) instead of files:
+    // route/sink behavior must be identical because they never see the
+    // transport.
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    mem.addData(
+      msg(1, 900, 11, "Ana", false, t1, Some("keep me")),
+      msg(2, 901, 11, "Ana", false, t1, Some("wrong chat"))
+        .replace("\"id\":-100", "\"id\":-200"),
+      "not json at all")
+    val rawOut = Files.createTempDirectory("raw_out_mem").toString
+    val ckpt = Files.createTempDirectory("ckpt_mem").toString
+    val q = IngestJob.startFrom(
+      IngestJob.fromMessageStream(mem.toDF()), rawOut, ckpt, chatId = -100L)
+    q.awaitTermination()
+    val written = spark.read.schema(TelegramSchema.updateSchema).json(rawOut)
+    assert(written.count() === 1)
+    assert(written.select("message.message_id").head().getLong(0) === 900L)
+    val today = java.time.LocalDate.now(java.time.ZoneId.of(IngestJob.PipelineTz))
+    assert(new java.io.File(s"$rawOut/context_date=$today").exists())
+  }
 }
