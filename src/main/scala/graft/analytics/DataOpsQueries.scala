@@ -268,6 +268,71 @@ object DataOpsQueries {
           .select("doc_id", "rolling_fp")
           .orderBy("doc_id")),
 
+    // Keyword extraction: per-doc top-3 terms by TF-IDF. Two hash aggs
+    // + a broadcast of the tiny (term, idf) table + WindowGroupLimit
+    // top-k (see TextAnalysis.tfidfTopTerms scaladoc for the 100 TB
+    // shape).
+    NamedQuery(
+      "q64_tfidf_topterms",
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |s AS (SELECT tf.doc_id, tf.term,
+             |        ROUND(tf.tf * ln(n.n_docs * 1.0 / dfq.df), 4) AS tfidf
+             |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY tfidf DESC, term) AS rk FROM s)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rk")),
+
+    // Data mixing: deterministic per-(lang, source) quota cap — the
+    // "at most N docs per domain" mixture rule. WindowGroupLimit
+    // pre-prunes map-side (PlanSpec pins the node).
+    NamedQuery(
+      "q65_quota_sample",
+      Some("""WITH r AS (SELECT doc_id, lang, source,
+             |        row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rk
+             |      FROM documents)
+             |SELECT doc_id, lang, source FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.quotaPerGroup(docs(s, dir), Seq("lang", "source"), "doc_id", 5)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")),
+
+    // Benchmark contamination report: held-out set = every 20th doc;
+    // for each, the top overlapping corpus doc by 3-gram containment
+    // |B∩C|/|B| (asymmetric on purpose — a quoted benchmark inside a
+    // long doc is 100% contaminated at near-zero Jaccard).
+    NamedQuery(
+      "q66_contamination",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(range(len(tok) - 2),
+             |        i -> array_to_string(tok[i+1:i+3], ' '))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |e AS (SELECT doc_id, len(sh) sz, unnest(sh) shingle FROM s),
+             |b AS (SELECT * FROM e WHERE doc_id % 20 = 0),
+             |j AS (SELECT b.doc_id bench_id, e.doc_id corpus_id,
+             |        any_value(b.sz) bsz, count(*) n_shared
+             |      FROM b JOIN e ON b.shingle = e.shingle AND b.doc_id != e.doc_id
+             |      GROUP BY 1, 2),
+             |r AS (SELECT bench_id, corpus_id, n_shared,
+             |        ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) containment,
+             |        row_number() OVER (PARTITION BY bench_id
+             |          ORDER BY ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) DESC, corpus_id) rk
+             |      FROM j)
+             |SELECT bench_id, CAST(rk AS BIGINT) AS rk, corpus_id, n_shared, containment
+             |FROM r WHERE rk <= 1 ORDER BY bench_id, rk""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        Contamination.report(d, d.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", shingleN = 3, topPerDoc = 1)
+          .orderBy("bench_id", "rk")
+      }),
+
     // Dedup GROUPS: connected components over the exact near-dup pair
     // relation (iterative min-label propagation in Spark; transitive-
     // closure recursive CTE in the oracle).

@@ -83,6 +83,31 @@ object StreamingQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Shared by q62 (streaming) and q63 (batch): all (click, purchase)
+    * pairs of one user with the purchase at most an hour after the
+    * click.
+    */
+  def batchAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 hour"))
+      .select("user_id", "click_id", "purchase_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val attributionOracle =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   private val hourlyOracle =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
@@ -121,6 +146,31 @@ object StreamingQueries {
             col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
           .orderBy("window_start", "event_type")),
+
+    // Batch formulation of the stream-stream interval join (q62's
+    // semantics without micro-batch machinery — the benched form).
+    NamedQuery(
+      "q63_attribution_batch",
+      Some(attributionOracle),
+      (s, dir) => batchAttribution(Tables.load(s, dir, "events"))),
+
+    // REAL stream-stream join run: click and purchase streams derived
+    // from the same file source, watermarked on both sides, inner
+    // interval join (state bounded by watermark + interval; matches
+    // emit in the completing micro-batch — no sentinel needed).
+    NamedQuery(
+      "q62_stream_join",
+      Some(attributionOracle),
+      (s, dir) => {
+        val name = s"graft_stream_join_${runId.incrementAndGet()}"
+        val q = EventStreams.attributionJoin(streamEvents(s, stageEventsDir(dir).toString))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("click_id", "purchase_id")
+      }),
 
     // Batch twin of q41's semantics: the corpus unioned with itself
     // (every row an exact duplicate, the at-least-once redelivery shape)

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: how much of a held-out evaluation
+  * set leaks into a training corpus.
+  *
+  * The measure is n-gram CONTAINMENT, |B ∩ C| / |B| over word-shingle
+  * sets — asymmetric on purpose: a benchmark document fully quoted
+  * inside a much longer training document is 100 % contaminated even
+  * though symmetric Jaccard would be near zero.
+  *
+  * Output is a ranked REPORT (top-`topPerDoc` overlapping corpus docs
+  * per benchmark doc with their scores), not a thresholded join: in
+  * practice the threshold is a reviewing decision, and a report of the
+  * worst offenders is what the decontamination loop consumes.
+  *
+  * Scale shape: the same inverted-index equi-join as
+  * [[Dedup.ngramJaccardPairs]] (work ∝ actually-shared shingles, never
+  * |bench|·|corpus|), except one side is the benchmark — usually tiny —
+  * so its exploded postings broadcast and the corpus never shuffles.
+  * The final per-bench-doc top-k is a rank-filter window planned as
+  * WindowGroupLimit (map-side pre-prune before the exchange).
+  */
+object Contamination {
+
+  def report(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      topPerDoc: Int = 1): DataFrame = {
+    def postings(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(as), size(col("sh")).as(s"${as}_sz"), explode(col("sh")).as("shingle"))
+    val b = postings(bench, "bench_id")
+    val c = postings(corpus, "corpus_id").drop("corpus_id_sz")
+    val overlaps = broadcast(b)
+      .join(c, Seq("shingle"))
+      .filter(col("bench_id") =!= col("corpus_id"))
+      .groupBy("bench_id", "corpus_id", "bench_id_sz")
+      .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct ⇒ = |B ∩ C|
+      .select(col("bench_id"), col("corpus_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("bench_id_sz"), 6).as("containment"))
+    val w = Window.partitionBy("bench_id")
+      .orderBy(col("containment").desc, col("corpus_id"))
+    overlaps
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topPerDoc)
+      .select("bench_id", "rk", "corpus_id", "n_shared", "containment")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling / data-mixing operators.
+  *
+  * A training-data pipeline rarely takes a corpus whole: sources are
+  * capped ("at most N documents per (lang, domain)"), up- or
+  * down-weighted, and the caps must be DETERMINISTIC so reruns build
+  * the same mixture.
+  */
+object Sampling {
+
+  /** Deterministic per-group quota cap: keep the `k` smallest-`orderCol`
+    * rows of every `groupCols` group (order by a hash-derived column for
+    * an unbiased draw; by quality score for a best-of cap).
+    *
+    * Scale shape: a rank-filter window, which Spark 3.5+ plans with
+    * WindowGroupLimit — every map task pre-prunes its partition to k
+    * rows per group BEFORE the exchange, so the shuffle carries at most
+    * k·numPartitions rows per group no matter how hot the group. The
+    * skew protection is structural (no salting needed); PlanSpec pins
+    * the WindowGroupLimit node so a regression in plan shape fails the
+    * suite, not the cluster.
+    */
+  def quotaPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Deterministic pseudo-random fraction sample: keep rows whose seeded
+    * key hash lands under `fraction` of the hash space. Unlike
+    * `df.sample`, the draw is a pure row-local predicate — stable across
+    * partitioning, resumable, and joinable (two tables sampled on the
+    * same key keep the SAME keys, so samples stay referentially intact).
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
+    val bound = (fraction * (1L << 62).toDouble * 2.0).toLong // fraction of non-negative hash space
+    df.filter(abs(xxhash64(col(keyCol), lit(seed))) < lit(bound))
+  }
+}

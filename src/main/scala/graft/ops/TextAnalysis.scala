@@ -77,4 +77,37 @@ object TextAnalysis {
       TextFunctions.polyFingerprint(toks).as("rolling_fp"),
       xxhash64(col(textCol)).as("content_hash"))
   }
+
+  /** Per-document top-`k` terms by TF-IDF (tf = raw in-doc count,
+    * idf = ln(N / df), df = #docs containing the term — keyword
+    * extraction for corpus triage). Plan shape at scale: one explode,
+    * TWO hash aggregations (doc-term counts, then term doc-frequencies
+    * aggregated once over the already-distinct doc-term pairs — never
+    * per posting), the tiny (term, idf) table broadcast back onto the
+    * doc-term counts, and a rank-filter window that Spark plans with
+    * WindowGroupLimit: each map task pre-prunes to k rows per doc
+    * BEFORE the shuffle. N rides the plan as a broadcast scalar, not a
+    * driver-side count. Ties break by term for a deterministic top-k.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val idf = docFreq.crossJoin(broadcast(total))
+      .select(col("term"), log(col("n_docs").cast("double") / col("df")).as("idf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(idf), Seq("term"))
+      .select(col(idCol), col("term"),
+        round(col("tf").cast("double") * col("idf"), 4).as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tfidf"))
+  }
 }

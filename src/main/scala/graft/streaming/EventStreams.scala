@@ -111,4 +111,33 @@ object EventStreams {
   def asSessionEvents(events: DataFrame): Dataset[SessionEvent] =
     events.select("event_id", "ts", "user_id", "event_type", "value")
       .as[SessionEvent]
+
+  /** Watermarked stream-stream interval join — click→purchase
+    * attribution: every purchase pairs with each click by the same user
+    * within the preceding `window`. Both sides carry event-time
+    * watermarks AND the join condition bounds purchase_ts to
+    * [click_ts, click_ts + window], so the state store provably retains
+    * only rows inside watermark + interval — state is O(event rate ×
+    * horizon), not O(stream length), at any volume. Inner join ⇒ a
+    * match emits in the micro-batch that completes it (no closure
+    * sentinel needed). Batch formulation: q63 (same oracle).
+    */
+  def attributionJoin(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
 }

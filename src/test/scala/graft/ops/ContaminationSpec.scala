@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ContaminationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a benchmark doc quoted inside a longer training doc scores containment 1.0") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // full quote embedded in a longer doc → every bench shingle present
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more trailing text"),
+      // partial overlap
+      (2L, "the quick brown fox stops here unrelated tail words"),
+      // no overlap
+      (3L, "completely different content with nothing shared at all")).toDF("doc_id", "text")
+    val out = Contamination.report(corpus, bench, "doc_id", "text", shingleN = 3, topPerDoc = 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(4))).toList
+    // rank 1 = the full quote at containment 1.0 (asymmetric measure:
+    // its Jaccard vs the long doc would be well under 1)
+    assert(out.head === ((1L, 1.0)))
+    // rank 2 = the partial overlap, strictly between 0 and 1
+    assert(out(1)._1 === 2L && out(1)._2 > 0.0 && out(1)._2 < 1.0)
+    // doc 3 shares nothing and never appears
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("self-pairs are excluded when the benchmark is drawn from the corpus") {
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "alpha beta gamma delta epsilon zeta"), // exact dup of 20
+      (22L, "unrelated content words here again")).toDF("doc_id", "text")
+    val out = Contamination.report(corpus, corpus.filter($"doc_id" === 20L),
+        "doc_id", "text", shingleN = 3, topPerDoc = 1)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 20L) // bench_id
+    assert(out.head.getLong(2) === 21L) // top contaminator is the dup, not itself
+    assert(out.head.getDouble(4) === 1.0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+
+  test("quotaPerGroup keeps exactly min(k, group size) smallest-order rows per group") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b"),
+      (20L, "c")).toDF("id", "grp")
+    val kept = Sampling.quotaPerGroup(df, Seq("grp"), "id", 2)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(kept === Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("c", 20L)))
+  }
+
+  test("quotaPerGroup plans a WindowGroupLimit (map-side pre-prune before the exchange)") {
+    val plan = Sampling.quotaPerGroup(docs, Seq("lang", "source"), "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("hashSample: deterministic, near-target fraction, referentially intact across tables") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.5)
+    val n = docs.count().toDouble
+    val kept = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept.size / n - 0.5) < 0.2, s"${kept.size}/$n far from 0.5")
+    // deterministic: same predicate, same rows
+    val again = Sampling.hashSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+    // referential integrity: a second table sampled on the same key
+    // keeps exactly the same key set (unlike df.sample)
+    val other = docs.select(col("doc_id"), col("lang"))
+    val otherKept = Sampling.hashSample(other, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(otherKept === kept)
+  }
+}

@@ -31,6 +31,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hi > lo)
   }
 
+  test("TF-IDF top terms: known tiny corpus ranks the distinctive term first") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rk").collect()
+    // doc 1: apple (tf 2, df 1 → idf ln 3) beats banana (tf 1, df 2 → ln 1.5)
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.head.getString(2) === "apple")
+    assert(d1.head.getDouble(3) === math.rint(2 * math.log(3.0) * 1e4) / 1e4)
+    assert(d1(1).getString(2) === "banana")
+    // doc 3: cherry only — a single row despite k = 2
+    assert(out.count(_.getLong(0) == 3L) === 1)
+  }
+
   test("language-id is deterministic and emits only known labels") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
     val labels = LanguageId(docs, "text").select("predicted_lang")
