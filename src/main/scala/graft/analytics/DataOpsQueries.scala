@@ -289,6 +289,35 @@ object DataOpsQueries {
         TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
           .orderBy("doc_id", "rk")),
 
+    // Gopher-style repetition quality metrics: duplicate-n-gram and
+    // top-n-gram fractions per doc (boilerplate/spam filter inputs).
+    NamedQuery(
+      "q67_repetition",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(tok) >= 2 THEN list_transform(range(len(tok) - 1),
+             |          i -> array_to_string(tok[i+1:i+2], ' ')) ELSE [] END g2,
+             |        CASE WHEN len(tok) >= 3 THEN list_transform(range(len(tok) - 2),
+             |          i -> array_to_string(tok[i+1:i+3], ' ')) ELSE [] END g3
+             |      FROM t),
+             |base AS (SELECT doc_id,
+             |        CASE WHEN len(g2) = 0 THEN 0.0
+             |          ELSE ROUND(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6) END dup_2gram_frac,
+             |        CASE WHEN len(g3) = 0 THEN 0.0
+             |          ELSE ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6) END dup_3gram_frac
+             |      FROM g),
+             |e AS (SELECT doc_id, unnest(g2) gram FROM g),
+             |c AS (SELECT doc_id, gram, count(*) c FROM e GROUP BY 1, 2),
+             |tp AS (SELECT doc_id, ROUND(max(c) * 1.0 / sum(c), 6) top_2gram_frac
+             |       FROM c GROUP BY 1)
+             |SELECT base.doc_id, dup_2gram_frac, dup_3gram_frac,
+             |       COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac
+             |FROM base LEFT JOIN tp ON base.doc_id = tp.doc_id
+             |ORDER BY base.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
     // Data mixing: deterministic per-(lang, source) quota cap — the
     // "at most N docs per domain" mixture rule. WindowGroupLimit
     // pre-prunes map-side (PlanSpec pins the node).

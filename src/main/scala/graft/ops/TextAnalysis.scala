@@ -78,6 +78,39 @@ object TextAnalysis {
       xxhash64(col(textCol)).as("content_hash"))
   }
 
+  /** Gopher-style repetition metrics (the duplicate-n-gram family of
+    * quality heuristics from Rae et al. 2021, §A1): documents dominated
+    * by repeated n-grams are boilerplate/spam and get filtered before
+    * training.
+    *   - `dup_{2,3}gram_frac`: 1 − distinct n-grams / total n-grams —
+    *     a pure column expression, map-only at any scale.
+    *   - `top_2gram_frac`: occurrences of the doc's most frequent
+    *     2-gram / total 2-grams — needs per-gram counts, done as two
+    *     hash aggregations (doc×gram, then doc), the same scale shape
+    *     as [[tfidfTopTerms]], never a per-doc quadratic scan.
+    * Docs shorter than n tokens score 0.0 (nothing repeats).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    def dupFrac(n: Int): Column = {
+      val g = TextFunctions.shinglesComposable(toks, n)
+      when(size(g) === 0, lit(0.0))
+        .otherwise(round(
+          lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
+    }
+    val base = df.select(col(idCol),
+      dupFrac(2).as("dup_2gram_frac"), dupFrac(3).as("dup_3gram_frac"))
+    val top = df
+      .select(col(idCol),
+        explode(TextFunctions.shinglesComposable(toks, 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max("c").cast("double") / sum("c").cast("double"), 6).as("top_2gram_frac"))
+    base.join(top, Seq(idCol), "left") // short docs have no 2-grams → 0.0
+      .select(col(idCol), col("dup_2gram_frac"), col("dup_3gram_frac"),
+        coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"))
+  }
+
   /** Per-document top-`k` terms by TF-IDF (tf = raw in-doc count,
     * idf = ln(N / df), df = #docs containing the term — keyword
     * extraction for corpus triage). Plan shape at scale: one explode,

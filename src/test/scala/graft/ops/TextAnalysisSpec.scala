@@ -47,6 +47,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.count(_.getLong(0) == 3L) === 1)
   }
 
+  test("repetition metrics: repeated phrase scores high, unique text scores 0, short doc safe") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"), // heavy 2-gram repetition
+      (2L, "every word here appears just once"),
+      (3L, "solo")). // < 2 tokens → no n-grams at all
+      toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 7 2-grams, 2 distinct → dup = 1 - 2/7; top ("buy now") 4/7
+    assert(out(0).getDouble(1) === math.rint((1.0 - 2.0 / 7) * 1e6) / 1e6)
+    assert(out(0).getDouble(3) === math.rint(4.0 / 7 * 1e6) / 1e6)
+    assert(out(1).getDouble(1) === 0.0) // all distinct
+    assert(out(1).getDouble(3) > 0.0)   // max count 1 / total 5
+    assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(3) === 0.0)
+  }
+
   test("language-id is deterministic and emits only known labels") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
     val labels = LanguageId(docs, "text").select("predicted_lang")
