@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape pins: the properties that make these queries scale are
+  * asserted here, so a regression shows up as a failing test instead of
+  * a slow cluster. Assertions read the pre-execution physical plan
+  * (under AQE that is the initial plan — exactly where static choices
+  * like pushdown, projection pruning, and explicit broadcasts live).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf001)
+      .queryExecution.executedPlan.toString
+
+  /** Untruncated formatted explain (plain toString elides long
+    * PushedFilters lists).
+    */
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q51: all four predicates push down into the parquet scan") {
+    val p = formatted("q51_selective_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"GreaterThan($c") || p.contains(s"LessThan($c")
+        || p.contains(s"GreaterThanOrEqual($c"), s"no pushed filter on $c in:\n$p")
+  }
+
+  test("q51: scan reads only the columns the query touches") {
+    val p = plan("q51_selective_revenue")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+      assert(read.contains(c), s"$c missing from $read")
+    // the widest lineitem string column must NOT be read
+    assert(!read.contains("l_comment"), read)
+  }
+
+  test("q11: dimension joins broadcast — no shuffle on the small sides") {
+    val p = plan("q11_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q02: aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q02_daily_count")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs in:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q01: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q01_scan_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q10: the hot path sits inside whole-stage codegen") {
+    // Under AQE codegen wrappers appear per-stage at execution — run the
+    // query, then read the final adaptive plan.
+    val df = SparkEntry.queries("q10_pricing_summary")(spark, TestSpark.Sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen renders as "*(n)" stage markers on scan/filter/agg nodes
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
+    assert("\\*\\(\\d+\\) Filter".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q65: quota cap pre-prunes map-side via WindowGroupLimit") {
+    val p = plan("q65_quota_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}
