@@ -318,6 +318,24 @@ object DataOpsQueries {
         TextAnalysis.repetitionMetrics(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Sequence packing: docs greedily binned to a 512-token budget
+    // (training-batch construction). Rows-only: bin ids come from the
+    // partition-local greedy pass (deterministic for the fixed
+    // partitions=8, but not SQL-expressible); the invariants — every
+    // doc exactly once, no multi-doc bin over budget, ≥50 % fill — are
+    // gated in PackingSpec.
+    NamedQuery(
+      "q68_pack_sequences",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.packGreedy(d, "doc_id", "n_tokens", budget = 512, partitions = 8)
+          .groupBy("bin_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+          .orderBy("bin_id")
+      }),
+
     // Data mixing: deterministic per-(lang, source) quota cap — the
     // "at most N docs per domain" mixture rule. WindowGroupLimit
     // pre-prunes map-side (PlanSpec pins the node).

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    .select(col("doc_id"), TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+
+  test("every doc lands in exactly one bin; no multi-doc bin exceeds the budget") {
+    val budget = 512L
+    val packed = Packing.packGreedy(docs, "doc_id", "n_tokens", budget, partitions = 8)
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    val bins = packed.groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total"))
+    val over = bins.filter(col("total") > budget && col("n_docs") > 1).count()
+    assert(over === 0, "multi-doc bin over budget")
+  }
+
+  test("oversized doc isolates in its own bin instead of being dropped") {
+    val df = Seq((1L, 100L), (2L, 2000L), (3L, 100L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packGreedy(df, "doc_id", "n_tokens", 512, partitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(packed.keySet === Set(1L, 2L, 3L))
+    // doc 2 shares a bin with nobody
+    assert(!packed.exists { case (id, b) => id != 2L && b == packed(2L) })
+  }
+
+  test("deterministic across runs and usefully dense on the corpus") {
+    val budget = 512L
+    def run() = Packing.packGreedy(docs, "doc_id", "n_tokens", budget, partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() === run())
+    val packed = Packing.packGreedy(docs, "doc_id", "n_tokens", budget, partitions = 8)
+    val nBins = packed.select("bin_id").distinct().count()
+    val totalTokens = docs.agg(sum("n_tokens")).head().getLong(0)
+    val lowerBound = math.ceil(totalTokens.toDouble / budget)
+    // next-fit on this corpus should stay within 2x of the bin-count
+    // lower bound (i.e. >= 50% average fill)
+    assert(nBins <= 2 * lowerBound, s"$nBins bins vs lower bound $lowerBound")
+  }
+}
