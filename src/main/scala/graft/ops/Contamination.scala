@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the same inverted-index equi-join as
   * [[Dedup.ngramJaccardPairs]] (work ∝ actually-shared shingles, never
-  * |bench|·|corpus|), except one side is the benchmark — usually tiny —
-  * so its exploded postings broadcast and the corpus never shuffles.
-  * The final per-bench-doc top-k is a rank-filter window planned as
-  * WindowGroupLimit (map-side pre-prune before the exchange).
+  * |bench|·|corpus|). The benchmark side is usually tiny, and AQE
+  * broadcasts it from runtime stats when it is — deliberately not a
+  * hard hint, because a large holdout post-explode must degrade to a
+  * shuffle join, not OOM. The final per-bench-doc top-k is a
+  * rank-filter window planned as WindowGroupLimit (map-side pre-prune
+  * before the exchange).
   */
 object Contamination {
 
@@ -40,7 +42,11 @@ object Contamination {
       .select(col(as), size(col("sh")).as(s"${as}_sz"), explode(col("sh")).as("shingle"))
     val b = postings(bench, "bench_id")
     val c = postings(corpus, "corpus_id").drop("corpus_id_sz")
-    val overlaps = broadcast(b)
+    // No hard broadcast hint: a benchmark is often tiny (AQE broadcasts
+    // it from runtime stats), but a 5%-of-corpus holdout post-explode is
+    // not — a forced broadcast would OOM instead of degrading to a
+    // shuffle join.
+    val overlaps = b
       .join(c, Seq("shingle"))
       .filter(col("bench_id") =!= col("corpus_id"))
       .groupBy("bench_id", "corpus_id", "bench_id_sz")

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * (training batches / context windows) so short documents share a
   * sequence instead of wasting pad tokens.
   *
-  * Algorithm: next-fit greedy per range-partition — docs are range-
-  * partitioned and sorted by id, then a single forward pass opens a new
-  * bin whenever the next doc would overflow the budget. Packing never
-  * crosses partitions, so the pass is embarrassingly parallel and one
-  * doc's bin is decided by O(1) state; determinism comes from range
-  * partitioning + in-partition sort (NOT from input file layout —
-  * `partitions` is an explicit parameter for exactly that reason).
+  * Algorithm: next-fit greedy per partition — docs are HASH-partitioned
+  * on id and sorted by id within each partition, then a single forward
+  * pass opens a new bin whenever the next doc would overflow the
+  * budget. Packing never crosses partitions, so the pass is
+  * embarrassingly parallel and one doc's bin is decided by O(1) state.
+  * Hash partitioning (murmur3 of the id value) is chosen over
+  * repartitionByRange deliberately: range boundaries come from a
+  * reservoir SAMPLE seeded per-run, so they jitter between executions
+  * on corpora larger than the sample — hash placement is a pure
+  * function of (id, partitions), making bin assignments reproducible
+  * run to run and independent of input file layout.
   * A doc longer than the budget gets a bin of its own (callers truncate
   * or split upstream; silently dropping data is not this operator's
   * call). Fill loss vs bin-optimal is bounded per bin boundary by the
@@ -34,7 +38,7 @@ object Packing {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
       .as[(Long, Long)]
-      .repartitionByRange(partitions, col(idCol))
+      .repartition(partitions, col(idCol))
       .sortWithinPartitions(idCol)
       .mapPartitions { iter =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong

@@ -31,9 +31,10 @@ object Sampling {
       orderCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .drop("rk")
+    // collision-safe internal name: a caller's own "rk" column survives
+    df.withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") <= k)
+      .drop("_graft_rk")
   }
 
   /** Deterministic pseudo-random fraction sample: keep rows whose seeded
@@ -41,10 +42,18 @@ object Sampling {
     * `df.sample`, the draw is a pure row-local predicate — stable across
     * partitioning, resumable, and joinable (two tables sampled on the
     * same key keep the SAME keys, so samples stay referentially intact).
+    *
+    * The hash maps into [0, 2^63) via an unsigned shift — NOT abs(),
+    * whose Long.MinValue fixed point is negative and would leak that
+    * key into every sample including fraction 0. The endpoints are
+    * exact: 0.0 keeps nothing, 1.0 keeps everything.
     */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction out of [0,1]")
-    val bound = (fraction * (1L << 62).toDouble * 2.0).toLong // fraction of non-negative hash space
-    df.filter(abs(xxhash64(col(keyCol), lit(seed))) < lit(bound))
+    if (fraction >= 1.0) df
+    else {
+      val bound = (fraction * (1L << 62).toDouble * 2.0).toLong
+      df.filter(shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1) < lit(bound))
+    }
   }
 }

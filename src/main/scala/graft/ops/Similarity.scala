@@ -50,13 +50,15 @@ object Similarity {
     * neighbor buckets is itself capped) — the per-key worst case is
     * (planes+1)·maxBucket², bounded, not corpus-dependent.
     *
-    * `coverageGuard` (default on) runs one small eager aggregate over
-    * the per-bucket counts: if the skew guard would drop EVERY posting
-    * (corpus ≫ 2^planes × maxBucket, e.g. too few planes), the result
-    * would be silently empty — indistinguishable from "no near-dups" —
-    * so that case throws, and dropping >50 % warns on stderr. Costs one
-    * extra pass over the bucketing subplan; disable for single-pass
-    * production jobs monitored elsewhere.
+    * `coverageGuard` (opt-in) runs one small eager aggregate over the
+    * per-bucket counts at PLAN BUILD time: if the skew guard would drop
+    * EVERY posting (corpus ≫ 2^planes × maxBucket, e.g. too few
+    * planes), the result would be silently empty — indistinguishable
+    * from "no near-dups" — so that case throws, and dropping >50 %
+    * warns on stderr. It is off by default because the check is a
+    * second full pass over the bucketing subplan and makes a lazy plan
+    * builder run cluster work; turn it on for unattended jobs where an
+    * empty output would be trusted (DedupSpec pins both modes).
     */
   def srpCandidatePairs(
       df: DataFrame,
@@ -66,7 +68,7 @@ object Similarity {
       tables: Int,
       maxBucket: Int = 10000,
       probe: Boolean = true,
-      coverageGuard: Boolean = true): DataFrame = {
+      coverageGuard: Boolean = false): DataFrame = {
     val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
     // One row per (table, exact bucket, id): the only payload that shuffles.
     val buckets = v.select(col(idCol),
@@ -139,7 +141,7 @@ object Similarity {
       tables: Int = 8,
       maxBucket: Int = 10000,
       probe: Boolean = true,
-      coverageGuard: Boolean = true): DataFrame = {
+      coverageGuard: Boolean = false): DataFrame = {
     val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
       .withColumn("nrm", VectorOps.l2Norm(col("dv")))
     val candidates =

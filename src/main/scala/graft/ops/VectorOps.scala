@@ -162,7 +162,7 @@ object VectorOps {
     for (_ <- 0 until iters) {
       val sums = Array.fill(kk)(new Array[Double](dims))
       val counts = new Array[Long](kk)
-      var worst = (0, 2.0) // (point idx, its cosine to its centroid)
+      val bestSims = new Array[Double](unit.length)
       unit.zipWithIndex.foreach { case (p, pi) =>
         var best = 0; var bestSim = dotA(p, cents(0)); var c = 1
         while (c < kk) {
@@ -171,10 +171,14 @@ object VectorOps {
         var d = 0
         while (d < dims) { sums(best)(d) += p(d); d += 1 }
         counts(best) += 1
-        if (bestSim < worst._2) worst = (pi, bestSim)
+        bestSims(pi) = bestSim
       }
+      // Empty clusters reseed to DISTINCT worst-fit points (one centroid
+      // per point) — reseeding them all to the single worst point would
+      // leave duplicate centroids whose lists collapse into one.
+      val reseedPool = bestSims.zipWithIndex.sortBy(_._1).iterator.map(_._2)
       cents = cents.indices.map { c =>
-        val m = if (counts(c) == 0) unit(worst._1) else sums(c)
+        val m = if (counts(c) == 0) unit(reseedPool.next()) else sums(c)
         val n = math.sqrt(dotA(m, m))
         if (n == 0) cents(c) else m.map(_ / n)
       }.toArray

@@ -45,12 +45,13 @@ object EventStreams {
 
   final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
-  final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  final case class BufEvt(sec: Long, event_id: Long, value: Double)
+  final case class SessionBuf(evts: Seq[BufEvt])
   final case class Session(user_id: Long, session_start: String,
       n_events: Long, sum_value: Double)
 
   implicit val sessionEventEnc: Encoder[SessionEvent] = Encoders.product[SessionEvent]
-  implicit val sessionStateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit val sessionBufEnc: Encoder[SessionBuf] = Encoders.product[SessionBuf]
   implicit val sessionEnc: Encoder[Session] = Encoders.product[Session]
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
 
@@ -62,49 +63,55 @@ object EventStreams {
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   /** Per-user session windows with a 30-min inactivity gap, implemented
-    * with `flatMapGroupsWithState` + event-time timeout: a session's
-    * state is (start, lastSeen, count, sum); it closes — and emits —
-    * when the watermark passes lastSeen + gap. State is O(active users),
-    * shuffled once on user_id.
+    * with `flatMapGroupsWithState` + event-time timeout.
+    *
+    * State is the BUFFER of this user's not-yet-final events inside the
+    * watermark horizon, not a running (start, last, count) aggregate: an
+    * in-watermark out-of-order event may rewind a session's start, merge
+    * two provisional sessions, or split one — only re-sessionizing the
+    * buffered slice reproduces the batch lag/cumsum semantics under
+    * every arrival order (a running aggregate gets all three cases
+    * wrong; Spark's own `session_window` buffers likewise). A session is
+    * emitted exactly when `last event + gap < watermark`: any event
+    * still to come has ts ≥ watermark, so nothing can extend, merge
+    * into, or precede it. State is O(events within watermark + gap) per
+    * user — the price of correctness under reordering; the watermark
+    * bounds it.
     */
   def sessionize(events: Dataset[SessionEvent], watermarkDelay: String = "1 hour"): Dataset[Session] =
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, fmt(s.start), s.n, s.sum))
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val buf = (state.getOption.map(_.evts).getOrElse(Seq.empty) ++
+              rows.map(e => BufEvt(e.ts.getTime / 1000, e.event_id, e.value)))
+            .sortBy(e => (e.sec, e.event_id))
+          // Re-sessionize the buffer: split where consecutive sorted
+          // events are more than the gap apart (the batch formulation).
+          val sessions = buf.foldLeft(List.empty[Vector[BufEvt]]) {
+            case (acc, e) => acc match {
+              case cur :: rest if e.sec - cur.last.sec <= GapSeconds =>
+                (cur :+ e) :: rest
+              case _ => Vector(e) :: acc
+            }
+          }.reverse
+          val (closed, open) = sessions.partition(s => s.last.sec + GapSeconds < wmSec)
+          val openEvts = open.flatten
+          if (openEvts.isEmpty) {
+            if (state.exists) state.remove()
           } else {
-            // Events within a micro-batch are not ordered — sort this
-            // group's slice; cross-batch ordering is the watermark's job.
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[Session]
-            var st = state.getOption.orNull
-            sorted.foreach { e =>
-              val sec = e.ts.getTime / 1000
-              st = st match {
-                case null => SessionState(sec, sec, 1L, e.value)
-                case s if sec - s.lastTs > GapSeconds =>
-                  closed ::= Session(userId, fmt(s.start), s.n, s.sum)
-                  SessionState(sec, sec, 1L, e.value)
-                case s =>
-                  // max(): an in-watermark out-of-order event from a later
-                  // micro-batch must never rewind last-seen (and with it
-                  // the timeout) — the batch lag/cumsum oracle keys the
-                  // gap off the max timestamp seen, not the arrival order.
-                  SessionState(s.start, math.max(s.lastTs, sec), s.n + 1, s.sum + e.value)
-              }
-            }
-            if (st != null) {
-              state.update(st)
-              state.setTimeoutTimestamp(st.lastTs * 1000 + GapSeconds * 1000)
-            }
-            closed.reverseIterator
+            state.update(SessionBuf(openEvts))
+            // fire strictly after the earliest open session can close;
+            // must also be strictly beyond the current watermark
+            state.setTimeoutTimestamp(math.max(
+              (open.head.last.sec + GapSeconds) * 1000 + 1000,
+              state.getCurrentWatermarkMs() + 1000))
           }
+          closed.iterator.map(s =>
+            Session(userId, fmt(s.head.sec), s.size.toLong, s.map(_.value).sum))
       }
 
   /** Typed view of the raw events frame for [[sessionize]]. */

@@ -136,12 +136,13 @@ class DedupSpec extends AnyFunSuite {
     val df = (1L to 30L).map(i => (i, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalStateException] {
       Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
-        planes = 4, tables = 2, maxBucket = 5)
+        planes = 4, tables = 2, maxBucket = 5, coverageGuard = true)
     }
     assert(e.getMessage.contains("drop ALL"))
-    // opting out restores the old silent behavior for monitored jobs
+    // the default stays a lazy plan builder (no eager pass): silent
+    // empty, for callers that inspect their outputs
     val out = Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
-      planes = 4, tables = 2, maxBucket = 5, coverageGuard = false)
+      planes = 4, tables = 2, maxBucket = 5)
     assert(out.count() === 0)
   }
 

@@ -76,6 +76,63 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.length === 1 && batch.head.getAs[Long]("n_events") === 4L)
   }
 
+  test("sessionize: late event rewinds session start; backward gap splits — both match batch") {
+    import spark.implicits._
+    // Watermark after b1 = max(ts) − 1h = 5000 − 3600 = 1400, so both
+    // late arrivals (1500, 3000) are IN-watermark and must be honored.
+    // user 1: b1 t=2000, b2 t=1500 (late, within gap) → ONE session
+    //   STARTING at t=1500 — the start must rewind.
+    // user 2: b1 t=5000, b2 t=3000 (late, 2000s behind = beyond gap) →
+    //   TWO one-event sessions — a running-aggregate state would merge
+    //   them (negative gap never exceeds GapSeconds).
+    val base = 1700000000L
+    def row(id: Long, user: Long, sec: Long) =
+      (id, (base + sec) * 1000000000L, user, "click", 1.0, "{}")
+    val stage = java.nio.file.Files.createTempDirectory("sess_rewind")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write.parquet(s"$stage/$name")
+    writeBatch("b1", Seq(row(1, 1, 2000), row(2, 2, 5000)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/*/")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.sessionize(EventStreams.asSessionEvents(stream))
+      .writeStream.format("memory").queryName("sess_rewind_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", Seq(row(3, 1, 1500), row(4, 2, 3000)))
+      q.processAllAvailable()
+      writeBatch("b3", Seq((-1L, (base + 365L * 86400) * 1000000000L, -1L, "s", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def fmt(sec: Long) = java.time.Instant.ofEpochSecond(base + sec)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val got = spark.table("sess_rewind_t").filter(col("user_id") > 0)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, fmt(1500), 2L),          // start rewound to the late event
+      (2L, fmt(3000), 1L), (2L, fmt(5000), 1L))) // backward gap split
+    // and the batch formulation agrees on the union of rows
+    val batch = graft.analytics.StreamingQueries.batchSessionize(
+      Seq(row(1, 1, 2000), row(2, 2, 5000), row(3, 1, 1500), row(4, 2, 3000))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch === got)
+  }
+
   test("streaming hourly rollup ≡ batch date_trunc group-by") {
     val streamed = graft.analytics.StreamingQueries.all
       .find(_.name == "q32_stream_hourly").get
