@@ -27,9 +27,21 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i * 1000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // documents: replicas get offset ids and a replica-unique tail token
+    // (so replicas are near- but not exact duplicates). Pair-relation
+    // queries (q22/q66) are deliberately NOT probed on this corpus:
+    // replicating a corpus k× genuinely grows its near-dup relation ~k²
+    // — that would measure the data change, not the plan.
+    val docs = Tables.load(spark, dir, "documents")
+    val maxDid = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until k).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * maxDid))
+        .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     // dims unchanged
     Seq("orders", "customer", "nation", "region", "part", "supplier",
-      "documents", "embeddings").foreach { t =>
+      "embeddings").foreach { t =>
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$tmp/$t.parquet"),
         java.nio.file.Paths.get(s"$dir/$t.parquet"))
@@ -41,7 +53,9 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     for (q <- Seq("q10_pricing_summary", "q51_selective_revenue",
-        "q02_daily_count", "q42_sessionization_batch", "q15_window_topn")) {
+        "q02_daily_count", "q42_sessionization_batch", "q15_window_topn",
+        "q63_attribution_batch", "q64_tfidf_topterms", "q65_quota_sample",
+        "q67_repetition", "q68_pack_sequences")) {
       time(q, dir) // warm
       val t1 = time(q, dir)
       val tk = time(q, tmp)

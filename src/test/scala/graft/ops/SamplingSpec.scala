@@ -42,4 +42,16 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(otherKept === kept)
   }
+
+  test("hashSample fractions nest: sample(f1) ⊆ sample(f2) for f1 < f2, with exact endpoints") {
+    // the bound is monotone in the fraction, so growing a split (1% →
+    // 10% → 50%) only ADDS rows — a curriculum can scale up without
+    // resampling what it already trained on
+    def ids(f: Double) = Sampling.hashSample(docs, "doc_id", f)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (s01, s10, s50) = (ids(0.01), ids(0.10), ids(0.50))
+    assert(s01.subsetOf(s10) && s10.subsetOf(s50))
+    assert(ids(0.0).isEmpty)
+    assert(ids(1.0).size === docs.count())
+  }
 }
