@@ -46,7 +46,8 @@ object EventStreams {
   final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class BufEvt(sec: Long, event_id: Long, value: Double)
-  final case class SessionBuf(evts: Seq[BufEvt])
+  final case class SessionAgg(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionBuf(head: Option[SessionAgg], evts: Seq[BufEvt])
   final case class Session(user_id: Long, session_start: String,
       n_events: Long, sum_value: Double)
 
@@ -65,18 +66,26 @@ object EventStreams {
   /** Per-user session windows with a 30-min inactivity gap, implemented
     * with `flatMapGroupsWithState` + event-time timeout.
     *
-    * State is the BUFFER of this user's not-yet-final events inside the
-    * watermark horizon, not a running (start, last, count) aggregate: an
-    * in-watermark out-of-order event may rewind a session's start, merge
-    * two provisional sessions, or split one — only re-sessionizing the
-    * buffered slice reproduces the batch lag/cumsum semantics under
-    * every arrival order (a running aggregate gets all three cases
-    * wrong; Spark's own `session_window` buffers likewise). A session is
-    * emitted exactly when `last event + gap < watermark`: any event
-    * still to come has ts ≥ watermark, so nothing can extend, merge
-    * into, or precede it. State is O(events within watermark + gap) per
-    * user — the price of correctness under reordering; the watermark
-    * bounds it.
+    * A running (start, last, count) aggregate alone is WRONG under
+    * reordering: an in-watermark out-of-order event may rewind a
+    * session's start, merge two provisional sessions, or split one —
+    * only events whose neighborhood is still reachable by future
+    * arrivals must stay raw. The state is therefore hybrid:
+    *   - `head`: the earliest open session, COMPACTED to an O(1)
+    *     aggregate as its events fall at-or-below the watermark — their
+    *     mutual structure is final (any future event has ts ≥ watermark
+    *     and so sorts after them), and the only decision they still
+    *     participate in, "does the next event continue this session?",
+    *     needs just `head.last`. This keeps an always-active user
+    *     (session that never closes) at O(1) state where a pure event
+    *     buffer would grow without bound.
+    *   - `evts`: raw events whose structure is NOT yet final — all
+    *     within `gap` of the watermark or above it, so the buffer is
+    *     bounded by the arrival horizon (watermark delay + gap).
+    * A session is emitted exactly when `last + gap < watermark`: nothing
+    * still to come can extend, merge into, or precede it. The
+    * streaming ≡ batch equivalence incl. rewind/merge/split reorder
+    * cases is suite-pinned and oracle-gated (q33/q42).
     */
   def sessionize(events: Dataset[SessionEvent], watermarkDelay: String = "1 hour"): Dataset[Session] =
     events
@@ -85,33 +94,59 @@ object EventStreams {
       .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
-          val wmSec = state.getCurrentWatermarkMs() / 1000
-          val buf = (state.getOption.map(_.evts).getOrElse(Seq.empty) ++
+          val wm = state.getCurrentWatermarkMs() / 1000
+          val prev = state.getOption.getOrElse(SessionBuf(None, Nil))
+          val raw = (prev.evts ++
               rows.map(e => BufEvt(e.ts.getTime / 1000, e.event_id, e.value)))
-            .sortBy(e => (e.sec, e.event_id))
-          // Re-sessionize the buffer: split where consecutive sorted
-          // events are more than the gap apart (the batch formulation).
-          val sessions = buf.foldLeft(List.empty[Vector[BufEvt]]) {
-            case (acc, e) => acc match {
-              case cur :: rest if e.sec - cur.last.sec <= GapSeconds =>
-                (cur :+ e) :: rest
-              case _ => Vector(e) :: acc
+            .sortBy(e => (e.sec, e.event_id)).toVector
+          var head: Option[SessionAgg] = prev.head
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionAgg]
+          // Walk the raw prefix, folding finalized (≤ wm) events into the
+          // head aggregate and closing head sessions at finalized splits.
+          // Stop at the first event whose relationship to what follows
+          // could still be changed by a future arrival — it stays raw.
+          var i = 0
+          var done = false
+          while (i < raw.length && !done) {
+            val e = raw(i)
+            head match {
+              case Some(h) if e.sec - h.last <= GapSeconds =>
+                if (e.sec <= wm) {
+                  head = Some(SessionAgg(h.start, e.sec, h.n + 1, h.sum + e.value))
+                  i += 1
+                } else done = true // above wm: later arrivals may interleave
+              case Some(h) => // gap exceeded: split
+                if (h.last + GapSeconds < wm) { closed += h; head = None }
+                else done = true // head can still be extended by a future arrival
+              case None =>
+                if (e.sec <= wm) {
+                  head = Some(SessionAgg(e.sec, e.sec, 1L, e.value)); i += 1
+                } else done = true
             }
-          }.reverse
-          val (closed, open) = sessions.partition(s => s.last.sec + GapSeconds < wmSec)
-          val openEvts = open.flatten
-          if (openEvts.isEmpty) {
+          }
+          val keep = raw.drop(i)
+          // If the whole buffer compacted, the head may itself be closed.
+          // (With kept events this branch is unreachable: an extendable-
+          // but-above-wm successor implies h.last > wm - gap, and a
+          // closable split was taken in the loop.)
+          head match {
+            case Some(h) if keep.isEmpty && h.last + GapSeconds < wm =>
+              closed += h; head = None
+            case _ => ()
+          }
+          if (head.isEmpty && keep.isEmpty) {
             if (state.exists) state.remove()
           } else {
-            state.update(SessionBuf(openEvts))
-            // fire strictly after the earliest open session can close;
-            // must also be strictly beyond the current watermark
+            state.update(SessionBuf(head, keep))
+            // fire strictly after the earliest open session can close
+            // (kept-first-event sec is a conservative lower bound on its
+            // session's last), and strictly beyond the current watermark
+            val earliest = (head.map(_.last).toSeq ++ keep.headOption.map(_.sec)).min
             state.setTimeoutTimestamp(math.max(
-              (open.head.last.sec + GapSeconds) * 1000 + 1000,
+              (earliest + GapSeconds) * 1000 + 1000,
               state.getCurrentWatermarkMs() + 1000))
           }
-          closed.iterator.map(s =>
-            Session(userId, fmt(s.head.sec), s.size.toLong, s.map(_.value).sum))
+          closed.iterator.map(h => Session(userId, fmt(h.start), h.n, h.sum))
       }
 
   /** Typed view of the raw events frame for [[sessionize]]. */

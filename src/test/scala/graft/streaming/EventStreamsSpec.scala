@@ -133,6 +133,51 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch === got)
   }
 
+  test("sessionize: a continuous session spanning many watermark advances compacts but stays whole") {
+    import spark.implicits._
+    // One user, events every 10 min for 4 hours over 4 micro-batches:
+    // as the watermark (1h delay) sweeps past earlier events the head
+    // session compacts to its aggregate, yet the final emitted session
+    // must still cover ALL events with the true start.
+    val base = 1700000000L
+    def row(id: Long, sec: Long) = (id, (base + sec) * 1000000000L, 1L, "click", 1.0, "{}")
+    val stage = java.nio.file.Files.createTempDirectory("sess_compact")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$stage/$name")
+    val perBatch = 6 // 6 events x 10 min = 1 hour per batch
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/*/")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    writeBatch("b0", (0 until perBatch).map(i => row(i, i * 600L)))
+    val q = EventStreams.sessionize(EventStreams.asSessionEvents(stream))
+      .writeStream.format("memory").queryName("sess_compact_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      (1 to 3).foreach { b =>
+        writeBatch(s"b$b", (0 until perBatch).map { i =>
+          val n = b * perBatch + i; row(n, n * 600L)
+        })
+        q.processAllAvailable()
+      }
+      writeBatch("b9", Seq((-1L, (base + 365L * 86400) * 1000000000L, -1L, "s", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_compact_t").filter(col("user_id") === 1L)
+      .select("session_start", "n_events", "sum_value").collect()
+    assert(got.length === 1, s"expected one continuous session, got ${got.toSeq}")
+    assert(got.head.getLong(1) === (4L * perBatch))
+    assert(got.head.getDouble(2) === 4.0 * perBatch)
+  }
+
   test("streaming hourly rollup ≡ batch date_trunc group-by") {
     val streamed = graft.analytics.StreamingQueries.all
       .find(_.name == "q32_stream_hourly").get
