@@ -86,6 +86,11 @@ object EventStreams {
     * still to come can extend, merge into, or precede it. The
     * streaming ≡ batch equivalence incl. rewind/merge/split reorder
     * cases is suite-pinned and oracle-gated (q33/q42).
+    *
+    * NOTE: the state encoding changed shape (head aggregate + raw
+    * buffer); a checkpoint written by an earlier version of this
+    * operator does not restore — resume long-running deployments from a
+    * new checkpoint location.
     */
   def sessionize(events: Dataset[SessionEvent], watermarkDelay: String = "1 hour"): Dataset[Session] =
     events

@@ -22,9 +22,13 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
     val ev = Tables.load(spark, dir, "events")
     val maxEid = ev.agg(max("event_id")).head().getLong(0) + 1
+    // offset by the true id range — a constant below max(user_id) would
+    // merge adjacent replicas' users and inflate per-user join/session
+    // density beyond pure replication
+    val maxUid = ev.agg(max("user_id")).head().getLong(0) + 1
     (0 until k).map(i => ev
         .withColumn("event_id", col("event_id") + lit(i * maxEid))
-        .withColumn("user_id", col("user_id") + lit(i * 1000L)))
+        .withColumn("user_id", col("user_id") + lit(i * maxUid)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     // documents: replicas get offset ids and a replica-unique tail token
@@ -34,9 +38,13 @@ object ScaleProbe {
     // — that would measure the data change, not the plan.
     val docs = Tables.load(spark, dir, "documents")
     val maxDid = docs.agg(max("doc_id")).head().getLong(0) + 1
-    (0 until k).map(i => docs
-        .withColumn("doc_id", col("doc_id") + lit(i * maxDid))
-        .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+    (0 until k).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(i * maxDid))
+      // replica 0 stays byte-identical to the 1x baseline so the ratio
+      // measures replication, not a per-doc text change
+      if (i == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
+    }
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     // dims unchanged
