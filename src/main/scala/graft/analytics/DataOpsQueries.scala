@@ -120,7 +120,8 @@ object DataOpsQueries {
       Some("""WITH e AS (SELECT vec_id,
              |        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
              |      FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+             |      WHERE list_dot_product(v, v) > 0),
              |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
              |        ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) cosine
              |      FROM n a JOIN n b ON a.vec_id < b.vec_id)

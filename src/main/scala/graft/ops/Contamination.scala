@@ -28,13 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  /** @param benchIsSubset when the benchmark rows are DRAWN FROM the
+    *   corpus (shared id space), a doc trivially "contaminates" itself —
+    *   exclude id-equal pairs. Pass `false` for independently-numbered
+    *   corpora: there id equality is coincidence, and excluding such a
+    *   pair would suppress a real hit (the exact miss this operator
+    *   exists to catch).
+    */
   def report(
       corpus: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      topPerDoc: Int = 1): DataFrame = {
+      topPerDoc: Int = 1,
+      benchIsSubset: Boolean = true): DataFrame = {
     def postings(df: DataFrame, as: String) = df
       .select(col(idCol).as(as),
         TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
@@ -46,9 +54,9 @@ object Contamination {
     // it from runtime stats), but a 5%-of-corpus holdout post-explode is
     // not — a forced broadcast would OOM instead of degrading to a
     // shuffle join.
-    val overlaps = b
-      .join(c, Seq("shingle"))
-      .filter(col("bench_id") =!= col("corpus_id"))
+    val joined = b.join(c, Seq("shingle"))
+    val overlaps = (if (benchIsSubset) joined.filter(col("bench_id") =!= col("corpus_id"))
+                    else joined)
       .groupBy("bench_id", "corpus_id", "bench_id_sz")
       .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct ⇒ = |B ∩ C|
       .select(col("bench_id"), col("corpus_id"), col("n_shared"),

@@ -314,6 +314,11 @@ object Dedup {
     * result is engine-portable); the scale path is SRP-LSH bucketing in
     * [[Similarity.srpNearDupPairs]], whose recall against this relation
     * is measured in DedupSpec.
+    *
+    * Zero-norm vectors are EXCLUDED: their cosine is 0/0 = NaN, and
+    * Spark (and DuckDB) order NaN above every number, so an unguarded
+    * `cosine >= threshold` would pair a zero vector with the entire
+    * corpus — phantom duplicates that would delete unrelated documents.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -322,6 +327,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", VectorOps.l2Norm(col("v")))
+      .filter(col("nrm") > 0)
     val a = v.select(col(idCol).as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = v.select(col(idCol).as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.crossJoin(b)

@@ -143,8 +143,12 @@ object Similarity {
       maxBucket: Int = 10000,
       probe: Boolean = true,
       coverageGuard: Boolean = false): DataFrame = {
+    // Zero-norm vectors excluded (cosine would be NaN, which Spark
+    // orders ABOVE the threshold) — same contract as the exact relation
+    // in Dedup.embeddingNearDupPairs.
     val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
       .withColumn("nrm", VectorOps.l2Norm(col("dv")))
+      .filter(col("nrm") > 0)
     val candidates =
       srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe, coverageGuard)
     candidates

@@ -41,8 +41,8 @@ object TextFunctions {
     * thresholds and ROUND are hash-stable.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
   /** Occurrences of a literal character n-gram in `text`, via the

@@ -48,9 +48,14 @@ object VectorOps {
       k: Int,
       roundTo: Int = 6): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val dv = toDoubleVec(col(vecCol))
-    val sim = dot(dv, lit(query.toArray)) / (l2Norm(dv) * lit(qNorm))
-    df.select(col(idCol), round(sim, roundTo).as("cosine"))
+    require(qNorm > 0, "query vector has zero norm — cosine undefined")
+    // zero-norm corpus vectors excluded: their cosine is NaN, which
+    // Spark sorts ABOVE every real score — they'd pad the top-k
+    df.select(col(idCol), toDoubleVec(col(vecCol)).as("dv"))
+      .withColumn("nrm", l2Norm(col("dv")))
+      .filter(col("nrm") > 0)
+      .select(col(idCol),
+        round(dot(col("dv"), lit(query.toArray)) / (col("nrm") * lit(qNorm)), roundTo).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -130,14 +135,14 @@ object VectorOps {
     }
     val unit: Array[Array[Double]] = df
       .select(toDoubleVec(col(vecCol)).as("v"))
-      .filter(size(col("v")) > 0)
+      .filter(size(col("v")) > 0 && l2Norm(col("v")) > 0) // zero vectors have no direction
       .orderBy(xxhash64(col("v"), lit(seed)))
       .limit(sampleRows)
       .collect()
       .map(_.getSeq[Double](0).toArray)
       .map { p =>
         val n = math.sqrt(dotA(p, p))
-        if (n == 0) p else p.map(_ / n)
+        p.map(_ / n)
       }
     if (unit.isEmpty) return Array.empty
     val kk = math.min(k, unit.length)
@@ -206,10 +211,13 @@ object VectorOps {
       nProbe: Int = 4,
       kmeansIters: Int = 4,
       seed: Long = 42L): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    require(qNorm > 0, "query vector has zero norm — cosine undefined")
     val base: Array[Array[Double]] =
       if (kmeansIters > 0)
         kmeansCentroids(df, vecCol, nCentroids, kmeansIters, seed)
       else df
+        .filter(l2Norm(toDoubleVec(col(vecCol))) > 0) // a zero centroid would NaN every assignment
         .orderBy(col(idCol)).limit(nCentroids)
         .select(toDoubleVec(col(vecCol)).as("v")).collect()
         .map(_.getSeq[Double](0).toArray)
@@ -232,7 +240,6 @@ object VectorOps {
       }
       if (structs.size == 1) lit(0) else greatest(structs: _*).getField("idx")
     }
-    val qNorm = math.sqrt(query.map(x => x * x).sum)
     val probes = cents
       .map { case (i, cv, cn) =>
         (i, cv.zip(query).map { case (a, b) => a * b }.sum / (cn * qNorm))
@@ -241,6 +248,7 @@ object VectorOps {
     val v = df
       .withColumn("dv", toDoubleVec(col(vecCol)))
       .withColumn("nrm", l2Norm(col("dv")))
+      .filter(col("nrm") > 0) // NaN cosine would rank above real scores
       .withColumn("cluster", nearestCentroid(col("dv"), col("nrm")))
     v.filter(col("cluster").isin(probes: _*))
       .select(col(idCol),
@@ -267,6 +275,7 @@ object VectorOps {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.withColumn("dv", toDoubleVec(col(vecCol)))
+      .filter(l2Norm(col("dv")) > 0) // NaN cosine would rank above real scores
     val withBuckets = (0 until tables).foldLeft(v) { (d, t) =>
       d.withColumn(s"b$t", srpBucket(col("dv"), planes, t * planes))
     }
@@ -283,6 +292,7 @@ object VectorOps {
       .map(t => bit_count(col(s"b$t").bitwiseXOR(lit(qRow.getLong(t)))) <= 1)
       .reduce(_ || _)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
+    require(qNorm > 0, "query vector has zero norm — cosine undefined")
     withBuckets.filter(cand)
       .select(col(idCol),
         round(dot(col("dv"), lit(query.toArray)) / (l2Norm(col("dv")) * lit(qNorm)), 6).as("cosine"))

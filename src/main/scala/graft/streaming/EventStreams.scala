@@ -171,7 +171,9 @@ object EventStreams {
       dim: DataFrame,
       streamKey: String,
       dimKey: String): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+    // dataframe-qualified keys: bare col() is AMBIGUOUS_REFERENCE the
+    // moment both sides carry the column name (streamKey == dimKey)
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey))
 
   /** Watermarked stream-stream interval join — click→purchase
     * attribution: every purchase pairs with each click by the same user

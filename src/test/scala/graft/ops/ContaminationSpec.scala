@@ -28,6 +28,21 @@ class ContaminationSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("independent id spaces: an id-colliding real hit is kept with benchIsSubset=false") {
+    val bench = Seq((7L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // corpus doc ALSO numbered 7 (different document, different source)
+    // fully quotes the benchmark — id equality is coincidence here
+    val corpus = Seq(
+      (7L, "prefix words the quick brown fox jumps over the lazy dog suffix words"))
+      .toDF("doc_id", "text")
+    val subset = Contamination.report(corpus, bench, "doc_id", "text")
+    assert(subset.count() === 0) // default subset semantics would hide it
+    val indep = Contamination.report(corpus, bench, "doc_id", "text",
+      benchIsSubset = false).collect()
+    assert(indep.length === 1 && indep.head.getDouble(4) === 1.0)
+  }
+
   test("self-pairs are excluded when the benchmark is drawn from the corpus") {
     val corpus = Seq(
       (20L, "alpha beta gamma delta epsilon zeta"),

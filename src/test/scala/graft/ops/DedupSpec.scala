@@ -146,6 +146,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() === 0)
   }
 
+  test("zero-norm vectors never pair: NaN cosine must not satisfy any threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)), // zero vector: cosine would be 0/0 = NaN
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((2L, 3L)), s"zero vector paired: $exact")
+    val lsh = Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9, planes = 4, tables = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(Set((2L, 3L))), s"zero vector paired via LSH: $lsh")
+  }
+
   test("SRP-LSH skew guard: degenerate identical vectors drop, distinct vectors survive") {
     import spark.implicits._
     // 60 copies of one vector (one bucket everywhere > maxBucket=20) plus

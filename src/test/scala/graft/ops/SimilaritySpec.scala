@@ -107,6 +107,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact & approx).size >= 19, s"recall@20 = ${(exact & approx).size}/20")
   }
 
+  test("zero-norm corpus vectors are excluded from ANN top-k, not ranked first as NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0, 0.0)), // NaN cosine sorts above 1.0 if unguarded
+      (2L, Array(1.0, 0.0)),
+      (3L, Array(0.9, 0.1))).toDF("vec_id", "embedding")
+    val top = VectorOps.bruteForceTopK(df, "vec_id", "embedding", Seq(1.0, 0.0), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(2L, 3L)) // zero vector absent, true neighbor first
+    // and a zero-norm QUERY fails fast instead of returning NaN ranks
+    intercept[IllegalArgumentException] {
+      VectorOps.bruteForceTopK(df, "vec_id", "embedding", Seq(0.0, 0.0), 3)
+    }
+  }
+
   test("IVF on an empty corpus returns an empty frame, not an analysis error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")

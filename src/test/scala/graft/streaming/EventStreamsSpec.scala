@@ -178,6 +178,15 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) === 4.0 * perBatch)
   }
 
+  test("enrichWithDim resolves identically-named join keys without ambiguity") {
+    import spark.implicits._
+    val stream = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("event_id", "user_id")
+    val dim = Seq((10L, "gold"), (20L, "silver")).toDF("user_id", "tier")
+    val out = EventStreams.enrichWithDim(stream, dim, "user_id", "user_id")
+      .select("event_id", "tier").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "gold"), (2L, "silver")))
+  }
+
   test("streaming hourly rollup ≡ batch date_trunc group-by") {
     val streamed = graft.analytics.StreamingQueries.all
       .find(_.name == "q32_stream_hourly").get
