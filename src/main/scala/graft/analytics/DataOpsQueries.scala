@@ -363,6 +363,22 @@ object DataOpsQueries {
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")),
 
+    // Mixture up-weighting: English docs repeat 2x (epochs-per-source
+    // mixing). Integer weights here so DuckDB can express the oracle;
+    // the fractional-weight path is suite-pinned in SamplingSpec.
+    NamedQuery(
+      "q70_mixture_upsample",
+      Some("""SELECT doc_id, lang, CAST(r.range AS BIGINT) AS copy
+             |FROM documents CROSS JOIN range(1, 3) r
+             |WHERE r.range <= CASE WHEN lang = 'en' THEN 2 ELSE 1 END
+             |ORDER BY doc_id, copy""".stripMargin),
+      (s, dir) =>
+        Sampling.repeatByWeight(
+            docs(s, dir).select("doc_id", "lang"),
+            when(col("lang") === "en", 2.0).otherwise(1.0), "doc_id")
+          .select("doc_id", "lang", "copy")
+          .orderBy("doc_id", "copy")),
+
     // Benchmark contamination report: held-out set = every 20th doc;
     // for each, the top overlapping corpus doc by 3-gram containment
     // |B∩C|/|B| (asymmetric on purpose — a quoted benchmark inside a

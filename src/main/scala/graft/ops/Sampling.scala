@@ -37,6 +37,35 @@ object Sampling {
       .drop("_graft_rk")
   }
 
+  /** Mixture up-weighting: repeat each row `ceil(weight)`-ish times —
+    * the "epochs per source" half of data mixing (quotaPerGroup is the
+    * down-cap half). Integer part: every row emits copies 1..floor(w).
+    * Fractional part: one extra copy for the deterministic
+    * `hashSample`-style fraction of rows ([[hashSample]]'s predicate on
+    * (key, floor(w)+1) as the copy id), so a weight of 2.25 yields
+    * exactly 2 copies for ~75 % of rows and 3 for ~25 %, reproducibly.
+    * Map-only: an explode of a generated sequence, no shuffle, no
+    * driver participation — weights can be a per-row column (joined
+    * from a mixture config) or a literal expression.
+    */
+  def repeatByWeight(
+      df: DataFrame,
+      weight: org.apache.spark.sql.Column,
+      keyCol: String,
+      seed: Long = 42L): DataFrame = {
+    val wFloor = floor(weight).cast("long")
+    val frac = weight.cast("double") - wFloor.cast("double")
+    val bound = (frac * lit((1L << 62).toDouble * 2.0)).cast("long")
+    val extra = when(
+      shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1) < bound, 1L).otherwise(0L)
+    val n = wFloor + extra
+    // weights under 1 are a downsample: rows drawing 0 copies vanish
+    // (sequence(1, 0) counts DOWN in Spark — guard it)
+    df.withColumn("copy",
+      explode(when(n >= 1, sequence(lit(1L), n))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Deterministic pseudo-random fraction sample: keep rows whose seeded
     * key hash lands under `fraction` of the hash space. Unlike
     * `df.sample`, the draw is a pure row-local predicate — stable across

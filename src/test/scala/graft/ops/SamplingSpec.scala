@@ -43,6 +43,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(otherKept === kept)
   }
 
+  test("repeatByWeight: integer weights exact, fractional near-target, <1 downsamples, 0 empties") {
+    val n = docs.count().toDouble
+    def copies(w: Double) = Sampling.repeatByWeight(docs, lit(w), "doc_id").count().toDouble
+    assert(copies(2.0) === 2 * n)
+    assert(copies(0.0) === 0.0)
+    // fractional parts land near target, deterministically
+    val c225 = copies(2.25)
+    assert(math.abs(c225 / n - 2.25) < 0.15, s"2.25x gave ${c225 / n}")
+    assert(copies(2.25) === c225) // rerun identical
+    val c05 = copies(0.5)
+    assert(math.abs(c05 / n - 0.5) < 0.15, s"0.5x gave ${c05 / n}")
+    // the fractional draw is the hashSample draw: weight 0.5's survivors
+    // are exactly hashSample(0.5)'s keys (same predicate, same seed)
+    val viaRepeat = Sampling.repeatByWeight(docs, lit(0.5), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSample = Sampling.hashSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaRepeat === viaSample)
+  }
+
   test("hashSample fractions nest: sample(f1) ⊆ sample(f2) for f1 < f2, with exact endpoints") {
     // the bound is monotone in the fraction, so growing a split (1% →
     // 10% → 50%) only ADDS rows — a curriculum can scale up without
