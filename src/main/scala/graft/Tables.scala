@@ -27,10 +27,18 @@ object Tables {
     * TimestampType with integral division (ns magnitudes overflow double
     * precision, so `div`, never `/`).
     */
+  /** The TIMESTAMP(NANOS)→TimestampType conversion, shared with every
+    * other reader of the raw events encoding (e.g. the streaming file
+    * source in StreamingQueries) so the nanos contract lives in ONE
+    * place.
+    */
+  def nanosToTimestamp(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      nanosToTimestamp(df)
     else df
   }
 

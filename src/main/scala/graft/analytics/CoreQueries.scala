@@ -152,24 +152,23 @@ object CoreQueries {
     // Chained CTEs (ipynb:930–958) through the SQL front end, exactly the
     // shape of reference Q5: derive columns in one CTE, aggregate the
     // derivations in the next, then sort.
-    NamedQuery(
-      "q09_cte_chain",
-      Some("""WITH parsed AS (
-             |  SELECT *, CAST(hour(ts) AS BIGINT) AS h FROM events
-             |), agg AS (
-             |  SELECT h, event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
-             |  FROM parsed GROUP BY h, event_type
-             |)
-             |SELECT * FROM agg ORDER BY h, event_type""".stripMargin),
-      (s, dir) => {
-        Tables.registerViews(s, dir)
-        s.sql("""WITH parsed AS (
-                |  SELECT *, CAST(hour(ts) AS BIGINT) AS h FROM events
-                |), agg AS (
-                |  SELECT h, event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
-                |  FROM parsed GROUP BY h, event_type
-                |)
-                |SELECT * FROM agg ORDER BY h, event_type""".stripMargin)
-      })
+    {
+      // one dialect-shared string = Spark query AND oracle (no drift)
+      val q9 =
+        """WITH parsed AS (
+          |  SELECT *, CAST(hour(ts) AS BIGINT) AS h FROM events
+          |), agg AS (
+          |  SELECT h, event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+          |  FROM parsed GROUP BY h, event_type
+          |)
+          |SELECT * FROM agg ORDER BY h, event_type""".stripMargin
+      NamedQuery(
+        "q09_cte_chain",
+        Some(q9),
+        (s, dir) => {
+          Tables.registerViews(s, dir)
+          s.sql(q9)
+        })
+    }
   )
 }

@@ -43,6 +43,25 @@ object DataOpsQueries {
     base.unionAll(twins)
   }
 
+  /** DuckDB encodings of LanguageId's score columns and arg-max CASE
+    * chain — shared by q29 and q40 so the oracle encoding cannot drift
+    * from `LanguageId.predict` in one of the two places only.
+    * Indent params only affect SQL whitespace.
+    */
+  private def langIdOracleParts(scoreIndent: String, caseIndent: String): (String, String) = {
+    val scoreSql = LanguageId.profiles.map { case (l, gs) =>
+      val terms = gs.map(g =>
+        s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
+      s"CAST(${terms.mkString(" + ")} AS BIGINT) AS score_$l"
+    }.mkString(",\n" + scoreIndent)
+    val langs = LanguageId.profiles.map(_._1)
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1)
+      s"WHEN ${later.map(o => s"score_$l >= score_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n" + caseIndent, "\n" + caseIndent, s"\n${caseIndent}ELSE '${langs.last}'")
+    (scoreSql, caseChain)
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // -------------------------------------------------------- dedup
@@ -168,8 +187,10 @@ object DataOpsQueries {
       "q25_ann_topk",
       Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
              |           FROM embeddings WHERE vec_id = 0),
-             |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-             |      FROM embeddings),
+             |e AS (SELECT vec_id, v FROM (
+             |        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |        FROM embeddings)
+             |      WHERE list_dot_product(v, v) > 0),
              |s AS (SELECT vec_id,
              |        ROUND(list_dot_product(v, qv)
              |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) cosine
@@ -244,16 +265,8 @@ object DataOpsQueries {
     NamedQuery(
       "q29_lang_id",
       Some {
-        val scoreSql = LanguageId.profiles.map { case (l, gs) =>
-          val terms = gs.map(g =>
-            s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
-          s"CAST(${terms.mkString(" + ")} AS BIGINT) AS score_$l"
-        }.mkString(",\n        ")
+        val (scoreSql, caseChain) = langIdOracleParts("        ", "    ")
         val langs = LanguageId.profiles.map(_._1)
-        val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
-          val later = langs.drop(i + 1)
-          s"WHEN ${later.map(o => s"score_$l >= score_$o").mkString(" AND ")} THEN '$l'"
-        }.mkString("\n    ", "\n    ", s"\n    ELSE '${langs.last}'")
         s"""WITH s AS (SELECT doc_id,
            |        $scoreSql
            |      FROM documents)
@@ -443,16 +456,7 @@ object DataOpsQueries {
     NamedQuery(
       "q40_corpus_stats",
       Some {
-        val scoreSql = LanguageId.profiles.map { case (l, gs) =>
-          val terms = gs.map(g =>
-            s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
-          s"CAST(${terms.mkString(" + ")} AS BIGINT) AS score_$l"
-        }.mkString(",\n          ")
-        val langs = LanguageId.profiles.map(_._1)
-        val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
-          val later = langs.drop(i + 1)
-          s"WHEN ${later.map(o => s"score_$l >= score_$o").mkString(" AND ")} THEN '$l'"
-        }.mkString("\n      ", "\n      ", s"\n      ELSE '${langs.last}'")
+        val (scoreSql, caseChain) = langIdOracleParts("          ", "      ")
         s"""WITH m AS (SELECT doc_id, text, string_split(text, ' ') toks,
            |        CAST(length(text) AS DOUBLE) n_chars,
            |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct,

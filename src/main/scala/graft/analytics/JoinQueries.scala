@@ -187,27 +187,26 @@ object JoinQueries {
 
     // ROLLUP: hierarchical subtotals; NULL ordering pinned on both sides
     // (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST — spell it out).
-    NamedQuery(
-      "q18_rollup",
-      Some("""SELECT r_name, n_name, count(*) AS n_customers,
-             |       ROUND(SUM(c_acctbal), 2) AS total_acctbal
-             |FROM customer
-             |JOIN nation ON c_nationkey = n_nationkey
-             |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY ROLLUP(r_name, n_name)
-             |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin),
-      (s, dir) => {
-        // Through the SQL front end: DataFrame `.rollup` on post-join
-        // columns trips Spark's ambiguous-self-join analyzer; the SQL
-        // planner produces the identical Expand + HashAggregate plan.
-        Tables.registerViews(s, dir)
-        s.sql("""SELECT r_name, n_name, count(*) AS n_customers,
-                |       ROUND(SUM(c_acctbal), 2) AS total_acctbal
-                |FROM customer
-                |JOIN nation ON c_nationkey = n_nationkey
-                |JOIN region ON n_regionkey = r_regionkey
-                |GROUP BY ROLLUP(r_name, n_name)
-                |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
-      })
+    {
+      // Through the SQL front end: DataFrame `.rollup` on post-join
+      // columns trips Spark's ambiguous-self-join analyzer; the SQL
+      // planner produces the identical Expand + HashAggregate plan.
+      // One dialect-shared string = Spark query AND oracle (no drift).
+      val q18 =
+        """SELECT r_name, n_name, count(*) AS n_customers,
+          |       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+      NamedQuery(
+        "q18_rollup",
+        Some(q18),
+        (s, dir) => {
+          Tables.registerViews(s, dir)
+          s.sql(q18)
+        })
+    }
   )
 }

@@ -44,11 +44,19 @@ object StreamingQueries {
     * rows can never contaminate the next.
     */
   private def stageEventsDir(dir: String): java.nio.file.Path = {
+    // STABLE per-source path (no run counter): repeated runs in one JVM
+    // reuse the same directory instead of leaking a fresh events copy
+    // per invocation — the clear-first below also scrubs a prior run's
+    // extra files (q41's duplicate copy) so queries can't contaminate
+    // each other. Streaming queries against a given source dir run
+    // sequentially in Verify/Bench, so reuse is safe.
     val root = Paths.get(sys.props("java.io.tmpdir"), "graft_stage",
-      s"events_${Integer.toHexString(dir.hashCode)}_${runId.incrementAndGet()}")
+      s"events_${Integer.toHexString(dir.hashCode)}")
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
     Files.createDirectories(root)
     Files.copy(Paths.get(s"$dir/events.parquet"),
@@ -57,9 +65,8 @@ object StreamingQueries {
   }
 
   private def streamEvents(s: SparkSession, srcDir: String): DataFrame =
-    s.readStream.schema(eventsRawSchema)
-      .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.nanosToTimestamp(
+      s.readStream.schema(eventsRawSchema).parquet(srcDir))
 
   /** The lag/cumsum window-function sessionization — the batch
     * formulation of [[EventStreams.sessionize]]'s semantics, shared by

@@ -19,38 +19,35 @@ object SubqueryQueries {
     s.sql(q)
   }
 
+  /** One dialect-shared SQL string serving as BOTH the Spark query and
+    * the DuckDB oracle — a single source of truth, so an edit can't
+    * silently reach only one side of the gate.
+    */
+  private def sharedSql(name: String, q: String): NamedQuery =
+    NamedQuery(name, Some(q), sql(q))
+
   val all: Seq[NamedQuery] = Seq(
 
     // TPC-H Q17 shape: per-part average quantity as a correlated scalar
     // subquery. Quantities are integer-valued doubles, so AVG is an
     // exact-sum division — the 0.5*avg threshold compares identically
     // across engines.
-    NamedQuery(
+    sharedSql(
       "q19_scalar_subquery",
-      Some("""SELECT p_brand, count(*) AS n_small,
-             |       ROUND(SUM(l_extendedprice), 2) AS small_qty_revenue
-             |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
-             |                    FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
-      sql("""SELECT p_brand, count(*) AS n_small,
-            |       ROUND(SUM(l_extendedprice), 2) AS small_qty_revenue
-            |FROM lineitem JOIN part ON l_partkey = p_partkey
-            |WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
-            |                    FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
-            |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+      """SELECT p_brand, count(*) AS n_small,
+        |       ROUND(SUM(l_extendedprice), 2) AS small_qty_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
 
     // IN-subquery (Catalyst plans a left-semi join after de-correlation).
-    NamedQuery(
+    sharedSql(
       "q34_in_subquery",
-      Some("""SELECT o_orderpriority, count(*) AS n
-             |FROM orders
-             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-      sql("""SELECT o_orderpriority, count(*) AS n
-            |FROM orders
-            |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
-            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     NamedQuery(
       "q35_intersect",
@@ -81,20 +78,14 @@ object SubqueryQueries {
       }),
 
     // CUBE: all grouping-set combinations; NULL ordering pinned both sides.
-    NamedQuery(
+    sharedSql(
       "q37_cube",
-      Some("""SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
-             |       ROUND(SUM(value), 2) AS sum_value
-             |FROM events
-             |WHERE user_id < 10
-             |GROUP BY CUBE(event_type, d)
-             |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin),
-      sql("""SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
-            |       ROUND(SUM(value), 2) AS sum_value
-            |FROM events
-            |WHERE user_id < 10
-            |GROUP BY CUBE(event_type, d)
-            |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin)),
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id < 10
+        |GROUP BY CUBE(event_type, d)
+        |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin),
 
     // Approximate distinct (HLL++): sketch-based, so no cross-engine
     // oracle — the suite bounds its error against exact instead.

@@ -20,33 +20,28 @@ object WideQueries {
     // first_value, cumulative ROWS frame, bounded moving frame. Ties
     // broken by event_id everywhere; running sums of 2-decimal values
     // round safely at 2.
-    NamedQuery(
-      "q56_window_frames",
-      Some("""SELECT user_id, event_id,
-             |  CAST(row_number() OVER w AS BIGINT) AS rn,
-             |  lead(event_type) OVER w AS next_type,
-             |  first_value(event_type) OVER w AS first_type,
-             |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
-             |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
-             |FROM events WHERE user_id < 5
-             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY user_id, rn""".stripMargin),
-      (s, dir) => {
-        Tables.registerViews(s, dir)
-        s.sql("""SELECT user_id, event_id,
-                |  CAST(row_number() OVER w AS BIGINT) AS rn,
-                |  lead(event_type) OVER w AS next_type,
-                |  first_value(event_type) OVER w AS first_type,
-                |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
-                |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
-                |FROM events WHERE user_id < 5
-                |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-                |ORDER BY user_id, rn""".stripMargin)
-      }),
+    {
+      // one dialect-shared string = Spark query AND oracle (no drift)
+      val q56 =
+        """SELECT user_id, event_id,
+          |  CAST(row_number() OVER w AS BIGINT) AS rn,
+          |  lead(event_type) OVER w AS next_type,
+          |  first_value(event_type) OVER w AS first_type,
+          |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+          |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+          |FROM events WHERE user_id < 5
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, rn""".stripMargin
+      NamedQuery(
+        "q56_window_frames",
+        Some(q56),
+        (s, dir) => {
+          Tables.registerViews(s, dir)
+          s.sql(q56)
+        })
+    },
 
     // As-of join: every purchase matched to the user's most recent prior
     // (<=) click — Spark-side by window composition (ops.AsOfJoin),
@@ -54,13 +49,21 @@ object WideQueries {
     // the comparison on the engines' shared grid.
     NamedQuery(
       "q58_asof_join",
-      Some("""SELECT p.event_id, p.user_id,
+      // Arg-max oracle, not DuckDB's native ASOF: at equal click
+      // timestamps ASOF's pick is arbitrary on BOTH engines, so the
+      // gate pins the tie explicitly — latest ts, then highest
+      // event_id — and the Spark side passes the same tiebreak.
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT * FROM events WHERE event_type = 'click'),
+             |j AS (SELECT p.event_id pid, c.ts cts, c.value cv,
+             |        row_number() OVER (PARTITION BY p.event_id
+             |          ORDER BY c.ts DESC, c.event_id DESC) rn
+             |      FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+             |SELECT p.event_id, p.user_id,
              |  CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_sec,
-             |  CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_sec,
-             |  ROUND(c.value, 2) AS click_value
-             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |  CAST(epoch_us(j.cts) // 1000000 AS BIGINT) AS click_sec,
+             |  ROUND(j.cv, 2) AS click_value
+             |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.pid
              |ORDER BY p.event_id""".stripMargin),
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
@@ -68,10 +71,12 @@ object WideQueries {
           .select("event_id", "user_id", "ts")
         val clicks = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"),
+            col("event_id").as("click_eid"),
             col("ts").cast("long").as("click_sec"), col("value").as("click_value"))
         graft.ops.AsOfJoin.asOf(purchases, clicks,
             keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-            valueCols = Seq("click_sec", "click_value"))
+            valueCols = Seq("click_sec", "click_value"),
+            tiebreakCols = Seq("click_eid"))
           .select(col("event_id"), col("user_id"),
             col("ts").cast("long").as("purchase_sec"),
             col("click_sec"), round(col("click_value"), 2).as("click_value"))

@@ -33,22 +33,38 @@ object GraftFunctions {
     }
   }
 
+  /** Arity check with the function name in the message — a bare
+    * exprs(i) on a short list would surface as an opaque
+    * IndexOutOfBoundsException at analysis time.
+    */
+  private def arity(
+      fn: String, n: Int)(
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$fn expects $n arguments, got ${exprs.length}")
+      build(exprs)
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      DotName, exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
+      DotName, arity(DotName, 2)(exprs => ArrayDotProduct(exprs.head, exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
-      SimHashName, exprs => SimHash64(exprs.head), "built-in")
+      SimHashName, arity(SimHashName, 1)(exprs => SimHash64(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      MinHashName, exprs => MinHashSignature(exprs.head,
-        literalInt(exprs(1), MinHashName, "numHashes")), "built-in")
+      MinHashName, arity(MinHashName, 2)(exprs => MinHashSignature(exprs.head,
+        literalInt(exprs(1), MinHashName, "numHashes"))), "built-in")
     reg.createOrReplaceTempFunction(
-      ShinglesName, exprs => WordShingles(exprs.head,
-        literalInt(exprs(1), ShinglesName, "n")), "built-in")
+      ShinglesName, arity(ShinglesName, 2)(exprs => WordShingles(exprs.head,
+        literalInt(exprs(1), ShinglesName, "n"))), "built-in")
     reg.createOrReplaceTempFunction(
-      SrpName, exprs => SrpBucket(exprs.head,
+      SrpName, arity(SrpName, 3)(exprs => SrpBucket(exprs.head,
         literalInt(exprs(1), SrpName, "planes"),
-        literalInt(exprs(2), SrpName, "seedBase")), "built-in")
+        literalInt(exprs(2), SrpName, "seedBase"))), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by

@@ -50,11 +50,12 @@ object WordShingles {
     while (i <= len - n) {
       // concat_ws SKIPS null elements (no doubled separator) — the
       // composable reference does, so the native kernel must too.
+      // isNullAt, not a null return from the getter: ArrayData impls
+      // (e.g. ColumnarArray) don't guarantee null-checking getters.
       var j = 0
       var k = 0
       while (j < n) {
-        val t = toks.getUTF8String(i + j)
-        if (t != null) { window(k) = t; k += 1 }
+        if (!toks.isNullAt(i + j)) { window(k) = toks.getUTF8String(i + j); k += 1 }
         j += 1
       }
       seen.add(UTF8String.concatWs(Space, java.util.Arrays.copyOf(window, k): _*))

@@ -41,11 +41,15 @@ object EtlJob {
     // Partition-pruned read: only this day's directory is listed/scanned,
     // the Spark analog of the reference's S3 Prefix= (ipynb:572).
     val dayDir = s"$rawDir/context_date=$day"
+    // cached: the rejects count and the enriched write otherwise each
+    // pay a full scan + JSON parse of the day
     val raw = spark.read
       .schema(TelegramSchema.updateSchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", TelegramSchema.CorruptCol)
       .json(dayDir)
+      .cache()
+    try {
     val enriched = transform(raw, day)
     val nRejects = Flatten.rejects(raw).count()
     val out = if (targetFiles == 1) enriched.coalesce(1)
@@ -64,6 +68,7 @@ object EtlJob {
       .parquet(enrichedDir)
     val n = obs.get("n_rows").asInstanceOf[Long]
     (n, nRejects)
+    } finally raw.unpersist()
   }
 
   /** Register the enriched zone as the `telegram` table (the Athena

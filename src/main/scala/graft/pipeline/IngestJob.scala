@@ -34,8 +34,14 @@ object IngestJob {
   def route(updates: DataFrame, chatId: Long): DataFrame =
     updates
       .filter(col("message.chat.id") === lit(chatId))
+      // session-tz-proof pipeline-tz date: normalize the instant out of
+      // the session zone before shifting into the pipeline zone, so the
+      // to_date rendering (session tz) cancels — a bare
+      // from_utc_timestamp is only right when the session runs UTC,
+      // and IngestJob is a public entry point for any session.
       .withColumn("context_date",
-        to_date(from_utc_timestamp(current_timestamp(), PipelineTz)))
+        to_date(from_utc_timestamp(
+          to_utc_timestamp(current_timestamp(), current_timezone()), PipelineTz)))
 
   /** File-inbox source — the gate-scale stand-in for the webhook: one
     * JSON body per file under `inboxDir`.
