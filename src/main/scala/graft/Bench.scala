@@ -35,15 +35,19 @@ object Bench {
       }
       name -> math.min(run(), run())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => JsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    // Total sums SUCCESSFUL queries only — a failure (-1 marker) must
-    // never make the headline number smaller than a working build's.
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Brokenness must be visible IN the machine-readable line, not only
+    // on stderr: a failed query is excluded from the total (its own -1
+    // stays in the per-query map), so without the failed list a
+    // partially-broken build would read as a FASTER one.
+    val failedJson = failed.map(JsonStr(_)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
+      s""""failed":$failedJson,"queries":$qs,"sf":${JsonStr(sfDir)}}""")
     spark.stop()
   }
 }

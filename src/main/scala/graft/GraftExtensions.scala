@@ -13,22 +13,27 @@ import graft.functions._
   *   SparkSession.builder().withExtensions(new GraftExtensions) ...
   * }}}
   *
-  * makes `graft_dot`, `graft_simhash`, `graft_minhash`, `graft_shingles`
-  * resolvable from any SQL context of the session — the cluster-wide
-  * analog of the per-session `GraftFunctions.register` that
-  * [[Sessions.local]] uses.
+  * makes `graft_dot`, `graft_simhash`, `graft_minhash`, `graft_shingles`,
+  * `graft_srp` resolvable from any SQL context of the session — the
+  * cluster-wide analog of the per-session `GraftFunctions.register` that
+  * [[Sessions.local]] uses. The two paths MUST register the same set
+  * (ExtensionsDemo smokes every function through this one).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+    def inject(name: String, n: Int)(builder: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
-    inject(GraftFunctions.DotName, exprs => ArrayDotProduct(exprs.head, exprs(1)))
-    inject(GraftFunctions.SimHashName, exprs => SimHash64(exprs.head))
-    inject(GraftFunctions.MinHashName, exprs => MinHashSignature(exprs.head,
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        GraftFunctions.arity(name, n)(builder)))
+    inject(GraftFunctions.DotName, 2)(exprs => ArrayDotProduct(exprs.head, exprs(1)))
+    inject(GraftFunctions.SimHashName, 1)(exprs => SimHash64(exprs.head))
+    inject(GraftFunctions.MinHashName, 2)(exprs => MinHashSignature(exprs.head,
       GraftFunctions.literalInt(exprs(1), GraftFunctions.MinHashName, "numHashes")))
-    inject(GraftFunctions.ShinglesName, exprs => WordShingles(exprs.head,
+    inject(GraftFunctions.ShinglesName, 2)(exprs => WordShingles(exprs.head,
       GraftFunctions.literalInt(exprs(1), GraftFunctions.ShinglesName, "n")))
+    inject(GraftFunctions.SrpName, 3)(exprs => SrpBucket(exprs.head,
+      GraftFunctions.literalInt(exprs(1), GraftFunctions.SrpName, "planes"),
+      GraftFunctions.literalInt(exprs(2), GraftFunctions.SrpName, "seedBase")))
   }
 }

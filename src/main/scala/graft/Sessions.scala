@@ -39,5 +39,8 @@ object Sessions {
   }
 
   def cpusFromEnv(default: Int = 4): Int =
-    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(default)
+    // non-positive values (a harness' cores-minus-reserved underflow)
+    // would build an unconstructible local[0] — fall back instead
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(default)
 }

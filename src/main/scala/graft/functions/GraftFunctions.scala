@@ -37,7 +37,7 @@ object GraftFunctions {
     * exprs(i) on a short list would surface as an opaque
     * IndexOutOfBoundsException at analysis time.
     */
-  private def arity(
+  private[graft] def arity(
       fn: String, n: Int)(
       build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)

@@ -22,7 +22,8 @@ object ExtensionsDemo {
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       graft_simhash(array('a', 'b')) AS sh,
         |       size(graft_minhash(array('a', 'b'), 8)) AS mh,
-        |       graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS sg""".stripMargin).head()
+        |       graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS sg,
+        |       graft_srp(array(1.0d, -2.0d, 0.5d), 8, 0) AS srp""".stripMargin).head()
     println(s"[ext] dot=${r.getDouble(0)} simhash=${r.getLong(1)} " +
       s"minhashLen=${r.getInt(2)} shingles=${r.getSeq[String](3).mkString(",")}")
     assert(r.getDouble(0) == 11.0)
