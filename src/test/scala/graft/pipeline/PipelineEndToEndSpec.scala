@@ -149,6 +149,22 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(new java.io.File(s"$rawOut/context_date=$today").exists())
   }
 
+  test("IngestJob source seam: BINARY value column (Kafka's actual wire type) parses identically") {
+    import spark.implicits._
+    // format("kafka") emits value: binary, not string — the seam must
+    // accept both; fromMessageStream's cast covers it.
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]](spark)
+    mem.addData(msg(1, 902, 11, "Ana", false, t1, Some("binary wire")).getBytes("UTF-8"))
+    val rawOut = Files.createTempDirectory("raw_out_bin").toString
+    val ckpt = Files.createTempDirectory("ckpt_bin").toString
+    val q = IngestJob.startFrom(
+      IngestJob.fromMessageStream(mem.toDF()), rawOut, ckpt, chatId = -100L)
+    q.awaitTermination()
+    val written = spark.read.schema(TelegramSchema.updateSchema).json(rawOut)
+    assert(written.count() === 1)
+    assert(written.select("message.message_id").head().getLong(0) === 902L)
+  }
+
   test("IngestJob source seam: Kafka-wire MemoryStream routes identically to the file inbox") {
     import spark.implicits._
     // Same three deliveries as the file-inbox test, but arriving as a
