@@ -51,11 +51,22 @@ object AsOfJoin {
       valueCols: Seq[String],
       tiebreakCols: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
+    val internal = Set("_ts", "_side", "_row", "_asof") ++ tiebreakCols.map(c => s"_tb_$c")
+    val clash = leftCols.filter(internal) ++ valueCols.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"asOf: left columns collide with internal/value names: ${clash.mkString(", ")} — " +
+        "rename them before joining (internal names: _ts/_side/_row/_asof/_tb_*)")
     val payloadType = StructType(valueCols.map(c =>
       StructField(c, right.schema(c).dataType, nullable = true)))
     val tbCols = tiebreakCols.map(c => s"_tb_$c")
-    // side 0 = right (sorts first at timestamp ties → <= semantics)
-    val taggedRight = right.select(
+    // side 0 = right (sorts first at timestamp ties → <= semantics).
+    // NULL-ts right rows are dropped: ASC sorts NULLS FIRST, so an
+    // unfiltered NULL-timestamp row would sort before every left row
+    // and become a phantom "prior" match — SQL ASOF semantics never
+    // match a NULL timestamp.
+    val taggedRight = right
+      .filter(col(rightTs).isNotNull)
+      .select(
       keyCols.map(col) ++
         Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
           struct(valueCols.map(col): _*).as("_row")) ++

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-layout co-location: pre-shuffle a table ONCE at write time so
   * every subsequent equi-join or aggregation on the bucket key runs with
@@ -16,7 +17,14 @@ import org.apache.spark.sql.DataFrame
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.format("parquet")
+    // repartition on the bucket key FIRST: without it every write task
+    // emits up to one file per bucket value it holds (tasks × buckets
+    // small files — the exact small-file explosion bucketing exists to
+    // avoid); pre-partitioned, each bucket is one task's one file, and
+    // the in-partition sort feeds sortBy without a per-task spill sort.
+    df.repartition(buckets, col(key))
+      .sortWithinPartitions(col(key))
+      .write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")

@@ -49,12 +49,26 @@ object CorpusPipeline {
     df.join(keep, idCol, "left_semi")
   }
 
-  /** Drop the higher-id member of every near-dup pair. */
+  /** Keep the minimum-id representative of every near-dup COMPONENT:
+    * the pair relation feeds [[GraphOps.connectedComponents]] and every
+    * non-representative node drops. Transitive-closure semantics — a
+    * chain of pairwise near-dups collapses to ONE survivor — which is
+    * the standard LSH-cluster dedup choice (chained near-dups are
+    * near-identical in practice); the conservative alternative, a
+    * maximal independent set keeping chain tails whose only duplicate
+    * was itself dropped, retains more content at the cost of keeping
+    * transitive variants. The earlier drop-every-id_b greedy sat
+    * BETWEEN the two semantics (order-dependent on chains) — the
+    * component form is principled and deterministic.
+    */
   def nearDupPrune(df: DataFrame, cfg: Config,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val losers = Dedup.minhashLshPairs(df, idCol, textCol,
+    val pairs = Dedup.minhashLshPairs(df, idCol, textCol,
         threshold = cfg.nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .select("id_a", "id_b")
+    val losers = GraphOps.connectedComponents(pairs)
+      .filter(col("node") =!= col("component")) // non-min of its group
+      .select(col("node").as(idCol))
     df.join(losers, idCol, "left_anti")
   }
 

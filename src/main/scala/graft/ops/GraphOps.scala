@@ -37,16 +37,23 @@ object GraphOps {
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     // Ids normalized to long on BOTH paths (the output schema must not
-    // depend on which side of the threshold the graph lands).
+    // depend on which side of the threshold the graph lands). Edges with
+    // a NULL or uncastable endpoint are DROPPED on both paths too — the
+    // driver path would otherwise NPE on getLong while the distributed
+    // path silently emitted a bogus (null, null) component.
     val pairs = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The persisted pairs make the decide-and-collect single-cost: the
     // take() materializes (at most threshold+1 rows of) the edge lineage
     // once, and the big-graph loop reuses the persisted relation instead
     // of re-running the (potentially expensive) edge computation.
-    val taken = pairs.take(driverThreshold.toInt + 1)
-    if (taken.length <= driverThreshold) {
+    // Thresholds are capped at the driver-array limit: a larger value
+    // would overflow toInt into a negative/wrapped take() argument.
+    val takeN = math.min(driverThreshold, Int.MaxValue - 2L).toInt
+    val taken = pairs.take(takeN + 1)
+    if (taken.length <= takeN) {
       pairs.unpersist()
       return driverUnionFind(spark, taken.map(r => (r.getLong(0), r.getLong(1))))
     }

@@ -128,6 +128,9 @@ object Multimodal {
     // ??? <- real video / compressed-audio codec goes here (needs
     // ffmpeg-class libraries not in this container); deterministic fake
     // byte-statistics below keep the pipeline exercised end-to-end.
+    // Empty payload → all-zero features, not the untouched min/max
+    // sentinels (±2^63 would poison any downstream aggregate).
+    if (payload.isEmpty) return Array(0.0, 0.0, 0.0, 0.0)
     var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
     var i = 0
     while (i < payload.length) {
@@ -135,7 +138,7 @@ object Multimodal {
       sum += b; if (b > mx) mx = b; if (b < mn) mn = b
       i += 1
     }
-    val n = math.max(payload.length, 1)
+    val n = payload.length
     Array(n.toDouble, sum.toDouble / n, mx.toDouble, mn.toDouble)
   }
 
@@ -155,8 +158,10 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // (stub) per-partition decoder init would happen here, once.
       rows.map { r =>
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
-          decodeStub(r.payload))
+        // null payload (a NULL source column) = empty: decode must not
+        // NPE a whole task over one bad row
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        MediaFeatures(r.doc_id, r.media_type, p.length.toLong, decodeStub(p))
       }
     }
 

@@ -35,6 +35,9 @@ object Salting {
       maxs: Seq[(String, String)] = Nil): DataFrame = {
     require(counts.nonEmpty || sums.nonEmpty || mins.nonEmpty || maxs.nonEmpty,
       "saltedAggregate needs at least one aggregate (counts/sums/mins/maxs)")
+    // pmod(x, 0) is NULL (one salt group = silent no-op skew mitigation)
+    // or a runtime DIVIDE_BY_ZERO under ANSI — reject it here instead
+    require(salt > 0, s"salt must be positive, got $salt")
     val saltCol = pmod(xxhash64(saltBy.map(col): _*), lit(salt)).as("_salt")
     val partialAggs =
       counts.map(out => count(lit(1)).as(out)) ++

@@ -66,6 +66,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL right timestamps never match: no phantom prior row") {
+    val left = Seq((1L, "a", ts(40))).toDF("id", "k", "t")
+    // the only right row has a NULL ts — ASOF semantics say it can never
+    // be a "prior" match (an unfiltered NULL sorts FIRST under asc and
+    // would be carried as a phantom match)
+    val right = Seq(("a", null.asInstanceOf[java.sql.Timestamp], 9.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v")).head()
+    assert(out.isNullAt(3), s"phantom match from NULL-ts right row: $out")
+  }
+
+  test("internal/value name collisions fail fast with a readable error") {
+    val left = Seq((1L, "a", ts(40), 0)).toDF("id", "k", "t", "_ts")
+    val right = Seq(("a", ts(10), 1.0)).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("_ts"))
+  }
+
   test("left rows and columns all survive; right rows never multiply the left") {
     val left = Seq((1L, "a", ts(100), "payload")).toDF("id", "k", "t", "extra")
     val right = Seq(("a", ts(10), 1.0), ("a", ts(20), 2.0), ("a", ts(30), 3.0))

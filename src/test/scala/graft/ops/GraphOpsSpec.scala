@@ -7,6 +7,17 @@ class GraphOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("edges with NULL endpoints are dropped, not propagated or crashed on") {
+    val edges = Seq(
+      (Some(1L), Some(2L)),
+      (None, Some(3L)),      // null src
+      (Some(4L), None))      // null dst
+      .toDF("id_a", "id_b")
+    val out = GraphOps.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 1L), (2L, 1L))) // only the clean edge's nodes
+  }
+
   test("connected components: chain, triangle, and singleton-pair topologies") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq(

@@ -63,6 +63,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(3) === 0.0)
   }
 
+  test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
+    val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
+    val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
+    assert(f.n_bytes === 0L)
+    assert(f.feature.toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("language-id is deterministic and emits only known labels") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
     val labels = LanguageId(docs, "text").select("predicted_lang")
