@@ -12,7 +12,11 @@ object Bench {
     // broadcast join) and correctness-gated via the streaming runs in
     // Verify; and (b) q24, the deliberately-quadratic crossJoin oracle
     // for the embedding near-dup relation — its benched scale path is
-    // q59 (SRP-LSH bucketed, same relation).
+    // q59 (SRP-LSH bucketed, same relation). q59 is the deliberate
+    // STRESS row of the set: a loose 0.4 threshold on a near-random
+    // relation maximizes candidate volume by design (the recall gate in
+    // DedupSpec is what it buys); the production-regime cost claim is
+    // q61 (threshold 0.9, fine buckets), which runs ~5x faster.
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) =>
         Set("q32_stream_hourly", "q33_sessionization", "q41_stream_dedup",

@@ -412,9 +412,15 @@ object DataOpsQueries {
              |        ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) containment,
              |        row_number() OVER (PARTITION BY bench_id
              |          ORDER BY ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) DESC, corpus_id) rk
-             |      FROM j)
-             |SELECT bench_id, CAST(rk AS BIGINT) AS rk, corpus_id, n_shared, containment
-             |FROM r WHERE rk <= 1 ORDER BY bench_id, rk""".stripMargin),
+             |      FROM j),
+             |ba AS (SELECT doc_id bench_id, len(tok) >= 3 measurable
+             |       FROM t WHERE doc_id % 20 = 0)
+             |SELECT ba.bench_id, CAST(COALESCE(r.rk, 1) AS BIGINT) AS rk, r.corpus_id,
+             |  CASE WHEN ba.measurable THEN COALESCE(r.n_shared, 0) END AS n_shared,
+             |  CASE WHEN ba.measurable THEN COALESCE(r.containment, 0.0) END AS containment
+             |FROM ba LEFT JOIN (SELECT * FROM r WHERE rk <= 1) r
+             |  ON ba.bench_id = r.bench_id
+             |ORDER BY ba.bench_id, rk""".stripMargin),
       (s, dir) => {
         val d = docs(s, dir)
         Contamination.report(d, d.filter(col("doc_id") % 20 === 0),

@@ -50,6 +50,10 @@ object AsOfJoin {
       rightTs: String,
       valueCols: Seq[String],
       tiebreakCols: Seq[String] = Nil): DataFrame = {
+    // Caller-supplied names go through col() backtick-quoted: bare
+    // col("a.b") parses as a nested-field PATH and would resolve
+    // wrongly (or fail) for a column whose name contains a dot.
+    def q(c: String) = col(s"`${c.replace("`", "``")}`")
     val leftCols = left.columns.toSeq
     val internal = Set("_ts", "_side", "_row", "_asof") ++ tiebreakCols.map(c => s"_tb_$c")
     val clash = leftCols.filter(internal) ++ valueCols.filter(leftCols.contains)
@@ -65,26 +69,29 @@ object AsOfJoin {
     // and become a phantom "prior" match — SQL ASOF semantics never
     // match a NULL timestamp.
     val taggedRight = right
-      .filter(col(rightTs).isNotNull)
+      .filter(q(rightTs).isNotNull)
       .select(
-      keyCols.map(col) ++
-        Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
-          struct(valueCols.map(col): _*).as("_row")) ++
-        tiebreakCols.map(c => col(c).as(s"_tb_$c")): _*)
+      keyCols.map(q) ++
+        Seq(q(rightTs).as("_ts"), lit(0).as("_side"),
+          struct(valueCols.map(c => q(c).as(c)): _*).as("_row")) ++
+        tiebreakCols.map(c => q(c).as(s"_tb_$c")): _*)
     val taggedLeft = left.select(
-      leftCols.map(col) ++
-        Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
+      leftCols.map(q) ++
+        Seq(q(leftTs).as("_ts"), lit(1).as("_side"),
           lit(null).cast(payloadType).as("_row")): _*)
     // unionByName with allowMissingColumns fills the side-only columns
     // (left payload cols, right tiebreak cols) with NULLs.
     val unioned = taggedRight.unionByName(taggedLeft, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(q): _*)
       .orderBy(Seq(col("_ts").asc, col("_side").asc) ++ tbCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_row"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"_asof.$c").as(c)): _*)
+      .select(leftCols.map(q) ++
+        // getField, not col("_asof.c"): the string form parses c as a
+        // nested-field PATH, so a value column named "a.b" (or with a
+        // backtick) would resolve wrongly or fail analysis
+        valueCols.map(c => col("_asof").getField(c).as(c)): _*)
   }
 }

@@ -63,9 +63,25 @@ object Contamination {
         round(col("n_shared").cast("double") / col("bench_id_sz"), 6).as("containment"))
     val w = Window.partitionBy("bench_id")
       .orderBy(col("containment").desc, col("corpus_id"))
-    overlaps
+    val topk = overlaps
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topPerDoc)
       .select("bench_id", "rk", "corpus_id", "n_shared", "containment")
+    // Every bench doc appears in the report — this operator's scaladoc
+    // warns about silent-empty outputs, so a doc must never vanish:
+    //   - measurable, no overlap → containment 0.0 (verified clean)
+    //   - shorter than shingleN → containment NULL (UNMEASURABLE — not
+    //     the same claim as clean, and the reviewer must see the
+    //     difference)
+    val roster = bench
+      .select(col(idCol).as("bench_id"),
+        (size(TextFunctions.shingleSet(col(textCol), shingleN)) > 0).as("_measurable"))
+    roster.join(topk, Seq("bench_id"), "left")
+      .select(
+        col("bench_id"),
+        coalesce(col("rk"), lit(1L)).as("rk"),
+        col("corpus_id"),
+        when(col("_measurable"), coalesce(col("n_shared"), lit(0L))).as("n_shared"),
+        when(col("_measurable"), coalesce(col("containment"), lit(0.0))).as("containment"))
   }
 }

@@ -42,11 +42,20 @@ object CorpusPipeline {
       col("quality_score") >= cfg.minQuality &&
         col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
 
-  /** Keep the lowest id per exact text. */
+  /** Keep the lowest id per exact text. Grouping key is the 128-bit
+    * content hash ([[Dedup.contentHash128]], collision odds documented
+    * there), not the raw text: the winner-election shuffle then carries
+    * (16-byte key, id) rows instead of the corpus' text bytes — the
+    * difference between an ~8 GB and an ~100 TB exchange at corpus
+    * scale. The semi join on (hash, id) is the only full-width pass.
+    */
   def exactDedup(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val keep = df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    df.join(keep, idCol, "left_semi")
+    val h = Dedup.freshName(df, "_graft_ch")
+    val withH = df.withColumn(h, Dedup.contentHash128(Seq(col(textCol))))
+    val keep = withH
+      .select(col(h), col(idCol))
+      .groupBy(col(h)).agg(min(col(idCol)).as(idCol))
+    withH.join(keep, Seq(h, idCol), "left_semi").drop(h)
   }
 
   /** Keep the minimum-id representative of every near-dup COMPONENT:

@@ -29,13 +29,25 @@ object GraphOps {
     *        runs — same result, tested on both paths.
     * @return (node, component) — component = min node id reachable
     */
+  /** @param checkpointDir when set, per-iteration label materialization
+    *        uses RELIABLE `df.checkpoint()` against this directory
+    *        (written through the cluster's fault-tolerant store) instead
+    *        of `localCheckpoint`. localCheckpoint blocks live on
+    *        executor storage with NO recomputable lineage — on a
+    *        1000-executor cluster one preempted executor fails the whole
+    *        job mid-loop. Default stays local (fastest, fine for
+    *        local[*] and short-lived jobs); cluster runs pass a
+    *        checkpoint dir.
+    */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String = "id_a",
       dstCol: String = "id_b",
       maxIterations: Int = 50,
-      driverThreshold: Long = 1000000L): DataFrame = {
+      driverThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // Ids normalized to long on BOTH paths (the output schema must not
     // depend on which side of the threshold the graph lands). Edges with
     // a NULL or uncastable endpoint are DROPPED on both paths too — the
@@ -81,9 +93,11 @@ object GraphOps {
       // Checkpoint FIRST: the changed-count then runs against the
       // materialized result instead of re-executing the iteration's
       // whole lineage a second time.
-      val next = labels.union(viaNeighbors).union(viaLabels)
+      val grouped = labels.union(viaNeighbors).union(viaLabels)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(eager = true)
+      val next =
+        if (checkpointDir.isDefined) grouped.checkpoint(eager = true)
+        else grouped.localCheckpoint(eager = true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))

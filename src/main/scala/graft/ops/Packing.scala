@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  private def assertNotNull(c: org.apache.spark.sql.Column, name: String) =
+    when(c.isNull, raise_error(lit(
+      s"packGreedy: NULL or uncastable `$name` value — filter or repair ids/token counts upstream"
+    ))).otherwise(c)
+
   def packGreedy(
       df: DataFrame,
       idCol: String,
@@ -36,7 +41,13 @@ object Packing {
     require(budget > 0, s"budget $budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+    // Fail readably: a NULL id/token (or an uncastable string — cast
+    // yields NULL) would otherwise NPE inside the primitive-Long encoder
+    // as an opaque executor-side codegen failure.
+    df.select(col(idCol).cast("long").as(idCol), col(tokenCol).cast("long").as(tokenCol))
+      .select(
+        assertNotNull(col(idCol), idCol).as(idCol),
+        assertNotNull(col(tokenCol), tokenCol).as(tokenCol))
       .as[(Long, Long)]
       .repartition(partitions, col(idCol))
       .sortWithinPartitions(idCol)

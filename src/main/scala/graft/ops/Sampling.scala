@@ -31,10 +31,13 @@ object Sampling {
       orderCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
-    // collision-safe internal name: a caller's own "rk" column survives
-    df.withColumn("_graft_rk", row_number().over(w))
-      .filter(col("_graft_rk") <= k)
-      .drop("_graft_rk")
+    // collision-safe internal name: a caller's own column of the same
+    // base name survives (withColumn would silently REPLACE it and the
+    // drop would then delete caller data)
+    val rk = Dedup.freshName(df, "_graft_rk")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(rk)
   }
 
   /** Mixture up-weighting: repeat each row `ceil(weight)`-ish times —
@@ -53,6 +56,11 @@ object Sampling {
       weight: org.apache.spark.sql.Column,
       keyCol: String,
       seed: Long = 42L): DataFrame = {
+    // `copy` is the operator's OUTPUT contract (callers key epochs off
+    // it), so it cannot be silently renamed — reject inputs that would
+    // have their own `copy` column replaced instead.
+    require(!df.columns.contains("copy"),
+      "repeatByWeight emits a `copy` column; input already has one — rename it first")
     val wFloor = floor(weight).cast("long")
     val frac = weight.cast("double") - wFloor.cast("double")
     val bound = (frac * lit((1L << 62).toDouble * 2.0)).cast("long")

@@ -198,8 +198,10 @@ object VectorOps {
     * sample-based spherical k-means); `kmeansIters = 0` falls back to
     * the first `nCentroids` corpus vectors by id — cheaper but blind to
     * cluster structure (the suite shows it failing on clustered data).
-    * Production persists the assignment as a partition column, making
-    * the probe a partition-pruned scan.
+    * Production persists the assignment as a partition column —
+    * [[ivfWriteIndex]] / [[ivfProbeIndex]] below — making the probe a
+    * partition-pruned scan (nProbe of nCentroids directories touched;
+    * SimilaritySpec pins the pruned file listing).
     */
   def ivfTopK(
       df: DataFrame,
@@ -225,32 +227,106 @@ object VectorOps {
     // not a zero-arg greatest() analysis crash.
     if (base.isEmpty)
       return df.select(col(idCol), lit(0.0).as("cosine")).filter(lit(false))
-    val cents: Array[(Int, Array[Double], Double)] = base.zipWithIndex
-      .map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
-    def centroidSims(vec: Column, norm: Column): Seq[(Column, Int)] =
-      cents.toSeq.map { case (i, cv, cn) =>
-        (dot(vec, lit(cv)) / (norm * lit(cn)), i)
-      }
-    // argmax via greatest over (sim, idx) structs — lexicographic, ties
-    // resolved toward the higher index, deterministically. greatest()
-    // needs >= 2 args; a single-centroid index is the trivial assignment.
-    def nearestCentroid(vec: Column, norm: Column): Column = {
-      val structs = centroidSims(vec, norm).map { case (s, i) =>
-        struct(s.as("sim"), lit(i).as("idx"))
-      }
-      if (structs.size == 1) lit(0) else greatest(structs: _*).getField("idx")
-    }
-    val probes = cents
+    val cents = indexedCents(base)
+    val probes = probeClusters(cents, query, qNorm, nProbe)
+    val v = assignClusters(df, vecCol, cents)
+    v.filter(col("cluster").isin(probes: _*))
+      .select(col(idCol),
+        round(dot(col("dv"), lit(query.toArray)) / (col("nrm") * lit(qNorm)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def indexedCents(base: Array[Array[Double]]): Array[(Int, Array[Double], Double)] =
+    base.zipWithIndex.map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
+
+  /** The query's `nProbe` nearest centroid indices (driver-side — the
+    * centroid table is tiny by construction).
+    */
+  private def probeClusters(
+      cents: Array[(Int, Array[Double], Double)],
+      query: Seq[Double],
+      qNorm: Double,
+      nProbe: Int): Seq[Int] =
+    cents
       .map { case (i, cv, cn) =>
         (i, cv.zip(query).map { case (a, b) => a * b }.sum / (cn * qNorm))
       }
       .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
-    val v = df
-      .withColumn("dv", toDoubleVec(col(vecCol)))
+
+  /** Adds (dv, nrm, cluster) columns: the map-only nearest-centroid
+    * assignment. argmax via greatest over (sim, idx) structs —
+    * lexicographic, ties resolved toward the higher index,
+    * deterministically. greatest() needs >= 2 args; a single-centroid
+    * index is the trivial assignment. Zero-norm vectors are dropped (a
+    * NaN cosine would rank above real scores).
+    */
+  private def assignClusters(
+      df: DataFrame,
+      vecCol: String,
+      cents: Array[(Int, Array[Double], Double)]): DataFrame = {
+    def nearestCentroid(vec: Column, norm: Column): Column = {
+      val structs = cents.toSeq.map { case (i, cv, cn) =>
+        struct((dot(vec, lit(cv)) / (norm * lit(cn))).as("sim"), lit(i).as("idx"))
+      }
+      if (structs.size == 1) lit(0) else greatest(structs: _*).getField("idx")
+    }
+    df.withColumn("dv", toDoubleVec(col(vecCol)))
       .withColumn("nrm", l2Norm(col("dv")))
-      .filter(col("nrm") > 0) // NaN cosine would rank above real scores
+      .filter(col("nrm") > 0)
       .withColumn("cluster", nearestCentroid(col("dv"), col("nrm")))
-    v.filter(col("cluster").isin(probes: _*))
+  }
+
+  /** Persist an IVF index: assign every vector to its nearest centroid
+    * and write the corpus PARTITIONED BY the cluster id, so probes
+    * become partition-pruned scans. Stores (id, dv, nrm, cluster) —
+    * the normalized double vector and its norm are materialized so the
+    * probe never recomputes them. Returns the centroids; callers keep
+    * them (tiny) next to the index — [[ivfProbeIndex]] needs them to
+    * route queries.
+    *
+    * This is the 100 TB shape: index build is one map-only pass plus
+    * the partitioned write; every later query touches `nProbe` of
+    * `nCentroids` directories — the scan cost drops by the same factor
+    * regardless of corpus size, with no driver state beyond the
+    * centroid table.
+    */
+  def ivfWriteIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int = 16,
+      kmeansIters: Int = 4,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val base = kmeansCentroids(df, vecCol, nCentroids, kmeansIters, seed)
+    require(base.nonEmpty, "ivfWriteIndex: empty corpus (or all zero-norm vectors)")
+    assignClusters(df, vecCol, indexedCents(base))
+      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    base
+  }
+
+  /** Top-k cosine probe against a persisted [[ivfWriteIndex]] index:
+    * reads ONLY the query's `nProbe` nearest cluster partitions
+    * (`cluster` is a partition column, so the filter prunes at file
+    * listing — no data from other clusters is opened, let alone
+    * scanned). Same result as [[ivfTopK]] with the same centroids.
+    */
+  def ivfProbeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    require(qNorm > 0, "query vector has zero norm — cosine undefined")
+    require(centroids.nonEmpty, "ivfProbeIndex: empty centroid table")
+    val probes = probeClusters(indexedCents(centroids), query, qNorm, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*))
       .select(col(idCol),
         round(dot(col("dv"), lit(query.toArray)) / (col("nrm") * lit(qNorm)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))

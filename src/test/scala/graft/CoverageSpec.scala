@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins COVERAGE.md's totals line to the actual `SparkEntry` maps so the
+  * document cannot silently go stale again (round-3 verdict finding #2:
+  * the totals block lagged the code by two rounds).
+  */
+class CoverageSpec extends AnyFunSuite {
+
+  test("COVERAGE.md totals match SparkEntry.queries / oracleSql") {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")))
+    val m = """Totals: (\d+) queries in `SparkEntry.queries`, (\d+) with DuckDB\s+oracles"""
+      .r.findFirstMatchIn(text)
+      .getOrElse(fail("COVERAGE.md totals line not found / reformatted"))
+    assert(m.group(1).toInt === SparkEntry.queries.size,
+      "COVERAGE.md query total is stale")
+    assert(m.group(2).toInt === SparkEntry.oracleSql.size,
+      "COVERAGE.md oracle total is stale")
+  }
+
+  test("every oracle key is a query key (no orphan oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

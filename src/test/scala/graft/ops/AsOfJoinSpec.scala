@@ -77,6 +77,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.isNullAt(3), s"phantom match from NULL-ts right row: $out")
   }
 
+  test("a value column with a dot in its name resolves as a literal name, not a field path") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "v")).toDF("k", "rts", "price.usd")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("price.usd"))
+      .collect()
+    assert(out.length === 1 && out.head.getString(2) === "v")
+  }
+
   test("internal/value name collisions fail fast with a readable error") {
     val left = Seq((1L, "a", ts(40), 0)).toDF("id", "k", "t", "_ts")
     val right = Seq(("a", ts(10), 1.0)).toDF("k", "rt", "v")

@@ -18,7 +18,7 @@ class ContaminationSpec extends AnyFunSuite {
       // no overlap
       (3L, "completely different content with nothing shared at all")).toDF("doc_id", "text")
     val out = Contamination.report(corpus, bench, "doc_id", "text", shingleN = 3, topPerDoc = 3)
-      .collect().map(r => (r.getLong(2), r.getDouble(4))).toList
+      .collect().sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(4))).toList
     // rank 1 = the full quote at containment 1.0 (asymmetric measure:
     // its Jaccard vs the long doc would be well under 1)
     assert(out.head === ((1L, 1.0)))
@@ -26,6 +26,25 @@ class ContaminationSpec extends AnyFunSuite {
     assert(out(1)._1 === 2L && out(1)._2 > 0.0 && out(1)._2 < 1.0)
     // doc 3 shares nothing and never appears
     assert(!out.exists(_._1 == 3L))
+  }
+
+  test("no bench doc vanishes: zero-overlap scores 0.0, too-short scores NULL (unmeasurable)") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // real hit
+      (101L, "completely absent benchmark phrasing nowhere in corpus"), // clean
+      (102L, "too short")) // < shingleN tokens — unmeasurable
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix the quick brown fox jumps over the lazy dog suffix"))
+      .toDF("doc_id", "text")
+    val out = Contamination.report(corpus, bench, "doc_id", "text",
+        shingleN = 3, topPerDoc = 1, benchIsSubset = false)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out.keySet === Set(100L, 101L, 102L)) // every bench doc reported
+    assert(out(100L) === Some(1.0))
+    assert(out(101L) === Some(0.0)) // verified clean — a measured claim
+    assert(out(102L) === None)      // unmeasurable ≠ clean
   }
 
   test("independent id spaces: an id-colliding real hit is kept with benchIsSubset=false") {
@@ -36,8 +55,11 @@ class ContaminationSpec extends AnyFunSuite {
     val corpus = Seq(
       (7L, "prefix words the quick brown fox jumps over the lazy dog suffix words"))
       .toDF("doc_id", "text")
-    val subset = Contamination.report(corpus, bench, "doc_id", "text")
-    assert(subset.count() === 0) // default subset semantics would hide it
+    // default subset semantics exclude the id-equal pair — the bench doc
+    // is still REPORTED (as clean), never silently dropped
+    val subset = Contamination.report(corpus, bench, "doc_id", "text").collect()
+    assert(subset.length === 1 && subset.head.getDouble(4) === 0.0
+      && subset.head.isNullAt(2))
     val indep = Contamination.report(corpus, bench, "doc_id", "text",
       benchIsSubset = false).collect()
     assert(indep.length === 1 && indep.head.getDouble(4) === 1.0)

@@ -26,6 +26,21 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(cleaned.columns.contains("predicted_lang"))
   }
 
+  test("exactDedup ≡ groupBy(text) keep-min-id, schema unchanged, NULL text is one group") {
+    val withNulls = docs.select($"doc_id", $"text", $"source")
+      .unionAll(Seq((900001L, Option.empty[String], Option("s")),
+        (900002L, Option.empty[String], Option("s"))).toDF("doc_id", "text", "source"))
+    val out = CorpusPipeline.exactDedup(withNulls)
+    assert(out.columns.toSeq === withNulls.columns.toSeq)
+    val expected = withNulls
+      .join(withNulls.groupBy("text").agg(min($"doc_id").as("doc_id")).select("doc_id"),
+        "doc_id", "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.contains(900001L) && !got.contains(900002L))
+  }
+
   test("quality gate actually gates") {
     val strict = CorpusPipeline.Config(minQuality = 0.99)
     assert(CorpusPipeline.qualityFilter(

@@ -19,6 +19,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("exact dedup ≡ groupBy(content) formulation on the corpus (hash key changes the plan, not the relation)") {
+    val byHash = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("doc_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byText = docs.groupBy("text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byHash === byText)
+  }
+
+  test("exact dedup: NULLs group together and (null, x) ≠ (x, null) across columns") {
+    // Spark's hash exprs skip null inputs; contentHash128's isnull tags
+    // are what keeps the shifted tuples in DISTINCT groups.
+    val df = Seq(
+      (1L, Option("x"), Option.empty[String]),
+      (2L, Option.empty[String], Option("x")),
+      (3L, Option.empty[String], Option.empty[String]),
+      (4L, Option.empty[String], Option.empty[String]))
+      .toDF("doc_id", "c1", "c2")
+    val out = Dedup.exact(df, "doc_id", Seq("c1", "c2"))
+      .select("doc_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("exact dedup does not clobber a caller column named _graft_ch") {
+    val df = Seq((1L, "a", "keep"), (2L, "a", "keep2"))
+      .toDF("doc_id", "text", "_graft_ch")
+    val out = Dedup.exact(df, "doc_id", Seq("text", "_graft_ch"))
+    assert(out.columns.toSeq === Seq("text", "_graft_ch", "doc_id", "dup_count"))
+    assert(out.count() === 2) // distinct on (text, _graft_ch) — caller col still a real key
+  }
+
   test("MinHash-LSH finds every exact near-dup pair (recall 1.0 here) with no false positives") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -52,4 +52,21 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === small)
   }
+
+  test("reliable-checkpoint mode ≡ localCheckpoint mode (cluster fault-tolerance path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val local = GraphOps.connectedComponents(edges, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = GraphOps.connectedComponents(edges, driverThreshold = 0L,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    // the reliable path really wrote through the checkpoint dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "df.checkpoint() left no files in the checkpoint dir")
+  }
 }

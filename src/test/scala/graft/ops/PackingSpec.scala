@@ -31,6 +31,17 @@ class PackingSpec extends AnyFunSuite {
     assert(!packed.exists { case (id, b) => id != 2L && b == packed(2L) })
   }
 
+  test("NULL or uncastable ids/token counts fail with a readable error, not an encoder NPE") {
+    val df = Seq((Some(1L), Some(10L)), (Some(2L), None))
+      .toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packGreedy(df, "doc_id", "n_tokens", 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("packGreedy")), s"got: $e")
+  }
+
   test("deterministic across runs and usefully dense on the corpus") {
     val budget = 512L
     def run() = Packing.packGreedy(docs, "doc_id", "n_tokens", budget, partitions = 8)

@@ -20,6 +20,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept === Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("c", 20L)))
   }
 
+  test("quotaPerGroup preserves a caller column named _graft_rk (no silent clobber)") {
+    val df = Seq((1L, "a", 99), (2L, "a", 98), (3L, "a", 97))
+      .toDF("id", "grp", "_graft_rk")
+    val out = Sampling.quotaPerGroup(df, Seq("grp"), "id", 2)
+    assert(out.columns.toSeq === df.columns.toSeq)
+    val kept = out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(kept === Set((1L, 99), (2L, 98)))
+  }
+
+  test("repeatByWeight rejects an input that already has a `copy` column") {
+    val df = Seq((1L, "x")).toDF("id", "copy")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.repeatByWeight(df, lit(2.0), "id")
+    }
+    assert(e.getMessage.contains("copy"))
+  }
+
   test("quotaPerGroup plans a WindowGroupLimit (map-side pre-prune before the exchange)") {
     val plan = Sampling.quotaPerGroup(docs, Seq("lang", "source"), "doc_id", 5)
       .queryExecution.executedPlan.toString

@@ -40,6 +40,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall@20 = $recall — probe lists degenerated")
   }
 
+  test("persisted IVF index: probe is a partition-pruned scan (nProbe dirs) matching ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val cents = VectorOps.ivfWriteIndex(embs, "vec_id", "embedding", dir,
+      nCentroids = 8, kmeansIters = 4)
+    val probe = VectorOps.ivfProbeIndex(spark, dir, cents, "vec_id", query, 10, nProbe = 2)
+    probe.collect()
+    // the index has more cluster directories than the probe touches
+    val clusterDirs = new java.io.File(dir).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(clusterDirs > 2, s"index degenerated to $clusterDirs clusters")
+    // the scan's pruned file listing covers exactly the nProbe partitions
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.FileSourceScanExec = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case other => other.children.map(findScan).head
+    }
+    val scan = findScan(probe.queryExecution.executedPlan)
+    val pruned = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(pruned.length === 2,
+      s"probe read ${pruned.length} partitions, expected nProbe=2")
+    // parity: the persisted probe and the in-memory path agree bit-for-bit
+    val expected = VectorOps.ivfTopK(embs, "vec_id", "embedding", query, 10,
+        nCentroids = 8, nProbe = 2, kmeansIters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got === expected)
+  }
+
   test("IVF k-means centroids beat first-N-by-id on clustered data") {
     import spark.implicits._
     // Three well-separated clusters on the 4-sphere; ids ordered so the
