@@ -392,6 +392,90 @@ object DataOpsQueries {
           .select("doc_id", "lang", "copy")
           .orderBy("doc_id", "copy")),
 
+    // Incremental dedup — the production ingest shape: even-id docs are
+    // "yesterday's corpus" (present only as a 16-byte hash index),
+    // odd-id docs are today's delta; admit delta rows unseen in the
+    // index and unique (min-id) within the delta.
+    NamedQuery(
+      "q75_delta_dedup",
+      Some("""WITH existing AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+             |delta AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+             |unseen AS (SELECT d.* FROM delta d
+             |           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = d.text)),
+             |k AS (SELECT text, min(doc_id) AS keep FROM unseen GROUP BY text)
+             |SELECT u.doc_id, u.lang FROM unseen u
+             |JOIN k ON u.doc_id = k.keep ORDER BY u.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val index = Dedup.indexHashes(d.filter(col("doc_id") % 2 === 0), Seq("text"))
+        Dedup.deltaDedup(d.filter(col("doc_id") % 2 === 1), index, "doc_id", Seq("text"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
+    // Per-stratum quantile outlier clip — winsorizing length filtering:
+    // keep docs whose char length lies within their language's
+    // [p05, p95]. Two-pass shape: a tiny per-lang quantile aggregate
+    // broadcasts back over the corpus, so the second pass stays
+    // map-only (exact `percentile` ≡ DuckDB `quantile_cont`, the q46
+    // equivalence).
+    NamedQuery(
+      "q76_quantile_clip",
+      Some("""WITH q AS (SELECT lang,
+             |        ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.05), 6) lo,
+             |        ROUND(quantile_cont(CAST(length(text) AS DOUBLE), 0.95), 6) hi
+             |      FROM documents GROUP BY lang)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN q ON d.lang = q.lang
+             |WHERE CAST(length(d.text) AS DOUBLE) BETWEEN q.lo AND q.hi
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("len", length(col("text")).cast("double"))
+        val q = d.groupBy("lang").agg(
+          round(expr("percentile(len, 0.05)"), 6).as("lo"),
+          round(expr("percentile(len, 0.95)"), 6).as("hi"))
+        d.join(broadcast(q), Seq("lang"))
+          .filter(col("len").between(col("lo"), col("hi")))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
+    // PII redaction — emails then 5+-digit runs become typed
+    // placeholders. Synthetic PII is planted per-row from doc_id (the
+    // corpus itself is clean words), so the scrub does real work on
+    // every row and both engines must agree on the regex semantics.
+    NamedQuery(
+      "q77_pii_redact",
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(
+             |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+             |           '@mail.example or 55501', CAST(doc_id AS VARCHAR)),
+             |    '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             |    '[0-9]{5,}', '<NUM>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example or 55501"), col("doc_id").cast("string"))).as("clean"))
+          .orderBy("doc_id")),
+
+    // Deterministic stratified train/test split: within each lang,
+    // every 5th doc by id goes to test — exact per-stratum fractions
+    // (vs hashSample's binomial jitter), rank window both sides.
+    NamedQuery(
+      "q72_stratified_split",
+      Some("""WITH r AS (SELECT doc_id, lang,
+             |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+             |      FROM documents)
+             |SELECT doc_id, lang,
+             |  CASE WHEN rk % 5 = 0 THEN 'test' ELSE 'train' END AS split
+             |FROM r ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.stratifiedSplit(docs(s, dir).select("doc_id", "lang"),
+            Seq("lang"), "doc_id", 5)
+          .orderBy("doc_id")),
+
     // Benchmark contamination report: held-out set = every 20th doc;
     // for each, the top overlapping corpus doc by 3-gram containment
     // |B∩C|/|B| (asymmetric on purpose — a quoted benchmark inside a
@@ -426,6 +510,34 @@ object DataOpsQueries {
         Contamination.report(d, d.filter(col("doc_id") % 20 === 0),
             "doc_id", "text", shingleN = 3, topPerDoc = 1)
           .orderBy("bench_id", "rk")
+      }),
+
+    // The APPLY side of q66: drop every corpus doc containing >= 50% of
+    // any benchmark doc's shingles (the decontamination loop's removal
+    // step). Bench rows themselves survive (self-pairs excluded).
+    NamedQuery(
+      "q74_decontaminate",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(range(len(tok) - 2),
+             |        i -> array_to_string(tok[i+1:i+3], ' '))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |e AS (SELECT doc_id, len(sh) sz, unnest(sh) shingle FROM s),
+             |b AS (SELECT * FROM e WHERE doc_id % 20 = 0),
+             |j AS (SELECT b.doc_id bench_id, e.doc_id corpus_id,
+             |        any_value(b.sz) bsz, count(*) n_shared
+             |      FROM b JOIN e ON b.shingle = e.shingle AND b.doc_id != e.doc_id
+             |      GROUP BY 1, 2),
+             |drops AS (SELECT DISTINCT corpus_id FROM j
+             |          WHERE ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) >= 0.5)
+             |SELECT doc_id, lang FROM documents
+             |WHERE doc_id NOT IN (SELECT corpus_id FROM drops)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        Contamination.decontaminate(d, d.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", shingleN = 3, threshold = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
       }),
 
     // Dedup GROUPS: connected components over the exact near-dup pair

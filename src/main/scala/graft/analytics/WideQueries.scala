@@ -43,6 +43,51 @@ object WideQueries {
         })
     },
 
+    // Time-based RANGE frame (q56 covers ROWS frames): per user, the
+    // trailing-1-hour sum of value — the sliding-window aggregate shape
+    // of rate limiting / rolling revenue. Both engines order on
+    // FLOORED epoch seconds (event timestamps carry microseconds;
+    // truncation is the shared grid — Spark's long cast truncates,
+    // DuckDB's epoch() keeps the fraction). A RANGE frame includes all
+    // peers of the current second, so within-second order is irrelevant
+    // to the SUM and the result is deterministic.
+    NamedQuery(
+      "q73_range_window",
+      Some("""SELECT user_id, event_id,
+             |  ROUND(SUM(value) OVER (PARTITION BY user_id
+             |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_1h
+             |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").cast("long"))
+          .rangeBetween(-3600, 0)
+        Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_id"),
+            round(sum(col("value")).over(w), 2).as("trailing_1h"))
+          .orderBy("event_id")
+      }),
+
+    // The Presto date_format dialect surface against an INDEPENDENT
+    // engine's formatter: every directive both Presto and DuckDB
+    // define, one formatted column, hash-compared (the remaining
+    // no-pad/fractional directives %c %e %k %l %f have no DuckDB
+    // equivalent and are property-tested against java.time in
+    // PrestoCompatSpec instead).
+    NamedQuery(
+      "q71_presto_datefmt",
+      Some("""SELECT event_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S|%p|%I|%A|%a|%B|%b|%j|%y|%H:%M:%S|x%%') AS fmt
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(col("event_id") < 2000)
+          .select(col("event_id"),
+            graft.pipeline.PrestoCompat.prestoDateFormat(col("ts"),
+              "%Y-%m-%d %H:%i:%s|%p|%I|%W|%a|%M|%b|%j|%y|%T|x%%").as("fmt"))
+          .orderBy("event_id")),
+
     // As-of join: every purchase matched to the user's most recent prior
     // (<=) click — Spark-side by window composition (ops.AsOfJoin),
     // oracle-side by DuckDB's native ASOF JOIN. Epoch-second casts keep

@@ -35,13 +35,16 @@ object Contamination {
     *   pair would suppress a real hit (the exact miss this operator
     *   exists to catch).
     */
-  def report(
+  /** The raw (bench_id, corpus_id, n_shared, containment) overlap
+    * relation — what both [[report]] (ranked view) and [[decontaminate]]
+    * (removal set) consume.
+    */
+  def containmentPairs(
       corpus: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      topPerDoc: Int = 1,
       benchIsSubset: Boolean = true): DataFrame = {
     def postings(df: DataFrame, as: String) = df
       .select(col(idCol).as(as),
@@ -55,12 +58,23 @@ object Contamination {
     // not — a forced broadcast would OOM instead of degrading to a
     // shuffle join.
     val joined = b.join(c, Seq("shingle"))
-    val overlaps = (if (benchIsSubset) joined.filter(col("bench_id") =!= col("corpus_id"))
-                    else joined)
+    (if (benchIsSubset) joined.filter(col("bench_id") =!= col("corpus_id"))
+     else joined)
       .groupBy("bench_id", "corpus_id", "bench_id_sz")
       .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct ⇒ = |B ∩ C|
       .select(col("bench_id"), col("corpus_id"), col("n_shared"),
         round(col("n_shared").cast("double") / col("bench_id_sz"), 6).as("containment"))
+  }
+
+  def report(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      topPerDoc: Int = 1,
+      benchIsSubset: Boolean = true): DataFrame = {
+    val overlaps = containmentPairs(corpus, bench, idCol, textCol, shingleN, benchIsSubset)
     val w = Window.partitionBy("bench_id")
       .orderBy(col("containment").desc, col("corpus_id"))
     val topk = overlaps
@@ -83,5 +97,29 @@ object Contamination {
         col("corpus_id"),
         when(col("_measurable"), coalesce(col("n_shared"), lit(0L))).as("n_shared"),
         when(col("_measurable"), coalesce(col("containment"), lit(0.0))).as("containment"))
+  }
+
+  /** The APPLY side of the decontamination loop: drop every corpus doc
+    * whose containment of ANY benchmark doc reaches `threshold`.
+    * Benchmark rows themselves are untouched when drawn from the corpus
+    * (`benchIsSubset` excludes self-pairs) — the operator removes the
+    * leaks, not the held-out set. Anti-join on the (distinct) removal
+    * ids: the corpus never shuffles for the decision, only streams past
+    * the removal set (AQE broadcasts it — it is at most
+    * |bench| × docs-over-threshold ids).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      benchIsSubset: Boolean = true): DataFrame = {
+    val dropIds = containmentPairs(corpus, bench, idCol, textCol, shingleN, benchIsSubset)
+      .filter(col("containment") >= threshold)
+      .select(col("corpus_id").as(idCol))
+      .distinct()
+    corpus.join(dropIds, Seq(idCol), "left_anti")
   }
 }

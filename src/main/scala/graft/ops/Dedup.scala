@@ -82,6 +82,42 @@ object Dedup {
       .select(contentCols.map(col) :+ col(idCol) :+ col("dup_count"): _*)
   }
 
+  /** The persisted side of INCREMENTAL dedup: the distinct 128-bit
+    * content hashes of a corpus — 16 bytes per distinct document,
+    * ~3 orders of magnitude smaller than the corpus it summarizes.
+    * Production writes this once and appends each batch's hashes after
+    * [[deltaDedup]] admits them.
+    */
+  def indexHashes(df: DataFrame, contentCols: Seq[String]): DataFrame =
+    df.select(contentHash128(contentCols.map(col)).as("content_hash")).distinct()
+
+  /** Incremental (delta-vs-corpus) exact dedup — the production shape:
+    * a daily batch is deduped against yesterday's corpus INDEX, never
+    * against the corpus itself. Keeps delta rows whose content (a) does
+    * not appear in `corpusIndex` ([[indexHashes]] output) and (b) is
+    * the min-id copy within the delta.
+    *
+    * Scale shape: the 100 TB corpus never participates — the anti-join
+    * touches only (delta rows × 16-byte index rows), and the
+    * within-delta election shuffles (hash, id) pairs. A day's delta and
+    * the hash index are both orders of magnitude smaller than the
+    * corpus, so incremental ingest stays O(|delta| + |index|).
+    */
+  def deltaDedup(
+      delta: DataFrame,
+      corpusIndex: DataFrame,
+      idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    val h = freshName(delta, "_graft_ch")
+    val withH = delta.withColumn(h, contentHash128(contentCols.map(col)))
+    val unseen = withH.join(
+      corpusIndex.select(col("content_hash").as(h)), Seq(h), "left_anti")
+    val keep = unseen
+      .select(col(h), col(idCol))
+      .groupBy(col(h)).agg(min(col(idCol)).as(idCol))
+    unseen.join(keep, Seq(h, idCol), "left_semi").drop(h)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: for each of `numHashes` hash families, the

@@ -40,6 +40,39 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Deterministic STRATIFIED train/test split: within every stratum,
+    * rows are ranked by `orderCol` and every `testEvery`-th row goes to
+    * the test split — exact per-stratum fractions (⌊n/testEvery⌋ test
+    * rows per stratum, never the binomial jitter of a random draw), so
+    * a rare language cannot end up with an empty or doubled test set.
+    *
+    * Adds a `split` column ("train"/"test"); rejects inputs that
+    * already have one (silently replacing caller data is never this
+    * library's call).
+    *
+    * Scale/trade-off: the rank needs a per-stratum sort-shuffle (no
+    * WindowGroupLimit — every row keeps its rank). When exact fractions
+    * don't matter, [[hashSample]] is the map-only, shuffle-free path;
+    * this operator is the one you reach for when they do. Deterministic
+    * for a fixed (corpus, orderCol): reruns produce the identical
+    * split, and membership is stable under input repartitioning.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      strataCols: Seq[String],
+      orderCol: String,
+      testEvery: Int): DataFrame = {
+    require(testEvery >= 2, s"testEvery $testEvery must be >= 2 (1 would put everything in test)")
+    require(!df.columns.contains("split"),
+      "stratifiedSplit emits a `split` column; input already has one — rename it first")
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(col(orderCol))
+    val rk = Dedup.freshName(df, "_graft_rk")
+    df.withColumn(rk, row_number().over(w))
+      .withColumn("split",
+        when(pmod(col(rk), lit(testEvery)) === 0, lit("test")).otherwise(lit("train")))
+      .drop(rk)
+  }
+
   /** Mixture up-weighting: repeat each row `ceil(weight)`-ish times —
     * the "epochs per source" half of data mixing (quotaPerGroup is the
     * down-cap half). Integer part: every row emits copies 1..floor(w).

@@ -15,6 +15,21 @@ object TextAnalysis {
     */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** PII scrubbing pass: replace email-shaped spans, then runs of 5+
+    * digits (phone/account numbers), with typed placeholders. Order
+    * matters — emails first, so their digit runs never half-redact into
+    * `user<NUM>@…`. Map-only chained `regexp_replace` (codegen'd; both
+    * patterns are plain character classes + quantifiers, identical
+    * semantics in Java regex and RE2-family engines — the q77 oracle
+    * pins the cross-engine agreement). A placeholder, not deletion:
+    * downstream token counts stay meaningful and the redaction is
+    * auditable.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
+      "[0-9]{5,}", "<NUM>")
+
   /** Whitespace and BPE-ish token counts per document. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

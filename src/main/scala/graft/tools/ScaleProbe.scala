@@ -69,6 +69,72 @@ object ScaleProbe {
       val tk = time(q, tmp)
       println(f"[scale] $q%-28s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
     }
+    // Streaming state probe: the bounded-state CLAIMS on sessionize
+    // (EventStreams.scala) get numbers. The stream is staged as
+    // time-ordered chunks consumed one per micro-batch, so the
+    // watermark advances between batches the way it does in production
+    // — peak state then reflects the arrival HORIZON (watermark delay +
+    // gap + one chunk span), not stream length. At kx the event RATE
+    // and user population are kx with the same time span, so bounded
+    // state predicts: peak rows scale ~kx (more concurrent users),
+    // peak rows stay well under total input, and final state drains.
+    streamStateProbe(spark, "sessionize_1x", dir)
+    streamStateProbe(spark, s"sessionize_${k}x", tmp)
     spark.stop()
+  }
+
+  /** Runs [[EventStreams.sessionize]] as a REAL stream over the events
+    * table at `dir`, chunked into `chunks` time-ordered files processed
+    * one per micro-batch, and prints peak/final state-store rows and
+    * bytes from the query's progress metrics.
+    */
+  def streamStateProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      label: String,
+      dir: String,
+      chunks: Int = 8): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val total = ev.count()
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_sp_$label")
+    val cutsCol = ev.select(col("ts").cast("long").as("s"))
+    val cuts = cutsCol.stat.approxQuantile(
+      "s", (1 until chunks).map(_.toDouble / chunks).toArray, 0.001)
+    val bounds = (Double.NegativeInfinity +: cuts.map(_.toDouble)) :+ Double.PositiveInfinity
+    bounds.sliding(2).zipWithIndex.foreach { case (Array(lo, hi), i) =>
+      ev.filter(col("ts").cast("long") > lo && col("ts").cast("long") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/chunk$i")
+      // file source consumes in mtime order; make it explicit
+      val f = new java.io.File(s"$stage/chunk$i").listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      f.setLastModified(1000000000000L + i * 60000L)
+    }
+    val srcDir = s"$stage/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    (0 until chunks).foreach { i =>
+      val f = new java.io.File(s"$stage/chunk$i").listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(srcDir, f"part$i%02d.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val name = s"graft_probe_$label".replace(".", "_")
+    val q = graft.streaming.EventStreams.sessionize(
+        graft.streaming.EventStreams.asSessionEvents(src))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val states = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    val peakRows = if (states.isEmpty) 0L else states.map(_.numRowsTotal).max
+    val peakMem = if (states.isEmpty) 0L else states.map(_.memoryUsedBytes).max
+    val finalRows = states.lastOption.map(_.numRowsTotal).getOrElse(0L)
+    val sessions = spark.table(name).count()
+    println(f"[scale-stream] $label%-16s input=$total%8d sessions=$sessions%7d " +
+      f"peakStateRows=$peakRows%8d (${100.0 * peakRows / total}%5.1f%% of input) " +
+      f"peakStateMiB=${peakMem / 1024.0 / 1024.0}%7.2f finalStateRows=$finalRows%6d " +
+      f"batches=${q.recentProgress.length}")
   }
 }

@@ -65,6 +65,19 @@ class ContaminationSpec extends AnyFunSuite {
     assert(indep.length === 1 && indep.head.getDouble(4) === 1.0)
   }
 
+  test("decontaminate drops the quoting doc, keeps clean docs and the bench rows themselves") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // the bench doc
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more"), // leak
+      (2L, "completely different content with nothing shared at all")) // clean
+      .toDF("doc_id", "text")
+    val survivors = Contamination.decontaminate(
+        corpus, corpus.filter($"doc_id" === 100L), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(100L, 2L)) // leak dropped, bench + clean kept
+  }
+
   test("self-pairs are excluded when the benchmark is drawn from the corpus") {
     val corpus = Seq(
       (20L, "alpha beta gamma delta epsilon zeta"),

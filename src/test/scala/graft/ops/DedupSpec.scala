@@ -45,6 +45,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("deltaDedup: admits only index-unseen, within-delta-unique content (min id wins)") {
+    val corpus = Seq((2L, "seen before"), (4L, "also seen")).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "seen before"),  // in index → rejected
+      (13L, "brand new"),    // admitted
+      (15L, "brand new"),    // within-delta dup of 13 → rejected
+      (17L, "also new"))     // admitted
+      .toDF("doc_id", "text")
+    val index = Dedup.indexHashes(corpus, Seq("text"))
+    val out = Dedup.deltaDedup(delta, index, "doc_id", Seq("text"))
+    assert(out.columns.toSeq === delta.columns.toSeq)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(13L, 17L))
+  }
+
   test("exact dedup does not clobber a caller column named _graft_ch") {
     val df = Seq((1L, "a", "keep"), (2L, "a", "keep2"))
       .toDF("doc_id", "text", "_graft_ch")

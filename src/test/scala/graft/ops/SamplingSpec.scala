@@ -29,6 +29,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept === Set((1L, 99), (2L, 98)))
   }
 
+  test("stratifiedSplit: exact floor(n/k) test rows per stratum, deterministic, guards `split`") {
+    val out = Sampling.stratifiedSplit(docs.select("doc_id", "lang"), Seq("lang"), "doc_id", 5)
+    val perStratum = out.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perStratum.nonEmpty)
+    perStratum.foreach { case (lang, n, nTest) =>
+      assert(nTest === n / 5, s"stratum $lang: $nTest test of $n")
+    }
+    // deterministic: same membership across runs
+    val a = out.filter(col("split") === "test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSplit(docs.select("doc_id", "lang"), Seq("lang"), "doc_id", 5)
+      .filter(col("split") === "test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(out, Seq("lang"), "doc_id", 5) // already has `split`
+    }
+  }
+
   test("repeatByWeight rejects an input that already has a `copy` column") {
     val df = Seq((1L, "x")).toDF("id", "copy")
     val e = intercept[IllegalArgumentException] {

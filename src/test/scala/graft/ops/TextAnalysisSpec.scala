@@ -17,6 +17,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(3) === 17L)
   }
 
+  test("redactPii: emails before digit runs (no half-redaction), short digits survive") {
+    val df = Seq(
+      (1L, "reach user123@mail.example or 5550112345 now"),
+      (2L, "order 42 of 1234 items"), // digit runs < 5 untouched
+      (3L, "a.b-c_9@x.co and 99999"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.redactPii($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "reach <EMAIL> or <NUM> now") // email's digits NOT <NUM>-ed first
+    assert(got(2L) === "order 42 of 1234 items")
+    assert(got(3L) === "<EMAIL> and <NUM>")
+  }
+
   test("quality score stays in [0,1] over the corpus and rewards stopwords") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
     val q = TextAnalysis.qualityMetrics(docs, "doc_id", "text")
