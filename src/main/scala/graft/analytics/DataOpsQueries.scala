@@ -392,6 +392,55 @@ object DataOpsQueries {
           .select("doc_id", "lang", "copy")
           .orderBy("doc_id", "copy")),
 
+    // Context-window chunking: 64-token windows at stride 48
+    // (overlapping) — long docs become training sequences map-only.
+    NamedQuery(
+      "q79_chunk_docs",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |c AS (SELECT doc_id, unnest(list_transform(range(0, len(tok), 48),
+             |        st -> {'cid': CAST(st // 48 AS BIGINT),
+             |               'chunk': array_to_string(tok[st+1:st+64], ' ')})) z
+             |      FROM t WHERE len(tok) >= 1)
+             |SELECT doc_id, z.cid AS chunk_id, z.chunk AS chunk,
+             |  CAST(len(string_split(z.chunk, ' ')) AS BIGINT) AS chunk_tokens
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.chunkDocs(docs(s, dir), "doc_id", "text", 64, 48)
+          .orderBy("doc_id", "chunk_id")),
+
+    // CCNet-style unigram LM score: mean log corpus probability of each
+    // doc's tokens — the vocabulary broadcasts, scoring is one
+    // posting-level join + hash agg.
+    NamedQuery(
+      "q80_unigram_lm",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |e AS (SELECT doc_id, unnest(tok) w FROM t),
+             |f AS (SELECT w, count(*) c FROM e GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM f)
+             |SELECT e.doc_id, ROUND(AVG(ln(CAST(f.c AS DOUBLE) / tot.s)), 4) AS lm_score
+             |FROM e JOIN f USING (w) CROSS JOIN tot
+             |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // Bigram conditional-continuation table: top-3 successors per token
+    // by count — WindowGroupLimit pre-prunes per w1 map-side.
+    NamedQuery(
+      "q78_bigram_topk",
+      Some("""WITH t AS (SELECT string_split(text, ' ') tok FROM documents),
+             |b AS (SELECT unnest(list_transform(range(len(tok) - 1),
+             |        i -> {'w1': tok[i+1], 'w2': tok[i+2]})) z
+             |      FROM t WHERE len(tok) >= 2),
+             |g AS (SELECT z.w1 AS w1, z.w2 AS w2, count(*) AS c FROM b GROUP BY 1, 2),
+             |r AS (SELECT w1, w2, c,
+             |        row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) rk FROM g)
+             |SELECT w1, CAST(rk AS BIGINT) AS rk, w2, c
+             |FROM r WHERE rk <= 3 ORDER BY w1, rk""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.bigramTopK(docs(s, dir), "text", 3)
+          .orderBy("w1", "rk")),
+
     // Incremental dedup — the production ingest shape: even-id docs are
     // "yesterday's corpus" (present only as a 16-byte hash index),
     // odd-id docs are today's delta; admit delta rows unseen in the

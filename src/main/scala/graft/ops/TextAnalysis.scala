@@ -158,4 +158,75 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col(idCol), col("rk"), col("term"), col("tfidf"))
   }
+
+  /** Context-window chunking: split each document into token windows of
+    * `chunkTokens` advancing by `stride` (overlapping when
+    * stride < chunkTokens) — how long documents become training
+    * sequences without losing cross-boundary context. Map-only: a
+    * generated start sequence exploded per doc, no shuffle at any
+    * corpus size; chunk ids are deterministic (start / stride).
+    * The final window may be shorter than `chunkTokens` (truncating it
+    * would silently drop tail content — callers filter on `chunk_tokens`
+    * if they need full windows only).
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens=$chunkTokens and stride=$stride must be >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+    df.filter(size(toks) >= 1)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(toks) - 1, lit(stride)),
+          st => struct(
+            (st.cast("long") / lit(stride)).cast("long").as("chunk_id"),
+            concat_ws(" ", slice(toks, st + 1, lit(chunkTokens))).as("chunk")))).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.chunk"),
+        size(split(col("c.chunk"), " ")).cast("long").as("chunk_tokens"))
+  }
+
+  /** CCNet-style unigram language-model score: the mean log corpus
+    * probability of a document's tokens — low scores flag gibberish /
+    * OCR noise / wrong-language text whose tokens are rare in the
+    * corpus. Two-pass shape at scale: the (token, count) vocabulary is
+    * orders of magnitude smaller than the corpus and broadcasts; the
+    * scoring pass is the posting-level join + one hash agg, work ∝
+    * total tokens.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val e = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val f = e.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = f.agg(sum("c").as("s"))
+    e.join(broadcast(f), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("c").cast("double") / col("s").cast("double"))), 4)
+        .as("lm_score"))
+  }
+
+  /** Bigram conditional-continuation table: for every token, its top-`k`
+    * successors by count — the n-gram LM statistic behind completion
+    * heuristics and boilerplate detection. Same plan family as
+    * [[tfidfTopTerms]]: one explode, one hash agg, and a rank-filter
+    * window planned as WindowGroupLimit (map-side pre-prune per w1).
+    * Ties break by successor token for a deterministic table.
+    */
+  def bigramTopK(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens(col(textCol))
+    val pairs = df.filter(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val w = Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("w1"), col("rk"), col("w2"), col("c"))
+  }
 }

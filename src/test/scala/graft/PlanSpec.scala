@@ -72,4 +72,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q65_quota_sample")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q78: bigram top-k pre-prunes map-side via WindowGroupLimit") {
+    val p = plan("q78_bigram_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q79: chunking is map-only — zero exchanges before the output sort") {
+    // orderBy is presentation for the gate; everything upstream of it
+    // must be shuffle-free (the operator's 100 TB claim).
+    val df = graft.ops.TextAnalysis.chunkDocs(
+      Tables.load(spark, TestSpark.Sf001, "documents"), "doc_id", "text", 64, 48)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunkDocs shuffles:\n$p")
+  }
+
+  test("q76/q80: the small side broadcasts (quantile table, vocabulary)") {
+    assert(plan("q76_quantile_clip").contains("BroadcastHashJoin"),
+      plan("q76_quantile_clip"))
+    assert(plan("q80_unigram_lm").contains("BroadcastHashJoin"),
+      plan("q80_unigram_lm"))
+  }
 }

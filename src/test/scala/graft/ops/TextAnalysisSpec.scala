@@ -76,6 +76,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(3) === 0.0)
   }
 
+  test("chunkDocs: overlapping windows cover every token, ids deterministic, tail kept") {
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9 → chunks of 4,4,4,1
+    val df = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.head._2 === "t0 t1 t2 t3")
+    assert(out(1)._2 === "t3 t4 t5 t6") // overlap of 1 at stride 3
+    assert(out.last._2 === "t9" && out.last._3 === 1L) // short tail kept, not dropped
+    assert(out.map(_._3).toSeq === Seq(4L, 4L, 4L, 1L))
+  }
+
+  test("unigramLogProb: uniform tokens score ln(1/vocab); rare-token doc scores lower") {
+    val df = Seq(
+      (1L, "aa aa aa aa"),     // common token
+      (2L, "aa aa aa zz"))     // one rare token
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // corpus: aa ×7, zz ×1, total 8
+    val lnAa = math.log(7.0 / 8.0); val lnZz = math.log(1.0 / 8.0)
+    assert(math.abs(got(1L) - BigDecimal(lnAa).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(got(2L) < got(1L)) // rare token drags the mean down
+    assert(math.abs(got(2L) - BigDecimal((3 * lnAa + lnZz) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigramTopK: counts and deterministic tie order on a known corpus") {
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    // bigrams: (a,b) (b,a) (a,b) (b,a) (a,c) → a→b:2, a→c:1, b→a:2
+    val out = TextAnalysis.bigramTopK(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Seq(("a", 1L, "b", 2L), ("a", 2L, "c", 1L), ("b", 1L, "a", 2L)))
+  }
+
   test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
     val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
