@@ -450,7 +450,8 @@ object DataOpsQueries {
       Some("""WITH existing AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
              |delta AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
              |unseen AS (SELECT d.* FROM delta d
-             |           WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.text = d.text)),
+             |           WHERE NOT EXISTS (SELECT 1 FROM existing e
+             |                             WHERE e.text IS NOT DISTINCT FROM d.text)),
              |k AS (SELECT text, min(doc_id) AS keep FROM unseen GROUP BY text)
              |SELECT u.doc_id, u.lang FROM unseen u
              |JOIN k ON u.doc_id = k.keep ORDER BY u.doc_id""".stripMargin),
@@ -498,7 +499,7 @@ object DataOpsQueries {
              |  regexp_replace(regexp_replace(
              |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
              |           '@mail.example or 55501', CAST(doc_id AS VARCHAR)),
-             |    '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             |    '(?i)[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
              |    '[0-9]{5,}', '<NUM>', 'g') AS clean
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) =>
@@ -577,7 +578,8 @@ object DataOpsQueries {
              |      FROM b JOIN e ON b.shingle = e.shingle AND b.doc_id != e.doc_id
              |      GROUP BY 1, 2),
              |drops AS (SELECT DISTINCT corpus_id FROM j
-             |          WHERE ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) >= 0.5)
+             |          WHERE ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) >= 0.5
+             |            AND corpus_id % 20 != 0)
              |SELECT doc_id, lang FROM documents
              |WHERE doc_id NOT IN (SELECT corpus_id FROM drops)
              |ORDER BY doc_id""".stripMargin),

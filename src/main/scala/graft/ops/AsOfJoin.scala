@@ -83,7 +83,9 @@ object AsOfJoin {
     // (left payload cols, right tiebreak cols) with NULLs.
     val unioned = taggedRight.unionByName(taggedLeft, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(q): _*)
-      .orderBy(Seq(col("_ts").asc, col("_side").asc) ++ tbCols.map(col(_).asc): _*)
+      // q(), not bare col(): a tiebreak column with a dot makes the
+      // internal "_tb_a.b" name itself a path without quoting
+      .orderBy(Seq(col("_ts").asc, col("_side").asc) ++ tbCols.map(q(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_row"), ignoreNulls = true).over(w))

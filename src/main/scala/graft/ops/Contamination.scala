@@ -101,11 +101,14 @@ object Contamination {
 
   /** The APPLY side of the decontamination loop: drop every corpus doc
     * whose containment of ANY benchmark doc reaches `threshold`.
-    * Benchmark rows themselves are untouched when drawn from the corpus
-    * (`benchIsSubset` excludes self-pairs) — the operator removes the
-    * leaks, not the held-out set. Anti-join on the (distinct) removal
-    * ids: the corpus never shuffles for the decision, only streams past
-    * the removal set (AQE broadcasts it — it is at most
+    * When the benchmark is drawn from the corpus (`benchIsSubset`),
+    * bench rows themselves are NEVER dropped — not just their
+    * self-pairs: a bench doc near-duplicated by ANOTHER bench doc
+    * would otherwise land in the removal set, silently shrinking the
+    * held-out set it exists to protect. The operator removes leaks,
+    * not benchmark. Anti-join on the (distinct) removal ids: the
+    * corpus never shuffles for the decision, only streams past the
+    * removal set (AQE broadcasts it — it is at most
     * |bench| × docs-over-threshold ids).
     */
   def decontaminate(
@@ -116,10 +119,14 @@ object Contamination {
       shingleN: Int = 3,
       threshold: Double = 0.8,
       benchIsSubset: Boolean = true): DataFrame = {
-    val dropIds = containmentPairs(corpus, bench, idCol, textCol, shingleN, benchIsSubset)
+    val contaminated = containmentPairs(corpus, bench, idCol, textCol, shingleN, benchIsSubset)
       .filter(col("containment") >= threshold)
       .select(col("corpus_id").as(idCol))
       .distinct()
+    val dropIds =
+      if (benchIsSubset)
+        contaminated.join(bench.select(col(idCol)), Seq(idCol), "left_anti")
+      else contaminated
     corpus.join(dropIds, Seq(idCol), "left_anti")
   }
 }

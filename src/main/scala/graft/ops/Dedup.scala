@@ -50,10 +50,14 @@ object Dedup {
 
   /** A column name guaranteed absent from `df` (suffix-extends `base`
     * until it collides with nothing) — internal working columns must
-    * never silently replace caller data.
+    * never silently replace caller data. Comparison is
+    * case-INsensitive: Spark resolves names case-insensitively by
+    * default, so a caller's "_GRAFT_CH" would be clobbered by a
+    * case-sensitive check.
     */
   private[ops] def freshName(df: DataFrame, base: String): String =
-    Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+    Iterator.iterate(base)(_ + "_")
+      .dropWhile(n => df.columns.exists(_.equalsIgnoreCase(n))).next()
 
   /** Exact dedup: group on a 128-bit hash of the content column(s)
     * ([[contentHash128]]), keep the smallest id as the canonical

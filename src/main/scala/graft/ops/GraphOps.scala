@@ -38,6 +38,15 @@ object GraphOps {
     *        job mid-loop. Default stays local (fastest, fine for
     *        local[*] and short-lived jobs); cluster runs pass a
     *        checkpoint dir.
+    *
+    *        Storage is BOUNDED: iterations alternate between two
+    *        subdirectories and each is cleared before reuse, so at most
+    *        two label-set checkpoints exist at any time (a naive
+    *        per-iteration checkpoint would retain every iteration —
+    *        `spark.cleaner...cleanCheckpoints` defaults to false). The
+    *        subdir of the FINAL iteration is kept: it backs the
+    *        returned DataFrame. The session's previous checkpoint dir
+    *        is restored before returning.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -47,7 +56,6 @@ object GraphOps {
       driverThreshold: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // Ids normalized to long on BOTH paths (the output schema must not
     // depend on which side of the threshold the graph lands). Edges with
     // a NULL or uncastable endpoint are DROPPED on both paths too — the
@@ -75,6 +83,12 @@ object GraphOps {
       .cache() // reused every iteration; bounded by the pair relation
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    val prevCkptDir = spark.sparkContext.getCheckpointDir
+    def clearDir(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -95,9 +109,17 @@ object GraphOps {
       // whole lineage a second time.
       val grouped = labels.union(viaNeighbors).union(viaLabels)
         .groupBy("node").agg(min("label").as("label"))
-      val next =
-        if (checkpointDir.isDefined) grouped.checkpoint(eager = true)
-        else grouped.localCheckpoint(eager = true)
+      val next = checkpointDir match {
+        case Some(dir) =>
+          // Alternate between two subdirs, clearing before reuse: the
+          // subdir being overwritten holds iteration i-2's checkpoint,
+          // which nothing references anymore (labels points at i-1).
+          val sub = s"$dir/graft_cc_${i % 2}"
+          clearDir(sub)
+          spark.sparkContext.setCheckpointDir(sub)
+          grouped.checkpoint(eager = true)
+        case None => grouped.localCheckpoint(eager = true)
+      }
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
@@ -108,6 +130,15 @@ object GraphOps {
     }
     sym.unpersist()
     pairs.unpersist()
+    if (checkpointDir.isDefined) {
+      // drop the non-final subdir (the final one backs `labels`);
+      // restore whatever checkpoint dir the caller had configured
+      checkpointDir.foreach(dir => clearDir(s"$dir/graft_cc_${i % 2}"))
+      prevCkptDir match {
+        case Some(d) => spark.sparkContext.setCheckpointDir(d)
+        case None => () // no public API to unset; doc'd in the scaladoc
+      }
+    }
     labels.select(col("node"), col("label").as("component"))
   }
 

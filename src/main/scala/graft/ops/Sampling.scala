@@ -63,7 +63,7 @@ object Sampling {
       orderCol: String,
       testEvery: Int): DataFrame = {
     require(testEvery >= 2, s"testEvery $testEvery must be >= 2 (1 would put everything in test)")
-    require(!df.columns.contains("split"),
+    require(!df.columns.exists(_.equalsIgnoreCase("split")), // resolver is case-insensitive
       "stratifiedSplit emits a `split` column; input already has one — rename it first")
     val w = Window.partitionBy(strataCols.map(col): _*).orderBy(col(orderCol))
     val rk = Dedup.freshName(df, "_graft_rk")
@@ -92,7 +92,7 @@ object Sampling {
     // `copy` is the operator's OUTPUT contract (callers key epochs off
     // it), so it cannot be silently renamed — reject inputs that would
     // have their own `copy` column replaced instead.
-    require(!df.columns.contains("copy"),
+    require(!df.columns.exists(_.equalsIgnoreCase("copy")), // resolver is case-insensitive
       "repeatByWeight emits a `copy` column; input already has one — rename it first")
     val wFloor = floor(weight).cast("long")
     val frac = weight.cast("double") - wFloor.cast("double")

@@ -27,7 +27,9 @@ object TextAnalysis {
     */
   def redactPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, "[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
+      // (?i): mixed-case addresses are still PII — a lowercase-only
+      // class would leak John.Doe@Example.com wholesale
+      regexp_replace(text, "(?i)[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
       "[0-9]{5,}", "<NUM>")
 
   /** Whitespace and BPE-ish token counts per document. */
@@ -192,7 +194,11 @@ object TextAnalysis {
     * probability of a document's tokens — low scores flag gibberish /
     * OCR noise / wrong-language text whose tokens are rare in the
     * corpus. Two-pass shape at scale: the (token, count) vocabulary is
-    * orders of magnitude smaller than the corpus and broadcasts; the
+    * usually orders of magnitude smaller than the corpus, and AQE
+    * broadcasts it from runtime stats when it fits — deliberately NOT a
+    * hard hint, because a web-scale vocabulary (typos, numbers, URLs)
+    * can be huge and must degrade to a shuffle join, not OOM the
+    * driver (same policy as [[Contamination]]'s bench side). The
     * scoring pass is the posting-level join + one hash agg, work ∝
     * total tokens.
     */
@@ -200,7 +206,7 @@ object TextAnalysis {
     val e = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
     val f = e.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = f.agg(sum("c").as("s"))
-    e.join(broadcast(f), Seq("w"))
+    e.join(f, Seq("w"))
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(round(avg(log(col("c").cast("double") / col("s").cast("double"))), 4)

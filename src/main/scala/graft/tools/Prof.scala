@@ -20,7 +20,15 @@ object Prof {
     spark.sparkContext.addSparkListener(listener)
     try {
       val r = f
-      Thread.sleep(2000) // listener bus is async; let stage-completed events drain
+      // listener bus is async: poll until the byte count stops moving
+      // (a fixed sleep undercounts when the bus lags a big run)
+      var last = -1L
+      var stableFor = 0
+      while (stableFor < 3) { // 3 × 300 ms of no movement
+        Thread.sleep(300)
+        val now = total.get
+        if (now == last) stableFor += 1 else { stableFor = 0; last = now }
+      }
       println(f"[prof] $label%-28s shuffle-write ${total.get / 1024.0 / 1024.0}%8.2f MiB")
       r
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -85,6 +85,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length === 1 && out.head.getString(2) === "v")
   }
 
+  test("a tiebreak column with a dot works too (internal _tb_ name is itself dotted)") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, "low", 1L), (1L, 10L, "high", 2L))
+      .toDF("k", "rts", "v", "seq.no")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v"),
+      tiebreakCols = Seq("seq.no")).collect()
+    assert(out.length === 1 && out.head.getString(2) === "high") // greatest seq.no wins
+  }
+
   test("internal/value name collisions fail fast with a readable error") {
     val left = Seq((1L, "a", ts(40), 0)).toDF("id", "k", "t", "_ts")
     val right = Seq(("a", ts(10), 1.0)).toDF("k", "rt", "v")

@@ -78,6 +78,19 @@ class ContaminationSpec extends AnyFunSuite {
     assert(survivors === Set(100L, 2L)) // leak dropped, bench + clean kept
   }
 
+  test("decontaminate never drops a bench row, even one duplicated by another bench doc") {
+    val corpus = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (40L, "the quick brown fox jumps over the lazy dog"), // bench dup of bench 20
+      (3L, "the quick brown fox jumps over the lazy dog too")) // a real leak
+      .toDF("doc_id", "text")
+    val survivors = Contamination.decontaminate(
+        corpus, corpus.filter($"doc_id" % 20 === 0), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(20L, 40L)) // both bench rows protected; only the leak drops
+  }
+
   test("self-pairs are excluded when the benchmark is drawn from the corpus") {
     val corpus = Seq(
       (20L, "alpha beta gamma delta epsilon zeta"),

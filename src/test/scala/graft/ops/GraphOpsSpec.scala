@@ -68,5 +68,13 @@ class GraphOpsSpec extends AnyFunSuite {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "df.checkpoint() left no files in the checkpoint dir")
+    // bounded storage: only the final iteration's subdir survives, not
+    // one checkpoint per iteration
+    val subdirs = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_cc_"))
+    val nonEmpty = subdirs.count(d =>
+      java.nio.file.Files.walk(d.toPath)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count() > 0)
+    assert(nonEmpty <= 1, s"checkpoints accumulated: ${subdirs.map(_.getName).mkString(",")}")
   }
 }

@@ -28,6 +28,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) === "reach <EMAIL> or <NUM> now") // email's digits NOT <NUM>-ed first
     assert(got(2L) === "order 42 of 1234 items")
     assert(got(3L) === "<EMAIL> and <NUM>")
+    val upper = Seq((9L, "mail John.Doe@Example.COM today")).toDF("doc_id", "text")
+      .select(TextAnalysis.redactPii($"text")).head().getString(0)
+    assert(upper === "mail <EMAIL> today") // mixed case is still PII
   }
 
   test("quality score stays in [0,1] over the corpus and rewards stopwords") {
