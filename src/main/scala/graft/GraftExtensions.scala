@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.SrpName, 3)(exprs => SrpBucket(exprs.head,
       GraftFunctions.literalInt(exprs(1), GraftFunctions.SrpName, "planes"),
       GraftFunctions.literalInt(exprs(2), GraftFunctions.SrpName, "seedBase")))
+    inject(GraftFunctions.VecSumName, 1)(exprs => VectorSum(exprs.head))
   }
 }

@@ -441,6 +441,26 @@ object DataOpsQueries {
         TextAnalysis.bigramTopK(docs(s, dir), "text", 3)
           .orderBy("w1", "rk")),
 
+    // Mean-pooling (chunk embeddings → doc embedding / centroids):
+    // Spark side is ONE hash agg via the native graft_vec_sum aggregate
+    // (partial buffers shuffle, not dims× exploded rows); the oracle is
+    // the position-exploded formulation — same relation, the plan shape
+    // difference IS the operator's point.
+    NamedQuery(
+      "q81_mean_pool",
+      Some("""WITH g AS (SELECT vec_id % 50 AS gid, embedding FROM embeddings),
+             |e AS (SELECT gid, unnest(list_transform(range(len(embedding)), i ->
+             |        {'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) z FROM g),
+             |a AS (SELECT gid, z.pos AS pos, ROUND(AVG(z.v), 6) AS m
+             |      FROM e GROUP BY 1, 2)
+             |SELECT gid, list(m ORDER BY pos) AS centroid
+             |FROM a GROUP BY gid ORDER BY gid""".stripMargin),
+      (s, dir) =>
+        VectorOps.meanPool(
+            embs(s, dir).select(pmod(col("vec_id"), lit(50L)).as("gid"), col("embedding")),
+            "gid", "embedding")
+          .orderBy("gid")),
+
     // Incremental dedup — the production ingest shape: even-id docs are
     // "yesterday's corpus" (present only as a 16-byte hash index),
     // odd-id docs are today's delta; admit delta rows unseen in the

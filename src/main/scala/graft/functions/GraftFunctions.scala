@@ -17,6 +17,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash"
   val ShinglesName = "graft_shingles"
   val SrpName = "graft_srp"
+  val VecSumName = "graft_vec_sum"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -65,6 +66,10 @@ object GraftFunctions {
       SrpName, arity(SrpName, 3)(exprs => SrpBucket(exprs.head,
         literalInt(exprs(1), SrpName, "planes"),
         literalInt(exprs(2), SrpName, "seedBase"))), "built-in")
+    // return the raw AggregateFunction — the analyzer wraps it in an
+    // AggregateExpression (pre-wrapping would break DISTINCT handling)
+    reg.createOrReplaceTempFunction(
+      VecSumName, arity(VecSumName, 1)(exprs => VectorSum(exprs.head)), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -88,4 +93,9 @@ object GraftFunctions {
     call_function(SrpName, vec,
       org.apache.spark.sql.functions.lit(planes),
       org.apache.spark.sql.functions.lit(seedBase))
+
+  /** Native element-wise array<double> SUM aggregate (one hash agg with
+    * map-side partials — no posexplode dimension blow-up).
+    */
+  def vecSum(vec: Column): Column = call_function(VecSumName, vec)
 }

@@ -109,6 +109,25 @@ object VectorOps {
     transform(quantized.getField("q"),
       q => q.cast("double") * quantized.getField("scale"))
 
+  /** Mean-pooling: element-wise average of a group's vectors — chunk
+    * embeddings → document embedding, members → cluster centroid. One
+    * hash aggregation via the native [[graft.functions.VectorSum]]
+    * aggregate: each map task folds its vectors into a single
+    * dims-length partial buffer, so the exchange carries one buffer per
+    * (task, group) — NOT the posexplode formulation, which multiplies
+    * shuffle rows by the embedding dimension and needs a second shuffle
+    * to reassemble (that formulation is the parity oracle in the
+    * suite/q81). Rounded at 6 so the result is engine-portable.
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        graft.functions.GraftFunctions.vecSum(toDoubleVec(col(vecCol))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol),
+        transform(col("s"), x => round(x / col("n"), 6)).as("centroid"))
+
   /** Spherical k-means centroids for IVF coarse quantization, over a
     * bounded deterministic sample. The sample is a distributed top-k on
     * a seeded hash of the vector (TakeOrderedAndProject: `sampleRows`

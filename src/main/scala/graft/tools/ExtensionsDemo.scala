@@ -29,6 +29,12 @@ object ExtensionsDemo {
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(2) == 8)
     assert(r.getSeq[String](3) == Seq("a b", "b c", "c b"))
+    // the aggregate function resolves through the same extension path
+    val agg = spark.sql(
+      """SELECT graft_vec_sum(v) AS s FROM (
+        |  SELECT array(1.0d, 2.0d) v UNION ALL SELECT array(10.0d, 20.0d))""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(agg == Seq(11.0, 22.0), s"vec_sum gave $agg")
     println("[ext] OK: extensions-injected functions resolve from SQL")
     spark.stop()
   }

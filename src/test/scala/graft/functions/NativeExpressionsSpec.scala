@@ -13,6 +13,44 @@ class NativeExpressionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("graft_vec_sum ≡ posexplode mean over the corpus, across forced partial merges") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .select(pmod($"vec_id", lit(7L)).as("gid"), $"embedding")
+      .repartition(8) // force partial buffers + serialize/merge path
+    val native = VectorOps.meanPool(embs, "gid", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val exploded = embs
+      .select($"gid", posexplode(VectorOps.toDoubleVec($"embedding")).as(Seq("pos", "v")))
+      .groupBy("gid", "pos").agg(avg("v").as("m"))
+      .groupBy("gid")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("ps"))
+      .select($"gid", transform($"ps", p => round(p.getField("m"), 6)).as("centroid"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native.keySet === exploded.keySet)
+    native.keySet.foreach { g =>
+      assert(native(g) === exploded(g), s"group $g")
+    }
+  }
+
+  test("graft_vec_sum: NULL arrays are ignored; ragged dims fail readably") {
+    val withNull = Seq(
+      (1L, Some(Seq(1.0, 2.0))),
+      (1L, Option.empty[Seq[Double]]),
+      (1L, Some(Seq(3.0, 4.0))))
+      .toDF("gid", "v")
+    val got = withNull.groupBy("gid")
+      .agg(GraftFunctions.vecSum($"v").as("s"))
+      .head().getSeq[Double](1)
+    assert(got === Seq(4.0, 6.0)) // null row skipped, not zero-filled
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(1.0))).toDF("gid", "v")
+    val e = intercept[Exception] {
+      ragged.groupBy("gid").agg(GraftFunctions.vecSum($"v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("graft_vec_sum")), s"got $e")
+  }
+
   test("graft_dot ≡ aggregate/zip_with fold over the embeddings corpus") {
     val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
