@@ -14,7 +14,8 @@ import graft.functions._
   * }}}
   *
   * makes `graft_dot`, `graft_simhash`, `graft_minhash`, `graft_shingles`,
-  * `graft_srp` resolvable from any SQL context of the session — the
+  * `graft_srp`, and the `graft_vec_sum` aggregate resolvable from any
+  * SQL context of the session — the
   * cluster-wide analog of the per-session `GraftFunctions.register` that
   * [[Sessions.local]] uses. The two paths MUST register the same set
   * (ExtensionsDemo smokes every function through this one).

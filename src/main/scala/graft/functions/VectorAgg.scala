@@ -85,19 +85,29 @@ case class VectorSum(
   override def eval(buffer: Array[Double]): Any =
     if (buffer == null) null else new GenericArrayData(buffer)
 
+  // A leading marker byte keeps the null (no input seen) buffer distinct
+  // from a legitimate ZERO-LENGTH sum (all inputs were empty arrays):
+  // without it, empty bytes would deserialize to null and the result
+  // would flip between [] and NULL depending on whether the plan
+  // serialized the partial buffer.
   override def serialize(buffer: Array[Double]): Array[Byte] =
     if (buffer == null) Array.emptyByteArray
     else {
-      val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
-      bb.asDoubleBuffer().put(buffer)
+      val bb = java.nio.ByteBuffer.allocate(1 + 8 * buffer.length)
+      bb.put(1.toByte)
+      var i = 0
+      while (i < buffer.length) { bb.putDouble(1 + 8 * i, buffer(i)); i += 1 }
       bb.array()
     }
 
   override def deserialize(storageFormat: Array[Byte]): Array[Double] =
     if (storageFormat.isEmpty) null
     else {
-      val out = new Array[Double](storageFormat.length / 8)
-      java.nio.ByteBuffer.wrap(storageFormat).asDoubleBuffer().get(out)
+      val n = (storageFormat.length - 1) / 8
+      val out = new Array[Double](n)
+      val bb = java.nio.ByteBuffer.wrap(storageFormat)
+      var i = 0
+      while (i < n) { out(i) = bb.getDouble(1 + 8 * i); i += 1 }
       out
     }
 

@@ -51,6 +51,16 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("graft_vec_sum")), s"got $e")
   }
 
+  test("graft_vec_sum: empty-array inputs sum to [], not NULL, across the serialized path") {
+    // A zero-length partial buffer must survive serialize/deserialize
+    // distinct from the null no-input buffer.
+    val df = Seq((1L, Seq.empty[Double]), (1L, Seq.empty[Double]))
+      .toDF("gid", "v").repartition(4)
+    val r = df.groupBy("gid").agg(GraftFunctions.vecSum($"v").as("s")).head()
+    assert(!r.isNullAt(1), "empty-array sum collapsed to NULL")
+    assert(r.getSeq[Double](1) === Seq.empty[Double])
+  }
+
   test("graft_dot ≡ aggregate/zip_with fold over the embeddings corpus") {
     val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
