@@ -461,6 +461,73 @@ object DataOpsQueries {
             "gid", "embedding")
           .orderBy("gid")),
 
+    // C4-style span-level corpus dedup: every distinct 10-word span
+    // keeps its first occurrence only (corpus order, then position) and
+    // docs are rebuilt from surviving spans. The election groups on a
+    // 128-bit span hash — (16-byte, id, idx) rows shuffle, never span
+    // text; the oracle says the same thing with a window over the span.
+    NamedQuery(
+      "q82_span_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id, unnest(list_transform(range(0, len(tok), 10),
+             |        st -> {'sid': CAST(st // 10 AS BIGINT),
+             |               'span': array_to_string(tok[st+1:st+10], ' ')})) z
+             |      FROM t WHERE len(tok) >= 1),
+             |f AS (SELECT doc_id, z.sid AS sid, z.span AS span FROM s),
+             |k AS (SELECT doc_id, sid, span FROM
+             |        (SELECT f.*, row_number() OVER
+             |           (PARTITION BY span ORDER BY doc_id, sid) rn FROM f)
+             |      WHERE rn = 1),
+             |r AS (SELECT doc_id, string_agg(span, ' ' ORDER BY sid) clean_text,
+             |        count(*) spans_kept FROM k GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) spans_total FROM f GROUP BY doc_id)
+             |SELECT tot.doc_id, coalesce(r.clean_text, '') AS clean_text,
+             |  CAST(coalesce(r.spans_kept, 0) AS BIGINT) AS spans_kept,
+             |  CAST(tot.spans_total AS BIGINT) AS spans_total
+             |FROM tot LEFT JOIN r ON tot.doc_id = r.doc_id
+             |ORDER BY tot.doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.spanDedup(docs(s, dir), "doc_id", "text", 10)
+          .orderBy("doc_id")),
+
+    // Cleaning-cascade funnel: per source, how many docs survive each
+    // cumulative quality stage (chars → word count → mean word length →
+    // language). Mean word length is compared by integer
+    // cross-multiplication (3·words ≤ chars-of-words ≤ 10·words) so
+    // both engines decide boundaries exactly; chars-of-words =
+    // length − (words − 1) under the corpus' single-space tokenization.
+    NamedQuery(
+      "q83_filter_funnel",
+      Some("""WITH t AS (SELECT source, lang, n_chars, length(text) AS lc,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+             |      FROM documents),
+             |c AS (SELECT source, lang, nw, lc - (nw - 1) AS wc,
+             |        (n_chars BETWEEN 100 AND 20000) AS f1 FROM t),
+             |f AS (SELECT source, f1,
+             |        f1 AND (nw BETWEEN 20 AND 10000) AS f2,
+             |        f1 AND (nw BETWEEN 20 AND 10000)
+             |           AND (wc >= 3 * nw AND wc <= 10 * nw) AS f3,
+             |        f1 AND (nw BETWEEN 20 AND 10000)
+             |           AND (wc >= 3 * nw AND wc <= 10 * nw)
+             |           AND lang = 'en' AS f4
+             |      FROM c)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_chars,
+             |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_words,
+             |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+             |  CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang
+             |FROM f GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val nw = size(split(col("text"), " ")).cast("long")
+        val wc = length(col("text")).cast("long") - (nw - 1)
+        TextAnalysis.filterFunnel(docs(s, dir), "source", Seq(
+          "pass_chars" -> col("n_chars").between(100, 20000),
+          "pass_words" -> nw.between(20, 10000),
+          "pass_wordlen" -> (wc >= nw * 3 && wc <= nw * 10),
+          "pass_lang" -> (col("lang") === "en")))
+          .orderBy("source")
+      }),
+
     // Incremental dedup — the production ingest shape: even-id docs are
     // "yesterday's corpus" (present only as a 16-byte hash index),
     // odd-id docs are today's delta; admit delta rows unseen in the

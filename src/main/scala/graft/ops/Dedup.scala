@@ -122,6 +122,64 @@ object Dedup {
     unseen.join(keep, Seq(h, idCol), "left_semi").drop(h)
   }
 
+  /** Span-level corpus dedup (C4-style): documents are cut into
+    * non-overlapping `spanTokens`-word spans, each distinct span keeps
+    * only its globally FIRST occurrence (min `(id, span_idx)` — corpus
+    * order, then position), and every document is re-assembled from its
+    * surviving spans. Removes boilerplate / quoted passages repeated
+    * across documents while keeping the documents themselves.
+    *
+    * Output: `(idCol, clean_text, spans_kept, spans_total)` — one row
+    * per input document; a document whose every span lost its election
+    * survives with `clean_text = ""` (dropping it would conflate
+    * "fully duplicated" with "never existed" for downstream joins).
+    *
+    * Scale shape: the span election groups on [[contentHash128]] of the
+    * span, so the decision shuffle carries (16-byte hash, id, idx)
+    * rows, never span text; the survivor filter is a semi-join on the
+    * same key; re-assembly is one hash agg keyed by the document id.
+    * No window over span content (that would shuffle the corpus' text
+    * bytes and serialize per-span ordering through one partition per
+    * distinct span).
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens=$spanTokens must be >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+    val spans = df
+      .filter(size(toks) >= 1)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(toks) - 1, lit(spanTokens)),
+          st => struct(
+            (st.cast("long") / lit(spanTokens)).cast("long").as("sid"),
+            concat_ws(" ", slice(toks, st + 1, lit(spanTokens))).as("span")))).as("z"))
+      .select(col(idCol), col("z.sid").as("sid"), col("z.span").as("span"))
+    val h = freshName(df, "_graft_ch")
+    val withH = spans.withColumn(h, contentHash128(Seq(col("span"))))
+    val winners = withH
+      .select(col(h), col(idCol), col("sid"))
+      .groupBy(col(h))
+      .agg(min(struct(col(idCol), col("sid"))).as("w"))
+      .select(col(h), col("w")(idCol).as(idCol), col("w.sid").as("sid"))
+    val kept = withH.join(winners, Seq(h, idCol, "sid"), "left_semi")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("sid"), col("span")))),
+            x => x("span"))).as("clean_text"),
+        count(lit(1)).as("spans_kept"))
+    spans.groupBy(col(idCol)).agg(count(lit(1)).as("spans_total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("spans_kept"), lit(0L)).as("spans_kept"),
+        col("spans_total"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: for each of `numHashes` hash families, the

@@ -190,6 +190,29 @@ object TextAnalysis {
         size(split(col("c.chunk"), " ")).cast("long").as("chunk_tokens"))
   }
 
+  /** Quality-filter funnel report: for a cascade of named predicates
+    * applied in order (each stage only sees survivors of the previous
+    * one), the per-group count of rows surviving each stage — the
+    * standard diagnostic a C4/Gopher/FineWeb-style cleaning pipeline
+    * publishes before anyone trusts its output. One map-only pass plus
+    * one hash agg: every stage becomes a cumulative-AND boolean summed
+    * as BIGINT, so the corpus is read once no matter how many stages.
+    */
+  def filterFunnel(
+      df: DataFrame,
+      groupCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val names = stages.map(_._1)
+    require(names.distinct == names, s"duplicate stage names: $names")
+    require(!names.exists(n => n.equalsIgnoreCase(groupCol) || n.equalsIgnoreCase("n_total")),
+      s"stage names must not collide with '$groupCol'/'n_total': $names")
+    val cumulative = stages.scanLeft(lit(true)) { case (acc, (_, p)) => acc && p }.tail
+    val aggs = count(lit(1)).as("n_total") +:
+      cumulative.zip(names).map { case (c, n) => sum(c.cast("long")).as(n) }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** CCNet-style unigram language-model score: the mean log corpus
     * probability of a document's tokens — low scores flag gibberish /
     * OCR noise / wrong-language text whose tokens are rare in the

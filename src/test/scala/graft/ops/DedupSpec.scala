@@ -228,4 +228,41 @@ class DedupSpec extends AnyFunSuite {
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 50)
     assert(out.count() === 0)
   }
+
+  test("spanDedup: repeated span keeps first occurrence, docs rebuild in position order") {
+    val df = Seq(
+      (1L, "a b c d e f"),          // spans: "a b c", "d e f"
+      (2L, "x y z a b c"),          // loses "a b c" to doc 1
+      (3L, "d e f d e f"))          // second in-doc copy also loses
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d e f", 2L, 2L)))
+    assert(out(2L) === (("x y z", 1L, 2L)))
+    // doc 3's first "d e f" loses to doc 1's sid-1 span; its own second
+    // copy loses too — the doc survives as an emptied row, not a gap.
+    assert(out(3L) === (("", 0L, 2L)))
+  }
+
+  test("spanDedup: within one doc the EARLIER position wins the election") {
+    val df = Seq((7L, "p q r s t u p q r")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 3).collect().head
+    assert(out.getString(1) === "p q r s t u")
+    assert((out.getLong(2), out.getLong(3)) === ((2L, 3L)))
+  }
+
+  test("spanDedup over the corpus: surviving token mass equals distinct-span mass") {
+    // Global invariant tying the rebuild to the election: total spans
+    // kept across all docs == number of distinct spans in the corpus.
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 10)
+    val kept = out.agg(sum("spans_kept")).head().getLong(0)
+    val toks = split(col("text"), " ")
+    val distinctSpans = docs
+      .select(explode(transform(sequence(lit(0), size(toks) - 1, lit(10)),
+        st => concat_ws(" ", slice(toks, st + 1, lit(10))))).as("span"))
+      .distinct().count()
+    assert(kept === distinctSpans)
+    assert(out.count() === docs.count())
+  }
 }

@@ -164,6 +164,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(cf.feature.length === 4)
   }
 
+  test("filterFunnel: stages are cumulative — a row failing stage 1 never counts later") {
+    val df = Seq(
+      ("s1", 10, true),  // fails len, passes flag → counts in NO stage
+      ("s1", 200, true), // passes both
+      ("s1", 300, false) // passes len only
+    ).toDF("src", "len", "flag")
+    val out = TextAnalysis.filterFunnel(df, "src", Seq(
+      "pass_len" -> col("len").geq(100),
+      "pass_flag" -> col("flag"))).collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((3L, 2L, 1L)))
+  }
+
+  test("filterFunnel: duplicate or colliding stage names fail fast") {
+    val df = Seq(("s1", 1)).toDF("src", "x")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterFunnel(df, "src",
+        Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterFunnel(df, "src", Seq("N_TOTAL" -> lit(true)))
+    }
+  }
+
   test("multimodal: feature extraction is deterministic and batch-shaped") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
     val f1 = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
