@@ -14,8 +14,8 @@ import graft.functions._
   * }}}
   *
   * makes `graft_dot`, `graft_simhash`, `graft_minhash`, `graft_shingles`,
-  * `graft_srp`, and the `graft_vec_sum` aggregate resolvable from any
-  * SQL context of the session — the
+  * `graft_srp`, and the `graft_vec_sum` / `graft_mg_topk` aggregates
+  * resolvable from any SQL context of the session — the
   * cluster-wide analog of the per-session `GraftFunctions.register` that
   * [[Sessions.local]] uses. The two paths MUST register the same set
   * (ExtensionsDemo smokes every function through this one).
@@ -37,5 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.literalInt(exprs(1), GraftFunctions.SrpName, "planes"),
       GraftFunctions.literalInt(exprs(2), GraftFunctions.SrpName, "seedBase")))
     inject(GraftFunctions.VecSumName, 1)(exprs => VectorSum(exprs.head))
+    inject(GraftFunctions.MgTopKName, 2)(exprs => MisraGriesTopK(exprs.head,
+      GraftFunctions.literalInt(exprs(1), GraftFunctions.MgTopKName, "capacity")))
   }
 }

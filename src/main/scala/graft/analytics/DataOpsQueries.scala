@@ -528,6 +528,32 @@ object DataOpsQueries {
           .orderBy("source")
       }),
 
+    // Exact heavy hitters over corpus bigrams via the two-pass
+    // Misra-Gries pipeline: the native mergeable sketch nominates
+    // candidates (≤ k counters shuffle), one broadcast-pruned hash agg
+    // counts them exactly — the oracle states the same relation
+    // directly (count·k > N), which only works BECAUSE the sketch's
+    // superset guarantee makes pass 2 exact.
+    NamedQuery(
+      "q84_heavy_hitters",
+      Some("""WITH t AS (SELECT string_split(text, ' ') tok FROM documents),
+             |b AS (SELECT unnest(list_transform(range(len(tok) - 1),
+             |        i -> tok[i+1] || ' ' || tok[i+2])) w FROM t WHERE len(tok) >= 2),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) n FROM b),
+             |g AS (SELECT w, CAST(count(*) AS BIGINT) c FROM b GROUP BY w)
+             |SELECT g.w AS token, g.c AS cnt FROM g, tot
+             |WHERE g.c * 800 > tot.n ORDER BY cnt DESC, token""".stripMargin),
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val items = docs(s, dir).filter(size(toks) >= 2)
+          .select(explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("token"))
+        TextAnalysis.heavyHitters(items, "token", 800)
+          .orderBy(col("cnt").desc, col("token"))
+      }),
+
     // Incremental dedup — the production ingest shape: even-id docs are
     // "yesterday's corpus" (present only as a 16-byte hash index),
     // odd-id docs are today's delta; admit delta rows unseen in the

@@ -18,6 +18,7 @@ object GraftFunctions {
   val ShinglesName = "graft_shingles"
   val SrpName = "graft_srp"
   val VecSumName = "graft_vec_sum"
+  val MgTopKName = "graft_mg_topk"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -70,6 +71,9 @@ object GraftFunctions {
     // AggregateExpression (pre-wrapping would break DISTINCT handling)
     reg.createOrReplaceTempFunction(
       VecSumName, arity(VecSumName, 1)(exprs => VectorSum(exprs.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MgTopKName, arity(MgTopKName, 2)(exprs => MisraGriesTopK(exprs.head,
+        literalInt(exprs(1), MgTopKName, "capacity"))), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -98,4 +102,10 @@ object GraftFunctions {
     * map-side partials — no posexplode dimension blow-up).
     */
   def vecSum(vec: Column): Column = call_function(VecSumName, vec)
+
+  /** Native Misra–Gries frequent-items summary (mergeable; every item
+    * with count > N/(capacity+1) is guaranteed present).
+    */
+  def mgTopK(item: Column, capacity: Int): Column =
+    call_function(MgTopKName, item, org.apache.spark.sql.functions.lit(capacity))
 }

@@ -190,6 +190,39 @@ object TextAnalysis {
         size(split(col("c.chunk"), " ")).cast("long").as("chunk_tokens"))
   }
 
+  /** EXACT heavy hitters (items with count strictly > N/k) in two
+    * passes, neither of which shuffles the full (item, count) table:
+    *
+    *   1. candidate pass — the native mergeable Misra–Gries summary
+    *      ([[graft.functions.MisraGriesTopK]], capacity = k) guarantees
+    *      every item with count > N/(k+1) survives, and only ≤ k
+    *      counters per partition ever move;
+    *   2. exact pass — a broadcast semi-join keeps only candidate
+    *      items, then ONE hash agg counts them exactly and the
+    *      `cnt · k > N` filter applies the threshold.
+    *
+    * The output is therefore exact and partitioning-independent even
+    * though MG residuals are not — the sketch only decides what gets
+    * COUNTED, never what gets reported. At web scale the vocabulary
+    * (trillions of distinct n-grams) never aggregates globally; only
+    * candidates (≤ k rows) do. NULL items are ignored in both passes.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"heavyHitters: k must be >= 1, got $k")
+    val candidates = items
+      .agg(graft.functions.GraftFunctions.mgTopK(col(itemCol), k).as("s"))
+      .select(explode(col("s")).as("c"))
+      .select(col("c.item").as(itemCol))
+    val total = items.filter(col(itemCol).isNotNull)
+      .agg(count(lit(1)).as("_graft_n"))
+    items.join(broadcast(candidates), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("_graft_n"))
+      .select(col(itemCol), col("cnt"))
+  }
+
   /** Quality-filter funnel report: for a cascade of named predicates
     * applied in order (each stage only sees survivors of the previous
     * one), the per-group count of rows surviving each stage — the

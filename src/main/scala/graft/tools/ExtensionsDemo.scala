@@ -35,6 +35,12 @@ object ExtensionsDemo {
         |  SELECT array(1.0d, 2.0d) v UNION ALL SELECT array(10.0d, 20.0d))""".stripMargin)
       .head().getSeq[Double](0)
     assert(agg == Seq(11.0, 22.0), s"vec_sum gave $agg")
+    // the Misra-Gries aggregate resolves too: 'a' dominates the stream
+    val mg = spark.sql(
+      """SELECT graft_mg_topk(w, 2) AS s FROM (
+        |  SELECT explode(array('a', 'a', 'a', 'b', 'c', 'a')) w)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(mg.nonEmpty && mg.head.getString(0) == "a", s"mg_topk gave $mg")
     println("[ext] OK: extensions-injected functions resolve from SQL")
     spark.stop()
   }

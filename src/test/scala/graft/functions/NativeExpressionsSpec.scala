@@ -61,6 +61,63 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](1) === Seq.empty[Double])
   }
 
+  test("graft_mg_topk: superset guarantee holds across partitionings (zipf-ish stream)") {
+    // Items with true count > N/(capacity+1) MUST appear in the summary
+    // no matter how the stream is partitioned (merge trees differ).
+    val rows = (0 until 2000).flatMap { i =>
+      val item = s"w${i % 40}"
+      Seq.fill(if (i % 40 < 4) 12 else 1)(item) // 4 heavy items
+    }
+    val n = rows.length.toLong
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 32)) {
+      val df = rows.toDF("w").repartition(parts)
+      for (cap <- Seq(8, 20)) {
+        val sketch = df.agg(GraftFunctions.mgTopK($"w", cap).as("s"))
+          .select(explode($"s").as("c")).select($"c.item", $"c.count")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(sketch.size <= cap, s"parts=$parts cap=$cap size=${sketch.size}")
+        val mustHave = exact.filter { case (_, c) => c * (cap + 1) > n }.keySet
+        assert(mustHave.subsetOf(sketch.keySet),
+          s"parts=$parts cap=$cap missing ${mustHave -- sketch.keySet}")
+        // residuals never overcount and undercount by at most N/(cap+1)
+        sketch.foreach { case (w, c) =>
+          assert(c <= exact(w), s"overcount of $w")
+          assert(exact(w) - c <= n / (cap + 1) + 1, s"undercount bound of $w")
+        }
+      }
+    }
+  }
+
+  test("graft_mg_topk: null items skipped; empty input yields empty array, not NULL") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("w")
+    val s = df.agg(GraftFunctions.mgTopK($"w", 4).as("s")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(s.map(r => (r.getString(0), r.getLong(1))) === Seq(("a", 2L), ("b", 1L)))
+    val empty = spark.emptyDataFrame.select(lit("x").as("w")).limit(0)
+      .agg(GraftFunctions.mgTopK($"w", 4).as("s")).head()
+    assert(!empty.isNullAt(0) && empty.getSeq[org.apache.spark.sql.Row](0).isEmpty)
+  }
+
+  test("heavyHitters is EXACT: equals the groupBy/HAVING relation on corpus bigrams") {
+    import graft.ops.TextAnalysis
+    val toks = TextFunctions.tokens(col("text"))
+    val items = Tables.load(spark, TestSpark.Sf001, "documents")
+      .filter(size(toks) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("token"))
+    for (k <- Seq(100, 800)) {
+      val fast = TextAnalysis.heavyHitters(items, "token", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+      val n = items.count()
+      val exact = items.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(fast === exact, s"k=$k")
+    }
+  }
+
   test("graft_dot ≡ aggregate/zip_with fold over the embeddings corpus") {
     val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
