@@ -180,6 +180,20 @@ object DataOpsQueries {
         Similarity.srpNearDupPairs(twinCorpus(embs(s, dir)), "vec_id", "embedding", 0.9)
           .orderBy("id_a", "id_b")),
 
+    // SemDeDup over the planted-twin corpus: cluster with seeded
+    // spherical k-means, exact cosine prune within clusters only, keep
+    // min id. k-means isn't expressible in the oracle dialect →
+    // rows-only here; DedupSpec gates recall ≥ 0.95 and precision 1.0
+    // against the exact all-pairs dropped set.
+    NamedQuery(
+      "q85_semdedup",
+      None,
+      (s, dir) =>
+        VectorOps.semDedup(twinCorpus(embs(s, dir)), "vec_id", "embedding",
+            threshold = 0.9, nClusters = 16)
+          .select("vec_id")
+          .orderBy("vec_id")),
+
     // --------------------------------------------- similarity search
     // Brute-force cosine top-k for the vec_id=0 query vector — the exact
     // baseline every ANN variant is measured against.
@@ -553,6 +567,24 @@ object DataOpsQueries {
         TextAnalysis.heavyHitters(items, "token", 800)
           .orderBy(col("cnt").desc, col("token"))
       }),
+
+    // Deterministic training-order shuffle: seeded multiplicative-hash
+    // rank → shard id → within-shard position. Pure integer arithmetic
+    // on both sides (any engine can replay the epoch order); the only
+    // exchange is the per-shard position window.
+    NamedQuery(
+      "q86_seeded_shuffle",
+      Some("""WITH m AS (SELECT doc_id,
+             |        ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix
+             |      FROM documents)
+             |SELECT doc_id, CAST(mix % 8 AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY mix % 8 ORDER BY mix, doc_id)
+             |    AS BIGINT) AS pos
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.seededShuffle(docs(s, dir), "doc_id", 8)
+          .select("doc_id", "shard", "pos")
+          .orderBy("doc_id")),
 
     // Incremental dedup — the production ingest shape: even-id docs are
     // "yesterday's corpus" (present only as a 16-byte hash index),

@@ -126,4 +126,42 @@ object Sampling {
       df.filter(shiftrightunsigned(xxhash64(col(keyCol), lit(seed)), 1) < lit(bound))
     }
   }
+
+  /** Deterministic training-order shuffle + sharding: every row gets a
+    * pseudo-random but SEEDED rank (Knuth multiplicative hash of its
+    * key), a shard id, and its position within the shard — the
+    * "shuffle once, replay anywhere" contract a training run needs for
+    * resumable, order-reproducible epochs. Plain integer arithmetic
+    * (not xxhash) so any engine reading the manifest can recompute the
+    * order; each step stays under 2⁶³ by reducing the key mod 2³¹
+    * first (keys that collide there are tie-broken by the key itself,
+    * keeping the total order deterministic).
+    *
+    * Scale shape: the rank and shard are row-local expressions; the
+    * only exchange is the per-shard position window, which partitions
+    * by shard id — shards are sized by the caller (corpus / nShards),
+    * so each window partition is one shard's manifest, never the
+    * corpus. Keys must be non-negative (ids); a window `pos` is dense
+    * from 1 within each shard.
+    */
+  def seededShuffle(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    Seq("shard", "pos").foreach { n =>
+      require(!df.columns.exists(_.equalsIgnoreCase(n)),
+        s"seededShuffle writes a '$n' column but the input already has one")
+    }
+    val k = col(keyCol).cast("long")
+    val mix = pmod(
+      pmod(k, lit(2147483648L)) * lit(2654435761L) + lit(seed),
+      lit(4294967296L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(mix, lit(nShards.toLong)))
+      .orderBy(mix, k)
+    df.withColumn("shard", pmod(mix, lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

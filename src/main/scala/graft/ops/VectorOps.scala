@@ -296,6 +296,62 @@ object VectorOps {
       .withColumn("cluster", nearestCentroid(col("dv"), col("nrm")))
   }
 
+  /** SemDeDup (semantic dedup by embedding clustering): cluster the
+    * corpus with seeded spherical k-means, compute exact pairwise
+    * cosine ONLY within each cluster, and drop every vector that has a
+    * smaller-id neighbor above `threshold` — the quadratic work is
+    * bounded per cluster instead of per corpus (the reference point is
+    * q24's exact all-pairs relation, which is gate-scale only).
+    *
+    * Decisions, made deterministic:
+    *   - representative = min id per duplicate pair (pairwise, NOT
+    *     transitive closure — a "chain" a~b~c with cos(a,c) below
+    *     threshold keeps a and c; connected-component semantics live in
+    *     [[GraphOps]] for callers who want them);
+    *   - zero-norm vectors have no direction, are never anyone's
+    *     duplicate, and always survive;
+    *   - clusters above `maxCluster` are skipped ENTIRELY (their
+    *     members all survive): a degenerate mega-cluster would
+    *     otherwise reintroduce the quadratic blow-up. Conservative by
+    *     construction — skipping can only under-dedup, never drop a
+    *     non-duplicate. Production sizes nClusters so cluster size ≪
+    *     maxCluster; recall vs the exact relation is suite-gated.
+    *
+    * Scale shape: one bounded-sample k-means (driver-side, tiny), one
+    * map-only assignment pass, one self-join keyed on the cluster id.
+    * Approximation is the paper's: cross-cluster duplicates are missed
+    * by design; with unit-norm near-dups both sides of a pair share a
+    * nearest centroid unless they straddle a boundary.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 16,
+      kmeansIters: Int = 4,
+      seed: Long = 42L,
+      maxCluster: Int = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0, 1]")
+    val base = kmeansCentroids(df, vecCol, nClusters, kmeansIters, seed)
+    if (base.isEmpty) return df // no directions anywhere → nothing to dedup
+    val v = assignClusters(df, vecCol, indexedCents(base))
+      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+    val sized = v.join(
+      v.groupBy("cluster").agg(count(lit(1)).as("_graft_csz")), Seq("cluster"))
+      .filter(col("_graft_csz") <= maxCluster)
+    val a = sized.select(col("cluster"), col(idCol).as("_graft_ida"),
+      col("dv").as("_graft_va"), col("nrm").as("_graft_na"))
+    val b = sized.select(col("cluster"), col(idCol).as("_graft_idb"),
+      col("dv").as("_graft_vb"), col("nrm").as("_graft_nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("_graft_ida") < col("_graft_idb"))
+      .filter(dot(col("_graft_va"), col("_graft_vb")) /
+        (col("_graft_na") * col("_graft_nb")) > threshold)
+      .select(col("_graft_idb").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Persist an IVF index: assign every vector to its nearest centroid
     * and write the corpus PARTITIONED BY the cluster id, so probes
     * become partition-pruned scans. Stores (id, dv, nrm, cluster) —

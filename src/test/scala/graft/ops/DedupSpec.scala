@@ -176,6 +176,41 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("SemDeDup: precision 1.0, recall >= 0.95 vs exact dropped set on planted twins (q85 gate)") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val corpus = graft.analytics.DataOpsQueries.twinCorpus(embs)
+    // exact semantics: drop every id with a smaller-id neighbor over 0.9
+    val exactDropped = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("id_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val survivors = VectorOps.semDedup(corpus, "vec_id", "embedding",
+        threshold = 0.9, nClusters = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = allIds -- survivors
+    // within-cluster cosine is computed exactly → nothing non-duplicate drops
+    assert(dropped.subsetOf(exactDropped), s"false drops: ${dropped -- exactDropped}")
+    // misses are only twin pairs straddling a cluster boundary
+    val recall = dropped.size.toDouble / exactDropped.size
+    assert(recall >= 0.95, s"recall $recall (${dropped.size}/${exactDropped.size})")
+  }
+
+  test("SemDeDup: mega-cluster skew cap skips (under-dedups), never drops non-duplicates") {
+    import spark.implicits._
+    // 30 identical vectors land in one cluster of 30 > maxCluster=10 →
+    // cluster skipped, all 30 survive; the distinct pair elsewhere still dedups.
+    val rows = (1L to 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f))) ++
+      Seq((100L, Array(0.0f, 1.0f, 0.05f)), (101L, Array(0.0f, 1.0f, 0.06f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // nClusters=2: one direction per cluster — more clusters could seed
+    // the near-identical pair apart on this degenerate two-direction data
+    val out = VectorOps.semDedup(df, "vec_id", "embedding",
+        threshold = 0.9, nClusters = 2, maxCluster = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((1L to 30L).toSet.subsetOf(out), "capped cluster must survive whole")
+    assert(out.contains(100L) && !out.contains(101L), s"pair not deduped: $out")
+  }
+
   test("SRP coverage guard: throws when the skew cap would silently empty the result") {
     import spark.implicits._
     // 30 identical vectors, 4-plane buckets, maxBucket=5: every posting

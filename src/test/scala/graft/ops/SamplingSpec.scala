@@ -113,4 +113,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids(0.0).isEmpty)
     assert(ids(1.0).size === docs.count())
   }
+
+  test("seededShuffle: partition-invariant, dense per-shard positions, seed changes the order") {
+    val out = Sampling.seededShuffle(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.seededShuffle(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b, "order must not depend on physical partitioning")
+    // every shard's positions are exactly 1..size (a replayable manifest)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3) === (1L to rows.size).toSet, s"shard $shard not dense")
+    }
+    val reseeded = Sampling.seededShuffle(docs, "doc_id", 8, seed = 7L)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reseeded !== a, "a different seed must give a different order")
+  }
+
+  test("seededShuffle rejects inputs that already carry shard/pos columns") {
+    import spark.implicits._
+    val df = Seq((1L, 0L)).toDF("doc_id", "shard")
+    intercept[IllegalArgumentException] {
+      Sampling.seededShuffle(df, "doc_id", 4)
+    }
+  }
 }
