@@ -586,6 +586,64 @@ object DataOpsQueries {
           .select("doc_id", "shard", "pos")
           .orderBy("doc_id")),
 
+    // Cross-source shingle-overlap matrix: pairwise Jaccard of each
+    // source's distinct trigram set — the governance view deciding
+    // dedup priorities and mixture weights. Spark joins on the 128-bit
+    // shingle hash (no shingle text in any exchange); the oracle joins
+    // on the text — same relation.
+    NamedQuery(
+      "q87_source_overlap",
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT DISTINCT source,
+             |        unnest(list_distinct(list_transform(range(len(tok) - 2),
+             |          i -> array_to_string(tok[i+1:i+3], ' ')))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |sz AS (SELECT source, count(*) n FROM s GROUP BY source),
+             |i AS (SELECT a.source sa, b.source sb, CAST(count(*) AS BIGINT) c
+             |      FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT i.sa AS group_a, i.sb AS group_b, i.c AS n_common,
+             |  ROUND(CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c), 6) AS jaccard
+             |FROM i JOIN sz za ON i.sa = za.source JOIN sz zb ON i.sb = zb.source
+             |ORDER BY group_a, group_b""".stripMargin),
+      (s, dir) =>
+        Contamination.shingleOverlap(docs(s, dir), "source", "text", 3)
+          .orderBy("group_a", "group_b")),
+
+    // Per-source robust (median/MAD) length outlier report — the
+    // winsorizing cousin of q76 that a heavy-tailed web corpus needs
+    // (quantiles are skew-immune where mean/stddev are not). Two tiny
+    // per-source aggregates broadcast back over map-only passes; the
+    // outlier cut `dev > mad·4.4478` is spelled with the single literal
+    // on both sides so the boundary decision is bit-identical.
+    NamedQuery(
+      "q88_mad_outliers",
+      Some("""WITH d AS (SELECT source, CAST(length(text) AS DOUBLE) len FROM documents),
+             |m AS (SELECT source, quantile_cont(len, 0.5) med FROM d GROUP BY source),
+             |e AS (SELECT d.source, d.len, abs(d.len - m.med) dev, m.med
+             |      FROM d JOIN m ON d.source = m.source),
+             |m2 AS (SELECT source, quantile_cont(dev, 0.5) mad FROM e GROUP BY source)
+             |SELECT e.source, ROUND(MIN(e.med), 6) AS med, ROUND(MIN(m2.mad), 6) AS mad,
+             |  CAST(SUM(CASE WHEN e.dev > m2.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM e JOIN m2 ON e.source = m2.source
+             |GROUP BY e.source ORDER BY e.source""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("source"), length(col("text")).cast("double").as("len"))
+        val med = d.groupBy("source").agg(expr("percentile(len, 0.5)").as("med"))
+        val e = d.join(broadcast(med), Seq("source"))
+          .withColumn("dev", abs(col("len") - col("med")))
+        val mad = e.groupBy("source").agg(expr("percentile(dev, 0.5)").as("mad"))
+        e.join(broadcast(mad), Seq("source"))
+          .groupBy("source")
+          .agg(
+            round(min("med"), 6).as("med"),
+            round(min("mad"), 6).as("mad"),
+            sum(when(col("dev") > col("mad") * 4.4478, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("source")
+      }),
+
     // Incremental dedup — the production ingest shape: even-id docs are
     // "yesterday's corpus" (present only as a 16-byte hash index),
     // odd-id docs are today's delta; admit delta rows unseen in the

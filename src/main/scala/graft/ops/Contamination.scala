@@ -129,4 +129,48 @@ object Contamination {
       else contaminated
     corpus.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /** Cross-group shingle-overlap matrix: for every pair of groups
+    * (sources, snapshots, providers), the Jaccard similarity of their
+    * DISTINCT word-`shingleN`-gram sets — the corpus-governance view of
+    * "how much do my sources repeat each other" that decides dedup
+    * priorities and mixture weights before any document-level work.
+    *
+    * Scale shape: the unit of work is the distinct (group, shingle)
+    * relation, keyed by a 128-bit shingle hash so no shingle TEXT ever
+    * shuffles (collision odds documented at [[Dedup.contentHash128]]).
+    * The pair counts come from the standard inverted-index self-join:
+    * cost ∝ Σ_shingle |groups sharing it|² bounded by (#groups)² per
+    * shingle — #groups is small by definition (it's a reporting
+    * dimension), so the join never goes corpus-quadratic. Group sizes
+    * broadcast back. Pairs sharing nothing are absent (the report is
+    * sparse, not zero-filled).
+    */
+  def shingleOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val sh = df
+      .filter(size(toks) >= shingleN)
+      .select(col(groupCol),
+        explode(graft.functions.GraftFunctions.shingles(toks, shingleN)).as("_graft_sh"))
+      .select(col(groupCol), Dedup.contentHash128(Seq(col("_graft_sh"))).as("_graft_h"))
+      .distinct()
+    val sz = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("_graft_n"))
+    val a = sh.select(col(groupCol).as("group_a"), col("_graft_h"))
+    val b = sh.select(col(groupCol).as("group_b"), col("_graft_h"))
+    a.join(b, Seq("_graft_h"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sz.select(col(groupCol).as("group_a"), col("_graft_n").as("_graft_na"))),
+        Seq("group_a"))
+      .join(broadcast(sz.select(col(groupCol).as("group_b"), col("_graft_n").as("_graft_nb"))),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("_graft_na") + col("_graft_nb") - col("n_common")), 6).as("jaccard"))
+  }
 }

@@ -93,4 +93,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q80_unigram_lm").contains("BroadcastHashJoin"),
       plan("q80_unigram_lm"))
   }
+
+  test("q82: the span election exchanges partition on the hash key, never span text") {
+    // The operator's 100 TB claim: no Exchange's partitioning expression
+    // mentions the span text column — only the 128-bit hash (and doc id
+    // for the rebuild agg).
+    val p = plan("q82_span_dedup")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach { e =>
+      assert(!e.contains("span#") && !e.contains("text#"),
+        s"span/doc text in a shuffle key: $e")
+    }
+  }
+
+  test("q83: the funnel is ONE aggregation pass (partial+final), no joins") {
+    val p = plan("q83_filter_funnel")
+    assert("HashAggregate".r.findAllIn(p).size === 2, p) // partial + final only
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q84: the exact pass prunes through a broadcast semi-join on sketch candidates") {
+    val p = plan("q84_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
 }

@@ -104,4 +104,25 @@ class ContaminationSpec extends AnyFunSuite {
     assert(out.head.getLong(2) === 21L) // top contaminator is the dup, not itself
     assert(out.head.getDouble(4) === 1.0)
   }
+
+  test("shingleOverlap: known jaccard on a constructed corpus; disjoint pairs absent") {
+    // g1: shingles of "a b c d" = {a b c, b c d}; g2 identical → J = 1;
+    // g3: "a b c x" = {a b c, b c x} → J(g1,g3) = 1/3; g4 disjoint → no row.
+    val df = Seq(
+      ("g1", "a b c d"), ("g2", "a b c d"),
+      ("g3", "a b c x"), ("g4", "p q r s"))
+      .toDF("source", "text")
+    val out = Contamination.shingleOverlap(df, "source", "text", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(("g1", "g2")) === ((2L, 1.0)))
+    assert(out(("g1", "g3")) === ((1L, round3(1.0 / 3))))
+    assert(out(("g2", "g3")) === ((1L, round3(1.0 / 3))))
+    assert(!out.keySet.exists { case (x, y) => x == "g4" || y == "g4" },
+      s"disjoint group paired: ${out.keySet}")
+  }
+
+  private def round3(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
