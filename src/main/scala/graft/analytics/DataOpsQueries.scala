@@ -217,6 +217,44 @@ object DataOpsQueries {
         VectorOps.bruteForceTopK(e, "vec_id", "embedding", q, 20)
       }),
 
+    // kNN label-vote classification: the similarity-search APPLICATION
+    // layer — each held-out query vector (vec_id < 20) takes the
+    // majority label of its 10 nearest corpus neighbors. Oracle mirrors
+    // the rank → vote → election chain exactly (same rounding and
+    // tiebreaks), so the hash compare pins the full decision path, not
+    // just the scores.
+    NamedQuery(
+      "q91_knn_classify",
+      Some("""WITH e AS (SELECT vec_id, label,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |           FROM embeddings),
+             |q AS (SELECT vec_id q_id, v qv FROM e
+             |      WHERE vec_id < 20 AND list_dot_product(v, v) > 0),
+             |c AS (SELECT vec_id n_id, label n_label, v FROM e
+             |      WHERE vec_id >= 20 AND list_dot_product(v, v) > 0),
+             |s AS (SELECT q_id, n_id, n_label,
+             |        ROUND(list_dot_product(v, qv)
+             |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) cosine
+             |      FROM c, q),
+             |r AS (SELECT q_id, n_id, n_label,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) rk
+             |      FROM s),
+             |v AS (SELECT q_id, n_label, count(*) AS votes FROM r
+             |      WHERE rk <= 10 GROUP BY q_id, n_label),
+             |p AS (SELECT q_id, n_label, votes,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) pr
+             |      FROM v)
+             |SELECT q_id, n_label AS pred_label, votes
+             |FROM p WHERE pr = 1 ORDER BY q_id""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir)
+        VectorOps.knnClassify(
+            e.filter(col("vec_id") >= 20),
+            e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", "label", k = 10)
+          .orderBy("q_id")
+      }),
+
     // SRP-LSH ANN (approximate, hash-bucketed — rows-only; recall vs q25
     // asserted in SimilaritySpec).
     NamedQuery(
@@ -663,6 +701,31 @@ object DataOpsQueries {
         val index = Dedup.indexHashes(d.filter(col("doc_id") % 2 === 0), Seq("text"))
         Dedup.deltaDedup(d.filter(col("doc_id") % 2 === 1), index, "doc_id", Seq("text"))
           .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
+    // q75's incremental dedup with the Bloom pre-filter engaged — same
+    // oracle shape on a different corpus/delta split (mod-3: two thirds
+    // indexed, one third delta) so the two queries pin different
+    // relations. fpp 0.05 keeps the sketch small while the anti-join
+    // still sees only bloom-positive rows; the oracle proves fpp never
+    // leaks into the OUTPUT.
+    NamedQuery(
+      "q90_bloom_delta_dedup",
+      Some("""WITH existing AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+             |delta AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+             |unseen AS (SELECT d.* FROM delta d
+             |           WHERE NOT EXISTS (SELECT 1 FROM existing e
+             |                             WHERE e.text IS NOT DISTINCT FROM d.text)),
+             |k AS (SELECT text, min(doc_id) AS keep FROM unseen GROUP BY text)
+             |SELECT u.doc_id, u.source FROM unseen u
+             |JOIN k ON u.doc_id = k.keep ORDER BY u.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val index = Dedup.indexHashes(d.filter(col("doc_id") % 3 =!= 0), Seq("text"))
+        Dedup.bloomDeltaDedup(
+            d.filter(col("doc_id") % 3 === 0), index, "doc_id", Seq("text"), fpp = 0.05)
+          .select("doc_id", "source")
           .orderBy("doc_id")
       }),
 

@@ -62,6 +62,28 @@ object FormatQueries {
           .orderBy("l_returnflag")
       }),
 
+    // ORC sink + source (columnar alternative to parquet — Spark ships a
+    // native vectorized ORC reader). Same lossless-round-trip contract as
+    // q53/q54: the oracle aggregates the ORIGINAL parquet table, so a
+    // value mangled by the ORC write/read would hash-mismatch.
+    NamedQuery(
+      "q89_orc_roundtrip",
+      Some("""SELECT lang, source, count(*) AS n,
+             |       ROUND(AVG(n_chars), 4) AS avg_chars
+             |FROM documents WHERE n_chars >= 100
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      (s, dir) => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_stage/orc_rt_${Integer.toHexString(dir.hashCode)}"
+        Tables.load(s, dir, "documents")
+          .filter(col("n_chars") >= 100)
+          .select(col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out) // ORC embeds the schema — no explicit one needed
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"))
+          .orderBy("lang", "source")
+      }),
+
     // Semi-structured → typed map: from_json to map<string,bigint>, then
     // map functions (keys, element_at). Every event's props is {"k": n}.
     NamedQuery(

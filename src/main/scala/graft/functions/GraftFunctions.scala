@@ -19,6 +19,7 @@ object GraftFunctions {
   val SrpName = "graft_srp"
   val VecSumName = "graft_vec_sum"
   val MgTopKName = "graft_mg_topk"
+  val BloomName = "graft_bloom_contains"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -74,6 +75,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       MgTopKName, arity(MgTopKName, 2)(exprs => MisraGriesTopK(exprs.head,
         literalInt(exprs(1), MgTopKName, "capacity"))), "built-in")
+    // Spark's own runtime-filter probe expression (codegen'd, lazily
+    // deserializes the sketch once per task) — registered so the Column
+    // API can build it against a driver-built sketch literal. Spark only
+    // wires it up internally (InjectRuntimeFilter); the expression itself
+    // is public API surface in catalyst.
+    reg.createOrReplaceTempFunction(
+      BloomName, arity(BloomName, 2)(exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -108,4 +118,14 @@ object GraftFunctions {
     */
   def mgTopK(item: Column, capacity: Int): Column =
     call_function(MgTopKName, item, org.apache.spark.sql.functions.lit(capacity))
+
+  /** Probe a serialized `org.apache.spark.util.sketch.BloomFilter`
+    * (e.g. from `df.stat.bloomFilter`) against a LongType column.
+    * false ⇒ definitely absent; true ⇒ present OR a false positive at
+    * the sketch's configured fpp. Codegen'd — the sketch deserializes
+    * once per task, not per row.
+    */
+  def bloomContains(serializedBloom: Array[Byte], value: Column): Column =
+    call_function(BloomName,
+      org.apache.spark.sql.functions.lit(serializedBloom), value)
 }

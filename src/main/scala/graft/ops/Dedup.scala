@@ -122,6 +122,65 @@ object Dedup {
     unseen.join(keep, Seq(h, idCol), "left_semi").drop(h)
   }
 
+  /** [[deltaDedup]] with a Bloom pre-filter: same relation, smaller
+    * anti-join. A Bloom sketch of the index's h1 halves is built once
+    * (driver-side, `stat.bloomFilter`) and probed map-side over the
+    * delta; rows the sketch rejects are DEFINITELY unseen (no false
+    * negatives) and skip the anti-join entirely, so only true
+    * duplicates plus an `fpp` fraction of the delta reach the exchange.
+    *
+    * When to prefer over [[deltaDedup]]: a mostly-novel delta (the
+    * normal crawl day — dup rate a few %) shrinks the anti-join's probe
+    * side ~1/(dupRate+fpp) ≈ 50–100×, for the price of one extra
+    * map-side pass over the delta and a sketch broadcast. The sketch
+    * costs ~1.2 GB per 10⁹ index entries at fpp 0.01 — past a few
+    * billion indexed documents the broadcast stops paying and the plain
+    * shuffled anti-join wins; that crossover, not correctness, is the
+    * selection criterion (output is identical at any fpp).
+    *
+    * The probe keys on h1 alone (64 bits): a bloom miss on h1 implies
+    * the 128-bit pair is absent too, and h1 false positives are exactly
+    * what the anti-join verify absorbs.
+    */
+  def bloomDeltaDedup(
+      delta: DataFrame,
+      corpusIndex: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp must be in (0, 1)")
+    val h = freshName(delta, "_graft_ch")
+    val withH = delta.withColumn(h, contentHash128(contentCols.map(col)))
+    // Production tracks the index cardinality in table metadata; here a
+    // count over the 16-byte index stands in (cheap relative to the
+    // corpus the index summarizes).
+    val nIndex = corpusIndex.count()
+    val unseen =
+      if (nIndex == 0L) withH // empty index: everything is unseen
+      else {
+        val sketch = corpusIndex
+          .select(col("content_hash").getField("h1").as("h1"))
+          .stat.bloomFilter("h1", nIndex, fpp)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          sketch.writeTo(bos)
+          bos.toByteArray
+        }
+        val probe = graft.functions.GraftFunctions.bloomContains(
+          bytes, col(h).getField("h1"))
+        // Both branches re-scan the delta (a map-only parquet pass) —
+        // cheaper than sending the skipped rows through the exchange.
+        val definiteNew = withH.filter(!probe)
+        val verified = withH.filter(probe).join(
+          corpusIndex.select(col("content_hash").as(h)), Seq(h), "left_anti")
+        definiteNew.unionByName(verified)
+      }
+    val keep = unseen
+      .select(col(h), col(idCol))
+      .groupBy(col(h)).agg(min(col(idCol)).as(idCol))
+    unseen.join(keep, Seq(h, idCol), "left_semi").drop(h)
+  }
+
   /** Span-level corpus dedup (C4-style): documents are cut into
     * non-overlapping `spanTokens`-word spans, each distinct span keeps
     * only its globally FIRST occurrence (min `(id, span_idx)` — corpus

@@ -88,6 +88,62 @@ object VectorOps {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** k-nearest-neighbor label vote: classify each query vector by the
+    * majority label of its `k` nearest corpus neighbors (cosine).
+    *
+    * Output: `(q_id, pred_label, votes)` — one row per query with a
+    * non-zero-norm vector.
+    *
+    * Scale shape: the query batch is the BROADCAST side of the cross
+    * join, so corpus scoring is a single map-only pass over the big
+    * table (never a corpus shuffle). The per-query top-k is a
+    * `row_number ≤ k` window, which Spark rewrites to WindowGroupLimit:
+    * each map task pre-keeps only k rows per query before the exchange,
+    * so the shuffle carries ≤ k·partitions rows per query, independent
+    * of corpus size. Both votes and the winner election then run over
+    * ≤ k rows per query. For corpus-scale query sets, score via the
+    * SRP/IVF candidate paths instead of the cross join.
+    *
+    * Determinism: cosine is rounded to `roundTo` before ranking; ties
+    * break by neighbor id, vote ties by smaller label — the result is a
+    * pure function of the inputs.
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val c = corpus
+      .select(col(idCol).as("n_id"), col(labelCol).as("n_label"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
+    val q = queries
+      .select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"), col("n_label"),
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), roundTo).as("cosine"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val votes = scored
+      .withColumn("rk", row_number().over(byScore))
+      .filter(col("rk") <= k)
+      .groupBy("q_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("votes").desc, col("n_label"))
+    votes
+      .withColumn("pr", row_number().over(byVotes))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max(|x|)/127, elements round to [-127, 127]. 4× less
     * storage/shuffle than float32 — at 100 TB of embeddings that is the

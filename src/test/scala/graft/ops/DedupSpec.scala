@@ -59,6 +59,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(13L, 17L))
   }
 
+  test("bloomDeltaDedup ≡ deltaDedup on the corpus at any fpp (sketch changes the plan, not the relation)") {
+    val index = Dedup.indexHashes(docs.filter($"doc_id" % 3 =!= 0), Seq("text"))
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val plain = Dedup.deltaDedup(delta, index, "doc_id", Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // fpp 0.9 floods the verify path with false positives; fpp 1e-6
+    // sends almost everything down the definite-new branch. Both must
+    // produce the identical admitted set — fpp is a cost knob only.
+    for (fpp <- Seq(0.9, 0.05, 1e-6)) {
+      val bloomed = Dedup.bloomDeltaDedup(delta, index, "doc_id", Seq("text"), fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomed === plain, s"fpp=$fpp")
+    }
+  }
+
+  test("bloomDeltaDedup: empty index admits every within-delta-unique row; bad fpp rejected") {
+    val delta = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val empty = Dedup.indexHashes(delta.filter($"doc_id" < 0), Seq("text"))
+    val out = Dedup.bloomDeltaDedup(delta, empty, "doc_id", Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Dedup.bloomDeltaDedup(delta, empty, "doc_id", Seq("text"), fpp = 1.0)
+    }
+  }
+
   test("exact dedup does not clobber a caller column named _graft_ch") {
     val df = Seq((1L, "a", "keep"), (2L, "a", "keep2"))
       .toDF("doc_id", "text", "_graft_ch")

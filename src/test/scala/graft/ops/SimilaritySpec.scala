@@ -20,6 +20,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims === sims.sorted.reverse)
   }
 
+  test("knnClassify: majority label of constructed neighborhoods; vote ties take the smaller label") {
+    import spark.implicits._
+    // Two tight clusters on orthogonal axes. Labels: cluster A is 2/3
+    // label 1, cluster B pure label 2 — so a query near A must vote 1
+    // (majority, not unanimity) and one near B must vote 2.
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.01f), 1), (11L, Array(1.0f, 0.02f), 1), (12L, Array(1.0f, 0.03f), 7),
+      (20L, Array(0.01f, 1.0f), 2), (21L, Array(0.02f, 1.0f), 2), (22L, Array(0.03f, 1.0f), 2),
+      (30L, Array(0.0f, 0.0f), 9)) // zero-norm: must be excluded, not NaN-ranked
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(0.0f, 0.0f), 0)) // zero-norm query: dropped from output
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((1, 2L)), 2L -> ((2, 3L))))
+    // Vote tie: k=2 over cluster A gives labels {1, 1-or-7} depending on
+    // rank; with k=2 ranks are ids 10,11 → both label 1. Use k=6 over
+    // both clusters: 3 votes each for labels... construct directly:
+    val tieCorpus = Seq(
+      (1L, Array(1.0f, 0.0f), 5), (2L, Array(1.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val tq = Seq((9L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val tie = VectorOps.knnClassify(tieCorpus, tq, "vec_id", "embedding", "label", k = 2)
+      .head()
+    assert((tie.getLong(0), tie.getInt(1), tie.getLong(2)) === ((9L, 3, 1L)))
+    intercept[IllegalArgumentException] {
+      VectorOps.knnClassify(tieCorpus, tq, "vec_id", "embedding", "label", k = 0)
+    }
+  }
+
   test("SRP-LSH ANN: finds the query itself and recalls a sane fraction of true top-k") {
     val exact = VectorOps.bruteForceTopK(embs, "vec_id", "embedding", query, 20)
       .collect().map(_.getLong(0)).toSet
