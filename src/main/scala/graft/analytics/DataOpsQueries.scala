@@ -476,6 +476,49 @@ object DataOpsQueries {
         TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Z-order (Morton) clustering key — multi-dimensional layout for
+    // data skipping. The oracle recomputes the bit interleave with
+    // DuckDB's list lambdas (sum of disjoint bit terms ≡ OR), pinning
+    // the exact z semantics; the min/max-span payoff the key exists for
+    // is asserted in LayoutSpec.
+    NamedQuery(
+      "q93_zorder_key",
+      Some("""WITH z AS (SELECT event_id,
+             |  list_aggregate(list_transform(range(16), i ->
+             |    (((user_id >> i) & 1) << (2*i))
+             |      + (((CAST(FLOOR(value) AS BIGINT) >> i) & 1) << (2*i+1))),
+             |   'sum') AS zval
+             |FROM events)
+             |SELECT event_id, CAST(zval AS BIGINT) AS zval FROM z
+             |ORDER BY zval DESC, event_id LIMIT 50""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .select(col("event_id"),
+            Layout.zValue(col("user_id"), floor(col("value")).cast("long"), 16).as("zval"))
+          .orderBy(col("zval").desc, col("event_id"))
+          .limit(50)),
+
+    // Per-source unigram KL divergence vs the corpus distribution — the
+    // mixture-health diagnostic (scraper breakage / domain drift shows
+    // as KL lift). All vocabulary-scale after one (source, word) agg.
+    NamedQuery(
+      "q92_source_kl",
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             |            FROM documents),
+             |sw AS (SELECT source, w, count(*) c FROM tok GROUP BY source, w),
+             |cw AS (SELECT w, sum(c) cc FROM sw GROUP BY w),
+             |st AS (SELECT source, sum(c) tot FROM sw GROUP BY source),
+             |g AS (SELECT CAST(sum(cc) AS DOUBLE) gtot FROM cw)
+             |SELECT s.source,
+             |  ROUND(SUM((CAST(s.c AS DOUBLE) / st.tot)
+             |    * ln((CAST(s.c AS DOUBLE) / st.tot)
+             |        / (CAST(cw.cc AS DOUBLE) / g.gtot))), 6) AS kl
+             |FROM sw s JOIN cw USING (w) JOIN st USING (source) CROSS JOIN g
+             |GROUP BY s.source ORDER BY s.source""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.sourceKlDivergence(docs(s, dir), "source", "text")
+          .orderBy("source")),
+
     // Bigram conditional-continuation table: top-3 successors per token
     // by count — WindowGroupLimit pre-prunes per w1 map-side.
     NamedQuery(

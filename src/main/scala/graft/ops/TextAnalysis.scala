@@ -269,6 +269,40 @@ object TextAnalysis {
         .as("lm_score"))
   }
 
+  /** Per-group unigram KL divergence against the corpus: for each value
+    * of `groupCol` (a source, a shard, a date), D(P_g ‖ P_corpus) =
+    * Σ_w P_g(w)·ln(P_g(w)/P(w)) over the group's vocabulary. The
+    * mixture-health diagnostic: a source whose KL drifts up is diverging
+    * from the corpus distribution (new domain, scraper breakage, spam
+    * flood). Always finite — every group word is a corpus word, so
+    * P(w) > 0 wherever P_g(w) > 0.
+    *
+    * Scale shape: one explode feeds a (group, word) hash agg with
+    * map-side combine, so everything past the token scan is
+    * vocabulary-scale, not corpus-scale. Corpus word counts REUSE that
+    * aggregate (second agg over it) instead of re-scanning the text.
+    * The (group, word) ⋈ (word) join shuffles vocab-sized sides — web
+    * vocabularies (10⁸⁺ with the long tail) exceed broadcast, so no
+    * broadcast hint; per-group totals and the grand total are scalar-ish
+    * and do broadcast.
+    */
+  def sourceKlDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val sw = df
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+    val cw = sw.groupBy("w").agg(sum("c").as("cc"))
+    val st = sw.groupBy(groupCol).agg(sum("c").as("tot"))
+    val g = cw.agg(sum("cc").as("gtot"))
+    val p = col("c").cast("double") / col("tot").cast("double")
+    val q = col("cc").cast("double") / col("gtot").cast("double")
+    sw.join(cw, Seq("w"))
+      .join(broadcast(st), Seq(groupCol))
+      .crossJoin(broadcast(g))
+      .select(col(groupCol), (p * log(p / q)).as("term"))
+      .groupBy(col(groupCol))
+      .agg(round(sum("term"), 6).as("kl"))
+  }
+
   /** Bigram conditional-continuation table: for every token, its top-`k`
     * successors by count — the n-gram LM statistic behind completion
     * heuristics and boilerplate detection. Same plan family as

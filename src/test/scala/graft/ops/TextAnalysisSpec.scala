@@ -187,6 +187,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceKlDivergence: hand-computed two-source fixture; single source ⇒ KL 0; KL ≥ 0 on the corpus") {
+    import spark.implicits._
+    val df = Seq(("a", "x x y"), ("b", "x y y y")).toDF("src", "text")
+    val out = TextAnalysis.sourceKlDivergence(df, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // corpus: x 3/7, y 4/7 — D(P_a‖Q) with P_a = (2/3, 1/3) etc.
+    def kl(p: Seq[Double], q: Seq[Double]) =
+      math.round(p.zip(q).map { case (pi, qi) => pi * math.log(pi / qi) }.sum * 1e6) / 1e6
+    assert(out("a") === kl(Seq(2.0 / 3, 1.0 / 3), Seq(3.0 / 7, 4.0 / 7)))
+    assert(out("b") === kl(Seq(1.0 / 4, 3.0 / 4), Seq(3.0 / 7, 4.0 / 7)))
+
+    val single = TextAnalysis.sourceKlDivergence(
+      df.withColumn("src", lit("only")), "src", "text").head()
+    assert(single.getDouble(1) === 0.0) // P_g == corpus ⇒ every ln term 0
+
+    val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
+    val corpus = TextAnalysis.sourceKlDivergence(docs, "source", "text")
+      .collect().map(_.getDouble(1))
+    assert(corpus.length === 20)
+    assert(corpus.forall(_ >= 0.0), "Gibbs' inequality: KL can never go negative")
+  }
+
   test("multimodal: feature extraction is deterministic and batch-shaped") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
     val f1 = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
