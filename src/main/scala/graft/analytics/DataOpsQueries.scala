@@ -476,6 +476,81 @@ object DataOpsQueries {
         TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // End-to-end training-data manifest — the composition the engine
+    // exists for, as ONE oracle-gated relation: length-window quality
+    // filter → exact dedup (min-id winner) → decontaminate against the
+    // benchmark slice (doc_id % 20 = 0, drawn from the FULL corpus as a
+    // real benchmark would be) → drop the bench members themselves →
+    // deterministic seeded shuffle into 8 shards. Every stage's
+    // semantics are pinned individually by q76/q20/q74/q86; this pins
+    // their COMPOSITION (filter-before-dedup, dedup-before-decontam,
+    // bench-exclusion-after).
+    NamedQuery(
+      "q95_training_manifest",
+      Some("""WITH f AS (SELECT * FROM documents WHERE n_chars BETWEEN 150 AND 1500),
+             |k AS (SELECT text, min(doc_id) keep FROM f GROUP BY text),
+             |dd AS (SELECT f.doc_id, f.text FROM f JOIN k ON f.doc_id = k.keep),
+             |bt AS (SELECT doc_id, string_split(text, ' ') tok FROM documents
+             |       WHERE doc_id % 20 = 0),
+             |sb AS (SELECT doc_id, list_distinct(list_transform(range(len(tok) - 2),
+             |         i -> array_to_string(tok[i+1:i+3], ' '))) sh
+             |       FROM bt WHERE len(tok) >= 3),
+             |ct AS (SELECT doc_id, string_split(text, ' ') tok FROM dd),
+             |sc AS (SELECT doc_id, list_distinct(list_transform(range(len(tok) - 2),
+             |         i -> array_to_string(tok[i+1:i+3], ' '))) sh
+             |       FROM ct WHERE len(tok) >= 3),
+             |be AS (SELECT doc_id, len(sh) sz, unnest(sh) shingle FROM sb),
+             |ce AS (SELECT doc_id, unnest(sh) shingle FROM sc),
+             |j AS (SELECT be.doc_id bench_id, ce.doc_id corpus_id,
+             |        any_value(be.sz) bsz, count(*) n_shared
+             |      FROM be JOIN ce ON be.shingle = ce.shingle
+             |        AND be.doc_id != ce.doc_id
+             |      GROUP BY 1, 2),
+             |drops AS (SELECT DISTINCT corpus_id FROM j
+             |          WHERE ROUND(CAST(n_shared AS DOUBLE) / bsz, 6) >= 0.5
+             |            AND corpus_id % 20 != 0),
+             |train AS (SELECT doc_id FROM dd
+             |          WHERE doc_id NOT IN (SELECT corpus_id FROM drops)
+             |            AND doc_id % 20 != 0),
+             |m AS (SELECT doc_id,
+             |        ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix
+             |      FROM train)
+             |SELECT doc_id, CAST(mix % 8 AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY mix % 8 ORDER BY mix, doc_id)
+             |    AS BIGINT) AS pos
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val filtered = d.filter(col("n_chars").between(150, 1500))
+        val deduped = Dedup.exact(filtered, "doc_id", Seq("text"))
+        val clean = Contamination.decontaminate(
+          deduped, d.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        val train = clean.filter(col("doc_id") % 20 =!= 0)
+        Sampling.seededShuffle(train, "doc_id", 8)
+          .select("doc_id", "shard", "pos")
+          .orderBy("doc_id")
+      }),
+
+    // Globally contiguous index (distributed zipWithIndex): row_number-
+    // over-global-order SEMANTICS from a range partition + local rank +
+    // broadcast shard offsets — never the 1-partition global window the
+    // naive formulation plans. Oracle IS that naive formulation (DuckDB
+    // doesn't pay the distribution price).
+    NamedQuery(
+      "q94_contiguous_index",
+      Some("""SELECT event_id, user_id,
+             |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS global_idx
+             |FROM events WHERE event_type = 'click'
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        Sampling.contiguousIndex(
+            Tables.load(s, dir, "events")
+              .filter(col("event_type") === "click")
+              .select("event_id", "user_id"),
+            "event_id", nShards = 8)
+          .orderBy("event_id")),
+
     // Z-order (Morton) clustering key — multi-dimensional layout for
     // data skipping. The oracle recomputes the bit interleave with
     // DuckDB's list lambdas (sum of disjoint bit terms ≡ OR), pinning

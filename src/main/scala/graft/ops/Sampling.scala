@@ -144,6 +144,49 @@ object Sampling {
     * corpus. Keys must be non-negative (ids); a window `pos` is dense
     * from 1 within each shard.
     */
+  /** Globally contiguous 0-based index in `keyCol` order — the
+    * distributed `zipWithIndex`: `row_number() OVER (ORDER BY key)`
+    * semantics WITHOUT the single-partition global-sort window that
+    * formulation plans (one reducer holding the whole table is the
+    * canonical driver-shaped bottleneck at 100 TB).
+    *
+    * Two-phase: range-partition on the key (each of `nShards` tasks
+    * sorts only its slice), rank locally, then add the prefix-sum of
+    * shard counts — an `nShards`-row aggregate that broadcasts. The
+    * result is invariant to where the sampled range boundaries fall,
+    * so the relation is deterministic even though the boundaries are
+    * estimated.
+    *
+    * `keyCol` must be duplicate-free (the usual unique-id contract —
+    * ties would make ranks within a key arbitrary). Appends
+    * `global_idx`; everything else passes through.
+    */
+  def contiguousIndex(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    require(!df.columns.exists(_.equalsIgnoreCase("global_idx")),
+      "contiguousIndex writes a 'global_idx' column but the input already has one")
+    val pid = Dedup.freshName(df, "_graft_pid")
+    val rk = Dedup.freshName(df, "_graft_lrk")
+    val off = Dedup.freshName(df, "_graft_off")
+    val local = df.repartitionByRange(nShards, col(keyCol))
+      .withColumn(pid, spark_partition_id())
+      // partitionBy(pid) re-exchanges on hash(pid) — Catalyst can't see
+      // it equals the existing distribution. The price is one extra
+      // parallel shuffle; the win is no 1-partition global window.
+      .withColumn(rk, row_number().over(
+        Window.partitionBy(col(pid)).orderBy(col(keyCol))).cast("long"))
+    // nShards rows: the single-partition window here is over the
+    // per-shard COUNTS, not the data.
+    val offsets = local.groupBy(col(pid)).agg(count(lit(1)).as("n"))
+      .withColumn(off, coalesce(
+        sum("n").over(Window.orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("n")
+    local.join(broadcast(offsets), pid)
+      .withColumn("global_idx", col(rk) + col(off) - 1)
+      .drop(pid, rk, off)
+  }
+
   def seededShuffle(
       df: DataFrame,
       keyCol: String,

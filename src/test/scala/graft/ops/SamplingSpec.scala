@@ -139,4 +139,32 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.seededShuffle(df, "doc_id", 4)
     }
   }
+
+  test("contiguousIndex: 0..n-1 in key order, invariant to shard count and physical partitioning") {
+    val docs = graft.Tables.load(spark, graft.TestSpark.Sf001, "documents")
+    def run(df: org.apache.spark.sql.DataFrame, shards: Int) =
+      Sampling.contiguousIndex(df, "doc_id", shards)
+        .select("doc_id", "global_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val base = run(docs, 8)
+    val n = base.length
+    assert(base.map(_._2).toSeq === (0L until n), "index must be the dense rank of doc_id")
+    assert(run(docs, 1).toSeq === base.toSeq, "1 shard ≡ 8 shards")
+    assert(run(docs.repartition(13), 5).toSeq === base.toSeq,
+      "result must not depend on input partitioning")
+    // pass-through: all original columns survive
+    val out = Sampling.contiguousIndex(docs, "doc_id", 4)
+    assert(out.columns.toSeq === docs.columns.toSeq :+ "global_idx")
+  }
+
+  test("contiguousIndex rejects an existing global_idx column and bad shard counts") {
+    import spark.implicits._
+    val df = Seq((1L, 5L)).toDF("doc_id", "global_idx")
+    intercept[IllegalArgumentException] {
+      Sampling.contiguousIndex(df, "doc_id", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.contiguousIndex(df.drop("global_idx"), "doc_id", 0)
+    }
+  }
 }
