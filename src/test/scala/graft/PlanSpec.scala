@@ -117,4 +117,46 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q84_heavy_hitters")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
+
+  test("q90: the bloom probe filters the delta BEFORE the anti-join") {
+    // The operator's point: a graft_bloom_contains predicate must sit on
+    // the anti-join's streamed side as a plain Filter (map-side prune),
+    // and the join itself stays an anti join.
+    val p = plan("q90_bloom_delta_dedup")
+    assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q91: query batch broadcasts; per-query top-k pre-prunes via WindowGroupLimit") {
+    val p = plan("q91_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q94: no single-partition global window — every exchange keeps parallelism") {
+    // row_number() OVER (ORDER BY …) would plan Exchange SinglePartition
+    // + a global Window; the two-phase formulation must never do that on
+    // the data path (the nShards-row offsets frame is the one allowed
+    // singleton, and it sits behind a broadcast).
+    val df = graft.ops.Sampling.contiguousIndex(
+      Tables.load(spark, TestSpark.Sf001, "events"), "event_id", 8)
+    val p = df.queryExecution.executedPlan.toString
+    val singletons = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singletons <= 1, s"$singletons single-partition exchanges:\n$p")
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+  }
+
+  test("q93: the z-value is pure projection — no exchange, inside codegen") {
+    val df = Tables.load(spark, TestSpark.Sf001, "events")
+      .select(graft.ops.Layout.zValue(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"), 16).as("z"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      s"z projection fell out of codegen:\n$p")
+  }
 }
