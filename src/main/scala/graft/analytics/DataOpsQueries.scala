@@ -615,21 +615,24 @@ object DataOpsQueries {
     // Spark side is ONE hash agg via the native graft_vec_sum aggregate
     // (partial buffers shuffle, not dims× exploded rows); the oracle is
     // the position-exploded formulation — same relation, the plan shape
-    // difference IS the operator's point.
+    // difference IS the operator's point. The gate relation is emitted
+    // SCALAR (gid, pos, m) — the driver's comparator sorts result rows
+    // and cannot sort an array column — so the centroid is posexploded
+    // AFTER the single-agg meanPool; the aggregate's plan shape is
+    // unchanged and stays pinned by NativeExpressionsSpec/PlanSpec.
     NamedQuery(
       "q81_mean_pool",
       Some("""WITH g AS (SELECT vec_id % 50 AS gid, embedding FROM embeddings),
              |e AS (SELECT gid, unnest(list_transform(range(len(embedding)), i ->
-             |        {'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) z FROM g),
-             |a AS (SELECT gid, z.pos AS pos, ROUND(AVG(z.v), 6) AS m
-             |      FROM e GROUP BY 1, 2)
-             |SELECT gid, list(m ORDER BY pos) AS centroid
-             |FROM a GROUP BY gid ORDER BY gid""".stripMargin),
+             |        {'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) z FROM g)
+             |SELECT gid, CAST(z.pos AS INT) AS pos, ROUND(AVG(z.v), 6) AS m
+             |FROM e GROUP BY gid, z.pos ORDER BY gid, pos""".stripMargin),
       (s, dir) =>
         VectorOps.meanPool(
             embs(s, dir).select(pmod(col("vec_id"), lit(50L)).as("gid"), col("embedding")),
             "gid", "embedding")
-          .orderBy("gid")),
+          .select(col("gid"), posexplode(col("centroid")).as(Seq("pos", "m")))
+          .orderBy("gid", "pos")),
 
     // C4-style span-level corpus dedup: every distinct 10-word span
     // keeps its first occurrence only (corpus order, then position) and

@@ -87,16 +87,40 @@ object SubqueryQueries {
         |GROUP BY CUBE(event_type, d)
         |ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""".stripMargin),
 
-    // Approximate distinct (HLL++): sketch-based, so no cross-engine
-    // oracle — the suite bounds its error against exact instead.
+    // Approximate distinct (HLL++): the raw estimates are
+    // sketch-dependent and can never hash-match across engines, so the
+    // gate relation is an ERROR-BAND oracle instead: each engine
+    // computes exact distinct + its OWN approx estimate and emits
+    // whether the estimate lands within 10 % of exact (Spark's rsd is
+    // pinned at 0.02, 5σ of headroom). Both sides agree on (group,
+    // exact, true) iff both sketches are sane — a real cross-engine
+    // correctness check, not a rows-only count.
     NamedQuery(
       "q38_approx_distinct",
-      None,
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  (abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+             |       - count(DISTINCT user_id))
+             |     <= 0.10 * count(DISTINCT user_id)) AS users_ok,
+             |  count(DISTINCT props) AS exact_props,
+             |  (abs(CAST(approx_count_distinct(props) AS DOUBLE)
+             |       - count(DISTINCT props))
+             |     <= 0.10 * count(DISTINCT props)) AS props_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) =>
         Tables.load(s, dir, "events")
           .groupBy("event_type")
-          .agg(approx_count_distinct("user_id").as("approx_users"),
-            approx_count_distinct("props", 0.02).as("approx_props"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct("user_id", 0.02).as("_au"),
+            countDistinct(col("props")).as("exact_props"),
+            approx_count_distinct("props", 0.02).as("_ap"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("_au").cast("double") - col("exact_users")) <=
+              lit(0.10) * col("exact_users")).as("users_ok"),
+            col("exact_props"),
+            (abs(col("_ap").cast("double") - col("exact_props")) <=
+              lit(0.10) * col("exact_props")).as("props_ok"))
           .orderBy("event_type"))
   )
 }

@@ -141,26 +141,44 @@ object Dedup {
     * The probe keys on h1 alone (64 bits): a bloom miss on h1 implies
     * the 128-bit pair is absent too, and h1 false positives are exactly
     * what the anti-join verify absorbs.
+    *
+    * EAGER, unlike the rest of the library: composing this frame runs
+    * Spark jobs NOW (the index cardinality count — skipped when
+    * `nIndexHint` supplies it from table metadata — and the sketch
+    * build), and the sketch is frozen into the returned plan as a
+    * literal. Re-executing the frame after the index source changes
+    * probes the STALE sketch while the anti-join sees fresh data — the
+    * relation stays correct (the anti-join is authoritative) but the
+    * prefilter's selectivity decays; rebuild the frame after index
+    * updates.
+    *
+    * @param nIndexHint index cardinality if the caller tracks it
+    *        (production table metadata does); `None` counts the index —
+    *        one extra action over 16-byte rows, cheap next to the
+    *        corpus but not free per call.
     */
   def bloomDeltaDedup(
       delta: DataFrame,
       corpusIndex: DataFrame,
       idCol: String,
       contentCols: Seq[String],
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      nIndexHint: Option[Long] = None): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp must be in (0, 1)")
+    require(nIndexHint.forall(_ >= 0L), s"nIndexHint $nIndexHint must be >= 0")
     val h = freshName(delta, "_graft_ch")
     val withH = delta.withColumn(h, contentHash128(contentCols.map(col)))
-    // Production tracks the index cardinality in table metadata; here a
-    // count over the 16-byte index stands in (cheap relative to the
-    // corpus the index summarizes).
-    val nIndex = corpusIndex.count()
+    val nIndex = nIndexHint.getOrElse(corpusIndex.count())
     val unseen =
-      if (nIndex == 0L) withH // empty index: everything is unseen
+      // The empty-index shortcut is taken only on a COUNTED zero: a
+      // hinted 0 against a non-empty index would silently skip the
+      // anti-join. The hint affects only sketch sizing — a wrong hint
+      // degrades the prefilter's fpp, never the relation.
+      if (nIndex == 0L && nIndexHint.isEmpty) withH
       else {
         val sketch = corpusIndex
           .select(col("content_hash").getField("h1").as("h1"))
-          .stat.bloomFilter("h1", nIndex, fpp)
+          .stat.bloomFilter("h1", math.max(nIndex, 1L), fpp)
         val bytes = {
           val bos = new java.io.ByteArrayOutputStream()
           sketch.writeTo(bos)

@@ -127,23 +127,6 @@ object Sampling {
     }
   }
 
-  /** Deterministic training-order shuffle + sharding: every row gets a
-    * pseudo-random but SEEDED rank (Knuth multiplicative hash of its
-    * key), a shard id, and its position within the shard — the
-    * "shuffle once, replay anywhere" contract a training run needs for
-    * resumable, order-reproducible epochs. Plain integer arithmetic
-    * (not xxhash) so any engine reading the manifest can recompute the
-    * order; each step stays under 2⁶³ by reducing the key mod 2³¹
-    * first (keys that collide there are tie-broken by the key itself,
-    * keeping the total order deterministic).
-    *
-    * Scale shape: the rank and shard are row-local expressions; the
-    * only exchange is the per-shard position window, which partitions
-    * by shard id — shards are sized by the caller (corpus / nShards),
-    * so each window partition is one shard's manifest, never the
-    * corpus. Keys must be non-negative (ids); a window `pos` is dense
-    * from 1 within each shard.
-    */
   /** Globally contiguous 0-based index in `keyCol` order — the
     * distributed `zipWithIndex`: `row_number() OVER (ORDER BY key)`
     * semantics WITHOUT the single-partition global-sort window that
@@ -156,6 +139,15 @@ object Sampling {
     * result is invariant to where the sampled range boundaries fall,
     * so the relation is deterministic even though the boundaries are
     * estimated.
+    *
+    * Determinism assumption: the ranked side and the offsets side both
+    * re-evaluate `local`, so the pid-keyed join relies on the two
+    * subtrees landing on the SAME range boundaries — true for
+    * deterministic inputs (files, any pure transform chain), which is
+    * exchange-reuse independent because RangePartitioner re-samples the
+    * same rows. A NON-deterministic upstream (round-robin
+    * `repartition()`, a re-executed random source) can break that under
+    * task retries; materialize such inputs first.
     *
     * `keyCol` must be duplicate-free (the usual unique-id contract —
     * ties would make ranks within a key arbitrary). Appends
@@ -187,6 +179,29 @@ object Sampling {
       .drop(pid, rk, off)
   }
 
+  /** Deterministic training-order shuffle + sharding: every row gets a
+    * pseudo-random but SEEDED rank (Knuth multiplicative hash of its
+    * key), a shard id, and its position within the shard — the
+    * "shuffle once, replay anywhere" contract a training run needs for
+    * resumable, order-reproducible epochs. Plain integer arithmetic
+    * (not xxhash) so any engine reading the manifest can recompute the
+    * order; each step stays under 2⁶³ by reducing the key mod 2³¹
+    * first (keys that collide there are tie-broken by the key itself,
+    * keeping the total order deterministic).
+    *
+    * Scale shape: shard and rank are row-local expressions; `pos` uses
+    * the [[contiguousIndex]] two-phase shape over the TOTAL
+    * (shard, rank, key) order — range-partition at the session's
+    * shuffle parallelism, rank locally per (task, shard), then add
+    * broadcast prefix-sum offsets per (task, shard). A shard's
+    * positions are therefore computed by MANY tasks, never funneled
+    * through one window partition per shard (the classic
+    * under-parallelized `partitionBy(shard)` window, which at 100 TB
+    * would sort 1/nShards of the corpus in a single task). Same
+    * determinism assumption as [[contiguousIndex]] (both join sides
+    * re-evaluate the ranked frame). Keys must be non-negative (ids);
+    * `pos` is dense from 1 within each shard.
+    */
   def seededShuffle(
       df: DataFrame,
       keyCol: String,
@@ -198,13 +213,32 @@ object Sampling {
         s"seededShuffle writes a '$n' column but the input already has one")
     }
     val k = col(keyCol).cast("long")
-    val mix = pmod(
+    val mixExpr = pmod(
       pmod(k, lit(2147483648L)) * lit(2654435761L) + lit(seed),
       lit(4294967296L))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(mix, lit(nShards.toLong)))
-      .orderBy(mix, k)
-    df.withColumn("shard", pmod(mix, lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    val mix = Dedup.freshName(df, "_graft_mix")
+    val pid = Dedup.freshName(df, "_graft_pid")
+    val rk = Dedup.freshName(df, "_graft_lrk")
+    val off = Dedup.freshName(df, "_graft_off")
+    // Range-partition the total (shard, mix, key) order at full session
+    // parallelism: each shard spans MANY contiguous partitions, and a
+    // (partition, shard) group is one task's slice of one shard.
+    val local = df
+      .withColumn("shard", pmod(mixExpr, lit(nShards.toLong)))
+      .withColumn(mix, mixExpr)
+      .repartitionByRange(col("shard"), col(mix), k)
+      .withColumn(pid, spark_partition_id())
+      .withColumn(rk, row_number().over(
+        Window.partitionBy(col(pid), col("shard")).orderBy(col(mix), k)).cast("long"))
+    // ≈ numPartitions + nShards rows (one per (task, shard) slice): the
+    // prefix-sum window partitions by shard over task COUNTS, not data.
+    val offsets = local.groupBy(col(pid), col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn(off, coalesce(
+        sum("n").over(Window.partitionBy(col("shard")).orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("n")
+    local.join(broadcast(offsets), Seq(pid, "shard"))
+      .withColumn("pos", col(rk) + col(off))
+      .select((df.columns.map(col) :+ col("shard") :+ col("pos")): _*)
   }
 }

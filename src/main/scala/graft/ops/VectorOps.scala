@@ -393,8 +393,11 @@ object VectorOps {
     if (base.isEmpty) return df // no directions anywhere → nothing to dedup
     val v = assignClusters(df, vecCol, indexedCents(base))
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+    // the size table is nClusters rows — broadcast it explicitly so the
+    // mega-cluster filter stays map-side (no exchange between the
+    // assignment pass and the size filter)
     val sized = v.join(
-      v.groupBy("cluster").agg(count(lit(1)).as("_graft_csz")), Seq("cluster"))
+      broadcast(v.groupBy("cluster").agg(count(lit(1)).as("_graft_csz"))), Seq("cluster"))
       .filter(col("_graft_csz") <= maxCluster)
     val a = sized.select(col("cluster"), col(idCol).as("_graft_ida"),
       col("dv").as("_graft_va"), col("nrm").as("_graft_na"))

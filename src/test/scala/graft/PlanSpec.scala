@@ -148,6 +148,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
   }
 
+  test("q86: seededShuffle never funnels a shard through one window task") {
+    // The anti-pattern is Window partitionBy(shard) — nShards groups, so
+    // 1/nShards of the corpus sorts in a single task. The two-phase
+    // shape must (a) range-partition the total (shard, mix, key) order,
+    // (b) rank per (task, shard) — every data-path window spec carries
+    // the partition-id column, never shard alone — and (c) attach the
+    // offsets by broadcast with no single-partition exchange anywhere.
+    val df = graft.ops.Sampling.seededShuffle(
+      Tables.load(spark, TestSpark.Sf001, "events"), "event_id", 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the data path:\n$p")
+    // the ranking window's spec must lead with the pid, not shard
+    val shardLed = "windowspecdefinition\\(shard#".r.findAllIn(p).size
+    val pidLed = "windowspecdefinition\\(_graft_pid".r.findAllIn(p).size
+    assert(pidLed >= 1, s"no (pid, shard)-keyed ranking window:\n$p")
+    // the one shard-led window allowed is the offsets prefix-sum, which
+    // runs over (task, shard) COUNTS — it must sit above the tiny
+    // aggregate, i.e. there are at most as many as pid-led ones
+    assert(shardLed <= pidLed, s"shard-alone window on the data path:\n$p")
+  }
+
+  test("q85: the cluster-size attach broadcasts — no exchange between assignment and size filter") {
+    // SemDeDup's mega-cluster guard joins the nClusters-row size table
+    // onto the assigned corpus; hash-partitioning that join would
+    // re-shuffle the whole corpus on `cluster`. Pin: the size filter's
+    // subtree reaches the scan through a BroadcastHashJoin with no
+    // ShuffleExchange in between.
+    // (Catalyst pushes the <= maxCluster predicate into the tiny
+    // size-agg subtree and inlines _graft_csz away, so the pin is on
+    // join PLACEMENT: every cluster-keyed join — the size attach and
+    // the pair join — must be a broadcast join; a hash-partitioned one
+    // would re-shuffle the assigned corpus.)
+    val p = plan("q85_semdedup")
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[cluster".r.findFirstIn(p).isEmpty,
+      s"cluster-keyed join shuffles the assigned corpus:\n$p")
+    val broadcastOnCluster = "BroadcastHashJoin \\[cluster".r.findAllIn(p).size
+    assert(broadcastOnCluster >= 2, // size attach + pair join
+      s"expected broadcast size-attach and pair joins, got $broadcastOnCluster:\n$p")
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(

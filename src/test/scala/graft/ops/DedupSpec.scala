@@ -85,6 +85,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomDeltaDedup nIndexHint: sizing-only — identical relation even when the hint is wrong") {
+    val index = Dedup.indexHashes(docs.filter($"doc_id" % 3 =!= 0), Seq("text"))
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val plain = Dedup.deltaDedup(delta, index, "doc_id", Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact hint (the production path: cardinality from table metadata,
+    // no count() action), a wildly-low hint, and the adversarial 0-hint
+    // against a NON-empty index: all must keep the anti-join
+    // authoritative — the hint can degrade the prefilter, never dedup.
+    for (hint <- Seq(Some(index.count()), Some(5L), Some(0L))) {
+      val hinted = Dedup.bloomDeltaDedup(
+          delta, index, "doc_id", Seq("text"), nIndexHint = hint)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hinted === plain, s"hint=$hint")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomDeltaDedup(delta, index, "doc_id", Seq("text"), nIndexHint = Some(-1L))
+    }
+  }
+
   test("exact dedup does not clobber a caller column named _graft_ch") {
     val df = Seq((1L, "a", "keep"), (2L, "a", "keep2"))
       .toDF("doc_id", "text", "_graft_ch")

@@ -132,6 +132,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(reseeded !== a, "a different seed must give a different order")
   }
 
+  test("seededShuffle: the two-phase pos matches the per-shard rank definition at two shard counts") {
+    // pos must equal row_number() over (partition by shard order by mix,
+    // key) — the DEFINITION the two-phase plan replaces — regardless of
+    // nShards or input partitioning. Recompute the definition driver-side
+    // from the emitted (shard, mix-order) relation and compare exactly.
+    for (nShards <- Seq(3, 8); parts <- Seq(1, 13)) {
+      val rows = Sampling.seededShuffle(docs.repartition(parts), "doc_id", nShards)
+        .select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def mix(k: Long): Long =
+        math.floorMod(math.floorMod(k, 2147483648L) * 2654435761L + 42L, 4294967296L)
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (shard, rs) =>
+        rs.sortBy { case (k, _, _) => (mix(k), k) }
+          .zipWithIndex.map { case ((k, _, _), i) => (k, shard, i + 1L) }
+      }.toSet
+      assert(rows.toSet === want, s"nShards=$nShards parts=$parts")
+    }
+  }
+
   test("seededShuffle rejects inputs that already carry shard/pos columns") {
     import spark.implicits._
     val df = Seq((1L, 0L)).toDF("doc_id", "shard")

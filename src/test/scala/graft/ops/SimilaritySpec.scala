@@ -37,9 +37,8 @@ class SimilaritySpec extends AnyFunSuite {
     val out = VectorOps.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 3)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(out === Map(1L -> ((1, 2L)), 2L -> ((2, 3L))))
-    // Vote tie: k=2 over cluster A gives labels {1, 1-or-7} depending on
-    // rank; with k=2 ranks are ids 10,11 → both label 1. Use k=6 over
-    // both clusters: 3 votes each for labels... construct directly:
+    // Vote tie, constructed directly: two equal-cosine neighbors with
+    // labels 5 and 3, k=2 → one vote each; the smaller label must win.
     val tieCorpus = Seq(
       (1L, Array(1.0f, 0.0f), 5), (2L, Array(1.0f, 0.0f), 3))
       .toDF("vec_id", "embedding", "label")
