@@ -45,13 +45,51 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
+    // Suspect list: regressions should be flagged BY the build, not
+    // found by a reader diffing round artifacts. `bench_latest.json`
+    // is the committed full line from the previous round's run; a
+    // query is suspect when it is both >2x slower than last round AND
+    // >0.1 s slower in absolute terms (the ratio alone flags 30 ms
+    // jitter on sub-0.1 s queries, which is noise, not regression).
+    val prev: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_latest.json")))
+        """"(q\d+[a-z0-9_]*)":(-?\d+(?:\.\d+)?([eE]-?\d+)?)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val suspect = results.collect {
+      case (k, v) if v >= 0 && prev.get(k).exists(p => p > 0 && v > 2 * p && v - p > 0.1) => k
+    }
+    if (suspect.nonEmpty)
+      System.err.println(s"[bench] SUSPECT (>2x vs previous round): ${suspect.mkString(",")}")
     // Brokenness must be visible IN the machine-readable line, not only
     // on stderr: a failed query is excluded from the total (its own -1
     // stays in the per-query map), so without the failed list a
     // partially-broken build would read as a FASTER one.
     val failedJson = failed.map(JsonStr(_)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
-      s""""failed":$failedJson,"queries":$qs,"sf":${JsonStr(sfDir)}}""")
+    val suspectJson = suspect.map(JsonStr(_)).mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
+      s""""failed":$failedJson,"suspect":$suspectJson,"queries":$qs,"sf":${JsonStr(sfDir)}}"""
+    println(line)
+    // The driver captures only the TAIL of stdout, which truncated
+    // q01–q28 out of BENCH_r05.json ("parsed": null). Persist the full
+    // line twice: target/bench.json for the round artifact, and
+    // bench_latest.json at the repo root so (a) it gets committed with
+    // the round and (b) the next round's suspect comparison above has a
+    // complete, parseable baseline.
+    for (p <- Seq("target/bench.json", "bench_latest.json")) {
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(path,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
