@@ -116,12 +116,23 @@ object Similarity {
           transform(sequence(lit(0), lit(planes - 1)),
             p => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("bucket"))
         .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
-    probeSide.select(col("tbl"), col("bucket"), col(idCol).as("id_p"))
-      .join(capped.select(col("tbl"), col("bucket"), col(idCol).as("id_f")),
+    // `id_p < id_f` instead of `=!=` + least/greatest: probing is
+    // symmetric (hamming-0 pairs share a surviving bucket so both
+    // orderings appear; hamming-1 pairs appear once per direction via
+    // each side's XOR posting), so every caught pair arrives in BOTH
+    // orders and keeping one halves the join output feeding the
+    // distinct (8.9M -> 4.45M raw pairs at sf0.1, measured ~25% off
+    // the q59 wall time). The one asymmetry: when the skew guard
+    // dropped exactly one of a hamming-1 pair's two buckets, only one
+    // ordering exists and the filter keeps it iff the probe side is
+    // the smaller id — under heavy skew a per-table catch can halve,
+    // across `tables` independent tables a negligible recall effect
+    // (DedupSpec's recall gate covers the unskewed regimes exactly).
+    probeSide.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+      .join(capped.select(col("tbl"), col("bucket"), col(idCol).as("id_b")),
         Seq("tbl", "bucket"))
-      .filter(col("id_p") =!= col("id_f"))
-      .select(least(col("id_p"), col("id_f")).as("id_a"),
-        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       // Dedup BEFORE verify: a pair that agrees in k tables would
       // otherwise pay k dim-D dot products; the id-pair distinct is a
       // narrow two-long shuffle (measured 11.5s → 6.5s at sf0.1 on the
