@@ -31,11 +31,16 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i * maxUid)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
-    // documents: replicas get offset ids and a replica-unique tail token
-    // (so replicas are near- but not exact duplicates). Pair-relation
-    // queries (q22/q66) are deliberately NOT probed on this corpus:
-    // replicating a corpus k× genuinely grows its near-dup relation ~k²
-    // — that would measure the data change, not the plan.
+    // documents: replicas get offset ids and — crucially — a per-TOKEN
+    // replica tag ("$0rN" on every token), so each replica's
+    // token/shingle space is DISJOINT from every other replica's.
+    // Under the old tail-token scheme replicas were near-duplicates
+    // sharing all their shingles, so any posting-list join (q87/q95
+    // decontamination, q22/q66 pair relations) genuinely grew ~k² in
+    // the DATA — the probe would have measured the relation change,
+    // not the plan. With disjoint replica vocabularies every
+    // per-shingle posting stays its 1x size and the pair relations
+    // grow exactly k×, which is what "the plan is linear" means.
     val docs = Tables.load(spark, dir, "documents")
     val maxDid = docs.agg(max("doc_id")).head().getLong(0) + 1
     (0 until k).map { i =>
@@ -43,7 +48,8 @@ object ScaleProbe {
       // replica 0 stays byte-identical to the 1x baseline so the ratio
       // measures replication, not a per-doc text change
       if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" replica$i")))
+      else d.withColumn("text",
+        regexp_replace(col("text"), "\\S+", s"$$0r$i"))
     }
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
@@ -63,7 +69,12 @@ object ScaleProbe {
     for (q <- Seq("q10_pricing_summary", "q51_selective_revenue",
         "q02_daily_count", "q42_sessionization_batch", "q15_window_topn",
         "q63_attribution_batch", "q64_tfidf_topterms", "q65_quota_sample",
-        "q67_repetition", "q68_pack_sequences")) {
+        "q67_repetition", "q68_pack_sequences",
+        // round-4/5 operators (r5 advice #4) + the pair relations the
+        // disjoint-vocabulary replicas make honestly probe-able
+        "q84_heavy_hitters", "q87_source_overlap", "q90_bloom_delta_dedup",
+        "q92_source_kl", "q94_contiguous_index", "q95_training_manifest",
+        "q22_ngram_jaccard", "q66_contamination")) {
       time(q, dir) // warm
       val t1 = time(q, dir)
       val tk = time(q, tmp)
