@@ -165,6 +165,94 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(written.select("message.message_id").head().getLong(0) === 902L)
   }
 
+  test("Kafka-frame ingest END-TO-END: binary frames -> raw zone -> ETL row-identical to the file-inbox run") {
+    import spark.implicits._
+    // The full fixture set (both days' messages, the redelivery dup and
+    // the edited_message reject included) driven through BOTH transports
+    // and the ETL: the enriched relations must match row-for-row,
+    // because route/flatten/dedup never see the transport.
+    val messages = Seq(
+      msg(1, 101, 11, "Ana", false, t1, Some("hello")),
+      msg(2, 102, 11, "Ana", false, t1 + 60, Some("hi")),
+      msg(3, 103, 12, "Bob", false, t1 + 120, None),
+      msg(4, 102, 11, "Ana", false, t1 + 60, Some("hi")), // redelivery
+      """{"update_id":5,"edited_message":{"message_id":101,"chat":{"id":-100,"type":"group"},"date":1704628801}}""",
+      msg(6, 201, 11, "Ana", false, t2, Some("abcdef")),
+      msg(7, 202, 12, "Bob", false, t2 + 60, Some("abcd")),
+      msg(8, 203, 12, "Bob", false, t2 + 120, None),
+      msg(9, 204, 13, "Cat", true, t2 + 180, Some("meow")))
+    // Path A: file inbox (one JSON body per file, the webhook stand-in)
+    val inbox = Files.createTempDirectory("e2e_inbox")
+    messages.zipWithIndex.foreach { case (m, i) =>
+      Files.write(inbox.resolve(f"m$i%02d.json"), m.getBytes("UTF-8"))
+    }
+    val rawA = Files.createTempDirectory("e2e_raw_a").toString
+    IngestJob.start(spark, inbox.toString, rawA,
+      Files.createTempDirectory("e2e_ckpt_a").toString, chatId = -100L)
+      .awaitTermination()
+    // Path B: the same bodies as BINARY Kafka-wire frames
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]](spark)
+    mem.addData(messages.map(_.getBytes("UTF-8")))
+    val rawB = Files.createTempDirectory("e2e_raw_b").toString
+    IngestJob.startFrom(
+      IngestJob.fromMessageStream(mem.toDF()), rawB,
+      Files.createTempDirectory("e2e_ckpt_b").toString, chatId = -100L)
+      .awaitTermination()
+    // Both paths stamped today's ingestion date; ETL that partition
+    val today = java.time.LocalDate.now(java.time.ZoneId.of(IngestJob.PipelineTz))
+    val enrA = Files.createTempDirectory("e2e_enr_a").toString
+    val enrB = Files.createTempDirectory("e2e_enr_b").toString
+    val (na, ra) = EtlJob.run(spark, rawA, enrA, today)
+    val (nb, rb) = EtlJob.run(spark, rawB, enrB, today)
+    // 9 bodies: the edited_message never routes (no message.chat.id),
+    // the redelivery collapses in the ETL dedup -> 7 enriched rows
+    assert(na === 7 && nb === 7)
+    assert(ra === rb)
+    def rows(dir: String) = spark.read
+      .schema(TelegramSchema.enrichedSchema).parquet(dir)
+      .collect().map(_.toSeq.map(v => Option(v).map(_.toString))).toSet
+    assert(rows(enrA) === rows(enrB))
+  }
+
+  test("incremental manifest: two micro-batches reproduce the batch manifest on the union (q95 twin)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // id-ordered halves: first-seen-wins across batches then coincides
+    // with the batch manifest's global min-id dedup winner
+    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
+    val stage = Files.createTempDirectory("inc_manifest_src")
+    val srcDir = stage.resolve("src")
+    Files.createDirectories(srcDir)
+    Seq(docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid))
+      .zipWithIndex.foreach { case (half, i) =>
+        val part = stage.resolve(s"half$i")
+        half.coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = part.toFile.listFiles.filter(_.getName.endsWith(".parquet")).head
+        val dst = srcDir.resolve(f"part$i%02d.parquet")
+        Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L) // arrival order
+      }
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val stateDir = Files.createTempDirectory("inc_manifest_state").toString
+    val q = graft.streaming.IncrementalManifest.start(
+      src, bench, stateDir,
+      Files.createTempDirectory("inc_manifest_ckpt").toString)
+    q.awaitTermination()
+    // genuinely incremental: one state partition per micro-batch
+    assert(new java.io.File(stateDir).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("batch=")) === 2)
+    def manifestRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incremental = manifestRows(
+      graft.streaming.IncrementalManifest.manifest(spark, stateDir))
+    val batch = manifestRows(
+      graft.SparkEntry.queries("q95_training_manifest")(spark, dir))
+    assert(incremental === batch)
+  }
+
   test("IngestJob source seam: Kafka-wire MemoryStream routes identically to the file inbox") {
     import spark.implicits._
     // Same three deliveries as the file-inbox test, but arriving as a
