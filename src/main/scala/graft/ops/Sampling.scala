@@ -189,25 +189,36 @@ object Sampling {
     * first (keys that collide there are tie-broken by the key itself,
     * keeping the total order deterministic).
     *
-    * Scale shape: shard and rank are row-local expressions; `pos` uses
-    * the [[contiguousIndex]] two-phase shape over the TOTAL
-    * (shard, rank, key) order — range-partition at the session's
-    * shuffle parallelism, rank locally per (task, shard), then add
-    * broadcast prefix-sum offsets per (task, shard). A shard's
-    * positions are therefore computed by MANY tasks, never funneled
-    * through one window partition per shard (the classic
-    * under-parallelized `partitionBy(shard)` window, which at 100 TB
-    * would sort 1/nShards of the corpus in a single task). Same
-    * determinism assumption as [[contiguousIndex]] (both join sides
-    * re-evaluate the ranked frame). Keys must be non-negative (ids);
-    * `pos` is dense from 1 within each shard.
+    * Scale shape: shard, rank AND the slice a row ranks in are all
+    * row-local expressions. Because `mix` is uniform in [0, 2³²) BY
+    * CONSTRUCTION (a multiplicative hash), the total (shard, mix, key)
+    * order can be cut into contiguous slices analytically —
+    * `bucket = shard·S + (mix·S) >> 32` — with no range-boundary
+    * sampling job at all (the round-5 shape range-partitioned, which
+    * pays a sampling pass over the input and, because Catalyst prunes
+    * the two subtrees differently, re-ran that exchange twice; the
+    * analytic bucket needs neither). Each bucket ranks in an ordinary
+    * hash-partitioned window — ~S·nShards groups, so a shard is spread
+    * over MANY tasks, never the classic under-parallelized
+    * `partitionBy(shard)` window that would sort 1/nShards of the
+    * corpus in one task — and the bucket-count prefix sum joins back
+    * as a broadcast of ≤ S·nShards rows. The offsets branch
+    * partial-aggregates map-side, so the input is scanned twice but
+    * SHUFFLED only once (the second pass exchanges ≤ S·nShards count
+    * rows, not data). Fully deterministic under any physical
+    * partitioning — no `spark_partition_id`, no sampled boundaries.
+    * Keys must be non-negative (ids); `pos` is dense from 1 within
+    * each shard.
     */
   def seededShuffle(
       df: DataFrame,
       keyCol: String,
       nShards: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      slicesPerShard: Int = 32): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    require(slicesPerShard >= 1 && slicesPerShard <= (1 << 20),
+      s"slicesPerShard=$slicesPerShard must be in [1, 2^20]")
     Seq("shard", "pos").foreach { n =>
       require(!df.columns.exists(_.equalsIgnoreCase(n)),
         s"seededShuffle writes a '$n' column but the input already has one")
@@ -217,27 +228,28 @@ object Sampling {
       pmod(k, lit(2147483648L)) * lit(2654435761L) + lit(seed),
       lit(4294967296L))
     val mix = Dedup.freshName(df, "_graft_mix")
-    val pid = Dedup.freshName(df, "_graft_pid")
+    val bkt = Dedup.freshName(df, "_graft_bkt")
     val rk = Dedup.freshName(df, "_graft_lrk")
     val off = Dedup.freshName(df, "_graft_off")
-    // Range-partition the total (shard, mix, key) order at full session
-    // parallelism: each shard spans MANY contiguous partitions, and a
-    // (partition, shard) group is one task's slice of one shard.
-    val local = df
+    val s = slicesPerShard.toLong
+    // (mix·S) >> 32 is exact integer floor(mix·S / 2³²): mix < 2³² and
+    // S ≤ 2²⁰ keep the product under 2⁵², and the shift never rounds
+    // (a double division could bump a boundary row into the next slice).
+    val base = df
       .withColumn("shard", pmod(mixExpr, lit(nShards.toLong)))
       .withColumn(mix, mixExpr)
-      .repartitionByRange(col("shard"), col(mix), k)
-      .withColumn(pid, spark_partition_id())
-      .withColumn(rk, row_number().over(
-        Window.partitionBy(col(pid), col("shard")).orderBy(col(mix), k)).cast("long"))
-    // ≈ numPartitions + nShards rows (one per (task, shard) slice): the
-    // prefix-sum window partitions by shard over task COUNTS, not data.
-    val offsets = local.groupBy(col(pid), col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn(bkt,
+        col("shard") * lit(s) + shiftrightunsigned(col(mix) * lit(s), 32))
+    val local = base.withColumn(rk, row_number().over(
+      Window.partitionBy(col(bkt)).orderBy(col(mix), k)).cast("long"))
+    // ≤ S·nShards rows (one per slice); partial aggregation makes this
+    // branch's exchange carry counts, not data.
+    val offsets = base.groupBy(col("shard"), col(bkt)).agg(count(lit(1)).as("n"))
       .withColumn(off, coalesce(
-        sum("n").over(Window.partitionBy(col("shard")).orderBy(col(pid))
+        sum("n").over(Window.partitionBy(col("shard")).orderBy(col(bkt))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("n")
-    local.join(broadcast(offsets), Seq(pid, "shard"))
+      .select(col(bkt), col(off))
+    local.join(broadcast(offsets), Seq(bkt))
       .withColumn("pos", col(rk) + col(off))
       .select((df.columns.map(col) :+ col("shard") :+ col("pos")): _*)
   }

@@ -148,28 +148,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
   }
 
-  test("q86: seededShuffle never funnels a shard through one window task") {
+  test("q86: seededShuffle never funnels a shard through one window task, and never samples boundaries") {
     // The anti-pattern is Window partitionBy(shard) — nShards groups, so
-    // 1/nShards of the corpus sorts in a single task. The two-phase
-    // shape must (a) range-partition the total (shard, mix, key) order,
-    // (b) rank per (task, shard) — every data-path window spec carries
-    // the partition-id column, never shard alone — and (c) attach the
-    // offsets by broadcast with no single-partition exchange anywhere.
+    // 1/nShards of the corpus sorts in a single task. The analytic-
+    // bucket shape must (a) rank per slice — every data-path window
+    // spec leads with the bucket column, never shard alone — (b) attach
+    // the offsets by broadcast with no single-partition exchange
+    // anywhere, and (c) plan NO range exchange at all: the slice cut is
+    // an arithmetic expression on the uniform mix hash, so there is no
+    // boundary-sampling job to run (twice — the round-5 plan re-ran it
+    // on both subtrees because pruning defeated exchange reuse).
     val df = graft.ops.Sampling.seededShuffle(
       Tables.load(spark, TestSpark.Sf001, "events"), "event_id", 8)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"seededShuffle must not range-partition (sampling job):\n$p")
     assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in the data path:\n$p")
-    // the ranking window's spec must lead with the pid, not shard
+    // the ranking window's spec must lead with the bucket, not shard
     val shardLed = "windowspecdefinition\\(shard#".r.findAllIn(p).size
-    val pidLed = "windowspecdefinition\\(_graft_pid".r.findAllIn(p).size
-    assert(pidLed >= 1, s"no (pid, shard)-keyed ranking window:\n$p")
+    val bktLed = "windowspecdefinition\\(_graft_bkt".r.findAllIn(p).size
+    assert(bktLed >= 1, s"no bucket-keyed ranking window:\n$p")
     // the one shard-led window allowed is the offsets prefix-sum, which
-    // runs over (task, shard) COUNTS — it must sit above the tiny
-    // aggregate, i.e. there are at most as many as pid-led ones
-    assert(shardLed <= pidLed, s"shard-alone window on the data path:\n$p")
+    // runs over slice COUNTS — it must sit above the tiny aggregate,
+    // i.e. there are at most as many as bucket-led ones
+    assert(shardLed <= bktLed, s"shard-alone window on the data path:\n$p")
+    // the offsets branch must partial-aggregate before its exchange so
+    // the second pass shuffles counts, not data
+    assert("partial_count".r.findAllIn(p).nonEmpty, s"offsets not map-combined:\n$p")
   }
 
   test("q85: the cluster-size attach broadcasts — no exchange between assignment and size filter") {
