@@ -1040,6 +1040,67 @@ object DataOpsQueries {
       },
       (s, dir) => CorpusPipeline.stats(docs(s, dir))),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis), 30
+    // docs per source with weight rising in document length — the
+    // quality-vs-quota mixture knob. The rank key ln(u)/w is pure
+    // arithmetic on the seeded integer mix, so the oracle replays the
+    // identical draw; u's 2^-32 spacing dwarfs any ln() ULP drift.
+    NamedQuery(
+      "q96_weighted_sample",
+      Some("""WITH m AS (SELECT doc_id, source, n_chars,
+             |        ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix
+             |      FROM documents),
+             |r AS (SELECT doc_id, source, n_chars,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY ln((CAST(mix AS DOUBLE) + 0.5) / 4294967296.0)
+             |                   / (0.5 + CAST(n_chars AS DOUBLE) / 500.0) DESC,
+             |                 doc_id) AS rn
+             |      FROM m)
+             |SELECT doc_id, source, n_chars FROM r WHERE rn <= 30
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.weightedSample(
+            docs(s, dir).select("doc_id", "source", "n_chars"),
+            "doc_id",
+            lit(0.5) + col("n_chars").cast("double") / lit(500.0),
+            Seq("source"), k = 30)
+          .orderBy("doc_id")),
+
+    // Perplexity-quartile mixture report: bucket every doc by exact
+    // LM-score quartiles WITHOUT a global ntile (whose window is one
+    // task sorting the corpus) — cut points are a broadcast percentile
+    // aggregate, bucketing is a map-side compare. Cut points derive
+    // from the 4-dp-rounded lm_score both sides, so boundary
+    // comparisons are bit-identical across engines.
+    NamedQuery(
+      "q97_perplexity_buckets",
+      Some("""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+             |f AS (SELECT w, count(*) c FROM e GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM f),
+             |sc AS (SELECT e.doc_id, ROUND(AVG(ln(CAST(f.c AS DOUBLE) / tot.s)), 4) lm_score
+             |       FROM e JOIN f USING (w) CROSS JOIN tot GROUP BY e.doc_id),
+             |j AS (SELECT sc.doc_id, sc.lm_score, d.n_chars
+             |      FROM sc JOIN documents d USING (doc_id)),
+             |cu AS (SELECT quantile_cont(lm_score, [0.25, 0.5, 0.75]) cuts FROM j),
+             |b AS (SELECT j.*, len(list_filter(cu.cuts, c -> j.lm_score >= c)) bucket
+             |      FROM j CROSS JOIN cu)
+             |SELECT CAST(bucket AS INT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+             |  ROUND(AVG(lm_score), 6) AS avg_score
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+          .join(d.select("doc_id", "n_chars"), Seq("doc_id"))
+        Sampling.quantileBucket(scored, "lm_score", Seq(0.25, 0.5, 0.75))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+            round(avg("lm_score"), 6).as("avg_score"))
+          .orderBy("bucket")
+      }),
+
     // ------------------------------------------------- multimodal
     NamedQuery(
       "q31_multimodal_meta",

@@ -179,6 +179,83 @@ object Sampling {
       .drop(pid, rk, off)
   }
 
+  /** Weighted sampling WITHOUT replacement, `k` rows per group
+    * (Efraimidis–Spirakis A-ES): each row draws a deterministic
+    * pseudo-uniform u from the seeded [[seededMix]] of its key and
+    * ranks by ln(u)/w — the k best per group are distributed exactly as
+    * sequential weighted draws without replacement. The quality-vs-
+    * quota knob a mixture needs between [[quotaPerGroup]] (hard cap,
+    * deterministic order) and [[hashSample]] (unweighted fraction):
+    * doubling a row's weight doubles its first-draw odds, but no
+    * weight, however large, can take more than its one slot.
+    *
+    * ln is monotone, so ranking by ln(u)/w ≡ ranking by the textbook
+    * u^(1/w) — without the pow() whose cross-engine ULP drift would be
+    * larger; u = (mix + 0.5)/2³² is exact in double (the scale is a
+    * power of two), making the whole rank key reproducible by the SQL
+    * oracle bit-for-bit modulo a 1-ulp ln difference, far below the
+    * ~2⁻³² spacing of distinct u's. Ties (keys equal mod 2³¹) break by
+    * the key.
+    *
+    * Rows with weight ≤ 0 are excluded (a zero-weight row can never be
+    * drawn; negative weights have no sampling meaning).
+    *
+    * Scale shape: the rank is a rank-filter window → WindowGroupLimit
+    * pre-prunes every map task to k rows per group BEFORE the exchange
+    * (same structural skew protection as [[quotaPerGroup]] — a hot
+    * group ships k·partitions rows, never its population).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: org.apache.spark.sql.Column,
+      groupCols: Seq[String],
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val u = (seededMix(col(keyCol).cast("long"), seed).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val esKey = log(u) / weight
+    val rk = Dedup.freshName(df, "_graft_rk")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(esKey.desc, col(keyCol))
+    df.filter(weight > lit(0.0))
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(rk)
+  }
+
+  /** Exact-quantile bucket id for `valueCol`: cut points are the exact
+    * interpolated percentiles at `probs` (an all-column aggregate that
+    * broadcasts as one row), bucket = how many cut points the value is
+    * ≥ — so `probs = [0.25, 0.5, 0.75]` yields quartile ids 0–3. The
+    * corpus-partitioning step of perplexity-filtered mixtures
+    * (buckets → per-bucket caps/weights).
+    *
+    * Deliberately NOT `ntile()`: a global ntile windows over ONE
+    * partition — the whole corpus sorted by a single task. Here the
+    * only non-map stage is the percentile aggregate (map-side partial,
+    * one reduce of per-partition digests); bucketing itself is a
+    * broadcast-compare, and ties land deterministically (every value
+    * equal to a cut point goes to the same side, in every engine
+    * computing the same comparison).
+    */
+  def quantileBucket(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0),
+      s"probs ${probs.mkString(",")} must all be in (0, 1)")
+    require(probs == probs.sorted && probs.distinct == probs,
+      s"probs ${probs.mkString(",")} must be strictly increasing")
+    require(!df.columns.exists(_.equalsIgnoreCase("bucket")),
+      "quantileBucket writes a 'bucket' column but the input already has one")
+    val cutsCol = Dedup.freshName(df, "_graft_cuts")
+    val cuts = df.agg(
+      expr(s"percentile($valueCol, array(${probs.mkString(",")}))").as(cutsCol))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        size(filter(col(cutsCol), c => col(valueCol) >= c)))
+      .drop(cutsCol)
+  }
+
   /** Deterministic training-order shuffle + sharding: every row gets a
     * pseudo-random but SEEDED rank (Knuth multiplicative hash of its
     * key), a shard id, and its position within the shard — the
@@ -210,6 +287,17 @@ object Sampling {
     * Keys must be non-negative (ids); `pos` is dense from 1 within
     * each shard.
     */
+  /** The seeded Knuth multiplicative mix shared by [[seededShuffle]],
+    * [[weightedSample]] and their SQL oracles: pseudo-uniform in
+    * [0, 2³²), pure integer arithmetic so ANY engine reading a manifest
+    * can recompute it bit-identically. Keys that collide mod 2³¹ are
+    * tie-broken by the key itself wherever the mix orders rows.
+    */
+  def seededMix(key: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    pmod(
+      pmod(key, lit(2147483648L)) * lit(2654435761L) + lit(seed),
+      lit(4294967296L))
+
   def seededShuffle(
       df: DataFrame,
       keyCol: String,
@@ -224,9 +312,7 @@ object Sampling {
         s"seededShuffle writes a '$n' column but the input already has one")
     }
     val k = col(keyCol).cast("long")
-    val mixExpr = pmod(
-      pmod(k, lit(2147483648L)) * lit(2654435761L) + lit(seed),
-      lit(4294967296L))
+    val mixExpr = seededMix(k, seed)
     val mix = Dedup.freshName(df, "_graft_mix")
     val bkt = Dedup.freshName(df, "_graft_bkt")
     val rk = Dedup.freshName(df, "_graft_lrk")

@@ -159,6 +159,61 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: per-group cap, determinism under repartitioning, weight > 0 contract") {
+    val out = Sampling.weightedSample(
+      docs.select("doc_id", "source"), "doc_id", lit(1.0), Seq("source"), 10)
+    val perGroup = out.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(perGroup.nonEmpty)
+    perGroup.foreach { case (src, n) => assert(n <= 10, s"$src overflowed: $n") }
+    val a = out.collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(
+        docs.select("doc_id", "source").repartition(13), "doc_id", lit(1.0), Seq("source"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample not invariant to physical partitioning")
+    // weight <= 0 rows can never be drawn
+    val zeroed = Sampling.weightedSample(
+        docs.select("doc_id", "source"), "doc_id",
+        when(col("doc_id") % 2 === 0, lit(0.0)).otherwise(lit(1.0)), Seq("source"), 10)
+      .collect().map(_.getLong(0))
+    assert(zeroed.forall(_ % 2 === 1), "zero-weight rows were sampled")
+  }
+
+  test("weightedSample: heavier rows are drawn proportionally more often (A-ES distribution)") {
+    // one group, 10x weight on ids < 100 vs ids >= 100 (400 of them):
+    // total weight splits 1000 vs 400, so a draw of 50 should be
+    // dominated by heavy rows — and NO weight can exceed its one slot.
+    val df = spark.range(500).toDF("id")
+    val heavy = Sampling.weightedSample(
+        df, "id", when(col("id") < 100, lit(10.0)).otherwise(lit(1.0)),
+        Seq.empty, 50)
+      .collect().map(_.getLong(0))
+    assert(heavy.length === 50)
+    val nHeavy = heavy.count(_ < 100)
+    // E[heavy] ≈ 35–40 of 50 under A-ES; anything over 30 shows the
+    // weight bites, anything under 50 shows no row exceeds one slot
+    assert(nHeavy > 30, s"only $nHeavy/50 heavy rows — weights not applied")
+    assert(heavy.distinct.length === 50, "sampling WITH replacement detected")
+  }
+
+  test("quantileBucket: quartile ids 0-3, ~n/4 per bucket, boundaries exact") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+    val out = Sampling.quantileBucket(df, "v", Seq(0.25, 0.5, 0.75))
+    val counts = out.groupBy("bucket").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(counts.keySet === Set(0, 1, 2, 3))
+    // exact percentile over 0..999: cuts at 249.75/499.5/749.25 →
+    // buckets of 250 each
+    assert(counts.values.toSeq.sorted === Seq(250L, 250L, 250L, 250L))
+    // a value equal to a cut point buckets upward (>= comparison)
+    val cutEq = Sampling.quantileBucket(
+        Seq(0.0, 1.0, 2.0).toDF("v"), "v", Seq(0.5))
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toMap
+    assert(cutEq(1.0) === 1, "value at the cut must land in the upper bucket")
+    assert(cutEq(0.0) === 0 && cutEq(2.0) === 1)
+  }
+
   test("contiguousIndex: 0..n-1 in key order, invariant to shard count and physical partitioning") {
     val docs = graft.Tables.load(spark, graft.TestSpark.Sf001, "documents")
     def run(df: org.apache.spark.sql.DataFrame, shards: Int) =
