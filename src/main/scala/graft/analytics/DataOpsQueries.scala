@@ -1101,6 +1101,127 @@ object DataOpsQueries {
           .orderBy("bucket")
       }),
 
+    // Token-budget mixture plan: per-source token mass + target weight →
+    // sampling fraction and epoch multiplier to hit a 50k-token budget.
+    // The planning arithmetic every mixture config turns into — pure
+    // per-source aggregates plus a broadcast total, nothing
+    // corpus-scale after the token count.
+    NamedQuery(
+      "q98_mixture_plan",
+      Some("""WITH tok AS (SELECT source, len(string_split(text, ' ')) n_tok FROM documents),
+             |per AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+             |          CAST(sum(n_tok) AS BIGINT) tokens,
+             |          CAST(1.0 + CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4
+             |            AS DOUBLE) AS weight
+             |        FROM tok GROUP BY source),
+             |tw AS (SELECT CAST(sum(weight) AS DOUBLE) sw FROM per)
+             |SELECT source, n_docs, tokens, weight,
+             |  ROUND(50000.0 * weight / tw.sw, 4) AS target_tokens,
+             |  ROUND(50000.0 * weight / tw.sw / tokens, 4) AS epochs,
+             |  ROUND(LEAST(1.0, 50000.0 * weight / tw.sw / tokens), 4) AS fraction
+             |FROM per CROSS JOIN tw ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val per = docs(s, dir)
+          .select(col("source"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+          .withColumn("weight",
+            lit(1.0) + (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4)
+              .cast("double"))
+        val tw = per.agg(sum("weight").cast("double").as("sw"))
+        val target = lit(50000.0) * col("weight") / col("sw")
+        per.crossJoin(broadcast(tw))
+          .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+            round(target, 4).as("target_tokens"),
+            round(target / col("tokens"), 4).as("epochs"),
+            round(least(lit(1.0), target / col("tokens")), 4).as("fraction"))
+          .orderBy("source")
+      }),
+
+    // Sequence-length bucketing for padded batching: every doc rounds up
+    // to its power-of-two token bucket; the report prices the padding
+    // waste per bucket. Bucket lookup is an integer compare against a
+    // literal power array — identical in any engine, no log2() whose
+    // rounding at exact powers of two could flip a bucket.
+    NamedQuery(
+      "q99_length_buckets",
+      Some("""WITH t AS (SELECT len(string_split(text, ' ')) n_tok FROM documents),
+             |b AS (SELECT n_tok,
+             |        list_filter([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192],
+             |          p -> p >= n_tok)[1] bucket
+             |      FROM t WHERE n_tok >= 1)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+             |  ROUND(1.0 - CAST(sum(n_tok) AS DOUBLE) / (bucket * count(*)), 4)
+             |    AS waste_ratio
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val pows = array((0 to 13).map(p => lit(1L << p)): _*)
+        docs(s, dir)
+          .select(size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") >= 1)
+          .withColumn("bucket",
+            element_at(filter(pows, p => p >= col("n_tok")), 1))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+          .select(col("bucket"), col("n_docs"),
+            col("sum_tokens"),
+            (col("bucket") * col("n_docs")).as("padded_tokens"),
+            round(lit(1.0) - col("sum_tokens").cast("double") /
+              (col("bucket") * col("n_docs")), 4).as("waste_ratio"))
+          .orderBy("bucket")
+      }),
+
+    // Canonical-document election per dedup cluster: q50's connected
+    // components + keep-the-longest (tie: min id) — the step that turns
+    // a pair graph into the actual keep/drop decision. Cluster windows
+    // are dedup-cluster-sized (tiny), so partitioning by component is
+    // safe where partitioning by a corpus key would not be.
+    NamedQuery(
+      "q100_canonical_docs",
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id,
+             |        list_distinct(list_transform(range(len(tok) - 2),
+             |          i -> array_to_string(tok[i+1:i+3], ' '))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |p AS (SELECT a.doc_id id_a, b.doc_id id_b
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |      WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+             |e AS (SELECT id_a s, id_b d FROM p UNION SELECT id_b, id_a FROM p),
+             |reach(s, d) AS (SELECT s, d FROM e
+             |                UNION SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+             |comp AS (SELECT node, CAST(min(c) AS BIGINT) component FROM (
+             |           SELECT s AS node, d AS c FROM reach UNION SELECT s, s FROM e
+             |         ) GROUP BY node),
+             |m AS (SELECT comp.node, comp.component, d.n_chars
+             |      FROM comp JOIN documents d ON comp.node = d.doc_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY component
+             |          ORDER BY n_chars DESC, node) rn,
+             |        CAST(count(*) OVER (PARTITION BY component) AS BIGINT) n_members
+             |      FROM m)
+             |SELECT component, node AS canonical_id, n_members
+             |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val edges = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+          .select("id_a", "id_b")
+        val comps = GraphOps.connectedComponents(edges)
+        val byComp = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        val m = comps.join(
+          d.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+        m.withColumn("rn", row_number().over(
+            byComp.orderBy(col("n_chars").desc, col("node"))))
+          .withColumn("n_members", count(lit(1)).over(byComp))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("node").as("canonical_id"), col("n_members"))
+          .orderBy("component")
+      }),
+
     // ------------------------------------------------- multimodal
     NamedQuery(
       "q31_multimodal_meta",
