@@ -74,7 +74,10 @@ object ScaleProbe {
         // disjoint-vocabulary replicas make honestly probe-able
         "q84_heavy_hitters", "q87_source_overlap", "q90_bloom_delta_dedup",
         "q92_source_kl", "q94_contiguous_index", "q95_training_manifest",
-        "q22_ngram_jaccard", "q66_contamination")) {
+        "q22_ngram_jaccard", "q66_contamination",
+        // round-6 operators
+        "q86_seeded_shuffle", "q96_weighted_sample", "q97_perplexity_buckets",
+        "q98_mixture_plan", "q99_length_buckets", "q100_canonical_docs")) {
       time(q, dir) // warm
       val t1 = time(q, dir)
       val tk = time(q, tmp)

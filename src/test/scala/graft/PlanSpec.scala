@@ -134,6 +134,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q96: weightedSample pre-prunes map-side via WindowGroupLimit") {
+    // same structural skew protection as q65: a hot source ships
+    // k·partitions rows into the rank exchange, never its population
+    val p = plan("q96_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q97: quantile cut points broadcast; no global ntile window") {
+    val p = plan("q97_perplexity_buckets")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"cut points not broadcast:\n$p")
+    // the single-partition exchange allowed is the one-row percentile
+    // aggregate feeding the broadcast — never a data-path window
+    assert(!p.contains("windowspecdefinition()"),
+      s"global (empty-partition) window on the data path:\n$p")
+  }
+
   test("q94: no single-partition global window — every exchange keeps parallelism") {
     // row_number() OVER (ORDER BY …) would plan Exchange SinglePartition
     // + a global Window; the two-phase formulation must never do that on
