@@ -447,6 +447,32 @@ object VectorOps {
     * listing — no data from other clusters is opened, let alone
     * scanned). Same result as [[ivfTopK]] with the same centroids.
     */
+  /** Append a vector delta to a persisted IVF index: each new vector is
+    * assigned to its nearest EXISTING centroid (map-only — the centroid
+    * table rides the plan as literals) and appended into the matching
+    * `cluster=` partitions. Centroids are frozen, the standard IVF
+    * maintenance trade: every earlier AND later probe routes against
+    * the same cut of the space, so probe results over the appended
+    * index are IDENTICAL to an index written from scratch with the same
+    * centroids (SimilaritySpec pins this); the cost is assignment drift
+    * if the delta's distribution wanders from the fit corpus — re-fit
+    * and rebuild when recall decays, exactly like any vector store.
+    *
+    * 100 TB shape: the delta is one map-only pass + a partitioned
+    * append; the existing index is never read, let alone re-shuffled.
+    */
+  def ivfAppendIndex(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "ivfAppendIndex: empty centroid table")
+    assignClusters(delta, vecCol, indexedCents(centroids))
+      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
   def ivfProbeIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

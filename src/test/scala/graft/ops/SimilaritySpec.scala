@@ -101,6 +101,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("IVF incremental append: probe over base+delta equals a from-scratch index on the same centroids") {
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString + "/idx"
+    val base = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    val delta = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1)
+    // fit centroids on the base corpus, append the delta against them
+    val cents = VectorOps.ivfWriteIndex(base, "vec_id", "embedding", baseDir,
+      nCentroids = 8, kmeansIters = 4)
+    VectorOps.ivfAppendIndex(delta, "vec_id", "embedding", baseDir, cents)
+    // from-scratch reference: the WHOLE corpus assigned to the SAME
+    // frozen centroids (append must be indistinguishable from rebuild)
+    VectorOps.ivfAppendIndex(embs, "vec_id", "embedding", fullDir, cents)
+    val got = VectorOps.ivfProbeIndex(spark, baseDir, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val expected = VectorOps.ivfProbeIndex(spark, fullDir, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got === expected)
+    // the delta really landed: appended index holds the full corpus
+    assert(spark.read.parquet(baseDir).count() === embs.count())
+  }
+
   test("IVF k-means centroids beat first-N-by-id on clustered data") {
     import spark.implicits._
     // Three well-separated clusters on the 4-sphere; ids ordered so the
