@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,69 +11,153 @@ object Bench {
     // engine throughput — their SEMANTICS are benched via the batch
     // formulations q42/q43/q60/q63 (q69's batch shape is the q11-family
     // broadcast join) and correctness-gated via the streaming runs in
-    // Verify; and (b) q24, the deliberately-quadratic crossJoin oracle
+    // Verify; the machinery cost itself is now measured once per round
+    // in the separate "streaming" section below, outside the headline
+    // total; and (b) q24, the deliberately-quadratic crossJoin oracle
     // for the embedding near-dup relation — its benched scale path is
     // q59 (SRP-LSH bucketed, same relation). q59 is the deliberate
     // STRESS row of the set: a loose 0.4 threshold on a near-random
     // relation maximizes candidate volume by design (the recall gate in
     // DedupSpec is what it buys); the production-regime cost claim is
     // q61 (threshold 0.9, fine buckets), which runs ~5x faster.
+    val excluded = Set("q32_stream_hourly", "q33_sessionization",
+      "q41_stream_dedup", "q62_stream_join", "q69_stream_enrich",
+      "q24_embed_neardup")
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) =>
-        Set("q32_stream_hourly", "q33_sessionization", "q41_stream_dedup",
-          "q62_stream_join", "q69_stream_enrich", "q24_embed_neardup")(name) }
-    // Warm-up: session init + first codegen compile land outside timings.
-    try SparkEntry.queries("q01_scan_topk")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    // Best of 2 runs per query: one JIT/page-cache-warm repeat removes
-    // most run-to-run variance without changing what is measured.
-    // Failures report as -1 so a broken query can never read as a fast
-    // one (and -1 survives the min()).
-    val results = headline.map { case (name, fn) =>
-      def run(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+      .filterNot { case (name, _) => excluded(name) }
+
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
+    // Warm-up: session init + first codegen compile land outside
+    // timings. Three reps, not one — the first sentinel below is the
+    // load-factor numerator, and a half-warm JIT inflates it into a
+    // false 2x load reading on a quiet box (measured).
+    for (_ <- 1 to 3)
+      try SparkEntry.queries("q01_scan_topk")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+
+    // Load sentinel: re-time a fixed trivial query (q01, a pushdown
+    // scan + TakeOrderedAndProject that has never changed across
+    // rounds) before the first pass and after every pass. If the box
+    // is contended during part of the run, the sentinel timings drift;
+    // their max/min ratio becomes the run's load_factor, written into
+    // the JSON line so a loaded box is detectable IN the artifact
+    // instead of showing up as 21 false "regressions" (round 6). A
+    // uniformly-loaded box shows no within-run drift, so the sentinel
+    // is also compared against the previous round's committed q01.
+    val sentinelFn = SparkEntry.queries("q01_scan_topk")
+    def sentinel(): Double = timeOne("sentinel(q01)", sentinelFn)
+
+    // Min-of-3 with the repeats INTERLEAVED: pass 1 runs every query,
+    // then pass 2, then pass 3, and each query keeps its minimum.
+    // Back-to-back repeats (round 6's best-of-2) share a single load
+    // spike — both timings inflate together and the min lies; repeats
+    // separated by a full pass (~1 min of other work) sample the box
+    // at three independent moments, so one quiet moment is enough for
+    // an honest min. Failures report as -1 so a broken query can never
+    // read as a fast one (-1 survives the min()).
+    val passes = 3
+    val sentinels = Array.fill(passes + 1)(0.0)
+    sentinels(0) = sentinel()
+    val timings = scala.collection.mutable.Map[String, Double]()
+    for (p <- 1 to passes) {
+      headline.foreach { case (name, fn) =>
+        val t = timeOne(name, fn)
+        timings(name) = timings.get(name) match {
+          case Some(prev) => math.min(prev, t)
+          case None       => t
         }
       }
-      name -> math.min(run(), run())
+      sentinels(p) = sentinel()
     }
+    val results = headline.map { case (name, _) => name -> timings(name) }
+
     val qs = results.map { case (k, v) => JsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(",")}")
+
     // Suspect list: regressions should be flagged BY the build, not
     // found by a reader diffing round artifacts. `bench_latest.json`
-    // is the committed full line from the previous round's run; a
-    // query is suspect when it is both >2x slower than last round AND
-    // >0.1 s slower in absolute terms (the ratio alone flags 30 ms
-    // jitter on sub-0.1 s queries, which is noise, not regression).
+    // is the committed full line from the previous round's clean-box
+    // run; a query is suspect when it is both >2x slower than last
+    // round AND >0.1 s slower in absolute terms (the ratio alone flags
+    // 30 ms jitter on sub-0.1 s queries, which is noise) — with both
+    // thresholds SCALED by the measured load_factor, so a box that the
+    // sentinel proves was N x slower must show an N x-adjusted
+    // regression before a query is called suspect.
     val prev: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_latest.json")))
-        """"(q\d+[a-z0-9_]*)":(-?\d+(?:\.\d+)?([eE]-?\d+)?)""".r
+        // Timings from a different scale factor are not a baseline: a
+        // local sf0.01 shakedown compared against the committed sf0.1
+        // line would flag (or mask) everything.
+        val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+          .forall(_.group(1) == sfDir)
+        if (!sameSf) Map.empty
+        else """"(q\d+[a-z0-9_]*)":(-?\d+(?:\.\d+)?([eE]-?\d+)?)""".r
           .findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    val goodSentinels = sentinels.filter(_ > 0)
+    val withinDrift =
+      if (goodSentinels.length >= 2) goodSentinels.max / goodSentinels.min else 1.0
+    // Cross-round: a box loaded for the WHOLE run drifts nowhere
+    // within-run, but its best sentinel still sits above the previous
+    // round's committed q01.
+    val crossRound = prev.get("q01_scan_topk") match {
+      case Some(p) if p > 0 && goodSentinels.nonEmpty =>
+        math.max(1.0, goodSentinels.min / p)
+      case _ => 1.0
+    }
+    val loadFactor = math.max(withinDrift, crossRound)
     val suspect = results.collect {
-      case (k, v) if v >= 0 && prev.get(k).exists(p => p > 0 && v > 2 * p && v - p > 0.1) => k
+      case (k, v) if v >= 0 && prev.get(k).exists(p =>
+        p > 0 && v > 2 * loadFactor * p && v - p > 0.1 * loadFactor) => k
     }
     if (suspect.nonEmpty)
-      System.err.println(s"[bench] SUSPECT (>2x vs previous round): ${suspect.mkString(",")}")
+      System.err.println(s"[bench] SUSPECT (>2x vs previous round at load_factor " +
+        f"$loadFactor%.2f): ${suspect.mkString(",")}")
+
+    // Streaming machinery cost, measured once (not min-of-N: each run
+    // re-stages sources and checkpoints, which IS the cost being
+    // measured). Outside the headline total — the batch twins already
+    // carry these semantics there — but committed so the engine has a
+    // number for what a Trigger.AvailableNow micro-batch pipeline
+    // costs end-to-end at this SF.
+    val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
+      "q33_sessionization")
+    val streaming = streamingNames.map { n =>
+      n -> timeOne(n, SparkEntry.queries(n))
+    }
+    val streamingJson = streaming.map { case (k, v) => JsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val streamingTotal = streaming.collect { case (_, v) if v >= 0 => v }.sum
+
     // Brokenness must be visible IN the machine-readable line, not only
     // on stderr: a failed query is excluded from the total (its own -1
     // stays in the per-query map), so without the failed list a
     // partially-broken build would read as a FASTER one.
     val failedJson = failed.map(JsonStr(_)).mkString("[", ",", "]")
     val suspectJson = suspect.map(JsonStr(_)).mkString("[", ",", "]")
+    val sentinelJson = sentinels.map(_.toString).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
-      s""""failed":$failedJson,"suspect":$suspectJson,"queries":$qs,"sf":${JsonStr(sfDir)}}"""
+      s""""failed":$failedJson,"suspect":$suspectJson,""" +
+      s""""load_factor":$loadFactor,"sentinel":$sentinelJson,""" +
+      s""""streaming":$streamingJson,"streaming_total":$streamingTotal,""" +
+      s""""queries":$qs,"sf":${JsonStr(sfDir)}}"""
     println(line)
     // The driver captures only the TAIL of stdout, which truncated
     // q01–q28 out of BENCH_r05.json ("parsed": null). Persist the full

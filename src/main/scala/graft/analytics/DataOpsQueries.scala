@@ -88,37 +88,33 @@ object DataOpsQueries {
     // only; the scale path is q21).
     NamedQuery(
       "q22_ngram_jaccard",
-      // The oracle encodes the SAME df>100 hot-shingle cut as the Spark
-      // side (a pair must share at least one cold shingle; scores stay
-      // exact) so hash parity holds on ANY corpus, not just ones where
-      // the cut happens to be inactive — on this fixture max df is 25,
-      // so both sides equal the unbounded exact relation.
+      // The oracle is the unbounded exact relation — exactly what both
+      // auto-selectable Spark plans compute, so hash parity holds on ANY
+      // corpus whichever plan the statistics pick. (Earlier rounds' df>100
+      // hot-cut oracle matched the then-hardcoded maxDocFreq=100 call; the
+      // cut is now a caller-only knob and q22 is the pure exact relation.)
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
              |s AS (SELECT doc_id,
              |        list_distinct(list_transform(range(len(tok) - 2),
              |          i -> array_to_string(tok[i+1:i+3], ' '))) sh
              |      FROM t WHERE len(tok) >= 3),
-             |hot AS (SELECT COALESCE(list(shingle), []) arr FROM (
-             |          SELECT shingle FROM (SELECT unnest(sh) shingle FROM s)
-             |          GROUP BY shingle HAVING count(*) > 100)),
              |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
              |        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard,
-             |        len(list_intersect(a.sh, b.sh))
-             |          - len(list_intersect(list_intersect(a.sh, b.sh), h.arr)) n_cold
-             |      FROM s a JOIN s b ON a.doc_id < b.doc_id CROSS JOIN hot h)
-             |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 AND n_cold > 0
+             |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+             |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
              |ORDER BY id_a, id_b""".stripMargin),
-      // Inverted-index join with the hot-shingle cut armed at df > 100:
-      // inactive on this corpus (max shingle df is 25 at sf0.1, so the
-      // result is the exact relation), but bounding the join's worst
-      // case on boilerplate-heavy corpora at scale. Measured faster
-      // than the prefix-filtered variant here (the rank window costs
-      // more than it saves; ngramJaccardPairsPrefix remains the
-      // exact-recall choice when shingle frequency is skewed).
+      // Plan auto-selected from measured posting statistics
+      // (Dedup.ngramJaccardPairsAuto): the plain inverted-index join on
+      // this corpus (sum df²/P ≈ 11, max df 25 at sf0.1 — uniform), the
+      // prefix-filtered join on skewed shingle frequencies; both compute
+      // the identical exact relation, so the oracle holds either way.
+      // (The df > 100 hot cut the oracle also encodes is inactive here —
+      // max df 25 — so the oracle equals the unbounded exact relation
+      // this query now always computes.)
       (s, dir) =>
-        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-            shingleN = 3, threshold = 0.5, maxDocFreq = 100)
+        Dedup.ngramJaccardPairsAuto(docs(s, dir), "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
           .orderBy("id_a", "id_b")),
 
     // SimHash near-dup with pigeonhole chunk blocking (rows-only: xxhash

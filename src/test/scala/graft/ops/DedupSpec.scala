@@ -133,6 +133,39 @@ class DedupSpec extends AnyFunSuite {
     assert(pref === plain)
   }
 
+  test("auto path selection: uniform corpus → plain join; boilerplate skew → prefix (pure rule + measured stats)") {
+    // Pure decision rule on the documented boundaries.
+    assert(Dedup.chooseJaccardPath(0, 0, 0) === Dedup.JaccardExact)
+    assert(Dedup.chooseJaccardPath(260388, 2791946, 25) === Dedup.JaccardExact) // sf0.1 stats
+    assert(Dedup.chooseJaccardPath(1000, 33001, 10) === Dedup.JaccardPrefix)    // sumDfSq/P > 32
+    assert(Dedup.chooseJaccardPath(1000, 16500, 130) === Dedup.JaccardPrefix)   // maxDf² > 16·P
+    // Measured stats: the synthetic corpus is uniform → plain join.
+    assert(Dedup.jaccardPathFor(docs, "doc_id", "text", 3) === Dedup.JaccardExact)
+    // A boilerplate-dominated corpus (one footer in every doc) is the
+    // skew case the prefix order exists for.
+    val boiler = (1L to 300L).map(i => (i, s"body$i unique$i token$i common boiler plate footer text here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPathFor(boiler, "doc_id", "text", 3) === Dedup.JaccardPrefix)
+  }
+
+  test("auto ≡ plain exact relation on both corpus shapes (selection can change cost, never results)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uniform = canon(Dedup.ngramJaccardPairsAuto(docs, "doc_id", "text", 3, 0.5))
+    assert(uniform.nonEmpty)
+    assert(uniform === canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)))
+    // Skewed fixture: auto picks prefix (asserted above); result must
+    // still equal the plain join's exact relation, planted near-dup
+    // pair included.
+    val boiler = ((1L to 300L).map(i =>
+        (i, s"body$i unique$i token$i common boiler plate footer text here")) ++
+      Seq((900L, "same aaa bbb ccc ddd eee"), (901L, "same aaa bbb ccc ddd fff")))
+      .toDF("doc_id", "text")
+    val auto = canon(Dedup.ngramJaccardPairsAuto(boiler, "doc_id", "text", 3, 0.3))
+    assert(auto === canon(Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.3)))
+    assert(auto.exists(t => t._1 == 900L && t._2 == 901L))
+  }
+
   test("hot-shingle cut: exact scores for pairs sharing a cold shingle; only all-hot pairs drop") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
