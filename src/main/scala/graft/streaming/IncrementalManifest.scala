@@ -23,6 +23,16 @@ import org.apache.spark.sql.types._
   * "ids grow with time" production layout — first-seen coincides with
   * global min-id and the incremental manifest over the union is
   * row-identical to the batch one (pinned in PipelineEndToEndSpec).
+  * When ids arrive OUT of order, a later batch's smaller-id duplicate
+  * is rejected against the prior index and first-seen diverges from the
+  * batch manifest's min-id winner — which is why every batch also
+  * writes an observation sidecar (per content hash, the minimum id seen
+  * among quality-passing rows, admitted or rejected) and
+  * [[repairedState]] re-elects min-id winners over the accumulated
+  * observations. The repair never recomputes a verdict: `in_train` is
+  * content-determined (same hash ⇒ same text ⇒ same quality,
+  * decontamination, and bench-membership verdicts), so the hash's one
+  * winner row carries the verdict for whichever id wins re-election.
   * Decontamination commutes with batching because containment is
   * row-local: a doc's verdict depends only on its own shingles and the
   * static bench, never on other corpus docs.
@@ -91,6 +101,67 @@ object IncrementalManifest {
           !coalesce(col("_graft_bench"), lit(false))).as("in_train"))
   }
 
+  /** The observation sidecar lives next to the state dir, partitioned
+    * identically so a replayed batch overwrites its own partition.
+    */
+  def obsDir(stateDir: String): String = stateDir + "_obs"
+
+  /** Per-batch observations: for EVERY quality-passing row of the delta
+    * — about to be admitted or rejected as a duplicate — the minimum id
+    * seen per content hash. This is what [[repairedState]] elects over;
+    * without it a smaller id arriving after its content was admitted is
+    * simply gone. One row per distinct content per batch (O(|delta|)),
+    * 17 bytes of payload each.
+    */
+  def observations(
+      delta: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minChars: Int = 150,
+      maxChars: Int = 1500): DataFrame =
+    delta.filter(col("n_chars").between(minChars, maxChars))
+      .select(col(idCol), Dedup.contentHash128(Seq(col(textCol))).as("content_hash"))
+      .groupBy("content_hash").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("content_hash"))
+
+  /** Accumulated observation sidecar (empty-safe, like [[readState]]). */
+  def readObservations(
+      spark: SparkSession, stateDir: String, idCol: String = "doc_id"): DataFrame =
+    try {
+      spark.read.parquet(obsDir(stateDir))
+        .select(col(idCol), col("content_hash"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](),
+          StructType(stateSchema(idCol).fields.take(2)))
+    }
+
+  /** One batch's full state transition — the `foreachBatch` body of
+    * [[start]], exposed so tests (and a non-streaming driver) run the
+    * identical protocol: read prior index excluding partitions >= this
+    * batch id, admit, then overwrite this batch's state AND observation
+    * partitions. Both writes are idempotent under replay.
+    */
+  def admitAndWrite(
+      delta: DataFrame,
+      bench: DataFrame,
+      stateDir: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = delta.sparkSession
+    val prior = readState(spark, stateDir, idCol)
+      .filter(col("batch") < lit(batchId))
+      .select(col("content_hash"))
+    admitBatch(delta, bench, prior, idCol, textCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    observations(delta, idCol, textCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${obsDir(stateDir)}/batch=$batchId")
+  }
+
   /** Start the incremental admission stream: every micro-batch of
     * `docs` is admitted against the state accumulated in `stateDir`.
     * `bench` must be a STATIC relation (the benchmark slice).
@@ -107,27 +178,48 @@ object IncrementalManifest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prior = readState(spark, stateDir, idCol)
-          .filter(col("batch") < lit(batchId))
-          .select(col("content_hash"))
-        admitBatch(batch, bench, prior, idCol, textCol)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
-        ()
+        admitAndWrite(batch, bench, stateDir, batchId, idCol, textCol)
       }
       .start()
 
+  /** Min-id re-election over the accumulated state + observations: the
+    * compaction that repairs out-of-order arrival. Winner rows double as
+    * observations, so a state dir written before the sidecar existed
+    * (or with a lost sidecar partition) degrades to the first-seen
+    * election instead of an empty result. One hash aggregation plus one
+    * hash join on 16-byte keys — the same election shape as
+    * [[Dedup.exact]], O(|state| + |observations|).
+    */
+  def repairedState(
+      spark: SparkSession, stateDir: String, idCol: String = "doc_id"): DataFrame = {
+    val winners = readState(spark, stateDir, idCol)
+    // one winner row per hash ever admitted (prior-index exclusion), so
+    // this join keys uniquely
+    val verdicts = winners.select(col("content_hash"), col("in_train"))
+    val seen = readObservations(spark, stateDir, idCol)
+      .unionByName(winners.select(col(idCol), col("content_hash")))
+    seen.groupBy("content_hash").agg(min(col(idCol)).as(idCol))
+      .join(verdicts, Seq("content_hash"))
+      .select(col(idCol), col("content_hash"), col("in_train"))
+  }
+
   /** The training manifest over everything admitted so far — identical
     * schema and (shard, pos) assignment to the batch manifest (q95).
+    * With `repair = true` the manifest is built over [[repairedState]]
+    * (min-id re-election), which reproduces the batch manifest even
+    * when ids arrived out of order.
     */
   def manifest(
       spark: SparkSession,
       stateDir: String,
       idCol: String = "doc_id",
-      nShards: Int = 8): DataFrame =
+      nShards: Int = 8,
+      repair: Boolean = false): DataFrame = {
+    val state =
+      if (repair) repairedState(spark, stateDir, idCol)
+      else readState(spark, stateDir, idCol)
     Sampling.seededShuffle(
-        readState(spark, stateDir, idCol).filter(col("in_train")).select(col(idCol)),
-        idCol, nShards)
+        state.filter(col("in_train")).select(col(idCol)), idCol, nShards)
       .select(col(idCol), col("shard"), col("pos"))
+  }
 }

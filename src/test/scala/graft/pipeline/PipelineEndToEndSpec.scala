@@ -332,6 +332,47 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(second === first, "replayed batch changed the manifest")
   }
 
+  test("incremental manifest out-of-order repair: min-id re-election reproduces the batch manifest") {
+    import graft.streaming.IncrementalManifest
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    // The corpus has no exact-duplicate texts (checked), so plant them:
+    // three manifest-admitted docs (quality-passing, clean, non-bench —
+    // read off the plain-corpus manifest itself) get copies with SMALLER
+    // (negative) ids that arrive in the LATER batch — the adversarial
+    // order for first-seen-wins.
+    val probeState = Files.createTempDirectory("inc_ooo_probe").toString
+    IncrementalManifest.admitAndWrite(docs, bench, probeState, 0)
+    val plantIds = IncrementalManifest.manifest(spark, probeState)
+      .select("doc_id").orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plantIds.size === 3)
+    val originals = docs.filter(col("doc_id").isin(plantIds: _*))
+    val planted = originals.withColumn("doc_id", -col("doc_id"))
+    val union = docs.unionByName(planted)
+    // Batch-manifest expectation: the whole union admitted as ONE batch
+    // (within-batch dedup is min-id — exactly q95's election).
+    val batchState = Files.createTempDirectory("inc_ooo_batch").toString
+    IncrementalManifest.admitAndWrite(union, bench, batchState, 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rows(IncrementalManifest.manifest(spark, batchState))
+    assert(expected.exists(_._1 < 0), "planted min-ids must win the batch election")
+    // Out-of-order incremental: originals first, smaller-id copies after.
+    val stateDir = Files.createTempDirectory("inc_ooo_state").toString
+    IncrementalManifest.admitAndWrite(docs, bench, stateDir, 0)
+    IncrementalManifest.admitAndWrite(planted, bench, stateDir, 1)
+    // Unrepaired, first-seen-wins keeps the larger original ids: the
+    // divergence the repair exists for (and proof this isn't vacuous).
+    val firstSeen = rows(IncrementalManifest.manifest(spark, stateDir))
+    assert(firstSeen !== expected, "fixture failed to force a divergence")
+    // Repair: min-id re-election over the observation sidecar.
+    val repaired = rows(IncrementalManifest.manifest(spark, stateDir, repair = true))
+    assert(repaired === expected)
+  }
+
   test("IngestJob source seam: Kafka-wire MemoryStream routes identically to the file inbox") {
     import spark.implicits._
     // Same three deliveries as the file-inbox test, but arriving as a
