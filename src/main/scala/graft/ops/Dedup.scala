@@ -329,6 +329,13 @@ object Dedup {
     val counted = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val a = counted.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = counted.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    // Pair feed is SINGLE-ORDERED already: `id_a < id_b` folds into the
+    // self-join's condition (PlanSpec pins this), so a reversed ordering
+    // is rejected at match time — never materialized, never shuffled to
+    // the distinct. The q59-style halving (Similarity.scala) does not
+    // apply on top: that one exists because PROBING generates each pair
+    // from both sides independently; a plain self-join has no second
+    // generation path to halve.
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -613,6 +620,9 @@ object Dedup {
       .select(col(idCol), col("sim"), col("cc.chunk"), col("cc.v"))
     val a = chunked.select(col("chunk"), col("v"), col(idCol).as("id_a"), col("sim").as("sim_a"))
     val b = chunked.select(col("chunk"), col("v"), col(idCol).as("id_b"), col("sim").as("sim_b"))
+    // Single-ordered feed, same as minhashLshPairs: the `id_a < id_b`
+    // predicate folds into the chunk self-join (PlanSpec), so reversed
+    // orderings never reach the hamming filter or the pair groupBy.
     a.join(b, Seq("chunk", "v"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

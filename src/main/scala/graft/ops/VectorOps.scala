@@ -387,9 +387,15 @@ object VectorOps {
       nClusters: Int = 16,
       kmeansIters: Int = 4,
       seed: Long = 42L,
-      maxCluster: Int = 100000): DataFrame = {
+      maxCluster: Int = 100000,
+      sampleRows: Int = 4096): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0, 1]")
-    val base = kmeansCentroids(df, vecCol, nClusters, kmeansIters, seed)
+    // sampleRows rides along because it must GROW with nClusters: at the
+    // default 4096 a corpus-scaled nClusters (the documented operating
+    // rule — fixed expected cluster size) would fit centroids from a few
+    // samples each, degenerating the very clustering that bounds the
+    // quadratic term. Keep sampleRows >= ~8 x nClusters.
+    val base = kmeansCentroids(df, vecCol, nClusters, kmeansIters, seed, sampleRows)
     if (base.isEmpty) return df // no directions anywhere → nothing to dedup
     val v = assignClusters(df, vecCol, indexedCents(base))
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
@@ -471,6 +477,69 @@ object VectorOps {
     assignClusters(delta, vecCol, indexedCents(centroids))
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
+  /** Fold [[ivfAppendIndex]]'s per-batch files back into a bounded
+    * per-cluster layout: every `cluster=` partition holding more than
+    * `maxFilesPerCluster` data files is rewritten to
+    * ⌈bytes / targetBytes⌉ files. Without this, steady appends give the
+    * index itself the small-file problem the ETL compaction solves for
+    * data — a probe's pruned listing stays `nProbe` DIRECTORIES but
+    * opens one reader per tiny file inside them. The partition layout
+    * (and therefore probe pruning and results) is unchanged; only file
+    * counts move. Returns per-compacted-cluster (files before, after).
+    *
+    * Publish protocol per cluster: compacted files are written to a
+    * dot-prefixed temp dir (hidden from concurrent readers' listings),
+    * originals are renamed to hidden names, the compacted files move
+    * in, and only then are the hidden originals deleted — so a crash
+    * at any step leaves every row recoverable (a reader in the rename
+    * window can see a partially-hidden cluster, making this a
+    * maintenance pass to run when the cluster's probes are quiesced,
+    * like any file-level compaction). Driver work is file METADATA only
+    * (list/rename per cluster); the data rewrite is a distributed read
+    * + write of just the oversized clusters.
+    */
+  def ivfCompactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxFilesPerCluster: Int = 8,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    require(maxFilesPerCluster >= 1, "maxFilesPerCluster must be >= 1")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith(".") && !p.getName.startsWith("_")
+    val clusters = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+    clusters.flatMap { c =>
+      val files = fs.listStatus(c.getPath)
+        .filter(s => s.isFile && visible(s.getPath))
+      if (files.length <= maxFilesPerCluster) None
+      else {
+        val target = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        val tmp = new Path(c.getPath, ".graft_compact_tmp")
+        fs.delete(tmp, true)
+        // The read's file listing happens at plan time, before tmp
+        // exists — and dot-prefixed children are hidden from parquet
+        // listings anyway.
+        spark.read.parquet(c.getPath.toString)
+          .coalesce(target)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val compacted = fs.listStatus(tmp)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        files.foreach(f =>
+          fs.rename(f.getPath, new Path(c.getPath, "." + f.getPath.getName + ".old")))
+        compacted.foreach(f =>
+          fs.rename(f.getPath, new Path(c.getPath, f.getPath.getName)))
+        fs.delete(tmp, true)
+        files.foreach(f =>
+          fs.delete(new Path(c.getPath, "." + f.getPath.getName + ".old"), false))
+        Some(c.getPath.getName -> (files.length, compacted.length))
+      }
+    }.toMap
   }
 
   def ivfProbeIndex(

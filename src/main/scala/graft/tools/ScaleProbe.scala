@@ -53,9 +53,28 @@ object ScaleProbe {
     }
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // embeddings: replicas get offset ids and a per-replica DETERMINISTIC
+    // ±1 sign flip per dimension. A diagonal ±1 transform preserves norms
+    // and within-replica cosines EXACTLY (cos(Sx, Sy) = cos(x, y)), so
+    // each replica carries the 1x near-dup/twin relation bit-for-bit,
+    // while cross-replica cosines drop to noise (random sign agreement
+    // over 64 dims) — the pair relations grow exactly k×, like the
+    // disjoint-vocabulary documents. Plain replication would instead
+    // make every cross-replica copy a cosine-1.0 duplicate and grow the
+    // relation k², measuring the data change, not the plan.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(i * maxVid))
+      if (i == 0) e // byte-identical 1x baseline replica
+      else e.withColumn("embedding",
+        transform(col("embedding"), (x, d) =>
+          when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x)))
+    }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     // dims unchanged
-    Seq("orders", "customer", "nation", "region", "part", "supplier",
-      "embeddings").foreach { t =>
+    Seq("orders", "customer", "nation", "region", "part", "supplier").foreach { t =>
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$tmp/$t.parquet"),
         java.nio.file.Paths.get(s"$dir/$t.parquet"))
@@ -77,11 +96,48 @@ object ScaleProbe {
         "q22_ngram_jaccard", "q66_contamination",
         // round-6 operators
         "q86_seeded_shuffle", "q96_weighted_sample", "q97_perplexity_buckets",
-        "q98_mixture_plan", "q99_length_buckets", "q100_canonical_docs")) {
+        "q98_mixture_plan", "q99_length_buckets", "q100_canonical_docs",
+        // dedup/similarity family with scale-free knobs: q21's band
+        // buckets, q23's chunk buckets and q61's fine (2^16) SRP buckets
+        // hash into spaces that don't saturate at this range, so the
+        // fixed-knob query IS the scale path
+        "q21_minhash_lsh", "q23_simhash", "q61_embed_neardup_prod")) {
       time(q, dir) // warm
       val t1 = time(q, dir)
       val tk = time(q, tmp)
       println(f"[scale] $q%-28s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
+    }
+    // q59 and q85 carry knobs whose documented operating rules are
+    // corpus-dependent — planes ~ log2 N keeps SRP bucket occupancy
+    // constant, nClusters ~ N keeps expected cluster size constant (with
+    // the k-means sample scaled alongside). Probing them at kx with 1x
+    // knobs would measure the un-turned knob (saturated 2^5 buckets /
+    // 64x clusters), not the plan, so these probe the OPERATOR under its
+    // operating rule via direct calls.
+    val logK = (math.log(k.toDouble) / math.log(2.0)).round.toInt
+    def timeOp(label: String, f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    for ((label, knobs1, knobsK) <- Seq[(String, String => Long, String => Long)](
+      ("q59_embed_neardup_lsh[planes~logN]",
+        d => graft.ops.Similarity.srpNearDupPairs(
+          Tables.load(spark, d, "embeddings"), "vec_id", "embedding", 0.4,
+          planes = 5, tables = 12).count(),
+        d => graft.ops.Similarity.srpNearDupPairs(
+          Tables.load(spark, d, "embeddings"), "vec_id", "embedding", 0.4,
+          planes = 5 + logK, tables = 12).count()),
+      ("q85_semdedup[nClusters~N]",
+        d => graft.ops.VectorOps.semDedup(
+          graft.analytics.DataOpsQueries.twinCorpus(Tables.load(spark, d, "embeddings")),
+          "vec_id", "embedding", threshold = 0.9, nClusters = 16).count(),
+        d => graft.ops.VectorOps.semDedup(
+          graft.analytics.DataOpsQueries.twinCorpus(Tables.load(spark, d, "embeddings")),
+          "vec_id", "embedding", threshold = 0.9, nClusters = 16 * k,
+          sampleRows = math.max(4096, 8 * 16 * k)).count()))) {
+      timeOp(label, knobs1(dir)) // warm
+      val t1 = timeOp(label, knobs1(dir))
+      val tk = timeOp(label, knobsK(tmp))
+      println(f"[scale] $label%-36s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
     }
     // Streaming state probe: the bounded-state CLAIMS on sessionize
     // (EventStreams.scala) get numbers. The stream is staged as

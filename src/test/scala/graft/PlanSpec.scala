@@ -216,6 +216,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast size-attach and pair joins, got $broadcastOnCluster:\n$p")
   }
 
+  test("q21/q23/q22: pair self-joins carry id_a < id_b IN the join condition (single-ordered feed)") {
+    // A reversed pair must be rejected at join-match time, not
+    // materialized and filtered above the join: the predicate has to
+    // appear on the join operator's own line. If it ever shows up as a
+    // separate Filter over the join, the pair feed (the shuffle into
+    // distinct/groupBy) has doubled.
+    for (q <- Seq("q21_minhash_lsh", "q23_simhash", "q22_ngram_jaccard")) {
+      val p = plan(q)
+      val joinLines = p.linesIterator
+        .filter(l => l.contains("Join") && l.contains("Inner")).toSeq
+      assert(joinLines.exists(l => l.contains("id_a") && l.contains("id_b")),
+        s"$q: no join carries the pair-ordering condition:\n${joinLines.mkString("\n")}")
+      assert(!p.linesIterator.exists(l =>
+          l.contains("Filter") && l.contains("id_a") && l.contains("id_b") && !l.contains("Join")),
+        s"$q: pair ordering applied as a post-join Filter")
+    }
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(

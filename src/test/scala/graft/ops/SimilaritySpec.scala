@@ -122,6 +122,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(baseDir).count() === embs.count())
   }
 
+  test("IVF compaction: many appended batches fold to bounded files per cluster, probe results identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString + "/idx"
+    val base = embs.filter(col("vec_id") % 10 === 0)
+    val cents = VectorOps.ivfWriteIndex(base, "vec_id", "embedding", dir,
+      nCentroids = 8, kmeansIters = 4)
+    // nine single-slice appends: the steady-drip pattern that litters
+    // every cluster with one small file per batch
+    for (m <- 1 to 9)
+      VectorOps.ivfAppendIndex(embs.filter(col("vec_id") % 10 === m),
+        "vec_id", "embedding", dir, cents)
+    def clusterFiles() = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .map(d => d.getName -> d.listFiles.count { f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")
+      }).toMap
+    val before = clusterFiles()
+    assert(before.values.exists(_ > 4), s"appends produced no small-file litter: $before")
+    val probeBefore = VectorOps.ivfProbeIndex(spark, dir, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val report = VectorOps.ivfCompactIndex(spark, dir, maxFilesPerCluster = 4)
+    val after = clusterFiles()
+    // every oversized cluster folded; compaction touched nothing else
+    assert(report.nonEmpty)
+    for ((cl, n) <- after) assert(n <= 4, s"$cl still has $n files")
+    for ((cl, (b, a)) <- report) {
+      assert(before(cl) === b && after(cl) === a && a < b, s"$cl: $b -> $a")
+    }
+    for ((cl, n) <- before if !report.contains(cl))
+      assert(after(cl) === n, s"$cl was rewritten despite being under the threshold")
+    // no hidden temp/backup litter left behind
+    val hidden = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .flatMap(_.listFiles.filter(f => f.getName.startsWith(".graft_compact_tmp") ||
+        f.getName.endsWith(".old")))
+    assert(hidden.isEmpty, s"litter: ${hidden.map(_.getName).toSeq}")
+    // rows and probe results are bit-identical
+    assert(spark.read.parquet(dir).count() === embs.count())
+    val probeAfter = VectorOps.ivfProbeIndex(spark, dir, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(probeAfter === probeBefore)
+  }
+
   test("IVF k-means centroids beat first-N-by-id on clustered data") {
     import spark.implicits._
     // Three well-separated clusters on the 4-sphere; ids ordered so the
