@@ -162,18 +162,21 @@ object DataOpsQueries {
             planes = 5, tables = 12)
           .orderBy("id_a", "id_b")),
 
-    // The PRODUCTION SRP regime (threshold 0.9, 16 planes × 8 tables —
-    // the 100 TB parameter claim in Similarity's scaladoc) benched on
-    // the planted-twin corpus, since the natural corpus has no pairs
-    // over 0.9. Fine buckets keep candidate volume near the true pair
-    // count, unlike q59's loose-threshold regime whose relation is
-    // near-random. Rows-only; recall ≥ 0.95 vs the exact relation on
-    // the same corpus is gated in DedupSpec.
+    // The production SRP regime (threshold 0.9) benched on the
+    // planted-twin corpus, since the natural corpus has no pairs over
+    // 0.9. (planes, tables) are SOLVED from the corpus size and recall
+    // target by Similarity.srpParamsFor rather than hand-tuned: the 64×
+    // scale probe showed the old fixed 16×8 regime going quadratic once
+    // its 2^16 buckets saturate (230× on 64× data), while the solved
+    // parameters hold the per-row candidate budget and the ≥0.95
+    // boundary recall at every corpus size. Rows-only; recall ≥ 0.95
+    // vs the exact relation is gated in DedupSpec (both the solved and
+    // the legacy fixed regime).
     NamedQuery(
       "q61_embed_neardup_prod",
       None,
       (s, dir) =>
-        Similarity.srpNearDupPairs(twinCorpus(embs(s, dir)), "vec_id", "embedding", 0.9)
+        Similarity.srpNearDupPairsAuto(twinCorpus(embs(s, dir)), "vec_id", "embedding", 0.9)
           .orderBy("id_a", "id_b")),
 
     // SemDeDup over the planted-twin corpus: cluster with seeded

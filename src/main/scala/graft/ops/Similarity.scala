@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * probing; `t` independent tables make a miss (1 − catch)^t.
   *   - near-dup regimes: AT the cosine-0.9 boundary (p ≈ 0.856),
   *     16 planes × 8 tables gives recall ≈ 0.95 with Hamming-1 probing
-  *     (≈ 0.50 without) — the 100 TB setting, benched as q61; recall
-  *     rises fast above the boundary (≈ 0.999 at cosine 0.95) because
-  *     real near-dups sit well inside it.
+  *     (≈ 0.50 without); recall rises fast above the boundary (≈ 0.999
+  *     at cosine 0.95) because real near-dups sit well inside it. But
+  *     NO fixed (planes, tables) is a 100 TB setting — planes must
+  *     track log₂ n or the candidate join goes quadratic (measured:
+  *     see [[srpParamsFor]]) — so the production entry point is
+  *     [[srpNearDupPairsAuto]], which solves both knobs from the
+  *     corpus size and this same recall math (q61 runs it).
   *   - loose thresholds (cosine ≈ 0.4, p ≈ 0.63): few planes + probing
   *     is required (q59 uses 5 × 12 → theoretical recall ≈ 0.997 at
   *     the boundary, higher inside it); candidate volume rises
@@ -37,6 +41,96 @@ import org.apache.spark.sql.functions._
   * guard as the MinHash path.
   */
 object Similarity {
+
+  /** Planes that hold expected SRP bucket occupancy near
+    * `targetOccupancy` at corpus size `n`: ⌈log2(n / targetOccupancy)⌉.
+    *
+    * This is the knob that must TRACK the corpus. For fixed planes the
+    * per-table candidate join emits ~ n²·(planes+1) / 2^planes rows —
+    * QUADRATIC in n once buckets saturate, and invisible to the
+    * `maxBucket` skew guard because the growth is diffuse (every bucket
+    * fattens together, none crosses the cap). Measured at the 64×
+    * scale probe: the 16-plane production regime that runs q61 in ~1 s
+    * on 4k vectors took 230× longer on 256k vectors (mean occupancy 4
+    * — harmless-looking — but ~66 probe postings per bucket per table);
+    * re-probing with planes from this rule restored near-linear cost.
+    * Recall at a given planes count is threshold-math, not corpus-size
+    * math (see the object scaladoc), so growing planes with log n keeps
+    * the SAME recall regime while keeping occupancy — and join volume
+    * per row — constant. Floor 4 keeps tiny corpora off the degenerate
+    * 1-bucket path.
+    */
+  def srpPlanesFor(n: Long, targetOccupancy: Int = 8): Int = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    if (n <= targetOccupancy) 4
+    else math.max(4, math.ceil(
+      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+  }
+
+  /** Per-table probability that a pair AT cosine `threshold` lands in
+    * the same bucket, with Hamming-1 probing — the closed form the
+    * object scaladoc derives: p^b + b·p^(b−1)·(1−p), p = 1 − θ/π.
+    */
+  def srpCatchProb(planes: Int, threshold: Double): Double = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    math.pow(p, planes) + planes * math.pow(p, planes - 1) * (1.0 - p)
+  }
+
+  /** (planes, tables) for corpus size `n` and cosine `threshold` —
+    * the operating rule, solved instead of hand-tuned.
+    *
+    * For each candidate planes count b, the recall target FORCES the
+    * table count (a boundary pair's miss is (1 − catch(b))^tables, so
+    * tables = ⌈log(1−R) / log(1−catch(b))⌉ — n-independent), and the
+    * expected per-row cost is then
+    *
+    *   tables(b) · [ (b+1)  +  (b+1)·n / 2^b ]
+    *                 postings   probe-join feed
+    *
+    * The rule scans b and returns the cost minimum with tables ≤
+    * `maxTables` (the cap rejects the degenerate tail where catch
+    * collapses and tables explodes — at loose thresholds an uncapped
+    * solver asks for hundreds of sketch passes).
+    *
+    * Why solved and not fixed: the feed term is where fixed planes go
+    * QUADRATIC — ~n²·(b+1)/2^b rows per table once buckets saturate,
+    * invisible to the maxBucket guard because the growth is diffuse
+    * (every bucket fattens, none crosses the cap). Measured at the 64×
+    * probe: the hand-tuned 16-plane/8-table regime that runs 4k vectors
+    * in ~1 s took 230× longer on 256k vectors; the solved parameters
+    * restore near-linear cost at the same recall target, which holds by
+    * construction at every n. For tight thresholds the optimum tracks
+    * log₂ n as intuition says; for loose ones (≈0.4) the minimum cost
+    * itself grows ~linearly per row — the relation is near-quadratic
+    * and no parameterization is sublinear on it (see the object
+    * scaladoc).
+    */
+  def srpParamsFor(
+      n: Long,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      maxTables: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold not in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall not in (0,1)")
+    require(maxTables >= 1, "maxTables must be >= 1")
+    val candidates = for {
+      b <- 4 to 48
+      c = srpCatchProb(b, threshold)
+      if c > 0 && c < 1
+      t = math.max(1, math.ceil(
+        math.log(1.0 - targetRecall) / math.log(1.0 - c)).toInt)
+      if t <= maxTables
+    } yield {
+      val feed = (b + 1).toDouble * n.toDouble / math.pow(2.0, b)
+      (b, t, t * ((b + 1).toDouble + feed))
+    }
+    require(candidates.nonEmpty,
+      s"srpParamsFor: recall $targetRecall at threshold $threshold unreachable " +
+        s"within $maxTables tables for any planes in [4, 48] — relax the target " +
+        "or raise maxTables")
+    val (b, t, _) = candidates.minBy(_._3)
+    (b, t)
+  }
 
   /** Candidate pairs (id_a < id_b) sharing an SRP bucket in at least one
     * of `tables` hash tables — Hamming-1 probed: pairs whose buckets
@@ -168,5 +262,27 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[srpNearDupPairs]] with (planes, tables) solved from the corpus
+    * size by [[srpParamsFor]] — the caller states the semantic contract
+    * (threshold, recall target, per-row candidate budget) and the knobs
+    * that must track corpus size do so automatically. Costs one count()
+    * over the input (cheap next to either a wrong-planes run or the
+    * join itself); callers who know n can call [[srpParamsFor]] and the
+    * explicit overload directly.
+    */
+  def srpNearDupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      maxTables: Int = 64,
+      maxBucket: Int = 10000,
+      probe: Boolean = true,
+      coverageGuard: Boolean = false): DataFrame = {
+    val (planes, tables) = srpParamsFor(df.count(), threshold, targetRecall, maxTables)
+    srpNearDupPairs(df, idCol, vecCol, threshold, planes, tables, maxBucket, probe, coverageGuard)
   }
 }

@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.flatMap(_.toIntOption).getOrElse(8)
+    // Optional second arg: comma-separated query-name prefixes to probe
+    // (plus the keyword "streaming" for the state probes) — re-probing
+    // one repaired plan shouldn't cost a full sweep.
+    val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
     val dir = "/root/testdata/sf0.1"
     val spark = Sessions.local("scaleprobe", Sessions.cpusFromEnv(32))
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
@@ -97,46 +101,53 @@ object ScaleProbe {
         // round-6 operators
         "q86_seeded_shuffle", "q96_weighted_sample", "q97_perplexity_buckets",
         "q98_mixture_plan", "q99_length_buckets", "q100_canonical_docs",
-        // dedup/similarity family with scale-free knobs: q21's band
-        // buckets, q23's chunk buckets and q61's fine (2^16) SRP buckets
-        // hash into spaces that don't saturate at this range, so the
-        // fixed-knob query IS the scale path
-        "q21_minhash_lsh", "q23_simhash", "q61_embed_neardup_prod")) {
+        // q21's band buckets and q23's chunk buckets hash into spaces
+        // that don't saturate at this range, so the fixed-knob query IS
+        // the scale path
+        "q21_minhash_lsh", "q23_simhash")
+      if only.forall(_.exists(q.startsWith))) {
       time(q, dir) // warm
       val t1 = time(q, dir)
       val tk = time(q, tmp)
       println(f"[scale] $q%-28s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
     }
-    // q59 and q85 carry knobs whose documented operating rules are
-    // corpus-dependent — planes ~ log2 N keeps SRP bucket occupancy
-    // constant, nClusters ~ N keeps expected cluster size constant (with
-    // the k-means sample scaled alongside). Probing them at kx with 1x
-    // knobs would measure the un-turned knob (saturated 2^5 buckets /
-    // 64x clusters), not the plan, so these probe the OPERATOR under its
-    // operating rule via direct calls.
-    val logK = (math.log(k.toDouble) / math.log(2.0)).round.toInt
+    // q61/q85 carry knobs whose operating rules are corpus-dependent —
+    // (planes, tables) from Similarity.srpParamsFor (fixed planes go
+    // quadratic once buckets saturate: the 16-plane q61 regime measured
+    // 230× at 64× before the rule existed), nClusters ~ N keeps expected
+    // cluster size constant (k-means sample scaled alongside). Probing
+    // them at kx with 1x knobs would measure the un-turned knob, not the
+    // plan, so these probe the OPERATOR under its rule via direct calls
+    // (the auto entry points the engine ships).
+    //
+    // q59 (threshold 0.4) has NO kx row on purpose: at cosine 0.4 the
+    // RELATION is near-quadratic — even with the sign-flip replicas,
+    // cross-replica cosines are ~N(0, 1/64), putting ~7e-4 of the
+    // 8×10⁹ cross pairs above 0.4 at 64×, millions of genuine result
+    // rows that do not exist per-replica. No parameterization is
+    // sublinear on a relation that grows ~k² in the data; q59 stays the
+    // gate-scale stress row (recall gate in DedupSpec), and the
+    // probe-able production regime is q61.
     def timeOp(label: String, f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    for ((label, knobs1, knobsK) <- Seq[(String, String => Long, String => Long)](
-      ("q59_embed_neardup_lsh[planes~logN]",
-        d => graft.ops.Similarity.srpNearDupPairs(
-          Tables.load(spark, d, "embeddings"), "vec_id", "embedding", 0.4,
-          planes = 5, tables = 12).count(),
-        d => graft.ops.Similarity.srpNearDupPairs(
-          Tables.load(spark, d, "embeddings"), "vec_id", "embedding", 0.4,
-          planes = 5 + logK, tables = 12).count()),
+    for ((label, run) <- Seq[(String, String => Long)](
+      ("q61_embed_neardup_prod[srpParamsFor]",
+        d => graft.ops.Similarity.srpNearDupPairsAuto(
+          graft.analytics.DataOpsQueries.twinCorpus(Tables.load(spark, d, "embeddings")),
+          "vec_id", "embedding", 0.9).count()),
       ("q85_semdedup[nClusters~N]",
-        d => graft.ops.VectorOps.semDedup(
-          graft.analytics.DataOpsQueries.twinCorpus(Tables.load(spark, d, "embeddings")),
-          "vec_id", "embedding", threshold = 0.9, nClusters = 16).count(),
-        d => graft.ops.VectorOps.semDedup(
-          graft.analytics.DataOpsQueries.twinCorpus(Tables.load(spark, d, "embeddings")),
-          "vec_id", "embedding", threshold = 0.9, nClusters = 16 * k,
-          sampleRows = math.max(4096, 8 * 16 * k)).count()))) {
-      timeOp(label, knobs1(dir)) // warm
-      val t1 = timeOp(label, knobs1(dir))
-      val tk = timeOp(label, knobsK(tmp))
+        d => {
+          val twins = graft.analytics.DataOpsQueries.twinCorpus(Tables.load(spark, d, "embeddings"))
+          val scale = if (d == dir) 1 else k
+          graft.ops.VectorOps.semDedup(twins, "vec_id", "embedding",
+            threshold = 0.9, nClusters = 16 * scale,
+            sampleRows = math.max(4096, 8 * 16 * scale)).count()
+        }))
+      if only.forall(_.exists(label.startsWith))) {
+      timeOp(label, run(dir)) // warm
+      val t1 = timeOp(label, run(dir))
+      val tk = timeOp(label, run(tmp))
       println(f"[scale] $label%-36s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
     }
     // Streaming state probe: the bounded-state CLAIMS on sessionize
@@ -148,8 +159,10 @@ object ScaleProbe {
     // and user population are kx with the same time span, so bounded
     // state predicts: peak rows scale ~kx (more concurrent users),
     // peak rows stay well under total input, and final state drains.
-    streamStateProbe(spark, "sessionize_1x", dir)
-    streamStateProbe(spark, s"sessionize_${k}x", tmp)
+    if (only.forall(_.contains("streaming"))) {
+      streamStateProbe(spark, "sessionize_1x", dir)
+      streamStateProbe(spark, s"sessionize_${k}x", tmp)
+    }
     spark.stop()
   }
 

@@ -255,6 +255,47 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("srpParamsFor: recall target, tables cap, and cost optimality hold; planes track log n at tight thresholds") {
+    def cost(n: Long, b: Int, t: Int): Double =
+      t * ((b + 1).toDouble + (b + 1).toDouble * n / math.pow(2.0, b))
+    for (n <- Seq(500L, 4000L, 256000L, 100000000L); thr <- Seq(0.4, 0.9)) {
+      val (b, tbl) = Similarity.srpParamsFor(n, thr)
+      assert(tbl <= 64, s"n=$n t=$thr -> ($b, $tbl) breaks the tables cap")
+      // predicted recall at the boundary meets the target
+      val recall = 1.0 - math.pow(1.0 - Similarity.srpCatchProb(b, thr), tbl)
+      assert(recall >= 0.95 - 1e-9, s"n=$n t=$thr -> ($b, $tbl) recall $recall")
+      // optimality: no other in-cap recall-meeting config is cheaper
+      for (b2 <- 4 to 48) {
+        val c2 = Similarity.srpCatchProb(b2, thr)
+        if (c2 > 0 && c2 < 1) {
+          val t2 = math.max(1, math.ceil(math.log(0.05) / math.log(1 - c2)).toInt)
+          if (t2 <= 64)
+            assert(cost(n, b, tbl) <= cost(n, b2, t2) + 1e-9,
+              s"n=$n t=$thr: ($b,$tbl) costs more than ($b2,$t2)")
+        }
+      }
+    }
+    // the knob that must track corpus size does
+    assert(Similarity.srpParamsFor(256000L, 0.9)._1 > Similarity.srpParamsFor(4000L, 0.9)._1)
+    // the hand-tuned production regime's recall claim checks out under
+    // the same closed form the rule uses (16 planes x 8 tables at 0.9)
+    val handTuned = 1.0 - math.pow(1.0 - Similarity.srpCatchProb(16, 0.9), 8)
+    assert(handTuned >= 0.94 && handTuned <= 0.96, s"$handTuned")
+  }
+
+  test("srpNearDupPairsAuto: solved parameters keep precision 1 and recall >= 0.95 on planted twins") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val corpus = graft.analytics.DataOpsQueries.twinCorpus(embs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = canon(Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9))
+    val auto = canon(Similarity.srpNearDupPairsAuto(corpus, "vec_id", "embedding", 0.9))
+    assert(exact.nonEmpty)
+    assert(auto.subsetOf(exact)) // exact-cosine verify ⇒ precision 1
+    val recall = auto.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${auto.size}/${exact.size})")
+  }
+
   test("SemDeDup: precision 1.0, recall >= 0.95 vs exact dropped set on planted twins (q85 gate)") {
     val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
     val corpus = graft.analytics.DataOpsQueries.twinCorpus(embs)
