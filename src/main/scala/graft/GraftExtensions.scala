@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.VecSumName, 1)(exprs => VectorSum(exprs.head))
     inject(GraftFunctions.MgTopKName, 2)(exprs => MisraGriesTopK(exprs.head,
       GraftFunctions.literalInt(exprs(1), GraftFunctions.MgTopKName, "capacity")))
+    inject(GraftFunctions.NearestCentroidName, 4)(GraftFunctions.buildNearestCentroid)
   }
 }

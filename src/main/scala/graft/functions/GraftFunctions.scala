@@ -20,6 +20,7 @@ object GraftFunctions {
   val VecSumName = "graft_vec_sum"
   val MgTopKName = "graft_mg_topk"
   val BloomName = "graft_bloom_contains"
+  val NearestCentroidName = "graft_nearest_centroid"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -34,6 +35,37 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"$fn: $argName must be an integer literal, got $other")
     }
+  }
+
+  /** Extract a required array<double>-literal argument (same diagnosis
+    * rationale as [[literalInt]]).
+    */
+  private[graft] def literalDoubleArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, argName: String): Array[Double] = {
+    require(e.foldable, s"$fn: $argName must be an array<double> literal, got ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be an array<double> literal, got $other")
+    }
+  }
+
+  /** Shared builder for `graft_nearest_centroid(vec, norm, centsFlat,
+    * dim)` — the centroid matrix is consumed at ANALYSIS time (it must
+    * be a literal) and embedded in the expression as one flat double[]
+    * reference object, with per-centroid norms precomputed here.
+    */
+  private[graft] def buildNearestCentroid(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val flat = literalDoubleArray(exprs(2), NearestCentroidName, "centsFlat")
+    val dim = literalInt(exprs(3), NearestCentroidName, "dim")
+    require(dim >= 1 && flat.nonEmpty && flat.length % dim == 0,
+      s"$NearestCentroidName: centsFlat length ${flat.length} is not a " +
+        s"positive multiple of dim $dim")
+    val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    NearestCentroid(exprs.head, exprs(1), flat, norms, dim)
   }
 
   /** Arity check with the function name in the message — a bare
@@ -84,12 +116,25 @@ object GraftFunctions {
       BloomName, arity(BloomName, 2)(exprs =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      NearestCentroidName,
+      arity(NearestCentroidName, 4)(buildNearestCentroid), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
     * [[graft.Sessions.local]]).
     */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Native nearest-centroid assignment against a fixed centroid table
+    * (requires `register(spark)` — done by [[graft.Sessions.local]]).
+    */
+  def nearestCentroid(vec: Column, norm: Column, cents: Array[Array[Double]]): Column = {
+    require(cents.nonEmpty, s"$NearestCentroidName: empty centroid table")
+    call_function(NearestCentroidName, vec, norm,
+      org.apache.spark.sql.functions.lit(cents.flatten),
+      org.apache.spark.sql.functions.lit(cents.head.length))
+  }
 
   /** Native 64-bit SimHash of an array<string> token column. */
   def simhash(toks: Column): Column = call_function(SimHashName, toks)

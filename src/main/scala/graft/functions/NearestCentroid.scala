@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Nearest-centroid assignment over a FIXED centroid table: argmax over
+  * c of dot(vec, cent_c) / (norm · |cent_c|), ties toward the higher
+  * index — the exact semantics of the `greatest(struct(sim, idx)...)`
+  * formulation `VectorOps.assignClusters` used before this expression
+  * existed (pinned against it in NativeExpressionsSpec).
+  *
+  * Why native: the greatest-over-structs form materializes one struct
+  * and one dot-product subtree PER CENTROID in the generated code —
+  * at the corpus-scaled nClusters the operating rule calls for
+  * (nClusters ~ N / expected-cluster-size), a 1024-centroid assignment
+  * generated a ~15k-line class that failed janino compilation and fell
+  * back to interpreted struct comparisons, measured ~185× at the 64×
+  * probe. Here the centroid matrix rides along as ONE flat double[]
+  * reference object (512 KB at 1024 × dim 64 — task-binary size, not
+  * codegen size) and assignment is a tight two-level primitive loop,
+  * the same loop at 16 centroids or 16k.
+  *
+  * A malformed vector (length ≠ dim, or a null element) yields NULL —
+  * unreachable through assignClusters, which filters `l2Norm > 0`
+  * first (null elements and empty arrays never pass).
+  */
+object NearestCentroidEval {
+  /** Returns the centroid index, or -1 for the NULL (malformed) case. */
+  def nearest(
+      vec: ArrayData,
+      norm: Double,
+      flat: Array[Double],
+      norms: Array[Double],
+      dim: Int): Int = {
+    if (vec.numElements() != dim) return -1
+    var d = 0
+    while (d < dim) {
+      if (vec.isNullAt(d)) return -1
+      d += 1
+    }
+    val k = norms.length
+    var best = Double.NegativeInfinity
+    var idx = 0
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < dim) {
+        s += vec.getDouble(j) * flat(off + j)
+        j += 1
+      }
+      val sim = s / (norm * norms(c))
+      // Double.compare orders NaN above reals and ties keep the LATER
+      // (higher) index — both exactly the struct-greatest tiebreak.
+      if (c == 0 || java.lang.Double.compare(sim, best) >= 0) {
+        best = sim
+        idx = c
+      }
+      c += 1
+    }
+    idx
+  }
+}
+
+/** Native nearest-centroid (see [[NearestCentroidEval.nearest]]).
+  * `flat` is the row-major nCentroids × dim matrix; `norms` its
+  * per-centroid L2 norms (precomputed once, driver-side).
+  */
+case class NearestCentroid(
+    left: Expression,
+    right: Expression,
+    flat: Array[Double],
+    norms: Array[Double],
+    dim: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType)
+          if dim >= 1 && norms.nonEmpty && flat.length == norms.length * dim =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_centroid: inconsistent centroid table " +
+            s"(flat=${flat.length}, norms=${norms.length}, dim=$dim)")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroid expects (array<double>, double), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(vec: Any, norm: Any): Any = {
+    val r = NearestCentroidEval.nearest(
+      vec.asInstanceOf[ArrayData], norm.asInstanceOf[Double], flat, norms, dim)
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centsFlat", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val r = ctx.freshName("cluster")
+      s"""
+         |final int $r = graft.functions.NearestCentroidEval.nearest(
+         |  $v, $nrm, $flatRef, $normsRef, $dim);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}

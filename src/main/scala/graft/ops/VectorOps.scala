@@ -223,18 +223,34 @@ object VectorOps {
     val kk = math.min(k, unit.length)
     val rnd = new scala.util.Random(seed)
     // k-means++ on angular distance (1 - cosine): spread the seeds.
+    // Each point's nearest-seed similarity is maintained INCREMENTALLY
+    // (one dot against only the NEW seed per round). Recomputing the
+    // max over every seed each round is O(k²·n·dim) — measured 206 s
+    // of a 243 s semDedup at the corpus-scaled regime (k=1024 over an
+    // 8192 sample), dwarfing Lloyd itself; the incremental form is
+    // O(k·n·dim) with bit-identical selections (same d2 values, same
+    // RNG draw sequence, so the same centroids fall out).
     val seeds = scala.collection.mutable.ArrayBuffer(unit(rnd.nextInt(unit.length)))
+    val bestSeedSim = unit.map(p => dotA(p, seeds(0)))
     while (seeds.length < kk) {
-      val d2 = unit.map { p =>
-        val d = 1.0 - seeds.iterator.map(c => dotA(p, c)).max
+      val d2 = Array.tabulate(unit.length) { i =>
+        val d = 1.0 - bestSeedSim(i)
         d * d
       }
       val total = d2.sum
-      if (total <= 0) seeds += unit(rnd.nextInt(unit.length))
-      else {
-        var r = rnd.nextDouble() * total; var i = 0
-        while (i < unit.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
-        seeds += unit(i)
+      val chosen =
+        if (total <= 0) rnd.nextInt(unit.length)
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < unit.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          i
+        }
+      seeds += unit(chosen)
+      var i = 0
+      while (i < unit.length) {
+        val s = dotA(unit(i), unit(chosen))
+        if (s > bestSeedSim(i)) bestSeedSim(i) = s
+        i += 1
       }
     }
     var cents = seeds.toArray
@@ -312,7 +328,7 @@ object VectorOps {
       .limit(k)
   }
 
-  private def indexedCents(base: Array[Array[Double]]): Array[(Int, Array[Double], Double)] =
+  private[ops] def indexedCents(base: Array[Array[Double]]): Array[(Int, Array[Double], Double)] =
     base.zipWithIndex.map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
 
   /** The query's `nProbe` nearest centroid indices (driver-side — the
@@ -330,13 +346,36 @@ object VectorOps {
       .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
 
   /** Adds (dv, nrm, cluster) columns: the map-only nearest-centroid
-    * assignment. argmax via greatest over (sim, idx) structs —
-    * lexicographic, ties resolved toward the higher index,
-    * deterministically. greatest() needs >= 2 args; a single-centroid
-    * index is the trivial assignment. Zero-norm vectors are dropped (a
-    * NaN cosine would rank above real scores).
+    * assignment via the native [[graft.functions.NearestCentroid]]
+    * expression (argmax of sim = dot/(nrm·|c|), ties toward the higher
+    * index). Zero-norm vectors are dropped (a NaN cosine would rank
+    * above real scores).
+    *
+    * The pre-native formulation — `greatest` over one (sim, idx) struct
+    * PER CENTROID — is pinned as the reference semantics in
+    * NativeExpressionsSpec; it generated code linear in nCentroids and
+    * at the corpus-scaled nClusters the operating rule calls for it
+    * blew past janino's limits and fell back to interpreted struct
+    * comparisons (~185× at the 64× probe). The native expression is one
+    * flat double[] reference and a two-level primitive loop, the same
+    * generated code at 16 centroids or 16k.
     */
-  private def assignClusters(
+  private[ops] def assignClusters(
+      df: DataFrame,
+      vecCol: String,
+      cents: Array[(Int, Array[Double], Double)]): DataFrame = {
+    df.withColumn("dv", toDoubleVec(col(vecCol)))
+      .withColumn("nrm", l2Norm(col("dv")))
+      .filter(col("nrm") > 0)
+      .withColumn("cluster", graft.functions.GraftFunctions.nearestCentroid(
+        col("dv"), col("nrm"), cents.map(_._2)))
+  }
+
+  /** The pre-native greatest-over-structs assignment — kept ONLY as the
+    * reference semantics for the parity gate (NativeExpressionsSpec);
+    * never on a production path.
+    */
+  private[ops] def assignClustersComposable(
       df: DataFrame,
       vecCol: String,
       cents: Array[(Int, Array[Double], Double)]): DataFrame = {

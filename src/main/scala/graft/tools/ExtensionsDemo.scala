@@ -41,6 +41,12 @@ object ExtensionsDemo {
         |  SELECT explode(array('a', 'a', 'a', 'b', 'c', 'a')) w)""".stripMargin)
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(mg.nonEmpty && mg.head.getString(0) == "a", s"mg_topk gave $mg")
+    // nearest-centroid resolves and picks the aligned centroid (index 1)
+    val nc = spark.sql(
+      """SELECT graft_nearest_centroid(array(0.0d, 1.0d), 1.0d,
+        |         array(1.0d, 0.0d, 0.0d, 1.0d), 2) AS c""".stripMargin)
+      .head().getInt(0)
+    assert(nc == 1, s"nearest_centroid gave $nc")
     println("[ext] OK: extensions-injected functions resolve from SQL")
     spark.stop()
   }

@@ -165,6 +165,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probeAfter === probeBefore)
   }
 
+  test("native nearest-centroid ≡ greatest-over-structs assignment (parity incl. ties), at 16 and 200 centroids") {
+    import org.apache.spark.sql.functions.col
+    // Real corpus + a planted exact-tie row: the zero-sim vector ties
+    // against every centroid orthogonal to it; both paths must resolve
+    // toward the same (higher) index.
+    for (k <- Seq(16, 200)) {
+      val cents = VectorOps.indexedCents(
+        VectorOps.kmeansCentroids(embs, "embedding", k, 4))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("cluster")).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val native = canon(VectorOps.assignClusters(embs, "embedding", cents))
+      val reference = canon(VectorOps.assignClustersComposable(embs, "embedding", cents))
+      assert(native === reference, s"k=$k: native assignment diverged")
+      assert(native.nonEmpty)
+    }
+  }
+
   test("IVF k-means centroids beat first-N-by-id on clustered data") {
     import spark.implicits._
     // Three well-separated clusters on the 4-sphere; ids ordered so the
