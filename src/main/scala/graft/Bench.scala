@@ -37,12 +37,27 @@ object Bench {
     }
 
     // Warm-up: session init + first codegen compile land outside
-    // timings. Three reps, not one — the first sentinel below is the
-    // load-factor numerator, and a half-warm JIT inflates it into a
-    // false 2x load reading on a quiet box (measured).
-    for (_ <- 1 to 3)
-      try SparkEntry.queries("q01_scan_topk")(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    // timings — ADAPTIVE, because the first sentinel below is the
+    // load-factor numerator and residual JIT tier-up reads as false
+    // load (a fixed 3 reps left checkpoint 0 at 1.8x the late-run
+    // floor on a measured-quiet box). Warm until two consecutive runs
+    // agree within 25%, capped at 8 reps; whatever drift survives the
+    // cap is attributed to load, which is the conservative direction
+    // (more lenient suspect thresholds, never more suspects).
+    {
+      var prev = Double.MaxValue
+      var reps = 0
+      var stable = false
+      while (reps < 8 && !stable) {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries("q01_scan_topk")(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        stable = t >= prev * 0.75 && t <= prev * 1.25
+        prev = t
+        reps += 1
+      }
+    }
 
     // Load sentinel: re-time a fixed trivial query (q01, a pushdown
     // scan + TakeOrderedAndProject that has never changed across
@@ -54,7 +69,17 @@ object Bench {
     // uniformly-loaded box shows no within-run drift, so the sentinel
     // is also compared against the previous round's committed q01.
     val sentinelFn = SparkEntry.queries("q01_scan_topk")
-    def sentinel(): Double = timeOne("sentinel(q01)", sentinelFn)
+    // Each checkpoint is a min of two back-to-back runs: sustained box
+    // load inflates both, while a one-off hiccup (GC pause, page-cache
+    // miss, a JIT tier-up on the very first checkpoint) inflates only
+    // one — and a hiccup-driven load_factor on a QUIET box (measured
+    // 1.6 from single-run checkpoints) would scale the suspect
+    // thresholds into blindness.
+    def sentinel(): Double = {
+      val a = timeOne("sentinel(q01)", sentinelFn)
+      val b = timeOne("sentinel(q01)", sentinelFn)
+      if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+    }
 
     // Min-of-3 with the repeats INTERLEAVED: pass 1 runs every query,
     // then pass 2, then pass 3, and each query keeps its minimum.
@@ -110,7 +135,14 @@ object Bench {
           .findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
-    val goodSentinels = sentinels.filter(_ > 0)
+    // Checkpoint 0 (pre-pass-1) is recorded for transparency but
+    // EXCLUDED from the drift: it measures residual engine warm-up by
+    // construction (measured 1.8–2.4x the late-run floor on a quiet
+    // box, however hard the warm-up loop tries), and a warm-up-driven
+    // load_factor scales the suspect thresholds into blindness. The
+    // three post-pass checkpoints are steady-state and still bracket
+    // every pass; load during pass 1 shows at its closing checkpoint.
+    val goodSentinels = sentinels.drop(1).filter(_ > 0)
     val withinDrift =
       if (goodSentinels.length >= 2) goodSentinels.max / goodSentinels.min else 1.0
     // Cross-round: a box loaded for the WHOLE run drifts nowhere
