@@ -999,7 +999,9 @@ object DataOpsQueries {
              |  SELECT s AS node, d AS comp FROM reach UNION SELECT s, s FROM e
              |) GROUP BY node ORDER BY node""".stripMargin),
       (s, dir) => {
-        val edges = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+        // Auto-selected plan (stats-driven, like q22): identical exact
+        // relation whichever join the posting statistics pick.
+        val edges = Dedup.ngramJaccardPairsAuto(docs(s, dir), "doc_id", "text", 3, 0.5)
           .select("id_a", "id_b")
         GraphOps.connectedComponents(edges).orderBy("node")
       }),
@@ -1207,7 +1209,9 @@ object DataOpsQueries {
              |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
       (s, dir) => {
         val d = docs(s, dir)
-        val edges = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+        // Same stats-driven plan selection as q22/q50 — the edge
+        // relation is exact under either physical join.
+        val edges = Dedup.ngramJaccardPairsAuto(d, "doc_id", "text", 3, 0.5)
           .select("id_a", "id_b")
         val comps = GraphOps.connectedComponents(edges)
         val byComp = org.apache.spark.sql.expressions.Window.partitionBy("component")
