@@ -524,22 +524,37 @@ object Dedup {
 
   /** Posting statistics + chosen plan for `df`'s shingle relation — the
     * selection half of [[ngramJaccardPairsAuto]], exposed for tests.
-    * Runs one aggregation over the shingle document frequencies (a
-    * partial-agg pass over the postings plus a distinct-shingle
-    * exchange); that pass is strictly cheaper than either candidate
-    * plan, which is what makes selecting from measured statistics
-    * cheaper than guessing wrong.
+    *
+    * Statistics come from a DETERMINISTIC 1-in-`sampleMod` document
+    * sample (hash of the id, so the decision is reproducible), scaled
+    * back before the decision: sampling documents at rate r scales a
+    * shingle's df by ~r, so P scales by r, Σdf² by r² and maxDf by r —
+    * the estimates multiply by sampleMod, sampleMod² and sampleMod
+    * respectively. A full-corpus frequency pass would itself be a
+    * corpus-scale job at 100 TB — the decision must stay cheap relative
+    * to BOTH candidate plans or measuring beats guessing by less than
+    * it costs. Sampling noise is harmless here: the decision margins
+    * are wide (the uniform corpus sits at Σdf²/P ≈ 11 against a
+    * threshold of 32; boilerplate corpora overshoot it by orders of
+    * magnitude), and an empty sample falls back to the plain join.
+    * `sampleMod = 1` disables sampling (exact statistics).
     */
   def jaccardPathFor(
-      df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): JaccardPath = {
-    val docFreq = df
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      sampleMod: Int = 4): JaccardPath = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    val sampled =
+      if (sampleMod == 1) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    val docFreq = sampled
       .select(explode(TextFunctions.shingleSet(col(textCol), shingleN)).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
     val st = docFreq.agg(
       coalesce(sum("df"), lit(0L)).as("p"),
       coalesce(sum(col("df") * col("df")), lit(0L)).as("j"),
       coalesce(max("df"), lit(0L)).as("m")).head()
-    chooseJaccardPath(st.getLong(0), st.getLong(1), st.getLong(2))
+    val m = sampleMod.toLong
+    chooseJaccardPath(st.getLong(0) * m, st.getLong(1) * m * m, st.getLong(2) * m)
   }
 
   /** Exact n-gram-Jaccard pairs with the physical plan chosen from
