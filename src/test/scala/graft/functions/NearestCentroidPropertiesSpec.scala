@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the pure JVM half of the native
+  * nearest-centroid expression — random vector/centroid sweeps the
+  * corpus parity test (SimilaritySpec) can't cover, run WITHOUT a
+  * Spark session (the eval function is plain code).
+  */
+object NearestCentroidPropertiesSpec extends Properties("graft.nearestCentroid") {
+
+  private val dimGen = Gen.choose(1, 8)
+  private def vecGen(dim: Int): Gen[Array[Double]] =
+    Gen.listOfN(dim, Gen.choose(-5.0, 5.0)).map(_.toArray)
+      .suchThat(v => math.sqrt(v.map(x => x * x).sum) > 1e-9)
+
+  /** Straight-line reference: argmax of dot/(norm·|c|), ties (via
+    * Double.compare, NaN above reals) toward the HIGHER index — the
+    * struct-greatest semantics the expression scaladoc pins.
+    */
+  private def reference(
+      vec: Array[Double], cents: Array[Array[Double]]): Int = {
+    val norm = math.sqrt(vec.map(x => x * x).sum)
+    val sims = cents.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      vec.zip(c).map { case (a, b) => a * b }.sum / (norm * cn)
+    }
+    sims.zipWithIndex.maxBy { case (s, i) => (s, i) }(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))._2
+  }
+
+  property("native eval ≡ argmax reference on random vectors and tables") =
+    forAll(for {
+      dim <- dimGen
+      k <- Gen.choose(1, 20)
+      cents <- Gen.listOfN(k, vecGen(dim))
+      vec <- vecGen(dim)
+    } yield (dim, cents.toArray, vec)) { case (dim, cents, vec) =>
+      val flat = cents.flatten
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val norm = math.sqrt(vec.map(x => x * x).sum)
+      val got = NearestCentroidEval.nearest(
+        new GenericArrayData(vec), norm, flat, norms, dim)
+      got == reference(vec, cents)
+    }
+
+  property("duplicated centroid: the higher index wins (tie rule)") =
+    forAll(for {
+      dim <- dimGen
+      c <- vecGen(dim)
+      k <- Gen.choose(1, 6)
+    } yield (dim, c, k)) { case (dim, c, k) =>
+      // k copies of the same centroid -> every sim ties exactly
+      val cents = Array.fill(k)(c)
+      val flat = cents.flatten
+      val norms = cents.map(cc => math.sqrt(cc.map(x => x * x).sum))
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      NearestCentroidEval.nearest(
+        new GenericArrayData(c), norm, flat, norms, dim) == k - 1
+    }
+
+  property("malformed vectors (wrong length) signal null, never a cluster") =
+    forAll(for {
+      dim <- Gen.choose(2, 8)
+      c <- vecGen(dim)
+      shorter <- vecGen(dim - 1)
+    } yield (dim, c, shorter)) { case (dim, c, shorter) =>
+      val norms = Array(math.sqrt(c.map(x => x * x).sum))
+      NearestCentroidEval.nearest(
+        new GenericArrayData(shorter), 1.0, c, norms, dim) == -1
+    }
+}
