@@ -154,6 +154,21 @@ object Bench {
       case _ => 1.0
     }
     val loadFactor = math.max(withinDrift, crossRound)
+    // crossRound assumes q01 itself never regresses: a genuine slowdown
+    // in shared infra (scan path, session init) would read as sustained
+    // load and scale EVERY suspect threshold up — self-certifying the
+    // regression away. It can't be disambiguated from here (that's what
+    // load is: everything slower), so when crossRound exceeds what the
+    // within-run drift explains, say so loudly in BOTH channels — the
+    // artifact carries the flag for the round reader to adjudicate
+    // against the sentinel history instead of trusting load_factor.
+    val loadWarning = crossRound > withinDrift * 1.25 && crossRound > 1.25
+    if (loadWarning)
+      System.err.println(f"[bench] WARNING: best sentinel is $crossRound%.2fx the " +
+        f"previous round's q01 but within-run drift is only $withinDrift%.2fx — " +
+        "either the box was uniformly loaded for the whole run, or q01's shared " +
+        "infra (scan/session) genuinely regressed; suspect thresholds are scaled " +
+        "by it, so re-run on a quiet box before trusting an empty suspect list")
     val suspect = results.collect {
       case (k, v) if v >= 0 && prev.get(k).exists(p =>
         p > 0 && v > 2 * loadFactor * p && v - p > 0.1 * loadFactor) => k
@@ -169,7 +184,7 @@ object Bench {
     // number for what a Trigger.AvailableNow micro-batch pipeline
     // costs end-to-end at this SF.
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
-      "q33_sessionization")
+      "q33_sessionization", "q62_stream_join", "q69_stream_enrich")
     val streaming = streamingNames.map { n =>
       n -> timeOne(n, SparkEntry.queries(n))
     }
@@ -187,7 +202,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},""" +
       s""""failed":$failedJson,"suspect":$suspectJson,""" +
-      s""""load_factor":$loadFactor,"sentinel":$sentinelJson,""" +
+      s""""load_factor":$loadFactor,"load_warning":$loadWarning,""" +
+      s""""sentinel":$sentinelJson,""" +
       s""""streaming":$streamingJson,"streaming_total":$streamingTotal,""" +
       s""""queries":$qs,"sf":${JsonStr(sfDir)}}"""
     println(line)

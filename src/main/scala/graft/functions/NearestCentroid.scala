@@ -117,4 +117,22 @@ case class NearestCentroid(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroid =
     copy(left = newLeft, right = newRight)
+
+  // Array fields compare by reference under the synthesized case-class
+  // equals, so two semantically identical calls built from separate
+  // driver-side tables would never be semanticEquals — defeating
+  // canonicalization / common-subexpression elimination (a cost leak,
+  // not a correctness one). Compare the table by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroid =>
+      left == o.left && right == o.right && dim == o.dim &&
+        java.util.Arrays.equals(flat, o.flat) &&
+        java.util.Arrays.equals(norms, o.norms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(flat)),
+      Int.box(java.util.Arrays.hashCode(norms)))
 }

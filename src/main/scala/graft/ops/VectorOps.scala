@@ -569,13 +569,41 @@ object VectorOps {
           .write.mode("overwrite").parquet(tmp.toString)
         val compacted = fs.listStatus(tmp)
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        files.foreach(f =>
-          fs.rename(f.getPath, new Path(c.getPath, "." + f.getPath.getName + ".old")))
-        compacted.foreach(f =>
-          fs.rename(f.getPath, new Path(c.getPath, f.getPath.getName)))
-        fs.delete(tmp, true)
-        files.foreach(f =>
-          fs.delete(new Path(c.getPath, "." + f.getPath.getName + ".old"), false))
+        // Hadoop FileSystem.rename/delete report most failures (perms,
+        // existing destination, cross-fs) by returning false, not
+        // throwing. A silently failed hide-rename would leave an
+        // original visible NEXT TO its compacted copy — duplicated
+        // rows — so every step is checked and a hide failure rolls the
+        // already-hidden originals back before aborting.
+        def hiddenOf(f: Path) = new Path(c.getPath, "." + f.getName + ".old")
+        val hidden = scala.collection.mutable.ArrayBuffer.empty[Path]
+        files.foreach { f =>
+          if (!fs.rename(f.getPath, hiddenOf(f.getPath))) {
+            hidden.foreach(h => fs.rename(h,
+              new Path(c.getPath, h.getName.stripPrefix(".").stripSuffix(".old"))))
+            fs.delete(tmp, true)
+            throw new java.io.IOException(
+              s"ivfCompactIndex: hide-rename of ${f.getPath} failed; " +
+                s"rolled back ${hidden.length} hidden originals in ${c.getPath}")
+          }
+          hidden += hiddenOf(f.getPath)
+        }
+        compacted.foreach { f =>
+          if (!fs.rename(f.getPath, new Path(c.getPath, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"ivfCompactIndex: publish-rename of ${f.getPath} into " +
+                s"${c.getPath} failed; originals remain hidden (.*.old) — " +
+                "every row is recoverable but the cluster needs manual repair")
+        }
+        if (!fs.delete(tmp, true))
+          throw new java.io.IOException(
+            s"ivfCompactIndex: could not delete temp dir $tmp after publish")
+        hidden.foreach { h =>
+          if (!fs.delete(h, false))
+            throw new java.io.IOException(
+              s"ivfCompactIndex: could not delete hidden original $h " +
+                "(compacted data is live; the leftover is hidden litter, not duplication)")
+        }
         Some(c.getPath.getName -> (files.length, compacted.length))
       }
     }.toMap

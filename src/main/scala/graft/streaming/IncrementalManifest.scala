@@ -149,15 +149,27 @@ object IncrementalManifest {
       stateDir: String,
       batchId: Long,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      minChars: Int = 150,
+      maxChars: Int = 1500,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): Unit = {
     val spark = delta.sparkSession
     val prior = readState(spark, stateDir, idCol)
       .filter(col("batch") < lit(batchId))
       .select(col("content_hash"))
-    admitBatch(delta, bench, prior, idCol, textCol)
+    // The SAME quality bounds feed admission and the sidecar: an
+    // observation row exists iff the row could have been admitted, so
+    // repair's electorate is defined by the admission predicate. A
+    // driver passing custom bounds to admitBatch but defaults to
+    // observations would get a sidecar that diverges from admission —
+    // repair then silently mis-elects; threading them here makes that
+    // mistake inexpressible through the public entry points.
+    admitBatch(delta, bench, prior, idCol, textCol,
+        minChars, maxChars, shingleN, threshold)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
-    observations(delta, idCol, textCol)
+    observations(delta, idCol, textCol, minChars, maxChars)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"${obsDir(stateDir)}/batch=$batchId")
   }
@@ -173,12 +185,17 @@ object IncrementalManifest {
       checkpointDir: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      minChars: Int = 150,
+      maxChars: Int = 1500,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitAndWrite(batch, bench, stateDir, batchId, idCol, textCol)
+        admitAndWrite(batch, bench, stateDir, batchId, idCol, textCol,
+          minChars, maxChars, shingleN, threshold)
       }
       .start()
 
@@ -205,16 +222,22 @@ object IncrementalManifest {
 
   /** The training manifest over everything admitted so far — identical
     * schema and (shard, pos) assignment to the batch manifest (q95).
-    * With `repair = true` the manifest is built over [[repairedState]]
-    * (min-id re-election), which reproduces the batch manifest even
-    * when ids arrived out of order.
+    * By DEFAULT the manifest is built over [[repairedState]] (min-id
+    * re-election), which reproduces the batch manifest even when ids
+    * arrived out of order — the production norm, and the sidecar it
+    * needs is always maintained. `repair = false` keeps the raw
+    * first-seen-wins election (cheaper by one 16-byte-key aggregation
+    * + join; identical when arrival was id-ordered). Measured repair
+    * overhead at sf0.1 (59k docs, 2 batches): see SCALE.md's
+    * incremental-manifest note — the election rides on |state|+|obs|
+    * rows of 17-byte payload, not on document text.
     */
   def manifest(
       spark: SparkSession,
       stateDir: String,
       idCol: String = "doc_id",
       nShards: Int = 8,
-      repair: Boolean = false): DataFrame = {
+      repair: Boolean = true): DataFrame = {
     val state =
       if (repair) repairedState(spark, stateDir, idCol)
       else readState(spark, stateDir, idCol)

@@ -232,6 +232,31 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
 
+  test("graft_nearest_centroid: separately-built identical calls are semanticEquals (CSE-able)") {
+    // Array fields would compare by reference under case-class equals;
+    // the content-based override is what lets canonicalization collapse
+    // two identical assignments built from separate driver-side tables.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def build() = GraftFunctions.buildNearestCentroid(Seq(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Literal(1.0),
+      Literal.create(Array(1.0, 0.0, 0.0, 1.0), ArrayType(DoubleType)),
+      Literal(2)))
+    val (a, b) = (build(), build())
+    assert(a ne b)
+    assert(a === b)
+    assert(a.semanticEquals(b), "identical nearest-centroid calls must canonicalize equal")
+    assert(a.hashCode === b.hashCode)
+    // and a different table must NOT compare equal
+    val c = GraftFunctions.buildNearestCentroid(Seq(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Literal(1.0),
+      Literal.create(Array(0.0, 1.0, 1.0, 0.0), ArrayType(DoubleType)),
+      Literal(2)))
+    assert(!a.semanticEquals(c))
+  }
+
   test("SQL surface: graft_dot / graft_simhash resolve by name") {
     Tables.registerViews(spark, TestSpark.Sf001)
     val r = spark.sql(

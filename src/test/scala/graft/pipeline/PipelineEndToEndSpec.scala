@@ -364,12 +364,14 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val stateDir = Files.createTempDirectory("inc_ooo_state").toString
     IncrementalManifest.admitAndWrite(docs, bench, stateDir, 0)
     IncrementalManifest.admitAndWrite(planted, bench, stateDir, 1)
-    // Unrepaired, first-seen-wins keeps the larger original ids: the
-    // divergence the repair exists for (and proof this isn't vacuous).
-    val firstSeen = rows(IncrementalManifest.manifest(spark, stateDir))
+    // Unrepaired (opt-out), first-seen-wins keeps the larger original
+    // ids: the divergence the repair exists for (proof this isn't
+    // vacuous).
+    val firstSeen = rows(IncrementalManifest.manifest(spark, stateDir, repair = false))
     assert(firstSeen !== expected, "fixture failed to force a divergence")
-    // Repair: min-id re-election over the observation sidecar.
-    val repaired = rows(IncrementalManifest.manifest(spark, stateDir, repair = true))
+    // The DEFAULT path is min-id re-election over the observation
+    // sidecar — a naive caller gets the batch-equivalent manifest.
+    val repaired = rows(IncrementalManifest.manifest(spark, stateDir))
     assert(repaired === expected)
   }
 
