@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(GraftFunctions.SrpName, 3)(exprs => SrpBucket(exprs.head,
       GraftFunctions.literalInt(exprs(1), GraftFunctions.SrpName, "planes"),
       GraftFunctions.literalInt(exprs(2), GraftFunctions.SrpName, "seedBase")))
+    inject(GraftFunctions.SrpProbesName, 4)(exprs => SrpProbeBuckets(exprs.head,
+      GraftFunctions.literalInt(exprs(1), GraftFunctions.SrpProbesName, "planes"),
+      GraftFunctions.literalInt(exprs(2), GraftFunctions.SrpProbesName, "seedBase"),
+      GraftFunctions.literalInt(exprs(3), GraftFunctions.SrpProbesName, "probes")))
     inject(GraftFunctions.VecSumName, 1)(exprs => VectorSum(exprs.head))
     inject(GraftFunctions.MgTopKName, 2)(exprs => MisraGriesTopK(exprs.head,
       GraftFunctions.literalInt(exprs(1), GraftFunctions.MgTopKName, "capacity")))

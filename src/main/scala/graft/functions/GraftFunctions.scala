@@ -17,6 +17,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash"
   val ShinglesName = "graft_shingles"
   val SrpName = "graft_srp"
+  val SrpProbesName = "graft_srp_probes"
   val VecSumName = "graft_vec_sum"
   val MgTopKName = "graft_mg_topk"
   val BloomName = "graft_bloom_contains"
@@ -100,6 +101,11 @@ object GraftFunctions {
       SrpName, arity(SrpName, 3)(exprs => SrpBucket(exprs.head,
         literalInt(exprs(1), SrpName, "planes"),
         literalInt(exprs(2), SrpName, "seedBase"))), "built-in")
+    reg.createOrReplaceTempFunction(
+      SrpProbesName, arity(SrpProbesName, 4)(exprs => SrpProbeBuckets(exprs.head,
+        literalInt(exprs(1), SrpProbesName, "planes"),
+        literalInt(exprs(2), SrpProbesName, "seedBase"),
+        literalInt(exprs(3), SrpProbesName, "probes"))), "built-in")
     // return the raw AggregateFunction — the analyzer wraps it in an
     // AggregateExpression (pre-wrapping would break DISTINCT handling)
     reg.createOrReplaceTempFunction(
@@ -152,6 +158,15 @@ object GraftFunctions {
     call_function(SrpName, vec,
       org.apache.spark.sql.functions.lit(planes),
       org.apache.spark.sql.functions.lit(seedBase))
+
+  /** Native query-directed probe posting set: exact SRP bucket plus the
+    * `probes` lowest-margin Hamming-1 neighbor buckets (array<long>).
+    */
+  def srpProbes(vec: Column, planes: Int, seedBase: Int, probes: Int): Column =
+    call_function(SrpProbesName, vec,
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(seedBase),
+      org.apache.spark.sql.functions.lit(probes))
 
   /** Native element-wise array<double> SUM aggregate (one hash agg with
     * map-side partials — no posexplode dimension blow-up).

@@ -55,6 +55,87 @@ object SrpHash {
     }
     out
   }
+
+  /** Query-directed (multi-probe) posting set: the exact SRP bucket
+    * FIRST, then the Hamming-1 neighbor buckets of the `probes` planes
+    * with the smallest |projection| (margin), in ascending-margin order,
+    * ties broken toward the lower plane index.
+    *
+    * Rationale: a near-duplicate pair that misses the exact bucket
+    * almost always disagrees on a LOW-margin plane — conditional on a
+    * sign flip at cosine θ, the plane's margin density is
+    * ∝ φ(z)·Φ(−z·cotθ), concentrated near zero — so probing the p
+    * lowest-margin planes captures most of the Hamming-1 catch mass at
+    * (p+1)/(planes+1) of the posting volume
+    * ([[graft.ops.Similarity.srpProbeCapture]] computes the capture
+    * probability this buys; DedupSpec pins the recall it implies).
+    *
+    * Malformed vectors (empty, or any NULL element) take the same
+    * early-exit as [[srpBucket64]]: bucket 0 with all margins treated as
+    * zero, so ties select planes 0..probes−1 — element 0 always equals
+    * [[srpBucket64]] (pinned in NativeExpressionsSpec).
+    */
+  def srpProbeBuckets(
+      vec: ArrayData, planes: Int, seedBase: Int, probes: Int): Array[Long] = {
+    val p = math.min(probes, planes)
+    val n = vec.numElements()
+    var bad = n == 0
+    var i = 0
+    while (!bad && i < n) {
+      if (vec.isNullAt(i)) bad = true
+      i += 1
+    }
+    val out = new Array[Long](p + 1)
+    if (bad) {
+      var j = 0
+      while (j < p) { out(j + 1) = 1L << j; j += 1 }
+      return out // bucket 0; zero margins tie toward low plane indices
+    }
+    val proj = new Array[Double](planes)
+    var bucket = 0L
+    var pl = 0
+    while (pl < planes) {
+      val planeSeed = XXH64.hashInt(pl + seedBase, HashSketches.Seed)
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val h = XXH64.hashInt(j, planeSeed)
+        val m = ((h % 1000000L) + 1000000L) % 1000000L
+        s += vec.getDouble(j) * (m / 1000000.0 - 0.5)
+        j += 1
+      }
+      if (s >= 0 || java.lang.Double.isNaN(s)) bucket |= (1L << pl)
+      proj(pl) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else math.abs(s)
+      pl += 1
+    }
+    out(0) = bucket
+    // partial selection of the p smallest margins: insertion into a
+    // p-slot sorted window (planes ≤ 64, p ≤ planes — driver-solved
+    // small constants; strict-less insertion keeps lower plane index
+    // on ties because planes are visited in ascending order)
+    val selIdx = new Array[Int](p)
+    val selMar = new Array[Double](p)
+    var filled = 0
+    pl = 0
+    while (p > 0 && pl < planes) {
+      val m = proj(pl)
+      if (filled < p || m < selMar(filled - 1)) {
+        var pos = math.min(filled, p - 1)
+        while (pos > 0 && selMar(pos - 1) > m) {
+          selMar(pos) = selMar(pos - 1)
+          selIdx(pos) = selIdx(pos - 1)
+          pos -= 1
+        }
+        selMar(pos) = m
+        selIdx(pos) = pl
+        if (filled < p) filled += 1
+      }
+      pl += 1
+    }
+    var r = 0
+    while (r < p) { out(r + 1) = bucket ^ (1L << selIdx(r)); r += 1 }
+    out
+  }
 }
 
 /** Native SRP bucket (see [[SrpHash.srpBucket64]]). */
@@ -80,5 +161,40 @@ case class SrpBucket(child: Expression, planes: Int, seedBase: Int)
       s"${ev.value} = graft.functions.SrpHash.srpBucket64($a, $planes, $seedBase);")
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+/** Native query-directed probe posting set (see
+  * [[SrpHash.srpProbeBuckets]]): `array<long>` of the exact bucket plus
+  * the `probes` lowest-margin Hamming-1 neighbor buckets.
+  */
+case class SrpProbeBuckets(
+    child: Expression, planes: Int, seedBase: Int, probes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+        if planes >= 1 && planes <= 64 && probes >= 0 && probes <= planes =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_probes: need planes in [1, 64] and probes in [0, planes], " +
+        s"got planes=$planes probes=$probes")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_probes expects array<double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      SrpHash.srpProbeBuckets(input.asInstanceOf[ArrayData], planes, seedBase, probes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.SrpHash.srpProbeBuckets(
+         |    $a, $planes, $seedBase, $probes));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SrpProbeBuckets =
     copy(child = newChild)
 }

@@ -76,6 +76,171 @@ object Similarity {
     math.pow(p, planes) + planes * math.pow(p, planes - 1) * (1.0 - p)
   }
 
+  /** Standard normal CDF via the Abramowitz–Stegun 7.1.26 erf
+    * approximation (|err| < 1.5e-7 — ample for a solver whose outputs
+    * are small integers).
+    */
+  private def stdNormCdf(z: Double): Double = {
+    val x = z / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    val erf = if (x >= 0) y else -y
+    0.5 * (1.0 + erf)
+  }
+
+  /** Capture probabilities for query-directed Hamming-1 probing:
+    * element p is P(the flipped plane ranks among the probe-side
+    * vector's p smallest |margin| planes | the pair disagrees on exactly
+    * that plane), for p = 0..planes.
+    *
+    * Derivation (projections ≈ N(0,1) by CLT over dims; planes iid):
+    * write z = u·a for the probe-side vector a and a plane normal u,
+    * and w for the unit vector completing b = a·cosθ + w·sinθ. Then
+    * u·b = z·cosθ + (u·w)·sinθ with u·w ~ N(0,1) independent of z, so
+    * P(sign flip | margin z) = Φ(−|z|·cotθ) — flips concentrate on
+    * low-margin planes, which is the whole reason directed probing
+    * works. The flipped plane's margin density is therefore
+    * g1(z) ∝ φ(z)·Φ(−z·cotθ) (integrates to θ/π, the per-plane flip
+    * rate) while each non-flipped plane's is g0(z) ∝ φ(z)·(1−Φ(−z·cotθ)),
+    * and
+    *
+    *   capture(p) = ∫ g1(z) · P(Binomial(planes−1, G0(z)) ≤ p−1) dz
+    *
+    * — the probability that fewer than p of the other planes have a
+    * smaller margin. Evaluated by deterministic trapezoid quadrature on
+    * z ∈ [0, 8] (the integrand is smooth and sub-Gaussian); capture(planes)
+    * = 1 recovers the full-probe closed form exactly (pinned in
+    * DedupSpec).
+    */
+  def srpProbeCapture(planes: Int, threshold: Double): Array[Double] = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold not in (0,1)")
+    require(planes >= 1, "planes must be >= 1")
+    val theta = math.acos(threshold)
+    val cot = threshold / math.sin(theta)
+    val flip = theta / math.Pi
+    val n = 800
+    val h = 8.0 / n
+    val g1 = new Array[Double](n + 1)
+    val g0 = new Array[Double](n + 1)
+    var i = 0
+    while (i <= n) {
+      val z = i * h
+      val pdf = 2.0 * math.exp(-z * z / 2) / math.sqrt(2 * math.Pi)
+      val pf = stdNormCdf(-z * cot)
+      g1(i) = pdf * pf / flip
+      g0(i) = pdf * (1 - pf) / (1 - flip)
+      i += 1
+    }
+    val bigG0 = new Array[Double](n + 1)
+    i = 1
+    while (i <= n) { bigG0(i) = bigG0(i - 1) + (g0(i - 1) + g0(i)) * h / 2; i += 1 }
+    val g0Tot = bigG0(n)
+    i = 0
+    while (i <= n) { bigG0(i) /= g0Tot; i += 1 }
+    val logFact = new Array[Double](planes + 1)
+    i = 2
+    while (i <= planes) { logFact(i) = logFact(i - 1) + math.log(i.toDouble); i += 1 }
+    val b = planes - 1
+    def logChoose(k: Int) = logFact(b) - logFact(k) - logFact(b - k)
+    val acc = new Array[Double](planes + 1)
+    var g1Tot = 0.0
+    i = 0
+    while (i <= n) {
+      val w = (if (i == 0 || i == n) 0.5 else 1.0) * h
+      val u = bigG0(i)
+      var cdf = 0.0
+      var k = 0
+      while (k <= b) {
+        val pmf =
+          if (u <= 0) { if (k == 0) 1.0 else 0.0 }
+          else if (u >= 1) { if (k == b) 1.0 else 0.0 }
+          else math.exp(logChoose(k) + k * math.log(u) + (b - k) * math.log1p(-u))
+        cdf = math.min(1.0, cdf + pmf)
+        acc(k + 1) += w * g1(i) * cdf
+        k += 1
+      }
+      g1Tot += w * g1(i)
+      i += 1
+    }
+    val out = new Array[Double](planes + 1)
+    var p = 1
+    while (p <= planes) { out(p) = math.min(1.0, acc(p) / g1Tot); p += 1 }
+    out
+  }
+
+  /** Per-table catch probability with `probes`-plane directed probing:
+    * p^b (exact bucket) + b·p^(b−1)·(1−p)·capture (the Hamming-1 flip
+    * landed on a probed plane). `capture` comes from
+    * [[srpProbeCapture]]; at capture = 1 this is [[srpCatchProb]].
+    */
+  def srpDirectedCatchProb(
+      planes: Int, threshold: Double, capture: Double): Double = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    math.pow(p, planes) + planes * math.pow(p, planes - 1) * (1.0 - p) * capture
+  }
+
+  /** Per-table per-row sketch cost in posting-row equivalents, PER
+    * PLANE: each extra table re-hashes the vector against all `planes`
+    * hyperplanes (planes × dim multiplies) across the three map passes
+    * of the candidate plan. Calibrated on the sf0.1 twin corpus
+    * (tools/DirectedProbe): at b=13, (t=21, p=0) measured 2.12 s,
+    * (t=12, p=1) 1.40 s, (t=8, p=3) 1.27 s, (t=6, full probe) 1.88 s —
+    * a pure posting-volume model (α = 0) inverts that ordering and
+    * picks the slow many-tables/no-probe corner; α ≈ 0.4 reproduces it.
+    */
+  private val SketchCostPerPlane = 0.4
+
+  /** (planes, tables, probes) for corpus size `n` and cosine
+    * `threshold` — [[srpParamsFor]] extended with the probe count as a
+    * third solved knob. For each (b, p) the recall target forces the
+    * table count exactly as in [[srpParamsFor]] (with the directed
+    * catch), and the expected per-row cost is
+    *
+    *   tables · ( α·b   +   (p+2)   +   (p+1) · n / 2^b )
+    *            sketch     postings     probe-join feed
+    *
+    * (α = [[SketchCostPerPlane]], measured; the old solver's pure
+    * posting model made "many tables, no probing" look free when each
+    * table in fact costs a full re-hash of every vector). Full probing
+    * (p = b) is in the search space, so the directed optimum never
+    * costs more than full probing under this model — it trades a few
+    * extra tables for a much smaller posting fan-out, because the flip
+    * mass concentrates on low-margin planes and small p keeps most of
+    * the Hamming-1 catch. Solved, like planes, because the right p is
+    * a function of (threshold, recall) through the capture curve — not
+    * a constant.
+    */
+  def srpParamsDirectedFor(
+      n: Long,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      maxTables: Int = 64): (Int, Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold not in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall not in (0,1)")
+    require(maxTables >= 1, "maxTables must be >= 1")
+    val candidates = for {
+      b <- 4 to 48
+      cap = srpProbeCapture(b, threshold)
+      p <- 0 to b
+      c = srpDirectedCatchProb(b, threshold, cap(p))
+      if c > 0 && c < 1
+      t = math.max(1, math.ceil(
+        math.log(1.0 - targetRecall) / math.log(1.0 - c)).toInt)
+      if t <= maxTables
+    } yield {
+      val cost = t * (SketchCostPerPlane * b + (p + 2).toDouble +
+        (p + 1).toDouble * n.toDouble / math.pow(2.0, b))
+      (b, t, p, cost)
+    }
+    require(candidates.nonEmpty,
+      s"srpParamsDirectedFor: recall $targetRecall at threshold $threshold " +
+        s"unreachable within $maxTables tables for any planes in [4, 48] — " +
+        "relax the target or raise maxTables")
+    val (b, t, p, _) = candidates.minBy(_._4)
+    (b, t, p)
+  }
+
   /** (planes, tables) for corpus size `n` and cosine `threshold` —
     * the operating rule, solved instead of hand-tuned.
     *
@@ -136,7 +301,13 @@ object Similarity {
     * of `tables` hash tables — Hamming-1 probed: pairs whose buckets
     * differ by ONE plane sign in some table are also caught (the
     * dominant miss mode for SRP), at (planes+1)× posting volume on one
-    * join side only.
+    * join side only. With `probePlanes` in [0, planes) the probing is
+    * query-DIRECTED: only the probePlanes lowest-|margin| planes expand,
+    * cutting probe postings to (probePlanes+1)× at a capture probability
+    * [[srpProbeCapture]] computes in closed form (the recall model is
+    * one-sided — the smaller id's probe set must contain the flipped
+    * plane — exactly matching the `id_a < id_b` orientation filter
+    * below, which keeps the probe-side-is-smaller-id ordering).
     *
     * Skew bound: the exact-side guard drops buckets over `maxBucket`,
     * and probe postings are pruned to buckets that survived it, so a
@@ -163,7 +334,8 @@ object Similarity {
       tables: Int,
       maxBucket: Int = 10000,
       probe: Boolean = true,
-      coverageGuard: Boolean = false): DataFrame = {
+      coverageGuard: Boolean = false,
+      probePlanes: Int = -1): DataFrame = {
     val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
     // One row per (table, exact bucket, id): the only payload that shuffles.
     val buckets = v.select(col(idCol),
@@ -204,7 +376,27 @@ object Similarity {
     // per-key fan-in bound in the scaladoc tight.
     val probeSide =
       if (!probe) capped
-      else capped.select(col(idCol),
+      else if (probePlanes >= 0 && probePlanes < planes) {
+        // Query-DIRECTED probing: expand only the probePlanes
+        // lowest-|margin| planes (margin = |projection|, recomputed
+        // inside the native posting-set expression) instead of all of
+        // them — flip mass concentrates on low-margin planes (see
+        // [[srpProbeCapture]]), so this keeps most of the Hamming-1
+        // catch at (probePlanes+1)/(planes+1) of the posting volume.
+        // The first anti-join applies the skew guard to the row's EXACT
+        // bucket (same rows as `capped`), the second to the probed
+        // targets — both identical to the full-probe path.
+        v.select(col(idCol),
+            explode(array((0 until tables).map(t =>
+              struct(lit(t).as("tbl"),
+                VectorOps.srpProbeBuckets(
+                  col("dv"), planes, t * planes, probePlanes).as("pb"))): _*)).as("tb"))
+          .select(col(idCol), col("tb.tbl").as("tbl"),
+            col("tb.pb").getItem(0).as("bucket"), col("tb.pb").as("pb"))
+          .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+          .select(col(idCol), col("tbl"), explode(col("pb")).as("bucket"))
+          .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+      } else capped.select(col(idCol),
         col("tbl"),
         explode(array_union(array(col("bucket")),
           transform(sequence(lit(0), lit(planes - 1)),
@@ -247,7 +439,8 @@ object Similarity {
       tables: Int = 8,
       maxBucket: Int = 10000,
       probe: Boolean = true,
-      coverageGuard: Boolean = false): DataFrame = {
+      coverageGuard: Boolean = false,
+      probePlanes: Int = -1): DataFrame = {
     // Zero-norm vectors excluded (cosine would be NaN, which Spark
     // orders ABOVE the threshold) — same contract as the exact relation
     // in Dedup.embeddingNearDupPairs.
@@ -255,7 +448,8 @@ object Similarity {
       .withColumn("nrm", VectorOps.l2Norm(col("dv")))
       .filter(col("nrm") > 0)
     val candidates =
-      srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe, coverageGuard)
+      srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe,
+        coverageGuard, probePlanes)
     candidates
       .join(v.select(col(idCol).as("id_a"), col("dv").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
       .join(v.select(col(idCol).as("id_b"), col("dv").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
@@ -264,13 +458,16 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** [[srpNearDupPairs]] with (planes, tables) solved from the corpus
-    * size by [[srpParamsFor]] — the caller states the semantic contract
-    * (threshold, recall target, per-row candidate budget) and the knobs
-    * that must track corpus size do so automatically. Costs one count()
+  /** [[srpNearDupPairs]] with (planes, tables, probes) solved from the
+    * corpus size by [[srpParamsDirectedFor]] — the caller states the
+    * semantic contract (threshold, recall target, per-row candidate
+    * budget) and the knobs that must track corpus size do so
+    * automatically, including the query-directed probe count (full
+    * probing is in the solver's search space, so this is never costed
+    * worse than the round-7 full-probe auto path). Costs one count()
     * over the input (cheap next to either a wrong-planes run or the
-    * join itself); callers who know n can call [[srpParamsFor]] and the
-    * explicit overload directly.
+    * join itself); callers who know n can call [[srpParamsDirectedFor]]
+    * and the explicit overload directly.
     */
   def srpNearDupPairsAuto(
       df: DataFrame,
@@ -282,7 +479,9 @@ object Similarity {
       maxBucket: Int = 10000,
       probe: Boolean = true,
       coverageGuard: Boolean = false): DataFrame = {
-    val (planes, tables) = srpParamsFor(df.count(), threshold, targetRecall, maxTables)
-    srpNearDupPairs(df, idCol, vecCol, threshold, planes, tables, maxBucket, probe, coverageGuard)
+    val (planes, tables, probes) =
+      srpParamsDirectedFor(df.count(), threshold, targetRecall, maxTables)
+    srpNearDupPairs(df, idCol, vecCol, threshold, planes, tables, maxBucket,
+      probe, coverageGuard, probePlanes = probes)
   }
 }

@@ -71,6 +71,13 @@ object VectorOps {
   def srpBucket(vec: Column, planes: Int, seedBase: Int = 0): Column =
     graft.functions.GraftFunctions.srp(vec, planes, seedBase)
 
+  /** Query-directed probe posting set: the exact [[srpBucket]] value
+    * first, then the Hamming-1 neighbors of the `probes` lowest-margin
+    * planes (native expression [[graft.functions.SrpProbeBuckets]]).
+    */
+  def srpProbeBuckets(vec: Column, planes: Int, seedBase: Int, probes: Int): Column =
+    graft.functions.GraftFunctions.srpProbes(vec, planes, seedBase, probes)
+
   /** Built-ins-only formulation of [[srpBucket]] (reference semantics;
     * O(planes × dims) lambda steps per row — not the fast path).
     */

@@ -198,6 +198,57 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("graft_srp_probes: bucket-first, Hamming-1 neighbors, margin-ordered selection (corpus + unit)") {
+    // Over the corpus: element 0 is exactly graft_srp; every probe is a
+    // Hamming-1 neighbor of it; probes+1 distinct elements; and with
+    // probes = planes the SET equals the full XOR expansion the legacy
+    // probe path builds.
+    val planes = 12
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+      .select(
+        VectorOps.srpBucket(col("v"), planes, 0).as("bucket"),
+        VectorOps.srpProbeBuckets(col("v"), planes, 0, 3).as("pb3"),
+        VectorOps.srpProbeBuckets(col("v"), planes, 0, planes).as("pbAll"))
+    val bad = e.filter(
+      col("pb3").getItem(0) =!= col("bucket") ||
+      size(col("pb3")) =!= lit(4) ||
+      size(array_distinct(col("pb3"))) =!= lit(4) ||
+      exists(slice(col("pb3"), 2, 3),
+        b => call_function("bit_count", b.bitwiseXOR(col("bucket"))) =!= lit(1)) ||
+      size(array_except(col("pbAll"),
+        array_union(array(col("bucket")),
+          transform(sequence(lit(0), lit(planes - 1)),
+            p => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), p)))))) =!= lit(0))
+      .count()
+    assert(bad === 0)
+    // Unit: the selected planes are exactly the p smallest |projection|s
+    // under the identical xxhash64 coefficient chain, margin-ascending.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val vec = Array(0.9, -1.7, 0.31, 2.4, -0.05, 0.66)
+    val ad = new GenericArrayData(vec)
+    val got = graft.functions.SrpHash.srpProbeBuckets(ad, planes, 7, 4)
+    val bucket = graft.functions.SrpHash.srpBucket64(ad, planes, 7)
+    assert(got(0) === bucket)
+    val margins = (0 until planes).map { p =>
+      val planeSeed = XXH64.hashInt(p + 7, graft.functions.HashSketches.Seed)
+      val proj = vec.zipWithIndex.map { case (x, j) =>
+        val h = XXH64.hashInt(j, planeSeed)
+        val m = ((h % 1000000L) + 1000000L) % 1000000L
+        x * (m / 1000000.0 - 0.5)
+      }.sum
+      (math.abs(proj), p)
+    }
+    val expectPlanes = margins.sortBy(identity).take(4).map(_._2)
+    assert(got.drop(1).toSeq === expectPlanes.map(p => bucket ^ (1L << p)),
+      s"margins=$margins")
+    // malformed vectors: bucket 0, ties toward low plane indices
+    val malformed = new GenericArrayData(Array[Any](1.0, null, 2.0))
+    assert(graft.functions.SrpHash.srpProbeBuckets(malformed, 8, 0, 2).toSeq
+      === Seq(0L, 1L, 2L))
+  }
+
   test("sketches of empty and null-element arrays match the composable forms exactly") {
     val df = Seq(
       Tuple1(Array.empty[String]),

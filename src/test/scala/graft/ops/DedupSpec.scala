@@ -283,6 +283,52 @@ class DedupSpec extends AnyFunSuite {
     assert(handTuned >= 0.94 && handTuned <= 0.96, s"$handTuned")
   }
 
+  test("srpProbeCapture / srpParamsDirectedFor: capture curve sane, full probe recovered, recall target met") {
+    for (thr <- Seq(0.4, 0.9); b <- Seq(5, 13, 20)) {
+      val cap = Similarity.srpProbeCapture(b, thr)
+      assert(cap(0) === 0.0)
+      // monotone nondecreasing in p, and full probing captures everything
+      (1 to b).foreach(p => assert(cap(p) >= cap(p - 1) - 1e-12, s"b=$b thr=$thr p=$p"))
+      assert(math.abs(cap(b) - 1.0) < 1e-6, s"capture($b)=${cap(b)}")
+      // at capture=1 the directed catch IS the full-probe closed form
+      assert(math.abs(Similarity.srpDirectedCatchProb(b, thr, 1.0) -
+        Similarity.srpCatchProb(b, thr)) < 1e-12)
+      // directed probing concentrates: a few probes capture most of the
+      // flip mass (the property the posting-volume cut rests on)
+      if (b >= 13 && thr == 0.9)
+        assert(cap(4) > 0.5, s"cap(4)=${cap(4)} at b=$b — directed probing buys nothing")
+    }
+    for (n <- Seq(500L, 4000L, 256000L, 100000000L); thr <- Seq(0.4, 0.9)) {
+      val (b, t, p) = Similarity.srpParamsDirectedFor(n, thr)
+      assert(t <= 64 && p >= 0 && p <= b, s"n=$n thr=$thr -> ($b,$t,$p)")
+      val c = Similarity.srpDirectedCatchProb(b, thr, Similarity.srpProbeCapture(b, thr)(p))
+      val recall = 1.0 - math.pow(1.0 - c, t)
+      assert(recall >= 0.95 - 1e-9, s"n=$n thr=$thr -> ($b,$t,$p) recall $recall")
+      // never a larger posting fan-out than the full-probe solution
+      val (b0, t0) = Similarity.srpParamsFor(n, thr)
+      assert(t * (p + 1) <= t0 * (b0 + 1),
+        s"n=$n thr=$thr: directed ($b,$t,$p) posts more than full ($b0,$t0)")
+    }
+  }
+
+  test("directed probing (probePlanes): subset of exact relation, recall >= 0.95 on planted twins") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val corpus = graft.analytics.DataOpsQueries.twinCorpus(embs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = canon(Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9))
+    // explicit directed regime (not the solver): planes=13, 2 probes —
+    // solved tables for that catch at the 0.9 boundary
+    val cap = Similarity.srpProbeCapture(13, 0.9)(2)
+    val c = Similarity.srpDirectedCatchProb(13, 0.9, cap)
+    val t = math.max(1, math.ceil(math.log(0.05) / math.log(1.0 - c)).toInt)
+    val lsh = canon(Similarity.srpNearDupPairs(corpus, "vec_id", "embedding", 0.9,
+      planes = 13, tables = t, probePlanes = 2))
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("srpNearDupPairsAuto: solved parameters keep precision 1 and recall >= 0.95 on planted twins") {
     val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
     val corpus = graft.analytics.DataOpsQueries.twinCorpus(embs)
