@@ -106,7 +106,15 @@ object ScaleProbe {
         // the scale path
         "q21_minhash_lsh", "q23_simhash")
       if only.forall(_.exists(q.startsWith))) {
-      time(q, dir) // warm
+      // Warm BOTH scales before timing. Through round 7 only the 1x dir
+      // was warmed, so the kx run paid the cold first read of the kx
+      // parquet — at 64x that page-cache asymmetry dominated several
+      // ratios (q22 measured 9.2 cold vs ~4 warm on the same build,
+      // tools/Q22Probe). The ratio hunts quadratic/skew terms in the
+      // PLAN; input I/O scales linearly with replication by
+      // construction, so both sides warm isolates the plan term.
+      time(q, dir) // warm 1x
+      time(q, tmp) // warm kx
       val t1 = time(q, dir)
       val tk = time(q, tmp)
       println(f"[scale] $q%-28s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
@@ -145,7 +153,8 @@ object ScaleProbe {
             sampleRows = math.max(4096, 8 * 16 * scale)).count()
         }))
       if only.forall(_.exists(label.startsWith))) {
-      timeOp(label, run(dir)) // warm
+      timeOp(label, run(dir)) // warm 1x
+      timeOp(label, run(tmp)) // warm kx (same page-cache reasoning as above)
       val t1 = timeOp(label, run(dir))
       val tk = timeOp(label, run(tmp))
       println(f"[scale] $label%-36s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
