@@ -537,7 +537,14 @@ object Dedup {
     * are wide (the uniform corpus sits at Σdf²/P ≈ 11 against a
     * threshold of 32; boilerplate corpora overshoot it by orders of
     * magnitude), and an empty sample falls back to the plain join.
-    * `sampleMod = 1` disables sampling (exact statistics).
+    * Noise band (property-tested, JaccardPathPropertiesSpec): at the
+    * default sampleMod = 4 the sampled decision matches the
+    * exact-statistics decision whenever the TRUE Σdf²/P sits outside
+    * [32/1.5, 32·1.5] — inside that band a flip is possible but
+    * benign, because the band brackets where the two plans' modeled
+    * costs cross (the ~3× flip penalty is measured far below the
+    * threshold, at Σdf²/P ≈ 11). `sampleMod = 1` disables sampling
+    * (exact statistics).
     */
   def jaccardPathFor(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,

@@ -234,6 +234,75 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q21/q22/q61 join shapes: a hot key is either guard-dropped or AQE-skew-split") {
+    // The engine's skew story for the pair-join family has two layers:
+    // the maxBucket/maxDocFreq guards drop DEGENERATE keys (over the
+    // cap), and AQE's skew-join split is assumed to handle hot-but-
+    // under-cap keys. The guard layer is behavior-tested in DedupSpec;
+    // this case pins the AQE layer BY NAME: one hot key planted through
+    // each of the three join shapes, guards opened wide, broadcast
+    // disabled (at test scale AQE would otherwise broadcast the tiny
+    // side and sidestep the skew machinery that matters at cluster
+    // scale), and the skew thresholds scaled to fixture bytes — the
+    // final adaptive plan must carry the skew-split marker.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      def assertSkewSplit(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        // collect() (not count()) so THIS df's QueryExecution runs —
+        // skew handling is a runtime re-plan, visible only in the
+        // finalized adaptive plan of the executed query
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("isFinalPlan=true"), s"$label: plan never finalized:\n$p")
+        assert(p.contains("skew=true") || p.contains("skewed"),
+          s"$label: hot key neither guard-dropped nor AQE-split:\n$p")
+      }
+      // q22 shape: one 3-gram shared by every doc plus ONE unique
+      // shingle each — the hot posting key's partition dwarfs the
+      // others (uniques spread evenly), no guard in the plain exact
+      // path.
+      val hotDocs = (1L to 1500L)
+        .map(i => (i, s"hot shared gram u$i"))
+        .toDF("doc_id", "text")
+      assertSkewSplit("q22(ngramJaccardPairs)",
+        graft.ops.Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 3, 0.5))
+      // q21 shape: identical texts put every doc in the same band
+      // bucket; ONE band so the hot bucket is a single join key
+      // (several bands would hash the same docs into several keys and
+      // dilute the partition skew below detection at fixture scale),
+      // and maxBucket opened above the fixture so the guard passes the
+      // hot key through to the join.
+      val sameDocs = (1L to 400L).map(i => (i, "same text in every doc here"))
+        .toDF("doc_id", "text")
+      assertSkewSplit("q21(minhashLshPairs)",
+        graft.ops.Dedup.minhashLshPairs(sameDocs, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 1, threshold = 0.5,
+          maxBucket = 100000))
+      // q61 shape: identical vectors share one SRP bucket per table —
+      // one table for the same single-hot-key reason.
+      val sameVecs = (1L to 400L).map(i => (i, Array(1.0f, 0.5f, 0.25f)))
+        .toDF("vec_id", "embedding")
+      assertSkewSplit("q61(srpCandidatePairs)",
+        graft.ops.Similarity.srpCandidatePairs(sameVecs, "vec_id", "embedding",
+          planes = 4, tables = 1, maxBucket = 100000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(
