@@ -124,6 +124,13 @@ object GraphOps {
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
         .count()
+      // Iteration diagnostics (opt-in: -Dgraft.cc.verbose=true) — an
+      // iterative distributed job's convergence behavior is otherwise
+      // invisible in production logs; ScaleProbe reads these lines for
+      // the pointer-jumping iteration-count row.
+      if (sys.props.get("graft.cc.verbose").contains("true"))
+        System.err.println(s"[graft] connectedComponents: iteration ${i + 1} " +
+          s"changed=$changed checkpoint=${checkpointDir.fold("local")(_ => "reliable")}")
       labels = next
       converged = changed == 0
       i += 1

@@ -159,6 +159,101 @@ object ScaleProbe {
       val tk = timeOp(label, run(tmp))
       println(f"[scale] $label%-36s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
     }
+    // q50's DISTRIBUTED path, forced (driverThreshold = 0): at gate and
+    // probe scale the edge relation sits far under the 1M-edge driver
+    // branch, so the pointer-jumping min-label loop + reliable
+    // checkpoint churn had no measured row until this probe. Edges are
+    // materialized to parquet FIRST so the timing isolates the
+    // component loop from the (separately probed) pair join.
+    if (only.forall(_.exists("q50_distributed".startsWith))) {
+      System.setProperty("graft.cc.verbose", "true")
+      def ccDist(d: String, label: String): Double = {
+        val edgePath = s"$tmp/cc_edges_$label"
+        graft.ops.Dedup.ngramJaccardPairsAuto(
+            Tables.load(spark, d, "documents"), "doc_id", "text", 3, 0.5)
+          .select("id_a", "id_b")
+          .write.mode("overwrite").parquet(edgePath)
+        val edges = spark.read.parquet(edgePath)
+        edges.count() // warm the edge scan
+        val t0 = System.nanoTime()
+        graft.ops.GraphOps.connectedComponents(edges,
+          driverThreshold = 0, checkpointDir = Some(s"$tmp/cc_ckpt_$label")).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ccDist(dir, "warm") // warm the loop machinery once
+      val t1 = ccDist(dir, "1x")
+      val tk = ccDist(tmp, s"${k}x")
+      System.clearProperty("graft.cc.verbose")
+      println(f"[scale] q50_distributed[minlabel+reliable-ckpt]  1x=$t1%6.2fs ${k}x=$tk%6.2fs ratio=${tk / t1}%5.2f")
+    }
+    // Persisted IVF index: probe latency vs append litter, and after
+    // compaction — append ≡ rebuild is suite-proven, but the
+    // latency-vs-file-count curve was not measured until this probe.
+    if (only.forall(_.exists("ivf_litter".startsWith))) {
+      val embs = Tables.load(spark, dir, "embeddings")
+      val path = s"$tmp/ivf_index"
+      val cents = graft.ops.VectorOps.ivfWriteIndex(
+        embs, "vec_id", "embedding", path, nCentroids = 16)
+      val qvec = embs.select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      def probeLat(): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.VectorOps.ivfProbeIndex(
+          spark, path, cents, "vec_id", qvec, k = 10).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      def files(): Int = new java.io.File(path).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(_.listFiles.count(f => f.isFile && f.getName.startsWith("part-"))).sum
+      probeLat() // warm
+      val fresh = probeLat()
+      val f0 = files()
+      val appends = 32
+      val maxVid = embs.agg(max("vec_id")).head().getLong(0) + 1
+      (1 to appends).foreach { i =>
+        graft.ops.VectorOps.ivfAppendIndex(
+          embs.withColumn("vec_id", col("vec_id") + lit(i * maxVid)),
+          "vec_id", "embedding", path, cents)
+      }
+      val littered = probeLat()
+      val f1 = files()
+      val t0 = System.nanoTime()
+      graft.ops.VectorOps.ivfCompactIndex(spark, path)
+      val compactSec = (System.nanoTime() - t0) / 1e9
+      val compacted = probeLat()
+      val f2 = files()
+      println(f"[scale] ivf_litter probe_ms fresh=${fresh * 1000}%6.1f ($f0 files) " +
+        f"after${appends}appends=${littered * 1000}%6.1f ($f1 files) " +
+        f"compacted=${compacted * 1000}%6.1f ($f2 files, compaction ${compactSec}%.1f s)")
+    }
+    // Incremental-manifest repair cost: the round-8 default flip made
+    // min-id re-election the default manifest path; this measures what
+    // the repair costs per call next to the raw first-seen read.
+    if (only.forall(_.exists("manifest_repair".startsWith))) {
+      import graft.streaming.IncrementalManifest
+      val docs = Tables.load(spark, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val stateDir = s"$tmp/manifest_state"
+      val cuts = docs.stat.approxQuantile("doc_id", Array(0.25, 0.5, 0.75), 0.0)
+      val bounds = (Double.NegativeInfinity +: cuts.toSeq) :+ Double.PositiveInfinity
+      val admitTimes = bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), b) =>
+        val delta = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        val t0 = System.nanoTime()
+        IncrementalManifest.admitAndWrite(delta, bench, stateDir, b.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }.toSeq
+      def timeManifest(repair: Boolean): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        IncrementalManifest.manifest(spark, stateDir, repair = repair).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      timeManifest(repair = false) // warm
+      val raw = timeManifest(repair = false)
+      val repaired = timeManifest(repair = true)
+      println(f"[scale] manifest_repair admit/batch=${admitTimes.sum / admitTimes.size}%5.2fs " +
+        f"manifest(first-seen)=${raw}%5.2fs manifest(repaired)=${repaired}%5.2fs " +
+        f"overhead=${repaired - raw}%5.2fs (${(repaired / raw - 1) * 100}%4.0f%%)")
+    }
     // Streaming state probe: the bounded-state CLAIMS on sessionize
     // (EventStreams.scala) get numbers. The stream is staged as
     // time-ordered chunks consumed one per micro-batch, so the
