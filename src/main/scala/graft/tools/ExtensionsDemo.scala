@@ -47,6 +47,16 @@ object ExtensionsDemo {
         |         array(1.0d, 0.0d, 0.0d, 1.0d), 2) AS c""".stripMargin)
       .head().getInt(0)
     assert(nc == 1, s"nearest_centroid gave $nc")
+    // the directed-probe posting set resolves: exact bucket first, then
+    // probes Hamming-1 neighbors of it
+    val sp = spark.sql(
+      """SELECT graft_srp(array(1.0d, -2.0d, 0.5d), 8, 0) AS b,
+        |       graft_srp_probes(array(1.0d, -2.0d, 0.5d), 8, 0, 3) AS pb""".stripMargin)
+      .head()
+    val (bkt, pb) = (sp.getLong(0), sp.getSeq[Long](1))
+    assert(pb.length == 4 && pb.head == bkt &&
+      pb.tail.forall(x => java.lang.Long.bitCount(x ^ bkt) == 1),
+      s"srp_probes gave bucket=$bkt pb=$pb")
     println("[ext] OK: extensions-injected functions resolve from SQL")
     spark.stop()
   }
