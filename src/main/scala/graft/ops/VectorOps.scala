@@ -203,6 +203,34 @@ object VectorOps {
     * Returns unit-normalized centroids; deterministic for a fixed
     * (seed, corpus).
     */
+  /** Run `f` over [0, n) split into at most `chunks` index ranges on
+    * the JVM common pool, returning per-chunk results in CHUNK ORDER.
+    * The chunk count is a function of (n, chunks) only — never of the
+    * machine's core count — so partial results and any floating-point
+    * merge over them are deterministic everywhere.
+    */
+  /** Fixed fan-out for the driver-parallel k-means loops: chunking (and
+    * therefore every partial-merge order) is this constant, not the
+    * machine's core count, so results are reproducible everywhere.
+    */
+  private val LloydChunks = 64
+
+  private def parRanges[R](n: Int, chunks: Int)(f: (Int, Int) => R): IndexedSeq[R] = {
+    val cs = math.max(1, math.min(chunks, n))
+    val size = (n + cs - 1) / cs
+    val pool = java.util.concurrent.ForkJoinPool.commonPool()
+    (0 until cs).map { c =>
+      // both clamped: ceil-division can put a trailing chunk's start
+      // past n (n=10, cs=7 → size=2 → chunk 6 starts at 12); such
+      // chunks run empty rather than with a negative extent
+      val lo = math.min(n, c * size)
+      val hi = math.min(n, lo + size)
+      pool.submit(new java.util.concurrent.Callable[R] {
+        def call(): R = f(lo, hi)
+      })
+    }.map(_.get())
+  }
+
   def kmeansCentroids(
       df: DataFrame,
       vecCol: String,
@@ -253,28 +281,68 @@ object VectorOps {
           i
         }
       seeds += unit(chosen)
-      var i = 0
-      while (i < unit.length) {
-        val s = dotA(unit(i), unit(chosen))
-        if (s > bestSeedSim(i)) bestSeedSim(i) = s
-        i += 1
+      // Per-point max update: elementwise over disjoint index ranges,
+      // so parallelism cannot change the result. The seeding pass is
+      // O(k·n·dim) and, like Lloyd below, runs on the DRIVER — with
+      // corpus-scaled k (and sample ~ 8k) that is the operator's
+      // serial quadratic-in-k term, measured 2.9 s of semDedup's 9.0 s
+      // at the 64× probe (k = 1024, n = 8192) before this went
+      // parallel.
+      // 8 chunks, not LloydChunks: one round's update is ~n·dim ops
+      // (half a million at the probed regime), small enough that
+      // 64-way task submission overhead would eat the parallel win —
+      // this loop runs k rounds, so per-round overhead multiplies.
+      parRanges(unit.length, 8) { (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          val s = dotA(unit(i), unit(chosen))
+          if (s > bestSeedSim(i)) bestSeedSim(i) = s
+          i += 1
+        }
       }
     }
     var cents = seeds.toArray
     val dims = unit.head.length
+    // Partial-sum buffers are chunks × k × dim doubles; cap the chunk
+    // count so they stay bounded when k is corpus-scaled.
+    val lloydChunks = math.max(1, math.min(LloydChunks,
+      (256L << 20) / math.max(1L, kk.toLong * dims * 8L)).toInt)
     for (_ <- 0 until iters) {
+      // Assignment is per-point independent; per-chunk partial
+      // (sums, counts) merge in FIXED chunk order, so the
+      // floating-point centroid sums are deterministic on any machine
+      // (chunking depends only on n, never on core count).
+      val partials = parRanges(unit.length, lloydChunks) { (lo, hi) =>
+        val sums = Array.fill(kk)(new Array[Double](dims))
+        val counts = new Array[Long](kk)
+        val sims = new Array[Double](hi - lo)
+        var pi = lo
+        while (pi < hi) {
+          val p = unit(pi)
+          var best = 0; var bestSim = dotA(p, cents(0)); var c = 1
+          while (c < kk) {
+            val s = dotA(p, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+          }
+          var d = 0
+          while (d < dims) { sums(best)(d) += p(d); d += 1 }
+          counts(best) += 1
+          sims(pi - lo) = bestSim
+          pi += 1
+        }
+        (lo, sums, counts, sims)
+      }
       val sums = Array.fill(kk)(new Array[Double](dims))
       val counts = new Array[Long](kk)
       val bestSims = new Array[Double](unit.length)
-      unit.zipWithIndex.foreach { case (p, pi) =>
-        var best = 0; var bestSim = dotA(p, cents(0)); var c = 1
+      partials.foreach { case (lo, ps, pc, sims) =>
+        var c = 0
         while (c < kk) {
-          val s = dotA(p, cents(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+          var d = 0
+          while (d < dims) { sums(c)(d) += ps(c)(d); d += 1 }
+          counts(c) += pc(c)
+          c += 1
         }
-        var d = 0
-        while (d < dims) { sums(best)(d) += p(d); d += 1 }
-        counts(best) += 1
-        bestSims(pi) = bestSim
+        System.arraycopy(sims, 0, bestSims, lo, sims.length)
       }
       // Empty clusters reseed to DISTINCT worst-fit points (one centroid
       // per point) — reseeding them all to the single worst point would
