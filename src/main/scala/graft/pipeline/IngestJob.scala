@@ -53,6 +53,57 @@ object IngestJob {
       .option("columnNameOfCorruptRecord", TelegramSchema.CorruptCol)
       .json(inboxDir)
 
+  /** A real HTTP webhook ENDPOINT in front of the file inbox — the
+    * localhost analog of the reference's full ingress chain (ipynb:420
+    * `setWebhook` → API Gateway URL; ipynb:295–337 Lambda writes each
+    * update's JSON body to the raw zone): each `POST /webhook` body is
+    * persisted as ONE file in `inboxDir`, which [[fileSource]]'s
+    * streaming reader consumes. JDK `com.sun.net.httpserver` — no
+    * dependencies, and the handler is transport-only (no parsing, no
+    * routing): malformed bodies flow through to the PERMISSIVE reader's
+    * corrupt-record column exactly like every other transport, so the
+    * pipeline's error semantics stay in one place.
+    *
+    * Durability contract: the body is written to a dot-prefixed temp
+    * file and ATOMIC_MOVE'd into place, so the streaming reader can
+    * never observe a partial body; 200 is sent only after the move, so
+    * a sender that retries on non-200 (Telegram's webhook contract)
+    * re-delivers anything lost mid-write — duplicate delivery is
+    * already the pipeline's problem and is closed ETL-side by the
+    * (chat_id, message_id) dedup (SURVEY §3.4).
+    *
+    * Returns the started server; callers stop it with `.stop(0)`. Port
+    * 0 binds an ephemeral port — read it back from
+    * `getAddress.getPort` (PipelineEndToEndSpec drives real HTTP POSTs
+    * through it end-to-end into the raw zone).
+    */
+  def webhookEndpoint(
+      inboxDir: String,
+      port: Int = 0,
+      path: String = "/webhook"): com.sun.net.httpserver.HttpServer = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inboxDir))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
+    val seq = new java.util.concurrent.atomic.AtomicLong()
+    server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) =>
+      try {
+        if (ex.getRequestMethod == "POST") {
+          val body = ex.getRequestBody.readAllBytes()
+          val name = f"update_${seq.incrementAndGet()}%012d_${System.nanoTime()}%d.json"
+          val dir = java.nio.file.Paths.get(inboxDir)
+          val tmp = dir.resolve("." + name)
+          java.nio.file.Files.write(tmp, body)
+          java.nio.file.Files.move(tmp, dir.resolve(name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val ok = "ok".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, ok.length)
+          ex.getResponseBody.write(ok)
+        } else ex.sendResponseHeaders(405, -1)
+      } finally ex.close())
+    server.start()
+    server
+  }
+
   /** Kafka-wire-shaped source adapter: any stream carrying raw webhook
     * bodies in a `value` column (binary or string — the shape
     * `spark.readStream.format("kafka").load()` emits) parses into the

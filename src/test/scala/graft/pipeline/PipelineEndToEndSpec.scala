@@ -304,6 +304,45 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("LIVE HTTP webhook: real POSTs through webhookEndpoint land in the raw zone") {
+    // The reference's full ingress chain (setWebhook → API Gateway →
+    // Lambda writes the body to the raw zone) on localhost: a REAL
+    // HTTP server receives REAL POSTs over the wire, persists each
+    // body atomically into the inbox, and the standard streaming
+    // ingest consumes it. The endpoint is transport-only, so the
+    // wrong-chat and corrupt bodies must be rejected by the SAME
+    // route/PERMISSIVE semantics as every other transport.
+    val inbox = Files.createTempDirectory("webhook_inbox").toString
+    val server = IngestJob.webhookEndpoint(inbox)
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(body: String): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/webhook"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(post(msg(1, 970, 11, "Ana", false, t1, Some("over http"))) === 200)
+      assert(post(msg(2, 971, 11, "Ana", false, t1, Some("wrong chat"))
+        .replace("\"id\":-100", "\"id\":-200")) === 200)
+      assert(post("not json at all") === 200)
+      // non-POST is refused at the transport
+      val get = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/webhook")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(get === 405)
+      val rawOut = Files.createTempDirectory("raw_out_http").toString
+      val q = IngestJob.start(spark, inbox, rawOut,
+        Files.createTempDirectory("ckpt_http").toString, chatId = -100L)
+      q.awaitTermination()
+      val landed = spark.read.schema(TelegramSchema.updateSchema).json(rawOut)
+      assert(landed.count() === 1)
+      assert(landed.select("message.message_id").head().getLong(0) === 970L)
+    } finally server.stop(0)
+  }
+
   test("incremental manifest replay: re-admitting a batch is idempotent (failure recovery)") {
     import graft.streaming.IncrementalManifest
     val dir = "/root/testdata/sf0.001"
