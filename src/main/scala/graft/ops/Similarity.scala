@@ -443,18 +443,27 @@ object Similarity {
       probePlanes: Int = -1): DataFrame = {
     // Zero-norm vectors excluded (cosine would be NaN, which Spark
     // orders ABOVE the threshold) — same contract as the exact relation
-    // in Dedup.embeddingNearDupPairs.
-    val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
-      .withColumn("nrm", VectorOps.l2Norm(col("dv")))
+    // in Dedup.embeddingNearDupPairs. The verify joins carry the RAW
+    // vector column (float for the embeddings tables) and widen to
+    // double only inside the dot, AFTER both joins: each float widens
+    // exactly, so the cosine is bit-identical to the
+    // materialize-doubles-first form, while the candidate×vector rows
+    // sorted through the two verify exchanges — the measured dominant
+    // (and spill-prone) stage of the 64× run: 22.6M candidate pairs ×
+    // a 512-byte double vector before this change — carry half the
+    // bytes.
+    val v = df.select(col(idCol), col(vecCol).as("rawv"))
+      .withColumn("nrm", VectorOps.l2Norm(VectorOps.toDoubleVec(col("rawv"))))
       .filter(col("nrm") > 0)
     val candidates =
       srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe,
         coverageGuard, probePlanes)
     candidates
-      .join(v.select(col(idCol).as("id_a"), col("dv").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
-      .join(v.select(col(idCol).as("id_b"), col("dv").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .join(v.select(col(idCol).as("id_a"), col("rawv").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(v.select(col(idCol).as("id_b"), col("rawv").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorOps.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
+        round(VectorOps.dot(VectorOps.toDoubleVec(col("v_a")), VectorOps.toDoubleVec(col("v_b"))) /
+          (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
