@@ -210,19 +210,26 @@ object Similarity {
     * the Hamming-1 catch. Solved, like planes, because the right p is
     * a function of (threshold, recall) through the capture curve — not
     * a constant.
+    *
+    * `probing = false` restricts the search to p = 0 (capture 0, so the
+    * per-table catch is the exact-bucket p^b): the solve a caller gets
+    * when the probe path is disabled entirely — without it the solver
+    * would hand back (planes, tables) that only meet the recall target
+    * WITH the probe catch they asked to turn off.
     */
   def srpParamsDirectedFor(
       n: Long,
       threshold: Double,
       targetRecall: Double = 0.95,
-      maxTables: Int = 64): (Int, Int, Int) = {
+      maxTables: Int = 64,
+      probing: Boolean = true): (Int, Int, Int) = {
     require(threshold > 0 && threshold < 1, s"threshold=$threshold not in (0,1)")
     require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall not in (0,1)")
     require(maxTables >= 1, "maxTables must be >= 1")
     val candidates = for {
       b <- 4 to 48
       cap = srpProbeCapture(b, threshold)
-      p <- 0 to b
+      p <- 0 to (if (probing) b else 0)
       c = srpDirectedCatchProb(b, threshold, cap(p))
       if c > 0 && c < 1
       t = math.max(1, math.ceil(
@@ -488,8 +495,12 @@ object Similarity {
       maxBucket: Int = 10000,
       probe: Boolean = true,
       coverageGuard: Boolean = false): DataFrame = {
+    // probe=false re-solves with capture 0 (p pinned to 0) — otherwise
+    // the returned (planes, tables) only meet the recall target WITH
+    // the probe catch the caller just disabled.
     val (planes, tables, probes) =
-      srpParamsDirectedFor(df.count(), threshold, targetRecall, maxTables)
+      srpParamsDirectedFor(df.count(), threshold, targetRecall, maxTables,
+        probing = probe)
     srpNearDupPairs(df, idCol, vecCol, threshold, planes, tables, maxBucket,
       probe, coverageGuard, probePlanes = probes)
   }

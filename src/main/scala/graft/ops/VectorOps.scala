@@ -191,30 +191,18 @@ object VectorOps {
       .select(col(groupCol),
         transform(col("s"), x => round(x / col("n"), 6)).as("centroid"))
 
-  /** Spherical k-means centroids for IVF coarse quantization, over a
-    * bounded deterministic sample. The sample is a distributed top-k on
-    * a seeded hash of the vector (TakeOrderedAndProject: `sampleRows`
-    * rows per partition, one bounded driver merge — a pseudo-random
-    * sample with no full-corpus shuffle, safe at any corpus size).
-    * Lloyd then runs driver-side on the sample — O(sampleRows × k ×
-    * iters × dims) floating ops, microseconds next to one corpus scan —
-    * with k-means++ seeding and cosine (dot-on-unit-vector) assignment;
-    * empty clusters re-seed to the point farthest from its centroid.
-    * Returns unit-normalized centroids; deterministic for a fixed
-    * (seed, corpus).
-    */
-  /** Run `f` over [0, n) split into at most `chunks` index ranges on
-    * the JVM common pool, returning per-chunk results in CHUNK ORDER.
-    * The chunk count is a function of (n, chunks) only — never of the
-    * machine's core count — so partial results and any floating-point
-    * merge over them are deterministic everywhere.
-    */
   /** Fixed fan-out for the driver-parallel k-means loops: chunking (and
     * therefore every partial-merge order) is this constant, not the
     * machine's core count, so results are reproducible everywhere.
     */
   private val LloydChunks = 64
 
+  /** Run `f` over [0, n) split into at most `chunks` index ranges on
+    * the JVM common pool, returning per-chunk results in CHUNK ORDER.
+    * The chunk count is a function of (n, chunks) only — never of the
+    * machine's core count — so partial results and any floating-point
+    * merge over them are deterministic everywhere.
+    */
   private def parRanges[R](n: Int, chunks: Int)(f: (Int, Int) => R): IndexedSeq[R] = {
     val cs = math.max(1, math.min(chunks, n))
     val size = (n + cs - 1) / cs
@@ -231,6 +219,18 @@ object VectorOps {
     }.map(_.get())
   }
 
+  /** Spherical k-means centroids for IVF coarse quantization, over a
+    * bounded deterministic sample. The sample is a distributed top-k on
+    * a seeded hash of the vector (TakeOrderedAndProject: `sampleRows`
+    * rows per partition, one bounded driver merge — a pseudo-random
+    * sample with no full-corpus shuffle, safe at any corpus size).
+    * Lloyd then runs driver-side on the sample — O(sampleRows × k ×
+    * iters × dims) floating ops, microseconds next to one corpus scan —
+    * with k-means++ seeding and cosine (dot-on-unit-vector) assignment;
+    * empty clusters re-seed to the point farthest from its centroid.
+    * Returns unit-normalized centroids; deterministic for a fixed
+    * (seed, corpus).
+    */
   def kmeansCentroids(
       df: DataFrame,
       vecCol: String,
@@ -654,12 +654,20 @@ object VectorOps {
         val hidden = scala.collection.mutable.ArrayBuffer.empty[Path]
         files.foreach { f =>
           if (!fs.rename(f.getPath, hiddenOf(f.getPath))) {
-            hidden.foreach(h => fs.rename(h,
+            // the rollback renames can fail the same silent way; report
+            // any that did rather than claiming a clean rollback
+            val stuck = hidden.filterNot(h => fs.rename(h,
               new Path(c.getPath, h.getName.stripPrefix(".").stripSuffix(".old"))))
             fs.delete(tmp, true)
+            val rolledBack = hidden.length - stuck.length
+            val stuckMsg =
+              if (stuck.isEmpty) ""
+              else s"; ${stuck.length} rollback renames ALSO failed — still " +
+                s"hidden (recoverable) as: ${stuck.mkString(", ")}"
             throw new java.io.IOException(
               s"ivfCompactIndex: hide-rename of ${f.getPath} failed; " +
-                s"rolled back ${hidden.length} hidden originals in ${c.getPath}")
+                s"rolled back $rolledBack hidden originals in ${c.getPath}" +
+                stuckMsg)
           }
           hidden += hiddenOf(f.getPath)
         }

@@ -80,24 +80,45 @@ object IngestJob {
   def webhookEndpoint(
       inboxDir: String,
       port: Int = 0,
-      path: String = "/webhook"): com.sun.net.httpserver.HttpServer = {
+      path: String = "/webhook",
+      maxBodyBytes: Int = 1 << 20,
+      handlerThreads: Int = 4): com.sun.net.httpserver.HttpServer = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inboxDir))
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, port), 0)
+    // A bounded pool instead of the default single-thread dispatcher:
+    // one slow sender stalls only its own worker, not the endpoint.
+    // Daemon threads — `server.stop(0)` does not shut the executor
+    // down, and non-daemon workers would pin the JVM open after it.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      handlerThreads,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-webhook-handler")
+        t.setDaemon(true)
+        t
+      }))
     val seq = new java.util.concurrent.atomic.AtomicLong()
     server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) =>
       try {
         if (ex.getRequestMethod == "POST") {
-          val body = ex.getRequestBody.readAllBytes()
-          val name = f"update_${seq.incrementAndGet()}%012d_${System.nanoTime()}%d.json"
-          val dir = java.nio.file.Paths.get(inboxDir)
-          val tmp = dir.resolve("." + name)
-          java.nio.file.Files.write(tmp, body)
-          java.nio.file.Files.move(tmp, dir.resolve(name),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          val ok = "ok".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          ex.sendResponseHeaders(200, ok.length)
-          ex.getResponseBody.write(ok)
+          // readNBytes caps the accepted body — an oversized POST is cut
+          // off at the limit and rejected with 413 instead of buffering
+          // an attacker-chosen byte count into the heap (loopback-only
+          // binding narrows exposure; the cap removes it).
+          val body = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+          if (body.length > maxBodyBytes) {
+            ex.sendResponseHeaders(413, -1)
+          } else {
+            val name = f"update_${seq.incrementAndGet()}%012d_${System.nanoTime()}%d.json"
+            val dir = java.nio.file.Paths.get(inboxDir)
+            val tmp = dir.resolve("." + name)
+            java.nio.file.Files.write(tmp, body)
+            java.nio.file.Files.move(tmp, dir.resolve(name),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            val ok = "ok".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(200, ok.length)
+            ex.getResponseBody.write(ok)
+          }
         } else ex.sendResponseHeaders(405, -1)
       } finally ex.close())
     server.start()

@@ -308,6 +308,14 @@ class DedupSpec extends AnyFunSuite {
       val (b0, t0) = Similarity.srpParamsFor(n, thr)
       assert(t * (p + 1) <= t0 * (b0 + 1),
         s"n=$n thr=$thr: directed ($b,$t,$p) posts more than full ($b0,$t0)")
+      // probing disabled: p pinned to 0 and the recall target still met
+      // on the exact-bucket catch alone (the probe=false contract)
+      val (bn, tn, pn) = Similarity.srpParamsDirectedFor(n, thr, probing = false)
+      assert(pn === 0, s"n=$n thr=$thr probing=false -> p=$pn")
+      val cn = Similarity.srpDirectedCatchProb(bn, thr, 0.0)
+      val recallN = 1.0 - math.pow(1.0 - cn, tn)
+      assert(recallN >= 0.95 - 1e-9,
+        s"n=$n thr=$thr probing=false -> ($bn,$tn) recall $recallN")
     }
   }
 

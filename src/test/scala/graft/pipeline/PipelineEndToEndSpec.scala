@@ -327,6 +327,12 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       assert(post(msg(2, 971, 11, "Ana", false, t1, Some("wrong chat"))
         .replace("\"id\":-100", "\"id\":-200")) === 200)
       assert(post("not json at all") === 200)
+      // an oversized body is refused at the transport (413) and leaves
+      // no inbox file — the memory cap, not the parser, rejects it
+      assert(post("x" * ((1 << 20) + 1)) === 413)
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(inbox))
+        .filter(p => !p.getFileName.toString.startsWith("."))
+        .count() === 3)
       // non-POST is refused at the transport
       val get = client.send(
         java.net.http.HttpRequest.newBuilder(
@@ -340,6 +346,70 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       val landed = spark.read.schema(TelegramSchema.updateSchema).json(rawOut)
       assert(landed.count() === 1)
       assert(landed.select("message.message_id").head().getLong(0) === 970L)
+    } finally server.stop(0)
+  }
+
+  test("webhook concurrency: parallel posters + at-least-once redelivery -> exactly-once enriched rows") {
+    // Telegram's webhook contract is at-least-once with concurrent
+    // senders: retries re-POST the same update, and nothing serializes
+    // deliveries. The endpoint must persist every concurrent POST
+    // losslessly (unique names, atomic moves), and the pipeline's
+    // existing (chat_id, message_id) dedup (EtlJob.transform, SURVEY
+    // §3.4) — not the transport — is what closes redelivery to
+    // exactly-once content in the enriched zone.
+    val inbox = Files.createTempDirectory("webhook_conc_inbox").toString
+    val server = IngestJob.webhookEndpoint(inbox)
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(body: String): Int = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/webhook"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      val nPosters = 8
+      val perPoster = 25
+      val distinctMsgs = nPosters * perPoster
+      val bodies = for {
+        p <- 0 until nPosters
+        i <- 0 until perPoster
+        mid = 1000 + p * perPoster + i
+      } yield msg(mid, mid, 11 + (p % 3), "Ana", false, t1 + mid, Some(s"m$mid"))
+      // every update delivered TWICE, the copies interleaved across the
+      // pool so redeliveries race their originals on different workers
+      val deliveries = scala.util.Random.shuffle(bodies ++ bodies)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nPosters)
+      val statuses =
+        try deliveries.map { b =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = post(b)
+          })
+        }.map(_.get())
+        finally pool.shutdown()
+      assert(statuses.forall(_ == 200), s"non-200 among ${statuses.distinct}")
+      // no delivery lost by the concurrent transport
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(inbox))
+        .filter(p => !p.getFileName.toString.startsWith("."))
+        .count() === 2L * distinctMsgs)
+      val rawOut = Files.createTempDirectory("raw_out_conc").toString
+      IngestJob.start(spark, inbox, rawOut,
+        Files.createTempDirectory("ckpt_conc").toString, chatId = -100L)
+        .awaitTermination()
+      val enriched = Files.createTempDirectory("enriched_conc").toString
+      // context_date is INGESTION wall-clock (IngestJob.route), not the
+      // event date — process whatever day the raw zone actually landed on
+      val ingestDay = java.nio.file.Files.list(java.nio.file.Paths.get(rawOut))
+        .filter(p => p.getFileName.toString.startsWith("context_date="))
+        .findFirst().orElseThrow()
+        .getFileName.toString.stripPrefix("context_date=")
+      val (n, rej) = EtlJob.run(spark, rawOut, enriched,
+        java.time.LocalDate.parse(ingestDay))
+      assert(n === distinctMsgs, s"enriched $n rows, expected $distinctMsgs")
+      assert(rej === 0)
+      val rows = spark.read.schema(TelegramSchema.enrichedSchema).parquet(enriched)
+      assert(rows.groupBy("message_id").count().filter(col("count") > 1).count() === 0)
+      assert(rows.select("message_id").distinct().count() === distinctMsgs.toLong)
     } finally server.stop(0)
   }
 
