@@ -458,9 +458,13 @@ object Similarity {
     // sorted through the two verify exchanges — the measured dominant
     // (and spill-prone) stage of the 64× run: 22.6M candidate pairs ×
     // a 512-byte double vector before this change — carry half the
-    // bytes.
+    // bytes. The dot reads the float arrays NATIVELY (graft_dot widens
+    // per element inside its loop): wrapping the carried floats in
+    // toDoubleVec here re-materialized a double array per candidate
+    // pair per side, which was the whole round-8 q59 clean-line drift
+    // (3.55 → 4.33 s at millions of loose-threshold pairs).
     val v = df.select(col(idCol), col(vecCol).as("rawv"))
-      .withColumn("nrm", VectorOps.l2Norm(VectorOps.toDoubleVec(col("rawv"))))
+      .withColumn("nrm", VectorOps.l2Norm(col("rawv")))
       .filter(col("nrm") > 0)
     val candidates =
       srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe,
@@ -469,7 +473,7 @@ object Similarity {
       .join(v.select(col(idCol).as("id_a"), col("rawv").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
       .join(v.select(col(idCol).as("id_b"), col("rawv").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorOps.dot(VectorOps.toDoubleVec(col("v_a")), VectorOps.toDoubleVec(col("v_b"))) /
+        round(VectorOps.dot(col("v_a"), col("v_b")) /
           (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

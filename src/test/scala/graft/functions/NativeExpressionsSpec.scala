@@ -128,6 +128,22 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(diff === 0.0)
   }
 
+  test("graft_dot: native float input ≡ cast-then-dot on doubles, bit-identical") {
+    // the SRP verify feeds RAW float vectors to the dot (no per-pair
+    // toDoubleVec materialization) — each float must widen exactly, so
+    // float×float, float×double and double×double all agree to the bit
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+    val diff = e.select(
+      greatest(
+        abs(VectorOps.dot(col("embedding"), col("embedding")) -
+          VectorOps.dot(col("v"), col("v"))),
+        abs(VectorOps.dot(col("embedding"), col("v")) -
+          VectorOps.dot(col("v"), col("v")))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diff === 0.0)
+  }
+
   test("graft_dot: length mismatch and null element → NULL (zip_with parity)") {
     val df = Seq(
       (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),
