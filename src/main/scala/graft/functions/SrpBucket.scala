@@ -20,6 +20,57 @@ import org.apache.spark.sql.types._
   * implementations never moves a vector to a different bucket.
   */
 object SrpHash {
+  /** Plane-coefficient rows, cached per planeSeed. The coefficient for
+    * (plane, dim) is a pure function of (planeSeed, dim) — xxhash64-
+    * derived, CONSTANT across rows — yet the original inner loop
+    * re-hashed every (row, table, plane, dim): at q61's solved 64×
+    * regime (18 planes × 15 tables × 512k rows × dim 64 × 3 plan
+    * passes) that was ~2 billion hashInt calls and the measured bulk of
+    * the candidate-stage map time. Caching the derived row turns the
+    * projection into a pure dot product at identical values (same
+    * hashes, computed once). Memory: dims × 8 B per (table, plane) —
+    * ~140 KB at the 64× regime — executor-static and corpus-independent.
+    * Rows grow monotonically (copy-on-grow) if a wider vector arrives;
+    * lock-free readers see either the old or the new row, both with
+    * identical prefixes.
+    */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def coeffRow(planeSeed: Long, n: Int): Array[Double] = {
+    val cached = coeffCache.get(planeSeed)
+    if (cached != null && cached.length >= n) return cached
+    coeffCache.compute(planeSeed, (_, old) => {
+      if (old != null && old.length >= n) old
+      else {
+        val size = math.max(n, if (old == null) 64 else old.length << 1)
+        val a = new Array[Double](size)
+        var j = 0
+        while (j < size) {
+          val h = XXH64.hashInt(j, planeSeed)
+          val m = ((h % 1000000L) + 1000000L) % 1000000L
+          a(j) = m / 1000000.0 - 0.5
+          j += 1
+        }
+        a
+      }
+    })
+  }
+
+  /** Projection of `vec` onto plane `planeSeed`'s cached coefficient
+    * row — float elements widen exactly, so a float vector projects
+    * bit-identically to its double-cast image.
+    */
+  private def project(
+      vec: ArrayData, n: Int, isFloat: Boolean, planeSeed: Long): Double = {
+    val cs = coeffRow(planeSeed, n)
+    var proj = 0.0
+    var j = 0
+    if (isFloat) while (j < n) { proj += vec.getFloat(j) * cs(j); j += 1 }
+    else while (j < n) { proj += vec.getDouble(j) * cs(j); j += 1 }
+    proj
+  }
+
   /** Parity notes (pinned in NativeExpressionsSpec):
     *   - empty vector → every projection folds over padded NULLs →
     *     sign 0 → bucket 0L
@@ -29,7 +80,11 @@ object SrpHash {
     *     composable `proj >= 0` is TRUE → sign 1 (Java's NaN >= 0 is
     *     false — hence the explicit isNaN branch)
     */
-  def srpBucket64(vec: ArrayData, planes: Int, seedBase: Int): Long = {
+  def srpBucket64(vec: ArrayData, planes: Int, seedBase: Int): Long =
+    srpBucket64(vec, planes, seedBase, false)
+
+  def srpBucket64(
+      vec: ArrayData, planes: Int, seedBase: Int, isFloat: Boolean): Long = {
     val n = vec.numElements()
     var i = 0
     while (i < n) {
@@ -42,14 +97,7 @@ object SrpHash {
     while (p < planes) {
       // xxhash64(plane + seedBase, dim) = hashInt(dim, hashInt(plane + seedBase, 42))
       val planeSeed = XXH64.hashInt(p + seedBase, HashSketches.Seed)
-      var proj = 0.0
-      var j = 0
-      while (j < n) {
-        val h = XXH64.hashInt(j, planeSeed)
-        val m = ((h % 1000000L) + 1000000L) % 1000000L
-        proj += vec.getDouble(j) * (m / 1000000.0 - 0.5)
-        j += 1
-      }
+      val proj = project(vec, n, isFloat, planeSeed)
       if (proj >= 0 || java.lang.Double.isNaN(proj)) out |= (1L << p)
       p += 1
     }
@@ -76,7 +124,12 @@ object SrpHash {
     * [[srpBucket64]] (pinned in NativeExpressionsSpec).
     */
   def srpProbeBuckets(
-      vec: ArrayData, planes: Int, seedBase: Int, probes: Int): Array[Long] = {
+      vec: ArrayData, planes: Int, seedBase: Int, probes: Int): Array[Long] =
+    srpProbeBuckets(vec, planes, seedBase, probes, false)
+
+  def srpProbeBuckets(
+      vec: ArrayData, planes: Int, seedBase: Int, probes: Int,
+      isFloat: Boolean): Array[Long] = {
     val p = math.min(probes, planes)
     val n = vec.numElements()
     var bad = n == 0
@@ -96,14 +149,7 @@ object SrpHash {
     var pl = 0
     while (pl < planes) {
       val planeSeed = XXH64.hashInt(pl + seedBase, HashSketches.Seed)
-      var s = 0.0
-      var j = 0
-      while (j < n) {
-        val h = XXH64.hashInt(j, planeSeed)
-        val m = ((h % 1000000L) + 1000000L) % 1000000L
-        s += vec.getDouble(j) * (m / 1000000.0 - 0.5)
-        j += 1
-      }
+      val s = project(vec, n, isFloat, planeSeed)
       if (s >= 0 || java.lang.Double.isNaN(s)) bucket |= (1L << pl)
       proj(pl) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else math.abs(s)
       pl += 1
@@ -138,27 +184,38 @@ object SrpHash {
   }
 }
 
-/** Native SRP bucket (see [[SrpHash.srpBucket64]]). */
+/** Native SRP bucket (see [[SrpHash.srpBucket64]]). Accepts
+  * `array<double>` or `array<float>` — float elements widen exactly
+  * inside the projection, so a float column buckets bit-identically to
+  * its double-cast image without a per-row transform materialization.
+  */
 case class SrpBucket(child: Expression, planes: Int, seedBase: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) if planes >= 1 && planes <= 64 =>
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
+        if planes >= 1 && planes <= 64 =>
       TypeCheckResult.TypeCheckSuccess
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
-      s"graft_srp: planes must be in [1, 64], got $planes")
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_srp: planes must be in [1, 64], got $planes")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_srp expects array<double>, got ${other.simpleString}")
+      s"graft_srp expects array<double|float>, got ${other.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    SrpHash.srpBucket64(input.asInstanceOf[ArrayData], planes, seedBase)
+    SrpHash.srpBucket64(input.asInstanceOf[ArrayData], planes, seedBase, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.SrpHash.srpBucket64($a, $planes, $seedBase);")
+      s"${ev.value} = graft.functions.SrpHash.srpBucket64($a, $planes, $seedBase, $isFloat);")
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
     copy(child = newChild)
@@ -174,26 +231,33 @@ case class SrpProbeBuckets(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _)
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _)
         if planes >= 1 && planes <= 64 && probes >= 0 && probes <= planes =>
       TypeCheckResult.TypeCheckSuccess
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
-      s"graft_srp_probes: need planes in [1, 64] and probes in [0, planes], " +
-        s"got planes=$planes probes=$probes")
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_srp_probes: need planes in [1, 64] and probes in [0, planes], " +
+          s"got planes=$planes probes=$probes")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_srp_probes expects array<double>, got ${other.simpleString}")
+      s"graft_srp_probes expects array<double|float>, got ${other.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
-      SrpHash.srpProbeBuckets(input.asInstanceOf[ArrayData], planes, seedBase, probes))
+      SrpHash.srpProbeBuckets(
+        input.asInstanceOf[ArrayData], planes, seedBase, probes, isFloat))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray(graft.functions.SrpHash.srpProbeBuckets(
-         |    $a, $planes, $seedBase, $probes));""".stripMargin)
+         |    $a, $planes, $seedBase, $probes, $isFloat));""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SrpProbeBuckets =
     copy(child = newChild)

@@ -343,7 +343,16 @@ object Similarity {
       probe: Boolean = true,
       coverageGuard: Boolean = false,
       probePlanes: Int = -1): DataFrame = {
-    val v = df.select(col(idCol), VectorOps.toDoubleVec(col(vecCol)).as("dv"))
+    // The sketch expressions read float arrays natively (widening each
+    // element exactly — bit-identical buckets), so the common
+    // array<float> embedding column skips the per-row double-array
+    // materialization; other element types still cast first.
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val raw = df.schema(vecCol).dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => col(vecCol)
+      case _ => VectorOps.toDoubleVec(col(vecCol))
+    }
+    val v = df.select(col(idCol), raw.as("dv"))
     // One row per (table, exact bucket, id): the only payload that shuffles.
     val buckets = v.select(col(idCol),
       explode(array((0 until tables).map(t =>
@@ -433,9 +442,28 @@ object Similarity {
       .distinct()
   }
 
+  /** Vector-table row count up to which the verify joins broadcast the
+    * (id, vector, norm) relation instead of sort-merge joining it.
+    * At dim 64 float this is ~280 MB hashed per executor — routine
+    * dimension-table territory — and it converts the verify's dominant
+    * cost, the candidate-pair × vector sort exchange (22.6M pairs ×
+    * ~280 B at the 64× probe, the stage whose sort spill measured
+    * 23–70 s run-to-run), into two map-side lookups over ONE reused
+    * broadcast. AQE cannot make this call itself: the relation is an
+    * operator-internal subplan with no stats, so it always lands on the
+    * conservative SMJ. Above the bound the plan stays SMJ — the 100 TB
+    * path, where the vector table is nothing like a dimension table.
+    */
+  val VerifyBroadcastMaxRows: Long = 1L << 20
+
   /** Near-duplicate pairs above a cosine threshold via SRP-LSH candidates
     * + exact verify. Output schema and rounding match
     * [[Dedup.embeddingNearDupPairs]] so recall is directly measurable.
+    *
+    * `knownRows`: the corpus row count, if the caller has it (the Auto
+    * entry point counts anyway to solve its knobs). Non-negative and
+    * ≤ [[VerifyBroadcastMaxRows]] → the verify joins broadcast the
+    * vector relation; negative (default) → no size claim, SMJ verify.
     */
   def srpNearDupPairs(
       df: DataFrame,
@@ -447,7 +475,8 @@ object Similarity {
       maxBucket: Int = 10000,
       probe: Boolean = true,
       coverageGuard: Boolean = false,
-      probePlanes: Int = -1): DataFrame = {
+      probePlanes: Int = -1,
+      knownRows: Long = -1L): DataFrame = {
     // Zero-norm vectors excluded (cosine would be NaN, which Spark
     // orders ABOVE the threshold) — same contract as the exact relation
     // in Dedup.embeddingNearDupPairs. The verify joins carry the RAW
@@ -469,9 +498,12 @@ object Similarity {
     val candidates =
       srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe,
         coverageGuard, probePlanes)
+    val hint: DataFrame => DataFrame =
+      if (knownRows >= 0 && knownRows <= VerifyBroadcastMaxRows) broadcast
+      else identity
     candidates
-      .join(v.select(col(idCol).as("id_a"), col("rawv").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
-      .join(v.select(col(idCol).as("id_b"), col("rawv").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .join(hint(v.select(col(idCol).as("id_a"), col("rawv").as("v_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
+      .join(hint(v.select(col(idCol).as("id_b"), col("rawv").as("v_b"), col("nrm").as("nrm_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorOps.dot(col("v_a"), col("v_b")) /
           (col("nrm_a") * col("nrm_b")), 6).as("cosine"))
@@ -502,10 +534,12 @@ object Similarity {
     // probe=false re-solves with capture 0 (p pinned to 0) — otherwise
     // the returned (planes, tables) only meet the recall target WITH
     // the probe catch the caller just disabled.
+    val n = df.count()
     val (planes, tables, probes) =
-      srpParamsDirectedFor(df.count(), threshold, targetRecall, maxTables,
+      srpParamsDirectedFor(n, threshold, targetRecall, maxTables,
         probing = probe)
+    // the count the solver needed doubles as the verify-broadcast stat
     srpNearDupPairs(df, idCol, vecCol, threshold, planes, tables, maxBucket,
-      probe, coverageGuard, probePlanes = probes)
+      probe, coverageGuard, probePlanes = probes, knownRows = n)
   }
 }

@@ -196,6 +196,24 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(n === 0)
   }
 
+  test("graft_srp / graft_srp_probes: native float input ≡ double-cast input") {
+    // the candidate plan feeds the raw array<float> embedding straight
+    // to the sketch — every bucket and every probe posting must match
+    // the double-cast image exactly
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .withColumn("v", VectorOps.toDoubleVec(col("embedding")))
+    val nb = e.filter((0 until 4).map(t =>
+        VectorOps.srpBucket(col("embedding"), 8, t * 8) =!=
+          VectorOps.srpBucket(col("v"), 8, t * 8)).reduce(_ || _))
+      .count()
+    assert(nb === 0)
+    val np = e.filter(
+        VectorOps.srpProbeBuckets(col("embedding"), 8, 0, 3) =!=
+          VectorOps.srpProbeBuckets(col("v"), 8, 0, 3))
+      .count()
+    assert(np === 0)
+  }
+
   test("graft_srp edge semantics: empty / null-element / NaN vectors match composable") {
     val df = Seq(
       Tuple1(Array.empty[java.lang.Double]),
