@@ -90,10 +90,9 @@ object Bench {
     // an honest min. Failures report as -1 so a broken query can never
     // read as a fast one (-1 survives the min()).
     val passes = 3
-    val sentinels = Array.fill(passes + 1)(0.0)
-    sentinels(0) = sentinel()
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel())
     val timings = scala.collection.mutable.Map[String, Double]()
-    for (p <- 1 to passes) {
+    for (_ <- 1 to passes) {
       headline.foreach { case (name, fn) =>
         val t = timeOne(name, fn)
         timings(name) = timings.get(name) match {
@@ -101,9 +100,37 @@ object Bench {
           case None       => t
         }
       }
-      sentinels(p) = sentinel()
+      sentinels += sentinel()
     }
     val results = headline.map { case (name, _) => name -> timings(name) }
+
+    // Streaming machinery cost. Each run re-stages sources and
+    // checkpoints from scratch — that machinery IS the cost being
+    // measured, so a min across passes still times a complete cold
+    // pipeline; what the min removes is box noise, which round 8 showed
+    // to be the noisiest part of the official line (q62: 8.43 s
+    // committed vs 11.27 s driver, 34 % apart, while batch rows agreed
+    // within the load factor). Two interleaved passes, batch-style, so
+    // the repeats sample the box at different moments; a closing
+    // sentinel extends the load bracket over the streaming section.
+    // Outside the headline total — the batch twins (q42/q43/q60/q63,
+    // q11-family for q69) already carry these semantics there — but
+    // committed so the engine has a number for what a
+    // Trigger.AvailableNow micro-batch pipeline costs at this SF.
+    val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
+      "q33_sessionization", "q62_stream_join", "q69_stream_enrich")
+    val streamingTimings = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to 2) {
+      streamingNames.foreach { n =>
+        val t = timeOne(n, SparkEntry.queries(n))
+        streamingTimings(n) = streamingTimings.get(n) match {
+          case Some(prev) => math.min(prev, t)
+          case None       => t
+        }
+      }
+      sentinels += sentinel()
+    }
+    val streaming = streamingNames.map(n => n -> streamingTimings(n))
 
     val qs = results.map { case (k, v) => JsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -140,8 +167,9 @@ object Bench {
     // construction (measured 1.8–2.4x the late-run floor on a quiet
     // box, however hard the warm-up loop tries), and a warm-up-driven
     // load_factor scales the suspect thresholds into blindness. The
-    // three post-pass checkpoints are steady-state and still bracket
-    // every pass; load during pass 1 shows at its closing checkpoint.
+    // five post-pass checkpoints (three batch, two streaming) are
+    // steady-state and bracket every pass; load during any pass shows
+    // at its closing checkpoint.
     val goodSentinels = sentinels.drop(1).filter(_ > 0)
     val withinDrift =
       if (goodSentinels.length >= 2) goodSentinels.max / goodSentinels.min else 1.0
@@ -169,7 +197,11 @@ object Bench {
         "either the box was uniformly loaded for the whole run, or q01's shared " +
         "infra (scan/session) genuinely regressed; suspect thresholds are scaled " +
         "by it, so re-run on a quiet box before trusting an empty suspect list")
-    val suspect = results.collect {
+    // Streaming rows are in the scan too: bench_latest.json's regex
+    // harvest picks their committed timings out of the "streaming"
+    // section, so they get the same >2x-at-load-factor discipline as
+    // the batch rows (round-8 gap: they had none).
+    val suspect = (results ++ streaming).collect {
       case (k, v) if v >= 0 && prev.get(k).exists(p =>
         p > 0 && v > 2 * loadFactor * p && v - p > 0.1 * loadFactor) => k
     }
@@ -177,17 +209,6 @@ object Bench {
       System.err.println(s"[bench] SUSPECT (>2x vs previous round at load_factor " +
         f"$loadFactor%.2f): ${suspect.mkString(",")}")
 
-    // Streaming machinery cost, measured once (not min-of-N: each run
-    // re-stages sources and checkpoints, which IS the cost being
-    // measured). Outside the headline total — the batch twins already
-    // carry these semantics there — but committed so the engine has a
-    // number for what a Trigger.AvailableNow micro-batch pipeline
-    // costs end-to-end at this SF.
-    val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
-      "q33_sessionization", "q62_stream_join", "q69_stream_enrich")
-    val streaming = streamingNames.map { n =>
-      n -> timeOne(n, SparkEntry.queries(n))
-    }
     val streamingJson = streaming.map { case (k, v) => JsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val streamingTotal = streaming.collect { case (_, v) if v >= 0 => v }.sum
