@@ -580,17 +580,38 @@ object VectorOps {
     *
     * 100 TB shape: the delta is one map-only pass + a partitioned
     * append; the existing index is never read, let alone re-shuffled.
+    *
+    * `autoCompact` (default on) runs [[ivfCompactIndex]] after the
+    * append whenever a cluster's file count crossed
+    * `maxFilesPerCluster` — the measured probe-vs-litter curve
+    * (SCALE.md `ivf_litter`: 98 ms fresh → 206 ms at 33 files/cluster,
+    * pure per-file reader overhead) says compaction CADENCE, not index
+    * size, governs probe latency, so the append is the natural place
+    * for the trigger. Under the knee the check is one driver file
+    * listing (no data touched); at the knee only the oversized
+    * clusters rewrite. Compaction preserves rows and probe results
+    * bit-identically (pinned in SimilaritySpec), but its publish
+    * protocol wants quiesced probes — callers probing concurrently
+    * with appends pass `autoCompact = false` and schedule
+    * [[ivfCompactIndex]] in their own maintenance window. Returns the
+    * compaction report (empty when nothing crossed the knee or
+    * `autoCompact` is off).
     */
   def ivfAppendIndex(
       delta: DataFrame,
       idCol: String,
       vecCol: String,
       path: String,
-      centroids: Array[Array[Double]]): Unit = {
+      centroids: Array[Array[Double]],
+      autoCompact: Boolean = true,
+      maxFilesPerCluster: Int = 8): Map[String, (Int, Int)] = {
     require(centroids.nonEmpty, "ivfAppendIndex: empty centroid table")
     assignClusters(delta, vecCol, indexedCents(centroids))
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
+    if (autoCompact)
+      ivfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
+    else Map.empty
   }
 
   /** Fold [[ivfAppendIndex]]'s per-batch files back into a bounded

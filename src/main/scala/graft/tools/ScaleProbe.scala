@@ -213,7 +213,7 @@ object ScaleProbe {
       (1 to appends).foreach { i =>
         graft.ops.VectorOps.ivfAppendIndex(
           embs.withColumn("vec_id", col("vec_id") + lit(i * maxVid)),
-          "vec_id", "embedding", path, cents)
+          "vec_id", "embedding", path, cents, autoCompact = false)
       }
       val littered = probeLat()
       val f1 = files()
@@ -225,6 +225,21 @@ object ScaleProbe {
       println(f"[scale] ivf_litter probe_ms fresh=${fresh * 1000}%6.1f ($f0 files) " +
         f"after${appends}appends=${littered * 1000}%6.1f ($f1 files) " +
         f"compacted=${compacted * 1000}%6.1f ($f2 files, compaction ${compactSec}%.1f s)")
+      // Auto-compaction regime: the same steady drip with the
+      // ivfAppendIndex trigger ON — probe latency must hold near the
+      // fresh-index point with NO manual maintenance call, and the
+      // amortized trigger cost is visible as the per-append mean.
+      val ta0 = System.nanoTime()
+      (1 to appends).foreach { i =>
+        graft.ops.VectorOps.ivfAppendIndex(
+          embs.withColumn("vec_id", col("vec_id") + lit((appends + i) * maxVid)),
+          "vec_id", "embedding", path, cents)
+      }
+      val appendSec = (System.nanoTime() - ta0) / 1e9
+      val auto = probeLat()
+      val f3 = files()
+      println(f"[scale] ivf_litter_auto probe_ms after${appends}more_auto_appends=" +
+        f"${auto * 1000}%6.1f ($f3 files, ${appendSec / appends}%.2f s/append incl. trigger)")
     }
     // Incremental-manifest repair cost: the round-8 default flip made
     // min-id re-election the default manifest path; this measures what

@@ -129,10 +129,11 @@ class SimilaritySpec extends AnyFunSuite {
     val cents = VectorOps.ivfWriteIndex(base, "vec_id", "embedding", dir,
       nCentroids = 8, kmeansIters = 4)
     // nine single-slice appends: the steady-drip pattern that litters
-    // every cluster with one small file per batch
+    // every cluster with one small file per batch (trigger OFF — this
+    // test measures the MANUAL maintenance path)
     for (m <- 1 to 9)
       VectorOps.ivfAppendIndex(embs.filter(col("vec_id") % 10 === m),
-        "vec_id", "embedding", dir, cents)
+        "vec_id", "embedding", dir, cents, autoCompact = false)
     def clusterFiles() = new java.io.File(dir).listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
       .map(d => d.getName -> d.listFiles.count { f =>
@@ -163,6 +164,39 @@ class SimilaritySpec extends AnyFunSuite {
     val probeAfter = VectorOps.ivfProbeIndex(spark, dir, cents, "vec_id", query, 10, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
     assert(probeAfter === probeBefore)
+  }
+
+  test("IVF auto-compaction: a steady append drip keeps file counts bounded and probes ≡ rebuild") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-auto").toString + "/idx"
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-ivf-auto-full").toString + "/idx"
+    val base = embs.filter(col("vec_id") % 10 === 0)
+    val cents = VectorOps.ivfWriteIndex(base, "vec_id", "embedding", dir,
+      nCentroids = 8, kmeansIters = 4)
+    // the same nine-batch drip as the manual test, trigger ON with a
+    // tight knee so it must fire mid-sequence
+    val reports = (1 to 9).map { m =>
+      VectorOps.ivfAppendIndex(embs.filter(col("vec_id") % 10 === m),
+        "vec_id", "embedding", dir, cents, maxFilesPerCluster = 4)
+    }
+    assert(reports.exists(_.nonEmpty), "the trigger never fired across nine appends")
+    // invariant the trigger maintains: never more than the knee's file
+    // count per cluster AFTER an append returns
+    val counts = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+      .map(d => d.getName -> d.listFiles.count { f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")
+      }).toMap
+    for ((cl, n) <- counts) assert(n <= 4, s"$cl has $n files after auto-compaction")
+    // auto-compacted probe ≡ a from-scratch index on the same centroids
+    VectorOps.ivfAppendIndex(embs, "vec_id", "embedding", fullDir, cents,
+      autoCompact = false)
+    val got = VectorOps.ivfProbeIndex(spark, dir, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val expected = VectorOps.ivfProbeIndex(spark, fullDir, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got === expected)
+    assert(spark.read.parquet(dir).count() === embs.count())
   }
 
   test("native nearest-centroid ≡ greatest-over-structs assignment (parity incl. ties), at 16 and 200 centroids") {
