@@ -511,8 +511,19 @@ object VectorOps {
     // quadratic term. Keep sampleRows >= ~8 x nClusters.
     val base = kmeansCentroids(df, vecCol, nClusters, kmeansIters, seed, sampleRows)
     if (base.isEmpty) return df // no directions anywhere → nothing to dedup
+    // The cluster self-join exchanges every surviving row TWICE with its
+    // vector attached — carry the RAW column (float for the embeddings
+    // tables: half the bytes of the assignment pass's internal double
+    // `dv`) and let graft_dot widen per element inside the pairwise
+    // loop, bit-identically; non-float/double element types still cast
+    // first, mirroring the SRP candidate plan.
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val carried = df.schema(vecCol).dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => col(vecCol)
+      case _ => toDoubleVec(col(vecCol))
+    }
     val v = assignClusters(df, vecCol, indexedCents(base))
-      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+      .select(col(idCol), carried.as("rawv"), col("nrm"), col("cluster"))
     // the size table is nClusters rows — broadcast it explicitly so the
     // mega-cluster filter stays map-side (no exchange between the
     // assignment pass and the size filter)
@@ -520,9 +531,9 @@ object VectorOps {
       broadcast(v.groupBy("cluster").agg(count(lit(1)).as("_graft_csz"))), Seq("cluster"))
       .filter(col("_graft_csz") <= maxCluster)
     val a = sized.select(col("cluster"), col(idCol).as("_graft_ida"),
-      col("dv").as("_graft_va"), col("nrm").as("_graft_na"))
+      col("rawv").as("_graft_va"), col("nrm").as("_graft_na"))
     val b = sized.select(col("cluster"), col(idCol).as("_graft_idb"),
-      col("dv").as("_graft_vb"), col("nrm").as("_graft_nb"))
+      col("rawv").as("_graft_vb"), col("nrm").as("_graft_nb"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("_graft_ida") < col("_graft_idb"))
       .filter(dot(col("_graft_va"), col("_graft_vb")) /
