@@ -28,13 +28,17 @@ import org.apache.spark.sql.types._
   * first (null elements and empty arrays never pass).
   */
 object NearestCentroidEval {
-  /** Returns the centroid index, or -1 for the NULL (malformed) case. */
+  /** Returns the centroid index, or -1 for the NULL (malformed) case.
+    * `vecIsFloat` selects the element reader; each float widens exactly
+    * to double, so assignments are bit-identical to cast-then-assign.
+    */
   def nearest(
       vec: ArrayData,
       norm: Double,
       flat: Array[Double],
       norms: Array[Double],
-      dim: Int): Int = {
+      dim: Int,
+      vecIsFloat: Boolean): Int = {
     if (vec.numElements() != dim) return -1
     var d = 0
     while (d < dim) {
@@ -50,7 +54,7 @@ object NearestCentroidEval {
       val off = c * dim
       var j = 0
       while (j < dim) {
-        s += vec.getDouble(j) * flat(off + j)
+        s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) * flat(off + j)
         j += 1
       }
       val sim = s / (norm * norms(c))
@@ -81,23 +85,28 @@ case class NearestCentroid(
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), DoubleType)
+      case (ArrayType(DoubleType | FloatType, _), DoubleType)
           if dim >= 1 && norms.nonEmpty && flat.length == norms.length * dim =>
         TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(DoubleType, _), DoubleType) =>
+      case (ArrayType(DoubleType | FloatType, _), DoubleType) =>
         TypeCheckResult.TypeCheckFailure(
           s"graft_nearest_centroid: inconsistent centroid table " +
             s"(flat=${flat.length}, norms=${norms.length}, dim=$dim)")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_nearest_centroid expects (array<double>, double), got " +
+        s"graft_nearest_centroid expects (array<double|float>, double), got " +
           s"(${l.simpleString}, ${r.simpleString})")
     }
 
   override protected def nullSafeEval(vec: Any, norm: Any): Any = {
     val r = NearestCentroidEval.nearest(
-      vec.asInstanceOf[ArrayData], norm.asInstanceOf[Double], flat, norms, dim)
+      vec.asInstanceOf[ArrayData], norm.asInstanceOf[Double], flat, norms, dim, vecIsFloat)
     if (r < 0) null else r
   }
 
@@ -108,7 +117,7 @@ case class NearestCentroid(
       val r = ctx.freshName("cluster")
       s"""
          |final int $r = graft.functions.NearestCentroidEval.nearest(
-         |  $v, $nrm, $flatRef, $normsRef, $dim);
+         |  $v, $nrm, $flatRef, $normsRef, $dim, $vecIsFloat);
          |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })

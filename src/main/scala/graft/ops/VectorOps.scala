@@ -14,6 +14,23 @@ object VectorOps {
 
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
+  /** The vector column as the native expressions consume it: float and
+    * double arrays pass through RAW (graft_dot / graft_srp /
+    * graft_nearest_centroid read both element types natively, widening
+    * each float exactly inside their loops — bit-identical to
+    * cast-then-compute), so the common `array<float>` embedding column
+    * skips a per-row double-array materialization on every scan pass
+    * and exchanges half the bytes wherever it is carried through a
+    * shuffle. Any other element type casts to double first.
+    */
+  private[ops] def rawVec(df: DataFrame, vecCol: String): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    df.schema(vecCol).dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => col(vecCol)
+      case _ => toDoubleVec(col(vecCol))
+    }
+  }
+
   /** Dot product — the native codegen'd expression
     * ([[graft.functions.ArrayDotProduct]]); identical semantics and
     * summation order to [[dotComposable]], ~10× less per-pair overhead.
@@ -51,7 +68,7 @@ object VectorOps {
     require(qNorm > 0, "query vector has zero norm — cosine undefined")
     // zero-norm corpus vectors excluded: their cosine is NaN, which
     // Spark sorts ABOVE every real score — they'd pad the top-k
-    df.select(col(idCol), toDoubleVec(col(vecCol)).as("dv"))
+    df.select(col(idCol), rawVec(df, vecCol).as("dv"))
       .withColumn("nrm", l2Norm(col("dv")))
       .filter(col("nrm") > 0)
       .select(col(idCol),
@@ -126,11 +143,11 @@ object VectorOps {
     require(k >= 1, s"k=$k must be >= 1")
     val c = corpus
       .select(col(idCol).as("n_id"), col(labelCol).as("n_label"),
-        toDoubleVec(col(vecCol)).as("cv"))
+        rawVec(corpus, vecCol).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
       .filter(col("cn") > 0)
     val q = queries
-      .select(col(idCol).as("q_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .filter(col("qn") > 0)
     val scored = c.crossJoin(broadcast(q))
@@ -439,7 +456,7 @@ object VectorOps {
       df: DataFrame,
       vecCol: String,
       cents: Array[(Int, Array[Double], Double)]): DataFrame = {
-    df.withColumn("dv", toDoubleVec(col(vecCol)))
+    df.withColumn("dv", rawVec(df, vecCol))
       .withColumn("nrm", l2Norm(col("dv")))
       .filter(col("nrm") > 0)
       .withColumn("cluster", graft.functions.GraftFunctions.nearestCentroid(
@@ -512,18 +529,12 @@ object VectorOps {
     val base = kmeansCentroids(df, vecCol, nClusters, kmeansIters, seed, sampleRows)
     if (base.isEmpty) return df // no directions anywhere → nothing to dedup
     // The cluster self-join exchanges every surviving row TWICE with its
-    // vector attached — carry the RAW column (float for the embeddings
-    // tables: half the bytes of the assignment pass's internal double
-    // `dv`) and let graft_dot widen per element inside the pairwise
-    // loop, bit-identically; non-float/double element types still cast
-    // first, mirroring the SRP candidate plan.
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-    val carried = df.schema(vecCol).dataType match {
-      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => col(vecCol)
-      case _ => toDoubleVec(col(vecCol))
-    }
+    // vector attached — assignClusters' `dv` is the RAW column (float
+    // for the embeddings tables: half the exchange bytes of doubles);
+    // graft_dot widens per element inside the pairwise loop,
+    // bit-identically.
     val v = assignClusters(df, vecCol, indexedCents(base))
-      .select(col(idCol), carried.as("rawv"), col("nrm"), col("cluster"))
+      .select(col(idCol), col("dv").as("rawv"), col("nrm"), col("cluster"))
     // the size table is nClusters rows — broadcast it explicitly so the
     // mega-cluster filter stays map-side (no exchange between the
     // assignment pass and the size filter)
@@ -545,8 +556,10 @@ object VectorOps {
   /** Persist an IVF index: assign every vector to its nearest centroid
     * and write the corpus PARTITIONED BY the cluster id, so probes
     * become partition-pruned scans. Stores (id, dv, nrm, cluster) —
-    * the normalized double vector and its norm are materialized so the
-    * probe never recomputes them. Returns the centroids; callers keep
+    * the vector (kept in its raw element type: a float corpus stores a
+    * float index, HALF the bytes on disk and per probe scan; the probe
+    * dot widens per element, bit-identically) and its norm are
+    * materialized so the probe never recomputes them. Returns the centroids; callers keep
     * them (tiny) next to the index — [[ivfProbeIndex]] needs them to
     * route queries.
     *
@@ -617,8 +630,27 @@ object VectorOps {
       autoCompact: Boolean = true,
       maxFilesPerCluster: Int = 8): Map[String, (Int, Int)] = {
     require(centroids.nonEmpty, "ivfAppendIndex: empty centroid table")
-    assignClusters(delta, vecCol, indexedCents(centroids))
-      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+    // The index stores `dv` in the element type of the corpus that built
+    // it (float stays float — see ivfWriteIndex). Appended files must
+    // carry the SAME physical type: parquet readers do not reconcile a
+    // float file with a double file in one scan. Align the delta to the
+    // index's recorded type; in the normal case (delta typed like the
+    // original corpus, or the first append creating the index) this is
+    // a no-op column reference.
+    val indexPath = new org.apache.hadoop.fs.Path(path)
+    val fs = indexPath.getFileSystem(
+      delta.sparkSession.sparkContext.hadoopConfiguration)
+    val indexElem =
+      if (fs.exists(indexPath))
+        Some(delta.sparkSession.read.parquet(path).schema("dv").dataType)
+      else None
+    val assigned = assignClusters(delta, vecCol, indexedCents(centroids))
+    val dvAligned = indexElem match {
+      case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
+      case _ => col("dv")
+    }
+    assigned
+      .select(col(idCol), dvAligned.as("dv"), col("nrm"), col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
     if (autoCompact)
       ivfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
@@ -761,7 +793,7 @@ object VectorOps {
       tables: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.withColumn("dv", toDoubleVec(col(vecCol)))
+    val v = df.withColumn("dv", rawVec(df, vecCol))
       .filter(l2Norm(col("dv")) > 0) // NaN cosine would rank above real scores
     val withBuckets = (0 until tables).foldLeft(v) { (d, t) =>
       d.withColumn(s"b$t", srpBucket(col("dv"), planes, t * planes))

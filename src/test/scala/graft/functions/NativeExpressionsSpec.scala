@@ -342,6 +342,26 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(!a.semanticEquals(c))
   }
 
+  test("graft_nearest_centroid: native float input ≡ cast-then-assign on doubles") {
+    // assignClusters now feeds the RAW embedding column (array<float>)
+    // straight to the expression — every float must widen exactly inside
+    // the centroid loop, so the assignment matches the double path row
+    // for row (same guarantee graft_dot pins above).
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val cents = e.orderBy(col("vec_id")).limit(4)
+      .select(VectorOps.toDoubleVec(col("embedding")).as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dv = VectorOps.toDoubleVec(col("embedding"))
+    val mismatches = e.select(
+      GraftFunctions.nearestCentroid(
+        col("embedding"), VectorOps.l2Norm(col("embedding")), cents).as("raw"),
+      GraftFunctions.nearestCentroid(
+        dv, VectorOps.l2Norm(dv), cents).as("dbl"))
+      .filter(not(col("raw") <=> col("dbl")))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("SQL surface: graft_dot / graft_simhash resolve by name") {
     Tables.registerViews(spark, TestSpark.Sf001)
     val r = spark.sql(

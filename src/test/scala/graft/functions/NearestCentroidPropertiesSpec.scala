@@ -42,7 +42,7 @@ object NearestCentroidPropertiesSpec extends Properties("graft.nearestCentroid")
       val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
       val norm = math.sqrt(vec.map(x => x * x).sum)
       val got = NearestCentroidEval.nearest(
-        new GenericArrayData(vec), norm, flat, norms, dim)
+        new GenericArrayData(vec), norm, flat, norms, dim, vecIsFloat = false)
       got == reference(vec, cents)
     }
 
@@ -58,7 +58,7 @@ object NearestCentroidPropertiesSpec extends Properties("graft.nearestCentroid")
       val norms = cents.map(cc => math.sqrt(cc.map(x => x * x).sum))
       val norm = math.sqrt(c.map(x => x * x).sum)
       NearestCentroidEval.nearest(
-        new GenericArrayData(c), norm, flat, norms, dim) == k - 1
+        new GenericArrayData(c), norm, flat, norms, dim, vecIsFloat = false) == k - 1
     }
 
   property("malformed vectors (wrong length) signal null, never a cluster") =
@@ -69,6 +69,6 @@ object NearestCentroidPropertiesSpec extends Properties("graft.nearestCentroid")
     } yield (dim, c, shorter)) { case (dim, c, shorter) =>
       val norms = Array(math.sqrt(c.map(x => x * x).sum))
       NearestCentroidEval.nearest(
-        new GenericArrayData(shorter), 1.0, c, norms, dim) == -1
+        new GenericArrayData(shorter), 1.0, c, norms, dim, vecIsFloat = false) == -1
     }
 }
