@@ -278,6 +278,20 @@ object DataOpsQueries {
         VectorOps.ivfTopK(e, "vec_id", "embedding", q, 20)
       }),
 
+    // Batch kNN JOIN (every corpus vector retrieves its top-5 neighbors
+    // through the IVF cut — the corpus-scale retrieval shape; rows-only:
+    // the candidate set depends on seeded k-means centroids, recall and
+    // the scan-fraction contract asserted in SimilaritySpec).
+    NamedQuery(
+      "q101_knn_join",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir)
+        VectorOps.ivfKnnJoin(e, e, "vec_id", "embedding",
+            k = 5, excludeSelf = true)
+          .orderBy("q_id", "rank")
+      }),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",

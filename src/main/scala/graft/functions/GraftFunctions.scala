@@ -22,6 +22,7 @@ object GraftFunctions {
   val MgTopKName = "graft_mg_topk"
   val BloomName = "graft_bloom_contains"
   val NearestCentroidName = "graft_nearest_centroid"
+  val NearestCentroidsName = "graft_nearest_centroids"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -67,6 +68,24 @@ object GraftFunctions {
         s"positive multiple of dim $dim")
     val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
     NearestCentroid(exprs.head, exprs(1), flat, norms, dim)
+  }
+
+  /** Builder for `graft_nearest_centroids(vec, norm, centsFlat, dim, n)`
+    * — the top-n probe-list variant (same literal-consumption contract
+    * as [[buildNearestCentroid]]).
+    */
+  private[graft] def buildNearestCentroids(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val flat = literalDoubleArray(exprs(2), NearestCentroidsName, "centsFlat")
+    val dim = literalInt(exprs(3), NearestCentroidsName, "dim")
+    val n = literalInt(exprs(4), NearestCentroidsName, "n")
+    require(dim >= 1 && flat.nonEmpty && flat.length % dim == 0,
+      s"$NearestCentroidsName: centsFlat length ${flat.length} is not a " +
+        s"positive multiple of dim $dim")
+    require(n >= 1, s"$NearestCentroidsName: n=$n must be >= 1")
+    val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    NearestCentroids(exprs.head, exprs(1), flat, norms, dim, n)
   }
 
   /** Arity check with the function name in the message — a bare
@@ -125,6 +144,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       NearestCentroidName,
       arity(NearestCentroidName, 4)(buildNearestCentroid), "built-in")
+    reg.createOrReplaceTempFunction(
+      NearestCentroidsName,
+      arity(NearestCentroidsName, 5)(buildNearestCentroids), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -140,6 +162,18 @@ object GraftFunctions {
     call_function(NearestCentroidName, vec, norm,
       org.apache.spark.sql.functions.lit(cents.flatten),
       org.apache.spark.sql.functions.lit(cents.head.length))
+  }
+
+  /** Native top-n nearest centroids (probe list per row) against a fixed
+    * centroid table (requires `register(spark)`).
+    */
+  def nearestCentroids(
+      vec: Column, norm: Column, cents: Array[Array[Double]], n: Int): Column = {
+    require(cents.nonEmpty, s"$NearestCentroidsName: empty centroid table")
+    call_function(NearestCentroidsName, vec, norm,
+      org.apache.spark.sql.functions.lit(cents.flatten),
+      org.apache.spark.sql.functions.lit(cents.head.length),
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** Native 64-bit SimHash of an array<string> token column. */

@@ -68,6 +68,63 @@ object NearestCentroidEval {
     }
     idx
   }
+
+  /** The `n` nearest centroid indices, best-first — the relation-side
+    * generalization of [[nearest]] used by `VectorOps.ivfKnnJoin` to
+    * give every QUERY ROW its probe list in one map-only expression
+    * (the single-query path computes the same list driver-side in
+    * `probeClusters`). Order matches `probeClusters` exactly:
+    * descending similarity, ties toward the LOWER index — note the
+    * argmax in [[nearest]] ties toward the HIGHER index; the two rules
+    * are each pinned by their own parity tests and both unreachable
+    * through real corpora (exact float ties across distinct centroids).
+    * Returns null for a malformed vector (wrong length / null element).
+    */
+  def nearestN(
+      vec: ArrayData,
+      norm: Double,
+      flat: Array[Double],
+      norms: Array[Double],
+      dim: Int,
+      n: Int,
+      vecIsFloat: Boolean): Array[Int] = {
+    if (vec.numElements() != dim) return null
+    var d = 0
+    while (d < dim) {
+      if (vec.isNullAt(d)) return null
+      d += 1
+    }
+    val k = norms.length
+    val m = math.min(n, k)
+    val simBuf = new Array[Double](m)
+    val idxBuf = new Array[Int](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < dim) {
+        s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) * flat(off + j)
+        j += 1
+      }
+      val sim = s / (norm * norms(c))
+      // centroids arrive in ascending index order, so on an exact sim
+      // tie the incumbent (lower index) keeps its slot — strictly-
+      // greater is the only displacement, giving the (-sim, idx) order.
+      var p = filled
+      while (p > 0 && java.lang.Double.compare(sim, simBuf(p - 1)) > 0) p -= 1
+      if (p < m) {
+        var q = math.min(filled, m - 1)
+        while (q > p) { simBuf(q) = simBuf(q - 1); idxBuf(q) = idxBuf(q - 1); q -= 1 }
+        simBuf(p) = sim
+        idxBuf(p) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(idxBuf, filled)
+  }
 }
 
 /** Native nearest-centroid (see [[NearestCentroidEval.nearest]]).
@@ -142,6 +199,88 @@ case class NearestCentroid(
 
   override def hashCode(): Int =
     java.util.Objects.hash(left, right, Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(flat)),
+      Int.box(java.util.Arrays.hashCode(norms)))
+}
+
+/** Native top-`n` nearest centroids (see [[NearestCentroidEval.nearestN]])
+  * — one `array<int>` of probe-cluster indices per input row, best-first.
+  * This is what lets a query RELATION route itself through an IVF cut of
+  * the space in a single map-only pass (`VectorOps.ivfKnnJoin`): the
+  * alternative — a per-centroid struct subtree + array_sort — regrows
+  * exactly the janino-breaking codegen the scalar [[NearestCentroid]]
+  * exists to avoid.
+  */
+case class NearestCentroids(
+    left: Expression,
+    right: Expression,
+    flat: Array[Double],
+    norms: Array[Double],
+    dim: Int,
+    n: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType | FloatType, _), DoubleType)
+          if dim >= 1 && n >= 1 && norms.nonEmpty &&
+            flat.length == norms.length * dim =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType | FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_centroids: inconsistent centroid table or n " +
+            s"(flat=${flat.length}, norms=${norms.length}, dim=$dim, n=$n)")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroids expects (array<double|float>, double), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(vec: Any, norm: Any): Any = {
+    val r = NearestCentroidEval.nearestN(
+      vec.asInstanceOf[ArrayData], norm.asInstanceOf[Double],
+      flat, norms, dim, n, vecIsFloat)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centsFlat", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val arr = ctx.freshName("probes")
+      s"""
+         |final int[] $arr = graft.functions.NearestCentroidEval.nearestN(
+         |  $v, $nrm, $flatRef, $normsRef, $dim, $n, $vecIsFloat);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroids =
+    copy(left = newLeft, right = newRight)
+
+  // content-based equality for the same CSE reason as NearestCentroid
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroids =>
+      left == o.left && right == o.right && dim == o.dim && n == o.n &&
+        java.util.Arrays.equals(flat, o.flat) &&
+        java.util.Arrays.equals(norms, o.norms)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Int.box(dim), Int.box(n),
       Int.box(java.util.Arrays.hashCode(flat)),
       Int.box(java.util.Arrays.hashCode(norms)))
 }

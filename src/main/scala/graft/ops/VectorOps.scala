@@ -125,8 +125,9 @@ object VectorOps {
     * each map task pre-keeps only k rows per query before the exchange,
     * so the shuffle carries ≤ k·partitions rows per query, independent
     * of corpus size. Both votes and the winner election then run over
-    * ≤ k rows per query. For corpus-scale query sets, score via the
-    * SRP/IVF candidate paths instead of the cross join.
+    * ≤ k rows per query. For corpus-scale query sets, use
+    * [[ivfKnnJoin]] — the bucketed join that replaces this cross join
+    * when the query side outgrows a broadcast.
     *
     * Determinism: cosine is rounded to `roundTo` before ranking; ties
     * break by neighbor id, vote ties by smaller label — the result is a
@@ -166,6 +167,86 @@ object VectorOps {
       .withColumn("pr", row_number().over(byVotes))
       .filter(col("pr") === 1)
       .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+  }
+
+  /** Batch kNN JOIN — top-`k` cosine neighbors from `corpus` for EVERY
+    * row of `queries`, both sides corpus-scale (the shape
+    * [[knnClassify]]'s scaladoc defers to when the query set outgrows a
+    * broadcast: retrieval labeling, dedup-against-reference,
+    * neighbor-graph construction).
+    *
+    * Output: `(q_id, n_id, cosine, rank)`, rank 1..≤k per query
+    * (cosine desc, ties by neighbor id; fewer than k rows when the
+    * probed clusters hold fewer candidates).
+    *
+    * Scale shape — NO all-pairs term anywhere:
+    *   - centroids: seeded spherical k-means on a bounded sample
+    *     (driver math is [[kmeansCentroids]]'s parallel loops);
+    *   - corpus: ONE map-only assignment pass, each row exchanged once
+    *     keyed by its single cluster (raw float vector — half the
+    *     bytes of doubles);
+    *   - queries: one map-only pass computing the `nProbe` probe list
+    *     per row via the native [[graft.functions.NearestCentroids]]
+    *     expression, then exploded — each query row exchanged `nProbe`
+    *     times;
+    *   - the join co-partitions both sides on `cluster` (AQE splits a
+    *     skewed cluster's partition at runtime; the nClusters ~ N
+    *     operating rule keeps EXPECTED cluster size constant, same as
+    *     [[semDedup]]);
+    *   - per-query top-k is a `row_number ≤ k` window, which Spark
+    *     rewrites to WindowGroupLimit: every map task pre-trims to k
+    *     rows per query BEFORE the window exchange.
+    * Scored work is nProbe × expected-cluster-size dots per query —
+    * the IVF scan-fraction contract, independent of corpus size.
+    * A (q, n) pair can never score twice: a corpus row lives in exactly
+    * one cluster and the probe list holds distinct clusters.
+    *
+    * Approximate by construction (recall = probability the true
+    * neighbor's cluster is probed — SimilaritySpec pins ≥ 0.95 on
+    * clustered data and self-retrieval rank 1; on a structureless
+    * corpus recall tracks scan fraction, the honest bound the ANN
+    * comparison table documents). Deterministic for fixed inputs and
+    * seed: k-means is seeded, cosine is rounded to `roundTo` before
+    * ranking, all ties break by id.
+    */
+  def ivfKnnJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nClusters: Int = 16,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false,
+      kmeansIters: Int = 4,
+      seed: Long = 42L,
+      sampleRows: Int = 4096,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
+    val base = kmeansCentroids(corpus, vecCol, nClusters, kmeansIters, seed, sampleRows)
+    if (base.isEmpty) // empty corpus (or all zero-norm) → empty frame, same schema
+      return corpus.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
+        lit(0.0).as("cosine"), lit(1).as("rank")).filter(lit(false))
+    val c = assignClusters(corpus, vecCol, indexedCents(base))
+      .select(col("cluster"), col(idCol).as("n_id"),
+        col("dv").as("nv"), col("nrm").as("nn"))
+    val q = queries
+      .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0)
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(graft.functions.GraftFunctions.nearestCentroids(
+          col("qv"), col("qn"), base, nProbe)).as("cluster"))
+    val scored = q.join(c, Seq("cluster"))
+      .filter(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), roundTo).as("cosine"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

@@ -151,6 +151,17 @@ object ScaleProbe {
           graft.ops.VectorOps.semDedup(twins, "vec_id", "embedding",
             threshold = 0.9, nClusters = 16 * scale,
             sampleRows = math.max(4096, 8 * 16 * scale)).count()
+        }),
+      // the batch kNN join under the same rule: expected cluster size
+      // constant → per-query scored candidates constant → the whole
+      // self-retrieval relation grows exactly k×
+      ("q101_knn_join[nClusters~N]",
+        d => {
+          val twins = graft.analytics.DataOpsQueries.twinCorpus(Tables.load(spark, d, "embeddings"))
+          val scale = if (d == dir) 1 else k
+          graft.ops.VectorOps.ivfKnnJoin(twins, twins, "vec_id", "embedding",
+            k = 5, nClusters = 16 * scale, nProbe = 4, excludeSelf = true,
+            sampleRows = math.max(4096, 8 * 16 * scale)).count()
         }))
       if only.forall(_.exists(label.startsWith))) {
       timeOp(label, run(dir)) // warm 1x

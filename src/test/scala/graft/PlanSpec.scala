@@ -134,6 +134,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q101: kNN join shuffles on cluster (no broadcast-dependence), top-k pre-prunes via WindowGroupLimit") {
+    val p = plan("q101_knn_join")
+    // the candidate join must NOT be a cross/nested-loop product — it
+    // keys on the cluster id (either shuffled or, at gate scale where
+    // one side fits, broadcast-hash; never nested-loop)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"kNN join fell back to an all-pairs product:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q96: weightedSample pre-prunes map-side via WindowGroupLimit") {
     // same structural skew protection as q65: a hot source ships
     // k·partitions rows into the rank exchange, never its population

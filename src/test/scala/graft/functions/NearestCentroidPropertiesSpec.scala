@@ -61,6 +61,50 @@ object NearestCentroidPropertiesSpec extends Properties("graft.nearestCentroid")
         new GenericArrayData(c), norm, flat, norms, dim, vecIsFloat = false) == k - 1
     }
 
+  /** Reference for the top-n variant: full sort by (-sim, idx) — the
+    * `probeClusters` driver-side semantics nearestN pins.
+    */
+  private def referenceN(
+      vec: Array[Double], cents: Array[Array[Double]], n: Int): Seq[Int] = {
+    val norm = math.sqrt(vec.map(x => x * x).sum)
+    cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (vec.zip(c).map { case (a, b) => a * b }.sum / (norm * cn), i)
+    }.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toSeq
+  }
+
+  property("nearestN ≡ sort-take reference (order, ties, n >= k truncation)") =
+    forAll(for {
+      dim <- dimGen
+      k <- Gen.choose(1, 20)
+      cents <- Gen.listOfN(k, vecGen(dim))
+      vec <- vecGen(dim)
+      n <- Gen.choose(1, 25) // deliberately allowed past k
+    } yield (dim, cents.toArray, vec, n)) { case (dim, cents, vec, n) =>
+      val flat = cents.flatten
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val norm = math.sqrt(vec.map(x => x * x).sum)
+      val got = NearestCentroidEval.nearestN(
+        new GenericArrayData(vec), norm, flat, norms, dim, n, vecIsFloat = false).toSeq
+      got == referenceN(vec, cents, n)
+    }
+
+  property("nearestN on duplicated centroids keeps ascending index order (tie rule)") =
+    forAll(for {
+      dim <- dimGen
+      c <- vecGen(dim)
+      k <- Gen.choose(1, 6)
+    } yield (dim, c, k)) { case (dim, c, k) =>
+      val cents = Array.fill(k)(c)
+      val flat = cents.flatten
+      val norms = cents.map(cc => math.sqrt(cc.map(x => x * x).sum))
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      // every sim ties exactly -> (-sim, idx) order is 0, 1, ..., k-1
+      NearestCentroidEval.nearestN(
+        new GenericArrayData(c), norm, flat, norms, dim, k, vecIsFloat = false)
+        .toSeq == (0 until k)
+    }
+
   property("malformed vectors (wrong length) signal null, never a cluster") =
     forAll(for {
       dim <- Gen.choose(2, 8)

@@ -217,6 +217,66 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfKnnJoin: self-retrieval ranks self first; excludeSelf drops it; ranks contiguous") {
+    val sub = embs.filter(col("vec_id") < 200)
+    val knn = VectorOps.ivfKnnJoin(sub, sub, "vec_id", "embedding",
+      k = 5, nClusters = 8, nProbe = 2).cache()
+    try {
+      val firsts = knn.filter(col("rank") === 1).collect()
+      assert(firsts.length === 200)
+      // every query's rank-1 neighbor is itself at cosine 1.0
+      assert(firsts.forall(r => r.getLong(0) === r.getLong(1) && r.getDouble(2) === 1.0))
+      // ranks are 1..n contiguous per query, pairs unique
+      val perQ = knn.groupBy("q_id")
+        .agg(count(lit(1)).as("n"), max("rank").as("mx"),
+          countDistinct("n_id").as("dn"))
+        .filter(col("n") =!= col("mx") || col("n") =!= col("dn") || col("n") > 5)
+      assert(perQ.count() === 0)
+      val noSelf = VectorOps.ivfKnnJoin(sub, sub, "vec_id", "embedding",
+        k = 5, nClusters = 8, nProbe = 2, excludeSelf = true)
+      assert(noSelf.filter(col("q_id") === col("n_id")).count() === 0)
+    } finally knn.unpersist()
+  }
+
+  test("ivfKnnJoin: recall >= 0.95 vs exact on clustered data, scanning one cluster per query") {
+    import spark.implicits._
+    // same three-well-separated-clusters construction as the centroid
+    // test below; every query's true neighbors live in its own cluster,
+    // so nProbe = 1 must recover them while scoring ~1/3 of the corpus
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Double]) =
+      base.map(x => x + 0.05 * rnd.nextGaussian())
+    val bases = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val rows = (0L until 300L).map(i => (i, jitter(bases((i % 3).toInt))))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    try {
+      val knn = VectorOps.ivfKnnJoin(df, df, "vec_id", "embedding",
+        k = 5, nClusters = 3, nProbe = 1, excludeSelf = true)
+      // exact top-5 per query over the all-pairs relation (test-scale only)
+      val a = df.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val b = df.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      val exact = a.crossJoin(b).filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VectorOps.cosine(col("qv"), col("nv")), 6).as("cosine"))
+        .withColumn("rank", row_number().over(byScore))
+        .filter(col("rank") <= 5)
+      val exactPairs = exact.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotPairs = knn.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactPairs & gotPairs).size.toDouble / exactPairs.size
+      assert(recall >= 0.95, s"recall@5 = $recall")
+      // scan-fraction contract: candidates scored ~ one cluster per query
+      val scoredRows = VectorOps.ivfKnnJoin(df, df, "vec_id", "embedding",
+        k = Int.MaxValue, nClusters = 3, nProbe = 1).count()
+      assert(scoredRows <= 300L * 150L, // ≪ the 90,000 all-pairs rows
+        s"scored $scoredRows — candidate set should be ~cluster-sized, not all-pairs")
+    } finally df.unpersist()
+  }
+
   test("IVF k-means centroids beat first-N-by-id on clustered data") {
     import spark.implicits._
     // Three well-separated clusters on the 4-sphere; ids ordered so the
