@@ -23,6 +23,7 @@ object GraftFunctions {
   val BloomName = "graft_bloom_contains"
   val NearestCentroidName = "graft_nearest_centroid"
   val NearestCentroidsName = "graft_nearest_centroids"
+  val NearestCentroidsHierName = "graft_nearest_centroids_hier"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -70,6 +71,20 @@ object GraftFunctions {
     NearestCentroid(exprs.head, exprs(1), flat, norms, dim)
   }
 
+  /** Extract a required array<int>-literal argument (same diagnosis
+    * rationale as [[literalInt]]).
+    */
+  private[graft] def literalIntArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, argName: String): Array[Int] = {
+    require(e.foldable, s"$fn: $argName must be an array<int> literal, got ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toIntArray()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be an array<int> literal, got $other")
+    }
+  }
+
   /** Builder for `graft_nearest_centroids(vec, norm, centsFlat, dim, n)`
     * — the top-n probe-list variant (same literal-consumption contract
     * as [[buildNearestCentroid]]).
@@ -86,6 +101,35 @@ object GraftFunctions {
     require(n >= 1, s"$NearestCentroidsName: n=$n must be >= 1")
     val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
     NearestCentroids(exprs.head, exprs(1), flat, norms, dim, n)
+  }
+
+  /** Builder for `graft_nearest_centroids_hier(vec, norm, centsFlat,
+    * dim, n, coarseFlat, memberStart, members, coarseProbes)` — the
+    * two-level probe-list variant; both centroid matrices and the CSR
+    * grouping are consumed at analysis time.
+    */
+  private[graft] def buildNearestCentroidsHier(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val fn = NearestCentroidsHierName
+    val flat = literalDoubleArray(exprs(2), fn, "centsFlat")
+    val dim = literalInt(exprs(3), fn, "dim")
+    val n = literalInt(exprs(4), fn, "n")
+    val coarseFlat = literalDoubleArray(exprs(5), fn, "coarseFlat")
+    val memberStart = literalIntArray(exprs(6), fn, "memberStart")
+    val members = literalIntArray(exprs(7), fn, "members")
+    val coarseProbes = literalInt(exprs(8), fn, "coarseProbes")
+    require(dim >= 1 && flat.nonEmpty && flat.length % dim == 0,
+      s"$fn: centsFlat length ${flat.length} is not a positive multiple of dim $dim")
+    require(coarseFlat.nonEmpty && coarseFlat.length % dim == 0,
+      s"$fn: coarseFlat length ${coarseFlat.length} is not a positive multiple of dim $dim")
+    require(n >= 1, s"$fn: n=$n must be >= 1")
+    require(coarseProbes >= 1, s"$fn: coarseProbes=$coarseProbes must be >= 1")
+    val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    val coarseNorms =
+      coarseFlat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    NearestCentroidsHier(exprs.head, exprs(1), flat, norms, dim, n,
+      coarseFlat, coarseNorms, memberStart, members, coarseProbes)
   }
 
   /** Arity check with the function name in the message — a bare
@@ -147,6 +191,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       NearestCentroidsName,
       arity(NearestCentroidsName, 5)(buildNearestCentroids), "built-in")
+    reg.createOrReplaceTempFunction(
+      NearestCentroidsHierName,
+      arity(NearestCentroidsHierName, 9)(buildNearestCentroidsHier), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -174,6 +221,28 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(cents.flatten),
       org.apache.spark.sql.functions.lit(cents.head.length),
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Native hierarchical top-n nearest centroids: rank only the fine
+    * centroids grouped under the `coarseProbes` nearest coarse
+    * centroids (requires `register(spark)`). `memberStart`/`members`
+    * is the CSR fine→coarse grouping, `VectorOps.coarseGrouping`
+    * builds all three driver-side.
+    */
+  def nearestCentroidsHier(
+      vec: Column, norm: Column, cents: Array[Array[Double]], n: Int,
+      coarse: Array[Array[Double]], memberStart: Array[Int],
+      members: Array[Int], coarseProbes: Int): Column = {
+    require(cents.nonEmpty && coarse.nonEmpty,
+      s"$NearestCentroidsHierName: empty centroid table")
+    call_function(NearestCentroidsHierName, vec, norm,
+      org.apache.spark.sql.functions.lit(cents.flatten),
+      org.apache.spark.sql.functions.lit(cents.head.length),
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(coarse.flatten),
+      org.apache.spark.sql.functions.lit(memberStart),
+      org.apache.spark.sql.functions.lit(members),
+      org.apache.spark.sql.functions.lit(coarseProbes))
   }
 
   /** Native 64-bit SimHash of an array<string> token column. */

@@ -125,6 +125,116 @@ object NearestCentroidEval {
     }
     java.util.Arrays.copyOf(idxBuf, filled)
   }
+
+  /** Hierarchical (coarse→fine) top-`n`: scan the `coarseProbes`
+    * nearest of the √k-ish coarse centroids, then rank only the FINE
+    * centroids grouped under them — O((coarseK + probed members) · dim)
+    * per row instead of O(k · dim), the routing that keeps the
+    * nClusters ~ N operating rule affordable when k reaches the
+    * hundreds of thousands (SCALE.md "known far-scale limit").
+    *
+    * `memberStart`/`members` is the CSR layout of the fine→coarse
+    * grouping: group g's fine indices are
+    * `members(memberStart(g) until memberStart(g+1))`.
+    *
+    * Ties: both levels order by (-sim, lower index) — the idx-aware
+    * comparator makes the result independent of enumeration order, so
+    * with `coarseProbes == coarseK` (every group probed, every fine
+    * centroid scanned) the output is EXACTLY [[nearestN]] — the strict
+    * parity mode the suite pins. With fewer probes the scanned set
+    * shrinks and the result is approximate in the usual IVF sense:
+    * recall = probability the true argmax's group is probed.
+    */
+  def nearestNHier(
+      vec: ArrayData,
+      norm: Double,
+      flat: Array[Double],
+      norms: Array[Double],
+      dim: Int,
+      n: Int,
+      vecIsFloat: Boolean,
+      coarseFlat: Array[Double],
+      coarseNorms: Array[Double],
+      memberStart: Array[Int],
+      members: Array[Int],
+      coarseProbes: Int): Array[Int] = {
+    if (vec.numElements() != dim) return null
+    var d = 0
+    while (d < dim) {
+      if (vec.isNullAt(d)) return null
+      d += 1
+    }
+    val coarseK = coarseNorms.length
+    val p = math.min(coarseProbes, coarseK)
+    // top-p coarse groups, (-sim, idx) order via the idx-aware insert
+    val gSim = new Array[Double](p)
+    val gIdx = new Array[Int](p)
+    var gFilled = 0
+    var g = 0
+    while (g < coarseK) {
+      var s = 0.0
+      val off = g * dim
+      var j = 0
+      while (j < dim) {
+        s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) * coarseFlat(off + j)
+        j += 1
+      }
+      val sim = s / (norm * coarseNorms(g))
+      var pos = gFilled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(sim, gSim(pos - 1))
+        cmp > 0 || (cmp == 0 && g < gIdx(pos - 1))
+      }) pos -= 1
+      if (pos < p) {
+        var q = math.min(gFilled, p - 1)
+        while (q > pos) { gSim(q) = gSim(q - 1); gIdx(q) = gIdx(q - 1); q -= 1 }
+        gSim(pos) = sim
+        gIdx(pos) = g
+        if (gFilled < p) gFilled += 1
+      }
+      g += 1
+    }
+    // top-n fine centroids among the probed groups' members
+    val k = norms.length
+    val m = math.min(n, k)
+    val simBuf = new Array[Double](m)
+    val idxBuf = new Array[Int](m)
+    var filled = 0
+    var gi = 0
+    while (gi < gFilled) {
+      val grp = gIdx(gi)
+      var mi = memberStart(grp)
+      val end = memberStart(grp + 1)
+      while (mi < end) {
+        val c = members(mi)
+        var s = 0.0
+        val off = c * dim
+        var j = 0
+        while (j < dim) {
+          s += (if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) * flat(off + j)
+          j += 1
+        }
+        val sim = s / (norm * norms(c))
+        // members arrive group-by-group (NOT ascending), so the insert
+        // must compare the index too for the (-sim, idx) total order
+        var pos = filled
+        while (pos > 0 && {
+          val cmp = java.lang.Double.compare(sim, simBuf(pos - 1))
+          cmp > 0 || (cmp == 0 && c < idxBuf(pos - 1))
+        }) pos -= 1
+        if (pos < m) {
+          var q = math.min(filled, m - 1)
+          while (q > pos) { simBuf(q) = simBuf(q - 1); idxBuf(q) = idxBuf(q - 1); q -= 1 }
+          simBuf(pos) = sim
+          idxBuf(pos) = c
+          if (filled < m) filled += 1
+        }
+        mi += 1
+      }
+      gi += 1
+    }
+    java.util.Arrays.copyOf(idxBuf, filled)
+  }
 }
 
 /** Native nearest-centroid (see [[NearestCentroidEval.nearest]]).
@@ -283,4 +393,108 @@ case class NearestCentroids(
     java.util.Objects.hash(left, right, Int.box(dim), Int.box(n),
       Int.box(java.util.Arrays.hashCode(flat)),
       Int.box(java.util.Arrays.hashCode(norms)))
+}
+
+/** Hierarchical top-n nearest centroids (see
+  * [[NearestCentroidEval.nearestNHier]]) — the two-level routing that
+  * replaces the flat O(k · dim)-per-row scan once the centroid table
+  * outgrows it. The coarse table and CSR grouping ride along as
+  * reference objects like the fine table does.
+  */
+case class NearestCentroidsHier(
+    left: Expression,
+    right: Expression,
+    flat: Array[Double],
+    norms: Array[Double],
+    dim: Int,
+    n: Int,
+    coarseFlat: Array[Double],
+    coarseNorms: Array[Double],
+    memberStart: Array[Int],
+    members: Array[Int],
+    coarseProbes: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType | FloatType, _), DoubleType)
+          if dim >= 1 && n >= 1 && coarseProbes >= 1 &&
+            norms.nonEmpty && flat.length == norms.length * dim &&
+            coarseNorms.nonEmpty &&
+            coarseFlat.length == coarseNorms.length * dim &&
+            memberStart.length == coarseNorms.length + 1 &&
+            memberStart.head == 0 && memberStart.last == members.length &&
+            members.length == norms.length =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType | FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_centroids_hier: inconsistent tables " +
+            s"(flat=${flat.length}, norms=${norms.length}, dim=$dim, n=$n, " +
+            s"coarse=${coarseNorms.length}, members=${members.length}, " +
+            s"memberStart=${memberStart.length}, probes=$coarseProbes)")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroids_hier expects (array<double|float>, double), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(vec: Any, norm: Any): Any = {
+    val r = NearestCentroidEval.nearestNHier(
+      vec.asInstanceOf[ArrayData], norm.asInstanceOf[Double],
+      flat, norms, dim, n, vecIsFloat,
+      coarseFlat, coarseNorms, memberStart, members, coarseProbes)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centsFlat", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    val cFlatRef = ctx.addReferenceObj("coarseFlat", coarseFlat, "double[]")
+    val cNormsRef = ctx.addReferenceObj("coarseNorms", coarseNorms, "double[]")
+    val startRef = ctx.addReferenceObj("memberStart", memberStart, "int[]")
+    val membersRef = ctx.addReferenceObj("members", members, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val arr = ctx.freshName("probes")
+      s"""
+         |final int[] $arr = graft.functions.NearestCentroidEval.nearestNHier(
+         |  $v, $nrm, $flatRef, $normsRef, $dim, $n, $vecIsFloat,
+         |  $cFlatRef, $cNormsRef, $startRef, $membersRef, $coarseProbes);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidsHier =
+    copy(left = newLeft, right = newRight)
+
+  // content-based equality for the same CSE reason as NearestCentroid
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidsHier =>
+      left == o.left && right == o.right && dim == o.dim && n == o.n &&
+        coarseProbes == o.coarseProbes &&
+        java.util.Arrays.equals(flat, o.flat) &&
+        java.util.Arrays.equals(norms, o.norms) &&
+        java.util.Arrays.equals(coarseFlat, o.coarseFlat) &&
+        java.util.Arrays.equals(memberStart, o.memberStart) &&
+        java.util.Arrays.equals(members, o.members)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Int.box(dim), Int.box(n),
+      Int.box(coarseProbes),
+      Int.box(java.util.Arrays.hashCode(flat)),
+      Int.box(java.util.Arrays.hashCode(coarseFlat)),
+      Int.box(java.util.Arrays.hashCode(members)))
 }

@@ -221,23 +221,53 @@ object VectorOps {
       kmeansIters: Int = 4,
       seed: Long = 42L,
       sampleRows: Int = 4096,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
     val base = kmeansCentroids(corpus, vecCol, nClusters, kmeansIters, seed, sampleRows)
     if (base.isEmpty) // empty corpus (or all zero-norm) → empty frame, same schema
       return corpus.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
         lit(0.0).as("cosine"), lit(1).as("rank")).filter(lit(false))
-    val c = assignClusters(corpus, vecCol, indexedCents(base))
-      .select(col("cluster"), col(idCol).as("n_id"),
-        col("dv").as("nv"), col("nrm").as("nn"))
+    // Past `hierThreshold` centroids the flat per-row scan — O(k · dim)
+    // on BOTH passes — dominates; route coarse→fine instead: rank only
+    // the fine centroids under the `coarseProbes` nearest of ⌈√k⌉
+    // coarse groups (O((√k + coarseProbes·√k) · dim) per row). The
+    // routing is the standard IVF approximation (recall = probability
+    // the true cluster's group is probed) and sits behind the same
+    // suite recall gates; below the threshold both passes stay exact.
+    val routing =
+      if (base.length >= hierThreshold)
+        Some(coarseGrouping(base, math.ceil(math.sqrt(base.length)).toInt))
+      else None
+    val c = routing match {
+      case Some((coarse, starts, mem)) =>
+        corpus.select(col(idCol).as("n_id"), rawVec(corpus, vecCol).as("nv"))
+          .withColumn("nn", l2Norm(col("nv")))
+          .filter(col("nn") > 0)
+          .withColumn("cluster", get(graft.functions.GraftFunctions.nearestCentroidsHier(
+            col("nv"), col("nn"), base, 1, coarse, starts, mem, coarseProbes), lit(0)))
+          .filter(col("cluster").isNotNull) // all-empty probed groups (degenerate)
+          .select(col("cluster"), col("n_id"), col("nv"), col("nn"))
+      case None =>
+        assignClusters(corpus, vecCol, indexedCents(base))
+          .select(col("cluster"), col(idCol).as("n_id"),
+            col("dv").as("nv"), col("nrm").as("nn"))
+    }
     val q = queries
       .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .filter(col("qn") > 0)
       .select(col("q_id"), col("qv"), col("qn"),
-        explode(graft.functions.GraftFunctions.nearestCentroids(
-          col("qv"), col("qn"), base, nProbe)).as("cluster"))
+        explode(routing match {
+          case Some((coarse, starts, mem)) =>
+            graft.functions.GraftFunctions.nearestCentroidsHier(
+              col("qv"), col("qn"), base, nProbe, coarse, starts, mem, coarseProbes)
+          case None =>
+            graft.functions.GraftFunctions.nearestCentroids(
+              col("qv"), col("qn"), base, nProbe)
+        }).as("cluster"))
     val scored = q.join(c, Seq("cluster"))
       .filter(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .select(col("q_id"), col("n_id"),
@@ -315,6 +345,95 @@ object VectorOps {
         def call(): R = f(lo, hi)
       })
     }.map(_.get())
+  }
+
+  /** Driver-side grouping of a fine centroid table under ⌈√k⌉-ish
+    * coarse centroids, for hierarchical (coarse→fine) routing: a small
+    * spherical k-means over the fine centroids themselves (already
+    * unit vectors — [[kmeansCentroids]] normalizes), returning the
+    * coarse table plus the CSR fine→coarse layout
+    * ([[graft.functions.NearestCentroidEval.nearestNHier]] consumes
+    * it). Seeded by a deterministic stride over the fine table (a
+    * k-means solution is spread by construction, so stride seeding is
+    * already diverse); empty coarse groups keep their previous
+    * centroid and simply own no members. Deterministic for fixed
+    * inputs; O(k · coarseK · dim · iters) driver math, parallelized
+    * over the same fixed-chunk pool as Lloyd.
+    */
+  private[ops] def coarseGrouping(
+      cents: Array[Array[Double]],
+      coarseK: Int,
+      iters: Int = 4): (Array[Array[Double]], Array[Int], Array[Int]) = {
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val k = cents.length
+    val dims = cents.head.length
+    val ck = math.max(1, math.min(coarseK, k))
+    var coarse = Array.tabulate(ck)(i => cents((i.toLong * k / ck).toInt))
+    val assign = new Array[Int](k)
+    for (_ <- 0 until iters) {
+      parRanges(k, LloydChunks) { (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          val p = cents(i)
+          var best = 0; var bestSim = dotA(p, coarse(0)); var c = 1
+          while (c < ck) {
+            val s = dotA(p, coarse(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+      }
+      // disjoint index ranges → the assignment writes are race-free;
+      // the recompute below is O(k · dim), serial is fine
+      val sums = Array.fill(ck)(new Array[Double](dims))
+      val counts = new Array[Long](ck)
+      var i = 0
+      while (i < k) {
+        val g = assign(i)
+        var d = 0
+        while (d < dims) { sums(g)(d) += cents(i)(d); d += 1 }
+        counts(g) += 1
+        i += 1
+      }
+      coarse = coarse.indices.map { g =>
+        if (counts(g) == 0) coarse(g)
+        else {
+          val n = math.sqrt(dotA(sums(g), sums(g)))
+          if (n == 0) coarse(g) else sums(g).map(_ / n)
+        }
+      }.toArray
+    }
+    // final assignment under the final coarse table, then CSR
+    parRanges(k, LloydChunks) { (lo, hi) =>
+      var i = lo
+      while (i < hi) {
+        val p = cents(i)
+        var best = 0; var bestSim = dotA(p, coarse(0)); var c = 1
+        while (c < ck) {
+          val s = dotA(p, coarse(c)); if (s > bestSim) { bestSim = s; best = c }; c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+    }
+    val counts = new Array[Int](ck)
+    assign.foreach(g => counts(g) += 1)
+    val memberStart = new Array[Int](ck + 1)
+    var g = 0
+    while (g < ck) { memberStart(g + 1) = memberStart(g) + counts(g); g += 1 }
+    val cursor = memberStart.clone()
+    val members = new Array[Int](k)
+    var i = 0
+    while (i < k) { // ascending fine index within each group
+      members(cursor(assign(i))) = i
+      cursor(assign(i)) += 1
+      i += 1
+    }
+    (coarse, memberStart, members)
   }
 
   /** Spherical k-means centroids for IVF coarse quantization, over a

@@ -105,6 +105,39 @@ object NearestCentroidPropertiesSpec extends Properties("graft.nearestCentroid")
         .toSeq == (0 until k)
     }
 
+  property("nearestNHier probing ALL coarse groups ≡ flat nearestN (strict parity mode)") =
+    forAll(for {
+      dim <- dimGen
+      k <- Gen.choose(1, 20)
+      cents <- Gen.listOfN(k, vecGen(dim))
+      vec <- vecGen(dim)
+      n <- Gen.choose(1, 25)
+      ck <- Gen.choose(1, k)
+      coarse <- Gen.listOfN(ck, vecGen(dim))
+      grouping <- Gen.listOfN(k, Gen.choose(0, ck - 1)) // arbitrary grouping
+    } yield (dim, cents.toArray, vec, n, coarse.toArray, grouping.toArray)) {
+      case (dim, cents, vec, n, coarse, grouping) =>
+        val flat = cents.flatten
+        val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+        val norm = math.sqrt(vec.map(x => x * x).sum)
+        val ck = coarse.length
+        // CSR from the arbitrary grouping, ascending fine index per group
+        val memberStart = new Array[Int](ck + 1)
+        grouping.foreach(g => memberStart(g + 1) += 1)
+        for (g <- 1 to ck) memberStart(g) += memberStart(g - 1)
+        val cursor = memberStart.clone()
+        val members = new Array[Int](cents.length)
+        for (i <- cents.indices) { members(cursor(grouping(i))) = i; cursor(grouping(i)) += 1 }
+        // with every group probed, the scanned fine set is everything →
+        // exactly the flat result regardless of coarse table/grouping
+        val got = NearestCentroidEval.nearestNHier(
+          new GenericArrayData(vec), norm, flat, norms, dim, n, vecIsFloat = false,
+          coarse.flatten, coarse.map(c => math.sqrt(c.map(x => x * x).sum)),
+          memberStart, members, coarseProbes = ck).toSeq
+        got == NearestCentroidEval.nearestN(
+          new GenericArrayData(vec), norm, flat, norms, dim, n, vecIsFloat = false).toSeq
+    }
+
   property("malformed vectors (wrong length) signal null, never a cluster") =
     forAll(for {
       dim <- Gen.choose(2, 8)

@@ -277,6 +277,37 @@ class SimilaritySpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("ivfKnnJoin hierarchical routing: recall holds on clustered data, self-retrieval intact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def jitter(base: Array[Double]) =
+      base.map(x => x + 0.05 * rnd.nextGaussian())
+    val bases = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val rows = (0L until 300L).map(i => (i, jitter(bases((i % 3).toInt))))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    try {
+      // hierThreshold = 1 forces the coarse→fine path at a size where
+      // the flat path is still checkable against it
+      def run(thresh: Int) = VectorOps.ivfKnnJoin(df, df, "vec_id", "embedding",
+          k = 5, nClusters = 12, nProbe = 4, excludeSelf = true,
+          hierThreshold = thresh, coarseProbes = 2)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flat = run(Int.MaxValue)
+      val hier = run(1)
+      // the routing is approximate, but on well-separated clusters with
+      // coarseProbes=2 of ~sqrt(12) groups it must retain ~all pairs
+      val recallVsFlat = (flat & hier).size.toDouble / flat.size
+      assert(recallVsFlat >= 0.95, s"hier recall vs flat = $recallVsFlat")
+      val self = VectorOps.ivfKnnJoin(df, df, "vec_id", "embedding",
+        k = 1, nClusters = 12, nProbe = 4, hierThreshold = 1, coarseProbes = 2)
+      val firsts = self.filter(col("rank") === 1).collect()
+      assert(firsts.nonEmpty &&
+        firsts.forall(r => r.getLong(0) === r.getLong(1) && r.getDouble(2) === 1.0))
+    } finally df.unpersist()
+  }
+
   test("IVF k-means centroids beat first-N-by-id on clustered data") {
     import spark.implicits._
     // Three well-separated clusters on the 4-sphere; ids ordered so the
