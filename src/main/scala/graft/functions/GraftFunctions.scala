@@ -67,8 +67,27 @@ object GraftFunctions {
     require(dim >= 1 && flat.nonEmpty && flat.length % dim == 0,
       s"$NearestCentroidName: centsFlat length ${flat.length} is not a " +
         s"positive multiple of dim $dim")
-    val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    val norms = centroidNorms(flat, dim, NearestCentroidName)
     NearestCentroid(exprs.head, exprs(1), flat, norms, dim)
+  }
+
+  /** Per-centroid L2 norms, validated finite and > 0. A zero-norm (or
+    * non-finite) centroid makes every cosine against it NaN, and NaN
+    * orders ABOVE every real similarity under `Double.compare` — the
+    * top-n insert loops would rank the malformed centroid FIRST in
+    * every probe list while the scalar argmax never selects it. Builder
+    * tables from `kmeansCentroids` can't contain one (a mean of
+    * unit-ish vectors), so this is a construction-time contract check,
+    * not a per-row cost.
+    */
+  private def centroidNorms(flat: Array[Double], dim: Int, fn: String): Array[Double] = {
+    val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    val bad = norms.indexWhere(n => !(n > 0) || n.isInfinite)
+    require(bad < 0,
+      s"$fn: centroid $bad has L2 norm ${if (bad >= 0) norms(bad) else 0.0} — " +
+        "every centroid must have a finite positive norm (cosine against it " +
+        "would be NaN and would corrupt the probe-list ordering)")
+    norms
   }
 
   /** Extract a required array<int>-literal argument (same diagnosis
@@ -99,7 +118,7 @@ object GraftFunctions {
       s"$NearestCentroidsName: centsFlat length ${flat.length} is not a " +
         s"positive multiple of dim $dim")
     require(n >= 1, s"$NearestCentroidsName: n=$n must be >= 1")
-    val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    val norms = centroidNorms(flat, dim, NearestCentroidsName)
     NearestCentroids(exprs.head, exprs(1), flat, norms, dim, n)
   }
 
@@ -125,9 +144,8 @@ object GraftFunctions {
       s"$fn: coarseFlat length ${coarseFlat.length} is not a positive multiple of dim $dim")
     require(n >= 1, s"$fn: n=$n must be >= 1")
     require(coarseProbes >= 1, s"$fn: coarseProbes=$coarseProbes must be >= 1")
-    val norms = flat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
-    val coarseNorms =
-      coarseFlat.grouped(dim).map(cv => math.sqrt(cv.map(x => x * x).sum)).toArray
+    val norms = centroidNorms(flat, dim, fn)
+    val coarseNorms = centroidNorms(coarseFlat, dim, fn + " (coarse)")
     NearestCentroidsHier(exprs.head, exprs(1), flat, norms, dim, n,
       coarseFlat, coarseNorms, memberStart, members, coarseProbes)
   }

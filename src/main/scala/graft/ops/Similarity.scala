@@ -453,16 +453,36 @@ object Similarity {
     * operator-internal subplan with no stats, so it always lands on the
     * conservative SMJ. Above the bound the plan stays SMJ — the 100 TB
     * path, where the vector table is nothing like a dimension table.
+    *
+    * The row bound alone is NOT the gate: a 1M-row corpus at dim 3072
+    * double is ~24 GB — past Spark's 8 GB broadcast hard limit and any
+    * sane driver heap — so [[srpNearDupPairs]] also estimates the
+    * relation's bytes from the schema's element width and the measured
+    * vector length and only broadcasts under
+    * [[VerifyBroadcastMaxBytes]].
     */
   val VerifyBroadcastMaxRows: Long = 1L << 20
+
+  /** Estimated-size ceiling for the forced verify broadcast:
+    * rows × (dim × elemBytes + per-row overhead) must stay under this.
+    * 1 GiB — large for a default dimension table but deliberate here
+    * (the alternative is the measured 23–70 s sort spill), and an 8×
+    * margin under Spark's 8 GB broadcast hard limit. At dim 64 float
+    * the full [[VerifyBroadcastMaxRows]] corpus estimates ~0.3 GiB and
+    * broadcasts, as before; a dim-3072 double corpus crosses the line
+    * at ~40k rows and stays on SMJ.
+    */
+  val VerifyBroadcastMaxBytes: Long = 1L << 30
 
   /** Near-duplicate pairs above a cosine threshold via SRP-LSH candidates
     * + exact verify. Output schema and rounding match
     * [[Dedup.embeddingNearDupPairs]] so recall is directly measurable.
     *
     * `knownRows`: the corpus row count, if the caller has it (the Auto
-    * entry point counts anyway to solve its knobs). Non-negative and
-    * ≤ [[VerifyBroadcastMaxRows]] → the verify joins broadcast the
+    * entry point counts anyway to solve its knobs). Non-negative,
+    * ≤ [[VerifyBroadcastMaxRows]], AND estimated bytes (from the
+    * schema's element width × measured vector length) under
+    * [[VerifyBroadcastMaxBytes]] → the verify joins broadcast the
     * vector relation; negative (default) → no size claim, SMJ verify.
     */
   def srpNearDupPairs(
@@ -492,15 +512,35 @@ object Similarity {
     // toDoubleVec here re-materialized a double array per candidate
     // pair per side, which was the whole round-8 q59 clean-line drift
     // (3.55 → 4.33 s at millions of loose-threshold pairs).
-    val v = df.select(col(idCol), col(vecCol).as("rawv"))
+    // float/double pass through raw; any other element type (int, …)
+    // casts to double first — same contract as the sketch side in
+    // srpCandidatePairs and VectorOps.rawVec.
+    val v = df.select(col(idCol), VectorOps.rawVec(df, vecCol).as("rawv"))
       .withColumn("nrm", VectorOps.l2Norm(col("rawv")))
       .filter(col("nrm") > 0)
     val candidates =
       srpCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket, probe,
         coverageGuard, probePlanes)
+    // Broadcast gate: rows AND estimated bytes. The row count is what
+    // the caller already has; the byte estimate needs the vector length,
+    // read from one row (a take(1) job — trivial next to the count the
+    // auto path already ran, and only paid when the row gate passes).
     val hint: DataFrame => DataFrame =
-      if (knownRows >= 0 && knownRows <= VerifyBroadcastMaxRows) broadcast
-      else identity
+      if (knownRows < 0 || knownRows > VerifyBroadcastMaxRows) identity
+      else {
+        import org.apache.spark.sql.types.{ArrayType, FloatType}
+        val elemBytes = df.schema(vecCol).dataType match {
+          case ArrayType(FloatType, _) => 4L
+          case _ => 8L // double, or cast-to-double by rawVec
+        }
+        val dim = v.select(size(col("rawv"))).take(1) match {
+          case Array(r) if !r.isNullAt(0) => r.getInt(0).toLong
+          case _ => 0L
+        }
+        // 48 B/row slack: id + norm + array header + hash-relation entry
+        val estBytes = knownRows * (dim * elemBytes + 48L)
+        if (estBytes <= VerifyBroadcastMaxBytes) broadcast else identity
+      }
     candidates
       .join(hint(v.select(col(idCol).as("id_a"), col("rawv").as("v_a"), col("nrm").as("nrm_a"))), Seq("id_a"))
       .join(hint(v.select(col(idCol).as("id_b"), col("rawv").as("v_b"), col("nrm").as("nrm_b"))), Seq("id_b"))

@@ -791,6 +791,13 @@ object VectorOps {
     * listing — no data from other clusters is opened, let alone
     * scanned). Same result as [[ivfTopK]] with the same centroids.
     */
+  /** Per-path `dv` element type of persisted IVF indexes — an index's
+    * type is fixed at creation, so [[ivfAppendIndex]] reads the parquet
+    * footer once per path per JVM instead of once per append batch.
+    */
+  private val ivfDvTypeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.DataType]()
+
   /** Append a vector delta to a persisted IVF index: each new vector is
     * assigned to its nearest EXISTING centroid (map-only — the centroid
     * table rides the plan as literals) and appended into the matching
@@ -805,21 +812,23 @@ object VectorOps {
     * 100 TB shape: the delta is one map-only pass + a partitioned
     * append; the existing index is never read, let alone re-shuffled.
     *
-    * `autoCompact` (default on) runs [[ivfCompactIndex]] after the
-    * append whenever a cluster's file count crossed
-    * `maxFilesPerCluster` — the measured probe-vs-litter curve
-    * (SCALE.md `ivf_litter`: 98 ms fresh → 206 ms at 33 files/cluster,
-    * pure per-file reader overhead) says compaction CADENCE, not index
-    * size, governs probe latency, so the append is the natural place
-    * for the trigger. Under the knee the check is one driver file
-    * listing (no data touched); at the knee only the oversized
-    * clusters rewrite. Compaction preserves rows and probe results
-    * bit-identically (pinned in SimilaritySpec), but its publish
-    * protocol wants quiesced probes — callers probing concurrently
-    * with appends pass `autoCompact = false` and schedule
-    * [[ivfCompactIndex]] in their own maintenance window. Returns the
-    * compaction report (empty when nothing crossed the knee or
-    * `autoCompact` is off).
+    * `autoCompact = true` runs [[ivfCompactIndex]] after the append
+    * whenever a cluster's file count crossed `maxFilesPerCluster` —
+    * the measured probe-vs-litter curve (SCALE.md `ivf_litter`: 98 ms
+    * fresh → 206 ms at 33 files/cluster, pure per-file reader
+    * overhead) says compaction CADENCE, not index size, governs probe
+    * latency, so the append is the natural place for the trigger.
+    * Under the knee the check is one driver file listing (no data
+    * touched); at the knee only the oversized clusters rewrite.
+    * Compaction preserves rows and probe results bit-identically
+    * (pinned in SimilaritySpec), but its publish protocol wants
+    * QUIESCED probes — a reader listing a cluster mid-rename can see a
+    * partial file set — so the trigger is OPT-IN: the default append
+    * is always safe to run concurrently with probes, and callers who
+    * own a maintenance window (no in-flight probes) pass
+    * `autoCompact = true` or schedule [[ivfCompactIndex]] themselves.
+    * Returns the compaction report (empty when nothing crossed the
+    * knee or `autoCompact` is off).
     */
   def ivfAppendIndex(
       delta: DataFrame,
@@ -827,7 +836,7 @@ object VectorOps {
       vecCol: String,
       path: String,
       centroids: Array[Array[Double]],
-      autoCompact: Boolean = true,
+      autoCompact: Boolean = false,
       maxFilesPerCluster: Int = 8): Map[String, (Int, Int)] = {
     require(centroids.nonEmpty, "ivfAppendIndex: empty centroid table")
     // The index stores `dv` in the element type of the corpus that built
@@ -836,22 +845,36 @@ object VectorOps {
     // float file with a double file in one scan. Align the delta to the
     // index's recorded type; in the normal case (delta typed like the
     // original corpus, or the first append creating the index) this is
-    // a no-op column reference.
+    // a no-op column reference. The recorded type is remembered per
+    // path for the life of the JVM: an index's dv type is fixed at
+    // creation (appends only ever write the aligned type), so the
+    // steady-append pattern pays the parquet footer read ONCE, not per
+    // batch. The cache is trusted only while the index still exists —
+    // deleting and re-creating an index at the same path drops the
+    // entry.
     val indexPath = new org.apache.hadoop.fs.Path(path)
     val fs = indexPath.getFileSystem(
       delta.sparkSession.sparkContext.hadoopConfiguration)
     val indexElem =
-      if (fs.exists(indexPath))
-        Some(delta.sparkSession.read.parquet(path).schema("dv").dataType)
-      else None
+      if (fs.exists(indexPath)) Some {
+        ivfDvTypeCache.computeIfAbsent(path,
+          _ => delta.sparkSession.read.parquet(path).schema("dv").dataType)
+      } else {
+        ivfDvTypeCache.remove(path)
+        None
+      }
     val assigned = assignClusters(delta, vecCol, indexedCents(centroids))
     val dvAligned = indexElem match {
       case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
       case _ => col("dv")
     }
+    val written = indexElem.getOrElse(assigned.schema("dv").dataType)
     assigned
       .select(col(idCol), dvAligned.as("dv"), col("nrm"), col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(path)
+    // index now exists with `written` as its dv type — future appends
+    // in this JVM skip the footer read entirely
+    ivfDvTypeCache.put(path, written)
     if (autoCompact)
       ivfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
     else Map.empty

@@ -244,7 +244,7 @@ object ScaleProbe {
       (1 to appends).foreach { i =>
         graft.ops.VectorOps.ivfAppendIndex(
           embs.withColumn("vec_id", col("vec_id") + lit((appends + i) * maxVid)),
-          "vec_id", "embedding", path, cents)
+          "vec_id", "embedding", path, cents, autoCompact = true)
       }
       val appendSec = (System.nanoTime() - ta0) / 1e9
       val auto = probeLat()

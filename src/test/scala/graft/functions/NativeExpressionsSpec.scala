@@ -342,6 +342,36 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(!a.semanticEquals(c))
   }
 
+  test("nearest-centroid builders reject zero-norm and non-finite centroids at construction") {
+    // A zero-norm centroid makes every cosine against it NaN, and NaN
+    // orders ABOVE every real sim in the top-n insert loops — the
+    // malformed centroid would head every probe list. Contract check
+    // lives in the builders so no per-row cost is paid.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def scalarWith(table: Array[Double]) = GraftFunctions.buildNearestCentroid(Seq(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      Literal(1.0),
+      Literal.create(table, ArrayType(DoubleType)),
+      Literal(2)))
+    val e = intercept[IllegalArgumentException] {
+      scalarWith(Array(1.0, 0.0, 0.0, 0.0)) // centroid 1 is the zero vector
+    }
+    assert(e.getMessage.contains("norm"))
+    intercept[IllegalArgumentException] {
+      scalarWith(Array(1.0, 0.0, Double.NaN, 1.0)) // NaN-poisoned centroid
+    }
+    intercept[IllegalArgumentException] { // top-n builder shares the check
+      GraftFunctions.buildNearestCentroids(Seq(
+        BoundReference(0, ArrayType(DoubleType), nullable = true),
+        Literal(1.0),
+        Literal.create(Array(1.0, 0.0, 0.0, 0.0), ArrayType(DoubleType)),
+        Literal(2), Literal(2)))
+    }
+    // a well-formed table still builds
+    scalarWith(Array(1.0, 0.0, 0.0, 1.0))
+  }
+
   test("graft_nearest_centroid: native float input ≡ cast-then-assign on doubles") {
     // assignClusters now feeds the RAW embedding column (array<float>)
     // straight to the expression — every float must widen exactly inside

@@ -177,7 +177,8 @@ class SimilaritySpec extends AnyFunSuite {
     // tight knee so it must fire mid-sequence
     val reports = (1 to 9).map { m =>
       VectorOps.ivfAppendIndex(embs.filter(col("vec_id") % 10 === m),
-        "vec_id", "embedding", dir, cents, maxFilesPerCluster = 4)
+        "vec_id", "embedding", dir, cents, autoCompact = true,
+        maxFilesPerCluster = 4)
     }
     assert(reports.exists(_.nonEmpty), "the trigger never fired across nine appends")
     // invariant the trigger maintains: never more than the knee's file
@@ -425,6 +426,48 @@ class SimilaritySpec extends AnyFunSuite {
       .select(VectorOps.dequantize(VectorOps.quantizeInt8(col("embedding"))).as("v"))
       .head().getSeq[Double](0)
     assert(zero === Seq(0.0, 0.0))
+  }
+
+  test("srpNearDupPairs: integer-element vectors cast through, same contract as the sketch side") {
+    import spark.implicits._
+    // array<int> is neither float nor double — the verify side must
+    // route it through toDoubleVec (as srpCandidatePairs already does)
+    // instead of failing graft_dot's type check.
+    val df = Seq(
+      (1L, Array(10, 0, 0)), (2L, Array(9, 1, 0)), (3L, Array(0, 10, 0)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
+        planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("verify broadcast gate: estimated bytes, not row count alone, pick the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import spark.implicits._
+    // dim-256 double: ~2.1 KB/row estimated, so the byte ceiling
+    // (1 GiB) cuts in at ~500k rows — under the 1M row bound, which is
+    // exactly the case the row-only gate got wrong (a high-dim corpus
+    // broadcast past Spark's hard limit).
+    val dim = 256
+    val df = (0 until 8).map(i =>
+        (i.toLong, Array.tabulate(dim)(j => if (j == i % dim) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    // the candidate side always carries broadcast hints of its own (the
+    // skew-guard anti-joins), so the verify hint shows up as a DELTA of
+    // two (one per verify join) over the no-claim plan
+    def hints(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }.size
+    val noClaim = hints(Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
+      planes = 4, tables = 2))
+    // small claimed corpus: ~2 MB estimate -> both verify joins broadcast
+    assert(hints(Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
+      planes = 4, tables = 2, knownRows = 1000)) === noClaim + 2)
+    // row gate passes (2^20 rows) but ~2.2 GB estimate -> SMJ verify
+    assert(hints(Similarity.srpNearDupPairs(df, "vec_id", "embedding", 0.9,
+      planes = 4, tables = 2, knownRows = 1L << 20)) === noClaim)
   }
 
   test("cosine is symmetric and bounded on real vectors") {
