@@ -193,6 +193,33 @@ object DataOpsQueries {
           .select("vec_id")
           .orderBy("vec_id")),
 
+    // Incremental SemDeDup — the steady-state loop of an append-only
+    // corpus: yesterday's docs (vec_id < 250) are the immutable kept
+    // base under frozen centroids; today's delta (the remaining ids
+    // plus planted exact-direction twins of base docs) dedups against
+    // the kept set + itself, O(|delta| · cluster slice), never
+    // re-judging the base. k-means isn't expressible in the oracle
+    // dialect → rows-only; SimilaritySpec pins drops ⊆ one batch run
+    // over base∪delta, row-for-row equality on clique corpora,
+    // zero-norm survival, and the partition-pruned indexed variant's
+    // identity with this DataFrame path.
+    NamedQuery(
+      "q102_semdedup_delta",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+        val base0 = e.filter(col("vec_id") < 250)
+        val twins = base0.filter(col("vec_id") % 7 === 0).select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val delta = e.filter(col("vec_id") >= 250).unionAll(twins)
+        val cents = VectorOps.kmeansCentroids(base0, "embedding", 16)
+        val baseKept = VectorOps.semDedupDelta(e.limit(0), base0,
+          "vec_id", "embedding", 0.9, cents)
+        VectorOps.semDedupDelta(baseKept, delta, "vec_id", "embedding", 0.9, cents)
+          .select("vec_id").orderBy("vec_id")
+      }),
+
     // --------------------------------------------- similarity search
     // Brute-force cosine top-k for the vec_id=0 query vector — the exact
     // baseline every ANN variant is measured against.

@@ -691,10 +691,12 @@ object VectorOps {
     * q24's exact all-pairs relation, which is gate-scale only).
     *
     * Decisions, made deterministic:
-    *   - representative = min id per duplicate pair (pairwise, NOT
-    *     transitive closure — a "chain" a~b~c with cos(a,c) below
-    *     threshold keeps a and c; connected-component semantics live in
-    *     [[GraphOps]] for callers who want them);
+    *   - drop every id with ANY smaller-id neighbor above `threshold`
+    *     in its cluster — the witness may itself be dropped: a chain
+    *     a~b~c (each link above threshold) keeps only `a`, exactly the
+    *     per-pair dropped set of the exact relation q85 is gated
+    *     against (connected-component semantics live in [[GraphOps]]
+    *     for callers who want them);
     *   - zero-norm vectors have no direction, are never anyone's
     *     duplicate, and always survive;
     *   - clusters above `maxCluster` are skipped ENTIRELY (their
@@ -751,6 +753,135 @@ object VectorOps {
         (col("_graft_na") * col("_graft_nb")) > threshold)
       .select(col("_graft_idb").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental SemDeDup: dedup a DELTA batch against an immutable
+    * KEPT corpus under FROZEN centroids — the steady-growth pattern of
+    * a training pipeline (yesterday's corpus already shipped; today's
+    * crawl must not re-cluster or re-judge it). Completes the delta
+    * family: q75 (exact hash) and q90 (Bloom-prefiltered) are the
+    * exact-duplicate deltas; this is the semantic one.
+    *
+    * Decision rule, per delta row (zero-norm rows have no direction
+    * and always survive, as in [[semDedup]]):
+    *   - DROP if some base member of its cluster has cosine >
+    *     `threshold` (the base is immutable, so base ids are
+    *     irrelevant — any kept neighbor makes the new row redundant);
+    *   - else DROP if a SMALLER-ID delta sibling in its cluster has
+    *     cosine > `threshold` (the same pairwise min-id rule as
+    *     [[semDedup]], so within-batch behavior is unchanged);
+    *   - clusters whose base+delta size exceeds `maxCluster` are
+    *     skipped entirely (all their delta members survive) — the same
+    *     conservative mega-cluster guard, sized on the UNION exactly
+    *     as one batch run over base∪delta would see it.
+    *
+    * Incremental vs batch (base a kept corpus, delta ids above base
+    * ids — the monotonic layout every append-only corpus has): the
+    * incremental drops are always a SUBSET of a batch frozen-centroid
+    * run over base∪delta — conservative, never dropping a row batch
+    * would keep. The one deliberate divergence: batch's pairwise rule
+    * lets an already-dropped row witness further drops, while the
+    * incremental contract judges new rows against what the pipeline
+    * KEPT (a document can't be redundant with one that isn't in the
+    * corpus). When duplicate classes are direction-cliques (exact
+    * twins: every member pairwise above threshold) witnesses transfer
+    * and the two results are row-for-row EQUAL — SimilaritySpec pins
+    * both the subset property and the clique-equality.
+    *
+    * Scale shape: two map-only assignment passes, a ≤`nClusters`-row
+    * broadcast size table, and two cluster-keyed joins whose base side
+    * is |base ∩ occupied clusters| — O(|delta| · cluster slice), never
+    * O(|base|²). For a persisted corpus use [[semDedupDeltaIndexed]],
+    * which prunes the base scan to the delta's clusters at file
+    * listing; its survivors then [[ivfAppendIndex]] straight back into
+    * the same index — the two calls are the whole steady-state loop.
+    */
+  def semDedupDelta(
+      base: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroids: Array[Array[Double]],
+      maxCluster: Int = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0, 1]")
+    require(centroids.nonEmpty, "semDedupDelta: empty centroid table")
+    val cents = indexedCents(centroids)
+    val d = assignClusters(delta, vecCol, cents)
+      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+    val b = assignClusters(base, vecCol, cents)
+      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+    semDedupDeltaFrom(delta, d, b, idCol, threshold, maxCluster)
+  }
+
+  /** [[semDedupDelta]] with the kept corpus read from a persisted
+    * [[ivfWriteIndex]]/[[ivfAppendIndex]] index instead of a DataFrame:
+    * the index is partitioned by `cluster`, so the base scan is pruned
+    * AT FILE LISTING to the clusters the delta actually occupies — a
+    * small delta against a 100 TB corpus reads only its own clusters'
+    * partitions (vectors and norms pre-materialized, no base-side
+    * recompute). The occupied-cluster list is one ≤`nClusters`-int
+    * driver collect — index metadata scale, not data scale.
+    *
+    * `centroids` must be the table the index was built with (same
+    * contract as [[ivfProbeIndex]]). Survivors are the rows to
+    * [[ivfAppendIndex]] back into the same index.
+    */
+  def semDedupDeltaIndexed(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      indexPath: String,
+      centroids: Array[Array[Double]],
+      maxCluster: Int = 100000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0, 1]")
+    require(centroids.nonEmpty, "semDedupDeltaIndexed: empty centroid table")
+    val cents = indexedCents(centroids)
+    val d = assignClusters(delta, vecCol, cents)
+      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+    val occupied = d.select("cluster").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val b = delta.sparkSession.read.parquet(indexPath)
+      .filter(col("cluster").isin(occupied.map(Int.box).toSeq: _*))
+      .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
+    semDedupDeltaFrom(delta, d, b, idCol, threshold, maxCluster)
+  }
+
+  /** Shared body of the two delta entry points: `d`/`b` are the
+    * assigned delta and base-slice relations (idCol, dv, nrm, cluster).
+    */
+  private def semDedupDeltaFrom(
+      delta: DataFrame,
+      d: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxCluster: Int): DataFrame = {
+    // union size table = what one batch run over base∪delta would
+    // guard on; ≤ nClusters rows, broadcast so both filters stay
+    // map-side (same shape as semDedup's size attach)
+    val sizes = d.select(col("cluster")).unionAll(b.select(col("cluster")))
+      .groupBy("cluster").agg(count(lit(1)).as("_graft_csz"))
+    def guarded(x: DataFrame): DataFrame =
+      x.join(broadcast(sizes), Seq("cluster")).filter(col("_graft_csz") <= maxCluster)
+    val dn = guarded(d).select(col("cluster"), col(idCol).as("_graft_idd"),
+      col("dv").as("_graft_vd"), col("nrm").as("_graft_nd"))
+    val bn = guarded(b).select(col("cluster"), col(idCol).as("_graft_idb"),
+      col("dv").as("_graft_vb"), col("nrm").as("_graft_nb"))
+    val vsBase = dn.join(bn, Seq("cluster"))
+      .filter(dot(col("_graft_vd"), col("_graft_vb")) /
+        (col("_graft_nd") * col("_graft_nb")) > threshold)
+      .select(col("_graft_idd").as(idCol))
+    val dn2 = dn.select(col("cluster"), col("_graft_idd").as("_graft_idd2"),
+      col("_graft_vd").as("_graft_vd2"), col("_graft_nd").as("_graft_nd2"))
+    val within = dn.join(dn2, Seq("cluster"))
+      .filter(col("_graft_idd2") < col("_graft_idd"))
+      .filter(dot(col("_graft_vd"), col("_graft_vd2")) /
+        (col("_graft_nd") * col("_graft_nd2")) > threshold)
+      .select(col("_graft_idd").as(idCol))
+    val dropped = vsBase.unionAll(within).distinct()
+    delta.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Persist an IVF index: assign every vector to its nearest centroid

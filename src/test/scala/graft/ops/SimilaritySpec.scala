@@ -428,6 +428,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(zero === Seq(0.0, 0.0))
   }
 
+  test("semDedupDelta: conservative vs batch, twin drops, zero-norm survival, indexed ≡ DataFrame") {
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val base0 = e.filter(col("vec_id") < 250)
+    val fresh = e.filter(col("vec_id") >= 250)
+    // exact-direction twins of every 7th base doc (scaled ×2: float-exact,
+    // cosine exactly 1.0) — direction-cliques, so incremental must agree
+    // with batch on them no matter which member survives
+    val twins = base0.filter(col("vec_id") % 7 === 0).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val zeroRow = Seq((600L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val delta = fresh.unionAll(twins).unionAll(zeroRow)
+    val cents = VectorOps.kmeansCentroids(base0, "embedding", 16, 4)
+    val empty = e.limit(0)
+    def ids(df: DataFrame) = df.select("vec_id").collect().map(_.getLong(0)).toSet
+    // empty base ⇒ the delta rule alone IS the batch pairwise rule
+    val baseKept = VectorOps.semDedupDelta(empty, base0, "vec_id", "embedding", 0.9, cents)
+    val deltaKeptDf = VectorOps.semDedupDelta(baseKept, delta, "vec_id", "embedding", 0.9, cents)
+    val deltaKept = ids(deltaKeptDf)
+    assert(!deltaKept.exists(_ >= 10000000L), "every planted twin must drop against its kept base partner")
+    assert(deltaKept.contains(600L), "zero-norm delta rows have no direction and must survive")
+    // incremental result vs one batch frozen-centroid run over base∪delta:
+    // drops are a subset (conservative), and on this corpus (drop classes
+    // are the planted cliques) row-for-row equal
+    val batchKept = ids(VectorOps.semDedupDelta(empty, base0.unionAll(delta),
+      "vec_id", "embedding", 0.9, cents))
+    val incrementalKept = ids(baseKept) ++ deltaKept
+    assert(batchKept.subsetOf(incrementalKept), "incremental may only KEEP more, never drop more")
+    assert(incrementalKept === batchKept)
+    // indexed variant: kept base persisted as an IVF index on the same
+    // frozen centroids reproduces the DataFrame variant exactly
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-semdelta").toString + "/idx"
+    VectorOps.ivfAppendIndex(baseKept, "vec_id", "embedding", idxDir, cents)
+    val keptIdx = ids(VectorOps.semDedupDeltaIndexed(delta, "vec_id", "embedding", 0.9, idxDir, cents))
+    assert(keptIdx === deltaKept)
+  }
+
   test("srpNearDupPairs: integer-element vectors cast through, same contract as the sketch side") {
     import spark.implicits._
     // array<int> is neither float nor double — the verify side must
