@@ -10,8 +10,9 @@ object Sessions {
   /** Configs that affect correctness/semantics — applied to any builder. */
   def withEngineConfigs(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nanos long
-      // and convert in Tables.load (Spark has no native nanos type).
+      // Some events.parquet generations carry TIMESTAMP(NANOS); read as
+      // epoch-nanos long (Spark has no native nanos type) and let
+      // Tables.normalizeTs convert. Harmless for micros-encoded data.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // Streaming state off-heap in RocksDB: the HDFS-backed in-memory

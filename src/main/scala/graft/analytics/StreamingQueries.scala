@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import graft.streaming.EventStreams
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 
 /** Streaming operators under the correctness gate.
@@ -29,21 +29,26 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
-  /** events schema as the streaming file source needs it: ts arrives as
-    * parquet TIMESTAMP(NANOS) = epoch-nanos long under nanosAsLong.
+  /** events schema as the streaming file source needs it: the stage
+    * below rewrites the source through [[Tables.normalizeTs]], so `ts`
+    * arrives as a proper TimestampType regardless of the raw encoding
+    * (epoch-nanos long or TIMESTAMP_NTZ micros across data generations).
     */
   private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** The file source wants a directory: stage the single events file
-    * under a DETERMINISTIC per-(source, run) path and clear it first —
-    * repeated Verify/Bench runs reuse the same roots instead of leaking
-    * a fresh copy into /tmp per invocation, and a prior run's sentinel
-    * rows can never contaminate the next.
+  /** The file source wants a directory: stage the events table under a
+    * DETERMINISTIC per-(source, run) path and clear it first — repeated
+    * Verify/Bench runs reuse the same roots instead of leaking a fresh
+    * copy into /tmp per invocation, and a prior run's sentinel rows can
+    * never contaminate the next. The stage is a normalized REWRITE (not
+    * a file copy): `ts` lands as TimestampType whatever the source
+    * encoding, so the streaming schema above is exact and sentinel
+    * batches append with plain timestamps.
     */
-  private def stageEventsDir(dir: String): java.nio.file.Path = {
+  private def stageEventsDir(s: SparkSession, dir: String): java.nio.file.Path = {
     // STABLE per-source path (no run counter): repeated runs in one JVM
     // reuse the same directory instead of leaking a fresh events copy
     // per invocation — the clear-first below also scrubs a prior run's
@@ -59,14 +64,15 @@ object StreamingQueries {
       finally walk.close()
     }
     Files.createDirectories(root)
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      root.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("append").parquet(root.toString)
     root
   }
 
   private def streamEvents(s: SparkSession, srcDir: String): DataFrame =
-    Tables.nanosToTimestamp(
-      s.readStream.schema(eventsRawSchema).parquet(srcDir))
+    s.readStream.schema(eventsRawSchema).parquet(srcDir)
 
   /** The lag/cumsum window-function sessionization — the batch
     * formulation of [[EventStreams.sessionize]]'s semantics, shared by
@@ -170,7 +176,7 @@ object StreamingQueries {
       Some(attributionOracle),
       (s, dir) => {
         val name = s"graft_stream_join_${runId.incrementAndGet()}"
-        val q = EventStreams.attributionJoin(streamEvents(s, stageEventsDir(dir).toString))
+        val q = EventStreams.attributionJoin(streamEvents(s, stageEventsDir(s, dir).toString))
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
@@ -196,7 +202,7 @@ object StreamingQueries {
         val cust = Tables.load(s, dir, "customer")
           .select("c_custkey", "c_name", "c_nationkey")
         val q = EventStreams.enrichWithDim(
-            streamEvents(s, stageEventsDir(dir).toString), cust, "user_id", "c_custkey")
+            streamEvents(s, stageEventsDir(s, dir).toString), cust, "user_id", "c_custkey")
           .select("event_id", "user_id", "c_name", "c_nationkey")
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
@@ -229,7 +235,7 @@ object StreamingQueries {
       Some(hourlyOracle),
       (s, dir) => {
         val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
-        val q = EventStreams.hourlyRollup(streamEvents(s, stageEventsDir(dir).toString))
+        val q = EventStreams.hourlyRollup(streamEvents(s, stageEventsDir(s, dir).toString))
           .writeStream.format("memory").queryName(name)
           .outputMode("complete") // emit open windows too = batch semantics
           .trigger(Trigger.AvailableNow())
@@ -247,9 +253,12 @@ object StreamingQueries {
       Some("""SELECT event_type, count(*) AS n FROM events
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => {
-        val stage = stageEventsDir(dir)
-        Files.copy(Paths.get(s"$dir/events.parquet"),
-          stage.resolve("events_dup.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val stage = stageEventsDir(s, dir)
+        // second normalized copy = the redelivery: same rows, new files
+        Tables.load(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1)
+          .write.mode("append").parquet(stage.toString)
         val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
         val q = EventStreams.dedupStream(streamEvents(s, stage.toString))
           .groupBy("event_type")
@@ -268,7 +277,7 @@ object StreamingQueries {
       (s, dir) => {
         // Stage the source into a temp dir so a sentinel batch can be
         // appended after the real data to advance the watermark.
-        val stage = stageEventsDir(dir)
+        val stage = stageEventsDir(s, dir)
         val stream = streamEvents(s, stage.toString)
         val name = s"graft_sessionize_${runId.incrementAndGet()}"
         val q = EventStreams.sessionize(EventStreams.asSessionEvents(stream))
@@ -281,8 +290,8 @@ object StreamingQueries {
           // every open session times out and emits on the next batch.
           val maxTs = Tables.load(s, dir, "events").agg(max("ts")).head().getTimestamp(0)
           import s.implicits._
-          Seq((-1L, (maxTs.getTime / 1000 + 365L * 86400) * 1000000000L,
-              -1L, "sentinel", 0.0, "{}"))
+          val farFuture = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+          Seq((-1L, farFuture, -1L, "sentinel", 0.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .write.mode("append").parquet(stage.toString)
           q.processAllAvailable()
