@@ -516,6 +516,33 @@ object DataOpsQueries {
         TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Interpolated bigram LM score (order-2 CCNet shape): mean log of
+    // λ·P(w2|w1) + (1−λ)·P(w2) per doc — the oracle mirrors the count
+    // tables, the interpolation's evaluation order, and the ≥2-token
+    // membership rule exactly, so the hash compare pins the full
+    // backoff math.
+    NamedQuery(
+      "q103_bigram_ppl",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(len(tok) - 1),
+             |        i -> {'w1': tok[i+1], 'w2': tok[i+2]})) p
+             |      FROM t WHERE len(tok) >= 2),
+             |e AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b),
+             |bg AS (SELECT w1, w2, count(*) c12 FROM e GROUP BY w1, w2),
+             |ctx AS (SELECT w1, sum(c12) c1 FROM bg GROUP BY w1),
+             |uni AS (SELECT w, count(*) c FROM
+             |          (SELECT unnest(tok) w FROM t) GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) n FROM uni)
+             |SELECT e.doc_id,
+             |  ROUND(AVG(ln(0.75 * CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+             |    + 0.25 * CAST(uni.c AS DOUBLE) / tot.n)), 4) AS bg_score
+             |FROM e JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+             |  JOIN uni ON uni.w = e.w2 CROSS JOIN tot
+             |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.bigramInterpLogProb(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
     // End-to-end training-data manifest — the composition the engine
     // exists for, as ONE oracle-gated relation: length-window quality
     // filter → exact dedup (min-id winner) → decontaminate against the

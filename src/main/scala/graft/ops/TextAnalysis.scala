@@ -310,6 +310,51 @@ object TextAnalysis {
     * window planned as WindowGroupLimit (map-side pre-prune per w1).
     * Ties break by successor token for a deterministic table.
     */
+  /** Interpolated bigram LM score per document: mean log of
+    * P(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/N over the doc's
+    * bigrams — the KenLM-filtering shape (CCNet scores docs by LM
+    * perplexity; [[unigramLogProb]] is the order-1 version, this is the
+    * order-2 with unigram interpolation, so unseen-context backoff never
+    * hits log 0). c(w1,·) is the bigram-table row sum, so the
+    * conditional normalizes over observed continuations; docs need ≥ 2
+    * tokens to own a bigram and shorter docs drop out, same contract as
+    * [[bigramTopK]].
+    *
+    * Scale shape: one explode feeds the (w1,w2) hash agg (map-side
+    * combine), context and unigram tables are second-level aggs over
+    * vocabulary-scale relations, and scoring is posting-level joins on
+    * the bigram/context/unigram keys. Web-scale vocabularies exceed
+    * broadcast (same policy as [[sourceKlDivergence]]), so the joins
+    * shuffle vocab-sized sides; only the scalar total broadcasts.
+    */
+  def bigramInterpLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val base = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("tok"))
+    val e = base.filter(size(col("tok")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("tok"), lit(1), size(col("tok")) - 1),
+        slice(col("tok"), lit(2), size(col("tok")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = e.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bg.groupBy("w1").agg(sum("c12").as("c1"))
+    val uni = base.select(explode(col("tok")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast("double").as("n"))
+    // evaluation order mirrors the oracle SQL exactly: (λ·c12)/c1 + ((1−λ)·c)/N
+    val p = lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
+      lit(1.0 - lambda) * col("c").cast("double") / col("n")
+    e.join(bg, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni, col("w2") === col("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(p)), 4).as("bg_score"))
+  }
+
   def bigramTopK(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.tokens(col(textCol))

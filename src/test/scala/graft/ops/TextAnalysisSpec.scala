@@ -209,6 +209,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(corpus.forall(_ >= 0.0), "Gibbs' inequality: KL can never go negative")
   }
 
+  test("bigramInterpLogProb: hand-computed interpolation; <2-token docs drop; unigram mass counts every token") {
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramInterpLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bg: (a,b)=2 (b,a)=2; ctx: a=2 b=2; uni: a=3 b=3 solo=1, N=7.
+    // P(a,b) = P(b,a) = 0.75·2/2 + 0.25·3/7 — every bigram in both docs
+    // scores the same, so each doc's mean log is ln of that value.
+    val p = 0.75 * 2.0 / 2.0 + 0.25 * 3.0 / 7.0
+    val expected = math.round(math.log(p) * 1e4) / 1e4
+    assert(out === Map(1L -> expected, 2L -> expected)) // doc 3 has no bigram
+  }
+
+  test("bigramInterpLogProb: never -inf (unigram interpolation floors unseen-context mass); order-2 beats order-1 on repeated bigrams") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
+    val out = TextAnalysis.bigramInterpLogProb(docs, "doc_id", "text")
+      .collect().map(_.getDouble(1))
+    assert(out.nonEmpty)
+    assert(out.forall(v => !v.isNaN && !v.isInfinite))
+    // a doc that is one bigram repeated: P(w2|w1) ≈ 1 ≫ unigram P(w2)
+    val rep = Seq((1L, "x y x y x y x y"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramInterpLogProb(rep, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L),
+      "repeated-bigram doc must score higher than the all-distinct doc")
+  }
+
   test("multimodal: feature extraction is deterministic and batch-shaped") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
     val f1 = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
