@@ -319,6 +319,52 @@ object DataOpsQueries {
           .orderBy("q_id", "rank")
       }),
 
+    // Streaming IVF index maintenance: the embeddings corpus arrives as
+    // a 4-micro-batch stream, each batch appended into a persisted IVF
+    // index under frozen seeded-k-means centroids (foreachBatch +
+    // batch-id ledger), then the index is probed for the q25 query
+    // vector. Rows-only: the cluster cut depends on centroids no SQL
+    // can derive; SimilaritySpec pins stream-built ≡ batch-built probe
+    // identity and redelivery idempotence.
+    NamedQuery(
+      "q104_stream_ivf",
+      None,
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val e = embs(s, dir)
+        val cents = VectorOps.kmeansCentroids(e, "embedding", 16)
+        // deterministic per-source staging roots, cleared first (same
+        // policy as the events stage in StreamingQueries)
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"ivfstream_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val (src, idx, ckpt) =
+          (s"$root/src", s"$root/idx", s"$root/ckpt")
+        e.select("vec_id", "embedding").repartition(4)
+          .write.parquet(src)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+        val q = graft.streaming.VectorIndexStream
+          .indexSink(stream, "vec_id", "embedding", idx, cents)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val query = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        VectorOps.ivfProbeIndex(s, idx, cents, "vec_id", query, 20)
+      }),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",

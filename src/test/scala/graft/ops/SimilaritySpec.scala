@@ -510,6 +510,57 @@ class SimilaritySpec extends AnyFunSuite {
       planes = 4, tables = 2, knownRows = 1L << 20)) === noClaim)
   }
 
+  test("streaming IVF maintenance: stream-built index probes identically to a batch append of the same rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    val (src, idx, ckpt, batchIdx) =
+      (s"$root/src", s"$root/idx", s"$root/ckpt", s"$root/batch_idx")
+    val cents = VectorOps.kmeansCentroids(embs, "embedding", 8)
+    embs.select("vec_id", "embedding").repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.VectorIndexStream
+      .indexSink(stream, "vec_id", "embedding", idx, cents)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // batch reference: one append of the whole corpus, same frozen centroids
+    VectorOps.ivfAppendIndex(embs, "vec_id", "embedding", batchIdx, cents)
+    val got = VectorOps.ivfProbeIndex(spark, idx, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val expected = VectorOps.ivfProbeIndex(spark, batchIdx, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got === expected)
+    assert(spark.read.parquet(idx).count() === embs.count(),
+      "every micro-batch row landed exactly once (ledger is parquet-invisible)")
+  }
+
+  test("streaming IVF maintenance: a redelivered batch id appends nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-redeliver")
+    val idx = s"$root/idx"
+    val cents = VectorOps.kmeansCentroids(embs, "embedding", 8)
+    val b0 = embs.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    assert(graft.streaming.VectorIndexStream.appendBatch(
+      b0, 0L, "vec_id", "embedding", idx, cents))
+    val afterFirst = spark.read.parquet(idx).count()
+    // at-least-once redelivery of the SAME batch id: ledger skips it
+    assert(!graft.streaming.VectorIndexStream.appendBatch(
+      b0, 0L, "vec_id", "embedding", idx, cents))
+    assert(spark.read.parquet(idx).count() === afterFirst)
+    // a NEW batch id still appends
+    val b1 = embs.filter(col("vec_id") >= 50 && col("vec_id") < 80)
+      .select("vec_id", "embedding")
+    assert(graft.streaming.VectorIndexStream.appendBatch(
+      b1, 1L, "vec_id", "embedding", idx, cents))
+    assert(spark.read.parquet(idx).count() === afterFirst + b1.count())
+  }
+
   test("cosine is symmetric and bounded on real vectors") {
     val two = embs.filter(col("vec_id") < 2)
       .select(VectorOps.toDoubleVec(col("embedding")).as("v")).collect()
