@@ -365,6 +365,25 @@ object DataOpsQueries {
         VectorOps.ivfProbeIndex(s, idx, cents, "vec_id", query, 20)
       }),
 
+    // BPE merge induction: 16 merges trained over the documents word
+    // histogram — one corpus pass, then vocabulary-scale iterations.
+    // Rows-only: SQL cannot express the data-dependent iteration (each
+    // merge's argmax parameterizes the next rewrite); BpeSpec pins the
+    // distributed path against the in-memory reference implementation
+    // row-for-row, plus hand-computed overlap/tie-break fixtures.
+    NamedQuery(
+      "q105_bpe_merges",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        val hist = Bpe.wordHistogram(docs(s, dir), "text")
+        Bpe.trainMerges(hist, 16)
+          .toDF()
+          .select(col("rank").cast("long").as("rank"),
+            col("left"), col("right"), col("count"))
+          .orderBy("rank")
+      }),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",

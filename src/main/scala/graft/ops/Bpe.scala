@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge induction — the tokenizer-training primitive of
+  * a training-data pipeline, run the way production BPE trainers scale:
+  * ONE corpus pass builds the word histogram, then every merge
+  * iteration works over the vocabulary-scale (word, weight) relation,
+  * never the corpus again. Sennrich-style semantics, pinned exactly by
+  * the in-memory reference implementation the suite compares against:
+  *   - pair statistics count every adjacent symbol pair occurrence
+  *     (overlaps included), weighted by word frequency;
+  *   - the winning pair is (count desc, left asc, right asc) — the
+  *     lexicographic tie-break makes training deterministic;
+  *   - applying a merge rewrites each word's symbol sequence greedy
+  *     left-to-right, non-overlapping (a fold: merge when the
+  *     accumulator's last symbol is `left` and the current is `right`).
+  * No end-of-word marker: merges are word-internal (the histogram is
+  * already word-delimited); add one upstream as a token if needed.
+  *
+  * 100 TB shape: the corpus pass is a token explode + hash agg
+  * (map-side combine) — the same plan family as every other text
+  * statistic here. Iterations are vocabulary-scale: a web-scale vocab
+  * (~10⁸ rows with the long tail) stays distributed, each iteration is
+  * one pair-count shuffle plus a map-only rewrite, and the only driver
+  * data is the argmax row per iteration plus the merge table itself
+  * (`numMerges` rows — the model being trained). Lineage is truncated
+  * per iteration (localCheckpoint), so the plan never grows with the
+  * merge count.
+  */
+object Bpe {
+
+  case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** Word → total occurrences, the one corpus-scale pass. */
+  def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Initial symbol decomposition: one single-character symbol per char.
+    * (Callers guarantee non-empty words — `sequence(1, 0)` would count
+    * DOWN, not yield an empty array.)
+    */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Greedy left-to-right non-overlapping merge of (l, r) in a symbol
+    * array, as a fold — the distributed twin of the reference
+    * implementation's `mergePair`.
+    */
+  private def mergeExpr(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Train `numMerges` merges over a (word, wc) histogram. Stops early
+    * when no adjacent pair remains (every word fused to one symbol).
+    */
+  def trainMerges(hist: DataFrame, numMerges: Int): Seq[Merge] = {
+    var words = hist
+      .select(charSyms(col("word")).as("syms"), col("wc"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    var i = 0
+    while (i < numMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("wc"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        out += Merge(i, l, r, c)
+        words = words
+          .select(mergeExpr(col("syms"), l, r).as("syms"), col("wc"))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** In-memory reference implementation — identical semantics, used by
+    * the suite to pin the distributed path and by callers too small to
+    * need a cluster.
+    */
+  def trainMergesLocal(hist: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var words = hist.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, c) <- words; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) += c
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        out += Merge(i, l, r, c)
+        words = words.map { case (syms, wc) => (mergePair(syms, l, r), wc) }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def mergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- syms) {
+      if (buf.nonEmpty && buf.last == l && s == r) buf(buf.length - 1) = l + r
+      else buf += s
+    }
+    buf.toArray
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def hist(pairs: (String, Long)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    pairs.toDF("word", "wc")
+  }
+
+  test("overlap counting and greedy non-overlapping rewrite: 'aaa' fuses in two merges then exhausts") {
+    // pairs of "aaa"×2: (a,a) occurs at two positions → count 4 (overlaps
+    // counted, Sennrich get_stats semantics). The REWRITE is greedy
+    // non-overlapping: [a,a,a] → [aa,a], so merge 2 is (aa,a) count 2,
+    // after which the word is one symbol and training stops early.
+    val expected = Seq(Bpe.Merge(0, "a", "a", 4L), Bpe.Merge(1, "aa", "a", 2L))
+    assert(Bpe.trainMerges(hist("aaa" -> 2L), 5) === expected)
+    assert(Bpe.trainMergesLocal(Seq("aaa" -> 2L), 5) === expected)
+  }
+
+  test("tie-break is (count desc, left asc, right asc)") {
+    val h = Seq("cd" -> 1L, "ab" -> 1L)
+    val got = Bpe.trainMergesLocal(h, 1)
+    assert(got === Seq(Bpe.Merge(0, "a", "b", 1L)))
+    assert(Bpe.trainMerges(hist(h: _*), 1) === got)
+  }
+
+  test("merged symbols chain: repeated bigram word folds left-to-right") {
+    // "ababab": (a,b)=3 beats (b,a)=2 → [ab,ab,ab]; then (ab,ab)=2
+    // rewrites GREEDILY to [abab, ab] (not three-way), then (abab,ab).
+    val merges = Bpe.trainMergesLocal(Seq("ababab" -> 1L), 3)
+    assert(merges === Seq(
+      Bpe.Merge(0, "a", "b", 3L),
+      Bpe.Merge(1, "ab", "ab", 2L),
+      Bpe.Merge(2, "abab", "ab", 1L)))
+    assert(Bpe.trainMerges(hist("ababab" -> 1L), 3) === merges)
+  }
+
+  test("distributed ≡ in-memory reference on the documents corpus, 12 merges") {
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val h = Bpe.wordHistogram(docs, "text")
+    val local = h.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val got = Bpe.trainMerges(h, 12)
+    val expected = Bpe.trainMergesLocal(local, 12)
+    assert(got === expected)
+    assert(got.size === 12)
+  }
+}
