@@ -365,6 +365,37 @@ object DataOpsQueries {
         VectorOps.ivfProbeIndex(s, idx, cents, "vec_id", query, 20)
       }),
 
+    // ColBERT-style MaxSim late-interaction rerank: group 0's vectors
+    // are the multi-vector query, every other `vec_id % 50` group is a
+    // multi-chunk document scored Σ_q max_d cos — the rerank stage
+    // behind the first-stage ANN shortlist. Oracle mirrors the
+    // round-before-max, the zero-norm exclusion, and the tie order, so
+    // the hash compare pins the full interaction math.
+    NamedQuery(
+      "q106_maxsim",
+      Some("""WITH g AS (SELECT vec_id % 50 AS gid, vec_id,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |           FROM embeddings),
+             |n AS (SELECT gid, vec_id, v FROM g WHERE list_dot_product(v, v) > 0),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE gid = 0),
+             |d AS (SELECT gid, vec_id, v FROM n WHERE gid <> 0),
+             |s AS (SELECT d.gid, q.qid,
+             |        max(ROUND(list_dot_product(d.v, q.qv)
+             |          / (sqrt(list_dot_product(d.v, d.v))
+             |             * sqrt(list_dot_product(q.qv, q.qv))), 6)) ms
+             |      FROM d CROSS JOIN q GROUP BY d.gid, q.qid)
+             |SELECT gid, ROUND(SUM(ms), 6) AS maxsim FROM s
+             |GROUP BY gid ORDER BY maxsim DESC, gid LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir).select(
+          pmod(col("vec_id"), lit(50L)).as("gid"),
+          col("vec_id"), col("embedding"))
+        VectorOps.maxSimScores(
+            e.filter(col("gid") =!= 0), e.filter(col("gid") === 0),
+            "gid", "embedding", "vec_id")
+          .orderBy(col("maxsim").desc, col("gid")).limit(10)
+      }),
+
     // BPE merge induction: 16 merges trained over the documents word
     // histogram — one corpus pass, then vocabulary-scale iterations.
     // Rows-only: SQL cannot express the data-dependent iteration (each

@@ -319,6 +319,47 @@ object VectorOps {
       .select(col(groupCol),
         transform(col("s"), x => round(x / col("n"), 6)).as("centroid"))
 
+  /** ColBERT-style MaxSim late-interaction scoring: each doc group (a
+    * document's chunk/token vectors) is scored against a SMALL query
+    * vector set as Σ over query vectors of the max cosine against any
+    * of the group's vectors. The reranking shape of multi-vector
+    * retrieval: the first-stage ANN (q25/q39/q101) shortlists, MaxSim
+    * reranks with per-token interaction.
+    *
+    * Scale shape: the query set broadcasts (late-interaction queries
+    * are tens of vectors — the corpus side is the big one), the
+    * cross-score is a broadcast nested-loop over doc vectors (one pass,
+    * map-side), and both reductions are hash aggs keyed by
+    * (group, query) then group — nothing corpus-sized ever shuffles
+    * except the group-keyed max rows. Zero-norm vectors are excluded on
+    * both sides, not NaN-ranked (same policy as [[knnClassify]]).
+    * Cosines round at 6 BEFORE the max so the result is
+    * engine-portable.
+    */
+  def maxSimScores(
+      docs: DataFrame,
+      queries: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      queryIdCol: String): DataFrame = {
+    val dv0 = docs.withColumn("_graft_dv", rawVec(docs, vecCol))
+    val dv = dv0.filter(l2Norm(col("_graft_dv")) > 0)
+      .select(col(groupCol), col("_graft_dv"),
+        l2Norm(col("_graft_dv")).as("_graft_dn"))
+    val qv0 = queries.withColumn("_graft_qv", rawVec(queries, vecCol))
+    val qv = qv0.filter(l2Norm(col("_graft_qv")) > 0)
+      .select(col(queryIdCol).as("_graft_qid"), col("_graft_qv"),
+        l2Norm(col("_graft_qv")).as("_graft_qn"))
+    dv.crossJoin(broadcast(qv))
+      .select(col(groupCol), col("_graft_qid"),
+        round(dot(col("_graft_dv"), col("_graft_qv")) /
+          (col("_graft_dn") * col("_graft_qn")), 6).as("_graft_cos"))
+      .groupBy(col(groupCol), col("_graft_qid"))
+      .agg(max("_graft_cos").as("_graft_ms"))
+      .groupBy(col(groupCol))
+      .agg(round(sum("_graft_ms"), 6).as("maxsim"))
+  }
+
   /** Fixed fan-out for the driver-parallel k-means loops: chunking (and
     * therefore every partial-merge order) is this constant, not the
     * machine's core count, so results are reproducible everywhere.

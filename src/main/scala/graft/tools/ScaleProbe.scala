@@ -104,7 +104,13 @@ object ScaleProbe {
         // q21's band buckets and q23's chunk buckets hash into spaces
         // that don't saturate at this range, so the fixed-knob query IS
         // the scale path
-        "q21_minhash_lsh", "q23_simhash")
+        "q21_minhash_lsh", "q23_simhash",
+        // round-10 operators: q103's bigram/context/unigram tables are
+        // vocabulary-bound (disjoint replica vocabularies → posting
+        // joins grow k×, same family as q80/q92); q105's iterations are
+        // vocabulary-scale by construction (fixed 16 merges, the
+        // histogram relation grows k×)
+        "q103_bigram_ppl", "q105_bpe_merges")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -162,6 +168,29 @@ object ScaleProbe {
           graft.ops.VectorOps.ivfKnnJoin(twins, twins, "vec_id", "embedding",
             k = 5, nClusters = 16 * scale, nProbe = 4, excludeSelf = true,
             sampleRows = math.max(4096, 8 * 16 * scale)).count()
+        }),
+      // incremental SemDeDup under the same rule: even ids are the kept
+      // base (centroids frozen on it), odd ids + exact-direction twins
+      // of base rows are the delta — the steady-state append batch.
+      // Expected cluster size constant → per-delta-row judged slice
+      // constant → linear in |delta|.
+      ("q102_semdedup_delta[nClusters~N]",
+        d => {
+          val e = Tables.load(spark, d, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val scale = if (d == dir) 1 else k
+          val base0 = e.filter(col("vec_id") % 2 === 0)
+          val twins = base0.filter(col("vec_id") % 7 === 0).select(
+            (col("vec_id") + lit(100000000L)).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+          val delta = e.filter(col("vec_id") % 2 === 1).unionAll(twins)
+          val cents = graft.ops.VectorOps.kmeansCentroids(
+            base0, "embedding", 16 * scale,
+            sampleRows = math.max(4096, 8 * 16 * scale))
+          val baseKept = graft.ops.VectorOps.semDedupDelta(
+            e.limit(0), base0, "vec_id", "embedding", 0.9, cents)
+          graft.ops.VectorOps.semDedupDelta(
+            baseKept, delta, "vec_id", "embedding", 0.9, cents).count()
         }))
       if only.forall(_.exists(label.startsWith))) {
       timeOp(label, run(dir)) // warm 1x

@@ -561,6 +561,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === afterFirst + b1.count())
   }
 
+  test("maxSimScores: hand-computed Σ-of-max on constructed groups; zero-norm vectors excluded both sides") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, Array(1.0f, 0.0f)),   // cos 1.0 with q1, 0.0 with q2
+      (10L, Array(0.6f, 0.8f)),   // cos 0.6 with q1, 0.8 with q2
+      (20L, Array(0.0f, 1.0f)),   // cos 0.0 with q1, 1.0 with q2
+      (20L, Array(0.0f, 0.0f)))   // zero-norm member: excluded, not NaN
+      .toDF("gid", "embedding")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f)))    // zero-norm query: contributes nothing
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.maxSimScores(docs, queries, "gid", "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // group 10: max(1.0, 0.6) + max(0.0, 0.8) = 1.8
+    // group 20: max(0.0) + max(1.0) = 1.0 (zero member dropped)
+    assert(out === Map(10L -> 1.8, 20L -> 1.0))
+  }
+
   test("cosine is symmetric and bounded on real vectors") {
     val two = embs.filter(col("vec_id") < 2)
       .select(VectorOps.toDoubleVec(col("embedding")).as("v")).collect()
