@@ -22,6 +22,11 @@ object Bench {
     // q61 (threshold 0.9, fine buckets), which runs ~5x faster.
     val excluded = Set("q32_stream_hourly", "q33_sessionization",
       "q41_stream_dedup", "q62_stream_join", "q69_stream_enrich",
+      // q104 is also a real micro-batch run (stage + 4-batch stream +
+      // probe) — it joins the streaming section below; its batch twin
+      // (ivfAppendIndex + ivfProbeIndex, the identical data path) is
+      // what SimilaritySpec pins and what q39 benches.
+      "q104_stream_ivf",
       "q24_embed_neardup")
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
@@ -118,7 +123,8 @@ object Bench {
     // committed so the engine has a number for what a
     // Trigger.AvailableNow micro-batch pipeline costs at this SF.
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
-      "q33_sessionization", "q62_stream_join", "q69_stream_enrich")
+      "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
+      "q104_stream_ivf")
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {
       streamingNames.foreach { n =>

@@ -365,6 +365,25 @@ object DataOpsQueries {
         VectorOps.ivfProbeIndex(s, idx, cents, "vec_id", query, 20)
       }),
 
+    // Product-quantization ANN: train 8 sub-codebooks on the corpus
+    // sample, encode every vector to 8 codes (32x scan compression),
+    // ADC-score the q25 query over the compressed corpus — top-20 by
+    // ascending approximate distance. Rows-only: codes depend on
+    // sampled k-means sub-codebooks no SQL can derive; PqSpec pins the
+    // encode/ADC arithmetic on a hand-built model and the
+    // shortlist-recall contract on clustered data.
+    NamedQuery(
+      "q107_pq_ann",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir)
+        val model = Pq.pqTrain(e, "embedding", m = 8, codebook = 16)
+        val enc = Pq.pqEncode(e, "vec_id", "embedding", model)
+        val query = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Pq.pqTopK(enc, model, "vec_id", query, 20)
+      }),
+
     // ColBERT-style MaxSim late-interaction rerank: group 0's vectors
     // are the multi-vector query, every other `vec_id % 50` group is a
     // multi-chunk document scored Σ_q max_d cos — the rerank stage

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for compressed-domain similarity search —
+  * the memory side of the vector-store story the IVF family
+  * (ivfTopK/ivfWriteIndex/ivfKnnJoin) leaves open. Vectors are unit-
+  * normalized (cosine rank ≡ L2 rank on the sphere, the engine's
+  * similarity contract), split into `m` subspaces, and each subspace
+  * slice is replaced by the index of its nearest sub-centroid: a
+  * dim-float vector becomes `m` small codes (dim=64 floats = 256 B →
+  * 8 codes ≈ 8 B at m=8, a 32× scan/memory compression). Queries score
+  * candidates with asymmetric distance computation (ADC): one tiny
+  * per-query lookup table of (subspace × centroid) partial distances,
+  * then each candidate costs `m` table lookups — no float vector is
+  * ever touched at scan time.
+  *
+  * 100 TB shape: training is the same bounded driver pattern as
+  * [[VectorOps.kmeansCentroids]] (a 4096-row seeded hash-ordered
+  * sample is the ONLY collect; sub-codebooks are m·k·subDim doubles —
+  * literals in every later plan). Encoding is map-only. The ADC scan
+  * reads the codes column only (column pruning does the rest) and the
+  * LUT rides the plan as a literal — the compressed corpus is what
+  * shuffles, spills, and caches. Composition with the IVF cut
+  * (encode per cluster partition, probe nProbe partitions in
+  * compressed domain — classic IVF-PQ) follows from the existing
+  * pieces; the approximation is recall-gated in PqSpec exactly like
+  * SRP and IVF.
+  */
+object Pq {
+
+  /** `cents(i)(j)` = centroid j of subspace i (length `subDim`). */
+  case class PqModel(m: Int, subDim: Int, cents: Array[Array[Array[Double]]])
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic driver Lloyd over a (hash-ordered) sample: seeds are
+    * the first k sample points, empty clusters keep their previous
+    * centroid. Pure sequential double math on deterministically ordered
+    * input — bit-identical on any machine.
+    */
+  private def localKmeans(
+      points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(points.length >= k,
+      s"PQ training sample (${points.length}) smaller than codebook ($k)")
+    val d = points.head.length
+    var cents = points.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnt = new Array[Long](k)
+      for (p <- points) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val dist = sqDist(p, cents(c))
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) cents(c)
+        else Array.tabulate(d)(i => sums(c)(i) / cnt(c))
+      }
+    }
+    cents
+  }
+
+  /** Unit-normalized double vector, zero-norm rows excluded upstream. */
+  private def unitVec(df: DataFrame, vecCol: String): Column = {
+    val dv = VectorOps.toDoubleVec(col(vecCol))
+    transform(dv, x => x / VectorOps.l2Norm(dv))
+  }
+
+  /** Train `m` sub-codebooks of `codebook` centroids each over a seeded
+    * sample. Requires the dimension to split evenly into `m` subspaces.
+    */
+  def pqTrain(
+      df: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      codebook: Int = 16,
+      iters: Int = 8,
+      seed: Long = 42L,
+      sampleRows: Int = 4096): PqModel = {
+    val dv = VectorOps.toDoubleVec(col(vecCol))
+    val sample = df
+      .select(dv.as("v"))
+      .filter(size(col("v")) > 0 && VectorOps.l2Norm(col("v")) > 0)
+      .select(transform(col("v"), x => x / VectorOps.l2Norm(col("v"))).as("v"))
+      .orderBy(xxhash64(col("v"), lit(seed)))
+      .limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus (or all zero-norm vectors)")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim does not split into $m subspaces")
+    val subDim = dim / m
+    val cents = Array.tabulate(m) { i =>
+      localKmeans(sample.map(_.slice(i * subDim, (i + 1) * subDim)), codebook, iters)
+    }
+    PqModel(m, subDim, cents)
+  }
+
+  /** Map-only encoding: (id, codes array<int>), zero-norm rows dropped
+    * (no direction → no code). Ties in the argmin take the lowest
+    * centroid index (array_position returns the first occurrence).
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val v = df
+      .filter(size(VectorOps.toDoubleVec(col(vecCol))) === model.m * model.subDim)
+      .filter(VectorOps.l2Norm(VectorOps.toDoubleVec(col(vecCol))) > 0)
+      .select(col(idCol), unitVec(df, vecCol).as("_graft_uv"))
+    val codeCols = (0 until model.m).map { i =>
+      val sl = slice(col("_graft_uv"), i * model.subDim + 1, model.subDim)
+      val centsLit = typedLit(model.cents(i).map(_.toSeq).toSeq)
+      val ds = transform(centsLit, c =>
+        aggregate(zip_with(sl, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    v.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k over an encoded corpus: the per-query LUT is driver math
+    * over the tiny model, rides the plan as a literal, and each row
+    * costs `m` lookups over its codes — ascending approximate squared
+    * L2 on the unit sphere ≡ descending approximate cosine.
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      model: PqModel,
+      idCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "pqTopK: query vector has zero norm")
+    require(query.length == model.m * model.subDim,
+      s"pqTopK: query dim ${query.length} != ${model.m * model.subDim}")
+    val q = query.map(_ / qn).toArray
+    val lut: Seq[Seq[Double]] = (0 until model.m).map { i =>
+      val sl = q.slice(i * model.subDim, (i + 1) * model.subDim)
+      model.cents(i).map(c => sqDist(sl, c)).toSeq
+    }
+    val lutLit = typedLit(lut)
+    val adist = aggregate(
+      sequence(lit(0), lit(model.m - 1)),
+      lit(0.0),
+      (acc, i) => acc +
+        element_at(element_at(lutLit, (i + 1).cast("int")),
+          element_at(col("codes"), (i + 1).cast("int")) + 1))
+    encoded
+      .select(col(idCol), round(adist, 6).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("hand-built model: codes and ADC distances are exact arithmetic; zero-norm rows dropped") {
+    import spark.implicits._
+    // dim 4, m=2, subspace codebooks both {(1,0), (0,1)}
+    val model = Pq.PqModel(2, 2, Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)), // unit slices (r,0),(0,r): codes [0,1]
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)), // codes [0,0]
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero-norm: dropped
+      .toDF("vec_id", "embedding")
+    val enc = Pq.pqEncode(df, "vec_id", "embedding", model)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codes === Map(1L -> List(0, 1), 2L -> List(0, 0)))
+
+    // query (1,0,0,1): LUT per subspace vs the two centroids, by hand
+    val r = 1.0 / math.sqrt(2.0)
+    val near = (r - 1.0) * (r - 1.0)     // slice (r,0) vs (1,0)
+    val far = r * r + 1.0                // slice (r,0) vs (0,1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Pq.pqTopK(enc, model, "vec_id", Seq(1.0, 0.0, 0.0, 1.0), 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toList
+    assert(got === List((1L, r6(near + near)), (2L, r6(near + far))))
+  }
+
+  test("trained PQ: ADC top-k recalls exact cosine top-k on clustered data at 32x compression") {
+    import spark.implicits._
+    // three well-separated clusters (the regime PQ codebooks capture);
+    // dim 8 floats = 32 B → m=4 byte-ish codes: compressed-domain scan
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Double]) =
+      base.map(x => x + 0.05 * rnd.nextGaussian())
+    val bases = Seq(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    val rows = (0L until 300L).map(i => (i, jitter(bases((i % 3).toInt))))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    try {
+      val model = Pq.pqTrain(df, "embedding", m = 4, codebook = 8)
+      val enc = Pq.pqEncode(df, "vec_id", "embedding", model).cache()
+      val query = rows.head._2
+      // coarse correctness: the quantized scan never leaves the query's
+      // cluster (every ADC top-20 id is a cluster-0 member)
+      val top20 = Pq.pqTopK(enc, model, "vec_id", query.toSeq, 20)
+        .collect().map(_.getLong(0))
+      assert(top20.forall(_ % 3 == 0L),
+        s"ADC top-20 crossed clusters: ${top20.toList}")
+      // deployment shape: ADC shortlist (3x over-fetch) + exact rerank —
+      // the shortlist must recall the true top-20 (quantized distances
+      // collapse fine in-cluster ranks; the shortlist is what PQ owes)
+      val exact = VectorOps.bruteForceTopK(df, "vec_id", "embedding", query, 20)
+        .collect().map(_.getLong(0)).toSet
+      val shortlist = Pq.pqTopK(enc, model, "vec_id", query.toSeq, 60)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (exact & shortlist).size.toDouble / exact.size
+      assert(recall >= 0.9, s"shortlist recall@60 for top-20 = $recall")
+      // every code addresses its codebook
+      val mx = enc.select(max(array_max(col("codes")))).head().getInt(0)
+      assert(mx < 8)
+    } finally df.unpersist()
+  }
+
+  test("training is deterministic and shapes are contractual") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val m1 = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
+    val m2 = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
+    assert(m1.m === 8 && m1.subDim === 8)
+    assert(m1.cents.map(_.map(_.toSeq).toSeq).toSeq
+      === m2.cents.map(_.map(_.toSeq).toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Pq.pqTrain(embs, "embedding", m = 7) // 64 % 7 != 0
+    }
+  }
+}
