@@ -384,6 +384,30 @@ object DataOpsQueries {
         Pq.pqTopK(enc, model, "vec_id", query, 20)
       }),
 
+    // IVF-PQ: the composed vector store — cluster-partitioned index
+    // carrying PQ codes next to the raw vectors; the probe prunes to
+    // nProbe directories, ADC-shortlists reading only (id, codes), and
+    // reranks the shortlist against the exact vectors. Rows-only
+    // (centroids + sub-codebooks are sampled k-means); PqSpec pins
+    // full-over-fetch ≡ exact-probe identity, the codes-only
+    // ReadSchema, and clustered-data recall.
+    NamedQuery(
+      "q108_ivfpq",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir)
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"ivfpq_${Integer.toHexString(dir.hashCode)}")
+        val idx = s"$root/idx"
+        val cents = VectorOps.kmeansCentroids(e, "embedding", 16)
+        val model = Pq.pqTrain(e, "embedding", m = 8, codebook = 16)
+        Pq.pqIvfWriteIndex(e, "vec_id", "embedding", idx, model, cents)
+        val query = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Pq.pqIvfProbe(s, idx, model, cents, "vec_id", query, 20,
+          nProbe = 4, overFetch = 3)
+      }),
+
     // ColBERT-style MaxSim late-interaction rerank: group 0's vectors
     // are the multi-vector query, every other `vec_id % 50` group is a
     // multi-chunk document scored Σ_q max_d cos — the rerank stage

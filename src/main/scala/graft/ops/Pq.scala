@@ -109,26 +109,54 @@ object Pq {
     PqModel(m, subDim, cents)
   }
 
-  /** Map-only encoding: (id, codes array<int>), zero-norm rows dropped
-    * (no direction → no code). Ties in the argmin take the lowest
-    * centroid index (array_position returns the first occurrence).
+  /** The m per-subspace argmin codes of a UNIT vector column. Ties in
+    * the argmin take the lowest centroid index (array_position returns
+    * the first occurrence).
     */
-  def pqEncode(
-      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
-    val v = df
-      .filter(size(VectorOps.toDoubleVec(col(vecCol))) === model.m * model.subDim)
-      .filter(VectorOps.l2Norm(VectorOps.toDoubleVec(col(vecCol))) > 0)
-      .select(col(idCol), unitVec(df, vecCol).as("_graft_uv"))
+  private def codesCol(unit: Column, model: PqModel): Column = {
     val codeCols = (0 until model.m).map { i =>
-      val sl = slice(col("_graft_uv"), i * model.subDim + 1, model.subDim)
+      val sl = slice(unit, i * model.subDim + 1, model.subDim)
       val centsLit = typedLit(model.cents(i).map(_.toSeq).toSeq)
       val ds = transform(centsLit, c =>
         aggregate(zip_with(sl, c, (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
       (array_position(ds, array_min(ds)) - 1).cast("int")
     }
-    v.select(col(idCol), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
+
+  /** ADC distance of a codes column against a per-query LUT literal. */
+  private def adcCol(codes: Column, model: PqModel, unitQuery: Array[Double]): Column = {
+    val lut: Seq[Seq[Double]] = (0 until model.m).map { i =>
+      val sl = unitQuery.slice(i * model.subDim, (i + 1) * model.subDim)
+      model.cents(i).map(c => sqDist(sl, c)).toSeq
+    }
+    val lutLit = typedLit(lut)
+    aggregate(
+      sequence(lit(0), lit(model.m - 1)),
+      lit(0.0),
+      (acc, i) => acc +
+        element_at(element_at(lutLit, (i + 1).cast("int")),
+          element_at(codes, (i + 1).cast("int")) + 1))
+  }
+
+  private def unitQueryArr(query: Seq[Double], model: PqModel): Array[Double] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "PQ query vector has zero norm")
+    require(query.length == model.m * model.subDim,
+      s"PQ query dim ${query.length} != ${model.m * model.subDim}")
+    query.map(_ / qn).toArray
+  }
+
+  /** Map-only encoding: (id, codes array<int>), zero-norm rows dropped
+    * (no direction → no code).
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+    df.filter(size(VectorOps.toDoubleVec(col(vecCol))) === model.m * model.subDim)
+      .filter(VectorOps.l2Norm(VectorOps.toDoubleVec(col(vecCol))) > 0)
+      .select(col(idCol), unitVec(df, vecCol).as("_graft_uv"))
+      .select(col(idCol), codesCol(col("_graft_uv"), model).as("codes"))
 
   /** ADC top-k over an encoded corpus: the per-query LUT is driver math
     * over the tiny model, rides the plan as a literal, and each row
@@ -141,25 +169,93 @@ object Pq {
       idCol: String,
       query: Seq[Double],
       k: Int): DataFrame = {
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    require(qn > 0, "pqTopK: query vector has zero norm")
-    require(query.length == model.m * model.subDim,
-      s"pqTopK: query dim ${query.length} != ${model.m * model.subDim}")
-    val q = query.map(_ / qn).toArray
-    val lut: Seq[Seq[Double]] = (0 until model.m).map { i =>
-      val sl = q.slice(i * model.subDim, (i + 1) * model.subDim)
-      model.cents(i).map(c => sqDist(sl, c)).toSeq
-    }
-    val lutLit = typedLit(lut)
-    val adist = aggregate(
-      sequence(lit(0), lit(model.m - 1)),
-      lit(0.0),
-      (acc, i) => acc +
-        element_at(element_at(lutLit, (i + 1).cast("int")),
-          element_at(col("codes"), (i + 1).cast("int")) + 1))
+    val q = unitQueryArr(query, model)
     encoded
-      .select(col(idCol), round(adist, 6).as("adist"))
+      .select(col(idCol), round(adcCol(col("codes"), model, q), 6).as("adist"))
       .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** Persist an IVF-PQ index: the [[VectorOps.ivfWriteIndex]] layout
+    * (id, dv, nrm) partitioned by the frozen-centroid cluster, PLUS the
+    * codes column — so a probe prunes to nProbe `cluster=` directories,
+    * ADC-shortlists reading ONLY (id, codes) (parquet column pruning:
+    * the float vectors in the same files are never decoded), and
+    * reranks just the shortlist against the exact vectors. The classic
+    * IVF-PQ composition, from the existing pieces: routing and layout
+    * are [[VectorOps]]'s, compression is [[Pq]]'s.
+    */
+  def pqIvfWriteIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      model: PqModel,
+      centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "pqIvfWriteIndex: empty centroid table")
+    VectorOps.assignClusters(df, vecCol, VectorOps.indexedCents(centroids))
+      .withColumn("_graft_uv", transform(col("dv"), x => x / col("nrm")))
+      .select(col(idCol), codesCol(col("_graft_uv"), model).as("codes"),
+        col("dv"), col("nrm"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Stage 1 of the probe, exposed for plan inspection: the pruned ADC
+    * scan — (id, adist) over the query's nProbe clusters, reading only
+    * the codes column of the index files.
+    */
+  def pqIvfShortlist(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      model: PqModel,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      query: Seq[Double],
+      rows: Int,
+      nProbe: Int): DataFrame = {
+    val q = unitQueryArr(query, model)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val probes = VectorOps.probeClusters(
+      VectorOps.indexedCents(centroids), query, qNorm, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*))
+      .select(col(idCol), round(adcCol(col("codes"), model, q), 6).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(rows)
+  }
+
+  /** IVF-PQ probe: partition-pruned ADC shortlist (`overFetch`·k rows,
+    * compressed domain) + exact cosine rerank of just the shortlist
+    * (the second, equally pruned read decodes dv/nrm only for the
+    * broadcast-joined shortlist ids). Same result as the exact
+    * [[VectorOps.ivfProbeIndex]] whenever the shortlist covers the true
+    * top-k — PqSpec pins that identity at full over-fetch and the
+    * recall contract at 3×.
+    */
+  def pqIvfProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      model: PqModel,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 3): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val probes = VectorOps.probeClusters(
+      VectorOps.indexedCents(centroids), query, qNorm, nProbe)
+    val shortlist = pqIvfShortlist(
+      spark, path, model, centroids, idCol, query, overFetch * k, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*))
+      .join(broadcast(shortlist.select(col(idCol))), Seq(idCol))
+      .select(col(idCol),
+        round(VectorOps.dot(col("dv"), lit(query.toArray)) /
+          (col("nrm") * lit(qNorm)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
 }

@@ -665,9 +665,10 @@ object VectorOps {
     base.zipWithIndex.map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
 
   /** The query's `nProbe` nearest centroid indices (driver-side — the
-    * centroid table is tiny by construction).
+    * centroid table is tiny by construction). Shared with [[Pq]]'s
+    * IVF-PQ probe so both index families route queries identically.
     */
-  private def probeClusters(
+  private[ops] def probeClusters(
       cents: Array[(Int, Array[Double], Double)],
       query: Seq[Double],
       qNorm: Double,

@@ -70,6 +70,60 @@ class PqSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("IVF-PQ: full over-fetch probe ≡ exact ivfProbeIndex; ADC shortlist scan never decodes the vectors") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val query = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+    val (pqIdx, exIdx) = (s"$root/pq", s"$root/exact")
+    val cents = VectorOps.kmeansCentroids(embs, "embedding", 8)
+    val model = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
+    Pq.pqIvfWriteIndex(embs, "vec_id", "embedding", pqIdx, model, cents)
+    VectorOps.ivfAppendIndex(embs, "vec_id", "embedding", exIdx, cents)
+    // over-fetch past the pruned-cluster population → the shortlist IS
+    // the pruned set → rerank must equal the exact probe bit-for-bit
+    val exact = VectorOps.ivfProbeIndex(spark, exIdx, cents, "vec_id", query, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val full = Pq.pqIvfProbe(spark, pqIdx, model, cents, "vec_id", query, 10,
+        nProbe = 3, overFetch = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(full === exact)
+    // compressed-domain claim: the shortlist stage's parquet scan reads
+    // (vec_id, codes) only — dv/nrm stay undecoded
+    val sl = Pq.pqIvfShortlist(spark, pqIdx, model, cents, "vec_id", query, 30, 3)
+    val read = "ReadSchema: [^\\n]*".r
+      .findFirstIn(sl.queryExecution.executedPlan.toString).getOrElse("")
+    assert(read.contains("codes"), read)
+    assert(!read.contains("dv") && !read.contains("nrm"), read)
+  }
+
+  test("IVF-PQ on clustered data: pruned ADC shortlist + rerank recalls the exact top-k at 3x over-fetch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]) =
+      base.map(x => x + 0.05 * rnd.nextGaussian())
+    val bases = Seq(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    val rows = (0L until 300L).map(i => (i, jitter(bases((i % 3).toInt))))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-cl")
+      val cents = VectorOps.kmeansCentroids(df, "embedding", 3)
+      val model = Pq.pqTrain(df, "embedding", m = 4, codebook = 8)
+      Pq.pqIvfWriteIndex(df, "vec_id", "embedding", s"$root/idx", model, cents)
+      val query = rows.head._2.toSeq
+      val exact = VectorOps.bruteForceTopK(df, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Pq.pqIvfProbe(spark, s"$root/idx", model, cents, "vec_id",
+          query, 10, nProbe = 1, overFetch = 3)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= 0.9, s"IVF-PQ recall@10 = $recall")
+    } finally df.unpersist()
+  }
+
   test("training is deterministic and shapes are contractual") {
     val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
     val m1 = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
