@@ -24,6 +24,8 @@ object GraftFunctions {
   val NearestCentroidName = "graft_nearest_centroid"
   val NearestCentroidsName = "graft_nearest_centroids"
   val NearestCentroidsHierName = "graft_nearest_centroids_hier"
+  val PqCodesName = "graft_pq_codes"
+  val PqAdcName = "graft_pq_adc"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -212,12 +214,49 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       NearestCentroidsHierName,
       arity(NearestCentroidsHierName, 9)(buildNearestCentroidsHier), "built-in")
+    reg.createOrReplaceTempFunction(
+      PqCodesName, arity(PqCodesName, 4)(exprs => {
+        val flat = literalDoubleArray(exprs(1), PqCodesName, "flatCodebook")
+        val m = literalInt(exprs(2), PqCodesName, "m")
+        val subDim = literalInt(exprs(3), PqCodesName, "subDim")
+        require(m >= 1 && subDim >= 1 && flat.nonEmpty &&
+          flat.length % (m * subDim) == 0,
+          s"$PqCodesName: flat length ${flat.length} is not a positive " +
+            s"multiple of m·subDim = ${m * subDim}")
+        PqCodes(exprs.head, flat, m, flat.length / (m * subDim), subDim)
+      }), "built-in")
+    reg.createOrReplaceTempFunction(
+      PqAdcName, arity(PqAdcName, 3)(exprs => {
+        val lut = literalDoubleArray(exprs(1), PqAdcName, "flatLut")
+        val m = literalInt(exprs(2), PqAdcName, "m")
+        require(m >= 1 && lut.nonEmpty && lut.length % m == 0,
+          s"$PqAdcName: LUT length ${lut.length} is not a positive multiple of m=$m")
+        PqAdc(exprs.head, lut, m, lut.length / m)
+      }), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
     * [[graft.Sessions.local]]).
     */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Native PQ encode: raw vector → per-subspace argmin codes against a
+    * fixed flat [subspace][centroid][component] codebook (requires
+    * `register(spark)`).
+    */
+  def pqCodes(vec: Column, flatCodebook: Array[Double], m: Int, subDim: Int): Column =
+    call_function(PqCodesName, vec,
+      org.apache.spark.sql.functions.lit(flatCodebook),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(subDim))
+
+  /** Native ADC scoring of a codes column against a per-query flat
+    * [subspace][centroid] LUT (requires `register(spark)`).
+    */
+  def pqAdc(codes: Column, flatLut: Array[Double], m: Int): Column =
+    call_function(PqAdcName, codes,
+      org.apache.spark.sql.functions.lit(flatLut),
+      org.apache.spark.sql.functions.lit(m))
 
   /** Native nearest-centroid assignment against a fixed centroid table
     * (requires `register(spark)` — done by [[graft.Sessions.local]]).

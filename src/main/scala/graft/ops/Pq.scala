@@ -73,8 +73,11 @@ object Pq {
     cents
   }
 
-  /** Unit-normalized double vector, zero-norm rows excluded upstream. */
-  private def unitVec(df: DataFrame, vecCol: String): Column = {
+  /** Unit-normalized double vector, zero-norm rows excluded upstream —
+    * used by the HOF parity reference ([[codesColComposable]] takes the
+    * already-normalized vector; the native kernel normalizes inside).
+    */
+  private[ops] def unitVec(df: DataFrame, vecCol: String): Column = {
     val dv = VectorOps.toDoubleVec(col(vecCol))
     transform(dv, x => x / VectorOps.l2Norm(dv))
   }
@@ -109,11 +112,40 @@ object Pq {
     PqModel(m, subDim, cents)
   }
 
-  /** The m per-subspace argmin codes of a UNIT vector column. Ties in
-    * the argmin take the lowest centroid index (array_position returns
-    * the first occurrence).
+  private def flatCodebook(model: PqModel): Array[Double] =
+    model.cents.flatten.flatten
+
+  private def flatLut(model: PqModel, unitQuery: Array[Double]): Array[Double] =
+    Array.tabulate(model.m * model.cents.head.length) { idx =>
+      val i = idx / model.cents.head.length
+      val c = idx % model.cents.head.length
+      sqDist(unitQuery.slice(i * model.subDim, (i + 1) * model.subDim),
+        model.cents(i)(c))
+    }
+
+  /** The m per-subspace argmin codes of the RAW vector column (unit
+    * normalization happens inside): the native codegen'd
+    * `graft_pq_codes` kernel — codebook rides as one flat double[]
+    * reference. NULL for malformed/zero-norm vectors.
     */
-  private def codesCol(unit: Column, model: PqModel): Column = {
+  private def codesCol(vec: Column, model: PqModel): Column =
+    graft.functions.GraftFunctions.pqCodes(
+      vec, flatCodebook(model), model.m, model.subDim)
+
+  /** ADC distance of a codes column against a per-query LUT — the
+    * native `graft_pq_adc` kernel.
+    */
+  private def adcCol(codes: Column, model: PqModel, unitQuery: Array[Double]): Column =
+    graft.functions.GraftFunctions.pqAdc(
+      codes, flatLut(model, unitQuery), model.m)
+
+  /** Reference HOF formulations — the semantics `graft_pq_codes` /
+    * `graft_pq_adc` are pinned bit-identical against (PqSpec parity
+    * case); never on a production path: the interpreted lambdas + per
+    * row array churn measured 1.6 ms/row at (m=8, k=16, dim=64), 69 of
+    * the 64×-probe's 80 s.
+    */
+  private[ops] def codesColComposable(unit: Column, model: PqModel): Column = {
     val codeCols = (0 until model.m).map { i =>
       val sl = slice(unit, i * model.subDim + 1, model.subDim)
       val centsLit = typedLit(model.cents(i).map(_.toSeq).toSeq)
@@ -125,8 +157,8 @@ object Pq {
     array(codeCols: _*)
   }
 
-  /** ADC distance of a codes column against a per-query LUT literal. */
-  private def adcCol(codes: Column, model: PqModel, unitQuery: Array[Double]): Column = {
+  private[ops] def adcColComposable(
+      codes: Column, model: PqModel, unitQuery: Array[Double]): Column = {
     val lut: Seq[Seq[Double]] = (0 until model.m).map { i =>
       val sl = unitQuery.slice(i * model.subDim, (i + 1) * model.subDim)
       model.cents(i).map(c => sqDist(sl, c)).toSeq
@@ -148,15 +180,13 @@ object Pq {
     query.map(_ / qn).toArray
   }
 
-  /** Map-only encoding: (id, codes array<int>), zero-norm rows dropped
-    * (no direction → no code).
+  /** Map-only encoding: (id, codes array<int>); malformed and zero-norm
+    * rows drop out (the kernel nulls them — no direction → no code).
     */
   def pqEncode(
       df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
-    df.filter(size(VectorOps.toDoubleVec(col(vecCol))) === model.m * model.subDim)
-      .filter(VectorOps.l2Norm(VectorOps.toDoubleVec(col(vecCol))) > 0)
-      .select(col(idCol), unitVec(df, vecCol).as("_graft_uv"))
-      .select(col(idCol), codesCol(col("_graft_uv"), model).as("codes"))
+    df.select(col(idCol), codesCol(col(vecCol), model).as("codes"))
+      .filter(col("codes").isNotNull)
 
   /** ADC top-k over an encoded corpus: the per-query LUT is driver math
     * over the tiny model, rides the plan as a literal, and each row
@@ -196,8 +226,7 @@ object Pq {
       centroids: Array[Array[Double]]): Unit = {
     require(centroids.nonEmpty, "pqIvfWriteIndex: empty centroid table")
     VectorOps.assignClusters(df, vecCol, VectorOps.indexedCents(centroids))
-      .withColumn("_graft_uv", transform(col("dv"), x => x / col("nrm")))
-      .select(col(idCol), codesCol(col("_graft_uv"), model).as("codes"),
+      .select(col(idCol), codesCol(col("dv"), model).as("codes"),
         col("dv"), col("nrm"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
   }

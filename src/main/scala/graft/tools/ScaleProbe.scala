@@ -109,8 +109,13 @@ object ScaleProbe {
         // vocabulary-bound (disjoint replica vocabularies → posting
         // joins grow k×, same family as q80/q92); q105's iterations are
         // vocabulary-scale by construction (fixed 16 merges, the
-        // histogram relation grows k×)
-        "q103_bigram_ppl", "q105_bpe_merges")
+        // histogram relation grows k×); q107's train/LUT costs are
+        // fixed and the compressed ADC scan grows k×. q106 is NOT
+        // probed through the fixed query (its `vec_id % 50 == 0` query
+        // set would grow k× alongside the corpus, k²-ing the scored
+        // relation — a data change, not the operator's contract of a
+        // constant small query set); it gets a custom entry below.
+        "q103_bigram_ppl", "q105_bpe_merges", "q107_pq_ann")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -168,6 +173,22 @@ object ScaleProbe {
           graft.ops.VectorOps.ivfKnnJoin(twins, twins, "vec_id", "embedding",
             k = 5, nClusters = 16 * scale, nProbe = 4, excludeSelf = true,
             sampleRows = math.max(4096, 8 * 16 * scale)).count()
+        }),
+      // MaxSim under its contract: the QUERY set stays the 1× replica's
+      // group-0 vectors (late-interaction queries are a small constant
+      // set) while the doc corpus grows k× — the broadcast NLJ pass and
+      // the (group, query)-keyed aggs must grow linearly.
+      ("q106_maxsim[const-queries]",
+        d => {
+          val e = Tables.load(spark, d, "embeddings").select(
+            pmod(col("vec_id"), lit(50L)).as("gid"),
+            col("vec_id"), col("embedding"))
+          val q1x = Tables.load(spark, dir, "embeddings")
+            .agg(max("vec_id")).head().getLong(0) + 1
+          graft.ops.VectorOps.maxSimScores(
+            e.filter(col("gid") =!= 0),
+            e.filter(col("gid") === 0 && col("vec_id") < q1x),
+            "gid", "embedding", "vec_id").count()
         }),
       // incremental SemDeDup under the same rule: even ids are the kept
       // base (centroids frozen on it), odd ids + exact-direction twins

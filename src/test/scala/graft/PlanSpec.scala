@@ -313,6 +313,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q106: the query side broadcasts — the corpus pass is a broadcast nested-loop, never a shuffled cartesian") {
+    val p = plan("q106_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // both reductions keep their partial (map-side) halves
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected partial+final for max and sum, got $aggs in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: every count table aggregates partially before its exchange; the scalar total broadcasts") {
+    val p = plan("q103_bigram_ppl")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 6, s"bigram/context/unigram tables lost partial aggs: $aggs in:\n$p")
+    // The one-row total is explicitly broadcast. The vocabulary-sized
+    // joins carry NO broadcast hint in the code (a hinted broadcast
+    // dies at web-scale vocabularies); at fixture scale the optimizer
+    // may still broadcast them from size STATS — that is the adaptive
+    // behavior we want (stats exceed the threshold at real scale and
+    // the same plan falls back to shuffle joins), so only the hinted
+    // broadcast is asserted, not a broadcast count.
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(

@@ -124,6 +124,34 @@ class PqSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("native graft_pq_codes / graft_pq_adc ≡ the HOF reference formulations, bit-identically") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val model = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
+    // codes: native (raw vector in) vs HOF (pre-normalized unit vector)
+    val native = Pq.pqEncode(embs, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val hof = embs
+      .filter(VectorOps.l2Norm(VectorOps.toDoubleVec(col("embedding"))) > 0)
+      .select(col("vec_id"), Pq.unitVec(embs, "embedding").as("uv"))
+      .select(col("vec_id"), Pq.codesColComposable(col("uv"), model).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(native === hof)
+    assert(native.nonEmpty)
+    // adc: same LUT math through both kernels
+    val query = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val uq = query.map(_ / qn).toArray
+    val enc = Pq.pqEncode(embs, "vec_id", "embedding", model)
+    val a = Pq.pqTopK(enc, model, "vec_id", query, 500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val b = enc.select(col("vec_id"),
+        round(Pq.adcColComposable(col("codes"), model, uq), 6).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(500)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(a === b)
+  }
+
   test("training is deterministic and shapes are contractual") {
     val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
     val m1 = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
