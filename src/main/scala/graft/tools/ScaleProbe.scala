@@ -302,6 +302,44 @@ object ScaleProbe {
       println(f"[scale] ivf_litter_auto probe_ms after${appends}more_auto_appends=" +
         f"${auto * 1000}%6.1f ($f3 files, ${appendSec / appends}%.2f s/append incl. trigger)")
     }
+    // IVF-PQ probe latency under the nClusters ~ N rule: with expected
+    // cluster size constant, the pruned ADC shortlist scans a
+    // ~constant row count whatever the corpus size — probe latency at
+    // 64× must sit near the 1× point (the compressed-domain analog of
+    // ivf_litter's flat fresh-probe claim). Index build is untimed
+    // (one linear partitioned write, the ETL story).
+    if (only.forall(_.exists("ivfpq_probe".startsWith))) {
+      for ((label, d, scale) <- Seq(("1x", dir, 1), (s"${k}x", tmp, k))) {
+        val embs = Tables.load(spark, d, "embeddings")
+        val path = s"$tmp/ivfpq_index_$label"
+        val cents = graft.ops.VectorOps.kmeansCentroids(
+          embs, "embedding", 16 * scale,
+          sampleRows = math.max(4096, 8 * 16 * scale))
+        val model = graft.ops.Pq.pqTrain(embs, "embedding", 8, 16)
+        graft.ops.Pq.pqIvfWriteIndex(
+          embs, "vec_id", "embedding", path, model, cents)
+        val qvec = embs.select("embedding").head()
+          .getSeq[Float](0).map(_.toDouble).toSeq
+        // cold = path API, re-listing the partition tree per probe;
+        // warm = the workload shape, one opened relation reused
+        def coldLat(): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ops.Pq.pqIvfProbe(spark, path, model, cents,
+            "vec_id", qvec, k = 10, nProbe = 4, overFetch = 3).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val idx = spark.read.parquet(path)
+        def warmLat(): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ops.Pq.pqIvfProbeFrom(idx, model, cents,
+            "vec_id", qvec, k = 10, nProbe = 4, overFetch = 3).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        coldLat(); warmLat() // warm the machinery
+        println(f"[scale] ivfpq_probe $label%-4s cold_ms=${coldLat() * 1000}%6.1f " +
+          f"warm_ms=${warmLat() * 1000}%6.1f (${16 * scale} clusters)")
+      }
+    }
     // Incremental-manifest repair cost: the round-8 default flip made
     // min-id re-election the default manifest path; this measures what
     // the repair costs per call next to the raw first-seen read.
