@@ -439,6 +439,31 @@ object DataOpsQueries {
           .orderBy(col("maxsim").desc, col("gid")).limit(10)
       }),
 
+    // Okapi BM25 lexical retrieval: top-25 documents for a three-term
+    // query — the lexical side of hybrid retrieval next to the ANN
+    // family and the MaxSim rerank. Oracle mirrors the robust-idf
+    // formula, the evaluation order, and the ≥1-term membership rule,
+    // so the hash compare pins the full scoring math.
+    NamedQuery(
+      "q109_bm25",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |e AS (SELECT doc_id, unnest(tok) w FROM t),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf FROM e
+             |       WHERE w IN ('vector', 'join', 'scan') GROUP BY doc_id, w),
+             |df AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |    * tf.tf * 2.2
+             |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+             |FROM tf JOIN df USING (w) JOIN l USING (doc_id) CROSS JOIN s
+             |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 25""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.bm25Scores(docs(s, dir), "doc_id", "text",
+            Seq("vector", "join", "scan"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(25)),
+
     // BPE merge induction: 16 merges trained over the documents word
     // histogram — one corpus pass, then vocabulary-scale iterations.
     // Rows-only: SQL cannot express the data-dependent iteration (each

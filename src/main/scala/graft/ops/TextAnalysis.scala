@@ -355,6 +355,54 @@ object TextAnalysis {
       .agg(round(avg(log(p)), 4).as("bg_score"))
   }
 
+  /** Okapi BM25 scoring of every document against a SMALL query-term
+    * set — the lexical side of hybrid retrieval (the vector side being
+    * the ANN family + MaxSim rerank). Lucene-flavored robust idf
+    * (ln((N − df + 0.5)/(df + 0.5) + 1), never negative) and the
+    * standard (k1, b) saturation/length normalization; only documents
+    * containing ≥ 1 query term score (the rest are 0 by definition and
+    * stay out of the posting relation entirely).
+    *
+    * Scale shape: the query terms are a literal IN-list (tens of
+    * terms — a query, not a relation), so the explode immediately
+    * filters to query-term postings: everything downstream is
+    * O(postings of the query terms), not corpus-scale. Document
+    * lengths and the corpus mean are one hash agg + a broadcast
+    * scalar; df per term is a second-level agg over the tf table. The
+    * per-(doc, term) score is pure projection and the final per-doc
+    * sum is one hash agg keyed by doc.
+    */
+  def bm25Scores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores: empty query-term set")
+    val toks = TextFunctions.tokens(col(textCol))
+    val lens = df.select(col(idCol), size(toks).cast("double").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val tf = df
+      .select(col(idCol), explode(toks).as("w"))
+      .filter(col("w").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val term = idf * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("w")) // ≤ |queryTerms| rows by construction
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), term.as("term"))
+      .groupBy(col(idCol))
+      .agg(round(sum("term"), 6).as("bm25"))
+  }
+
   def bigramTopK(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.tokens(col(textCol))

@@ -39,6 +39,24 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainMerges(hist("ababab" -> 1L), 3) === merges)
   }
 
+  test("distributed ≡ reference over 25 seeded random histograms (tie-heavy small alphabet)") {
+    // alphabet {a, b} with tiny words maximizes pair-count ties and
+    // merged-symbol collisions — the regime where a tie-break or
+    // greedy-rewrite divergence between the two implementations would
+    // surface. Seeds fixed: this is a property sweep, reproducibly.
+    for (seed <- 0 until 25) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until (2 + rnd.nextInt(6))).map { _ =>
+        val w = (0 until (1 + rnd.nextInt(6)))
+          .map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+        w -> (1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, ws) => w -> ws.map(_._2).sum }.toSeq
+      val expected = Bpe.trainMergesLocal(words, 6)
+      val got = Bpe.trainMerges(hist(words: _*), 6)
+      assert(got === expected, s"divergence at seed $seed on $words")
+    }
+  }
+
   test("distributed ≡ in-memory reference on the documents corpus, 12 merges") {
     val docs = Tables.load(spark, TestSpark.Sf001, "documents")
     val h = Bpe.wordHistogram(docs, "text")

@@ -237,6 +237,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       "repeated-bigram doc must score higher than the all-distinct doc")
   }
 
+  test("bm25Scores: hand-computed robust-idf scoring; termless docs absent; tf saturates not explodes") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c c"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(df, "doc_id", "text", Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=4, dl = (3,2,4,2), avgdl = 2.75; df(a)=1, df(c)=2
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfA = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    val idfC = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(idf: Double, tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.75))
+    assert(out.keySet === Set(1L, 2L, 3L)) // doc 4 has no query term
+    assert(out(1L) === r6(s(idfA, 2, 3)))
+    assert(out(2L) === r6(s(idfC, 1, 2)))
+    assert(out(3L) === r6(s(idfC, 4, 4)))
+    // more occurrences score higher, but sub-linearly (k1 saturation)
+    assert(out(3L) > out(2L) && out(3L) < 4 * out(2L))
+  }
+
   test("multimodal: feature extraction is deterministic and batch-shaped") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
     val f1 = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
