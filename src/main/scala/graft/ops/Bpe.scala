@@ -62,15 +62,43 @@ object Bpe {
 
   /** Train `numMerges` merges over a (word, wc) histogram. Stops early
     * when no adjacent pair remains (every word fused to one symbol).
+    *
+    * Batched: each round does ONE pair-count shuffle, collects the
+    * sorted top-K pairs (K = 4·maxBatch, a bounded driver payload),
+    * selects a batch of merges that is provably identical to running
+    * that many sequential argmax steps, and applies them in one
+    * map-only rewrite stage. Selection rule (the safety argument):
+    * scan pairs in (count desc, l asc, r asc) order, keeping pairs
+    * symbol-disjoint from every pair kept so far, and stop at the
+    * first pair that shares a symbol (or at maxBatch / end of the
+    * collected window). Applying a kept merge cannot change the count
+    * of any other kept pair (disjoint symbols ⇒ adjacency invariant),
+    * zeroes its own pair, and any NEWLY created pair (one involving a
+    * fused symbol) inherits count ≤ the count of a destroyed adjacency
+    * — which shares a symbol with the applied merge and therefore
+    * sorts at-or-after the stopping pair. Keeping only merges with
+    * count STRICTLY above the stopping pair's count means no new or
+    * unseen pair can tie-or-beat any kept merge, so the k-th kept pair
+    * is exactly the k-th sequential argmax (ties inside the batch are
+    * already in lexicographic order). If strictness empties the batch
+    * (a flat tie plateau), fall back to one plain sequential step.
+    * `maxBatch = 1` reproduces the classic one-merge-per-shuffle loop.
+    *
+    * Cost: sequential BPE is numMerges shuffles; batched is
+    * numMerges / E[batch] — the per-merge-cost curve is in SCALE.md
+    * (`bpe_merges`). Lineage is truncated per round (localCheckpoint)
+    * and the previous round's blocks are unpersisted once the new
+    * checkpoint is materialized, so executor storage stays O(vocab),
+    * not O(vocab · rounds).
     */
-  def trainMerges(hist: DataFrame, numMerges: Int): Seq[Merge] = {
+  def trainMerges(hist: DataFrame, numMerges: Int, maxBatch: Int = 16): Seq[Merge] = {
     var words = hist
       .select(charSyms(col("word")).as("syms"), col("wc"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
-    var i = 0
-    while (i < numMerges && !exhausted) {
+    val window = math.max(2, 4 * maxBatch)
+    while (out.size < numMerges && !exhausted) {
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(explode(zip_with(
@@ -80,16 +108,38 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(window)
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        out += Merge(i, l, r, c)
-        words = words
-          .select(mergeExpr(col("syms"), l, r).as("syms"), col("wc"))
-          .localCheckpoint()
-        i += 1
+        val budget = math.min(maxBatch, numMerges - out.size)
+        val used = scala.collection.mutable.Set.empty[String]
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        // cutoff = count of the pair that stopped the scan (first
+        // symbol conflict, budget overflow, or the first UNSEEN pair
+        // approximated by the window's last row); None when the scan
+        // consumed every existing pair with room to spare.
+        var cutoff: Option[Long] = None
+        var stop = false
+        for (p @ (l, r, c) <- top if !stop) {
+          if (kept.size >= budget) { cutoff = Some(c); stop = true }
+          else if (used(l) || used(r)) { cutoff = Some(c); stop = true }
+          else { kept += p; used += l; used += r }
+        }
+        if (!stop && top.length == window) cutoff = Some(top.last._3)
+        val safe = cutoff match {
+          case Some(cut) => kept.takeWhile(_._3 > cut)
+          case None => kept
+        }
+        val batch = if (safe.isEmpty) kept.take(1) else safe
+        for ((l, r, c) <- batch) out += Merge(out.size, l, r, c)
+        val rewritten = batch.foldLeft(col("syms")) {
+          case (acc, (l, r, _)) => mergeExpr(acc, l, r)
+        }
+        val prev = words
+        words = words.select(rewritten.as("syms"), col("wc")).localCheckpoint()
+        prev.unpersist()
       }
     }
     out.toSeq

@@ -228,6 +228,11 @@ object Pq {
     VectorOps.assignClusters(df, vecCol, VectorOps.indexedCents(centroids))
       .select(col(idCol), codesCol(col("dv"), model).as("codes"),
         col("dv"), col("nrm"), col("cluster"))
+      // same drop contract as pqEncode: a row the kernel can't code
+      // (model dim ≠ corpus dim, zero norm) must not reach the index —
+      // a NULL adist would sort NULLS FIRST ahead of every real
+      // candidate in the shortlist.
+      .filter(col("codes").isNotNull)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
   }
 
@@ -263,13 +268,34 @@ object Pq {
       idCol: String,
       query: Seq[Double],
       rows: Int,
-      nProbe: Int): DataFrame = {
-    val q = unitQueryArr(query, model)
+      nProbe: Int): DataFrame =
+    shortlistOverProbes(index, model, idCol, query,
+      routeProbes(centroids, query, nProbe), rows)
+
+  /** The query's nProbe cluster ids — routed ONCE per probe and shared
+    * by the shortlist and rerank stages, so the two pruned scans cannot
+    * drift apart.
+    */
+  private def routeProbes(
+      centroids: Array[Array[Double]], query: Seq[Double], nProbe: Int): Seq[Int] = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val probes = VectorOps.probeClusters(
+    VectorOps.probeClusters(
       VectorOps.indexedCents(centroids), query, qNorm, nProbe)
+  }
+
+  private def shortlistOverProbes(
+      index: DataFrame,
+      model: PqModel,
+      idCol: String,
+      query: Seq[Double],
+      probes: Seq[Int],
+      rows: Int): DataFrame = {
+    val q = unitQueryArr(query, model)
     index
       .filter(col("cluster").isin(probes: _*))
+      // belt for indexes written before pqIvfWriteIndex dropped
+      // uncodable rows (NULL adist would rank NULLS FIRST)
+      .filter(col("codes").isNotNull)
       .select(col(idCol), round(adcCol(col("codes"), model, q), 6).as("adist"))
       .orderBy(col("adist"), col(idCol))
       .limit(rows)
@@ -310,10 +336,9 @@ object Pq {
       nProbe: Int = 4,
       overFetch: Int = 3): DataFrame = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val probes = VectorOps.probeClusters(
-      VectorOps.indexedCents(centroids), query, qNorm, nProbe)
-    val shortlist = pqIvfShortlistFrom(
-      index, model, centroids, idCol, query, overFetch * k, nProbe)
+    val probes = routeProbes(centroids, query, nProbe)
+    val shortlist = shortlistOverProbes(
+      index, model, idCol, query, probes, overFetch * k)
     index
       .filter(col("cluster").isin(probes: _*))
       .join(broadcast(shortlist.select(col(idCol))), Seq(idCol))

@@ -26,18 +26,28 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * Exactly-once: foreachBatch is at-least-once (a batch id can be
   * redelivered after a restart) and a blind parquet append is not
   * idempotent, so [[appendBatch]] keeps a batch ledger under the index
-  * root (`_graft_batches/<id>`, underscore-hidden from every parquet
-  * listing): a redelivered id is skipped whole. The marker lands AFTER
-  * the append, so a crash inside that narrow window can duplicate one
-  * batch — the standard foreachBatch idempotence trade; ANN probes
-  * tolerate it (a duplicated (id, vector) row ranks identically), and
-  * a compaction rebuild heals it.
+  * root (`_graft_batches/<streamId>/<id>`, underscore-hidden from every
+  * parquet listing): a redelivered id is skipped whole. Batch ids are
+  * scoped to a checkpoint lineage, so the ledger is namespaced by the
+  * streaming query id (persisted in the checkpoint's metadata file —
+  * stable across restarts of the SAME checkpoint, fresh for a NEW one):
+  * pointing a new stream at an existing index restarts batch ids at 0,
+  * and without the namespace those ids would collide with the old
+  * ledger and be silently dropped. [[indexSink]] reads the id off the
+  * stream-execution thread's `sql.streaming.queryId` local property.
+  * The marker lands AFTER the append, so a crash inside that narrow
+  * window can duplicate one batch — the standard foreachBatch
+  * idempotence trade; ANN probes tolerate it (a duplicated
+  * (id, vector) row ranks identically), and a compaction rebuild
+  * heals it.
   */
 object VectorIndexStream {
 
   /** Idempotent per-batch append — the foreachBatch body, exposed so
     * the redelivery contract is directly testable. Returns true when
     * the batch was appended, false when the ledger says it already was.
+    * `streamId` namespaces the ledger per checkpoint lineage; an empty
+    * id uses the flat legacy layout (single-stream indexes only).
     */
   def appendBatch(
       batch: DataFrame,
@@ -47,8 +57,12 @@ object VectorIndexStream {
       path: String,
       centroids: Array[Array[Double]],
       autoCompact: Boolean = false,
-      maxFilesPerCluster: Int = 8): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(path, s"_graft_batches/$batchId")
+      maxFilesPerCluster: Int = 8,
+      streamId: String = ""): Boolean = {
+    val ledger =
+      if (streamId.isEmpty) s"_graft_batches/$batchId"
+      else s"_graft_batches/$streamId/$batchId"
+    val marker = new org.apache.hadoop.fs.Path(path, ledger)
     val fs = marker.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
@@ -74,8 +88,13 @@ object VectorIndexStream {
       autoCompact: Boolean = false,
       maxFilesPerCluster: Int = 8): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // Set by StreamExecution on the micro-batch thread; stable for a
+      // checkpoint lineage. Null only outside a real stream (tests
+      // calling the body directly), where the flat layout is fine.
+      val qid = Option(batch.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.queryId")).getOrElse("")
       appendBatch(batch, batchId, idCol, vecCol, path, centroids,
-        autoCompact, maxFilesPerCluster)
+        autoCompact, maxFilesPerCluster, qid)
       ()
     }
 }

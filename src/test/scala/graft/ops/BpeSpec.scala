@@ -57,6 +57,21 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batched ≡ sequential ≡ reference at 256 merges on the documents corpus") {
+    // the production-scale contract: the disjoint-batch selection with
+    // the strict-cutoff rule must reproduce 256 one-at-a-time argmax
+    // steps exactly — same pairs, same ranks, same counts — while
+    // spending ~numMerges/E[batch] shuffles instead of numMerges.
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val h = Bpe.wordHistogram(docs, "text")
+    val local = h.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expected = Bpe.trainMergesLocal(local, 256)
+    val got = Bpe.trainMerges(h, 256)
+    assert(got === expected)
+    // maxBatch = 1 is the classic loop; it must agree too
+    assert(Bpe.trainMerges(h, 24, maxBatch = 1) === expected.take(24))
+  }
+
   test("distributed ≡ in-memory reference on the documents corpus, 12 merges") {
     val docs = Tables.load(spark, TestSpark.Sf001, "documents")
     val h = Bpe.wordHistogram(docs, "text")

@@ -124,6 +124,30 @@ class PqSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("pqIvfWriteIndex drops uncodable rows: zero-norm vectors never reach the index or shortlist") {
+    import spark.implicits._
+    // zero-norm row codes to NULL; if it landed in the index its NULL
+    // adist would sort NULLS FIRST and poison the shortlist head
+    val model = Pq.PqModel(2, 2, Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-null")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0))
+    Pq.pqIvfWriteIndex(df, "vec_id", "embedding", s"$root/idx", model, cents)
+    val ids = spark.read.parquet(s"$root/idx")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L), "uncodable row written to the index")
+    val head = Pq.pqIvfShortlist(spark, s"$root/idx", model, cents,
+      "vec_id", Seq(1.0, 0.0, 0.0, 1.0), 3, 1).collect()
+    assert(head.map(_.getLong(0)).toList === List(1L, 2L))
+    assert(head.forall(!_.isNullAt(1)), "NULL adist in the shortlist")
+  }
+
   test("native graft_pq_codes / graft_pq_adc ≡ the HOF reference formulations, bit-identically") {
     val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
     val model = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)

@@ -561,6 +561,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === afterFirst + b1.count())
   }
 
+  test("streaming IVF maintenance: ledger is namespaced per stream — a NEW checkpoint lineage restarting at batch 0 is not skipped") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-ledger-ns")
+    val idx = s"$root/idx"
+    val cents = VectorOps.kmeansCentroids(embs, "embedding", 8)
+    val b0 = embs.filter(col("vec_id") < 40).select("vec_id", "embedding")
+    val b1 = embs.filter(col("vec_id") >= 40 && col("vec_id") < 70)
+      .select("vec_id", "embedding")
+    // stream A writes its batch 0
+    assert(graft.streaming.VectorIndexStream.appendBatch(
+      b0, 0L, "vec_id", "embedding", idx, cents, streamId = "streamA"))
+    val afterA = spark.read.parquet(idx).count()
+    // a fresh checkpoint (stream B) restarts batch ids at 0: without the
+    // namespace this collides with A's marker and drops the batch
+    assert(graft.streaming.VectorIndexStream.appendBatch(
+      b1, 0L, "vec_id", "embedding", idx, cents, streamId = "streamB"))
+    assert(spark.read.parquet(idx).count() === afterA + b1.count())
+    // redelivery within a stream is still idempotent
+    assert(!graft.streaming.VectorIndexStream.appendBatch(
+      b1, 0L, "vec_id", "embedding", idx, cents, streamId = "streamB"))
+    assert(spark.read.parquet(idx).count() === afterA + b1.count())
+  }
+
   test("maxSimScores: hand-computed Σ-of-max on constructed groups; zero-norm vectors excluded both sides") {
     import spark.implicits._
     val docs = Seq(
