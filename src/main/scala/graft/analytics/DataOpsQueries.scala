@@ -319,6 +319,53 @@ object DataOpsQueries {
           .orderBy("q_id", "rank")
       }),
 
+    // Streaming IVF-PQ index maintenance: q104's loop with the
+    // COMPRESSED layout — each micro-batch is assigned under frozen
+    // centroids AND encoded under the frozen PQ model, appended into a
+    // persisted IVF-PQ index (same per-stream batch ledger), then the
+    // index serves an ADC-shortlist + exact-rerank probe. Rows-only:
+    // codes/clusters depend on sampled k-means no SQL can derive;
+    // PqSpec pins N-append ≡ rebuild probe identity and stream ≡ batch
+    // content identity.
+    NamedQuery(
+      "q110_stream_ivfpq",
+      None,
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val e = embs(s, dir)
+        val cents = VectorOps.kmeansCentroids(e, "embedding", 16)
+        val model = Pq.pqTrain(e, "embedding", m = 8, codebook = 16)
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"ivfpqstream_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val (src, idx, ckpt) =
+          (s"$root/src", s"$root/idx", s"$root/ckpt")
+        e.select("vec_id", "embedding").repartition(4)
+          .write.parquet(src)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+        val q = graft.streaming.VectorIndexStream
+          .pqIndexSink(stream, "vec_id", "embedding", idx, model, cents)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val query = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Pq.pqIvfProbe(s, idx, model, cents, "vec_id", query, 20,
+          nProbe = 4, overFetch = 3)
+      }),
+
     // Streaming IVF index maintenance: the embeddings corpus arrives as
     // a 4-micro-batch stream, each batch appended into a persisted IVF
     // index under frozen seeded-k-means centroids (foreachBatch +
@@ -463,6 +510,52 @@ object DataOpsQueries {
         TextAnalysis.bm25Scores(docs(s, dir), "doc_id", "text",
             Seq("vector", "join", "scan"))
           .orderBy(col("bm25").desc, col("doc_id")).limit(25)),
+
+    // Batch BM25 retrieval over a QUERY RELATION: top-10 documents for
+    // each of four term-array queries — the lexical twin of q101's
+    // batch kNN shape (q109 is the single-query probe). Postings are
+    // built once (restricted to the union query vocabulary), queries
+    // join postings keyed by term, per-query top-k via WindowGroupLimit.
+    // Oracle mirrors the robust-idf formula and the rank tie order.
+    NamedQuery(
+      "q111_bm25_join",
+      Some("""WITH q AS (SELECT * FROM (VALUES (1, ['vector','join']),
+             |            (2, ['scan','filter','hash']),
+             |            (3, ['stream','window']),
+             |            (4, ['sort','merge','spark','join'])) AS q(query_id, terms)),
+             |qt AS (SELECT DISTINCT query_id, unnest(terms) AS w FROM q),
+             |t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |e AS (SELECT doc_id, unnest(tok) w FROM t),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf FROM e
+             |       WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, w),
+             |df AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w),
+             |sc AS (SELECT qt.query_id, tf.doc_id,
+             |         ROUND(SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |           * tf.tf * 2.2
+             |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+             |       FROM tf JOIN qt USING (w) JOIN df USING (w)
+             |         JOIN l USING (doc_id) CROSS JOIN s
+             |       GROUP BY qt.query_id, tf.doc_id),
+             |r AS (SELECT query_id, doc_id, bm25,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY bm25 DESC, doc_id) AS "rank"
+             |      FROM sc)
+             |SELECT query_id, doc_id, bm25, "rank" FROM r WHERE "rank" <= 10
+             |ORDER BY query_id, "rank"""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1, Seq("vector", "join")),
+          (2, Seq("scan", "filter", "hash")),
+          (3, Seq("stream", "window")),
+          (4, Seq("sort", "merge", "spark", "join")))
+          .toDF("query_id", "terms")
+        TextAnalysis.bm25Join(qs, docs(s, dir), "query_id", "terms",
+            "doc_id", "text", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }),
 
     // BPE merge induction: 16 merges trained over the documents word
     // histogram — one corpus pass, then vocabulary-scale iterations.

@@ -236,6 +236,56 @@ object Pq {
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
   }
 
+  /** Append a vector delta to a persisted IVF-PQ index — the
+    * compressed twin of [[VectorOps.ivfAppendIndex]], closing the one
+    * gap in the streaming-corpus story (the exact index had append ≡
+    * rebuild; the PQ layout was overwrite-only). Both the coarse
+    * centroids AND the PQ model are frozen — the sub-codebooks are part
+    * of the index's geometry exactly like the centroid cut, so a row's
+    * codes are a pure function of its vector: an appended index is
+    * BIT-IDENTICAL in content to one rebuilt from scratch over the same
+    * rows (PqSpec pins probe identity through [[pqIvfProbeFrom]]).
+    * Re-fit model + centroids and rebuild offline when recall decays,
+    * as with any vector store.
+    *
+    * 100 TB shape: one map-only assign+encode pass over the delta plus
+    * a partitioned append — the existing index is never read. The
+    * delta's `dv` is aligned to the index's recorded element type (same
+    * parquet single-type-per-relation constraint, same cached footer
+    * read as the exact path). `autoCompact` has the exact path's
+    * publish caveat: opt-in, for quiesced maintenance windows.
+    */
+  def pqIvfAppendIndex(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      model: PqModel,
+      centroids: Array[Array[Double]],
+      autoCompact: Boolean = false,
+      maxFilesPerCluster: Int = 8): Map[String, (Int, Int)] = {
+    require(centroids.nonEmpty, "pqIvfAppendIndex: empty centroid table")
+    val indexElem = VectorOps.recordedDvType(delta.sparkSession, path)
+    val assigned = VectorOps
+      .assignClusters(delta, vecCol, VectorOps.indexedCents(centroids))
+      .select(col(idCol), codesCol(col("dv"), model).as("codes"),
+        col("dv"), col("nrm"), col("cluster"))
+      .filter(col("codes").isNotNull) // same drop contract as the write
+    val dvAligned = indexElem match {
+      case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
+      case _ => col("dv")
+    }
+    val written = indexElem.getOrElse(assigned.schema("dv").dataType)
+    assigned
+      .select(col(idCol), col("codes"), dvAligned.as("dv"), col("nrm"),
+        col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+    VectorOps.recordDvType(path, written)
+    if (autoCompact)
+      VectorOps.ivfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
+    else Map.empty
+  }
+
   /** Stage 1 of the probe, exposed for plan inspection: the pruned ADC
     * scan — (id, adist) over the query's nProbe clusters, reading only
     * the codes column of the index files.

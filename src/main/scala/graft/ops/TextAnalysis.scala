@@ -403,6 +403,75 @@ object TextAnalysis {
       .agg(round(sum("term"), 6).as("bm25"))
   }
 
+  /** Batch BM25 retrieval: top-`k` documents for EVERY query in a
+    * query RELATION — the lexical twin of [[VectorOps.ivfKnnJoin]]'s
+    * batch shape ([[bm25Scores]] is the single-query probe, as
+    * [[VectorOps.ivfTopK]] is to the kNN join). `queries` is
+    * (query id, terms array); scoring is per-(query, doc) over the
+    * SAME robust-idf Okapi formula as [[bm25Scores]] (df/avgdl/N are
+    * corpus-level and query-independent, so the two agree score-for-
+    * score on shared terms). A query's duplicate terms count once —
+    * the standard bag-of-query-TERMS form both entry points use.
+    *
+    * Scale shape — no corpus×query product anywhere:
+    *   - the postings table (doc, term, tf) is built ONCE, restricted
+    *     to the union vocabulary of all queries by a broadcast
+    *     semi-join right after the explode (the union vocabulary is
+    *     query-scale, not corpus-scale);
+    *   - queries join postings KEYED BY TERM: each (query, term) row
+    *     meets only that term's postings — the scored relation is
+    *     Σ_q Σ_{t∈q} df(t), the inverted-index cost, not |docs|·|q|;
+    *   - per-query top-k is a `row_number ≤ k` window, which Spark
+    *     rewrites to WindowGroupLimit (map-side pre-trim to k before
+    *     the rank exchange), exactly as in ivfKnnJoin — PlanSpec pins
+    *     both the no-product and the group-limit shape.
+    */
+  def bm25Join(
+      queries: DataFrame,
+      docs: DataFrame,
+      queryIdCol: String,
+      termsCol: String,
+      docIdCol: String,
+      textCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    val qterms = queries
+      .select(col(queryIdCol), explode(col(termsCol)).as("w"))
+      .distinct()
+    val vocab = qterms.select("w").distinct()
+    val toks = TextFunctions.tokens(col(textCol))
+    val lens = docs.select(col(docIdCol), size(toks).cast("double").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col(docIdCol), explode(toks).as("w"))
+      .join(broadcast(vocab), Seq("w")) // query-vocab postings only
+      .groupBy(col(docIdCol), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val term = idf * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(qterms, Seq("w")) // keyed by term: inverted-index cost
+      .join(broadcast(dfreq), Seq("w"))
+      .join(lens, Seq(docIdCol))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col(docIdCol), term.as("term"))
+      .groupBy(col(queryIdCol), col(docIdCol))
+      .agg(round(sum("term"), 6).as("bm25"))
+    val byScore = Window.partitionBy(queryIdCol)
+      .orderBy(col("bm25").desc, col(docIdCol))
+    scored
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def bigramTopK(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.tokens(col(textCol))

@@ -237,24 +237,10 @@ object VectorOps {
     // routing is the standard IVF approximation (recall = probability
     // the true cluster's group is probed) and sits behind the same
     // suite recall gates; below the threshold both passes stay exact.
-    val routing =
-      if (base.length >= hierThreshold)
-        Some(coarseGrouping(base, math.ceil(math.sqrt(base.length)).toInt))
-      else None
-    val c = routing match {
-      case Some((coarse, starts, mem)) =>
-        corpus.select(col(idCol).as("n_id"), rawVec(corpus, vecCol).as("nv"))
-          .withColumn("nn", l2Norm(col("nv")))
-          .filter(col("nn") > 0)
-          .withColumn("cluster", get(graft.functions.GraftFunctions.nearestCentroidsHier(
-            col("nv"), col("nn"), base, 1, coarse, starts, mem, coarseProbes), lit(0)))
-          .filter(col("cluster").isNotNull) // all-empty probed groups (degenerate)
-          .select(col("cluster"), col("n_id"), col("nv"), col("nn"))
-      case None =>
-        assignClusters(corpus, vecCol, indexedCents(base))
-          .select(col("cluster"), col(idCol).as("n_id"),
-            col("dv").as("nv"), col("nrm").as("nn"))
-    }
+    val routing = routingFor(base, hierThreshold)
+    val c = assignClustersRouted(corpus, vecCol, base, routing, coarseProbes)
+      .select(col("cluster"), col(idCol).as("n_id"),
+        col("dv").as("nv"), col("nrm").as("nn"))
     val q = queries
       .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
@@ -705,6 +691,44 @@ object VectorOps {
         col("dv"), col("nrm"), cents.map(_._2)))
   }
 
+  /** [[assignClusters]] with an optional coarse→fine routing table:
+    * `routing = None` is the exact flat scan; `Some(coarseGrouping(…))`
+    * ranks only the fine centroids under the `coarseProbes` nearest
+    * coarse groups — O((√k + probed members) · dim) per row instead of
+    * O(k · dim), the ≥`hierThreshold` path of the nClusters ~ N
+    * operating rule. Callers that assign TWO relations against the
+    * same centroid table (semDedupDelta's base and delta) must pass
+    * the SAME routing tuple so both sides route identically. Rows
+    * whose probed groups are all empty (degenerate routings only)
+    * drop out, like zero-norm rows.
+    */
+  private[ops] def assignClustersRouted(
+      df: DataFrame,
+      vecCol: String,
+      base: Array[Array[Double]],
+      routing: Option[(Array[Array[Double]], Array[Int], Array[Int])],
+      coarseProbes: Int): DataFrame = routing match {
+    case Some((coarse, starts, mem)) =>
+      df.withColumn("dv", rawVec(df, vecCol))
+        .withColumn("nrm", l2Norm(col("dv")))
+        .filter(col("nrm") > 0)
+        .withColumn("cluster", get(graft.functions.GraftFunctions.nearestCentroidsHier(
+          col("dv"), col("nrm"), base, 1, coarse, starts, mem, coarseProbes), lit(0)))
+        .filter(col("cluster").isNotNull)
+    case None => assignClusters(df, vecCol, indexedCents(base))
+  }
+
+  /** The routing tuple for `nClusters` centroids under the
+    * `hierThreshold` rule — shared by every caller so the threshold
+    * semantics can't drift.
+    */
+  private[ops] def routingFor(
+      base: Array[Array[Double]], hierThreshold: Int)
+      : Option[(Array[Array[Double]], Array[Int], Array[Int])] =
+    if (base.length >= hierThreshold)
+      Some(coarseGrouping(base, math.ceil(math.sqrt(base.length)).toInt))
+    else None
+
   /** The pre-native greatest-over-structs assignment — kept ONLY as the
     * reference semantics for the parity gate (NativeExpressionsSpec);
     * never on a production path.
@@ -763,7 +787,9 @@ object VectorOps {
       kmeansIters: Int = 4,
       seed: Long = 42L,
       maxCluster: Int = 100000,
-      sampleRows: Int = 4096): DataFrame = {
+      sampleRows: Int = 4096,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0, 1]")
     // sampleRows rides along because it must GROW with nClusters: at the
     // default 4096 a corpus-scaled nClusters (the documented operating
@@ -776,8 +802,14 @@ object VectorOps {
     // vector attached — assignClusters' `dv` is the RAW column (float
     // for the embeddings tables: half the exchange bytes of doubles);
     // graft_dot widens per element inside the pairwise loop,
-    // bit-identically.
-    val v = assignClusters(df, vecCol, indexedCents(base))
+    // bit-identically. Past `hierThreshold` centroids the assignment
+    // routes coarse→fine (same ≥4096 rule as ivfKnnJoin — flat is
+    // O(nClusters · dim)/row, the far-scale term under nClusters ~ N);
+    // routing only changes which cluster a boundary row lands in, so
+    // it can only under-dedup, and sits behind the same suite recall
+    // gates.
+    val v = assignClustersRouted(df, vecCol, base,
+        routingFor(base, hierThreshold), coarseProbes)
       .select(col(idCol), col("dv").as("rawv"), col("nrm"), col("cluster"))
     // the size table is nClusters rows — broadcast it explicitly so the
     // mega-cluster filter stays map-side (no exchange between the
@@ -845,13 +877,18 @@ object VectorOps {
       vecCol: String,
       threshold: Double,
       centroids: Array[Array[Double]],
-      maxCluster: Int = 100000): DataFrame = {
+      maxCluster: Int = 100000,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0, 1]")
     require(centroids.nonEmpty, "semDedupDelta: empty centroid table")
-    val cents = indexedCents(centroids)
-    val d = assignClusters(delta, vecCol, cents)
+    // ONE routing tuple for both sides: base and delta must route
+    // through identical coarse groups or a pair straddling a routing
+    // disagreement would never meet in a cluster.
+    val routing = routingFor(centroids, hierThreshold)
+    val d = assignClustersRouted(delta, vecCol, centroids, routing, coarseProbes)
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
-    val b = assignClusters(base, vecCol, cents)
+    val b = assignClustersRouted(base, vecCol, centroids, routing, coarseProbes)
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
     semDedupDeltaFrom(delta, d, b, idCol, threshold, maxCluster)
   }
@@ -868,6 +905,13 @@ object VectorOps {
     * `centroids` must be the table the index was built with (same
     * contract as [[ivfProbeIndex]]). Survivors are the rows to
     * [[ivfAppendIndex]] back into the same index.
+    *
+    * Assignment here is deliberately FLAT (no `hierThreshold` knob):
+    * the delta's cluster ids must match the ids the index was WRITTEN
+    * under ([[ivfWriteIndex]] assigns flat), or a boundary row would
+    * prune to a partition its true neighbors don't occupy. Hierarchical
+    * routing of an indexed corpus belongs at index-build time, paired
+    * with the same routing on every later delta.
     */
   def semDedupDeltaIndexed(
       delta: DataFrame,
@@ -971,6 +1015,30 @@ object VectorOps {
   private val ivfDvTypeCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.DataType]()
 
+  /** The index's recorded `dv` type (footer read, cached per path per
+    * JVM), or None when the index doesn't exist yet. Shared by the
+    * exact and PQ append paths — both layouts fix their dv type at
+    * creation.
+    */
+  private[ops] def recordedDvType(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[org.apache.spark.sql.types.DataType] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(ivfDvTypeCache.computeIfAbsent(path,
+        _ => spark.read.parquet(path).schema("dv").dataType))
+    else {
+      // deleting and re-creating an index at the same path drops the entry
+      ivfDvTypeCache.remove(path)
+      None
+    }
+  }
+
+  private[ops] def recordDvType(
+      path: String, t: org.apache.spark.sql.types.DataType): Unit =
+    ivfDvTypeCache.put(path, t)
+
   /** Append a vector delta to a persisted IVF index: each new vector is
     * assigned to its nearest EXISTING centroid (map-only — the centroid
     * table rides the plan as literals) and appended into the matching
@@ -1025,17 +1093,7 @@ object VectorOps {
     // batch. The cache is trusted only while the index still exists —
     // deleting and re-creating an index at the same path drops the
     // entry.
-    val indexPath = new org.apache.hadoop.fs.Path(path)
-    val fs = indexPath.getFileSystem(
-      delta.sparkSession.sparkContext.hadoopConfiguration)
-    val indexElem =
-      if (fs.exists(indexPath)) Some {
-        ivfDvTypeCache.computeIfAbsent(path,
-          _ => delta.sparkSession.read.parquet(path).schema("dv").dataType)
-      } else {
-        ivfDvTypeCache.remove(path)
-        None
-      }
+    val indexElem = recordedDvType(delta.sparkSession, path)
     val assigned = assignClusters(delta, vecCol, indexedCents(centroids))
     val dvAligned = indexElem match {
       case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
@@ -1047,7 +1105,7 @@ object VectorOps {
       .write.mode("append").partitionBy("cluster").parquet(path)
     // index now exists with `written` as its dv type — future appends
     // in this JVM skip the footer read entirely
-    ivfDvTypeCache.put(path, written)
+    recordDvType(path, written)
     if (autoCompact)
       ivfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
     else Map.empty

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.VectorOps
+import graft.ops.{Pq, VectorOps}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -58,7 +58,41 @@ object VectorIndexStream {
       centroids: Array[Array[Double]],
       autoCompact: Boolean = false,
       maxFilesPerCluster: Int = 8,
-      streamId: String = ""): Boolean = {
+      streamId: String = ""): Boolean =
+    ledgered(batch, batchId, path, streamId) {
+      VectorOps.ivfAppendIndex(batch, idCol, vecCol, path, centroids,
+        autoCompact, maxFilesPerCluster)
+    }
+
+  /** [[appendBatch]] for a persisted IVF-PQ index
+    * ([[graft.ops.Pq.pqIvfWriteIndex]] layout): same ledger, same
+    * redelivery contract — the append is
+    * [[graft.ops.Pq.pqIvfAppendIndex]], so codes are computed under the
+    * FROZEN model and the streamed index stays bit-identical in content
+    * to a batch build over the same rows.
+    */
+  def pqAppendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      model: Pq.PqModel,
+      centroids: Array[Array[Double]],
+      autoCompact: Boolean = false,
+      maxFilesPerCluster: Int = 8,
+      streamId: String = ""): Boolean =
+    ledgered(batch, batchId, path, streamId) {
+      Pq.pqIvfAppendIndex(batch, idCol, vecCol, path, model, centroids,
+        autoCompact, maxFilesPerCluster)
+    }
+
+  /** The at-least-once guard both sinks share: run `append` only when
+    * `streamId`/`batchId` has no ledger marker yet, then mark.
+    */
+  private def ledgered(
+      batch: DataFrame, batchId: Long, path: String, streamId: String)(
+      append: => Unit): Boolean = {
     val ledger =
       if (streamId.isEmpty) s"_graft_batches/$batchId"
       else s"_graft_batches/$streamId/$batchId"
@@ -67,8 +101,7 @@ object VectorIndexStream {
       batch.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
     else {
-      VectorOps.ivfAppendIndex(batch, idCol, vecCol, path, centroids,
-        autoCompact, maxFilesPerCluster)
+      append
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
       true
@@ -88,13 +121,34 @@ object VectorIndexStream {
       autoCompact: Boolean = false,
       maxFilesPerCluster: Int = 8): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      // Set by StreamExecution on the micro-batch thread; stable for a
-      // checkpoint lineage. Null only outside a real stream (tests
-      // calling the body directly), where the flat layout is fine.
-      val qid = Option(batch.sparkSession.sparkContext
-        .getLocalProperty("sql.streaming.queryId")).getOrElse("")
       appendBatch(batch, batchId, idCol, vecCol, path, centroids,
-        autoCompact, maxFilesPerCluster, qid)
+        autoCompact, maxFilesPerCluster, runningQueryId(batch))
       ()
     }
+
+  /** The IVF-PQ sink — [[indexSink]] with the compressed layout.
+    * Model + centroids are frozen for the life of the sink.
+    */
+  def pqIndexSink(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      model: Pq.PqModel,
+      centroids: Array[Array[Double]],
+      autoCompact: Boolean = false,
+      maxFilesPerCluster: Int = 8): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      pqAppendBatch(batch, batchId, idCol, vecCol, path, model, centroids,
+        autoCompact, maxFilesPerCluster, runningQueryId(batch))
+      ()
+    }
+
+  /** Set by StreamExecution on the micro-batch thread; stable for a
+    * checkpoint lineage. Null only outside a real stream (tests calling
+    * the body directly), where the flat ledger layout is fine.
+    */
+  private def runningQueryId(batch: DataFrame): String =
+    Option(batch.sparkSession.sparkContext
+      .getLocalProperty("sql.streaming.queryId")).getOrElse("")
 }

@@ -220,6 +220,120 @@ object ScaleProbe {
       val tk = timeOp(label, run(tmp))
       println(f"[scale] $label%-36s 1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
     }
+    // Hierarchical routing at its REAL engagement point: nClusters =
+    // 4096 (the hierThreshold default) over the kx corpus — the regime
+    // SCALE.md's q101/q102 rows name as the far-scale limit of flat
+    // O(nClusters · dim)/row assignment. Both paths run on identical
+    // seeded centroids (kmeansCentroids is deterministic), so the
+    // flat-vs-hier deltas are pure routing: wall time and result
+    // agreement (recall for the kNN pairs, kept-set agreement for the
+    // delta dedup). The k-means fit is timed separately so the note
+    // can subtract the (identical, driver-side) fit cost.
+    if (only.forall(_.exists("hier4096".startsWith))) {
+      val nC = 4096
+      val sr = 8 * nC
+      val e64 = graft.analytics.DataOpsQueries
+        .twinCorpus(Tables.load(spark, tmp, "embeddings")).cache()
+      e64.count() // materialize: timings below measure the operator
+      val tFit0 = System.nanoTime()
+      val cents = graft.ops.VectorOps.kmeansCentroids(
+        e64, "embedding", nC, sampleRows = sr)
+      val tFit = (System.nanoTime() - tFit0) / 1e9
+      println(f"[scale] hier4096_kmeans_fit nC=$nC sample=$sr fit=${tFit}%6.2fs")
+
+      def knn(thresh: Int, probes: Int): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val res = graft.ops.VectorOps.ivfKnnJoin(e64, e64, "vec_id", "embedding",
+            k = 5, nClusters = nC, nProbe = 4, excludeSelf = true,
+            sampleRows = sr, hierThreshold = thresh, coarseProbes = probes)
+          .select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - t0) / 1e9, res)
+      }
+      knn(Int.MaxValue, 8) // warm (scan caches, codegen)
+      val (tFlatK, flatPairs) = knn(Int.MaxValue, 8)
+      // sweep the coarse probe budget: recall vs flat tracks the coarse
+      // scan fraction on a structureless corpus, so the sweep locates
+      // the recall-0.95 crossover and the speedup remaining there
+      for (probes <- Seq(8, 16, 32, 48)) {
+        val (tHierK, hierPairs) = knn(nC, probes)
+        val knnRecall = (flatPairs & hierPairs).size.toDouble / flatPairs.size
+        println(f"[scale] hier4096_knn_join probes=$probes%-2d flat=${tFlatK}%6.2fs " +
+          f"hier=${tHierK}%6.2fs speedup=${tFlatK / tHierK}%5.2f " +
+          f"recall_vs_flat=$knnRecall%.4f")
+      }
+
+      // the q102 shape at 4096 clusters: even ids are the kept base
+      // (centroids frozen on it), odd ids + exact-direction twins are
+      // the append batch
+      val base0 = e64.filter(col("vec_id") % 2 === 0)
+      val twins = base0.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") + lit(100000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+      val delta = e64.filter(col("vec_id") % 2 === 1).unionAll(twins)
+      val dCents = graft.ops.VectorOps.kmeansCentroids(
+        base0, "embedding", nC, sampleRows = sr)
+      def dedup(thresh: Int, probes: Int): (Double, Set[Long]) = {
+        val t0 = System.nanoTime()
+        val kept = graft.ops.VectorOps.semDedupDelta(
+            base0, delta, "vec_id", "embedding", 0.9, dCents,
+            hierThreshold = thresh, coarseProbes = probes)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        ((System.nanoTime() - t0) / 1e9, kept)
+      }
+      dedup(Int.MaxValue, 8) // warm
+      val (tFlatD, flatKept) = dedup(Int.MaxValue, 8)
+      for (probes <- Seq(8, 16, 32, 48)) {
+        val (tHierD, hierKept) = dedup(nC, probes)
+        val agree = (flatKept & hierKept).size.toDouble /
+          math.max(flatKept.size, hierKept.size)
+        println(f"[scale] hier4096_semdedup_delta probes=$probes%-2d flat=${tFlatD}%6.2fs " +
+          f"hier=${tHierD}%6.2fs speedup=${tFlatD / tHierD}%5.2f " +
+          f"kept_agreement=$agree%.4f flat_kept=${flatKept.size} hier_kept=${hierKept.size}")
+      }
+      e64.unpersist()
+    }
+    // The same ≥4096-cluster regime on a corpus WITH coarse structure —
+    // hier routing's target case (IVF itself presumes clusterable
+    // data; the twin-replica corpus above is deliberately structureless
+    // and measures the honest negative bound). 4096 planted centers ×
+    // 64 members, hash-derived (deterministic, no Random): jitter 0.05
+    // against center norms ≈ 4.6 keeps same-center cosines ≈ 0.999 —
+    // clusters k-means can find and coarse groups can cover.
+    if (only.forall(_.exists("hierclustered".startsWith))) {
+      val nC = 4096
+      val sr = 8 * nC
+      def u(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(h, lit(2000L)).cast("double") / 500.0 - 2.0 // uniform-ish [-2, 2)
+      val corpus = spark.range(nC * 64L).select(
+          col("id").as("vec_id"), pmod(col("id"), lit(nC.toLong)).as("c"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), d =>
+            (u(xxhash64(col("c"), d)) +
+              lit(0.05) * u(xxhash64(col("vec_id"), d, lit(7))))
+              .cast("float")).as("embedding"))
+        .cache()
+      corpus.count()
+      def knnC(thresh: Int, probes: Int): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val res = graft.ops.VectorOps.ivfKnnJoin(corpus, corpus, "vec_id",
+            "embedding", k = 5, nClusters = nC, nProbe = 4,
+            excludeSelf = true, sampleRows = sr, hierThreshold = thresh,
+            coarseProbes = probes)
+          .select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - t0) / 1e9, res)
+      }
+      knnC(Int.MaxValue, 8) // warm
+      val (tF, flatP) = knnC(Int.MaxValue, 8)
+      for (probes <- Seq(4, 8, 16)) {
+        val (tH, hierP) = knnC(nC, probes)
+        val rec = (flatP & hierP).size.toDouble / flatP.size
+        println(f"[scale] hierclustered_knn probes=$probes%-2d flat=${tF}%6.2fs " +
+          f"hier=${tH}%6.2fs speedup=${tF / tH}%5.2f recall_vs_flat=$rec%.4f")
+      }
+      corpus.unpersist()
+    }
     // q50's DISTRIBUTED path, forced (driverThreshold = 0): at gate and
     // probe scale the edge relation sits far under the 1M-edge driver
     // branch, so the pointer-jumping min-label loop + reliable

@@ -144,6 +144,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q111: BM25 join keys on term (no corpus×query product), top-k pre-prunes via WindowGroupLimit") {
+    val p = plan("q111_bm25_join")
+    // the only cross join allowed is the one-row corpus-stats scalar;
+    // the query-postings join must key on the term column — a
+    // nested-loop against the postings relation would be the
+    // corpus×query product the operator exists to avoid
+    assert(!p.contains("CartesianProduct"),
+      s"BM25 join fell back to a cartesian product:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, // the broadcast one-row stats join only
+      s"unexpected nested-loop joins ($nlj) in the BM25 plan:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q96: weightedSample pre-prunes map-side via WindowGroupLimit") {
     // same structural skew protection as q65: a hot source ships
     // k·partitions rows into the rank exchange, never its population

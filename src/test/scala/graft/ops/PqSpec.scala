@@ -124,6 +124,77 @@ class PqSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("IVF-PQ append ≡ rebuild: N appends probe identically to a from-scratch build under the frozen model") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val query = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-append")
+    val (apIdx, rbIdx) = (s"$root/appended", s"$root/rebuilt")
+    val cents = VectorOps.kmeansCentroids(embs, "embedding", 8)
+    val model = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
+    Pq.pqIvfWriteIndex(embs, "vec_id", "embedding", rbIdx, model, cents)
+    // three appends, first one creating the index
+    Seq(
+      embs.filter(col("vec_id") % 3 === 0),
+      embs.filter(col("vec_id") % 3 === 1),
+      embs.filter(col("vec_id") % 3 === 2)
+    ).foreach(slice =>
+      Pq.pqIvfAppendIndex(slice, "vec_id", "embedding", apIdx, model, cents))
+    // content identity: codes are a pure function of the vector under
+    // the frozen model, clusters of the frozen centroids
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("codes"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getInt(2)))
+      .sortBy(_._1).toList
+    assert(content(apIdx) === content(rbIdx))
+    // probe identity through the full shortlist+rerank pipeline
+    def probe(p: String) = Pq.pqIvfProbe(spark, p, model, cents, "vec_id",
+        query, 10, nProbe = 3, overFetch = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(probe(apIdx) === probe(rbIdx))
+  }
+
+  test("streaming IVF-PQ maintenance: stream-built compressed index ≡ batch build; redelivered batch id is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val query = embs.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-stream")
+    val (src, idx, ckpt, batchIdx) =
+      (s"$root/src", s"$root/idx", s"$root/ckpt", s"$root/batch_idx")
+    val cents = VectorOps.kmeansCentroids(embs, "embedding", 8)
+    val model = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
+    embs.select("vec_id", "embedding").repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.VectorIndexStream
+      .pqIndexSink(stream, "vec_id", "embedding", idx, model, cents)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Pq.pqIvfWriteIndex(embs, "vec_id", "embedding", batchIdx, model, cents)
+    def probe(p: String) = Pq.pqIvfProbe(spark, p, model, cents, "vec_id",
+        query, 10, nProbe = 3, overFetch = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(probe(idx) === probe(batchIdx))
+    assert(spark.read.parquet(idx).count() === embs.count(),
+      "every micro-batch row landed exactly once")
+    // redelivery of a consumed batch id within the same stream namespace
+    val b = embs.filter(col("vec_id") < 30).select("vec_id", "embedding")
+    assert(graft.streaming.VectorIndexStream.pqAppendBatch(
+      b, 0L, "vec_id", "embedding", idx, model, cents, streamId = "manual"))
+    val after = spark.read.parquet(idx).count()
+    assert(!graft.streaming.VectorIndexStream.pqAppendBatch(
+      b, 0L, "vec_id", "embedding", idx, model, cents, streamId = "manual"))
+    assert(spark.read.parquet(idx).count() === after)
+  }
+
   test("pqIvfWriteIndex drops uncodable rows: zero-norm vectors never reach the index or shortlist") {
     import spark.implicits._
     // zero-norm row codes to NULL; if it landed in the index its NULL

@@ -309,6 +309,44 @@ class SimilaritySpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("semDedup/semDedupDelta hierarchical routing: kept set matches the flat cut on clustered data") {
+    import spark.implicits._
+    // planted duplicate pairs inside well-separated clusters: every id
+    // 3k+1 is an exact-direction twin (2×) of id 3k, so flat semDedup
+    // drops exactly the twins; hier routing (forced via hierThreshold=1)
+    // must land both pair members in the same cluster and agree
+    val rnd = new scala.util.Random(17)
+    def jitter(base: Array[Double]) =
+      base.map(x => x + 0.05 * rnd.nextGaussian())
+    val bases = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val rows = (0L until 300L by 3L).flatMap { i =>
+      val v = jitter(bases(((i / 3) % 3).toInt))
+      Seq((i, v), (i + 1, v.map(_ * 2.0)), (i + 2, jitter(bases(((i / 3) % 3).toInt))))
+    }
+    val df = rows.toDF("vec_id", "embedding").cache()
+    try {
+      def keptIds(d: org.apache.spark.sql.DataFrame) =
+        d.select("vec_id").collect().map(_.getLong(0)).toSet
+      val flat = keptIds(VectorOps.semDedup(df, "vec_id", "embedding", 0.95,
+        nClusters = 12, hierThreshold = Int.MaxValue))
+      val hier = keptIds(VectorOps.semDedup(df, "vec_id", "embedding", 0.95,
+        nClusters = 12, hierThreshold = 1, coarseProbes = 2))
+      assert(flat.size < rows.size, "gate corpus must actually dedup")
+      assert(hier === flat, "hier semDedup diverged from the flat cut")
+      // delta contract under routing: base = even tens, delta = the rest
+      val base0 = df.filter(col("vec_id") % 2 === 0)
+      val delta = df.filter(col("vec_id") % 2 === 1)
+      val cents = VectorOps.kmeansCentroids(df, "embedding", 12)
+      val flatD = keptIds(VectorOps.semDedupDelta(base0, delta, "vec_id",
+        "embedding", 0.95, cents, hierThreshold = Int.MaxValue))
+      val hierD = keptIds(VectorOps.semDedupDelta(base0, delta, "vec_id",
+        "embedding", 0.95, cents, hierThreshold = 1, coarseProbes = 2))
+      assert(flatD.size < rows.count(_._1 % 2 == 1), "delta gate must actually dedup")
+      assert(hierD === flatD, "hier semDedupDelta diverged from the flat cut")
+    } finally df.unpersist()
+  }
+
   test("IVF k-means centroids beat first-N-by-id on clustered data") {
     import spark.implicits._
     // Three well-separated clusters on the 4-sphere; ids ordered so the

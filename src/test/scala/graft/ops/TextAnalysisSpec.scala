@@ -257,6 +257,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) > out(2L) && out(3L) < 4 * out(2L))
   }
 
+  test("bm25Join: single-query batch ≡ bm25Scores; duplicate query terms count once; rank order pinned") {
+    import spark.implicits._
+    val docsDf = graft.Tables.load(spark, TestSpark.Sf001, "documents")
+    val terms = Seq("vector", "join", "scan")
+    val qs = Seq((7, terms)).toDF("query_id", "terms")
+    val joined = TextAnalysis.bm25Join(qs, docsDf, "query_id", "terms",
+        "doc_id", "text", k = Int.MaxValue)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val single = TextAnalysis.bm25Scores(docsDf, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(joined === single, "batch shape diverged from the probe shape")
+    // a query listing a term twice scores as the bag of UNIQUE terms
+    val dup = Seq((7, terms ++ Seq("vector"))).toDF("query_id", "terms")
+    val dupScores = TextAnalysis.bm25Join(dup, docsDf, "query_id", "terms",
+        "doc_id", "text", k = Int.MaxValue)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(dupScores === single)
+    // rank is dense from 1 within the query, ordered (bm25 desc, doc_id)
+    val top = TextAnalysis.bm25Join(qs, docsDf, "query_id", "terms",
+        "doc_id", "text", k = 5)
+      .orderBy(col("rank")).collect()
+    assert(top.map(_.getLong(3)).toList === (1L to 5L).toList)
+    assert(top.map(_.getDouble(2)).toList === top.map(_.getDouble(2)).sorted.reverse.toList)
+  }
+
   test("multimodal: feature extraction is deterministic and batch-shaped") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
     val f1 = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
