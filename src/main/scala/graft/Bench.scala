@@ -22,11 +22,12 @@ object Bench {
     // q61 (threshold 0.9, fine buckets), which runs ~5x faster.
     val excluded = Set("q32_stream_hourly", "q33_sessionization",
       "q41_stream_dedup", "q62_stream_join", "q69_stream_enrich",
-      // q104 is also a real micro-batch run (stage + 4-batch stream +
-      // probe) — it joins the streaming section below; its batch twin
-      // (ivfAppendIndex + ivfProbeIndex, the identical data path) is
-      // what SimilaritySpec pins and what q39 benches.
-      "q104_stream_ivf",
+      // q104/q110 are also real micro-batch runs (stage + 4-batch
+      // stream + probe) — they join the streaming section below; their
+      // batch twins (ivfAppendIndex/pqIvfAppendIndex + probe, the
+      // identical data paths) are what SimilaritySpec/PqSpec pin and
+      // what q39/q108 bench.
+      "q104_stream_ivf", "q110_stream_ivfpq",
       "q24_embed_neardup")
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
@@ -124,7 +125,7 @@ object Bench {
     // Trigger.AvailableNow micro-batch pipeline costs at this SF.
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
       "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
-      "q104_stream_ivf")
+      "q104_stream_ivf", "q110_stream_ivfpq")
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {
       streamingNames.foreach { n =>

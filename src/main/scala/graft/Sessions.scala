@@ -20,6 +20,14 @@ object Sessions {
       // non-starter for 100 TB/day sessionization state.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // The rank-filter → WindowGroupLimit rewrite silently stops at
+      // rank 1000 (spark.sql.optimizer.windowGroupLimitThreshold
+      // default). Several operators lean on the rewrite's map-side
+      // prune with operator-level caps just above it (q21's
+      // maxBucket+1 = 1001 skew guard), and losing it degrades to a
+      // full sort-shuffle of the pruned relation — raise the ceiling
+      // well past any cap the engine uses.
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "1048576")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized for the harness box: `local[cpus]`, shuffle

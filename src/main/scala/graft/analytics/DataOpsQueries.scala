@@ -618,6 +618,153 @@ object DataOpsQueries {
           .orderBy(col("query_id"), col("rank"))
       }),
 
+    // Exact batch kNN join over a broadcast query set — the dense
+    // batch-retrieval ground truth (ivfKnnJoin's exactness baseline as
+    // a first-class query) and the dense first stage of hybrid
+    // retrieval (q115). Oracle mirrors q91's score chain
+    // (round-before-rank, ties by neighbor id) minus the label vote.
+    NamedQuery(
+      "q114_knn_batch_exact",
+      Some("""WITH e AS (SELECT vec_id,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |           FROM embeddings),
+             |q AS (SELECT vec_id q_id, v qv FROM e
+             |      WHERE vec_id < 8 AND list_dot_product(v, v) > 0),
+             |c AS (SELECT vec_id n_id, v FROM e WHERE list_dot_product(v, v) > 0),
+             |s AS (SELECT q_id, n_id,
+             |        ROUND(list_dot_product(v, qv)
+             |          / (sqrt(list_dot_product(v, v))
+             |             * sqrt(list_dot_product(qv, qv))), 6) cosine
+             |      FROM c, q),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY cosine DESC, n_id) AS "rank"
+             |      FROM s)
+             |SELECT q_id, n_id, cosine, "rank" FROM r WHERE "rank" <= 10
+             |ORDER BY q_id, "rank"""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir)
+        VectorOps.bruteKnnJoin(e.filter(col("vec_id") < 8), e,
+            "vec_id", "embedding", k = 10)
+          .orderBy("q_id", "rank")
+      }),
+
+    // Hybrid lexical+dense retrieval via reciprocal-rank fusion: q111's
+    // BM25 query relation and q114's dense kNN (query vector = the
+    // embedding row sharing the query's id) each shortlist top-10,
+    // RRF (k=60) fuses. The full two-retriever production RAG shape,
+    // end-to-end oracle-checked: the oracle mirrors BOTH retrieval
+    // chains, the absent-from-one-list zero contribution, and the
+    // fused tie order.
+    NamedQuery(
+      "q115_hybrid_rrf",
+      Some("""WITH q AS (SELECT CAST(query_id AS BIGINT) query_id, terms
+             |           FROM (VALUES (1, ['vector','join']),
+             |                        (2, ['scan','filter','hash']),
+             |                        (3, ['stream','window']),
+             |                        (4, ['sort','merge','spark','join']))
+             |             t(query_id, terms)),
+             |qt AS (SELECT DISTINCT query_id, unnest(terms) AS w FROM q),
+             |t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |e AS (SELECT doc_id, unnest(tok) w FROM t),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf FROM e
+             |       WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, w),
+             |df AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w),
+             |sc AS (SELECT qt.query_id, tf.doc_id,
+             |         ROUND(SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |           * tf.tf * 2.2
+             |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+             |       FROM tf JOIN qt USING (w) JOIN df USING (w)
+             |         JOIN l USING (doc_id) CROSS JOIN s
+             |       GROUP BY qt.query_id, tf.doc_id),
+             |lr AS (SELECT query_id, doc_id,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY bm25 DESC, doc_id) AS rk
+             |       FROM sc),
+             |lx AS (SELECT query_id, doc_id, rk FROM lr WHERE rk <= 10),
+             |ev AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |       FROM embeddings),
+             |qv AS (SELECT vec_id q_id, v qv FROM ev
+             |       WHERE vec_id IN (1, 2, 3, 4) AND list_dot_product(v, v) > 0),
+             |cv AS (SELECT vec_id n_id, v FROM ev WHERE list_dot_product(v, v) > 0),
+             |ds AS (SELECT q_id, n_id,
+             |         ROUND(list_dot_product(v, qv)
+             |           / (sqrt(list_dot_product(v, v))
+             |              * sqrt(list_dot_product(qv, qv))), 6) cosine
+             |       FROM cv, qv),
+             |dr AS (SELECT q_id, n_id,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY cosine DESC, n_id) AS rk
+             |       FROM ds),
+             |dx AS (SELECT q_id query_id, n_id doc_id, rk FROM dr WHERE rk <= 10),
+             |f AS (SELECT COALESCE(lx.query_id, dx.query_id) query_id,
+             |             COALESCE(lx.doc_id, dx.doc_id) doc_id,
+             |             ROUND(COALESCE(1.0 / (60 + lx.rk), 0)
+             |               + COALESCE(1.0 / (60 + dx.rk), 0), 6) rrf
+             |      FROM lx FULL OUTER JOIN dx
+             |        ON lx.query_id = dx.query_id AND lx.doc_id = dx.doc_id),
+             |rr AS (SELECT query_id, doc_id, rrf,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY rrf DESC, doc_id) AS "rank"
+             |       FROM f)
+             |SELECT query_id, doc_id, rrf, "rank" FROM rr WHERE "rank" <= 10
+             |ORDER BY query_id, "rank"""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq(
+          (1L, Seq("vector", "join")),
+          (2L, Seq("scan", "filter", "hash")),
+          (3L, Seq("stream", "window")),
+          (4L, Seq("sort", "merge", "spark", "join")))
+          .toDF("query_id", "terms")
+        val lex = TextAnalysis.bm25Join(qs, docs(s, dir), "query_id", "terms",
+            "doc_id", "text", k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val e = embs(s, dir)
+        val dense = VectorOps.bruteKnnJoin(
+            e.filter(col("vec_id").isin(1L, 2L, 3L, 4L)), e,
+            "vec_id", "embedding", k = 10)
+          .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+            col("rank"))
+        Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rank", k = 10)
+          .orderBy("query_id", "rank")
+      }),
+
+    // PCA dimensional reduction: fit an 8-component rotation on the
+    // bounded seeded sample (driver Jacobi eigensolve of the d×d
+    // covariance — the kmeansCentroids model-fitting contract), then
+    // ONE map-only corpus pass projects every embedding (native
+    // graft_dot per component against a literal eigenvector). Output:
+    // per-component sample eigenvalue next to the corpus-wide variance
+    // of the projected scores — fit AND projection in one relation.
+    // Rows-only: the sampled fit is not SQL-derivable (the q85/q107
+    // centroid-cut class); PcaSpec pins orthonormality, Cv = λv on a
+    // recomputed covariance, planted-direction recovery, distributed ≡
+    // local projection, and the map-only/codegen plan.
+    NamedQuery(
+      "q116_pca_project",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        val e = embs(s, dir)
+        val m = VectorOps.pcaFit(e, "embedding", c = 8)
+        val perComp = VectorOps.pcaProject(e, "embedding", m, "pca")
+          .select(posexplode(col("pca")).as(Seq("component", "score")))
+          .groupBy("component")
+          .agg(round(avg(col("score") * col("score"))
+            - pow(avg(col("score")), 2), 6).as("proj_variance"))
+        val evs = m.eigenvalues.zipWithIndex
+          .map { case (ev, i) => (i, math.rint(ev * 1e6) / 1e6) }
+          .toSeq.toDF("component", "sample_eigenvalue")
+        perComp.join(broadcast(evs), Seq("component"))
+          .select(col("component").cast("long").as("component"),
+            col("sample_eigenvalue"), col("proj_variance"))
+          .orderBy("component")
+      }),
+
     // BPE merge induction: 16 merges trained over the documents word
     // histogram — one corpus pass, then vocabulary-scale iterations.
     // Rows-only: SQL cannot express the data-dependent iteration (each
@@ -635,6 +782,27 @@ object DataOpsQueries {
           .select(col("rank").cast("long").as("rank"),
             col("left"), col("right"), col("count"))
           .orderBy("rank")
+      }),
+
+    // BPE subword ENCODE: q105's trained merge table applied back to
+    // the corpus (tokens → subwords, one map-only pass through the
+    // native graft_bpe_encode expression), surfaced as the top-50
+    // subword histogram. Rows-only for q105's reason — the merge table
+    // is the product of data-dependent iteration SQL can't express;
+    // BpeSpec pins the encode against the in-memory reference
+    // (encodeLocal) row-for-row and against the composable HOF
+    // formulation, including the training-corpus-reproduction
+    // invariant.
+    NamedQuery(
+      "q113_bpe_encode",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merges = Bpe.trainMerges(Bpe.wordHistogram(d, "text"), 16)
+        Bpe.encode(d, "text", merges, "sub")
+          .select(explode(col("sub")).as("subword"))
+          .groupBy("subword").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("subword")).limit(50)
       }),
 
     // ----------------------------------------------- text analysis

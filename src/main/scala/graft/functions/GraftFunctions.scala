@@ -26,6 +26,7 @@ object GraftFunctions {
   val NearestCentroidsHierName = "graft_nearest_centroids_hier"
   val PqCodesName = "graft_pq_codes"
   val PqAdcName = "graft_pq_adc"
+  val BpeEncodeName = "graft_bpe_encode"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -53,6 +54,23 @@ object GraftFunctions {
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
       case other => throw new IllegalArgumentException(
         s"$fn: $argName must be an array<double> literal, got $other")
+    }
+  }
+
+  /** Extract a required array<string>-literal argument (same diagnosis
+    * rationale as [[literalInt]]).
+    */
+  private[graft] def literalStringArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, argName: String): Array[String] = {
+    require(e.foldable, s"$fn: $argName must be an array<string> literal, got ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType)
+          .map(s => if (s == null) null else s.toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be an array<string> literal, got $other")
     }
   }
 
@@ -233,6 +251,14 @@ object GraftFunctions {
           s"$PqAdcName: LUT length ${lut.length} is not a positive multiple of m=$m")
         PqAdc(exprs.head, lut, m, lut.length / m)
       }), "built-in")
+    reg.createOrReplaceTempFunction(
+      BpeEncodeName, arity(BpeEncodeName, 3)(exprs => {
+        val lefts = literalStringArray(exprs(1), BpeEncodeName, "lefts")
+        val rights = literalStringArray(exprs(2), BpeEncodeName, "rights")
+        require(lefts.length == rights.length,
+          s"$BpeEncodeName: ${lefts.length} left vs ${rights.length} right symbols")
+        BpeEncode(exprs.head, lefts, rights)
+      }), "built-in")
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -257,6 +283,14 @@ object GraftFunctions {
     call_function(PqAdcName, codes,
       org.apache.spark.sql.functions.lit(flatLut),
       org.apache.spark.sql.functions.lit(m))
+
+  /** Native BPE subword encode of a token array under a fixed
+    * rank-ordered merge table (requires `register(spark)`).
+    */
+  def bpeEncode(words: Column, lefts: Array[String], rights: Array[String]): Column =
+    call_function(BpeEncodeName, words,
+      org.apache.spark.sql.functions.lit(lefts),
+      org.apache.spark.sql.functions.lit(rights))
 
   /** Native nearest-centroid assignment against a fixed centroid table
     * (requires `register(spark)` — done by [[graft.Sessions.local]]).

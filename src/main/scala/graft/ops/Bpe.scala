@@ -178,4 +178,58 @@ object Bpe {
     }
     buf.toArray
   }
+
+  // ------------------------------------------------------------ encode
+
+  /** Subword-tokenize a corpus under a trained merge table: whitespace
+    * tokens → per-word BPE → one flattened subword array per row.
+    *
+    * Semantics: merges apply IN RANK ORDER, each as the greedy
+    * left-to-right non-overlapping rewrite of [[trainMerges]]'s
+    * histogram update — so encoding the training corpus reproduces
+    * exactly the symbol state training left it in ([[encodeLocal]] is
+    * the reference; BpeSpec pins the distributed path against it
+    * row-for-row).
+    *
+    * Scale shape: map-only — zero shuffles, whatever the corpus size.
+    * The per-word merge loop runs inside the native codegen'd
+    * [[graft.functions.BpeEncode]] expression with a per-task
+    * word → subwords cache, so Zipfian text pays the loop roughly once
+    * per distinct word per task (the vocabulary-dedup trick without
+    * its posting-reassembly shuffle; see BpeExpr.scala for the levers
+    * and for why the composable HOF form doesn't scale in merge
+    * count).
+    */
+  def encode(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[Merge],
+      outCol: String = "subwords"): DataFrame = {
+    val sorted = merges.sortBy(_.rank)
+    df.withColumn(outCol, graft.functions.GraftFunctions.bpeEncode(
+      TextFunctions.tokens(col(textCol)),
+      sorted.map(_.left).toArray, sorted.map(_.right).toArray))
+  }
+
+  /** Built-ins-only formulation of the per-token-array encode (one
+    * `aggregate` HOF per merge nested in a `transform` — reference
+    * semantics for the parity test, NOT the fast path: the expression
+    * tree grows linearly with merge count).
+    */
+  def encodeTokensComposable(words: Column, merges: Seq[Merge]): Column =
+    flatten(transform(
+      filter(words, w => length(w) > 0),
+      w => merges.sortBy(_.rank).foldLeft(charSyms(w))(
+        (syms, m) => mergeExpr(syms, m.left, m.right))))
+
+  /** In-memory reference encode: the merge table applied to one word in
+    * rank order via [[mergePair]] — the ground truth the distributed
+    * and composable paths are pinned against.
+    */
+  def encodeLocal(word: String, merges: Seq[Merge]): Seq[String] =
+    if (word.isEmpty) Seq.empty
+    else merges.sortBy(_.rank)
+      .foldLeft(word.map(String.valueOf(_)).toArray)(
+        (syms, m) => mergePair(syms, m.left, m.right))
+      .toSeq
 }

@@ -302,8 +302,6 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // Shingle sets are computed once and kept OUT of the bucket shuffle:
     // buckets carry only (band, bucket, id); candidate pairs join back to
     // the sets for the single verify pass. At 8 bands this is 8× less
@@ -314,32 +312,8 @@ object Dedup {
     val sets = df
       .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val buckets = sets
-      .select(col(idCol),
-        explode(lshBands(minhashSignature(col("sh"), numHashes), bands, r)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    // Skew guard: cap bucket size before the self-join. An aggregate of
-    // oversized buckets (tiny by construction) broadcast as an anti-join
-    // — cheaper than a window function, which would sort-shuffle every
-    // posting just to attach a count.
-    val oversized = buckets.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select("band", "bucket")
-    val counted = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-    val a = counted.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = counted.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    // Pair feed is SINGLE-ORDERED already: `id_a < id_b` folds into the
-    // self-join's condition (PlanSpec pins this), so a reversed ordering
-    // is rejected at match time — never materialized, never shuffled to
-    // the distinct. The q59-style halving (Similarity.scala) does not
-    // apply on top: that one exists because PROBING generates each pair
-    // from both sides independently; a plain self-join has no second
-    // generation path to halve.
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct() // each pair verified exactly once, however many bands agree
+    val candidates = minhashCandidatePairs(
+      df, idCol, textCol, shingleN, numHashes, bands, maxBucket)
     val result = candidates
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -347,6 +321,84 @@ object Dedup {
         round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     result
+  }
+
+  /** The LSH front half of [[minhashLshPairs]]: banded bucket generation,
+    * skew guard, in-bucket pair expansion, distinct — everything up to
+    * (but not including) the exact-Jaccard verify join. Exposed so stage
+    * decomposition (ScaleProbe `q21decomp`) probes the shipped dataflow
+    * rather than a drift-prone copy, and for callers composing their own
+    * verify pass (e.g. verifying on a different similarity than Jaccard).
+    * Returns distinct `(id_a, id_b)` with `id_a < id_b`.
+    *
+    * Candidate generation is bucket-GROUPED, not a self-join: one
+    * `collect_list` aggregation per (band, bucket) and a map-side
+    * ordered-pair expansion of each sorted id list. The round-11 stage
+    * decomposition (SCALE.md `q21decomp`) attributed most of q21's wall
+    * to the former self-join stage — two full shuffles of the bucket
+    * relation (one per join side; the differently-aliased projections
+    * defeat exchange reuse) plus the join itself. Grouping shuffles the
+    * bucket relation ONCE and generates the same ordered pairs from
+    * each list (identical relation — tools/Q21Decomp pins set equality
+    * and measured the three candidate dataflows). The expansion is
+    * quadratic per bucket BY DESIGN — identical pair volume to the
+    * self-join, bounded at maxBucket²/2 per key by the skew guard.
+    *
+    * The skew guard itself is a WindowGroupLimit rank-prune rather than
+    * the former count/broadcast-anti-join pre-pass: `row_number ≤
+    * maxBucket + 1` over (band, bucket) caps what any degenerate key
+    * can ship (Spark's WindowGroupLimit rewrite pre-prunes to
+    * maxBucket+1 rows per key per MAP task, so a bucket of 10⁸ empty
+    * documents never crosses the wire or sits in one aggregation
+    * buffer), the grouping aggregate reuses the window's partitioning
+    * (no second exchange), and a truncated bucket arrives at exactly
+    * maxBucket+1 ids — so the size filter drops it EXACTLY as the
+    * anti-join did, one full pass over the bucket relation cheaper.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = df
+      .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val buckets = sets
+      .select(col(idCol),
+        explode(lshBands(minhashSignature(col("sh"), numHashes), bands, r)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    // Skew guard: rank-prune to maxBucket+1 rows per bucket BEFORE the
+    // collect (WindowGroupLimit bounds a degenerate key at the map
+    // side), group reusing the window's partitioning, and drop the
+    // truncated — i.e. oversized — buckets by their exact arrival size.
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy(col(idCol))
+    // Pair feed is SINGLE-ORDERED by construction: each sorted list
+    // expands to (ids(i), ids(j)) for i < j only — a reversed ordering
+    // is never materialized, so the distinct (needed because any of the
+    // `bands` bands can agree on a pair) dedups true multi-band hits
+    // only. The q59-style halving (Similarity.scala) does not apply on
+    // top: that one exists because PROBING generates each pair from
+    // both sides independently; in-bucket expansion has no second
+    // generation path.
+    buckets
+      .withColumn("rn", row_number().over(byBucket))
+      .filter(col("rn") <= maxBucket + 1)
+      .groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct() // each pair verified exactly once, however many bands agree
   }
 
   // ----------------------------------------------------- exact n-gram Jaccard

@@ -169,6 +169,53 @@ object VectorOps {
       .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
   }
 
+  /** EXACT batch kNN join for a broadcast-sized query set: the top-`k`
+    * cosine neighbors from `corpus` for every query row, no
+    * approximation — the exactness twin of [[ivfKnnJoin]] when the
+    * query side fits a broadcast (and the batch generalization of the
+    * single-query [[bruteForceTopK]]).
+    *
+    * Output: `(q_id, n_id, cosine, rank)`, rank 1..≤k per query
+    * (cosine desc, ties by neighbor id).
+    *
+    * Scale shape (the [[knnClassify]] front half): the query batch is
+    * the BROADCAST side of the cross join, so corpus scoring is one
+    * map-only pass over the big table — the corpus is never shuffled;
+    * the per-query top-k is a `row_number ≤ k` window Spark rewrites to
+    * WindowGroupLimit, so the only exchange carries ≤ k rows per query
+    * per map task. Used as the dense first stage of hybrid retrieval
+    * ([[Retrieval.rrfFuse]]) and as the ground truth the ANN recall
+    * gates compare against. Determinism: cosine rounded to `roundTo`
+    * BEFORE ranking, ties by id.
+    */
+  def bruteKnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = false,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val c = corpus
+      .select(col(idCol).as("n_id"), rawVec(corpus, vecCol).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
+    val q = queries
+      .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), roundTo).as("cosine"))
+    val kept = if (excludeSelf) scored.filter(col("q_id") =!= col("n_id")) else scored
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    kept
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Batch kNN JOIN — top-`k` cosine neighbors from `corpus` for EVERY
     * row of `queries`, both sides corpus-scale (the shape
     * [[knnClassify]]'s scaladoc defers to when the query set outgrows a
@@ -500,6 +547,152 @@ object VectorOps {
     * Returns unit-normalized centroids; deterministic for a fixed
     * (seed, corpus).
     */
+  /** PCA model: `components` is c orthonormal rows (eigenvalue-desc
+    * order), `eigenvalues` the matching sample variances along them.
+    * Sign-canonicalized (largest-|coordinate| entry positive) so the
+    * fit is a pure function of the sample.
+    */
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Fit a PCA rotation on a bounded seeded sample — the
+    * [[kmeansCentroids]] model-fitting contract applied to dimensional
+    * reduction: the ONLY collect is `sampleRows` rows (hash-ordered,
+    * seeded), the d×d covariance is driver math (embedding dims are
+    * 10²–10³; the corpus is what's big), and the eigensolve is a
+    * cyclic Jacobi on the symmetric covariance. Use ahead of ANN/PQ to
+    * cut dimension (classic OPQ-style preconditioning: variance
+    * concentrates in the leading components, the tail is noise).
+    */
+  def pcaFit(
+      df: DataFrame,
+      vecCol: String,
+      c: Int,
+      seed: Long = 42L,
+      sampleRows: Int = 4096): PcaModel = {
+    require(c >= 1, s"c=$c must be >= 1")
+    val rows: Array[Array[Double]] = df
+      .select(toDoubleVec(col(vecCol)).as("v"))
+      .filter(size(col("v")) > 0)
+      .orderBy(xxhash64(col("v"), lit(seed)))
+      .limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "pcaFit: empty sample")
+    val d = rows.head.length
+    require(rows.forall(_.length == d), "pcaFit: ragged vector dimensions")
+    val n = rows.length
+    val mean = new Array[Double](d)
+    for (r <- rows; j <- 0 until d) mean(j) += r(j)
+    for (j <- 0 until d) mean(j) /= n
+    // sample covariance (1/n — the population form; the eigenVECTORS,
+    // which the projection uses, are scale-invariant)
+    val cov = Array.ofDim[Double](d, d)
+    for (r <- rows) {
+      var i = 0
+      while (i < d) {
+        val xi = r(i) - mean(i)
+        var j = i
+        while (j < d) {
+          cov(i)(j) += xi * (r(j) - mean(j))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    for (i <- 0 until d; j <- i until d) {
+      cov(i)(j) /= n
+      cov(j)(i) = cov(i)(j)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i)).take(math.min(c, d))
+    val comps = order.map { i =>
+      val v = Array.tabulate(d)(j => evecs(j)(i)) // column i of V
+      // canonical sign: the largest-|coordinate| entry positive
+      val m = v.indices.maxBy(j => (math.abs(v(j)), -j))
+      if (v(m) < 0) v.map(x => -x) else v
+    }.toArray
+    PcaModel(mean, comps, order.map(evals).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, V) with A·V(:,i) = λᵢ·V(:,i). Deterministic sweep
+    * order; converges quadratically — 10⁻¹² relative off-diagonal mass
+    * in a handful of sweeps at embedding dimensions.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    val total = a.map(_.map(x => x * x).sum).sum
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-24 * math.max(total, Double.MinPositiveValue)) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val sgn = if (theta >= 0) 1.0 else -1.0 // sign(0) = +1 convention
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val cs = 1 / math.sqrt(t * t + 1)
+            val sn = t * cs
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = cs * akp - sn * akq
+              a(k)(q) = sn * akp + cs * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = cs * apk - sn * aqk
+              a(q)(k) = sn * apk + cs * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = cs * vkp - sn * vkq
+              v(k)(q) = sn * vkp + cs * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) off += a(i)(j) * a(i)(j)
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Project onto a fitted [[PcaModel]]: map-only, one native
+    * `graft_dot` per component against a literal eigenvector (the mean
+    * offset folds into a precomputed scalar:
+    * compᵀ(x − μ) = compᵀx − compᵀμ) — the whole projection stays
+    * inside whole-stage codegen, zero shuffles, and the corpus is
+    * touched exactly once however many components are kept.
+    */
+  def pcaProject(
+      df: DataFrame,
+      vecCol: String,
+      model: PcaModel,
+      outCol: String = "pca"): DataFrame = {
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val raw = rawVec(df, vecCol)
+    df.withColumn(outCol, array(model.components.map { comp =>
+      dot(raw, lit(comp)) - lit(dotA(model.mean, comp))
+    }: _*))
+  }
+
   def kmeansCentroids(
       df: DataFrame,
       vecCol: String,

@@ -115,7 +115,18 @@ object ScaleProbe {
         // set would grow k× alongside the corpus, k²-ing the scored
         // relation — a data change, not the operator's contract of a
         // constant small query set); it gets a custom entry below.
-        "q103_bigram_ppl", "q105_bpe_merges", "q107_pq_ann")
+        "q103_bigram_ppl", "q105_bpe_merges", "q107_pq_ann",
+        // round-11 operators: q113's encode is map-only over the corpus
+        // (train is q105's fixed-16-merge histogram pass) — both grow
+        // k×; q114/q115 keep their constant 4–8-query relations while
+        // the corpus/postings sides grow k×, the same const-queries
+        // contract as q106 (the scored relation is corpus-side linear:
+        // broadcast-NLJ rows and postings rows, never queries×corpus
+        // materialized beyond the WindowGroupLimit prune)
+        "q113_bpe_encode", "q114_knn_batch_exact", "q115_hybrid_rrf",
+        // q116: bounded-sample fit (fixed work) + one map-only
+        // projection pass + a component-keyed agg — pure linear
+        "q116_pca_project")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -333,6 +344,49 @@ object ScaleProbe {
           f"hier=${tH}%6.2fs speedup=${tF / tH}%5.2f recall_vs_flat=$rec%.4f")
       }
       corpus.unpersist()
+    }
+    // q21's stage decomposition (round-10 verdict Next #6): cumulative
+    // cuts through minhashLshPairs' dataflow — shingle sets, minhash
+    // signatures, banded bucket rows, candidate pairs (skew guard +
+    // self-join + distinct), full pipeline (+ verify join and exact
+    // Jaccard) — each cut probing the SHIPPED code path
+    // (minhashCandidatePairs / minhashLshPairs, not a copy), warm at
+    // both scales. The delta between successive cuts attributes wall
+    // time to a stage; the per-cut ratio shows where any super-linear
+    // term lives.
+    if (only.forall(_.exists("q21decomp".startsWith))) {
+      def cuts(d: String): Seq[(String, Double)] = {
+        val docsDf = Tables.load(spark, d, "documents")
+        val sets = docsDf
+          .select(col("doc_id"),
+            graft.ops.TextFunctions.shingleSet(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sigs = sets.select(col("doc_id"),
+          graft.ops.Dedup.minhashSignature(col("sh"), 32).as("sig"))
+        val buckets = sets.select(col("doc_id"),
+          explode(graft.ops.Dedup.lshBands(
+            graft.ops.Dedup.minhashSignature(col("sh"), 32), 8, 4)).as("bb"))
+        def t(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        Seq(
+          // sum-of-hash sinks force each cut's columns to actually
+          // compute — a bare count would prune the expressions away
+          // (cast to double: ANSI mode makes a long sum overflow THROW)
+          ("shingles", t(sets.agg(sum(xxhash64(col("sh")).cast("double"))).head())),
+          ("signatures", t(sigs.agg(sum(xxhash64(col("sig")).cast("double"))).head())),
+          ("buckets", t(buckets.agg(sum(col("bb.bucket").cast("double"))).head())),
+          ("candidates", t(graft.ops.Dedup.minhashCandidatePairs(
+            docsDf, "doc_id", "text").count())),
+          ("full", t(graft.ops.Dedup.minhashLshPairs(
+            docsDf, "doc_id", "text", threshold = 0.5).count())))
+      }
+      cuts(dir); cuts(tmp) // warm both scales (page cache + codegen)
+      val c1 = cuts(dir).toMap
+      val ck = cuts(tmp).toMap
+      for (s <- Seq("shingles", "signatures", "buckets", "candidates", "full"))
+        println(f"[scale] q21decomp_$s%-11s 1x=${c1(s)}%6.2fs ${k}x=${ck(s)}%6.2fs " +
+          f"ratio=${ck(s) / c1(s)}%5.2f")
     }
     // q50's DISTRIBUTED path, forced (driverThreshold = 0): at gate and
     // probe scale the edge relation sits far under the 1M-edge driver

@@ -158,6 +158,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q114: exact kNN join broadcasts the query batch; corpus is never shuffled before scoring") {
+    val p = plan("q114_knn_batch_exact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q115: hybrid fusion joins shortlists only — no corpus-scale product anywhere") {
+    val p = plan("q115_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion fell back to a cartesian product:\n$p")
+    // the fused re-rank must pre-prune map-side like every top-k here
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q113: BPE encode is map-only — zero exchanges before the subword histogram agg") {
+    // the encode itself (tokens → native graft_bpe_encode → explode)
+    // must introduce NO exchange: the only shuffles in the whole query
+    // are the histogram agg and the final ordering
+    val p = plan("q113_bpe_encode")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"BPE encode introduced extra exchanges ($exchanges):\n$p")
+    assert(p.contains("graft_bpe_encode") || p.contains("BpeEncode") ||
+      p.contains("bpe"), s"native encode expression missing from plan:\n$p")
+  }
+
   test("q96: weightedSample pre-prunes map-side via WindowGroupLimit") {
     // same structural skew protection as q65: a hot source ships
     // k·partitions rows into the rank exchange, never its population
@@ -240,13 +266,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast size-attach and pair joins, got $broadcastOnCluster:\n$p")
   }
 
-  test("q21/q23/q22: pair self-joins carry id_a < id_b IN the join condition (single-ordered feed)") {
+  test("q21: candidate generation is bucket-grouped — one bucket shuffle, no pair self-join") {
+    // round-11: the q21decomp stage decomposition attributed most of
+    // q21's wall to the bucket SELF-join (two shuffles of the bucket
+    // relation + the join); candidate pairs now expand map-side from
+    // one collect_list per (band, bucket), skew-guarded by a
+    // WindowGroupLimit rank prune that shares the aggregation's
+    // partitioning. Pin all three: the grouping aggregate exists, the
+    // guard pre-prunes map-side, and no join keyed on the bucket
+    // columns (self-join OR the old count/anti-join guard) resurfaced.
+    val p = plan("q21_minhash_lsh")
+    assert(p.contains("collect_list"), s"bucket grouping missing:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"skew guard lost its map-side prune:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Join")
+        && l.contains("band") && l.contains("bucket")),
+      s"bucket-keyed join resurfaced:\n$p")
+  }
+
+  test("q23/q22: pair self-joins carry id_a < id_b IN the join condition (single-ordered feed)") {
     // A reversed pair must be rejected at join-match time, not
     // materialized and filtered above the join: the predicate has to
     // appear on the join operator's own line. If it ever shows up as a
     // separate Filter over the join, the pair feed (the shuffle into
     // distinct/groupBy) has doubled.
-    for (q <- Seq("q21_minhash_lsh", "q23_simhash", "q22_ngram_jaccard")) {
+    for (q <- Seq("q23_simhash", "q22_ngram_jaccard")) {
       val p = plan(q)
       val joinLines = p.linesIterator
         .filter(l => l.contains("Join") && l.contains("Inner")).toSeq
@@ -258,7 +301,7 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q21/q22/q61 join shapes: a hot key is either guard-dropped or AQE-skew-split") {
+  test("q22/q61 join shapes: a hot key is either guard-dropped or AQE-skew-split") {
     // The engine's skew story for the pair-join family has two layers:
     // the maxBucket/maxDocFreq guards drop DEGENERATE keys (over the
     // cap), and AQE's skew-join split is assumed to handle hot-but-
@@ -303,18 +346,11 @@ class PlanSpec extends AnyFunSuite {
         .toDF("doc_id", "text")
       assertSkewSplit("q22(ngramJaccardPairs)",
         graft.ops.Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", 3, 0.5))
-      // q21 shape: identical texts put every doc in the same band
-      // bucket; ONE band so the hot bucket is a single join key
-      // (several bands would hash the same docs into several keys and
-      // dilute the partition skew below detection at fixture scale),
-      // and maxBucket opened above the fixture so the guard passes the
-      // hot key through to the join.
-      val sameDocs = (1L to 400L).map(i => (i, "same text in every doc here"))
-        .toDF("doc_id", "text")
-      assertSkewSplit("q21(minhashLshPairs)",
-        graft.ops.Dedup.minhashLshPairs(sameDocs, "doc_id", "text",
-          shingleN = 3, numHashes = 32, bands = 1, threshold = 0.5,
-          maxBucket = 100000))
+      // (q21 left this family in round 11: its candidate stage is now
+      // bucket-grouped — no pair self-join for AQE to split. Its skew
+      // story is the maxBucket guard (degenerate buckets dropped
+      // pre-collect, DedupSpec) plus the maxBucket² per-task expansion
+      // bound; the remaining id-keyed verify joins key on unique ids.)
       // q61 shape: identical vectors share one SRP bucket per table —
       // one table for the same single-hot-key reason.
       val sameVecs = (1L to 400L).map(i => (i, Array(1.0f, 0.5f, 0.25f)))

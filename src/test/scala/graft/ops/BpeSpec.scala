@@ -81,4 +81,68 @@ class BpeSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.size === 12)
   }
+
+  // ------------------------------------------------------------ encode
+
+  test("encode: native ≡ reference encodeLocal per document at 16 and 64 merges") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val h = Bpe.wordHistogram(docs, "text")
+    for (n <- Seq(16, 64)) {
+      val merges = Bpe.trainMerges(h, n)
+      val got = Bpe.encode(docs, "text", merges, "sub")
+        .select(col("doc_id"), col("sub")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val texts = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      for ((id, text) <- texts) {
+        val expected = text.split(" ", -1).filter(_.nonEmpty).toSeq
+          .flatMap(w => Bpe.encodeLocal(w, merges))
+        assert(got(id) === expected, s"doc $id diverged at $n merges")
+      }
+    }
+  }
+
+  test("encode: native ≡ composable HOF formulation at 16 merges") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val merges = Bpe.trainMerges(Bpe.wordHistogram(docs, "text"), 16)
+    val both = Bpe.encode(docs, "text", merges, "native")
+      .withColumn("composable",
+        Bpe.encodeTokensComposable(TextFunctions.tokens(col("text")), merges))
+    assert(both.filter(not(col("native") === col("composable"))).count() === 0)
+  }
+
+  test("encode reproduces training's final symbol state (hand-computed)") {
+    // the train-consistency invariant the rank-order semantics buys:
+    // encoding a training word yields exactly the symbol sequence its
+    // histogram row held when training stopped. Hand trace:
+    //   (a,b)=7 → (a,a)=6 → (ab,ab)=4 → (aa,a)=3
+    val words = Seq("ababab" -> 2L, "abc" -> 1L, "aaa" -> 3L)
+    val merges = Bpe.trainMergesLocal(words, 4)
+    assert(merges === Seq(
+      Bpe.Merge(0, "a", "b", 7L), Bpe.Merge(1, "a", "a", 6L),
+      Bpe.Merge(2, "ab", "ab", 4L), Bpe.Merge(3, "aa", "a", 3L)))
+    assert(Bpe.encodeLocal("ababab", merges) === Seq("abab", "ab"))
+    assert(Bpe.encodeLocal("abc", merges) === Seq("ab", "c"))
+    assert(Bpe.encodeLocal("aaa", merges) === Seq("aaa"))
+    // subwords always concatenate back to the word
+    for ((w, _) <- words)
+      assert(Bpe.encodeLocal(w, merges).mkString === w)
+  }
+
+  test("encode edge cases: empty text, repeated words hit the cache coherently") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val merges = Seq(Bpe.Merge(0, "a", "b", 9L), Bpe.Merge(1, "ab", "c", 5L))
+    val df = Seq((1L, "abc abc abc"), (2L, ""), (3L, "x abc"), (4L, "  "))
+      .toDF("id", "text")
+    val got = Bpe.encode(df, "text", merges, "sub")
+      .select("id", "sub").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("abc", "abc", "abc"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq("x", "abc"))
+    assert(got(4L) === Seq.empty)
+  }
 }

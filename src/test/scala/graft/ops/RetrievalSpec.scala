@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("rrfFuse hand fixture: overlap sums, single-list docs contribute one term") {
+    import spark.implicits._
+    // query 1: list A ranks d10 #1, d20 #2; list B ranks d20 #1, d30 #2
+    //   d20 = 1/62 + 1/61 = 0.032522…, d10 = 1/61 = 0.016393…,
+    //   d30 = 1/62 = 0.016129…
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "did", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "did", "rank")
+    val got = Retrieval.rrfFuse(a, b, "qid", "did", "rank", k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 20L, 0.032522, 1L),
+      (1L, 10L, 0.016393, 2L),
+      (1L, 30L, 0.016129, 3L)))
+  }
+
+  test("rrfFuse ties break by doc id; k truncates the fused list") {
+    import spark.implicits._
+    // both docs score exactly 1/61 for query 7 → tie → doc id order
+    val a = Seq((7L, 5L, 1L)).toDF("qid", "did", "rank")
+    val b = Seq((7L, 3L, 1L)).toDF("qid", "did", "rank")
+    val fused = Retrieval.rrfFuse(a, b, "qid", "did", "rank", k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(fused.toSeq === Seq((3L, 1L), (5L, 2L)))
+    val trunc = Retrieval.rrfFuse(a, b, "qid", "did", "rank", k = 1).collect()
+    assert(trunc.length === 1 && trunc.head.getLong(1) === 3L)
+  }
+
+  test("bruteKnnJoin ≡ single-query bruteForceTopK, and self-retrieval is rank 1") {
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val single = VectorOps.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble).toSeq, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = VectorOps.bruteKnnJoin(e.filter(col("vec_id") === 0), e,
+        "vec_id", "embedding", k = 20)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(batch.toSeq === single.toSeq)
+    // every non-degenerate query retrieves itself first at cosine 1.0
+    val self = VectorOps.bruteKnnJoin(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.nonEmpty)
+    assert(self.forall { case (q, n, c) => q == n && c == 1.0 })
+  }
+
+  test("bruteKnnJoin excludeSelf drops the reflexive pair only") {
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val without = VectorOps.bruteKnnJoin(e.filter(col("vec_id") < 4), e,
+      "vec_id", "embedding", k = 5, excludeSelf = true)
+    assert(without.filter(col("q_id") === col("n_id")).count() === 0)
+    // rank 1 without self = rank 2 with self (ids shift up by one)
+    val withSelf = VectorOps.bruteKnnJoin(e.filter(col("vec_id") < 4), e,
+        "vec_id", "embedding", k = 5)
+      .filter(col("rank") === 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top = without.filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top === withSelf)
+  }
+
+  test("hybrid fusion surfaces docs found by only one retriever") {
+    import spark.implicits._
+    // lexical finds d1 only; dense finds d2 only; both appear fused
+    val lex = Seq((1L, 1L, 1L)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 2L, 1L)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rank", k = 10)
+    assert(fused.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+}
