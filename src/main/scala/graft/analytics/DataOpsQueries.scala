@@ -572,6 +572,43 @@ object DataOpsQueries {
             Seq("vector", "join", "scan"))
           .orderBy(col("bm25").desc, col("doc_id")).limit(25)),
 
+    // Persisted BM25 lexical index: build the term-bucket-partitioned
+    // postings/doclen/stats layout, then probe it for q109's query —
+    // the index path must reproduce the scan path score for score, so
+    // it carries q109's ORACLE verbatim (the only index family member
+    // with a DuckDB gate: postings hold plain tf counts, no engine
+    // hashing in any VALUE — hashes only pick partition directories).
+    NamedQuery(
+      "q117_bm25_index",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |e AS (SELECT doc_id, unnest(tok) w FROM t),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf FROM e
+             |       WHERE w IN ('vector', 'join', 'scan') GROUP BY doc_id, w),
+             |df AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |    * tf.tf * 2.2
+             |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+             |FROM tf JOIN df USING (w) JOIN l USING (doc_id) CROSS JOIN s
+             |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 25""".stripMargin),
+      (s, dir) => {
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"lexidx_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        LexIndex.bm25WriteIndex(docs(s, dir), "doc_id", "text",
+          root.toString, buckets = 32)
+        LexIndex.bm25ProbeIndex(s, root.toString, "doc_id",
+            Seq("vector", "join", "scan"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(25)
+      }),
+
     // Batch BM25 retrieval over a QUERY RELATION: top-10 documents for
     // each of four term-array queries — the lexical twin of q101's
     // batch kNN shape (q109 is the single-query probe). Postings are

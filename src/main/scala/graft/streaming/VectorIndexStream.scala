@@ -90,7 +90,7 @@ object VectorIndexStream {
   /** The at-least-once guard both sinks share: run `append` only when
     * `streamId`/`batchId` has no ledger marker yet, then mark.
     */
-  private def ledgered(
+  private[streaming] def ledgered(
       batch: DataFrame, batchId: Long, path: String, streamId: String)(
       append: => Unit): Boolean = {
     val ledger =
@@ -148,7 +148,7 @@ object VectorIndexStream {
     * checkpoint lineage. Null only outside a real stream (tests calling
     * the body directly), where the flat ledger layout is fine.
     */
-  private def runningQueryId(batch: DataFrame): String =
+  private[streaming] def runningQueryId(batch: DataFrame): String =
     Option(batch.sparkSession.sparkContext
       .getLocalProperty("sql.streaming.queryId")).getOrElse("")
 }

@@ -125,8 +125,10 @@ object ScaleProbe {
         // materialized beyond the WindowGroupLimit prune)
         "q113_bpe_encode", "q114_knn_batch_exact", "q115_hybrid_rrf",
         // q116: bounded-sample fit (fixed work) + one map-only
-        // projection pass + a component-keyed agg — pure linear
-        "q116_pca_project")
+        // projection pass + a component-keyed agg — pure linear;
+        // q117: index build is the postings hash-agg (corpus-linear),
+        // probe reads only the query terms' bucket directories
+        "q116_pca_project", "q117_bm25_index")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
