@@ -609,6 +609,53 @@ object DataOpsQueries {
           .orderBy(col("bm25").desc, col("doc_id")).limit(25)
       }),
 
+    // Hybrid retrieval SERVED FROM PERSISTED INDEXES — the capstone
+    // composition: q117's BM25 postings index and the partition-pruned
+    // IVF vector index each shortlist top-10 for one (terms, vector)
+    // query, RRF fuses. The production serving path: after the two
+    // builds, neither retriever rescans a corpus — the lexical probe
+    // reads 3 of 32 term-bucket directories, the dense probe nProbe of
+    // 16 cluster directories. Rows-only (the IVF cut is the q39/q101
+    // centroid class); RetrievalSpec pins the index-served fusion ≡
+    // the scan-path fusion (bm25Scores + bruteForceTopK) at full probe
+    // budget.
+    NamedQuery(
+      "q118_hybrid_index",
+      None,
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"hybridx_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val d = docs(s, dir)
+        val e = embs(s, dir)
+        LexIndex.bm25WriteIndex(d, "doc_id", "text", s"$root/lex", buckets = 32)
+        val cents = VectorOps.ivfWriteIndex(e, "vec_id", "embedding",
+          s"$root/ivf", nCentroids = 16)
+        // ranks attach AFTER the top-k cut, so the global windows run
+        // over ≤ 10 rows each — never a corpus-wide single partition
+        val lex = LexIndex.bm25ProbeIndex(s, s"$root/lex", "doc_id",
+            Seq("vector", "join", "scan"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .select(lit(1L).as("query_id"), col("doc_id"), col("rank"))
+        val qvec = e.filter(col("vec_id") === 1).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble).toSeq
+        val dense = VectorOps.ivfProbeIndex(s, s"$root/ivf", cents,
+            "vec_id", qvec, k = 10, nProbe = 4)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+          .select(lit(1L).as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rank", k = 10)
+          .orderBy("query_id", "rank")
+      }),
+
     // Batch BM25 retrieval over a QUERY RELATION: top-10 documents for
     // each of four term-array queries — the lexical twin of q101's
     // batch kNN shape (q109 is the single-query probe). Postings are

@@ -71,6 +71,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(top === withSelf)
   }
 
+  test("index-served hybrid fusion ≡ scan-path fusion at full probe budget") {
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft-hybridx").toString
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val terms = Seq("vector", "join", "scan")
+    LexIndex.bm25WriteIndex(docs, "doc_id", "text", s"$root/lex", buckets = 16)
+    val cents = VectorOps.ivfWriteIndex(e, "vec_id", "embedding",
+      s"$root/ivf", nCentroids = 8)
+    val qvec = e.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    def ranked(d: org.apache.spark.sql.DataFrame, score: String, id: String) =
+      d.orderBy(col(score).desc, col(id)).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col(score).desc, col(id))).cast("long"))
+        .select(lit(1L).as("query_id"), col(id).as("doc_id"), col("rank"))
+    def fused(lex: org.apache.spark.sql.DataFrame,
+        dense: org.apache.spark.sql.DataFrame) =
+      Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", "rank", k = 10)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    // index-served: postings probe + IVF probe at FULL budget (every
+    // cluster probed → the candidate cut vanishes, isolating layout)
+    val viaIndex = fused(
+      ranked(LexIndex.bm25ProbeIndex(spark, s"$root/lex", "doc_id", terms),
+        "bm25", "doc_id"),
+      ranked(VectorOps.ivfProbeIndex(spark, s"$root/ivf", cents,
+          "vec_id", qvec, k = 10, nProbe = 8),
+        "cosine", "vec_id"))
+    // scan-served: the same two retrievals straight off the corpus
+    val viaScan = fused(
+      ranked(TextAnalysis.bm25Scores(docs, "doc_id", "text", terms),
+        "bm25", "doc_id"),
+      ranked(VectorOps.bruteForceTopK(e, "vec_id", "embedding", qvec, 10),
+        "cosine", "vec_id"))
+    assert(viaIndex === viaScan)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("hybrid fusion surfaces docs found by only one retriever") {
     import spark.implicits._
     // lexical finds d1 only; dense finds d2 only; both appear fused
