@@ -128,7 +128,9 @@ object ScaleProbe {
         // projection pass + a component-keyed agg — pure linear;
         // q117: index build is the postings hash-agg (corpus-linear),
         // probe reads only the query terms' bucket directories
-        "q116_pca_project", "q117_bm25_index")
+        // q118: both index builds corpus-linear, probes pruned, fusion
+        // shortlist-sized — the q117 + const-queries contracts composed
+        "q116_pca_project", "q117_bm25_index", "q118_hybrid_index")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
