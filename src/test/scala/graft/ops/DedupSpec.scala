@@ -124,6 +124,20 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("MinHash-LSH maxBucket guard: a bucket AT the cap expands pairs; one OVER it drops whole") {
+    // boundary semantics of the round-11 WindowGroupLimit rank-prune
+    // guard: it must reproduce the legacy anti-join's drop rule
+    // exactly (> maxBucket dropped, == maxBucket kept), with bands = 1
+    // so each corpus is a single bucket
+    def pairs(n: Int, cap: Int): Long =
+      Dedup.minhashLshPairs(
+        (1L to n.toLong).map(i => (i, "same text in every doc here")).toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 1,
+        threshold = 0.5, maxBucket = cap).count()
+    assert(pairs(6, 6) === 6L * 5 / 2, "bucket at the cap must expand fully")
+    assert(pairs(7, 6) === 0L, "bucket over the cap must drop whole, not truncate")
+  }
+
   test("prefix-filtered set-similarity join ≡ plain inverted-index join (exactness)") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
