@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared small-file compaction for append-accumulating parquet
+  * directories (the persisted-index maintenance primitive behind
+  * [[VectorOps.ivfCompactIndex]] and [[LexIndex.bm25CompactIndex]]):
+  * fold any directory over `maxFilesPerDir` visible files into
+  * ⌈bytes / targetBytes⌉ files, atomically enough for concurrent
+  * READERS — originals are hidden by rename only after the compacted
+  * copy is fully written, every rename/delete return code is checked
+  * (Hadoop reports most failures by returning false, not throwing),
+  * and a mid-flight failure either rolls hidden originals back or
+  * leaves them recoverable as `.*.old`, never duplicated next to the
+  * compacted copy.
+  */
+object Compaction {
+
+  /** Compact each directory independently; returns
+    * dirName → (filesBefore, filesAfter) for the dirs that folded.
+    */
+  def compactDirs(
+      spark: SparkSession,
+      dirs: Seq[Path],
+      maxFilesPerDir: Int,
+      targetBytes: Long,
+      opName: String): Map[String, (Int, Int)] = {
+    require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith(".") && !p.getName.startsWith("_")
+    dirs.flatMap { dir =>
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(dir).filter(s => s.isFile && visible(s.getPath))
+      if (files.length <= maxFilesPerDir) None
+      else {
+        val target = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        val tmp = new Path(dir, ".graft_compact_tmp")
+        fs.delete(tmp, true)
+        // The read's file listing happens at plan time, before tmp
+        // exists — and dot-prefixed children are hidden from parquet
+        // listings anyway.
+        spark.read.parquet(dir.toString)
+          .coalesce(target)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val compacted = fs.listStatus(tmp)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        // A silently failed hide-rename would leave an original visible
+        // NEXT TO its compacted copy — duplicated rows — so every step
+        // is checked and a hide failure rolls the already-hidden
+        // originals back before aborting.
+        def hiddenOf(f: Path) = new Path(dir, "." + f.getName + ".old")
+        val hidden = scala.collection.mutable.ArrayBuffer.empty[Path]
+        files.foreach { f =>
+          if (!fs.rename(f.getPath, hiddenOf(f.getPath))) {
+            // the rollback renames can fail the same silent way; report
+            // any that did rather than claiming a clean rollback
+            val stuck = hidden.filterNot(h => fs.rename(h,
+              new Path(dir, h.getName.stripPrefix(".").stripSuffix(".old"))))
+            fs.delete(tmp, true)
+            val rolledBack = hidden.length - stuck.length
+            val stuckMsg =
+              if (stuck.isEmpty) ""
+              else s"; ${stuck.length} rollback renames ALSO failed — still " +
+                s"hidden (recoverable) as: ${stuck.mkString(", ")}"
+            throw new java.io.IOException(
+              s"$opName: hide-rename of ${f.getPath} failed; " +
+                s"rolled back $rolledBack hidden originals in $dir" + stuckMsg)
+          }
+          hidden += hiddenOf(f.getPath)
+        }
+        compacted.foreach { f =>
+          if (!fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"$opName: publish-rename of ${f.getPath} into $dir failed; " +
+                "originals remain hidden (.*.old) — every row is " +
+                "recoverable but the directory needs manual repair")
+        }
+        if (!fs.delete(tmp, true))
+          throw new java.io.IOException(
+            s"$opName: could not delete temp dir $tmp after publish")
+        hidden.foreach { h =>
+          if (!fs.delete(h, false))
+            throw new java.io.IOException(
+              s"$opName: could not delete hidden original $h " +
+                "(compacted data is live; the leftover is hidden litter, " +
+                "not duplication)")
+        }
+        Some(dir.getName -> (files.length, compacted.length))
+      }
+    }.toMap
+  }
+}

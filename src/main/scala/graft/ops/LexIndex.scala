@@ -94,6 +94,32 @@ object LexIndex {
       .write.mode(mode).parquet(s"$path/stats")
   }
 
+  /** Fold append litter back into a bounded file layout — the
+    * [[VectorOps.ivfCompactIndex]] maintenance pass for the lexical
+    * layout: every `postings/tb=` partition, plus the flat `doclen/`
+    * and `stats/` directories, holding more than `maxFilesPerDir`
+    * files is rewritten to ⌈bytes / targetBytes⌉ files (same hidden-
+    * rename publish protocol, shared in [[Compaction.compactDirs]]).
+    * Rows — including the additive stats rows — are unchanged, so
+    * probe scores are identical before and after (LexIndexSpec pins
+    * it). Returns per-compacted-directory (files before, after).
+    */
+  def bm25CompactIndex(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerDir: Int = 8,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val postings = new Path(s"$path/postings")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tbDirs = fs.listStatus(postings)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tb="))
+      .map(_.getPath).toSeq
+    Compaction.compactDirs(spark,
+      tbDirs :+ new Path(s"$path/doclen") :+ new Path(s"$path/stats"),
+      maxFilesPerDir, targetBytes, "bm25CompactIndex")
+  }
+
   /** BM25 scores for `queryTerms` over the persisted index — the
     * index-backed twin of [[TextAnalysis.bm25Scores]] (same robust-idf
     * Okapi formula, same rounding), returning `(<idCol>, bm25)` for

@@ -1355,77 +1355,16 @@ object VectorOps {
       path: String,
       maxFilesPerCluster: Int = 8,
       targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
-    require(maxFilesPerCluster >= 1, "maxFilesPerCluster must be >= 1")
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def visible(p: Path): Boolean =
-      !p.getName.startsWith(".") && !p.getName.startsWith("_")
     val clusters = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
-    clusters.flatMap { c =>
-      val files = fs.listStatus(c.getPath)
-        .filter(s => s.isFile && visible(s.getPath))
-      if (files.length <= maxFilesPerCluster) None
-      else {
-        val target = math.max(1,
-          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
-        val tmp = new Path(c.getPath, ".graft_compact_tmp")
-        fs.delete(tmp, true)
-        // The read's file listing happens at plan time, before tmp
-        // exists — and dot-prefixed children are hidden from parquet
-        // listings anyway.
-        spark.read.parquet(c.getPath.toString)
-          .coalesce(target)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val compacted = fs.listStatus(tmp)
-          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        // Hadoop FileSystem.rename/delete report most failures (perms,
-        // existing destination, cross-fs) by returning false, not
-        // throwing. A silently failed hide-rename would leave an
-        // original visible NEXT TO its compacted copy — duplicated
-        // rows — so every step is checked and a hide failure rolls the
-        // already-hidden originals back before aborting.
-        def hiddenOf(f: Path) = new Path(c.getPath, "." + f.getName + ".old")
-        val hidden = scala.collection.mutable.ArrayBuffer.empty[Path]
-        files.foreach { f =>
-          if (!fs.rename(f.getPath, hiddenOf(f.getPath))) {
-            // the rollback renames can fail the same silent way; report
-            // any that did rather than claiming a clean rollback
-            val stuck = hidden.filterNot(h => fs.rename(h,
-              new Path(c.getPath, h.getName.stripPrefix(".").stripSuffix(".old"))))
-            fs.delete(tmp, true)
-            val rolledBack = hidden.length - stuck.length
-            val stuckMsg =
-              if (stuck.isEmpty) ""
-              else s"; ${stuck.length} rollback renames ALSO failed — still " +
-                s"hidden (recoverable) as: ${stuck.mkString(", ")}"
-            throw new java.io.IOException(
-              s"ivfCompactIndex: hide-rename of ${f.getPath} failed; " +
-                s"rolled back $rolledBack hidden originals in ${c.getPath}" +
-                stuckMsg)
-          }
-          hidden += hiddenOf(f.getPath)
-        }
-        compacted.foreach { f =>
-          if (!fs.rename(f.getPath, new Path(c.getPath, f.getPath.getName)))
-            throw new java.io.IOException(
-              s"ivfCompactIndex: publish-rename of ${f.getPath} into " +
-                s"${c.getPath} failed; originals remain hidden (.*.old) — " +
-                "every row is recoverable but the cluster needs manual repair")
-        }
-        if (!fs.delete(tmp, true))
-          throw new java.io.IOException(
-            s"ivfCompactIndex: could not delete temp dir $tmp after publish")
-        hidden.foreach { h =>
-          if (!fs.delete(h, false))
-            throw new java.io.IOException(
-              s"ivfCompactIndex: could not delete hidden original $h " +
-                "(compacted data is live; the leftover is hidden litter, not duplication)")
-        }
-        Some(c.getPath.getName -> (files.length, compacted.length))
-      }
-    }.toMap
+      .map(_.getPath).toSeq
+    // the publish protocol lives in the shared Compaction helper (also
+    // behind LexIndex.bm25CompactIndex)
+    Compaction.compactDirs(spark, clusters, maxFilesPerCluster,
+      targetBytes, "ivfCompactIndex")
   }
 
   def ivfProbeIndex(

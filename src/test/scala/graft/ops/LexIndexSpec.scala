@@ -68,6 +68,32 @@ class LexIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction folds append litter to bounded files with identical probe scores") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lex-compact").toString + "/idx"
+    val parts = (0 until 12).map(i => docs.filter(col("doc_id") % 12 === i))
+    LexIndex.bm25WriteIndex(parts.head, "doc_id", "text", root, buckets = 8)
+    parts.tail.foreach(p => LexIndex.bm25AppendIndex(p, "doc_id", "text", root))
+    val before = scores(LexIndex.bm25ProbeIndex(spark, root, "doc_id", terms))
+    def fileCount(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+    }
+    val statsBefore = fileCount(s"$root/stats")
+    assert(statsBefore > 8, s"fixture should litter stats ($statsBefore files)")
+    val folded = LexIndex.bm25CompactIndex(spark, root, maxFilesPerDir = 2,
+      targetBytes = 1L << 30)
+    assert(folded.nonEmpty, "compaction found nothing to fold")
+    assert(fileCount(s"$root/stats") <= 2)
+    assert(fileCount(s"$root/doclen") <= 2)
+    for (tb <- new java.io.File(s"$root/postings").listFiles
+        if tb.isDirectory && tb.getName.startsWith("tb="))
+      assert(fileCount(tb.toString) <= 2, s"${tb.getName} not folded")
+    // rows (including the additive stats rows) unchanged → scores identical
+    assert(scores(LexIndex.bm25ProbeIndex(spark, root, "doc_id", terms)) === before)
+  }
+
   test("stream-built index probes identically to a batch build; redelivered batch appends nothing") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
