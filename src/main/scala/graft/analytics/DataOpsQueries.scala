@@ -702,6 +702,40 @@ object DataOpsQueries {
           .orderBy(col("query_id"), col("rank"))
       }),
 
+    // DSIR importance weights (Xie et al. 2023): log importance of
+    // every raw doc under add-one-smoothed target-vs-raw bag-of-bigram
+    // models, target = the doc_id % 7 slice (the deterministic
+    // "curated domain" stand-in, same style as q74's benchmark slice).
+    // Exact-feature path carries the oracle; the hashed production
+    // path is pinned against it in DsirSpec. Vocab = top-512 bigrams
+    // by raw count (craw DESC, f) so the cap itself is exercised at
+    // sf0.01, not just at toy scale.
+    NamedQuery(
+      "q119_dsir",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(len(tok) - 1),
+             |        i -> tok[i+1] || ' ' || tok[i+2])) f
+             |      FROM t WHERE len(tok) >= 2),
+             |dfc AS (SELECT doc_id, f, count(*) c FROM b GROUP BY doc_id, f),
+             |raw AS (SELECT f, sum(c) craw FROM dfc GROUP BY f),
+             |v AS (SELECT f, craw FROM raw ORDER BY craw DESC, f LIMIT 512),
+             |tgt AS (SELECT f, sum(c) ctgt FROM dfc WHERE doc_id % 7 = 0 GROUP BY f),
+             |vt AS (SELECT v.f, v.craw, COALESCE(tgt.ctgt, 0) ctgt
+             |       FROM v LEFT JOIN tgt USING (f)),
+             |tot AS (SELECT CAST(sum(craw) AS DOUBLE) traw,
+             |          CAST(sum(ctgt) AS DOUBLE) ttgt,
+             |          CAST(count(*) AS DOUBLE) vn FROM vt),
+             |lr AS (SELECT f, ln((ctgt + 1) / (ttgt + vn))
+             |            - ln((craw + 1) / (traw + vn)) r
+             |       FROM vt CROSS JOIN tot)
+             |SELECT dfc.doc_id, ROUND(SUM(dfc.c * lr.r), 4) AS dsir_w
+             |FROM dfc JOIN lr USING (f)
+             |GROUP BY dfc.doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.dsirWeights(docs(s, dir), "doc_id", "text",
+            col("doc_id") % 7 === 0, vocabSize = 512)
+          .orderBy("doc_id")),
+
     // Exact batch kNN join over a broadcast query set — the dense
     // batch-retrieval ground truth (ivfKnnJoin's exactness baseline as
     // a first-class query) and the dense first stage of hybrid

@@ -472,6 +472,118 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document bigram feature counts: (id, f, c) where `f` is the
+    * space-joined bigram string — the hashed-n-gram feature family of
+    * DSIR/fastText, in its exact (un-hashed) form. Shared by
+    * [[dsirWeights]] and its hashed twin so the two paths count the
+    * same occurrences.
+    */
+  private def bigramFeatureCounts(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.filter(size(toks) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("f"))
+      .groupBy(col(idCol), col("f"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-n-gram bag is,
+    * log w(d) = Σ_f c_d(f)·[ln p_tgt(f) − ln p_raw(f)], with add-one
+    * smoothed bag-of-bigram models fit on the target subset
+    * (`targetPred` rows) vs the whole corpus. High-weight docs are the
+    * ones importance resampling keeps when curating pre-training data
+    * toward a target domain. This is the EXACT-feature form (features
+    * are the bigram strings themselves, vocabulary capped at the top
+    * `vocabSize` by raw count, ties broken by feature string) — fully
+    * SQL-expressible, so it carries the DuckDB oracle;
+    * [[dsirWeightsHashed]] is the production hashed path.
+    *
+    * Docs owning no in-vocab bigram have weight 0 under the sum and
+    * drop out of the relation (inner posting join) — the contract the
+    * oracle pins.
+    *
+    * Scale shape: one explode feeds the per-doc feature hash agg
+    * (map-side combine); raw/target models are second-level aggs over
+    * the vocabulary-scale feature relation; top-V is a TakeOrdered
+    * (never a full sort materialization); scoring is one broadcast
+    * join of the ≤`vocabSize`-row log-ratio table against the posting
+    * relation plus a doc-keyed hash agg. Nothing corpus-scale crosses
+    * the driver; the only broadcast is user-bounded by `vocabSize`.
+    */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      vocabSize: Int = 4096): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize=$vocabSize must be >= 1")
+    val dfc = bigramFeatureCounts(df.select(col(idCol), col(textCol)), idCol, textCol)
+    val tgtIds = df.filter(targetPred).select(col(idCol))
+    val raw = dfc.groupBy("f").agg(sum("c").as("craw"))
+    val vocab = raw.orderBy(col("craw").desc, col("f")).limit(vocabSize)
+    val tgt = dfc.join(tgtIds, Seq(idCol)).groupBy("f").agg(sum("c").as("ctgt"))
+    val vt = vocab.join(tgt, Seq("f"), "left")
+      .select(col("f"), col("craw"), coalesce(col("ctgt"), lit(0L)).as("ctgt"))
+    val tot = vt.agg(
+      sum("craw").cast("double").as("traw"),
+      sum("ctgt").cast("double").as("ttgt"),
+      count(lit(1)).cast("double").as("vn"))
+    val ratio = log((col("ctgt") + lit(1)) / (col("ttgt") + col("vn"))) -
+      log((col("craw") + lit(1)) / (col("traw") + col("vn")))
+    val lr = vt.crossJoin(broadcast(tot)).select(col("f"), ratio.as("r"))
+    dfc.join(broadcast(lr), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("c") * col("r")), 4).as("dsir_w"))
+  }
+
+  /** Hashed-feature DSIR — the shape the paper actually runs at scale:
+    * features are `pmod(xxhash64(bigram), numBuckets)` bucket ids, so
+    * no vocabulary is ever built (no top-V TakeOrdered, no global
+    * feature sort — the model table is bounded by `numBuckets` however
+    * large the corpus vocabulary grows). Smoothing normalizes over the
+    * OBSERVED distinct buckets, so on a corpus where no two bigrams
+    * collide the weights equal [[dsirWeights]] with an uncapped
+    * vocabulary (to float-sum tolerance) — the equivalence DsirSpec
+    * pins, alongside the collision direction: colliding bigrams merge
+    * into one bucket count before modeling, exactly as in the paper.
+    */
+  def dsirWeightsHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      numBuckets: Long = 1L << 20): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    val dfc = bigramFeatureCounts(df.select(col(idCol), col(textCol)), idCol, textCol)
+      .select(col(idCol), pmod(xxhash64(col("f")), lit(numBuckets)).as("f"), col("c"))
+      .groupBy(col(idCol), col("f"))
+      .agg(sum("c").as("c")) // colliding bigrams merge into one bucket count
+    val tgtIds = df.filter(targetPred).select(col(idCol))
+    val raw = dfc.groupBy("f").agg(sum("c").as("craw"))
+    val tgt = dfc.join(tgtIds, Seq(idCol)).groupBy("f").agg(sum("c").as("ctgt"))
+    val vt = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"), col("craw"), coalesce(col("ctgt"), lit(0L)).as("ctgt"))
+    val tot = vt.agg(
+      sum("craw").cast("double").as("traw"),
+      sum("ctgt").cast("double").as("ttgt"),
+      count(lit(1)).cast("double").as("vn"))
+    val ratio = log((col("ctgt") + lit(1)) / (col("ttgt") + col("vn"))) -
+      log((col("craw") + lit(1)) / (col("traw") + col("vn")))
+    // The model table is numBuckets-bounded but can exceed broadcast at
+    // large bucket counts — shuffle-join on the bucket key (same policy
+    // as sourceKlDivergence's vocabulary joins); only the scalar totals
+    // broadcast.
+    val lr = vt.crossJoin(broadcast(tot)).select(col("f"), ratio.as("r"))
+    dfc.join(lr, Seq("f"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("c") * col("r")), 4).as("dsir_w"))
+  }
+
   def bigramTopK(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextFunctions.tokens(col(textCol))
