@@ -736,6 +736,38 @@ object DataOpsQueries {
             col("doc_id") % 7 === 0, vocabSize = 512)
           .orderBy("doc_id")),
 
+    // fastText-style quality classifier: weak labels from the q28
+    // heuristic (quality >= 0.65, near the corpus median), logistic
+    // regression over hashed token features trained with DataFrame-
+    // algebra gradient descent on the doc_id % 5 != 0 split, holdout
+    // scored into probability deciles. Iterative training is not
+    // SQL-expressible — rows-only; ClassifierSpec pins the trainer
+    // against an in-memory reference and holdout accuracy.
+    NamedQuery(
+      "q120_quality_classifier",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir)
+        val labels = d.select(col("doc_id"),
+          when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
+            .otherwise(0.0).as("y"))
+        val feats = Classifier.hashedFeatures(d, "doc_id", "text", dim = 1 << 15)
+          .cache()
+        try {
+          val isTrain = col("doc_id") % 5 =!= 0
+          val w = Classifier.trainLogReg(
+            feats.filter(isTrain), labels.filter(isTrain), "doc_id",
+            iters = 16, lr = 2.0)
+          Classifier.scoreLogReg(feats.filter(!isTrain), w, "doc_id")
+            .join(labels, Seq("doc_id"))
+            .select(least(floor(col("p") * 10), lit(9L)).cast("long").as("bucket"),
+              col("y"))
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+            .orderBy("bucket")
+        } finally feats.unpersist()
+      }),
+
     // Exact batch kNN join over a broadcast query set — the dense
     // batch-retrieval ground truth (ivfKnnJoin's exactness baseline as
     // a first-class query) and the dense first stage of hybrid

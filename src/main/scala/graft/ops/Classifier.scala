@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic-regression text classifier over hashed
+  * bag-of-token features — the fastText-style quality-filter shape
+  * (CCNet / GPT-3 pipelines train exactly this to keep "wiki-like"
+  * documents): weak labels from a cheap heuristic, a linear model over
+  * hashed n-gram features, then corpus-wide scoring.
+  *
+  * Everything is DataFrame algebra — no MLlib, no RDDs, no UDFs:
+  * full-batch gradient descent where each iteration is two hash-agg
+  * shuffles (doc-keyed margins, feature-keyed gradients) plus a
+  * weight-table join. The weight table is `dim`-bounded (never
+  * corpus-scale) and broadcasts at the default dims; the corpus-scale
+  * posting relation is never collected, and the only driver scalar is
+  * the example count. Lineage across iterations is truncated with an
+  * eager `localCheckpoint` per step, unpersisting the previous step's
+  * plan (the Bpe.trainMerges discipline).
+  */
+object Classifier {
+
+  /** Bias rides the feature relation as index -1 with value 1.0, so the
+    * margin/gradient algebra needs no special case; L2 skips it.
+    */
+  val BiasIdx: Long = -1L
+
+  /** Hashed bag-of-tokens features: one (id, idx, x) row per distinct
+    * token hash bucket per doc, x = tf / len(doc) (length-normalized
+    * term frequency), plus the bias row. Map-only up to the per-doc
+    * hash agg; `dim` buckets via `pmod(xxhash64(token), dim)`.
+    */
+  def hashedFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 1 << 15): DataFrame = {
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    // split("", " ") is [""] — drop empty tokens so blank docs vanish
+    val toks = array_remove(TextFunctions.tokens(col(textCol)), "")
+    val base = df
+      .filter(size(toks) >= 1)
+      .select(col(idCol), size(toks).cast("double").as("dl"),
+        explode(toks).as("tok"))
+      .select(col(idCol), col("dl"),
+        pmod(xxhash64(col("tok")), lit(dim.toLong)).as("idx"))
+      .groupBy(col(idCol), col("idx"))
+      .agg((count(lit(1)) / first("dl")).as("x"))
+    val bias = df.filter(size(toks) >= 1)
+      .select(col(idCol), lit(BiasIdx).as("idx"), lit(1.0).as("x"))
+    base.unionByName(bias)
+  }
+
+  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+
+  /** Full-batch AdaGrad training (Duchi et al. 2011). `feats` is
+    * (id, idx, x) sparse features (bias row included, e.g. from
+    * [[hashedFeatures]]); `labels` is (id, y) with y ∈ {0, 1}; every id
+    * in `feats` must appear in `labels`. Returns the (idx, w) weight
+    * table. Weights start at 0 for every feature index observed in
+    * `feats`; unobserved indices stay implicitly 0 (they can never
+    * receive gradient). L2 applies to every weight except the bias.
+    *
+    * Per-coordinate AdaGrad rather than plain GD because hashed-text
+    * features are badly conditioned — the bias carries x = 1 while
+    * length-normalized tfs are O(1/dl), so no single global step size
+    * both moves the tf weights and keeps the bias from oscillating
+    * (measured on the sf0.01 corpus: plain GD at the lr the tf
+    * weights need diverges through the bias and degenerates to the
+    * majority class). G_j accumulates g_j² across iterations and the
+    * step is lr·g_j/√(G_j+ε), so each coordinate self-scales.
+    *
+    * Per iteration: margins m_d = Σ x·w (one feature→weight join + one
+    * doc-keyed agg), residuals r_d = σ(m_d) − y_d, gradients
+    * g_j = Σ_d x_{d,j}·r_d / n + λ·w_j (one doc-keyed join + one
+    * feature-keyed agg). The weight join is broadcast at
+    * classifier-sized dims; past broadcast size it degrades to a
+    * shuffle join on `idx` — the same policy as the vocabulary joins
+    * in TextAnalysis. The weight/accumulator table is `dim`-bounded;
+    * lineage is cut per step with an eager localCheckpoint and the
+    * previous step's blocks are unpersisted.
+    */
+  def trainLogReg(
+      feats: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      iters: Int = 10,
+      lr: Double = 0.5,
+      l2: Double = 0.0): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val n = labels.count().toDouble
+    require(n > 0, "trainLogReg: empty label relation")
+    val eps = 1e-8
+    val f = feats.select(col(idCol), col("idx"), col("x"))
+    var weights = f.select(col("idx")).distinct()
+      .select(col("idx"), lit(0.0).as("w"), lit(0.0).as("g2"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val margins = f.join(broadcast(weights.select("idx", "w")), Seq("idx"))
+        .groupBy(col(idCol))
+        .agg(sum(col("x") * col("w")).as("m"))
+      val resid = margins.join(labels, Seq(idCol))
+        .select(col(idCol), (sigmoid(col("m")) - col("y")).as("r"))
+      val grad = f.join(resid, Seq(idCol))
+        .groupBy("idx")
+        .agg((sum(col("x") * col("r")) / lit(n)).as("g"))
+      val g = col("g") +
+        when(col("idx") =!= BiasIdx, lit(l2) * col("w")).otherwise(lit(0.0))
+      val next = weights.join(grad, Seq("idx"))
+        .select(col("idx"),
+          (col("w") - lit(lr) * g / sqrt(col("g2") + g * g + lit(eps))).as("w"),
+          (col("g2") + g * g).as("g2"))
+        .localCheckpoint(true)
+      if (prev != null) prev.unpersist()
+      prev = weights
+      weights = next
+    }
+    if (prev != null) prev.unpersist()
+    weights.select("idx", "w")
+  }
+
+  /** Score every example: (id, p) with p = σ(Σ x·w). Missing weights
+    * contribute 0 (inner join covers them: every observed idx has a
+    * weight row after [[trainLogReg]]).
+    */
+  def scoreLogReg(feats: DataFrame, weights: DataFrame, idCol: String): DataFrame =
+    feats.join(broadcast(weights), Seq("idx"))
+      .groupBy(col(idCol))
+      .agg(sigmoid(sum(col("x") * col("w"))).as("p"))
+
+  /** Mean log-loss of `weights` on a labeled set — the training
+    * objective, for convergence checks.
+    */
+  def logLoss(
+      feats: DataFrame, labels: DataFrame, weights: DataFrame,
+      idCol: String): Double = {
+    val eps = 1e-12
+    scoreLogReg(feats, weights, idCol)
+      .join(labels, Seq(idCol))
+      .select((-(col("y") * log(col("p") + lit(eps)) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - col("p") + lit(eps)))).as("l"))
+      .agg(avg("l"))
+      .head().getDouble(0)
+  }
+
+  /** In-memory reference with the same arithmetic, for the equivalence
+    * suite: rows = (id, idx, x), labels keyed by id.
+    */
+  def trainLogRegLocal(
+      rows: Seq[(Long, Long, Double)],
+      labels: Map[Long, Double],
+      iters: Int,
+      lr: Double,
+      l2: Double = 0.0): Map[Long, Double] = {
+    val n = labels.size.toDouble
+    val eps = 1e-8
+    val byDoc = rows.groupBy(_._1)
+    var w = rows.map(_._2).distinct.map(_ -> 0.0).toMap
+    var g2 = w.map { case (j, _) => j -> 0.0 }
+    for (_ <- 1 to iters) {
+      val resid = byDoc.map { case (id, fs) =>
+        val m = fs.map { case (_, j, x) => x * w(j) }.sum
+        id -> (1.0 / (1.0 + math.exp(-m)) - labels(id))
+      }
+      val grad = rows.groupBy(_._2).map { case (j, fs) =>
+        val g0 = fs.map { case (id, _, x) => x * resid(id) }.sum / n
+        j -> (g0 + (if (j != BiasIdx) l2 * w(j) else 0.0))
+      }
+      g2 = g2.map { case (j, s) => j -> (s + grad(j) * grad(j)) }
+      w = w.map { case (j, wj) =>
+        j -> (wj - lr * grad(j) / math.sqrt(g2(j) + eps))
+      }
+    }
+    w
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed logistic regression (q120): the DataFrame-algebra
+  * trainer against the in-memory reference, convergence, and
+  * generalization on a held-out split of a synthetic separable corpus.
+  */
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("distributed training matches the in-memory reference") {
+    val rows = Seq(
+      (0L, Classifier.BiasIdx, 1.0), (0L, 3L, 0.5), (0L, 7L, 0.25),
+      (1L, Classifier.BiasIdx, 1.0), (1L, 3L, 0.4),
+      (2L, Classifier.BiasIdx, 1.0), (2L, 5L, 0.6), (2L, 7L, 0.2),
+      (3L, Classifier.BiasIdx, 1.0), (3L, 5L, 0.7))
+    val labels = Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0, 3L -> 0.0)
+    val feats = rows.toDF("doc_id", "idx", "x")
+    val lab = labels.toSeq.toDF("doc_id", "y")
+    val got = Classifier.trainLogReg(feats, lab, "doc_id", iters = 7, lr = 1.5, l2 = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Classifier.trainLogRegLocal(rows, labels, iters = 7, lr = 1.5, l2 = 0.01)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (j, w) =>
+      assert(math.abs(w - want(j)) < 1e-10, s"idx $j: $w vs ${want(j)}")
+    }
+  }
+
+  /** Synthetic separable corpus: "good" docs draw from stopword-ish
+    * vocabulary A, "bad" docs from symbol-ish vocabulary B, with a
+    * shared ambiguous token so the problem isn't trivially keyed.
+    */
+  private def corpus(n: Int, seed: Int): Seq[(Long, String, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    val a = Vector("the", "and", "of", "to", "in", "is", "was", "for")
+    val b = Vector("zzq", "xj9", "qqp", "vv2", "kk8", "jjx", "m0m", "w4w")
+    (0 until n).map { i =>
+      val good = i % 2 == 0
+      val pool = if (good) a else b
+      val words = (0 until 12).map(_ => pool(rnd.nextInt(pool.size))) :+ "shared"
+      (i.toLong, words.mkString(" "), if (good) 1.0 else 0.0)
+    }
+  }
+
+  test("log-loss decreases and held-out accuracy is high on separable data") {
+    val data = corpus(240, seed = 7)
+    val df = data.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val lab = data.map { case (id, _, y) => (id, y) }.toDF("doc_id", "y")
+    val feats = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 12).cache()
+    val trainIds = (id: org.apache.spark.sql.Column) => id % 3 =!= 0
+    val fTrain = feats.filter(trainIds($"doc_id"))
+    val lTrain = lab.filter(trainIds($"doc_id"))
+    val w2 = Classifier.trainLogReg(fTrain, lTrain, "doc_id", iters = 2, lr = 4.0)
+    val w12 = Classifier.trainLogReg(fTrain, lTrain, "doc_id", iters = 12, lr = 4.0)
+    val loss2 = Classifier.logLoss(fTrain, lTrain, w2, "doc_id")
+    val loss12 = Classifier.logLoss(fTrain, lTrain, w12, "doc_id")
+    assert(loss12 < loss2, s"loss should fall with iterations: $loss12 vs $loss2")
+    val holdout = Classifier.scoreLogReg(
+        feats.filter(!trainIds($"doc_id")), w12, "doc_id")
+      .join(lab, Seq("doc_id"))
+      .select((when(($"p" >= 0.5) === ($"y" === 1.0), 1).otherwise(0)).as("ok"))
+      .agg(avg("ok")).head().getDouble(0)
+    assert(holdout >= 0.95, s"held-out accuracy $holdout on separable data")
+    feats.unpersist()
+  }
+
+  test("hashedFeatures: length-normalized tf plus exactly one bias row per doc") {
+    val df = Seq((1L, "a a b c"), (2L, "")).toDF("doc_id", "text")
+    val f = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(f.forall(_._1 == 1L), "empty doc contributes no rows (not even bias)")
+    val bias = f.filter(_._2 == Classifier.BiasIdx)
+    assert(bias.length === 1 && bias.head._3 === 1.0)
+    val xs = f.filterNot(_._2 == Classifier.BiasIdx).map(_._3).sorted
+    assert(xs === Array(0.25, 0.25, 0.5), "tf/4 for b, c and 2/4 for a")
+  }
+}
