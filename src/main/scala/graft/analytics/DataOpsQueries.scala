@@ -17,6 +17,12 @@ import graft.ops._
   */
 object DataOpsQueries {
 
+  /** Unique memory-sink names across re-runs in one session (the bench
+    * runs every query multiple passes) — same discipline as
+    * StreamingQueries.runId.
+    */
+  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -735,6 +741,46 @@ object DataOpsQueries {
         TextAnalysis.dsirWeights(docs(s, dir), "doc_id", "text",
             col("doc_id") % 7 === 0, vocabSize = 512)
           .orderBy("doc_id")),
+
+    // Streaming near-dup: documents stream through the same MinHash
+    // banding as q21, flatMapGroupsWithState keyed by (band, bucket)
+    // compares each arriving signature against the bucket's retained
+    // ones — pairs emit the moment the later doc arrives, no re-scan.
+    // Relation = the batch twin minhashEstPairs (DedupStreamSpec pins
+    // set equality, redelivery no-op, saturation latch); oracle-less
+    // for q21's xxhash reason.
+    NamedQuery(
+      "q121_stream_neardup",
+      None,
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"neardupstream_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val (src, ckpt) = (s"$root/src", s"$root/ckpt")
+        docs(s, dir).select("doc_id", "text").repartition(4).write.parquet(src)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("text", StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+        val name = s"graft_stream_neardup_${streamRunId.incrementAndGet()}"
+        val q = graft.streaming.DedupStream.nearDupPairs(stream, "doc_id", "text")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).distinct().orderBy("id_a", "id_b")
+      }),
 
     // fastText-style quality classifier: weak labels from the q28
     // heuristic (quality >= 0.65, near the corpus median), logistic

@@ -401,6 +401,43 @@ object Dedup {
       .distinct() // each pair verified exactly once, however many bands agree
   }
 
+  /** [[minhashLshPairs]] with the verify pass on SIGNATURE AGREEMENT
+    * (fraction of equal MinHash components — the unbiased Jaccard
+    * estimator) instead of exact shingle-set Jaccard: candidate pairs
+    * join back to the signatures, never to the shingle sets, so the
+    * verify payload is numHashes longs per doc regardless of document
+    * length. This is the batch twin of the streaming near-dup path
+    * ([[graft.streaming.DedupStream.nearDupPairs]]), which retains
+    * exactly these signatures as bucket state — DedupStreamSpec pins
+    * the two relations equal on the same corpus.
+    */
+  def minhashEstPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      sigThreshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df
+      .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+    val candidates = minhashCandidatePairs(
+      df, idCol, textCol, shingleN, numHashes, bands, maxBucket)
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(matches.cast("double") / lit(numHashes), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= sigThreshold)
+  }
+
   // ----------------------------------------------------- exact n-gram Jaccard
 
   /** Ground-truth near-dup relation: all pairs with shingle-set Jaccard
