@@ -28,6 +28,10 @@ object Bench {
       // identical data paths) are what SimilaritySpec/PqSpec pin and
       // what q39/q108 bench.
       "q104_stream_ivf", "q110_stream_ivfpq",
+      // q121 is likewise a real micro-batch run (stage + streamed LSH
+      // state); its relation's batch machinery is benched via q21
+      // (same banding/buckets, heavier exact-Jaccard verify).
+      "q121_stream_neardup",
       "q24_embed_neardup")
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
@@ -125,7 +129,7 @@ object Bench {
     // Trigger.AvailableNow micro-batch pipeline costs at this SF.
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
       "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
-      "q104_stream_ivf", "q110_stream_ivfpq")
+      "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup")
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {
       streamingNames.foreach { n =>

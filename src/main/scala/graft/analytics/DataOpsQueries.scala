@@ -742,6 +742,46 @@ object DataOpsQueries {
             col("doc_id") % 7 === 0, vocabSize = 512)
           .orderBy("doc_id")),
 
+    // DSIR's selection step: Gumbel-top-k resampling without
+    // replacement over the q119 weights — noise seeded by a
+    // Knuth-multiplicative LCG on doc_id (pure BIGINT arithmetic +
+    // ln), so the WHOLE pipeline weights → noise → top-n carries an
+    // end-to-end oracle. Ranked by the ROUNDED key both sides, ties
+    // by doc_id, so cross-engine float grids cannot flip the cut.
+    NamedQuery(
+      "q122_dsir_resample",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(len(tok) - 1),
+             |        i -> tok[i+1] || ' ' || tok[i+2])) f
+             |      FROM t WHERE len(tok) >= 2),
+             |dfc AS (SELECT doc_id, f, count(*) c FROM b GROUP BY doc_id, f),
+             |raw AS (SELECT f, sum(c) craw FROM dfc GROUP BY f),
+             |v AS (SELECT f, craw FROM raw ORDER BY craw DESC, f LIMIT 512),
+             |tgt AS (SELECT f, sum(c) ctgt FROM dfc WHERE doc_id % 7 = 0 GROUP BY f),
+             |vt AS (SELECT v.f, v.craw, COALESCE(tgt.ctgt, 0) ctgt
+             |       FROM v LEFT JOIN tgt USING (f)),
+             |tot AS (SELECT CAST(sum(craw) AS DOUBLE) traw,
+             |          CAST(sum(ctgt) AS DOUBLE) ttgt,
+             |          CAST(count(*) AS DOUBLE) vn FROM vt),
+             |lr AS (SELECT f, ln((ctgt + 1) / (ttgt + vn))
+             |            - ln((craw + 1) / (traw + vn)) r
+             |       FROM vt CROSS JOIN tot),
+             |w AS (SELECT dfc.doc_id, ROUND(SUM(dfc.c * lr.r), 4) AS dsir_w
+             |      FROM dfc JOIN lr USING (f) GROUP BY dfc.doc_id),
+             |g AS (SELECT doc_id, dsir_w,
+             |        ROUND(dsir_w - ln(-ln((CAST(r2 AS DOUBLE) + 0.5)
+             |            / 2147483648.0)), 4) AS gkey
+             |      FROM (SELECT doc_id, dsir_w,
+             |              (r1 * r1 + 7) % 2147483648 AS r2
+             |            FROM (SELECT doc_id, dsir_w,
+             |                    (doc_id * 2654435761 + 7) % 2147483648 AS r1
+             |                  FROM w)))
+             |SELECT doc_id, dsir_w, gkey FROM g
+             |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.dsirResample(docs(s, dir), "doc_id", "text",
+          col("doc_id") % 7 === 0, n = 100, vocabSize = 512, seed = 7L)),
+
     // Streaming near-dup: documents stream through the same MinHash
     // banding as q21, flatMapGroupsWithState keyed by (band, bucket)
     // compares each arriving signature against the bucket's retained

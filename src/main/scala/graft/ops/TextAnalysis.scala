@@ -541,6 +541,49 @@ object TextAnalysis {
       .agg(round(sum(col("c") * col("r")), 4).as("dsir_w"))
   }
 
+  /** The selection step DSIR exists for: Gumbel-top-k resampling
+    * WITHOUT replacement, sampling documents with probability
+    * proportional to their importance weight exp(log w(d)) — add
+    * independent Gumbel noise to each log-weight and take the top `n`
+    * (Vieira 2014; the paper's resampling step, made deterministic
+    * and distributed). The noise is seeded from a Knuth-multiplicative
+    * LCG on the document id — pure integer arithmetic + ln, so the
+    * whole operator (weights → noise → top-n) stays ANSI-SQL
+    * expressible and carries an end-to-end DuckDB oracle, unlike an
+    * engine-side RNG. One TakeOrdered over the weighted relation; no
+    * global sort, no shuffle beyond [[dsirWeights]]'s own.
+    */
+  def dsirResample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      n: Int,
+      vocabSize: Int = 4096,
+      seed: Long = 1L): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val w = dsirWeights(df, idCol, textCol, targetPred, vocabSize)
+    // u in (0, 1) from a 31-bit LCG round followed by a QUADRATIC
+    // (middle-square-style) round: exact in any BIGINT SQL. The
+    // quadratic term is what makes the seed actually reshuffle the
+    // sample — any affine chain r' = a·r + f(seed) shifts every
+    // document's noise by the SAME constant per seed step (mod wraps
+    // aside), leaving the selection order seed-invariant; r² makes the
+    // seed's effect 2Δ·r1-dependent, i.e. per-document. No
+    // intermediate exceeds max(2^31·A, 2^62) < 2^63; ids must be
+    // non-negative and < 2^31 (3.4e9 docs), the documented contract.
+    val m = 1L << 31
+    val a = 2654435761L
+    val r1 = pmod(col(idCol) * lit(a) + lit(seed), lit(m))
+    val r2 = pmod(r1 * r1 + lit(seed), lit(m))
+    val u = (r2.cast("double") + lit(0.5)) / lit(m.toDouble)
+    val gumbel = -log(-log(u))
+    w.select(col(idCol), col("dsir_w"),
+        round(col("dsir_w") + gumbel, 4).as("gkey"))
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Hashed-feature DSIR — the shape the paper actually runs at scale:
     * features are `pmod(xxhash64(bigram), numBuckets)` bucket ids, so
     * no vocabulary is ever built (no top-V TakeOrdered, no global

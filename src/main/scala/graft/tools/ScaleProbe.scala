@@ -130,7 +130,19 @@ object ScaleProbe {
         // probe reads only the query terms' bucket directories
         // q118: both index builds corpus-linear, probes pruned, fusion
         // shortlist-sized — the q117 + const-queries contracts composed
-        "q116_pca_project", "q117_bm25_index", "q118_hybrid_index")
+        "q116_pca_project", "q117_bm25_index", "q118_hybrid_index",
+        // round-11 batch additions: q119's feature/model tables are
+        // vocabulary-bound (disjoint replica vocabularies → the
+        // feature aggs grow k×, the top-512 cap is a TakeOrdered over
+        // a k× relation, scoring is a bounded broadcast join); q120's
+        // weight table is dim-bounded (2^15) whatever the corpus, so
+        // the 16 AdaGrad iterations are each two k×-posting-relation
+        // hash aggs. q121 is a REAL micro-batch stream at both
+        // scales: staging + 4 batches; its state is the LSH bucket
+        // index (numHashes longs/doc/band) and its compare work is
+        // bounded per bucket — the ratio prices the state-store walk
+        // growing with the corpus.
+        "q119_dsir", "q120_quality_classifier", "q121_stream_neardup")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -106,6 +106,34 @@ class DsirSpec extends AnyFunSuite {
       s"finance docs ($financeMin) should outweigh cat docs ($catMax)")
   }
 
+  test("resample: deterministic per seed, without replacement, seed-sensitive, weight-biased") {
+    val df = tiny.toDF("doc_id", "text")
+    def sel(seed: Long, n: Int = 3): Seq[Long] =
+      TextAnalysis.dsirResample(df, "doc_id", "text",
+          $"doc_id".isin(2L, 3L, 5L), n = n, vocabSize = 1000, seed = seed)
+        .collect().map(_.getLong(0)).toSeq
+    assert(sel(1L) === sel(1L), "same seed, same sample")
+    assert(sel(1L).distinct.size === 3, "without replacement")
+    // sampling ∝ exp(weight): the high-weight finance docs (targets)
+    // dominate the draws over the cat docs
+    val counts = (1L to 20L).map(s => sel(s).toSet).flatten
+      .groupBy(identity).view.mapValues(_.size)
+    val fin = Seq(2L, 3L, 5L).map(counts.getOrElse(_, 0)).sum
+    val cat = Seq(0L, 1L, 4L).map(counts.getOrElse(_, 0)).sum
+    assert(fin > cat, s"finance draws $fin should beat cat draws $cat")
+    // seed sensitivity needs weights the noise can actually move:
+    // equal-weight docs (identical text) make the pick pure noise —
+    // different seeds must then rotate the selected set
+    val flat = (0L to 7L).map(i => (i, "one single common text for everyone"))
+      .toDF("doc_id", "text")
+    val flatDraws = (1L to 12L).map { s =>
+      TextAnalysis.dsirResample(flat, "doc_id", "text",
+          $"doc_id" < 4, n = 3, vocabSize = 1000, seed = s)
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(flatDraws.distinct.size > 1, "seeds must change an all-ties sample")
+  }
+
   test("single-bucket hashing degenerates to all-zero weights (full collision)") {
     val df = tiny.toDF("doc_id", "text")
     val w = TextAnalysis.dsirWeightsHashed(df, "doc_id", "text", $"doc_id" < 2, 1L)
