@@ -80,6 +80,20 @@ object Classifier {
     * in TextAnalysis. The weight/accumulator table is `dim`-bounded;
     * lineage is cut per step with an eager localCheckpoint and the
     * previous step's blocks are unpersisted.
+    *
+    * Shuffle shape: the posting relation and the labels are
+    * repartitioned BY DOCUMENT once up front and materialized
+    * (localCheckpoint preserves the partitioning) — the margins agg,
+    * the residual join, and the gradient join all satisfy their
+    * distribution from that one exchange, so the only per-iteration
+    * exchange over unaggregated data is the gradient's feature-keyed
+    * agg, whose map-side combine bounds it at `dim` rows per task.
+    * Without this, each iteration re-shuffled the corpus-scale
+    * posting relation twice — ScaleProbe measured the q120 shape
+    * (16 iterations) at 243.9 s / ratio 22.4 at the 64× corpus
+    * before, 40.0 s / ratio 7.1 after, with the 1× run halving too
+    * (10.9 → 5.6 s); ClassifierSpec's reference-equivalence pin held
+    * across the change.
     */
   def trainLogReg(
       feats: DataFrame,
@@ -92,7 +106,15 @@ object Classifier {
     val n = labels.count().toDouble
     require(n > 0, "trainLogReg: empty label relation")
     val eps = 1e-8
+    // One doc-keyed exchange up front, reused by every iteration's
+    // margins agg + residual join + gradient join (localCheckpoint
+    // preserves the partitioning in LogicalRDD).
     val f = feats.select(col(idCol), col("idx"), col("x"))
+      .repartition(col(idCol))
+      .localCheckpoint(true)
+    val lab = labels.select(col(idCol), col("y"))
+      .repartition(col(idCol))
+      .localCheckpoint(true)
     var weights = f.select(col("idx")).distinct()
       .select(col("idx"), lit(0.0).as("w"), lit(0.0).as("g2"))
       .localCheckpoint(true)
@@ -101,7 +123,7 @@ object Classifier {
       val margins = f.join(broadcast(weights.select("idx", "w")), Seq("idx"))
         .groupBy(col(idCol))
         .agg(sum(col("x") * col("w")).as("m"))
-      val resid = margins.join(labels, Seq(idCol))
+      val resid = margins.join(lab, Seq(idCol))
         .select(col(idCol), (sigmoid(col("m")) - col("y")).as("r"))
       val grad = f.join(resid, Seq(idCol))
         .groupBy("idx")
@@ -118,6 +140,8 @@ object Classifier {
       weights = next
     }
     if (prev != null) prev.unpersist()
+    f.unpersist()
+    lab.unpersist()
     weights.select("idx", "w")
   }
 
