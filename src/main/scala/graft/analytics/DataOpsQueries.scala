@@ -782,6 +782,45 @@ object DataOpsQueries {
         TextAnalysis.dsirResample(docs(s, dir), "doc_id", "text",
           col("doc_id") % 7 === 0, n = 100, vocabSize = 512, seed = 7L)),
 
+    // Exact any-alignment substring dedup (Lee et al. 2022): every
+    // 8-token window occurring 2+ times keeps its first occurrence,
+    // other occurrences' tokens are cut. Spark groups windows by the
+    // native 64-bit rolling hash; the oracle groups by the window
+    // STRING — identical relations absent a collision (q20's
+    // hash-vs-content contract).
+    NamedQuery(
+      "q123_substring_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |w AS (SELECT doc_id, z.pos AS pos, z.win AS win FROM (
+             |        SELECT doc_id, unnest(list_transform(range(len(tok) - 7),
+             |          i -> {'pos': i, 'win': array_to_string(tok[i+1:i+8], ' ')})) z
+             |        FROM t WHERE len(tok) >= 8)),
+             |r AS (SELECT doc_id, pos,
+             |        row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) rn,
+             |        count(*) OVER (PARTITION BY win) c
+             |      FROM w),
+             |l AS (SELECT doc_id, pos FROM r WHERE c >= 2 AND rn > 1),
+             |d AS (SELECT DISTINCT doc_id, ti FROM (
+             |        SELECT doc_id, unnest(range(pos, pos + 8)) ti FROM l)),
+             |e AS (SELECT doc_id, z.ti AS ti, z.tk AS tk FROM (
+             |        SELECT doc_id, unnest(list_transform(range(len(tok)),
+             |          i -> {'ti': i, 'tk': tok[i+1]})) z FROM t)),
+             |k AS (SELECT e.doc_id, e.ti, e.tk FROM e LEFT JOIN d
+             |        ON e.doc_id = d.doc_id AND e.ti = d.ti
+             |      WHERE d.ti IS NULL),
+             |c AS (SELECT doc_id,
+             |        array_to_string(list(tk ORDER BY ti), ' ') clean_text,
+             |        CAST(count(*) AS BIGINT) kept
+             |      FROM k GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(len(tok) AS BIGINT) tokens_total FROM t)
+             |SELECT tot.doc_id, COALESCE(c.clean_text, '') AS clean_text,
+             |  tot.tokens_total - COALESCE(c.kept, 0) AS tokens_removed,
+             |  tot.tokens_total
+             |FROM tot LEFT JOIN c USING (doc_id) ORDER BY tot.doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.substringDedup(docs(s, dir), "doc_id", "text", minTokens = 8)
+          .orderBy("doc_id")),
+
     // Streaming near-dup: documents stream through the same MinHash
     // banding as q21, flatMapGroupsWithState keyed by (band, bucket)
     // compares each arriving signature against the bucket's retained

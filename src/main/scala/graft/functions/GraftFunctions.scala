@@ -27,6 +27,7 @@ object GraftFunctions {
   val PqCodesName = "graft_pq_codes"
   val PqAdcName = "graft_pq_adc"
   val BpeEncodeName = "graft_bpe_encode"
+  val RollingHashesName = "graft_rolling_hashes"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -186,79 +187,79 @@ object GraftFunctions {
       build(exprs)
     }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      DotName, arity(DotName, 2)(exprs => ArrayDotProduct(exprs.head, exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      SimHashName, arity(SimHashName, 1)(exprs => SimHash64(exprs.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      MinHashName, arity(MinHashName, 2)(exprs => MinHashSignature(exprs.head,
-        literalInt(exprs(1), MinHashName, "numHashes"))), "built-in")
-    reg.createOrReplaceTempFunction(
-      ShinglesName, arity(ShinglesName, 2)(exprs => WordShingles(exprs.head,
-        literalInt(exprs(1), ShinglesName, "n"))), "built-in")
-    reg.createOrReplaceTempFunction(
-      SrpName, arity(SrpName, 3)(exprs => SrpBucket(exprs.head,
-        literalInt(exprs(1), SrpName, "planes"),
-        literalInt(exprs(2), SrpName, "seedBase"))), "built-in")
-    reg.createOrReplaceTempFunction(
-      SrpProbesName, arity(SrpProbesName, 4)(exprs => SrpProbeBuckets(exprs.head,
-        literalInt(exprs(1), SrpProbesName, "planes"),
-        literalInt(exprs(2), SrpProbesName, "seedBase"),
-        literalInt(exprs(3), SrpProbesName, "probes"))), "built-in")
-    // return the raw AggregateFunction — the analyzer wraps it in an
-    // AggregateExpression (pre-wrapping would break DISTINCT handling)
-    reg.createOrReplaceTempFunction(
-      VecSumName, arity(VecSumName, 1)(exprs => VectorSum(exprs.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      MgTopKName, arity(MgTopKName, 2)(exprs => MisraGriesTopK(exprs.head,
-        literalInt(exprs(1), MgTopKName, "capacity"))), "built-in")
+  /** Single source of truth for every native function: (name, arity,
+    * builder). BOTH registration paths — the per-session
+    * [[register]] that [[graft.Sessions.local]] calls and the
+    * cluster-wide [[graft.GraftExtensions]] `spark.sql.extensions`
+    * path — iterate THIS table, so they can never drift again
+    * (round 11 found the extensions path six functions behind the
+    * session path; the "must register the same set" contract was
+    * comment-only).
+    */
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  def builders: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    (DotName, 2, exprs => ArrayDotProduct(exprs.head, exprs(1))),
+    (SimHashName, 1, exprs => SimHash64(exprs.head)),
+    (MinHashName, 2, exprs => MinHashSignature(exprs.head,
+      literalInt(exprs(1), MinHashName, "numHashes"))),
+    (ShinglesName, 2, exprs => WordShingles(exprs.head,
+      literalInt(exprs(1), ShinglesName, "n"))),
+    (RollingHashesName, 2, exprs => RollingWindowHashes(exprs.head,
+      literalInt(exprs(1), RollingHashesName, "width"))),
+    (SrpName, 3, exprs => SrpBucket(exprs.head,
+      literalInt(exprs(1), SrpName, "planes"),
+      literalInt(exprs(2), SrpName, "seedBase"))),
+    (SrpProbesName, 4, exprs => SrpProbeBuckets(exprs.head,
+      literalInt(exprs(1), SrpProbesName, "planes"),
+      literalInt(exprs(2), SrpProbesName, "seedBase"),
+      literalInt(exprs(3), SrpProbesName, "probes"))),
+    // aggregates return the raw AggregateFunction — the analyzer wraps
+    // it in an AggregateExpression (pre-wrapping breaks DISTINCT)
+    (VecSumName, 1, exprs => VectorSum(exprs.head)),
+    (MgTopKName, 2, exprs => MisraGriesTopK(exprs.head,
+      literalInt(exprs(1), MgTopKName, "capacity"))),
     // Spark's own runtime-filter probe expression (codegen'd, lazily
     // deserializes the sketch once per task) — registered so the Column
     // API can build it against a driver-built sketch literal. Spark only
     // wires it up internally (InjectRuntimeFilter); the expression itself
     // is public API surface in catalyst.
-    reg.createOrReplaceTempFunction(
-      BloomName, arity(BloomName, 2)(exprs =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs.head, exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      NearestCentroidName,
-      arity(NearestCentroidName, 4)(buildNearestCentroid), "built-in")
-    reg.createOrReplaceTempFunction(
-      NearestCentroidsName,
-      arity(NearestCentroidsName, 5)(buildNearestCentroids), "built-in")
-    reg.createOrReplaceTempFunction(
-      NearestCentroidsHierName,
-      arity(NearestCentroidsHierName, 9)(buildNearestCentroidsHier), "built-in")
-    reg.createOrReplaceTempFunction(
-      PqCodesName, arity(PqCodesName, 4)(exprs => {
-        val flat = literalDoubleArray(exprs(1), PqCodesName, "flatCodebook")
-        val m = literalInt(exprs(2), PqCodesName, "m")
-        val subDim = literalInt(exprs(3), PqCodesName, "subDim")
-        require(m >= 1 && subDim >= 1 && flat.nonEmpty &&
-          flat.length % (m * subDim) == 0,
-          s"$PqCodesName: flat length ${flat.length} is not a positive " +
-            s"multiple of m·subDim = ${m * subDim}")
-        PqCodes(exprs.head, flat, m, flat.length / (m * subDim), subDim)
-      }), "built-in")
-    reg.createOrReplaceTempFunction(
-      PqAdcName, arity(PqAdcName, 3)(exprs => {
-        val lut = literalDoubleArray(exprs(1), PqAdcName, "flatLut")
-        val m = literalInt(exprs(2), PqAdcName, "m")
-        require(m >= 1 && lut.nonEmpty && lut.length % m == 0,
-          s"$PqAdcName: LUT length ${lut.length} is not a positive multiple of m=$m")
-        PqAdc(exprs.head, lut, m, lut.length / m)
-      }), "built-in")
-    reg.createOrReplaceTempFunction(
-      BpeEncodeName, arity(BpeEncodeName, 3)(exprs => {
-        val lefts = literalStringArray(exprs(1), BpeEncodeName, "lefts")
-        val rights = literalStringArray(exprs(2), BpeEncodeName, "rights")
-        require(lefts.length == rights.length,
-          s"$BpeEncodeName: ${lefts.length} left vs ${rights.length} right symbols")
-        BpeEncode(exprs.head, lefts, rights)
-      }), "built-in")
+    (BloomName, 2, exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs.head, exprs(1))),
+    (NearestCentroidName, 4, buildNearestCentroid),
+    (NearestCentroidsName, 5, buildNearestCentroids),
+    (NearestCentroidsHierName, 9, buildNearestCentroidsHier),
+    (PqCodesName, 4, exprs => {
+      val flat = literalDoubleArray(exprs(1), PqCodesName, "flatCodebook")
+      val m = literalInt(exprs(2), PqCodesName, "m")
+      val subDim = literalInt(exprs(3), PqCodesName, "subDim")
+      require(m >= 1 && subDim >= 1 && flat.nonEmpty &&
+        flat.length % (m * subDim) == 0,
+        s"$PqCodesName: flat length ${flat.length} is not a positive " +
+          s"multiple of m*subDim = ${m * subDim}")
+      PqCodes(exprs.head, flat, m, flat.length / (m * subDim), subDim)
+    }),
+    (PqAdcName, 3, exprs => {
+      val lut = literalDoubleArray(exprs(1), PqAdcName, "flatLut")
+      val m = literalInt(exprs(2), PqAdcName, "m")
+      require(m >= 1 && lut.nonEmpty && lut.length % m == 0,
+        s"$PqAdcName: LUT length ${lut.length} is not a positive multiple of m=$m")
+      PqAdc(exprs.head, lut, m, lut.length / m)
+    }),
+    (BpeEncodeName, 3, exprs => {
+      val lefts = literalStringArray(exprs(1), BpeEncodeName, "lefts")
+      val rights = literalStringArray(exprs(2), BpeEncodeName, "rights")
+      require(lefts.length == rights.length,
+        s"$BpeEncodeName: ${lefts.length} left vs ${rights.length} right symbols")
+      BpeEncode(exprs.head, lefts, rights)
+    }))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, n, build) =>
+      reg.createOrReplaceTempFunction(name, arity(name, n)(build), "built-in")
+    }
   }
 
   /** Native dot product (requires `register(spark)` — done by
@@ -346,6 +347,12 @@ object GraftFunctions {
   /** Native distinct word n-gram shingles of a token array. */
   def shingles(toks: Column, n: Int): Column =
     call_function(ShinglesName, toks, org.apache.spark.sql.functions.lit(n))
+
+  /** Native positional rolling window hashes (array<long>, one per
+    * window start) of a token array.
+    */
+  def rollingWindowHashes(toks: Column, width: Int): Column =
+    call_function(RollingHashesName, toks, org.apache.spark.sql.functions.lit(width))
 
   /** Native SRP bucket (sign pattern of `planes` projections, packed). */
   def srp(vec: Column, planes: Int, seedBase: Int): Column =

@@ -18,6 +18,43 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashSketches {
   val Seed = 42L
+  /** FNV-64 prime: odd, so multiplication is full-period mod 2^64. */
+  val RollB = 0x100000001b3L
+
+  /** O(n) rolling-polynomial window hashes; parity-pinned against the
+    * composable aggregate form in HashSketchesSpec.
+    */
+  def rollingHashes(toks: ArrayData, width: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) =
+        if (toks.isNullAt(i)) Seed
+        else {
+          val t = toks.getUTF8String(i)
+          XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+        }
+      i += 1
+    }
+    var bw = 1L
+    var j = 0
+    while (j < width - 1) { bw *= RollB; j += 1 }
+    val m = n - width + 1
+    val out = new Array[Any](m)
+    var acc = 0L
+    j = 0
+    while (j < width) { acc = acc * RollB + hs(j); j += 1 }
+    out(0) = acc
+    var s = 1
+    while (s < m) {
+      acc = (acc - hs(s - 1) * bw) * RollB + hs(s + width - 1)
+      out(s) = acc
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 
   def simhash64(toks: ArrayData): Any = {
     val n = toks.numElements()
@@ -139,5 +176,48 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Positional rolling window hashes of a token array: element i is the
+  * degree-(width−1) wrapping polynomial Σ_j H(tok[i+j])·B^(width−1−j)
+  * over per-token xxhash64 values (seed 42, NULL token → bare seed,
+  * matching the other sketches) with B the FNV-64 prime — i.e. exactly
+  * `aggregate(slice(hs, i+1, width), 0L, (acc, h) -> acc·B + h)` of the
+  * composable reference, computed in ONE O(n) pass via the rolling
+  * recurrence acc′ = (acc − h_out·B^(width−1))·B + h_in instead of the
+  * O(n·width) window re-walk. This is the any-alignment window
+  * fingerprint behind exact substring dedup (Lee et al. 2022's
+  * "Deduplicating Training Data Makes Language Models Better" family):
+  * equal windows hash equal, and grouping ships 8-byte longs instead of
+  * width-token strings.
+  */
+case class RollingWindowHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1, "window width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_hashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSketches.rollingHashes(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hs = "graft.functions.HashSketches"
+      s"""
+         |Object r = $hs.rollingHashes($a, $width);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowHashes =
     copy(child = newChild)
 }

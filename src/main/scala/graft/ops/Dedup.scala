@@ -257,6 +257,76 @@ object Dedup {
         col("spans_total"))
   }
 
+  /** Exact ANY-ALIGNMENT substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operator family): every token window of exactly `minTokens`
+    * tokens that occurs 2+ times ANYWHERE in the corpus — across
+    * documents or within one — keeps its first occurrence (min
+    * (doc, pos)) and every other occurrence's tokens are cut from
+    * their documents. [[spanDedup]] is the fixed-stride approximation
+    * (disjoint windows, so a duplicate offset by less than the span
+    * width escapes); this one slides the window over every alignment.
+    * Overlapping duplicated windows merge naturally: a token is
+    * dropped if ANY losing window covers it.
+    *
+    * Scale shape:
+    *   - windows are native O(n) rolling polynomial hashes
+    *     (`graft_rolling_hashes`) — the window relation ships (id,
+    *     pos, 8-byte hash), never width-token strings, and is
+    *     token-scale (one row per window start, same order as the
+    *     shingle explode every near-dup operator already pays);
+    *   - the winner election is one hash agg on the window hash (the
+    *     inverted-index exchange, q22's family);
+    *   - only LOSING occurrences expand to token indexes (duplicated
+    *     volume × width, proportional to what's actually removed);
+    *   - the rebuild is MAP-ONLY: per-doc drop indexes come back as
+    *     one int array (`collect_set` keyed by doc — losing-window
+    *     scale), and the text is rebuilt with `array_except` over the
+    *     index sequence + `element_at` projection — the token strings
+    *     themselves are never shuffled (unlike [[spanDedup]]'s
+    *     collect_list rebuild).
+    *
+    * Equal windows are grouped by their 64-bit rolling hash; the
+    * DuckDB oracle groups by the window STRING — identical relations
+    * absent a 64-bit collision, the same contract [[exact]] carries
+    * with its 128-bit content hash (q20).
+    */
+  def substringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 1, s"minTokens=$minTokens must be >= 1")
+    val base = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+    val wins = base
+      .select(col(idCol),
+        posexplode(graft.functions.GraftFunctions.rollingWindowHashes(
+          col("toks"), minTokens)))
+      .withColumnRenamed("col", "h")
+    val dup = wins.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("w"))
+    val losers = wins.join(dup, Seq("h"))
+      .filter(struct(col(idCol), col("pos")) =!= col("w"))
+    val dropIdx = losers
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(minTokens - 1))).as("ti"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("ti")).as("drop_ti"))
+    base.join(dropIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("drop_ti").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            transform(
+              array_except(
+                sequence(lit(0), size(col("toks")) - 1), col("drop_ti")),
+              i => element_at(col("toks"), i + 1))))
+          .as("clean_text"),
+        coalesce(size(col("drop_ti")), lit(0)).cast("long").as("tokens_removed"),
+        size(col("toks")).cast("long").as("tokens_total"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: for each of `numHashes` hash families, the

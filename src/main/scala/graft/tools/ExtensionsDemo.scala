@@ -57,6 +57,39 @@ object ExtensionsDemo {
     assert(pb.length == 4 && pb.head == bkt &&
       pb.tail.forall(x => java.lang.Long.bitCount(x ^ bkt) == 1),
       s"srp_probes gave bucket=$bkt pb=$pb")
+    // the round-11 drift set: the six functions the extensions path was
+    // MISSING while each path spelled its own list — now injected from
+    // the shared builders table, each must resolve from SQL here
+    val rh = spark.sql(
+      """SELECT graft_rolling_hashes(array('a', 'b', 'c'), 2) AS rh""")
+      .head().getSeq[Long](0)
+    assert(rh.length == 2 && rh.distinct.length == 2, s"rolling_hashes gave $rh")
+    val hier = spark.sql(
+      """SELECT graft_nearest_centroids(array(0.0d, 1.0d), 1.0d,
+        |         array(1.0d, 0.0d, 0.0d, 1.0d), 2, 1) AS t""".stripMargin)
+      .head().getSeq[Int](0)
+    assert(hier == Seq(1), s"nearest_centroids gave $hier")
+    val pq = spark.sql(
+      """SELECT graft_pq_codes(array(0.9d, 0.1d),
+        |         array(0.0d, 1.0d, 0.0d, 1.0d), 2, 1) AS c""".stripMargin)
+      .head().getSeq[Int](0)
+    assert(pq == Seq(1, 0), s"pq_codes gave $pq")
+    val adc = spark.sql(
+      """SELECT graft_pq_adc(
+        |         graft_pq_codes(array(0.9d, 0.1d),
+        |           array(0.0d, 1.0d, 0.0d, 1.0d), 2, 1),
+        |         array(5.0d, 7.0d, 11.0d, 13.0d), 2) AS s""".stripMargin)
+      .head().getDouble(0)
+    assert(adc == 7.0 + 11.0, s"pq_adc gave $adc")
+    val bpe = spark.sql(
+      """SELECT graft_bpe_encode(array('ab'), array('a'), array('b')) AS t""")
+      .head().getSeq[String](0)
+    assert(bpe == Seq("ab"), s"bpe_encode gave $bpe")
+    val bloomOk =
+      try { spark.sql("SELECT graft_bloom_contains(NULL, 1L)").head(); true }
+      catch { case _: org.apache.spark.sql.catalyst.ExtendedAnalysisException => false
+              case _: org.apache.spark.sql.AnalysisException => false }
+    assert(bloomOk, "bloom_contains did not resolve through the extension path")
     println("[ext] OK: extensions-injected functions resolve from SQL")
     spark.stop()
   }

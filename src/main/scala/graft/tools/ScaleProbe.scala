@@ -431,6 +431,28 @@ object ScaleProbe {
       System.clearProperty("graft.cc.verbose")
       println(f"[scale] q50_distributed[minlabel+reliable-ckpt]  1x=$t1%6.2fs ${k}x=$tk%6.2fs ratio=${tk / t1}%5.2f")
     }
+    // q123 substring dedup, FORCED: the registered relation's row count
+    // is |docs| whatever the dedup does, so a bare .count() lets the
+    // optimizer eliminate the (unique-keyed, unreferenced) drop-index
+    // outer join and the whole rebuild — the fixed-list probe measured
+    // 0.22 s FLAT at both scales, i.e. the pruned scan, not the
+    // operator. This entry aggregates over clean_text/tokens_removed so
+    // every stage (window hashes, winner election, token expansion,
+    // map-only rebuild) must run.
+    if (only.forall(_.exists("q123_substring_dedup".startsWith))) {
+      def forced(d: String): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.substringDedup(
+            Tables.load(spark, d, "documents"), "doc_id", "text", 8)
+          .agg(sum(length(col("clean_text"))), sum(col("tokens_removed")))
+          .head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      forced(dir); forced(tmp) // warm both
+      val t1 = forced(dir)
+      val tk = forced(tmp)
+      println(f"[scale] q123_forced                  1x=${t1}%6.2fs ${k}x=${tk}%6.2fs ratio=${tk / t1}%5.2f")
+    }
     // Persisted IVF index: probe latency vs append litter, and after
     // compaction — append ≡ rebuild is suite-proven, but the
     // latency-vs-file-count curve was not measured until this probe.

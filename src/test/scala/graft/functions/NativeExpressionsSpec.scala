@@ -186,6 +186,48 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(short.getSeq[String](0).isEmpty)
   }
 
+  test("graft_rolling_hashes ≡ independent per-window polynomial over the corpus") {
+    // The reference walks each window separately (O(n·width)) in plain
+    // Scala — ANSI mode rejects the wrapping multiply in a composable
+    // SQL form, and wrapping IS the contract (polynomial mod 2^64).
+    val width = 5
+    val b = graft.functions.HashSketches.RollB
+    def tokHash(t: String): Long =
+      if (t == null) graft.functions.HashSketches.Seed
+      else {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes,
+          graft.functions.HashSketches.Seed)
+      }
+    def localWindows(toks: Seq[String]): Seq[Long] =
+      if (toks.length < width) Seq.empty
+      else (0 to toks.length - width).map { i =>
+        toks.slice(i, i + width).foldLeft(0L)((acc, t) => acc * b + tokHash(t))
+      }
+    val rows = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= width)
+      .select(col("t"),
+        graft.functions.GraftFunctions.rollingWindowHashes(col("t"), width).as("a"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === localWindows(r.getSeq[String](0)))
+    }
+    // short docs: fewer tokens than width → empty array, not null
+    val short = Seq(Tuple1(Array("a", "b"))).toDF("t")
+      .select(graft.functions.GraftFunctions.rollingWindowHashes(col("t"), 3).as("s"))
+      .head()
+    assert(short.getSeq[Long](0).isEmpty)
+    // the grouping contract: equal windows hash equal across docs/offsets
+    val two = Seq(Tuple1(Array("x", "a", "b", "c")), Tuple1(Array("a", "b", "c", "y")))
+      .toDF("t")
+      .select(graft.functions.GraftFunctions.rollingWindowHashes(col("t"), 3).as("h"))
+      .collect()
+    assert(two(0).getSeq[Long](0)(1) === two(1).getSeq[Long](0)(0))
+  }
+
   test("graft_srp ≡ composable SRP bucket over the embeddings corpus, all tables") {
     val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
       .withColumn("v", VectorOps.toDoubleVec(col("embedding")))

@@ -113,6 +113,56 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count() === 2) // distinct on (text, _graft_ch) — caller col still a real key
   }
 
+  test("substringDedup: any-alignment catch, overlap merge, first-occurrence win") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val doc1 = s"alpha beta $shared gamma"
+    val doc2 = s"x1 x2 x3 $shared y1" // same substring, different alignment
+    val out = Dedup.substringDedup(
+        Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"),
+        "doc_id", "text", minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // first occurrence (doc 1) keeps everything
+    assert(out(1L).getAs[String]("clean_text") === doc1)
+    assert(out(1L).getAs[Long]("tokens_removed") === 0L)
+    // doc 2 loses EXACTLY the 10 shared tokens: the three duplicated
+    // 8-windows overlap and merge to one 10-token cut
+    assert(out(2L).getAs[String]("clean_text") === "x1 x2 x3 y1")
+    assert(out(2L).getAs[Long]("tokens_removed") === 10L)
+    assert(out(2L).getAs[Long]("tokens_total") === 14L)
+  }
+
+  test("substringDedup catches the offset duplicate spanDedup's fixed stride misses") {
+    val shared = (1 to 8).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, s"pre $shared b1 b2 b3 b4 b5 b6 b7")).toDF("doc_id", "text")
+    // fixed 8-stride spans never line up with the offset-by-1 copy
+    val spans = Dedup.spanDedup(df, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("spans_kept") -> r.getAs[Long]("spans_total"))
+    assert(spans.forall { case (kept, total) => kept == total })
+    val sub = Dedup.substringDedup(df, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("tokens_removed")).toMap
+    assert(sub === Map(1L -> 0L, 2L -> 8L))
+  }
+
+  test("substringDedup: within-doc repetition dedups against itself") {
+    val w = (1 to 8).map(i => s"w$i").mkString(" ")
+    val out = Dedup.substringDedup(
+        Seq((5L, s"$w $w")).toDF("doc_id", "text"),
+        "doc_id", "text", minTokens = 8).head()
+    assert(out.getAs[String]("clean_text") === w)
+    assert(out.getAs[Long]("tokens_removed") === 8L)
+  }
+
+  test("substringDedup: short docs pass through untouched") {
+    val out = Dedup.substringDedup(
+        Seq((9L, "just seven tokens in this tiny doc")).toDF("doc_id", "text"),
+        "doc_id", "text", minTokens = 8).head()
+    assert(out.getAs[String]("clean_text") === "just seven tokens in this tiny doc")
+    assert(out.getAs[Long]("tokens_removed") === 0L)
+    assert(out.getAs[Long]("tokens_total") === 7L)
+  }
+
   test("MinHash-LSH finds every exact near-dup pair (recall 1.0 here) with no false positives") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
