@@ -199,6 +199,22 @@ object DataOpsQueries {
           .select("vec_id")
           .orderBy("vec_id")),
 
+    // Distributed full-corpus k-means refinement readout: sample-seeded
+    // fit + 2 Lloyd passes where EVERY pass is one map-only native
+    // assignment + one k×dim hash agg (the scale path past the bounded
+    // sample's reach), then one row per non-empty cluster. Iterative
+    // float fixpoint → not oracle-expressible; KmeansRefineSpec pins
+    // the refinement against an independent in-memory reference to
+    // 1e-9/component, post-refinement assignment exactly, empty-cluster
+    // hold bit-identically, and hier-routed ≡ flat at full coverage.
+    NamedQuery(
+      "q124_kmeans_refine",
+      None,
+      (s, dir) =>
+        VectorOps.kmeansClusterProfile(embs(s, dir), "embedding",
+            k = 16, refineIters = 2)
+          .orderBy("cluster")),
+
     // Incremental SemDeDup — the steady-state loop of an append-only
     // corpus: yesterday's docs (vec_id < 250) are the immutable kept
     // base under frozen centroids; today's delta (the remaining ids
@@ -1438,6 +1454,34 @@ object DataOpsQueries {
       (s, dir) =>
         TextAnalysis.bigramTopK(docs(s, dir), "text", 3)
           .orderBy("w1", "rk")),
+
+    // PMI collocation mining: corpus-wide top-100 adjacent pairs by
+    // pointwise mutual information among pairs seen ≥ 5 times. The
+    // oracle reproduces the float pipeline exactly (same left-assoc
+    // multiply order, ln, round-4 before ranking; (w1, w2) totalizes
+    // rounded ties) — the q103 arithmetic-oracle contract.
+    NamedQuery(
+      "q125_pmi_collocations",
+      Some("""WITH t AS (SELECT string_split(text, ' ') tok FROM documents),
+             |u AS (SELECT unnest(tok) w FROM t),
+             |uc AS (SELECT w, count(*) c FROM u GROUP BY 1),
+             |nu AS (SELECT count(*) n FROM u),
+             |b AS (SELECT unnest(list_transform(range(len(tok) - 1),
+             |        i -> {'w1': tok[i+1], 'w2': tok[i+2]})) z
+             |      FROM t WHERE len(tok) >= 2),
+             |bc AS (SELECT z.w1 AS w1, z.w2 AS w2, count(*) AS c_ab FROM b GROUP BY 1, 2),
+             |nb AS (SELECT count(*) n FROM b)
+             |SELECT bc.w1, bc.w2, bc.c_ab,
+             |  round(ln(CAST(bc.c_ab AS DOUBLE) * nu.n * nu.n /
+             |           (CAST(nb.n AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+             |FROM bc
+             |JOIN uc u1 ON bc.w1 = u1.w
+             |JOIN uc u2 ON bc.w2 = u2.w
+             |CROSS JOIN nu CROSS JOIN nb
+             |WHERE bc.c_ab >= 5
+             |ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5, k = 100)),
 
     // Mean-pooling (chunk embeddings → doc embedding / centroids):
     // Spark side is ONE hash agg via the native graft_vec_sum aggregate

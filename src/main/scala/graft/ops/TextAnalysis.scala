@@ -642,4 +642,50 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col("w1"), col("rk"), col("w2"), col("c"))
   }
+
+  /** Pointwise-mutual-information collocation mining: the corpus-wide
+    * top-`k` adjacent word pairs by
+    * `pmi = ln(p(w1,w2) / (p(w1)·p(w2)))` among pairs seen at least
+    * `minCount` times (the classic MI filter — singletons otherwise
+    * saturate the top of the list with noise).
+    *
+    * Scale shape: one tokenize pass feeds both the unigram and bigram
+    * hash aggs (vocabulary-bound relations); the `minCount` filter
+    * prunes the bigram tail BEFORE the two count joins, which key on
+    * the word (vocabulary-bound shuffle joins, never
+    * broadcast-dependent); only the two scalar totals broadcast; the
+    * global top-k is `orderBy.limit` → TakeOrdered (per-partition heap,
+    * k rows to the driver — never a global sort). `pmi` is rounded to
+    * 4 before ranking so the order is reproducible against the oracle;
+    * (w1, w2) breaks rounded ties totally.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      k: Int = 100): DataFrame = {
+    val tokenRows = df.select(TextFunctions.tokens(col(textCol)).as("t"))
+    val uni = tokenRows.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val totalU = uni.agg(sum(col("cw")).as("nu"))
+    val pairs = tokenRows.filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totalB = pairs.agg(count(lit(1)).as("nb"))
+    big
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totalU))
+      .crossJoin(broadcast(totalB))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("nu") * col("nu") /
+          (col("nb").cast("double") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -270,10 +270,12 @@ object VectorOps {
       sampleRows: Int = 4096,
       roundTo: Int = 6,
       hierThreshold: Int = 4096,
-      coarseProbes: Int = 8): DataFrame = {
+      coarseProbes: Int = 8,
+      refineIters: Int = 0): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(nProbe >= 1, s"nProbe=$nProbe must be >= 1")
-    val base = kmeansCentroids(corpus, vecCol, nClusters, kmeansIters, seed, sampleRows)
+    val base = kmeansCentroidsRefined(corpus, vecCol, nClusters, kmeansIters,
+      seed, sampleRows, refineIters, hierThreshold, coarseProbes)
     if (base.isEmpty) // empty corpus (or all zero-norm) → empty frame, same schema
       return corpus.select(col(idCol).as("q_id"), col(idCol).as("n_id"),
         lit(0.0).as("cosine"), lit(1).as("rank")).filter(lit(false))
@@ -819,6 +821,128 @@ object VectorOps {
     cents
   }
 
+  /** Distributed Lloyd refinement of spherical k-means centroids over
+    * the FULL corpus — the scale path past [[kmeansCentroids]]'s
+    * bounded-sample fit. Each iteration is ONE map-only assignment pass
+    * (the native [[graft.functions.NearestCentroid]] argmax; the same
+    * coarse→fine routing as the index past `hierThreshold` centroids)
+    * followed by ONE hash aggregation keyed by cluster whose partial
+    * buffers are `k × dim` doubles (`graft_vec_sum` over the UNIT
+    * vectors — spherical k-means sums directions, so each vector is
+    * divided by its own norm before the agg, exactly the driver loop's
+    * `p / ||p||`). The only collect is the k-row centroid table —
+    * never corpus rows — so the per-iteration cost is one corpus scan
+    * plus a k×dim exchange regardless of corpus size.
+    *
+    * Contract differences vs the driver loop, both deliberate:
+    *   - empty clusters KEEP their previous centroid instead of
+    *     reseeding to worst-fit points (reseeding needs the global
+    *     worst rows — a corpus-scale ordering; `init` comes from the
+    *     sample fit which already reseeded its empties, so a cluster
+    *     that is empty over the FULL corpus is genuinely dead and
+    *     holding it still is harmless — no vector routes to it);
+    *   - the centroid sums are floating-point reductions whose merge
+    *     order follows the shuffle, so components are reproducible
+    *     only to summation-order ulps (~1e-12 relative), not
+    *     bit-identical across runs. Callers that need bit-stable
+    *     probes persist the refined table once ([[ivfWriteIndex]]
+    *     stores centroids with the index) — probes against a persisted
+    *     table are deterministic. KmeansRefineSpec pins the refinement
+    *     against an in-memory reference to 1e-9 per component and the
+    *     post-refinement ASSIGNMENT to exact equality.
+    */
+  def kmeansRefine(
+      df: DataFrame,
+      vecCol: String,
+      init: Array[Array[Double]],
+      iters: Int = 2,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): Array[Array[Double]] = {
+    if (init.isEmpty || iters <= 0) return init
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cents = init
+    for (_ <- 0 until iters) {
+      val routing = routingFor(cents, hierThreshold)
+      val stats = assignClustersRouted(df, vecCol, cents, routing, coarseProbes)
+        .select(col("cluster"),
+          transform(col("dv"), x => x / col("nrm")).as("u"))
+        .groupBy("cluster")
+        .agg(graft.functions.GraftFunctions.vecSum(col("u")).as("s"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.indices.map { c =>
+        stats.get(c) match {
+          case Some(s) =>
+            val n = math.sqrt(dotA(s, s))
+            if (n > 0) s.map(_ / n) else cents(c) // cancelled directions: hold
+          case None => cents(c) // dead over the full corpus: hold
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** [[kmeansCentroids]] (bounded-sample seeded fit) followed by
+    * `refineIters` full-corpus [[kmeansRefine]] passes — the
+    * composition the large-corpus entry points take when the 4096-row
+    * sample can no longer see the cluster structure (`refineIters = 0`
+    * is exactly the sample fit, unchanged).
+    */
+  def kmeansCentroidsRefined(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 4,
+      seed: Long = 42L,
+      sampleRows: Int = 4096,
+      refineIters: Int = 0,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): Array[Array[Double]] = {
+    val base = kmeansCentroids(df, vecCol, k, iters, seed, sampleRows)
+    if (base.isEmpty) base
+    else kmeansRefine(df, vecCol, base, refineIters, hierThreshold, coarseProbes)
+  }
+
+  /** Clustering readout: fit (sample seed + `refineIters` full-corpus
+    * [[kmeansRefine]] passes), assign every row once (map-only native
+    * argmax, hier-routed past `hierThreshold`), and emit one row per
+    * non-empty cluster — `(cluster, n, mean_cos)`, the size and mean
+    * cosine-to-assigned-centroid (the spherical k-means objective,
+    * rounded to 4). One corpus scan + one k-row hash agg on top of the
+    * refinement passes; the centroid table rides the plan as a literal
+    * array (k × dim doubles — the same task-binary budget as the
+    * assignment expression itself).
+    */
+  def kmeansClusterProfile(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      iters: Int = 4,
+      seed: Long = 42L,
+      sampleRows: Int = 4096,
+      refineIters: Int = 2,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): DataFrame = {
+    val cents = kmeansCentroidsRefined(df, vecCol, k, iters, seed,
+      sampleRows, refineIters, hierThreshold, coarseProbes)
+    if (cents.isEmpty)
+      return df.select(lit(0).as("cluster"), lit(0L).as("n"),
+        lit(0.0).as("mean_cos")).filter(lit(false))
+    val routing = routingFor(cents, hierThreshold)
+    val table = typedLit(cents.map(_.toSeq).toSeq)
+    assignClustersRouted(df, vecCol, cents, routing, coarseProbes)
+      .withColumn("cos",
+        dot(toDoubleVec(col("dv")),
+          element_at(table, col("cluster") + 1)) / col("nrm"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 4).as("mean_cos"))
+  }
+
   /** ANN top-k via IVF (inverted-file) coarse quantization: vectors are
     * assigned to their nearest of `nCentroids` coarse centroids (a
     * map-only argmax), and a query scans only its `nProbe` nearest
@@ -1007,14 +1131,18 @@ object VectorOps {
       maxCluster: Int = 100000,
       sampleRows: Int = 4096,
       hierThreshold: Int = 4096,
-      coarseProbes: Int = 8): DataFrame = {
+      coarseProbes: Int = 8,
+      refineIters: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold must be in (0, 1]")
     // sampleRows rides along because it must GROW with nClusters: at the
     // default 4096 a corpus-scaled nClusters (the documented operating
     // rule — fixed expected cluster size) would fit centroids from a few
     // samples each, degenerating the very clustering that bounds the
-    // quadratic term. Keep sampleRows >= ~8 x nClusters.
-    val base = kmeansCentroids(df, vecCol, nClusters, kmeansIters, seed, sampleRows)
+    // quadratic term. Keep sampleRows >= ~8 x nClusters. Past the
+    // sample's reach, `refineIters` full-corpus [[kmeansRefine]] passes
+    // re-fit the table the sample seeded.
+    val base = kmeansCentroidsRefined(df, vecCol, nClusters, kmeansIters,
+      seed, sampleRows, refineIters, hierThreshold, coarseProbes)
     if (base.isEmpty) return df // no directions anywhere → nothing to dedup
     // The cluster self-join exchanges every surviving row TWICE with its
     // vector attached — assignClusters' `dv` is the RAW column (float
@@ -1211,8 +1339,10 @@ object VectorOps {
       path: String,
       nCentroids: Int = 16,
       kmeansIters: Int = 4,
-      seed: Long = 42L): Array[Array[Double]] = {
-    val base = kmeansCentroids(df, vecCol, nCentroids, kmeansIters, seed)
+      seed: Long = 42L,
+      refineIters: Int = 0): Array[Array[Double]] = {
+    val base = kmeansCentroidsRefined(df, vecCol, nCentroids, kmeansIters,
+      seed, refineIters = refineIters)
     require(base.nonEmpty, "ivfWriteIndex: empty corpus (or all zero-norm vectors)")
     assignClusters(df, vecCol, indexedCents(base))
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))

@@ -142,7 +142,15 @@ object ScaleProbe {
         // index (numHashes longs/doc/band) and its compare work is
         // bounded per bucket — the ratio prices the state-store walk
         // growing with the corpus.
-        "q119_dsir", "q120_quality_classifier", "q121_stream_neardup")
+        "q119_dsir", "q120_quality_classifier", "q121_stream_neardup",
+        // q122 composes q119's vocabulary-bound weight machinery with a
+        // seeded-noise TakeOrdered cap — the k× term is q119's feature
+        // agg, the selection itself is constant-size. q125's unigram/
+        // bigram tables are vocabulary-bound (disjoint replica
+        // vocabularies → k× posting relations, the q78/q92 family); the
+        // minCount filter prunes before the count joins and the global
+        // top-100 is a TakeOrdered.
+        "q122_dsir_resample", "q125_pmi_collocations")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -239,6 +247,19 @@ object ScaleProbe {
             e.limit(0), base0, "vec_id", "embedding", 0.9, cents)
           graft.ops.VectorOps.semDedupDelta(
             baseKept, delta, "vec_id", "embedding", 0.9, cents).count()
+        }),
+      // full-corpus refinement under the same rule: each of the 2 Lloyd
+      // passes is one map-only assignment (O(nClusters·dim)/row flat —
+      // the same far-scale term as q101/q102, hier-routed past 4096)
+      // plus a k×dim hash agg; nClusters ~ N makes the per-pass agg
+      // payload grow k× alongside the corpus scan.
+      ("q124_kmeans_refine[nClusters~N]",
+        d => {
+          val e = Tables.load(spark, d, "embeddings")
+          val scale = if (d == dir) 1 else k
+          graft.ops.VectorOps.kmeansClusterProfile(e, "embedding",
+            k = 16 * scale, refineIters = 2,
+            sampleRows = math.max(4096, 8 * 16 * scale)).count()
         }))
       if only.forall(_.exists(label.startsWith))) {
       timeOp(label, run(dir)) // warm 1x

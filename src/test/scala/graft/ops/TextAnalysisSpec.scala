@@ -115,6 +115,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Seq(("a", 1L, "b", 2L), ("a", 2L, "c", 1L), ("b", 1L, "a", 2L)))
   }
 
+  test("pmiCollocations: hand-computed PMI, minCount filter, rank + tie order") {
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // unigrams a:3 b:2 c:1 (N=6); bigrams (a,b):2 (b,a):1 (a,c):1 (B=4)
+    // pmi(a,b) = ln(2·36/(4·3·2)) = ln 3; pmi(a,c) = ln(36/(4·3)) = ln 3;
+    // pmi(b,a) = ln(36/(4·2·3)) = ln 1.5 — rounded ties (a,b) < (a,c) by w2
+    val out = TextAnalysis.pmiCollocations(df, "text", minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 1.0986), ("a", "c", 1L, 1.0986), ("b", "a", 1L, 0.4055)))
+    // minCount prunes the singletons entirely
+    val pruned = TextAnalysis.pmiCollocations(df, "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pruned.toSeq === Seq(("a", "b")))
+  }
+
   test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
     val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
