@@ -2013,6 +2013,34 @@ object DataOpsQueries {
           .orderBy("source")
       }),
 
+    // Temperature-scaled mixture MATERIALIZATION (q98 plans with fixed
+    // weights; this derives the weights from the data — t_i^τ — and
+    // actually cuts the corpus): τ = 0.5 up-samples tail sources, the
+    // seededMix LCG makes the per-source document cut reproducible by
+    // any engine, and the whole pipeline (token counts → pow/normalize
+    // → round-6 fraction → integer-mix cut) is SQL arithmetic, so the
+    // SELECTED SET itself carries the oracle.
+    NamedQuery(
+      "q126_temperature_sample",
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |        len(string_split(text, ' ')) n_tok FROM documents),
+             |per AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) t FROM tok GROUP BY source),
+             |z AS (SELECT sum(pow(t, 0.5)) z FROM per),
+             |f AS (SELECT source,
+             |        round(LEAST(1.0, 50000.0 * pow(t, 0.5) / z.z / t), 6) AS fraction
+             |      FROM per CROSS JOIN z)
+             |SELECT tok.doc_id, tok.source, CAST(tok.n_tok AS BIGINT) AS n_tok,
+             |  f.fraction
+             |FROM tok JOIN f USING (source)
+             |WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 4294967296 AS DOUBLE)
+             |      < f.fraction * 4294967296.0
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.temperatureSample(docs(s, dir), "doc_id", "source",
+            size(TextFunctions.tokens(col("text"))),
+            temperature = 0.5, budgetTokens = 50000L, seed = 7L)
+          .orderBy("doc_id")),
+
     // Sequence-length bucketing for padded batching: every doc rounds up
     // to its power-of-two token bucket; the report prices the padding
     // waste per bucket. Bucket lookup is an integer compare against a

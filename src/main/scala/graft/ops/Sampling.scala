@@ -287,11 +287,59 @@ object Sampling {
     * Keys must be non-negative (ids); `pos` is dense from 1 within
     * each shard.
     */
+  /** Temperature-scaled source mixture sampling — the multilingual /
+    * UNIMAX mixing rule: source `i` holding `t_i` tokens gets budget
+    * share `p_i = t_i^τ / Σ_j t_j^τ`, so τ = 1 reproduces natural
+    * proportions and τ → 0 flattens toward uniform (up-sampling the
+    * tail sources); each source is then materialized at fraction
+    * `min(1, budget·p_i / t_i)` of its documents via the [[seededMix]]
+    * integer LCG, so the SAME documents are selected on every rerun
+    * and by any engine recomputing the rule (the manifest contract).
+    *
+    * The fraction is rounded to 6 before the cut and the cut compares
+    * the 32-bit mix against `fraction · 2³²` — both sides exact
+    * IEEE-double ops on engine-identical inputs, so the selected set
+    * is reproducible cross-engine (`pow`/division agree to an ulp,
+    * nowhere near the 1e-6 grid).
+    *
+    * Scale shape: one token-count agg to a source-bound table, one
+    * scalar normalizer, one broadcast fraction join back, one map-only
+    * filter — the corpus is scanned twice (count + cut) and shuffled
+    * only by the source-keyed agg's partial rows. Output keeps
+    * `(id, source, n_tok, fraction)`; join survivors back to the text
+    * by id when the cut feeds a writer.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      nTokens: org.apache.spark.sql.Column,
+      temperature: Double,
+      budgetTokens: Long,
+      seed: Long = 42L): DataFrame = {
+    require(temperature > 0, s"temperature=$temperature must be > 0")
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
+    val base = df.select(col(idCol), col(sourceCol), nTokens.cast("long").as("n_tok"))
+    val per = base.groupBy(sourceCol)
+      .agg(sum("n_tok").cast("double").as("t"))
+    val z = per.agg(sum(pow(col("t"), lit(temperature))).as("z"))
+    val frac = per.crossJoin(broadcast(z))
+      .select(col(sourceCol),
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble) * pow(col("t"), lit(temperature))
+            / col("z") / col("t")), 6).as("fraction"))
+    base.join(broadcast(frac), Seq(sourceCol))
+      .filter(seededMix(col(idCol), seed).cast("double") <
+        col("fraction") * lit(4294967296.0))
+      .select(col(idCol), col(sourceCol), col("n_tok"), col("fraction"))
+  }
+
   /** The seeded Knuth multiplicative mix shared by [[seededShuffle]],
-    * [[weightedSample]] and their SQL oracles: pseudo-uniform in
-    * [0, 2³²), pure integer arithmetic so ANY engine reading a manifest
-    * can recompute it bit-identically. Keys that collide mod 2³¹ are
-    * tie-broken by the key itself wherever the mix orders rows.
+    * [[weightedSample]], [[temperatureSample]] and their SQL oracles:
+    * pseudo-uniform in [0, 2³²), pure integer arithmetic so ANY engine
+    * reading a manifest can recompute it bit-identically. Keys that
+    * collide mod 2³¹ are tie-broken by the key itself wherever the mix
+    * orders rows.
     */
   def seededMix(key: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
     pmod(

@@ -150,7 +150,13 @@ object ScaleProbe {
         // vocabularies → k× posting relations, the q78/q92 family); the
         // minCount filter prunes before the count joins and the global
         // top-100 is a TakeOrdered.
-        "q122_dsir_resample", "q125_pmi_collocations")
+        "q122_dsir_resample", "q125_pmi_collocations",
+        // q126: one source-keyed token agg + a broadcast fraction join
+        // + a map-only LCG cut — the corpus is scanned twice and
+        // shuffled only by the source-bound partial rows (note the
+        // FIXED 50k budget shrinks the 64× fractions 64×: the probe
+        // prices the scan/agg, the selected set is budget-bound)
+        "q126_temperature_sample")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -231,6 +231,52 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.columns.toSeq === docs.columns.toSeq :+ "global_idx")
   }
 
+  test("temperatureSample: τ=1 is the natural cut, low τ up-samples the tail, deterministic") {
+    val nTok = size(graft.ops.TextFunctions.tokens(col("text")))
+    // τ = 1: p_i = t_i/Σt → fraction_i = budget/Σt — IDENTICAL for
+    // every source (natural proportions, one global rate)
+    val nat = Sampling.temperatureSample(docs, "doc_id", "source", nTok,
+      temperature = 1.0, budgetTokens = 10000L, seed = 7L)
+    val natFracs = nat.select("fraction").distinct().collect().map(_.getDouble(0))
+    assert(natFracs.length == 1, s"τ=1 fractions diverged: ${natFracs.toSeq}")
+    val total = docs.select(nTok.cast("long").as("n")).agg(sum("n")).head().getLong(0)
+    assert(math.abs(natFracs.head - math.min(1.0, 10000.0 / total)) < 1e-6)
+
+    // τ = 0.25 flattens: the smallest source's fraction must exceed the
+    // biggest source's (tail up-sampled relative to head)
+    val flat = Sampling.temperatureSample(docs, "doc_id", "source", nTok,
+      temperature = 0.25, budgetTokens = 10000L, seed = 7L)
+    val bySize = docs.select(col("source"), nTok.cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._2)
+    val fracs = flat.select("source", "fraction").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (smallest, biggest) = (bySize.head._1, bySize.last._1)
+    if (bySize.head._2 != bySize.last._2)
+      assert(fracs(smallest) > fracs(biggest),
+        s"low τ did not up-sample the tail: $fracs vs sizes ${bySize.toSeq}")
+
+    // deterministic: the SAME document set on a rerun; a different seed
+    // moves the cut. seededMix is AFFINE in the seed (mix' = mix + Δ
+    // mod 2³²), so a threshold cut only changes for keys in the
+    // rotated boundary band — the probe seed must rotate by a large
+    // fraction of the ring to observably reshuffle a 500-doc corpus.
+    val again = Sampling.temperatureSample(docs, "doc_id", "source", nTok,
+      temperature = 0.25, budgetTokens = 10000L, seed = 7L)
+    assert(flat.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val reseeded = Sampling.temperatureSample(docs, "doc_id", "source", nTok,
+      temperature = 0.25, budgetTokens = 10000L, seed = 3000000000L)
+    assert(reseeded.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq !==
+      flat.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+
+    // the materialized token mass tracks the budget (LCG uniformity):
+    // within 25% on this 500-doc corpus
+    val got = flat.agg(sum("n_tok")).head().getLong(0).toDouble
+    assert(got > 10000 * 0.75 && got < 10000 * 1.25,
+      s"sampled token mass $got far from the 10000 budget")
+  }
+
   test("contiguousIndex rejects an existing global_idx column and bad shard counts") {
     import spark.implicits._
     val df = Seq((1L, 5L)).toDF("doc_id", "global_idx")
