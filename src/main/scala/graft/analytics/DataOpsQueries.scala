@@ -1131,6 +1131,49 @@ object DataOpsQueries {
       (s, dir) =>
         TextAnalysis.qualityMetrics(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // Gopher quality rules (Rae et al. 2021 §A1.1) as named booleans +
+    // the composite keep — thresholds compare UNROUNDED single-division
+    // doubles over integer counts, identical IEEE results both engines,
+    // so the flags themselves carry the oracle.
+    NamedQuery(
+      "q127_gopher_rules",
+      Some("""WITH m AS (SELECT doc_id, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) n_chars,
+             |        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) hashes,
+             |        CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3 ellipses
+             |      FROM documents),
+             |c AS (SELECT doc_id, n_chars, hashes, ellipses,
+             |        CAST(len(toks) AS DOUBLE) n_tok,
+             |        CAST(len(list_filter(toks,
+             |          t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) alpha,
+             |        CAST(len(list_filter(toks,
+             |          t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) stop_hits
+             |      FROM m),
+             |r AS (SELECT doc_id, n_tok, n_chars, hashes, ellipses, alpha, stop_hits,
+             |        (n_chars - (n_tok - 1)) / n_tok AS mean_len,
+             |        (hashes + ellipses) / n_tok AS sym,
+             |        alpha / n_tok AS af,
+             |        (n_tok >= 50 AND n_tok <= 100000) AS r_words,
+             |        (stop_hits >= 2) AS r_stop
+             |      FROM c)
+             |SELECT doc_id,
+             |  CAST(n_tok AS BIGINT) AS n_words,
+             |  ROUND(mean_len, 4) AS mean_word_len,
+             |  ROUND(sym, 4) AS symbol_ratio,
+             |  ROUND(af, 4) AS alpha_frac,
+             |  stop_hits,
+             |  r_words,
+             |  (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_len,
+             |  (sym <= 0.1) AS r_symbol,
+             |  (af >= 0.8) AS r_alpha,
+             |  r_stop,
+             |  (r_words AND mean_len >= 3.0 AND mean_len <= 10.0
+             |    AND sym <= 0.1 AND af >= 0.8 AND r_stop) AS keep
+             |FROM r ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.gopherQualityRules(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
     NamedQuery(
       "q29_lang_id",
       Some {

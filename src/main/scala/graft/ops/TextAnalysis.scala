@@ -84,6 +84,65 @@ object TextAnalysis {
       round(qualityScoreCol(t), 4).as("quality_score"))
   }
 
+  /** Gopher quality-rule filter (Rae et al. 2021, §A1.1): the published
+    * per-document REJECTION rules as named booleans plus the composite
+    * `keep`, so a pipeline can both cut and audit which rule fired.
+    * Implemented rules (the corpus has no line structure, so the
+    * line-based rules — bullet/ellipsis line starts, duplicate lines —
+    * live with the span machinery in [[graft.ops.Dedup]] instead):
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [minMeanLen, maxMeanLen] (computed
+    *     from character counts: token chars = chars − separators, the
+    *     q28 identity — no per-token pass);
+    *   - symbol-to-word ratio (`#` or `...`) ≤ maxSymbolRatio;
+    *   - fraction of words containing an alphabetic character
+    *     ≥ minAlphaFrac;
+    *   - at least minStopwords stop-word hits.
+    * All thresholds compare UNROUNDED values — integer counts divided
+    * once, deterministic IEEE arithmetic any engine reproduces exactly
+    * (the emitted metrics round to 4 for display only). Map-only,
+    * single codegen'd projection; no shuffle anywhere.
+    */
+  def gopherQualityRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFunctions.tokens(t)
+    val nTok = size(toks).cast("double")
+    val meanLen = (length(t).cast("double") - (nTok - 1)) / nTok
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast("double")
+    val symbolRatio = (hashes + ellipses) / nTok
+    val alphaFrac = size(filter(toks, tok => tok.rlike("[a-z]"))).cast("double") / nTok
+    val stopHits = TextFunctions.markerTokenCount(toks, Stopwords)
+    val rWords = size(toks) >= minWords && size(toks) <= maxWords
+    val rMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rSymbol = symbolRatio <= maxSymbolRatio
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStop = stopHits >= minStopwords
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      rWords.as("r_words"),
+      rMeanLen.as("r_mean_len"),
+      rSymbol.as("r_symbol"),
+      rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      (rWords && rMeanLen && rSymbol && rAlpha && rStop).as("keep"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document (see
     * [[TextFunctions.polyFingerprint]]), plus an order-insensitive
     * content hash for exact-dup grouping.

@@ -130,6 +130,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pruned.toSeq === Seq(("a", "b")))
   }
 
+  test("gopherQualityRules: each rule fires on its own planted violation") {
+    val good = (Seq("the", "a", "of") ++ Seq.fill(60)("word")).mkString(" ")
+    val df = Seq(
+      (1L, good),                                         // passes all
+      (2L, "the a short doc"),                            // r_words (4 < 50)
+      (3L, good + " " + Seq.fill(12)("### ... ###").mkString(" ")), // r_symbol
+      (4L, (Seq("the", "a") ++ Seq.fill(60)("77")).mkString(" ")),  // r_alpha
+      (5L, Seq.fill(63)("word").mkString(" ")))           // r_stop (0 hits)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityRules(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(r: org.apache.spark.sql.Row) =
+      (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+        r.getBoolean(10), r.getBoolean(11))
+    assert(flags(out(0)) === ((true, true, true, true, true, true)))
+    assert(!out(1).getBoolean(6) && !out(1).getBoolean(11))  // words rule
+    assert(!out(2).getBoolean(8) && !out(2).getBoolean(11))  // symbol rule
+    assert(!out(3).getBoolean(9) && !out(3).getBoolean(11))  // alpha rule
+    assert(!out(4).getBoolean(10) && !out(4).getBoolean(11)) // stopword rule
+    // metric spot-check: doc 5 is 63 four-char words → mean len exactly 4
+    assert(out(4).getDouble(2) === 4.0)
+  }
+
   test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
     val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
