@@ -1174,6 +1174,27 @@ object DataOpsQueries {
         TextAnalysis.gopherQualityRules(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Token Shannon entropy (gibberish/degeneracy signal): the identity
+    // −Σ(c/n)ln(c/n) = ln n − (Σ c·ln c)/n keeps it one histogram pass
+    // with no total-join; float sums reorder across engines only at
+    // ~1e-13, far under the round-4 grid.
+    NamedQuery(
+      "q128_token_entropy",
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+             |c AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) c FROM t GROUP BY 1, 2),
+             |a AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) n, count(*) nd,
+             |        sum(c * ln(c)) clogc
+             |      FROM c GROUP BY doc_id)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  CAST(nd AS BIGINT) AS n_distinct,
+             |  ROUND(ln(n) - clogc / n, 4) AS entropy,
+             |  ROUND(CASE WHEN nd = 1 THEN 0.0
+             |    ELSE (ln(n) - clogc / n) / ln(CAST(nd AS DOUBLE)) END, 4) AS norm_entropy
+             |FROM a ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
     NamedQuery(
       "q29_lang_id",
       Some {

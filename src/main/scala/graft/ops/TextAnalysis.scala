@@ -143,6 +143,40 @@ object TextAnalysis {
       (rWords && rMeanLen && rSymbol && rAlpha && rStop).as("keep"))
   }
 
+  /** Per-document token Shannon entropy — the gibberish/degeneracy
+    * signal the quality rules can't see: a doc of one token repeated
+    * has entropy 0 however long it is, while natural text sits near
+    * the corpus's vocabulary entropy. Emits
+    * `(id, n_tokens, n_distinct, entropy, norm_entropy)` with
+    * `entropy = −Σ (c_w/n)·ln(c_w/n)` over the doc's token histogram
+    * and `norm_entropy = entropy / ln(n_distinct)` (0 when the doc has
+    * one distinct token — already fully degenerate), both rounded to 4.
+    *
+    * Scale shape: one explode + one (id, token)-keyed hash agg + one
+    * id-keyed hash agg — the per-doc histogram partials combine
+    * map-side, so the exchange carries distinct (id, token) rows, not
+    * token instances. No vocabulary table, no join.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      // −Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n — one pass, no second
+      // join against the total
+      .select(col(idCol),
+        col("n").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(log(col("n").cast("double")) - col("clogc") / col("n"), 4).as("entropy"),
+        round(when(col("n_distinct") === 1, lit(0.0))
+          .otherwise((log(col("n").cast("double")) - col("clogc") / col("n"))
+            / log(col("n_distinct").cast("double"))), 4).as("norm_entropy"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document (see
     * [[TextFunctions.polyFingerprint]]), plus an order-insensitive
     * content hash for exact-dup grouping.

@@ -153,6 +153,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4).getDouble(2) === 4.0)
   }
 
+  test("tokenEntropy: hand-computed entropies, degenerate doc pinned to zero") {
+    val df = Seq(
+      (1L, "a a a a"),  // one distinct token → entropy 0, norm 0
+      (2L, "a b"),      // uniform over 2 → entropy ln 2, norm 1
+      (3L, "a a b"))    // ln 3 − (2 ln 2)/3 ≈ 0.6365, norm ≈ 0.9183
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out(0) === ((1L, 4L, 1L, 0.0, 0.0)))
+    assert(out(1) === ((2L, 2L, 2L, 0.6931, 1.0)))
+    assert(out(2) === ((3L, 3L, 2L, 0.6365, 0.9183)))
+  }
+
   test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
     val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
