@@ -354,6 +354,74 @@ object Dedup {
       b => struct(b.as("band"),
         xxhash64(slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).as("bucket")))
 
+  /** Closed-form LSH catch probability: a pair at Jaccard similarity
+    * `s`, banded as `bands` bands of `rows` hashes each, shares at
+    * least one bucket with probability `1 − (1 − s^rows)^bands` — the
+    * standard S-curve (Leskovec et al., MMDS ch. 3).
+    */
+  def minhashCatchProb(bands: Int, rows: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Solve the banding for a fixed MinHash budget — the lexical twin of
+    * [[Similarity.srpParamsFor]]: among the divisors of `numHashes`,
+    * keep the bandings whose catch probability at `threshold` meets
+    * `targetRecall`, then take the one catching the LEAST noise
+    * (probability at `noiseSim`, ties toward fewer bands — fewer bucket
+    * keys shuffled per doc). More bands always raises recall (rows = 1
+    * degenerates to per-hash equality, catching near-everything), so
+    * feasibility is monotone; infeasibility means the BUDGET is too
+    * small for the threshold/recall pair and the error says so rather
+    * than silently under-recalling — the same contract srpParamsFor
+    * established for fixed SRP knobs going quadratic.
+    *
+    * Returns the band count; rows per band is `numHashes / bands`.
+    */
+  def minhashParamsFor(
+      numHashes: Int,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      noiseSim: Double = 0.2): Int = {
+    require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold not in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall=$targetRecall not in (0,1)")
+    require(noiseSim > 0 && noiseSim < threshold,
+      s"noiseSim=$noiseSim must sit in (0, threshold)")
+    val feasible = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { b =>
+        val r = numHashes / b
+        (b, minhashCatchProb(b, r, threshold), minhashCatchProb(b, r, noiseSim))
+      }
+      .filter(_._2 >= targetRecall)
+    require(feasible.nonEmpty, {
+      val best = minhashCatchProb(numHashes, 1, threshold)
+      s"minhashParamsFor: recall $targetRecall at threshold $threshold " +
+        s"unreachable within $numHashes hashes (best achievable " +
+        f"$best%.4f at bands = numHashes) — raise the hash budget"
+    })
+    feasible.minBy { case (b, _, noise) => (noise, b) }._1
+  }
+
+  /** [[minhashLshPairs]] with the banding solved by
+    * [[minhashParamsFor]] — callers state the THRESHOLD and RECALL they
+    * need and the hash budget they can afford; the S-curve picks the
+    * banding instead of a hand-tuned knob that silently under-recalls
+    * when the threshold moves.
+    */
+  def minhashLshPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      threshold: Double = 0.5,
+      targetRecall: Double = 0.95,
+      maxBucket: Int = 1000): DataFrame =
+    minhashLshPairs(df, idCol, textCol, shingleN, numHashes,
+      minhashParamsFor(numHashes, threshold, targetRecall),
+      threshold, maxBucket)
+
   /** Near-duplicate pairs via MinHash + LSH, verified with exact Jaccard
     * on the shingle sets.
     *

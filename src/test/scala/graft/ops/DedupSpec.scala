@@ -174,6 +174,39 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("minhashParamsFor: S-curve feasibility, least-noise selection, honest infeasibility") {
+    // catch probability is the closed form both gates rest on
+    assert(math.abs(Dedup.minhashCatchProb(1, 1, 0.5) - 0.5) < 1e-12)
+    assert(math.abs(Dedup.minhashCatchProb(2, 1, 0.5) - 0.75) < 1e-12)
+    // solved banding meets recall at the threshold; every feasible
+    // divisor banding catches at least as much noise (optimality)
+    val numHashes = 32
+    val bands = Dedup.minhashParamsFor(numHashes, threshold = 0.5,
+      targetRecall = 0.95, noiseSim = 0.2)
+    assert(numHashes % bands == 0)
+    val rows = numHashes / bands
+    assert(Dedup.minhashCatchProb(bands, rows, 0.5) >= 0.95)
+    val solvedNoise = Dedup.minhashCatchProb(bands, rows, 0.2)
+    (1 to numHashes).filter(numHashes % _ == 0).foreach { b =>
+      if (Dedup.minhashCatchProb(b, numHashes / b, 0.5) >= 0.95)
+        assert(Dedup.minhashCatchProb(b, numHashes / b, 0.2) >= solvedNoise - 1e-12,
+          s"bands=$b feasible with less noise than the solved $bands")
+    }
+    // a budget too small for the demand errors instead of under-recalling
+    intercept[IllegalArgumentException] {
+      Dedup.minhashParamsFor(2, threshold = 0.9, targetRecall = 0.999)
+    }
+    // end-to-end: the auto-banded pairs hit the recall gate against the
+    // exact relation (the q21/q22 pairing, with the knob solved)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.minhashLshPairsAuto(docs, "doc_id", "text", 3, 32, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact))
+    assert(auto.size.toDouble >= 0.95 * exact.size,
+      s"auto-banded recall ${auto.size}/${exact.size}")
+  }
+
   test("MinHash-LSH maxBucket guard: a bucket AT the cap expands pairs; one OVER it drops whole") {
     // boundary semantics of the round-11 WindowGroupLimit rank-prune
     // guard: it must reproduce the legacy anti-join's drop rule
