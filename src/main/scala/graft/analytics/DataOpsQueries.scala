@@ -1195,6 +1195,23 @@ object DataOpsQueries {
         TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):
+    // per-doc count + position span of the window-minimum k-gram
+    // fingerprints. WHICH hashes are minimal is an xxhash64 artifact no
+    // SQL reproduces → rows-only; WinnowSpec pins native ≡ independent
+    // reference, the coverage theorem as a randomized property, the
+    // density bound, and the copy-pair report with its posting cap.
+    NamedQuery(
+      "q129_winnow",
+      None,
+      (s, dir) =>
+        TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text",
+            k = 4, window = 4)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fps"),
+            min("pos").as("first_pos"), max("pos").as("last_pos"))
+          .orderBy("doc_id")),
+
     NamedQuery(
       "q29_lang_id",
       Some {

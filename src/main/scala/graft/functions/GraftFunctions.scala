@@ -28,6 +28,7 @@ object GraftFunctions {
   val PqAdcName = "graft_pq_adc"
   val BpeEncodeName = "graft_bpe_encode"
   val RollingHashesName = "graft_rolling_hashes"
+  val WinnowName = "graft_winnow"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -207,6 +208,9 @@ object GraftFunctions {
       literalInt(exprs(1), ShinglesName, "n"))),
     (RollingHashesName, 2, exprs => RollingWindowHashes(exprs.head,
       literalInt(exprs(1), RollingHashesName, "width"))),
+    (WinnowName, 3, exprs => WinnowFingerprints(exprs.head,
+      literalInt(exprs(1), WinnowName, "k"),
+      literalInt(exprs(2), WinnowName, "window"))),
     (SrpName, 3, exprs => SrpBucket(exprs.head,
       literalInt(exprs(1), SrpName, "planes"),
       literalInt(exprs(2), SrpName, "seedBase"))),
@@ -353,6 +357,14 @@ object GraftFunctions {
     */
   def rollingWindowHashes(toks: Column, width: Int): Column =
     call_function(RollingHashesName, toks, org.apache.spark.sql.functions.lit(width))
+
+  /** Native winnowing fingerprints (array<struct<pos, fp>>) of a token
+    * array — see [[WinnowFingerprints]].
+    */
+  def winnow(toks: Column, k: Int, window: Int): Column =
+    call_function(WinnowName, toks,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(window))
 
   /** Native SRP bucket (sign pattern of `planes` projections, packed). */
   def srp(vec: Column, planes: Int, seedBase: Int): Column =

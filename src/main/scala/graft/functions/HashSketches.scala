@@ -56,6 +56,52 @@ object HashSketches {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): over the k-gram rolling hashes
+    * `h[0..m)`, every window of `window` consecutive hashes contributes
+    * its MINIMUM (ties to the RIGHTMOST position); each selected
+    * `(pos, fp)` is recorded once. The paper's guarantees carried here:
+    * any match of at least `window + k − 1` tokens shares at least one
+    * selected fingerprint (coverage), and the expected density of
+    * selected positions is `2/(window+1)` (compression). Documents
+    * shorter than one full window winnow to their single global
+    * minimum. O(m) via a monotonic deque — values strictly below the
+    * incoming hash survive, equals pop (that is the rightmost-tie
+    * rule), so selected positions strictly increase.
+    */
+  def winnow(toks: ArrayData, k: Int, window: Int): Any = {
+    val hsData = rollingHashes(toks, k).asInstanceOf[GenericArrayData]
+    val m = hsData.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) { h(i) = hsData.getLong(i); i += 1 }
+    val effWin = math.min(window, m)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastSel = -1
+    var end = 0
+    while (end < m) {
+      while (tail > head && h(deque(tail - 1)) >= h(end)) tail -= 1
+      deque(tail) = end
+      tail += 1
+      if (end >= effWin - 1) {
+        val lo = end - effWin + 1
+        while (deque(head) < lo) head += 1
+        val sel = deque(head)
+        if (sel != lastSel) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](sel, h(sel)))
+          lastSel = sel
+        }
+      }
+      end += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def simhash64(toks: ArrayData): Any = {
     val n = toks.numElements()
     // Parity with the composable form: aggregate over an empty array is
@@ -219,5 +265,45 @@ case class RollingWindowHashes(child: Expression, width: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): RollingWindowHashes =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection over the token array — see
+  * [[HashSketches.winnow]] for the algorithm and guarantees. Emits
+  * `array<struct<pos:int, fp:long>>`, positions ascending, each
+  * selected fingerprint once.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  require(k >= 1, "k-gram width must be >= 1")
+  require(window >= 1, "winnow window must be >= 1")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSketches.winnow(input.asInstanceOf[ArrayData], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hs = "graft.functions.HashSketches"
+      s"""
+         |Object r = $hs.winnow($a, $k, $window);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }

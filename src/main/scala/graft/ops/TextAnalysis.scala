@@ -177,6 +177,57 @@ object TextAnalysis {
             / log(col("n_distinct").cast("double"))), 4).as("norm_entropy"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    * copy-detection selection): per doc, the `(pos, fp)` k-gram rolling
+    * hashes selected by a `window`-wide sliding minimum — any shared
+    * run of ≥ window+k−1 tokens between two documents shares at least
+    * one selected fingerprint (the coverage theorem WinnowSpec pins as
+    * a property), at an expected 2/(window+1) of the positions (the
+    * compression that makes corpus-scale copy detection affordable:
+    * the posting index holds the winnowed fraction, not every window).
+    * Map-only: one native O(m) expression per row, then an explode.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.winnow(
+          TextFunctions.tokens(col(textCol)), k, window)).as("f"))
+      .select(col(idCol), col("f.pos").as("pos"), col("f.fp").as("fp"))
+
+  /** Candidate copy pairs from shared winnowed fingerprints — the MOSS
+    * report shape: pairs of documents sharing at least `minShared`
+    * selected fingerprints, with the shared count. Inverted-index join
+    * keyed by the 8-byte fingerprint (the winnowed posting list — the
+    * 2/(window+1) density is exactly what bounds this join at scale),
+    * with the standard degenerate-posting cap: fingerprints shared by
+    * more than `maxPosting` documents are dropped whole (boilerplate
+    * k-grams — each would contribute ~|posting|² pairs; dropping can
+    * only lower shared counts, the conservative direction).
+    */
+  def winnowCopyPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 4,
+      minShared: Int = 2,
+      maxPosting: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPosting && col("df") >= 2)
+    val pruned = fps.join(keep.select("fp"), Seq("fp"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document (see
     * [[TextFunctions.polyFingerprint]]), plus an order-insensitive
     * content hash for exact-dup grouping.

@@ -85,6 +85,11 @@ object ExtensionsDemo {
       """SELECT graft_bpe_encode(array('ab'), array('a'), array('b')) AS t""")
       .head().getSeq[String](0)
     assert(bpe == Seq("ab"), s"bpe_encode gave $bpe")
+    val wn = spark.sql(
+      """SELECT graft_winnow(array('a', 'b', 'c', 'd', 'e'), 2, 2) AS f""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(wn.nonEmpty && wn.map(_.getInt(0)) == wn.map(_.getInt(0)).sorted,
+      s"winnow gave $wn")
     val bloomOk =
       try { spark.sql("SELECT graft_bloom_contains(NULL, 1L)").head(); true }
       catch { case _: org.apache.spark.sql.catalyst.ExtendedAnalysisException => false
