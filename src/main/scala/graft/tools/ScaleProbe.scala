@@ -156,7 +156,12 @@ object ScaleProbe {
         // shuffled only by the source-bound partial rows (note the
         // FIXED 50k budget shrinks the 64× fractions 64×: the probe
         // prices the scan/agg, the selected set is budget-bound)
-        "q126_temperature_sample")
+        "q126_temperature_sample",
+        // q128: explode + (id,token) hash agg + id-keyed agg — the k×
+        // relation is distinct (id, token) rows (map-side combined).
+        // q129: one native O(m) winnow expression per row + explode +
+        // id-keyed agg — map-only before the per-doc count.
+        "q128_token_entropy", "q129_winnow")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
