@@ -128,6 +128,37 @@ object WideQueries {
           .orderBy("event_id")
       }),
 
+    // Bucketed range join: per purchase, the same user's clicks within
+    // ±4 h — written as the |Δts| <= tol predicate the oracle states
+    // directly, executed as ops.RangeJoin's binned equi-join (3× left
+    // replication to adjacent tolerance-wide bins + exact filter) so
+    // the plan is a shuffled hash/merge join, never a nested loop.
+    NamedQuery(
+      "q130_range_join",
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |        epoch_us(ts) // 1000000 AS sec FROM events)
+             |SELECT p.event_id, count(*) AS n_clicks,
+             |  CAST(min(c.sec - p.sec) AS BIGINT) AS closest_lead
+             |FROM e p JOIN e c ON p.user_id = c.user_id
+             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND abs(p.sec - c.sec) <= 14400
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("sec", col("ts").cast("long"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "sec")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("sec").as("c_sec"))
+        graft.ops.RangeJoin.byBucket(purchases, clicks,
+            keyCols = Seq("user_id"), leftTs = "sec", rightTs = "c_sec",
+            tolerance = 14400L)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            min(col("c_sec") - col("sec")).as("closest_lead"))
+          .orderBy("event_id")
+      }),
+
     // NULL-handling scalar surface: coalesce / nullif / CASE-null
     // interplay, on synthesized nulls (the tables are null-free).
     NamedQuery(

@@ -161,7 +161,10 @@ object ScaleProbe {
         // relation is distinct (id, token) rows (map-side combined).
         // q129: one native O(m) winnow expression per row + explode +
         // id-keyed agg — map-only before the per-doc count.
-        "q128_token_entropy", "q129_winnow")
+        "q128_token_entropy", "q129_winnow",
+        // q130: replicas offset user_id, so per-(user, bin) density is
+        // constant — the binned equi-join relation grows exactly k×.
+        "q130_range_join")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
