@@ -388,6 +388,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q125: global PMI top-k plans as TakeOrdered, never a global sort") {
+    val p = plan("q125_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the two 1-row scalar totals ride broadcast nested-loop crosses
+    // (the q103/q106 scalar pattern); a shuffled cartesian never appears
+    assert(!p.contains("CartesianProduct"), p)
+    // the word-keyed count joins are real equi-joins
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q126: fraction table broadcasts; the cut side is never shuffled") {
+    val p = plan("q126_temperature_sample")
+    assert(p.contains("BroadcastExchange"), p)
+    // exchanges exist only under the source-keyed aggs (token count →
+    // per-source totals); the final orderBy is the gate's sort. The cut
+    // itself (join + filter) must add no exchange beyond those.
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"temperature cut grew extra exchanges ($exchanges):\n$p")
+  }
+
+  test("q130: range join plans as an equi-join on (key, bin) — no nested loop") {
+    val p = plan("q130_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(
