@@ -353,6 +353,37 @@ object ScaleProbe {
           f"hier=${tHierD}%6.2fs speedup=${tFlatD / tHierD}%5.2f " +
           f"kept_agreement=$agree%.4f flat_kept=${flatKept.size} hier_kept=${hierKept.size}")
       }
+
+      // full-corpus Lloyd refinement in the same regime: one pass flat
+      // vs hier-routed on identical seeded init — the time is the
+      // assignment+partial-sum pass q124 runs per refineIters; quality
+      // readout = mean assigned cosine (the spherical objective) per
+      // table via kmeansClusterProfile's machinery
+      def refine(thresh: Int, probes: Int): (Double, Array[Array[Double]]) = {
+        val t0 = System.nanoTime()
+        val out = graft.ops.VectorOps.kmeansRefine(e64, "embedding", cents,
+          iters = 1, hierThreshold = thresh, coarseProbes = probes)
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      refine(Int.MaxValue, 8) // warm
+      val (tFlatR, flatCents) = refine(Int.MaxValue, 8)
+      def objective(table: Array[Array[Double]]): Double = {
+        val dv = graft.ops.VectorOps.toDoubleVec(col("embedding"))
+        val nrm = graft.ops.VectorOps.l2Norm(dv)
+        val cos = graft.ops.VectorOps.dot(dv,
+          element_at(typedLit(table.map(_.toSeq).toSeq),
+            graft.functions.GraftFunctions.nearestCentroid(dv, nrm, table) + 1)) / nrm
+        e64.filter(nrm > 0).select(cos.as("c"))
+          .agg(avg(col("c"))).head().getDouble(0)
+      }
+      val objFlat = objective(flatCents)
+      for (probes <- Seq(8, 32)) {
+        val (tHierR, hierCents) = refine(nC, probes)
+        val objHier = objective(hierCents)
+        println(f"[scale] hier4096_kmeans_refine probes=$probes%-2d flat=${tFlatR}%6.2fs " +
+          f"hier=${tHierR}%6.2fs speedup=${tFlatR / tHierR}%5.2f " +
+          f"obj_flat=$objFlat%.4f obj_hier=$objHier%.4f")
+      }
       e64.unpersist()
     }
     // The same ≥4096-cluster regime on a corpus WITH coarse structure —
