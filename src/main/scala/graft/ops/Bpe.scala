@@ -211,6 +211,32 @@ object Bpe {
       sorted.map(_.left).toArray, sorted.map(_.right).toArray))
   }
 
+  /** Boundary-preserving encode: one subword array PER WORD
+    * (`array<array<string>>`) instead of [[encode]]'s flattened stream
+    * — the shape a decoder needs, since flattening erases where one
+    * word's subwords end and the next begin. Same native per-word
+    * expression; the surrounding `transform` only reshapes.
+    */
+  def encodeWords(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[Merge],
+      outCol: String = "word_subwords"): DataFrame = {
+    val sorted = merges.sortBy(_.rank)
+    df.withColumn(outCol, transform(
+      filter(TextFunctions.tokens(col(textCol)), w => length(w) > 0),
+      w => graft.functions.GraftFunctions.bpeEncode(array(w),
+        sorted.map(_.left).toArray, sorted.map(_.right).toArray)))
+  }
+
+  /** Decode of [[encodeWords]] output: subwords concatenate back into
+    * words, words join on single spaces. For single-spaced text with no
+    * empty tokens this is the exact inverse — BpeSpec pins the
+    * round-trip on the corpus and on generated word arrays. Map-only.
+    */
+  def decodeWords(wordSubwords: Column): Column =
+    concat_ws(" ", transform(wordSubwords, sw => concat_ws("", sw)))
+
   /** Built-ins-only formulation of the per-token-array encode (one
     * `aggregate` HOF per merge nested in a `transform` — reference
     * semantics for the parity test, NOT the fast path: the expression

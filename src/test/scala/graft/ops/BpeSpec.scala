@@ -103,6 +103,36 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeWords/decodeWords: the boundary-preserving round-trip is exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val merges = Bpe.trainMerges(Bpe.wordHistogram(docs, "text"), 32)
+    // corpus round-trip: decode(encodeWords(text)) == text for every doc
+    val rt = Bpe.encodeWords(docs, "text", merges, "ws")
+      .select(col("doc_id"), col("text"), Bpe.decodeWords(col("ws")).as("back"))
+      .filter(col("text") =!= col("back"))
+      .count()
+    assert(rt === 0L, s"$rt documents failed the encode/decode round-trip")
+    // flattening encodeWords reproduces the flat encode exactly — the
+    // two shapes agree on content, differing only in boundaries
+    val both = Bpe.encodeWords(docs, "text", merges, "ws")
+      .select(col("doc_id"), flatten(col("ws")).as("flat"))
+      .join(Bpe.encode(docs, "text", merges, "sub").select(col("doc_id"), col("sub")),
+        Seq("doc_id"))
+      .filter(not(col("flat") === col("sub")))
+      .count()
+    assert(both === 0L, "encodeWords flattened diverged from encode")
+    // generated words: subwords concatenate to the word, per word
+    val gen = Seq((1L, "aa bab abab b"), (2L, ""), (3L, "zq")).toDF("doc_id", "text")
+    val rows = Bpe.encodeWords(gen, "text", merges, "ws")
+      .select(col("doc_id"), Bpe.decodeWords(col("ws")).as("back"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "aa bab abab b")
+    assert(rows(2L) === "")
+    assert(rows(3L) === "zq")
+  }
+
   test("encode: native ≡ composable HOF formulation at 16 merges") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, TestSpark.Sf001, "documents")
