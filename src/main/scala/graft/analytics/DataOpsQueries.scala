@@ -1195,6 +1195,33 @@ object DataOpsQueries {
         TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Per-doc n-gram novelty vs a reference slice (doc_id % 10 = 0):
+    // the freshness twin of contamination. Spark joins 8-byte shingle
+    // hashes; the oracle joins the strings — the q20 hash-vs-content
+    // contract, over a relation of distinct-shingle membership counts.
+    NamedQuery(
+      "q131_ngram_novelty",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(tok) - 2),
+             |        i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |r AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(tok) - 2),
+             |        i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) sh
+             |      FROM t WHERE len(tok) >= 3 AND doc_id % 10 = 0),
+             |j AS (SELECT s.doc_id, count(*) n_sh,
+             |        sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) n_novel
+             |      FROM s LEFT JOIN r ON s.sh = r.sh GROUP BY 1)
+             |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+             |  CAST(n_novel AS BIGINT) AS n_novel,
+             |  ROUND(CAST(n_novel AS DOUBLE) / n_sh, 4) AS novelty
+             |FROM j ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextAnalysis.ngramNovelty(d, "doc_id", "text",
+            d.filter(col("doc_id") % 10 === 0), "text", n = 3)
+          .orderBy("doc_id")
+      }),
+
     // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):
     // per-doc count + position span of the window-minimum k-gram
     // fingerprints. WHICH hashes are minimal is an xxhash64 artifact no

@@ -177,6 +177,43 @@ object TextAnalysis {
             / log(col("n_distinct").cast("double"))), 4).as("norm_entropy"))
   }
 
+  /** Per-document n-gram novelty against a reference corpus: the
+    * fraction of a doc's DISTINCT n-gram shingles absent from the
+    * reference — the freshness/diversity twin of contamination (which
+    * asks the opposite question about a benchmark). Emits
+    * `(id, n_shingles, n_novel, novelty)` for docs holding ≥ 1 shingle.
+    *
+    * Scale shape: both sides shingle map-only (native
+    * `graft_shingles`), then ship 8-byte `xxhash64(shingle)` keys —
+    * never shingle strings (the q21 exchange discipline; membership by
+    * hash equality is the q20 hash-vs-content contract, and the oracle
+    * joins the STRINGS). The reference side is one distinct
+    * (vocabulary-bound) relation; the join keys on the hash; per-doc
+    * counts combine map-side.
+    */
+  def ngramNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      refTextCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol),
+        explode(TextFunctions.shingleSet(col(textCol), n)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
+    val refSh = ref
+      .select(explode(TextFunctions.shingleSet(col(refTextCol), n)).as("sh"))
+      .select(xxhash64(col("sh")).as("h"))
+      .distinct()
+    sh.join(refSh.withColumn("known", lit(1)), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("known").isNull, 1).otherwise(0)).cast("long").as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     * copy-detection selection): per doc, the `(pos, fp)` k-gram rolling
     * hashes selected by a `window`-wide sliding minimum — any shared

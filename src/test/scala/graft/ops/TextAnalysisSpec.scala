@@ -167,6 +167,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 3L, 2L, 0.6365, 0.9183)))
   }
 
+  test("ngramNovelty: reference docs score 0, disjoint docs score 1, partial overlap exact") {
+    val df = Seq(
+      (1L, "a b c d e"),     // reference
+      (2L, "a b c x y z"),   // shingles: abc known; bcx,cxy,xyz novel → 3/4
+      (3L, "p q r s"),       // fully novel → 1.0
+      (4L, "a b"))           // < 3 tokens → no row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text",
+        df.filter(col("doc_id") === 1), "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 0L, 0.0), (2L, 4L, 3L, 0.75), (3L, 2L, 2L, 1.0)))
+  }
+
   test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
     val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
