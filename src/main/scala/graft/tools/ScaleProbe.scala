@@ -164,7 +164,11 @@ object ScaleProbe {
         "q128_token_entropy", "q129_winnow",
         // q130: replicas offset user_id, so per-(user, bin) density is
         // constant — the binned equi-join relation grows exactly k×.
-        "q130_range_join")
+        "q130_range_join",
+        // q131: disjoint replica vocabularies keep every posting list
+        // at its 1× size while both shingle relations grow k× — the
+        // q22/q87 inverted-index family.
+        "q131_ngram_novelty")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
