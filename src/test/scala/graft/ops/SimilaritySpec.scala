@@ -101,6 +101,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("ivfWriteIndex with refineIters: persisted centroids are the sample-fit + full-corpus refinement; probe stays sound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ref").toString + "/idx"
+    val cents = VectorOps.ivfWriteIndex(embs, "vec_id", "embedding", dir,
+      nCentroids = 8, kmeansIters = 4, refineIters = 2)
+    // the index-path centroids equal the manual composition (two
+    // independent runs of the distributed sums — agreement to
+    // exchange-order ulps, the kmeansRefine contract)
+    val manual = VectorOps.kmeansRefine(embs, "embedding",
+      VectorOps.kmeansCentroids(embs, "embedding", 8, 4, 42L), iters = 2)
+    assert(cents.length === manual.length)
+    cents.zip(manual).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // every vector indexed exactly once under the refined table
+    assert(spark.read.parquet(dir).count() === embs.count())
+    // self-retrieval through the refined index: the query IS vec 0
+    val probe = VectorOps.ivfProbeIndex(spark, dir, cents, "vec_id",
+        query, 5, nProbe = 2).collect()
+    assert(probe.head.getLong(0) === 0L)
+    assert(probe.head.getDouble(1) === 1.0)
+  }
+
   test("IVF incremental append: probe over base+delta equals a from-scratch index on the same centroids") {
     val baseDir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/idx"
     val fullDir = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString + "/idx"
