@@ -33,8 +33,16 @@ object Bench {
       // (same banding/buckets, heavier exact-Jaccard verify).
       "q121_stream_neardup",
       "q24_embed_neardup")
+    // Decomposition knob (never set by the driver): restrict the
+    // headline set to a comma-separated name list, so suite-composition
+    // effects (does adding 20 queries to the session slow the original
+    // 102?) are measurable against the SAME binary — see SCALE.md's
+    // round-12 drift adjudication.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -130,6 +138,7 @@ object Bench {
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
       "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
       "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup")
+      .filter(n => only.forall(_.contains(n)))
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {
       streamingNames.foreach { n =>

@@ -23,6 +23,13 @@ object DataOpsQueries {
     */
   private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** q134's fixed merge table, in rank order — chosen so every merge
+    * actually fires on the documents corpus (th/the/an/and/in/er) and
+    * later merges consume earlier merges' outputs (th→the, an→and).
+    */
+  private val BpeFixtureMerges = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"), ("e", "r"))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -1096,6 +1103,44 @@ object DataOpsQueries {
           .orderBy(col("n").desc, col("subword")).limit(50)
       }),
 
+    // BPE encode under a FIXED merge table — q113's encode made fully
+    // oracle-gated: with the merges given (six literal rank-ordered
+    // pairs), greedy left-to-right non-overlapping pair rewrite is
+    // deterministic string algebra, and DuckDB replays it exactly via
+    // the separator trick — symbols joined on chr(31), each merge one
+    // replace('l'||sep||'r' → 'lr') (replace's all-non-overlapping
+    // left-to-right scan IS the BPE pass; a consumed match is never
+    // rescanned, same as the engine's fold — parity verified per-word
+    // against the reference in BpeSpec and cross-engine here). The
+    // trained-table q113 stays rows-only for its training reason.
+    NamedQuery(
+      "q134_bpe_fixture",
+      Some {
+        val merges = BpeFixtureMerges.map { case (l, r) =>
+          s"'$l'||chr(31)||'$r'" -> s"'$l$r'"
+        }
+        val expr = merges.foldLeft("sym") { case (acc, (from, to)) =>
+          s"replace($acc, $from, $to)"
+        }
+        s"""WITH t AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+           |g AS (SELECT w FROM t WHERE length(w) > 0),
+           |s AS (SELECT array_to_string(list_transform(range(length(w)),
+           |        i -> w[i+1]), chr(31)) sym FROM g),
+           |m AS (SELECT $expr AS merged FROM s),
+           |e AS (SELECT unnest(string_split(merged, chr(31))) subword FROM m)
+           |SELECT subword, CAST(count(*) AS BIGINT) AS n
+           |FROM e GROUP BY subword ORDER BY n DESC, subword LIMIT 50""".stripMargin
+      },
+      (s, dir) => {
+        val merges = BpeFixtureMerges.zipWithIndex.map { case ((l, r), i) =>
+          Bpe.Merge(i, l, r, 0L)
+        }
+        Bpe.encode(docs(s, dir), "text", merges, "sub")
+          .select(explode(col("sub")).as("subword"))
+          .groupBy("subword").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("subword")).limit(50)
+      }),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",
@@ -1145,7 +1190,7 @@ object DataOpsQueries {
              |c AS (SELECT doc_id, n_chars, hashes, ellipses,
              |        CAST(len(toks) AS DOUBLE) n_tok,
              |        CAST(len(list_filter(toks,
-             |          t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) alpha,
+             |          t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) alpha,
              |        CAST(len(list_filter(toks,
              |          t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) stop_hits
              |      FROM m),
@@ -1221,6 +1266,92 @@ object DataOpsQueries {
             d.filter(col("doc_id") % 10 === 0), "text", n = 3)
           .orderBy("doc_id")
       }),
+
+    // Training-manifest v2 — the round-11 operator layer composed as
+    // ONE oracle-gated relation (q95's modern successor): Gopher
+    // quality rules (q127, as a map-only predicate — no self-join) →
+    // DSIR importance weights + Gumbel-top-k selection (q119/q122) →
+    // temperature-scaled mixture cut over the SELECTED set (q126) →
+    // deterministic seeded shuffle into 4 shards (q86/q95). Every
+    // seeded step is the integer-LCG replay pattern, so the manifest
+    // ITSELF — membership, weights, keys, fractions, shard, pos —
+    // carries the end-to-end oracle. The classifier-gated + packed
+    // variant (training isn't SQL-expressible) is the rows-only q133;
+    // ManifestV2Spec pins q133 ≡ this relation when the classifier
+    // stage is a keep-all threshold.
+    NamedQuery(
+      "q132_manifest_v2",
+      Some("""WITH m AS (SELECT doc_id, source, text, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) n_chars,
+             |        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) hashes,
+             |        CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3 ellipses
+             |      FROM documents),
+             |g AS (SELECT doc_id, source, text, toks, CAST(len(toks) AS DOUBLE) n_tok FROM (
+             |        SELECT *, CAST(len(toks) AS DOUBLE) nt,
+             |          CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) alpha,
+             |          CAST(len(list_filter(toks,
+             |            t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) stop_hits
+             |        FROM m)
+             |      WHERE nt >= 50 AND nt <= 100000
+             |        AND (n_chars - (nt - 1)) / nt BETWEEN 3.0 AND 10.0
+             |        AND (hashes + ellipses) / nt <= 0.1
+             |        AND alpha / nt >= 0.8 AND stop_hits >= 2),
+             |b AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+             |        i -> toks[i+1] || ' ' || toks[i+2])) f
+             |      FROM g WHERE len(toks) >= 2),
+             |dfc AS (SELECT doc_id, f, count(*) c FROM b GROUP BY doc_id, f),
+             |raw AS (SELECT f, sum(c) craw FROM dfc GROUP BY f),
+             |v AS (SELECT f, craw FROM raw ORDER BY craw DESC, f LIMIT 512),
+             |tgt AS (SELECT f, sum(c) ctgt FROM dfc WHERE doc_id % 7 = 0 GROUP BY f),
+             |vt AS (SELECT v.f, v.craw, COALESCE(tgt.ctgt, 0) ctgt
+             |       FROM v LEFT JOIN tgt USING (f)),
+             |tot AS (SELECT CAST(sum(craw) AS DOUBLE) traw,
+             |          CAST(sum(ctgt) AS DOUBLE) ttgt,
+             |          CAST(count(*) AS DOUBLE) vn FROM vt),
+             |lr AS (SELECT f, ln((ctgt + 1) / (ttgt + vn))
+             |            - ln((craw + 1) / (traw + vn)) r
+             |       FROM vt CROSS JOIN tot),
+             |w AS (SELECT dfc.doc_id, ROUND(SUM(dfc.c * lr.r), 4) AS dsir_w
+             |      FROM dfc JOIN lr USING (f) GROUP BY dfc.doc_id),
+             |sel AS (SELECT doc_id, dsir_w,
+             |        ROUND(dsir_w - ln(-ln((CAST(r2 AS DOUBLE) + 0.5) / 2147483648.0)), 4) AS gkey
+             |      FROM (SELECT doc_id, dsir_w, (r1 * r1 + 7) % 2147483648 AS r2
+             |            FROM (SELECT doc_id, dsir_w,
+             |                    (doc_id * 2654435761 + 7) % 2147483648 AS r1 FROM w))
+             |      ORDER BY gkey DESC, doc_id LIMIT 100),
+             |st AS (SELECT g.doc_id, g.source, CAST(g.n_tok AS BIGINT) n_tok,
+             |         sel.dsir_w, sel.gkey
+             |       FROM sel JOIN g USING (doc_id)),
+             |per AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) t FROM st GROUP BY source),
+             |z AS (SELECT sum(pow(t, 0.5)) z FROM per),
+             |f AS (SELECT source,
+             |        round(LEAST(1.0, 3000.0 * pow(t, 0.5) / z.z / t), 6) AS fraction
+             |      FROM per CROSS JOIN z),
+             |cut AS (SELECT st.*, f.fraction
+             |        FROM st JOIN f USING (source)
+             |        WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 4294967296 AS DOUBLE)
+             |              < f.fraction * 4294967296.0),
+             |mx AS (SELECT *, ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix FROM cut)
+             |SELECT doc_id, source, n_tok, dsir_w, gkey, fraction,
+             |  CAST(mix % 4 AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id)
+             |    AS BIGINT) AS pos
+             |FROM mx ORDER BY doc_id""".stripMargin),
+      (s, dir) => ManifestV2.oracleChain(docs(s, dir)).orderBy("doc_id")),
+
+    // The manifest with the two non-SQL stages live: the trained
+    // quality classifier (q120's trainer, early-stopped) gates docs
+    // between the Gopher rules and DSIR, and the selected set packs
+    // into token-budget bins (q68's packer) at the end. Training is
+    // iterative and packing is per-partition imperative → rows-only;
+    // ManifestV2Spec pins (a) keep-all-threshold ≡ q132 + packing
+    // invariants, (b) the classifier gate actually drops docs at a
+    // real threshold, (c) stage order.
+    NamedQuery(
+      "q133_manifest_v2_full",
+      None,
+      (s, dir) => ManifestV2.full(docs(s, dir), pThreshold = 0.5)
+        .orderBy("doc_id")),
 
     // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):
     // per-doc count + position span of the window-minimum k-gram

@@ -94,6 +94,19 @@ object Classifier {
     * before, 40.0 s / ratio 7.1 after, with the 1× run halving too
     * (10.9 → 5.6 s); ClassifierSpec's reference-equivalence pin held
     * across the change.
+    *
+    * Cost levers (both off by default — the defaults keep the
+    * full-batch path arithmetic-identical to [[trainLogRegLocal]]):
+    *   - `tol > 0` stops once the training log-loss of the current
+    *     weights improves by less than `tol` over the previous
+    *     iteration (evaluated from the margins relation the update
+    *     already computes, materialized once — not a second pass);
+    *   - `sampleFrac < 1` descends on a fresh deterministic
+    *     [[Sampling.hashSample]] doc mini-batch each iteration
+    *     (row-local predicate over the doc-partitioned checkpoint: no
+    *     extra exchange; gradients normalize by the batch's actual
+    *     count). Classic SGD noise/speed trade — hold the held-out
+    *     accuracy gate, not bit-equivalence, when it's on.
     */
   def trainLogReg(
       feats: DataFrame,
@@ -101,11 +114,39 @@ object Classifier {
       idCol: String,
       iters: Int = 10,
       lr: Double = 0.5,
-      l2: Double = 0.0): DataFrame = {
+      l2: Double = 0.0,
+      tol: Double = 0.0,
+      sampleFrac: Double = 1.0,
+      seed: Long = 42L): DataFrame =
+    trainLogRegStats(feats, labels, idCol, iters, lr, l2, tol, sampleFrac,
+      seed).weights
+
+  /** What a training run actually did: the weight table, the number of
+    * update steps applied (< the `iters` budget when `tol` stopped it),
+    * and the last training log-loss observed (NaN when `tol` was off —
+    * no loss pass runs then).
+    */
+  final case class TrainResult(
+      weights: DataFrame, stepsApplied: Int, lastLoss: Double)
+
+  /** [[trainLogReg]] returning [[TrainResult]] — same computation. */
+  def trainLogRegStats(
+      feats: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      iters: Int = 10,
+      lr: Double = 0.5,
+      l2: Double = 0.0,
+      tol: Double = 0.0,
+      sampleFrac: Double = 1.0,
+      seed: Long = 42L): TrainResult = {
     require(iters >= 1, s"iters=$iters must be >= 1")
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac=$sampleFrac out of (0,1]")
     val n = labels.count().toDouble
     require(n > 0, "trainLogReg: empty label relation")
     val eps = 1e-8
+    val lossEps = 1e-12
     // One doc-keyed exchange up front, reused by every iteration's
     // margins agg + residual join + gradient join (localCheckpoint
     // preserves the partitioning in LogicalRDD).
@@ -119,30 +160,87 @@ object Classifier {
       .select(col("idx"), lit(0.0).as("w"), lit(0.0).as("g2"))
       .localCheckpoint(true)
     var prev: DataFrame = null
-    for (_ <- 1 to iters) {
-      val margins = f.join(broadcast(weights.select("idx", "w")), Seq("idx"))
-        .groupBy(col(idCol))
-        .agg(sum(col("x") * col("w")).as("m"))
-      val resid = margins.join(lab, Seq(idCol))
-        .select(col(idCol), (sigmoid(col("m")) - col("y")).as("r"))
-      val grad = f.join(resid, Seq(idCol))
-        .groupBy("idx")
-        .agg((sum(col("x") * col("r")) / lit(n)).as("g"))
-      val g = col("g") +
-        when(col("idx") =!= BiasIdx, lit(l2) * col("w")).otherwise(lit(0.0))
-      val next = weights.join(grad, Seq("idx"))
-        .select(col("idx"),
-          (col("w") - lit(lr) * g / sqrt(col("g2") + g * g + lit(eps))).as("w"),
-          (col("g2") + g * g).as("g2"))
-        .localCheckpoint(true)
-      if (prev != null) prev.unpersist()
-      prev = weights
-      weights = next
+    var prevLoss = Double.MaxValue
+    var it = 0
+    var steps = 0
+    var converged = false
+    while (it < iters && !converged) {
+      it += 1
+      // Sampled-gradient option: the SAME row-local hash predicate cuts
+      // the posting relation and the labels (referential integrity is
+      // hashSample's contract), so the iteration sees a consistent
+      // fraction-of-docs mini-batch with a fresh seed per step. The
+      // filter is map-only over the already doc-partitioned checkpoint —
+      // no new exchange; the one extra action is the sampled-label
+      // count (the gradient's 1/n must match the batch actually seen).
+      val (fi, labi, ni) =
+        if (sampleFrac >= 1.0) (f, lab, n)
+        else {
+          val li = Sampling.hashSample(lab, idCol, sampleFrac, seed + it)
+          val cnt = li.count().toDouble
+          (Sampling.hashSample(f, idCol, sampleFrac, seed + it), li, cnt)
+        }
+      if (ni == 0) {
+        // a tiny fraction on a tiny corpus can draw an empty batch —
+        // skip the step rather than divide by zero
+      } else {
+        def applyStep(resid: DataFrame): Unit = {
+          val grad = fi.join(resid, Seq(idCol))
+            .groupBy("idx")
+            .agg((sum(col("x") * col("r")) / lit(ni)).as("g"))
+          // left join: under sampling an idx can miss the batch entirely
+          // and must keep its weight (gradient 0), not drop from the
+          // model; with the full batch every observed idx has a gradient
+          // row, so the arithmetic is identical to the old inner join.
+          val g = coalesce(col("g"), lit(0.0)) +
+            when(col("idx") =!= BiasIdx, lit(l2) * col("w")).otherwise(lit(0.0))
+          val next = weights.join(grad, Seq("idx"), "left")
+            .select(col("idx"),
+              (col("w") - lit(lr) * g /
+                sqrt(col("g2") + g * g + lit(eps))).as("w"),
+              (col("g2") + g * g).as("g2"))
+            .localCheckpoint(true)
+          if (prev != null) prev.unpersist()
+          prev = weights
+          weights = next
+          steps += 1
+        }
+        val margins = fi.join(broadcast(weights.select("idx", "w")), Seq("idx"))
+          .groupBy(col(idCol))
+          .agg(sum(col("x") * col("w")).as("m"))
+        if (tol > 0.0) {
+          // Early stop on the training objective: loss of the CURRENT
+          // weights over this iteration's batch, computed from the same
+          // margins relation the update needs (materialized once, so
+          // the margins job is not paid twice). Stops BEFORE applying
+          // another update once the improvement falls under `tol` —
+          // with sampleFrac < 1 the comparison is across different
+          // mini-batches, so tol should absorb that sampling noise.
+          val mj = margins.join(labi, Seq(idCol)).localCheckpoint(true)
+          val p = sigmoid(col("m"))
+          val loss = mj.agg(avg(-(col("y") * log(p + lit(lossEps)) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - p + lit(lossEps)))))
+            .head().getDouble(0)
+          if (it > 1 && prevLoss - loss < tol) {
+            converged = true
+            mj.unpersist()
+          } else {
+            prevLoss = loss
+            applyStep(mj.select(col(idCol),
+              (sigmoid(col("m")) - col("y")).as("r")))
+            mj.unpersist()
+          }
+        } else {
+          applyStep(margins.join(labi, Seq(idCol))
+            .select(col(idCol), (sigmoid(col("m")) - col("y")).as("r")))
+        }
+      }
     }
     if (prev != null) prev.unpersist()
     f.unpersist()
     lab.unpersist()
-    weights.select("idx", "w")
+    TrainResult(weights.select("idx", "w"), steps,
+      if (tol > 0.0 && prevLoss != Double.MaxValue) prevLoss else Double.NaN)
   }
 
   /** Score every example: (id, p) with p = σ(Σ x·w). Missing weights

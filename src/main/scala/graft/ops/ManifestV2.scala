@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-manifest v2 — the composition proof for the round-11
+  * operator layer (the q95 manifest's modern successor): the stages a
+  * current LLM-data pipeline actually chains, as ONE relation.
+  *
+  *   1. Gopher quality rules (Rae et al. 2021) as a map-only predicate
+  *      ([[TextAnalysis.gopherKeep]] — no metrics self-join);
+  *   2. optionally, a trained quality-classifier gate
+  *      ([[Classifier]], the fastText-style filter GPT-3/CCNet
+  *      pipelines run) — early-stopped training, then σ(x·w) ≥ τ;
+  *   3. DSIR importance weighting + Gumbel-top-k selection (Xie et al.
+  *      2023) toward the target slice;
+  *   4. temperature-scaled mixture cut over the SELECTED set (the
+  *      UNIMAX-style source re-balance);
+  *   5. deterministic seeded shuffle into training shards; and (full
+  *      variant) 6. next-fit token packing into context-window bins.
+  *
+  * Stages 1, 3, 4, 5 are integer-LCG/arithmetic-replayable, so the
+  * [[oracleChain]] manifest carries a full end-to-end DuckDB oracle
+  * (q132); stages 2 and 6 are iterative / per-partition-imperative and
+  * make [[full]] rows-only (q133), pinned in ManifestV2Spec against
+  * q132 via the keep-all threshold.
+  *
+  * 100 TB shape: the corpus is touched by (a) one codegen'd filter
+  * projection, (b) the classifier's one up-front doc-keyed exchange,
+  * (c) DSIR's vocabulary-bound posting passes ending in ONE TakeOrdered
+  * of `selectN` rows. Everything after selection — mixture stats,
+  * fractions, shuffle, packing — operates on the selectN-bounded
+  * relation, so the expensive stages run exactly once over the corpus
+  * and the manifest stages run over the selection.
+  */
+object ManifestV2 {
+
+  /** The oracle-replayable constants q132 pins (changing any means
+    * changing the registered SQL too).
+    */
+  val SelectN = 100
+  val VocabSize = 512
+  val Seed = 7L
+  val BudgetTokens = 3000L
+  val Temperature = 0.5
+  val Shards = 4
+
+  /** Stage 1: the corpus that survives the Gopher rules. */
+  def gopherSurvivors(docs: DataFrame): DataFrame =
+    docs.filter(TextAnalysis.gopherKeep(col("text")))
+
+  /** Stages 3–5 over an already-gated corpus: DSIR Gumbel-top-k toward
+    * the `doc_id % 7 = 0` target slice, temperature mixture cut,
+    * seeded 4-shard shuffle. Output: (doc_id, source, n_tok, dsir_w,
+    * gkey, fraction, shard, pos).
+    */
+  def selectAndShard(gated: DataFrame): DataFrame = {
+    // The gate predicate upstream (Gopher regexes, classifier scoring)
+    // is expensive per row, and this chain consumes `gated` three
+    // times (DSIR features, target ids, selection metadata) — without
+    // a cut, lineage re-runs the gate per consumer. Materialize the
+    // three needed columns once (eager localCheckpoint; at 100 TB this
+    // is the standard inter-stage materialization any manifest
+    // pipeline pays, and it is ONE corpus pass instead of three).
+    val g = gated.select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true)
+    val sel = TextAnalysis.dsirResample(g, "doc_id", "text",
+      col("doc_id") % 7 === 0, n = SelectN, vocabSize = VocabSize,
+      seed = Seed)
+    // dsirResample returns the selection only; rejoin the tiny selected
+    // set (≤ selectN rows, broadcast) for source/token metadata
+    val st = g
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(sel), Seq("doc_id"))
+    val cut = Sampling.temperatureSample(st, "doc_id", "source",
+        col("n_tok"), temperature = Temperature,
+        budgetTokens = BudgetTokens, seed = Seed)
+      .join(broadcast(sel), Seq("doc_id"))
+    Sampling.seededShuffle(cut, "doc_id", Shards)
+      .select("doc_id", "source", "n_tok", "dsir_w", "gkey", "fraction",
+        "shard", "pos")
+  }
+
+  /** The q132 relation: Gopher → DSIR top-k → temperature cut →
+    * seeded shards, no classifier, no packing — fully SQL-replayable.
+    */
+  def oracleChain(docs: DataFrame): DataFrame =
+    selectAndShard(gopherSurvivors(docs))
+
+  /** Stage 2: the quality-classifier gate — q120's recipe
+    * (q28-heuristic weak labels, hashed features) trained with the
+    * early-stop lever on, scoring the survivors and keeping
+    * σ(x·w) ≥ threshold. Trains on the FULL corpus, not the Gopher
+    * survivors: the rules and the heuristic labels agree almost
+    * everywhere (measured 275 of 276 survivors label-positive at
+    * sf0.001), so a survivors-only training set is one-class and the
+    * model degenerate — the full corpus carries both classes, which is
+    * also the production shape (the classifier is a second opinion
+    * trained on the raw mix, not on the rule-filtered output).
+    */
+  def classifierGate(
+      corpus: DataFrame,
+      survivors: DataFrame,
+      pThreshold: Double,
+      dim: Int = 1 << 15,
+      itersBudget: Int = 16,
+      tol: Double = 1e-3): DataFrame = {
+    val labels = corpus.select(col("doc_id"),
+      when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
+        .otherwise(0.0).as("y"))
+    val feats = Classifier.hashedFeatures(corpus, "doc_id", "text", dim)
+      .localCheckpoint(true) // two consumers (train + score): one pass
+    val w = Classifier.trainLogReg(feats, labels, "doc_id",
+      iters = itersBudget, lr = 2.0, tol = tol)
+    val kept = Classifier.scoreLogReg(feats, w, "doc_id")
+      .filter(col("p") >= pThreshold)
+      .select("doc_id")
+    val out = survivors.join(kept, Seq("doc_id"))
+    feats.unpersist()
+    out
+  }
+
+  /** The q133 relation: the full six-stage chain. `pThreshold <= 0`
+    * makes the classifier gate keep-all (σ > 0 always), which
+    * ManifestV2Spec uses to pin this chain against [[oracleChain]];
+    * packing appends `bin_id` from [[Packing.packGreedy]] over the
+    * manifest's token counts at a 512-token context budget.
+    */
+  def full(docs: DataFrame, pThreshold: Double, packBudget: Long = 512L): DataFrame = {
+    val gated = classifierGate(docs, gopherSurvivors(docs), pThreshold)
+    // the packing join consumes the manifest twice (rows + token
+    // counts); the relation is selectN-bounded, so cut its
+    // whole-chain lineage before fanning out
+    val manifest = selectAndShard(gated).localCheckpoint(true)
+    manifest.join(
+      Packing.packGreedy(manifest, "doc_id", "n_tok", packBudget)
+        .select(col("doc_id"), col("bin_id")),
+      Seq("doc_id"))
+  }
+}

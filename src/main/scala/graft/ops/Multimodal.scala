@@ -112,24 +112,29 @@ object Multimodal {
         math.sqrt(rms / math.max(n, 1)), n.toDouble))
     } catch { case _: Exception => None }
 
-  private def decodeStub(payload: Array[Byte]): Array[Double] = {
-    if (looksLikeImage(payload)) {
-      decodeImage(payload) match {
-        case Some(f) => return f
-        case None => () // corrupt image: fall through to byte stats
-      }
-    }
-    if (looksLikeWav(payload)) {
-      decodeWav(payload) match {
-        case Some(f) => return f
-        case None => ()
-      }
-    }
-    // ??? <- real video / compressed-audio codec goes here (needs
-    // ffmpeg-class libraries not in this container); deterministic fake
-    // byte-statistics below keep the pipeline exercised end-to-end.
-    // Empty payload → all-zero features, not the untouched min/max
-    // sentinels (±2^63 would poison any downstream aggregate).
+  /** The codec boundary, made explicit: payloads the JDK can decode
+    * (PNG/JPEG images, 16-bit PCM WAV) yield real features; anything
+    * else — video, compressed audio, corrupt media — is an UNSUPPORTED
+    * FORMAT (those codecs need ffmpeg-class libraries this container
+    * does not ship). Callers choose the policy: [[extractFeatures]]
+    * substitutes deterministic byte statistics (the clearly-documented
+    * fake that keeps the pipeline exercised end-to-end),
+    * [[extractFeaturesStrict]] routes them to typed reject rows — the
+    * `Flatten.rejects` discipline.
+    */
+  private def decode(payload: Array[Byte]): Either[String, Array[Double]] =
+    if (looksLikeImage(payload))
+      decodeImage(payload).toRight("corrupt_image")
+    else if (looksLikeWav(payload))
+      decodeWav(payload).toRight("unsupported_wav_encoding")
+    else Left("unsupported_format")
+
+  /** Deterministic byte statistics — the documented stand-in feature
+    * vector for unsupported formats on the lenient path. Empty payload →
+    * all-zero features, not the untouched min/max sentinels (±2^63
+    * would poison any downstream aggregate).
+    */
+  private def byteStats(payload: Array[Byte]): Array[Double] = {
     if (payload.isEmpty) return Array(0.0, 0.0, 0.0, 0.0)
     var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
     var i = 0
@@ -142,6 +147,20 @@ object Multimodal {
     Array(n.toDouble, sum.toDouble / n, mx.toDouble, mn.toDouble)
   }
 
+  private def decodeStub(payload: Array[Byte]): Array[Double] =
+    decode(payload).getOrElse(byteStats(payload))
+
+  /** A payload the codec boundary refused, as data: the reason plus
+    * enough identity to route it to a quarantine sink — same shape of
+    * contract as `Flatten.rejects` (bad input becomes a typed row, never
+    * an aborted job, never silently-fake analytics).
+    */
+  final case class MediaReject(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      reason: String)
+
   /** Partition-batched decode + feature extraction. `mapPartitions` is
     * the deliberate choice here (SURVEY preference order (d)): codec
     * initialization is expensive and must amortize across a partition,
@@ -153,6 +172,8 @@ object Multimodal {
     org.apache.spark.sql.Encoders.product[MediaRow]
   private implicit val mediaFeaturesEnc: org.apache.spark.sql.Encoder[MediaFeatures] =
     org.apache.spark.sql.Encoders.product[MediaFeatures]
+  private implicit val mediaRejectEnc: org.apache.spark.sql.Encoder[MediaReject] =
+    org.apache.spark.sql.Encoders.product[MediaReject]
 
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] =
     media.as[MediaRow].mapPartitions { rows =>
@@ -164,6 +185,37 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.media_type, p.length.toLong, decodeStub(p))
       }
     }
+
+  /** [[extractFeatures]] with the strict codec policy: only genuinely
+    * decoded payloads produce features; unsupported or corrupt media
+    * become [[MediaReject]] rows instead of fake byte-stat vectors.
+    * Both relations are map-only over `media`; materializing BOTH decodes
+    * every payload twice, so at 100 TB write them from one pass (decode
+    * into a status-tagged union, then split at the sink) when decode
+    * cost dominates the scan — here the split keeps the two contracts
+    * independently typed and testable.
+    */
+  def extractFeaturesStrict(
+      media: DataFrame): (Dataset[MediaFeatures], Dataset[MediaReject]) = {
+    val rows = media.as[MediaRow]
+    def payloadOf(r: MediaRow): Array[Byte] =
+      if (r.payload == null) Array.emptyByteArray else r.payload
+    val feats = rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = payloadOf(r)
+        decode(p).toOption.map(f =>
+          MediaFeatures(r.doc_id, r.media_type, p.length.toLong, f))
+      }
+    }
+    val rejects = rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = payloadOf(r)
+        decode(p).left.toOption.map(reason =>
+          MediaReject(r.doc_id, r.media_type, p.length.toLong, reason))
+      }
+    }
+    (feats, rejects)
+  }
 
   /** SQL-expressible slice of the pipeline (payload length + modality
     * metadata) — this is what the cross-engine oracle checks; the stub

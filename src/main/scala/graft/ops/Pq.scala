@@ -282,8 +282,37 @@ object Pq {
       .write.mode("append").partitionBy("cluster").parquet(path)
     VectorOps.recordDvType(path, written)
     if (autoCompact)
-      VectorOps.ivfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
+      pqIvfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
     else Map.empty
+  }
+
+  /** Fold [[pqIvfAppendIndex]]/`pqIndexSink` append litter back into a
+    * bounded per-cluster file count — the compressed twin of
+    * [[VectorOps.ivfCompactIndex]], closing the last asymmetry in the
+    * vector-store lifecycle (a long-lived streaming corpus otherwise
+    * accumulates unbounded small files per cluster until an offline
+    * rebuild). Same `cluster=` layout, same shared
+    * [[Compaction.compactDirs]] publish protocol (dot-hidden temp,
+    * checked renames, crash-recoverable), so the index CONTENT — codes,
+    * vectors, cluster routing, and therefore every
+    * [[pqIvfShortlistFrom]]/[[pqIvfProbeFrom]] result — is bit-identical
+    * before and after; only file counts move (PqSpec pins both).
+    * Run in a quiesced maintenance window like any file-level
+    * compaction; a probe mid-rename can see a partially-hidden cluster.
+    */
+  def pqIvfCompactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxFilesPerCluster: Int = 8,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val clusters = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .map(_.getPath).toSeq
+    Compaction.compactDirs(spark, clusters, maxFilesPerCluster,
+      targetBytes, "pqIvfCompactIndex")
   }
 
   /** Stage 1 of the probe, exposed for plan inspection: the pruned ADC

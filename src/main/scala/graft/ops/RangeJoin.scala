@@ -41,6 +41,14 @@ object RangeJoin {
     require(collisions.isEmpty,
       s"byBucket: right-side columns ${collisions.mkString(", ")} collide with " +
         "the left side — rename before joining")
+    // the temp bin columns would silently overwrite (and then drop)
+    // same-named user columns via withColumn — refuse, don't eat data
+    val reserved = Set("_rj_b", "_rj_bin")
+    val reservedHits =
+      (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"byBucket: input columns ${reservedHits.mkString(", ")} collide with " +
+        "the reserved internal names _rj_b/_rj_bin — rename before joining")
     def bin(c: Column): Column =
       floor(c.cast("double") / lit(tolerance.toDouble)).cast("long")
     val l = left

@@ -103,6 +103,37 @@ object TextAnalysis {
     * (the emitted metrics round to 4 for display only). Map-only,
     * single codegen'd projection; no shuffle anywhere.
     */
+  /** The composite Gopher keep flag alone, as a filter-ready Column —
+    * the map-only predicate shape compositions want (q132 filters the
+    * corpus with this directly: no self-join back to the metrics
+    * relation, nothing but a codegen'd projection in the plan). Same
+    * arithmetic as [[gopherQualityRules]]'s `keep` column.
+    */
+  def gopherKeep(
+      t: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): Column = {
+    val toks = TextFunctions.tokens(t)
+    val nTok = size(toks).cast("double")
+    val meanLen = (length(t).cast("double") - (nTok - 1)) / nTok
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast("double")
+    val symbolRatio = (hashes + ellipses) / nTok
+    val alphaFrac = size(filter(toks, tok => tok.rlike("[A-Za-z]"))).cast("double") / nTok
+    val stopHits = TextFunctions.markerTokenCount(toks, Stopwords)
+    size(toks) >= minWords && size(toks) <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      symbolRatio <= maxSymbolRatio &&
+      alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopwords
+  }
+
   def gopherQualityRules(
       df: DataFrame,
       idCol: String,
@@ -122,7 +153,9 @@ object TextAnalysis {
     val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
       .cast("double")
     val symbolRatio = (hashes + ellipses) / nTok
-    val alphaFrac = size(filter(toks, tok => tok.rlike("[a-z]"))).cast("double") / nTok
+    // "contains an alphabetic character" (Rae et al. §A1.1) — both
+    // cases, so an uppercase-only word counts on non-lowercased corpora
+    val alphaFrac = size(filter(toks, tok => tok.rlike("[A-Za-z]"))).cast("double") / nTok
     val stopHits = TextFunctions.markerTokenCount(toks, Stopwords)
     val rWords = size(toks) >= minWords && size(toks) <= maxWords
     val rMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
@@ -189,7 +222,12 @@ object TextAnalysis {
     * hash equality is the q20 hash-vs-content contract, and the oracle
     * joins the STRINGS). The reference side is one distinct
     * (vocabulary-bound) relation; the join keys on the hash; per-doc
-    * counts combine map-side.
+    * counts combine map-side. The hash contract's failure mode is
+    * one-sided here: a 64-bit collision can only mark a genuinely novel
+    * shingle as known, so `novelty` is (vanishingly rarely) an
+    * UNDERESTIMATE — and unlike the dedup paths there is no exact
+    * verify stage behind it; corpora that need the guarantee should
+    * join shingle strings for the flagged docs.
     */
   def ngramNovelty(
       df: DataFrame,
@@ -244,6 +282,13 @@ object TextAnalysis {
     * more than `maxPosting` documents are dropped whole (boilerplate
     * k-grams — each would contribute ~|posting|² pairs; dropping can
     * only lower shared counts, the conservative direction).
+    *
+    * The winnowing coverage theorem only guarantees ONE shared
+    * fingerprint for a minimum-length match (window+k−1 tokens), so the
+    * default `minShared = 2` trades that boundary-length guarantee for
+    * noise suppression: pairs whose only overlap is a single
+    * minimum-length run can be missed. Set `minShared = 1` when the
+    * full coverage guarantee matters more than report noise.
     */
   def winnowCopyPairs(
       df: DataFrame,

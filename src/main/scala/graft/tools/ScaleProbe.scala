@@ -168,7 +168,14 @@ object ScaleProbe {
         // q131: disjoint replica vocabularies keep every posting list
         // at its 1× size while both shingle relations grow k× — the
         // q22/q87 inverted-index family.
-        "q131_ngram_novelty")
+        "q131_ngram_novelty",
+        // q111: the registered query relation is a CONSTANT 4 term
+        // arrays while the postings side grows k× (q109/q117's postings
+        // band) — the const-queries contract holds through the fixed
+        // query, unlike q106/q112 whose registered query SETS grow with
+        // the corpus. q127: a single map-only codegen'd projection —
+        // strictly scan-shaped, the flattest contract in the suite.
+        "q111_bm25_join", "q127_gopher_rules")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -242,6 +249,35 @@ object ScaleProbe {
             e.filter(col("gid") =!= 0),
             e.filter(col("gid") === 0 && col("vec_id") < q1x),
             "gid", "embedding", "vec_id").count()
+        }),
+      // MaxSim RERANK under the q106 rule: the query group is pinned to
+      // the 1× replica's gid-0 vectors while the doc corpus grows k× —
+      // pooling is a per-gid agg over the k× corpus, the centroid
+      // shortlist stays 10 groups, and the rerank prices const queries
+      // against the shortlisted groups' k× token sets: every stage
+      // linear under the contract.
+      ("q112_maxsim_rerank[const-queries]",
+        d => {
+          val e = Tables.load(spark, d, "embeddings").select(
+            pmod(col("vec_id"), lit(50L)).as("gid"),
+            col("vec_id"), col("embedding"))
+          val q1x = Tables.load(spark, dir, "embeddings")
+            .agg(max("vec_id")).head().getLong(0) + 1
+          val docsDf = e.filter(col("gid") =!= 0)
+          val queriesDf = e.filter(col("gid") === 0 && col("vec_id") < q1x)
+          val pool = graft.ops.VectorOps.meanPool(docsDf, "gid", "embedding")
+          val qpool = graft.ops.VectorOps.meanPool(
+              queriesDf.select(lit(0L).as("qg"), col("embedding")), "qg",
+              "embedding")
+            .select(col("centroid").as("qc"))
+          val short = pool.crossJoin(broadcast(qpool))
+            .select(col("gid"),
+              round(graft.ops.VectorOps.dot(col("centroid"), col("qc")) /
+                (graft.ops.VectorOps.l2Norm(col("centroid"))
+                  * graft.ops.VectorOps.l2Norm(col("qc"))), 6).as("pc"))
+            .orderBy(col("pc").desc, col("gid")).limit(10)
+          graft.ops.VectorOps.maxSimScoresShortlisted(
+            docsDf, queriesDf, "gid", "embedding", "vec_id", short).count()
         }),
       // incremental SemDeDup under the same rule: even ids are the kept
       // base (centroids frozen on it), odd ids + exact-direction twins

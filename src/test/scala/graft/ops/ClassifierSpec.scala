@@ -68,6 +68,60 @@ class ClassifierSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("tol early stop: converges under the iteration budget, holds the held-out gate, and tol=0 path is untouched") {
+    val data = corpus(240, seed = 7)
+    val df = data.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val lab = data.map { case (id, _, y) => (id, y) }.toDF("doc_id", "y")
+    val feats = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 12).cache()
+    val trainIds = (id: org.apache.spark.sql.Column) => id % 3 =!= 0
+    val fTrain = feats.filter(trainIds($"doc_id"))
+    val lTrain = lab.filter(trainIds($"doc_id"))
+    // a generous budget + a loose tol: separable data flattens fast
+    val res = Classifier.trainLogRegStats(fTrain, lTrain, "doc_id",
+      iters = 40, lr = 4.0, tol = 0.01)
+    assert(res.stepsApplied < 40,
+      s"early stop never fired: ${res.stepsApplied} steps")
+    assert(!res.lastLoss.isNaN && res.lastLoss < 0.5,
+      s"converged at implausible loss ${res.lastLoss}")
+    val acc = Classifier.scoreLogReg(
+        feats.filter(!trainIds($"doc_id")), res.weights, "doc_id")
+      .join(lab, Seq("doc_id"))
+      .select((when(($"p" >= 0.5) === ($"y" === 1.0), 1).otherwise(0)).as("ok"))
+      .agg(avg("ok")).head().getDouble(0)
+    assert(acc >= 0.95, s"held-out accuracy $acc after early stop")
+    // tol off → full budget runs, loss not evaluated
+    val full = Classifier.trainLogRegStats(fTrain, lTrain, "doc_id",
+      iters = 3, lr = 4.0)
+    assert(full.stepsApplied === 3 && full.lastLoss.isNaN)
+    feats.unpersist()
+  }
+
+  test("sampled gradients (sampleFrac < 1) hold the held-out accuracy gate") {
+    val data = corpus(400, seed = 13)
+    val df = data.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val lab = data.map { case (id, _, y) => (id, y) }.toDF("doc_id", "y")
+    val feats = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 12).cache()
+    val trainIds = (id: org.apache.spark.sql.Column) => id % 3 =!= 0
+    val w = Classifier.trainLogReg(
+      feats.filter(trainIds($"doc_id")), lab.filter(trainIds($"doc_id")),
+      "doc_id", iters = 12, lr = 4.0, sampleFrac = 0.5)
+    val acc = Classifier.scoreLogReg(
+        feats.filter(!trainIds($"doc_id")), w, "doc_id")
+      .join(lab, Seq("doc_id"))
+      .select((when(($"p" >= 0.5) === ($"y" === 1.0), 1).otherwise(0)).as("ok"))
+      .agg(avg("ok")).head().getDouble(0)
+    assert(acc >= 0.95, s"held-out accuracy $acc under 0.5 mini-batches")
+    // determinism: the hash-sampled schedule is seeded, so a rerun is
+    // bit-identical
+    val w2 = Classifier.trainLogReg(
+      feats.filter(trainIds($"doc_id")), lab.filter(trainIds($"doc_id")),
+      "doc_id", iters = 12, lr = 4.0, sampleFrac = 0.5)
+    val a = w.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = w2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+    feats.unpersist()
+  }
+
   test("hashedFeatures: length-normalized tf plus exactly one bias row per doc") {
     val df = Seq((1L, "a a b c"), (2L, "")).toDF("doc_id", "text")
     val f = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 10)

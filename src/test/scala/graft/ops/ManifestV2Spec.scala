@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-manifest v2 (q132/q133): the composition pins — the
+  * oracle-gated chain vs the full chain at a keep-all threshold, the
+  * classifier gate's real effect, packing invariants, and the
+  * streaming twin (per-micro-batch gating + periodic selection ≡ the
+  * batch manifest).
+  */
+class ManifestV2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = Tables.load(spark, TestSpark.Sf001, "documents")
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))
+
+  test("keep-all classifier threshold: q133 minus packing ≡ q132 row-for-row") {
+    val base = ManifestV2.oracleChain(docs).orderBy("doc_id").collect().map(key)
+    assert(base.nonEmpty, "empty manifest — composition pins nothing")
+    // σ(x·w) > 0 always, so pThreshold = 0 keeps every survivor: the
+    // classifier stage degenerates to identity and the chains coincide
+    val full = ManifestV2.full(docs, pThreshold = 0.0)
+      .select("doc_id", "source", "n_tok", "dsir_w", "gkey", "fraction",
+        "shard", "pos")
+      .orderBy("doc_id").collect().map(key)
+    assert(full.toSeq === base.toSeq)
+  }
+
+  test("the classifier gate bites where the rules cannot: Gopher-passing low-quality docs are rejected") {
+    import spark.implicits._
+    // every doc passes the Gopher rules (≥ 50 words, sane lengths, ≥ 2
+    // stopwords), but the odd docs draw from a junk vocabulary whose
+    // '!' characters push the q28 weak label to 0 — the rules and the
+    // classifier DISAGREE on them, which is the gate's whole value
+    val rnd = new scala.util.Random(3)
+    // 4-char fillers keep mean word length safely inside [3, 10]; the
+    // explicit stopword prefix keeps r_stop deterministic on both sides
+    val goodV = Vector("word", "text", "data", "line", "info", "page")
+    val badV = Vector("zz!q", "xj!9", "qq!p", "vv!2", "kk!8", "jj!x")
+    val rows = (0L until 200L).map { i =>
+      val good = i % 2 == 0
+      val pool = if (good) goodV else badV
+      val words = Seq("the", "and", "of") ++
+        (0 until 58).map(_ => pool(rnd.nextInt(pool.size)))
+      (i, s"src${i % 4}", words.mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "source", "text")
+    val surv = ManifestV2.gopherSurvivors(d)
+    assert(surv.count() === 200L, "fixture must pass the rules wholesale")
+    val gated = ManifestV2.classifierGate(d, surv, pThreshold = 0.5)
+    val keptIds = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty, "threshold 0.5 rejected everything")
+    val goodIds = rows.collect { case (i, _, _) if i % 2 == 0 => i }.toSet
+    val badKept = keptIds.diff(goodIds)
+    assert(badKept.size <= 10,
+      s"gate kept ${badKept.size} of 100 junk-vocab docs")
+    assert(goodIds.diff(keptIds).size <= 10,
+      s"gate dropped ${goodIds.diff(keptIds).size} of 100 good docs")
+  }
+
+  test("manifest invariants: membership ⊆ survivors, contiguous per-shard positions, bins respect the budget") {
+    val m = ManifestV2.full(docs, pThreshold = 0.0, packBudget = 512L).cache()
+    try {
+      val survIds = ManifestV2.gopherSurvivors(docs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val rows = m.collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getLong(0)).forall(survIds), "manifest row outside the gated corpus")
+      // shard ∈ [0, Shards); positions are 1..n contiguous per shard
+      val byShard = rows.groupBy(_.getLong(6))
+      assert(byShard.keySet.forall(s => s >= 0 && s < ManifestV2.Shards))
+      byShard.foreach { case (s, rs) =>
+        val pos = rs.map(_.getLong(7)).sorted
+        assert(pos.toSeq === (1L to rs.length).toSeq, s"shard $s positions: ${pos.toList}")
+      }
+      // packing: no multi-doc bin exceeds the budget; singleton bins may
+      // (the oversize-doc contract)
+      val bins = rows.groupBy(_.getLong(8))
+      bins.foreach { case (b, rs) =>
+        val tot = rs.map(_.getLong(2)).sum
+        if (rs.length > 1)
+          assert(tot <= 512L, s"bin $b holds $tot tokens across ${rs.length} docs")
+      }
+    } finally m.unpersist()
+  }
+
+  test("streaming twin: per-micro-batch Gopher gating + periodic selection ≡ the batch manifest") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest2")
+    val (src, admitted, ckpt) = (s"$root/src", s"$root/admitted", s"$root/ckpt")
+    docs.select("doc_id", "source", "text").repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // stage 1 runs INSIDE the stream (row-local → commutes with
+    // batching); the selection stages run periodically over admissions
+    val q = stream.filter(TextAnalysis.gopherKeep(col("text")))
+      .writeStream.format("parquet")
+      .option("path", admitted)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = ManifestV2.selectAndShard(spark.read.parquet(admitted))
+      .orderBy("doc_id").collect().map(key)
+    val batch = ManifestV2.oracleChain(docs).orderBy("doc_id").collect().map(key)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}

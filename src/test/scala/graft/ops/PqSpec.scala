@@ -152,6 +152,32 @@ class PqSpec extends AnyFunSuite {
         query, 10, nProbe = 3, overFetch = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
     assert(probe(apIdx) === probe(rbIdx))
+
+    // compaction folds the 3-append litter to a bounded per-cluster
+    // layout with bit-identical content and probe results
+    def clusterFiles(p: String): Map[String, Int] = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath).count(s =>
+            s.isFile && !s.getPath.getName.startsWith(".") &&
+              !s.getPath.getName.startsWith("_"))
+        }.toMap
+    }
+    val slBefore = Pq.pqIvfShortlist(spark, apIdx, model, cents, "vec_id",
+      query, 30, 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(clusterFiles(apIdx).values.exists(_ > 1), "no litter to fold")
+    val folded = Pq.pqIvfCompactIndex(spark, apIdx, maxFilesPerCluster = 1)
+    assert(folded.nonEmpty, "compaction found nothing over the bound")
+    assert(clusterFiles(apIdx).values.forall(_ === 1),
+      s"litter survived: ${clusterFiles(apIdx)}")
+    assert(content(apIdx) === content(rbIdx), "compaction changed content")
+    assert(probe(apIdx) === probe(rbIdx), "compaction changed probe results")
+    assert(Pq.pqIvfShortlist(spark, apIdx, model, cents, "vec_id", query, 30, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList === slBefore,
+      "compaction changed the ADC shortlist")
   }
 
   test("streaming IVF-PQ maintenance: stream-built compressed index ≡ batch build; redelivered batch id is a no-op") {
@@ -193,6 +219,24 @@ class PqSpec extends AnyFunSuite {
     assert(!graft.streaming.VectorIndexStream.pqAppendBatch(
       b, 0L, "vec_id", "embedding", idx, model, cents, streamId = "manual"))
     assert(spark.read.parquet(idx).count() === after)
+
+    // maintenance-window compaction of the streamed index: per-batch
+    // litter folds, probe results are bit-identical before/after (the
+    // manual-append duplicate above included — compaction moves FILES,
+    // never rows), and the batch ledger (underscore-hidden) survives
+    val probeBefore = probe(idx)
+    Pq.pqIvfCompactIndex(spark, idx, maxFilesPerCluster = 1)
+    val root2 = new org.apache.hadoop.fs.Path(idx)
+    val fs = root2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perCluster = fs.listStatus(root2)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .map(d => fs.listStatus(d.getPath).count(s =>
+        s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_")))
+    assert(perCluster.forall(_ === 1), s"stream litter survived: ${perCluster.toList}")
+    assert(probe(idx) === probeBefore)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "_graft_batches")),
+      "compaction must not disturb the batch ledger")
   }
 
   test("pqIvfWriteIndex drops uncodable rows: zero-norm vectors never reach the index or shortlist") {

@@ -110,6 +110,66 @@ class RetrievalSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("joint streaming E2E: both indexes stream-maintained together, fused probe ≡ batch-built fusion") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-hybrid-stream").toString
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val terms = Seq("vector", "join", "scan")
+    // batch-built reference pair
+    LexIndex.bm25WriteIndex(docs, "doc_id", "text", s"$root/lex_b", buckets = 16)
+    val cents = VectorOps.ivfWriteIndex(e, "vec_id", "embedding",
+      s"$root/ivf_b", nCentroids = 8)
+    // stream-maintained pair: lex fanout fixed over an empty frame,
+    // ivf under the SAME frozen centroids; both corpora arrive in
+    // 3 micro-batches through their own checkpoints
+    LexIndex.bm25WriteIndex(docs.limit(0), "doc_id", "text", s"$root/lex_s",
+      buckets = 16)
+    docs.select("doc_id", "text").repartition(3).write.parquet(s"$root/dsrc")
+    e.select("vec_id", "embedding").repartition(3).write.parquet(s"$root/esrc")
+    val dStream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/dsrc")
+    val eStream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/esrc")
+    val q1 = graft.streaming.LexIndexStream
+      .indexSink(dStream, "doc_id", "text", s"$root/lex_s")
+      .option("checkpointLocation", s"$root/dckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    val q2 = graft.streaming.VectorIndexStream
+      .indexSink(eStream, "vec_id", "embedding", s"$root/ivf_s", cents)
+      .option("checkpointLocation", s"$root/eckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(); q2.awaitTermination()
+    val qvec = e.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    def ranked(d: org.apache.spark.sql.DataFrame, score: String, id: String) =
+      d.orderBy(col(score).desc, col(id)).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col(score).desc, col(id))).cast("long"))
+        .select(lit(1L).as("query_id"), col(id).as("doc_id"), col("rank"))
+    def fusedFrom(lexPath: String, ivfPath: String) =
+      Retrieval.rrfFuse(
+          ranked(LexIndex.bm25ProbeIndex(spark, lexPath, "doc_id", terms),
+            "bm25", "doc_id"),
+          ranked(VectorOps.ivfProbeIndex(spark, ivfPath, cents,
+              "vec_id", qvec, k = 10, nProbe = 8),
+            "cosine", "vec_id"),
+          "query_id", "doc_id", "rank", k = 10)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    val viaStream = fusedFrom(s"$root/lex_s", s"$root/ivf_s")
+    val viaBatch = fusedFrom(s"$root/lex_b", s"$root/ivf_b")
+    assert(viaStream === viaBatch)
+    assert(viaStream.nonEmpty)
+  }
+
   test("hybrid fusion surfaces docs found by only one retriever") {
     import spark.implicits._
     // lexical finds d1 only; dense finds d2 only; both appear fused

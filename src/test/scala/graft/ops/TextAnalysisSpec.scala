@@ -137,7 +137,10 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "the a short doc"),                            // r_words (4 < 50)
       (3L, good + " " + Seq.fill(12)("### ... ###").mkString(" ")), // r_symbol
       (4L, (Seq("the", "a") ++ Seq.fill(60)("77")).mkString(" ")),  // r_alpha
-      (5L, Seq.fill(63)("word").mkString(" ")))           // r_stop (0 hits)
+      (5L, Seq.fill(63)("word").mkString(" ")),           // r_stop (0 hits)
+      // uppercase-only words ARE alphabetic (Rae et al. "contains an
+      // alphabetic character" — not "a lowercase one")
+      (6L, (Seq("the", "a", "of") ++ Seq.fill(60)("WORD")).mkString(" ")))
       .toDF("doc_id", "text")
     val out = TextAnalysis.gopherQualityRules(df, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -149,6 +152,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out(2).getBoolean(8) && !out(2).getBoolean(11))  // symbol rule
     assert(!out(3).getBoolean(9) && !out(3).getBoolean(11))  // alpha rule
     assert(!out(4).getBoolean(10) && !out(4).getBoolean(11)) // stopword rule
+    assert(out(5).getBoolean(9) && out(5).getBoolean(11))    // uppercase passes alpha
     // metric spot-check: doc 5 is 63 four-char words → mean len exactly 4
     assert(out(4).getDouble(2) === 4.0)
   }
@@ -187,6 +191,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
     assert(f.n_bytes === 0L)
     assert(f.feature.toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("multimodal strict path: unsupported/corrupt payloads become typed reject rows, decoded media real features") {
+    // one real PNG (decodes), one corrupt PNG (magic, garbage body), one
+    // arbitrary binary blob (no codec for it in this container)
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5, 6)
+    val blob = "not media at all".getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image", png, 2, 2, 0),
+      (2L, "image", corrupt, 0, 0, 0),
+      (3L, "video", blob, 0, 0, 0)).toDF(
+      "doc_id", "media_type", "payload", "width", "height", "sample_rate")
+    val (feats, rejects) = Multimodal.extractFeaturesStrict(media)
+    val f = feats.collect()
+    assert(f.map(_.doc_id).toSet === Set(1L))
+    assert(f.head.feature(0) === 2.0 && f.head.feature(1) === 2.0)
+    val r = rejects.collect().map(x => x.doc_id -> x.reason).toMap
+    assert(r === Map(2L -> "corrupt_image", 3L -> "unsupported_format"))
+    // the lenient path still covers every row (byte-stats fallback)
+    assert(Multimodal.extractFeatures(media).count() === 3L)
   }
 
   test("language-id is deterministic and emits only known labels") {
