@@ -109,7 +109,10 @@ object ManifestV2 {
     val labels = corpus.select(col("doc_id"),
       when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
         .otherwise(0.0).as("y"))
-    val feats = Classifier.hashedFeatures(corpus, "doc_id", "text", dim)
+    // lengthFeature: the q28-style weak label weights a length term
+    // 0.5, which tf/dl-normalized BoW cannot see (Classifier scaladoc)
+    val feats = Classifier.hashedFeatures(corpus, "doc_id", "text", dim,
+        lengthFeature = true)
       .localCheckpoint(true) // two consumers (train + score): one pass
     val w = Classifier.trainLogReg(feats, labels, "doc_id",
       iters = itersBudget, lr = 2.0, tol = tol)

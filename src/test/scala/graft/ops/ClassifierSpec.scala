@@ -122,6 +122,29 @@ class ClassifierSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("lengthFeature separates a purely length-driven label that BoW provably cannot see") {
+    // one token repeated n times: tf/dl = 1.0 and bias = 1.0 for EVERY
+    // doc — the BoW feature vectors are identical, so no linear model
+    // can beat the base rate; the LenIdx row restores the signal
+    val data = (0L until 200L).map { i =>
+      val n = if (i % 2 == 0) 60 else 10
+      (i, Seq.fill(n)("word").mkString(" "), if (i % 2 == 0) 1.0 else 0.0)
+    }
+    val df = data.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val lab = data.map { case (id, _, y) => (id, y) }.toDF("doc_id", "y")
+    def acc(lenF: Boolean): Double = {
+      val feats = Classifier.hashedFeatures(df, "doc_id", "text",
+        dim = 1 << 10, lengthFeature = lenF)
+      val w = Classifier.trainLogReg(feats, lab, "doc_id", iters = 12, lr = 4.0)
+      Classifier.scoreLogReg(feats, w, "doc_id")
+        .join(lab, Seq("doc_id"))
+        .select((when(($"p" >= 0.5) === ($"y" === 1.0), 1).otherwise(0)).as("ok"))
+        .agg(avg("ok")).head().getDouble(0)
+    }
+    assert(acc(lenF = false) <= 0.6, "identical BoW vectors cannot separate")
+    assert(acc(lenF = true) >= 0.95, "length feature failed to separate")
+  }
+
   test("hashedFeatures: length-normalized tf plus exactly one bias row per doc") {
     val df = Seq((1L, "a a b c"), (2L, "")).toDF("doc_id", "text")
     val f = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 10)
