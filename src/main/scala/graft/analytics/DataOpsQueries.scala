@@ -1141,6 +1141,123 @@ object DataOpsQueries {
           .orderBy(col("n").desc, col("subword")).limit(50)
       }),
 
+    // Ranking-evaluation metrics — the layer that judges the whole
+    // retrieval family: recall@10 / MRR@10 / nDCG@10 of the q111 BM25
+    // run against graded term-count relevance (rel = how many of the
+    // query's terms the doc contains — content-derived, so the
+    // judgments themselves replay in SQL). Every join/window is
+    // query-scale; all arithmetic is pow/log2 over small ints, so the
+    // metric relation carries a full end-to-end oracle.
+    NamedQuery(
+      "q135_ranking_metrics",
+      Some("""WITH q AS (SELECT * FROM (VALUES (1, ['vector','join']),
+             |            (2, ['scan','filter','hash']),
+             |            (3, ['stream','window']),
+             |            (4, ['sort','merge','spark','join'])) AS q(query_id, terms)),
+             |qt AS (SELECT DISTINCT query_id, unnest(terms) AS w FROM q),
+             |t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |e AS (SELECT doc_id, unnest(tok) w FROM t),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf FROM e
+             |       WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, w),
+             |df AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w),
+             |sc AS (SELECT qt.query_id, tf.doc_id,
+             |         ROUND(SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |           * tf.tf * 2.2
+             |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+             |       FROM tf JOIN qt USING (w) JOIN df USING (w)
+             |         JOIN l USING (doc_id) CROSS JOIN s
+             |       GROUP BY qt.query_id, tf.doc_id),
+             |r AS (SELECT query_id, doc_id,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY bm25 DESC, doc_id) AS rnk
+             |      FROM sc),
+             |run AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 10),
+             |qr AS (SELECT qt.query_id, d.doc_id, CAST(count(*) AS DOUBLE) rel
+             |       FROM qt JOIN (SELECT doc_id, unnest(list_distinct(tok)) w
+             |                     FROM t) d USING (w)
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |ideal AS (SELECT query_id,
+             |        sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) n_rel,
+             |        sum(CASE WHEN irank <= 10
+             |          THEN (pow(2, rel) - 1) / log2(irank + 1) ELSE 0 END) idcg
+             |      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |              ORDER BY rel DESC, doc_id) irank FROM qr)
+             |      GROUP BY 1),
+             |hits AS (SELECT run.query_id,
+             |        sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) found,
+             |        min(CASE WHEN rel > 0 THEN run.rnk END) frank,
+             |        sum((pow(2, rel) - 1) / log2(run.rnk + 1)) dcg
+             |      FROM run JOIN qr USING (query_id, doc_id) GROUP BY 1)
+             |SELECT ideal.query_id, CAST(n_rel AS BIGINT) AS n_rel,
+             |  ROUND(CASE WHEN n_rel > 0
+             |    THEN COALESCE(found, 0) / CAST(n_rel AS DOUBLE) ELSE 0 END, 6)
+             |    AS recall_at_k,
+             |  ROUND(COALESCE(1.0 / frank, 0), 6) AS mrr,
+             |  ROUND(CASE WHEN idcg > 0
+             |    THEN COALESCE(dcg, 0) / idcg ELSE 0 END, 6) AS ndcg
+             |FROM ideal LEFT JOIN hits USING (query_id)
+             |ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val qs = Seq(
+          (1, Seq("vector", "join")),
+          (2, Seq("scan", "filter", "hash")),
+          (3, Seq("stream", "window")),
+          (4, Seq("sort", "merge", "spark", "join")))
+          .toDF("query_id", "terms")
+        val run = TextAnalysis.bm25Join(qs, d, "query_id", "terms",
+          "doc_id", "text", k = 10)
+        val qt = qs.select(col("query_id"), explode(col("terms")).as("w"))
+          .distinct()
+        // judged = docs matching ≥ 2 query terms: a graded pool small
+        // enough that recall is meaningful and BM25's length
+        // normalization can genuinely disagree with the term-count
+        // relevance (single-term judgments made every top-10 ideal)
+        val qrels = d
+          .select(col("doc_id"),
+            explode(array_distinct(TextFunctions.tokens(col("text")))).as("w"))
+          .join(qt, Seq("w"))
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).cast("double").as("rel"))
+          .filter(col("rel") >= 2)
+        Retrieval.rankingMetrics(run, qrels, "query_id", "doc_id", "rank",
+            "rel", k = 10)
+          .orderBy("query_id")
+      }),
+
+    // Cosine-threshold calibration: the random-pair cosine histogram
+    // every similarity threshold (SemDeDup 0.9, near-dup cuts, LSH θ)
+    // should be read against — measured per corpus, one LCG partner
+    // per vector (n pairs, never n²), cosine rounded to 6 before
+    // bucketing so the bucket edge is engine-portable.
+    NamedQuery(
+      "q136_cosine_calibration",
+      Some("""WITH e AS (SELECT vec_id,
+             |          list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |        FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm
+             |      FROM e WHERE list_dot_product(v, v) > 0),
+             |mx AS (SELECT max(vec_id) + 1 m FROM n),
+             |l AS (SELECT vec_id,
+             |        ((vec_id % 2147483648) * 2654435761 + 42) % 4294967296
+             |          % mx.m AS p,
+             |        v av, nrm an
+             |      FROM n CROSS JOIN mx),
+             |j AS (SELECT ROUND(list_dot_product(l.av, r.v) / (l.an * r.nrm), 6) c
+             |      FROM l JOIN n r ON l.p = r.vec_id AND l.p != l.vec_id),
+             |b AS (SELECT LEAST(CAST(floor((c + 1.0) / 0.1) AS INT), 19) bk FROM j),
+             |g AS (SELECT bk, count(*) np FROM b GROUP BY bk),
+             |t AS (SELECT CAST(sum(np) AS DOUBLE) tt FROM g)
+             |SELECT ROUND(CAST(bk AS DOUBLE) * 0.1 - 1.0, 6) AS bucket_lo,
+             |  CAST(np AS BIGINT) AS n_pairs, ROUND(np / t.tt, 6) AS frac
+             |FROM g CROSS JOIN t ORDER BY bucket_lo""".stripMargin),
+      (s, dir) =>
+        Similarity.cosineCalibration(embs(s, dir), "vec_id", "embedding")
+          .orderBy("bucket_lo")),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",

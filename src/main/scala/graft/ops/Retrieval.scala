@@ -58,4 +58,79 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(docIdCol), col("rrf"), col("rank"))
   }
+
+  /** Offline ranking evaluation — the metrics layer every retriever
+    * here feeds (recall@k, MRR@k, nDCG@k per query): `run` is a ranked
+    * shortlist relation `(queryIdCol, docIdCol, rankCol)` (rank 1..n
+    * per query, the shape [[rrfFuse]] and every retriever emit);
+    * `qrels` is the graded relevance-judgment relation
+    * `(queryIdCol, docIdCol, relCol)` with rel ≥ 0 (0 = judged
+    * irrelevant). Emits one row per JUDGED query (a query with no
+    * qrels rows has undefined metrics and is absent):
+    * `(queryIdCol, n_rel, recall_at_k, mrr, ndcg)`, each metric
+    * rounded to `roundTo` —
+    *   - recall@k = |{rel > 0} ∩ top-k| / |{rel > 0}| (0 when the
+    *     query has no relevant doc),
+    *   - MRR@k = 1 / rank of the first relevant doc in the top-k
+    *     (0 when none),
+    *   - nDCG@k (Järvelin & Kekäläinen 2002, the exponential-gain
+    *     form): DCG = Σ_{r ≤ k} (2^rel − 1)/log2(r + 1) over the run's
+    *     ranks, IDCG = the same over rel sorted descending, nDCG =
+    *     DCG/IDCG (0 when IDCG = 0, i.e. nothing relevant). DCG is
+    *     invariant to tie order (equal rel at permuted positions sums
+    *     identically only within a position — so the IDCG window
+    *     orders by (rel DESC, doc) for determinism).
+    *
+    * Scale shape: the run is ≤ k·|queries| rows and qrels is the
+    * judgment relation — both queries-scale, never corpus-scale, so
+    * every join and window here partitions by query id over bounded
+    * groups (the corpus-scale work happened inside the retriever). All
+    * arithmetic is powers/logs over small integers — SQL-replayable,
+    * so the metric relation itself carries a DuckDB oracle (q135).
+    */
+  def rankingMetrics(
+      run: DataFrame,
+      qrels: DataFrame,
+      queryIdCol: String,
+      docIdCol: String,
+      rankCol: String,
+      relCol: String,
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val gain = (rel: org.apache.spark.sql.Column) =>
+      (pow(lit(2.0), rel.cast("double")) - 1.0)
+    val runK = run.filter(col(rankCol) <= k)
+      .select(col(queryIdCol), col(docIdCol), col(rankCol).as("_rm_rank"))
+    val judged = qrels.select(col(queryIdCol), col(docIdCol),
+      col(relCol).cast("double").as("_rm_rel"))
+    // per-query totals + ideal DCG from the judgments alone
+    val byRel = Window.partitionBy(queryIdCol)
+      .orderBy(col("_rm_rel").desc, col(docIdCol))
+    val ideal = judged
+      .withColumn("_rm_irank", row_number().over(byRel))
+      .groupBy(queryIdCol)
+      .agg(
+        sum(when(col("_rm_rel") > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("_rm_irank") <= k,
+          gain(col("_rm_rel")) / log2(col("_rm_irank") + 1.0))
+          .otherwise(lit(0.0))).as("_rm_idcg"))
+    // hits = judged docs the run retrieved in its top-k
+    val hits = runK.join(judged, Seq(queryIdCol, docIdCol))
+      .groupBy(queryIdCol)
+      .agg(
+        sum(when(col("_rm_rel") > 0, 1L).otherwise(0L)).as("_rm_found"),
+        min(when(col("_rm_rel") > 0, col("_rm_rank"))).as("_rm_first"),
+        sum(gain(col("_rm_rel")) / log2(col("_rm_rank") + 1.0)).as("_rm_dcg"))
+    ideal.join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_rel"),
+        round(when(col("n_rel") > 0,
+          coalesce(col("_rm_found"), lit(0L)).cast("double") / col("n_rel"))
+          .otherwise(lit(0.0)), roundTo).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("_rm_first"), lit(0.0)), roundTo)
+          .as("mrr"),
+        round(when(col("_rm_idcg") > 0,
+          coalesce(col("_rm_dcg"), lit(0.0)) / col("_rm_idcg"))
+          .otherwise(lit(0.0)), roundTo).as("ndcg"))
+  }
 }

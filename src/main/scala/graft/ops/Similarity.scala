@@ -582,4 +582,66 @@ object Similarity {
     srpNearDupPairs(df, idCol, vecCol, threshold, planes, tables, maxBucket,
       probe, coverageGuard, probePlanes = probes, knownRows = n)
   }
+
+  /** Cosine-threshold calibration: the cosine distribution of a
+    * deterministic pseudo-random pair sample, as a fixed-width
+    * histogram over [−1, 1] — the baseline every similarity threshold
+    * in this engine (SemDeDup 0.9, near-dup 0.4/0.9, the LSH solvers'
+    * θ) should be read against: a threshold is only selective if it
+    * sits far in the tail of the RANDOM-pair distribution, and that
+    * distribution shifts with dimension and with how embeddings were
+    * trained, so it has to be measured per corpus, not assumed.
+    *
+    * Each vector is paired with ONE partner drawn by the engine's
+    * seeded integer mix ([[Sampling.seededMix]] semantics): partner =
+    * mix(id) mod (maxId + 1) — a pure row-local function of the id, so
+    * the sample is reproducible by any engine (the q86/q122/q126 LCG
+    * replay pattern) and the relation is n pairs, never n². Self-pairs
+    * and partners that miss (id gaps) drop out; zero-norm vectors on
+    * either side drop (cosine undefined). Output per bucket
+    * (`width`-wide, left edge inclusive; cosine 1.0 folds into the top
+    * bucket): `(bucket_lo, n_pairs, frac)` of surviving pairs.
+    *
+    * Scale shape: one scalar max-id agg (broadcast), a map-only
+    * partner column, ONE id-keyed equi-join (each side exchanges once,
+    * corpus-linear), a map-only cosine, and a ≤ ⌈2/width⌉-key hash
+    * agg — no all-pairs product anywhere.
+    */
+  def cosineCalibration(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seed: Long = 42L,
+      width: Double = 0.1,
+      roundTo: Int = 6): DataFrame = {
+    require(width > 0 && width <= 2.0, s"width=$width out of (0, 2]")
+    val v = df.select(col(idCol).cast("long").as(idCol),
+        VectorOps.toDoubleVec(col(vecCol)).as("_cc_v"))
+      .withColumn("_cc_n", VectorOps.l2Norm(col("_cc_v")))
+      .filter(col("_cc_n") > 0)
+    val maxId = v.agg(max(col(idCol))).head().getLong(0) + 1
+    val left = v.select(col(idCol),
+        pmod(Sampling.seededMix(col(idCol), seed), lit(maxId)).as("_cc_p"),
+        col("_cc_v").as("_cc_av"), col("_cc_n").as("_cc_an"))
+      .filter(col("_cc_p") =!= col(idCol))
+    val right = v.select(col(idCol).as("_cc_p"),
+      col("_cc_v").as("_cc_bv"), col("_cc_n").as("_cc_bn"))
+    val nBuckets = math.ceil(2.0 / width).toInt
+    // cosine rounds to 6 BEFORE bucketing (the q114 cross-engine
+    // contract): the bucket edge must not hinge on sub-ulp
+    // summation-order differences between engines
+    val buckets = left.join(right, Seq("_cc_p"))
+      .select(round(VectorOps.dot(col("_cc_av"), col("_cc_bv")) /
+        (col("_cc_an") * col("_cc_bn")), 6).as("_cc_cos"))
+      .select(least(
+        floor((col("_cc_cos") + 1.0) / width).cast("int"),
+        lit(nBuckets - 1)).as("_cc_b"))
+      .groupBy(col("_cc_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val total = buckets.agg(sum("n_pairs").cast("double").as("_cc_t"))
+    buckets.crossJoin(broadcast(total))
+      .select(round(col("_cc_b") * width - 1.0, 6).as("bucket_lo"),
+        col("n_pairs"),
+        round(col("n_pairs") / col("_cc_t"), roundTo).as("frac"))
+  }
 }

@@ -175,7 +175,24 @@ object ScaleProbe {
         // query, unlike q106/q112 whose registered query SETS grow with
         // the corpus. q127: a single map-only codegen'd projection —
         // strictly scan-shaped, the flattest contract in the suite.
-        "q111_bm25_join", "q127_gopher_rules")
+        "q111_bm25_join", "q127_gopher_rules",
+        // round-12 compositions: q132's corpus-scale stages are the
+        // Gopher projection (scan-shaped), one materialization of the
+        // survivors, and q119/q122's vocabulary-bound DSIR passes —
+        // everything after the TakeOrdered(100) selection is
+        // selection-bounded (replica id offsets preserve the %7 target
+        // slice fraction). q133 adds the classifier gate: feature
+        // hashing + early-stopped AdaGrad over the k× posting relation
+        // (q120's shape at ~1/3 the steps) + packing over ≤100 rows.
+        // q134: the q113 encode contract under a fixed merge table —
+        // map-only native encode + a subword hash agg.
+        "q132_manifest_v2", "q133_manifest_v2_full", "q134_bpe_fixture",
+        // q135: the run is q111's fixed-4-query postings shape; the
+        // qrels side is a query-term semi-join over the k× distinct
+        // token relation — both corpus-linear, metrics queries-scale.
+        // q136: one scalar agg + one id-keyed equi-join (each side
+        // exchanged once) + a 20-key hash agg — corpus-linear.
+        "q135_ranking_metrics", "q136_cosine_calibration")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

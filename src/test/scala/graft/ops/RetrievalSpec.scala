@@ -170,6 +170,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(viaStream.nonEmpty)
   }
 
+  test("rankingMetrics hand fixture: recall/MRR/nDCG by hand, zero-relevant and perfect queries pinned") {
+    import spark.implicits._
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), // q1: hit rel-2 at rank 1, unjudged at 2
+      (2L, 10L, 1L),                // q2: only judged-irrelevant retrieved
+      (3L, 5L, 1L), (3L, 6L, 2L))   // q3: the ideal ordering itself
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 10L, 2.0), (1L, 30L, 1.0), (1L, 40L, 0.0),
+      (2L, 10L, 0.0),
+      (3L, 5L, 3.0), (3L, 6L, 1.0))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.rankingMetrics(run, qrels, "query_id", "doc_id",
+        "rank", "rel", k = 10)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    // q1: DCG = (2²−1)/log2(2) = 3; IDCG = 3 + 1/log2(3) = 3.6309297…
+    val ndcg1 = BigDecimal(3.0 / (3.0 + 1.0 / (math.log(3) / math.log(2))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq(
+      (1L, 2L, 0.5, 1.0, ndcg1),
+      (2L, 0L, 0.0, 0.0, 0.0),
+      (3L, 2L, 1.0, 1.0, 1.0)))
+    // a query with judgments but absent from the run still reports
+    val got4 = Retrieval.rankingMetrics(
+        run.filter($"query_id" === 1L), qrels, "query_id", "doc_id",
+        "rank", "rel", k = 10)
+      .orderBy("query_id").collect()
+    assert(got4.length === 3, "judged queries must appear even with no run rows")
+    assert(got4(2).getDouble(2) === 0.0 && got4(2).getDouble(4) === 0.0)
+  }
+
   test("hybrid fusion surfaces docs found by only one retriever") {
     import spark.implicits._
     // lexical finds d1 only; dense finds d2 only; both appear fused

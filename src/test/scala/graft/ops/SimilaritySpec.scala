@@ -734,4 +734,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(df(0).getDouble(0) - df(1).getDouble(0)) < 1e-12)
     assert(df.forall(r => math.abs(r.getDouble(0)) <= 1.0 + 1e-12))
   }
+
+  test("cosineCalibration ≡ an independent replay of the LCG pairing + histogram; zero-norm and self-pairs drop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 40L).map { i =>
+      val v =
+        if (i == 7L) Array.fill(4)(0.0f) // zero-norm: must not pair
+        else Array.fill(4)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosineCalibration(df, "vec_id", "embedding")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // independent reference: same mix arithmetic, plain Scala math
+    def mix(id: Long) = ((id % 2147483648L) * 2654435761L + 42L) % 4294967296L
+    val byId = rows.toMap
+    def norm(a: Array[Float]) = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val maxId = 40L // id 7 is zero-norm but ids are dense below it anyway
+    val want = rows.filter(r => norm(r._2) > 0).flatMap { case (id, v) =>
+      val p = mix(id) % maxId
+      byId.get(p).filter(pv => p != id && norm(pv) > 0).map { pv =>
+        val c = v.zip(pv).map { case (a, b) => a.toDouble * b.toDouble }.sum /
+          (norm(v) * norm(pv))
+        val r6 = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.min(math.floor((r6 + 1.0) / 0.1).toInt, 19)
+      }
+    }.groupBy(identity).map { case (b, xs) => (b * 0.1 - 1.0, xs.size.toLong) }
+    val tot = want.values.sum.toDouble
+    val wantRows = want.toSeq.map { case (lo, n) =>
+      (BigDecimal(lo).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, n,
+        BigDecimal(n / tot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq === wantRows)
+    assert(got.map(_._2).sum < 40, "self/zero-norm pairs must drop")
+  }
 }
