@@ -1189,15 +1189,25 @@ object DataOpsQueries {
              |        sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) found,
              |        min(CASE WHEN rel > 0 THEN run.rnk END) frank,
              |        sum((pow(2, rel) - 1) / log2(run.rnk + 1)) dcg
-             |      FROM run JOIN qr USING (query_id, doc_id) GROUP BY 1)
+             |      FROM run JOIN qr USING (query_id, doc_id) GROUP BY 1),
+             |ap AS (SELECT query_id, sum(ri / CAST(rnk AS DOUBLE)) apsum
+             |       FROM (SELECT run.query_id, run.rnk,
+             |               row_number() OVER (PARTITION BY run.query_id
+             |                 ORDER BY run.rnk) ri
+             |             FROM run JOIN qr USING (query_id, doc_id)
+             |             WHERE qr.rel > 0)
+             |       GROUP BY 1)
              |SELECT ideal.query_id, CAST(n_rel AS BIGINT) AS n_rel,
              |  ROUND(CASE WHEN n_rel > 0
              |    THEN COALESCE(found, 0) / CAST(n_rel AS DOUBLE) ELSE 0 END, 6)
              |    AS recall_at_k,
              |  ROUND(COALESCE(1.0 / frank, 0), 6) AS mrr,
+             |  ROUND(CASE WHEN n_rel > 0
+             |    THEN COALESCE(apsum, 0) / LEAST(n_rel, 10) ELSE 0 END, 6) AS ap,
              |  ROUND(CASE WHEN idcg > 0
              |    THEN COALESCE(dcg, 0) / idcg ELSE 0 END, 6) AS ndcg
              |FROM ideal LEFT JOIN hits USING (query_id)
+             |  LEFT JOIN ap USING (query_id)
              |ORDER BY query_id""".stripMargin),
       (s, dir) => {
         import s.implicits._

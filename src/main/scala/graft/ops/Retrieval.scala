@@ -73,6 +73,11 @@ object Retrieval {
     *     query has no relevant doc),
     *   - MRR@k = 1 / rank of the first relevant doc in the top-k
     *     (0 when none),
+    *   - AP@k (binary relevance, TREC convention): the mean over
+    *     relevant RETRIEVED positions r of P@r = |{rel > 0} ∩ top-r|/r,
+    *     divided by min(n_rel, k) — so a run that retrieves every
+    *     relevant doc as early as possible scores 1 even when the
+    *     judgment pool exceeds k;
     *   - nDCG@k (Järvelin & Kekäläinen 2002, the exponential-gain
     *     form): DCG = Σ_{r ≤ k} (2^rel − 1)/log2(r + 1) over the run's
     *     ranks, IDCG = the same over rel sorted descending, nDCG =
@@ -122,13 +127,29 @@ object Retrieval {
         sum(when(col("_rm_rel") > 0, 1L).otherwise(0L)).as("_rm_found"),
         min(when(col("_rm_rel") > 0, col("_rm_rank"))).as("_rm_first"),
         sum(gain(col("_rm_rel")) / log2(col("_rm_rank") + 1.0)).as("_rm_dcg"))
+    // AP@k: P@r needs the count of relevant hits at-or-before each
+    // relevant position — a window over the ≤ k relevant hits per
+    // query (unjudged positions enter only through the rank value,
+    // which already encodes them in the denominator)
+    val byRank = Window.partitionBy(queryIdCol).orderBy(col("_rm_rank"))
+    val apSum = runK.join(judged.filter(col("_rm_rel") > 0),
+        Seq(queryIdCol, docIdCol))
+      .withColumn("_rm_ri", row_number().over(byRank))
+      .groupBy(queryIdCol)
+      .agg(sum(col("_rm_ri") / col("_rm_rank").cast("double"))
+        .as("_rm_apsum"))
     ideal.join(hits, Seq(queryIdCol), "left")
+      .join(apSum, Seq(queryIdCol), "left")
       .select(col(queryIdCol), col("n_rel"),
         round(when(col("n_rel") > 0,
           coalesce(col("_rm_found"), lit(0L)).cast("double") / col("n_rel"))
           .otherwise(lit(0.0)), roundTo).as("recall_at_k"),
         round(coalesce(lit(1.0) / col("_rm_first"), lit(0.0)), roundTo)
           .as("mrr"),
+        round(when(col("n_rel") > 0,
+          coalesce(col("_rm_apsum"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .otherwise(lit(0.0)), roundTo).as("ap"),
         round(when(col("_rm_idcg") > 0,
           coalesce(col("_rm_dcg"), lit(0.0)) / col("_rm_idcg"))
           .otherwise(lit(0.0)), roundTo).as("ndcg"))

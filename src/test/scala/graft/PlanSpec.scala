@@ -414,6 +414,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q132: no cartesian/NLJ anywhere in the manifest composition; selection joins broadcast") {
+    val p = plan("q132_manifest_v2")
+    assert(!p.contains("CartesianProduct"), p)
+    // scalar totals ride BroadcastNestedLoopJoin by design (1-row
+    // sides); anything larger must not
+    assert(!"BroadcastNestedLoopJoin BuildRight, Inner".r.findAllIn(p)
+      .exists(_ => p.contains("CartesianProduct")), p)
+    // the ≤ selectN selection re-joins broadcast — no corpus-wide
+    // shuffle join for 100 rows
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q135: ranking metrics never window over an unpartitioned corpus — every window keys on the query id") {
+    val p = plan("q135_ranking_metrics")
+    // global (empty-partition) windows funnel through ONE task; the
+    // metric windows must all partition by query_id
+    val windows = "windowspecdefinition\\(\\w+".r.findAllIn(p).toList
+    assert(windows.nonEmpty, s"expected the IDCG/AP windows in the plan:\n$p")
+    val bad = windows.filterNot(_.startsWith("windowspecdefinition(query_id"))
+    assert(bad.isEmpty, s"unpartitioned/mis-keyed window in q135: $bad\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q136: calibration is one id-keyed equi-join — no all-pairs product; scalar totals broadcast") {
+    val p = plan("q136_cosine_calibration")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"partner join missing:\n$p")
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(

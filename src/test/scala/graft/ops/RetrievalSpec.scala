@@ -186,21 +186,32 @@ class RetrievalSpec extends AnyFunSuite {
         "rank", "rel", k = 10)
       .orderBy("query_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4)))
+        r.getDouble(4), r.getDouble(5)))
     // q1: DCG = (2²−1)/log2(2) = 3; IDCG = 3 + 1/log2(3) = 3.6309297…
+    //     AP = P@1 / min(2, 10) = 1/2
     val ndcg1 = BigDecimal(3.0 / (3.0 + 1.0 / (math.log(3) / math.log(2))))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.toSeq === Seq(
-      (1L, 2L, 0.5, 1.0, ndcg1),
-      (2L, 0L, 0.0, 0.0, 0.0),
-      (3L, 2L, 1.0, 1.0, 1.0)))
+      (1L, 2L, 0.5, 1.0, 0.5, ndcg1),
+      (2L, 0L, 0.0, 0.0, 0.0, 0.0),
+      (3L, 2L, 1.0, 1.0, 1.0, 1.0)))
     // a query with judgments but absent from the run still reports
     val got4 = Retrieval.rankingMetrics(
         run.filter($"query_id" === 1L), qrels, "query_id", "doc_id",
         "rank", "rel", k = 10)
       .orderBy("query_id").collect()
     assert(got4.length === 3, "judged queries must appear even with no run rows")
-    assert(got4(2).getDouble(2) === 0.0 && got4(2).getDouble(4) === 0.0)
+    assert(got4(2).getDouble(2) === 0.0 && got4(2).getDouble(5) === 0.0)
+    // AP sees unjudged positions through the rank denominator: push the
+    // q1 hit to rank 3 → P@3 = 1/3, AP = (1/3)/2
+    val late = Seq((1L, 99L, 1L), (1L, 98L, 2L), (1L, 10L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val ap1 = Retrieval.rankingMetrics(late,
+        qrels.filter($"query_id" === 1L), "query_id", "doc_id",
+        "rank", "rel", k = 10)
+      .head().getDouble(4)
+    assert(ap1 === BigDecimal(1.0 / 3 / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("hybrid fusion surfaces docs found by only one retriever") {
