@@ -1477,7 +1477,13 @@ object DataOpsQueries {
     NamedQuery(
       "q133_manifest_v2_full",
       None,
-      (s, dir) => ManifestV2.full(docs(s, dir), pThreshold = 0.5)
+      // the gate cuts the bottom 30% of the survivor score
+      // distribution (a data-derived cut — an absolute 0.5 keeps
+      // everything on this corpus because the weakly-learnable label
+      // leaves scores clustered near the base rate; see
+      // classifierGate's scaladoc)
+      (s, dir) => ManifestV2.full(docs(s, dir), pThreshold = 0.0,
+          gateQuantile = Some(0.3))
         .orderBy("doc_id")),
 
     // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):

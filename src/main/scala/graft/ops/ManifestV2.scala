@@ -88,6 +88,24 @@ object ManifestV2 {
   def oracleChain(docs: DataFrame): DataFrame =
     selectAndShard(gopherSurvivors(docs))
 
+  /** The streaming admission stage: row-local stages (the Gopher gate —
+    * and, being row-local, they commute with micro-batching) run INSIDE
+    * the stream; admissions append to `path` as the corpus the
+    * periodic selection stages re-run over ("admit incrementally,
+    * select periodically" — the corpus-statistics stages, DSIR and the
+    * mixture, are global and belong in the batch pass;
+    * ManifestV2Spec pins streamed-admissions + [[selectAndShard]] ≡
+    * the batch [[oracleChain]]). Attach a checkpoint + trigger and
+    * `.start()`; the parquet sink's own commit log makes redelivered
+    * batches idempotent.
+    */
+  def admissionSink(
+      stream: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    stream.filter(TextAnalysis.gopherKeep(col("text")))
+      .writeStream.format("parquet").option("path", path)
+
   /** Stage 2: the quality-classifier gate — q120's recipe
     * (q28-heuristic weak labels, hashed features) trained with the
     * early-stop lever on, scoring the survivors and keeping
@@ -105,7 +123,10 @@ object ManifestV2 {
       pThreshold: Double,
       dim: Int = 1 << 15,
       itersBudget: Int = 16,
-      tol: Double = 1e-3): DataFrame = {
+      tol: Double = 1e-3,
+      gateQuantile: Option[Double] = None): DataFrame = {
+    require(gateQuantile.forall(q => q >= 0.0 && q < 1.0),
+      s"gateQuantile=$gateQuantile out of [0, 1)")
     val labels = corpus.select(col("doc_id"),
       when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
         .otherwise(0.0).as("y"))
@@ -116,10 +137,25 @@ object ManifestV2 {
       .localCheckpoint(true) // two consumers (train + score): one pass
     val w = Classifier.trainLogReg(feats, labels, "doc_id",
       iters = itersBudget, lr = 2.0, tol = tol)
-    val kept = Classifier.scoreLogReg(feats, w, "doc_id")
-      .filter(col("p") >= pThreshold)
-      .select("doc_id")
-    val out = survivors.join(kept, Seq("doc_id"))
+    val scored = Classifier.scoreLogReg(feats, w, "doc_id")
+      .join(survivors.select("doc_id"), Seq("doc_id"))
+    // gateQuantile: a DATA-derived cut — drop the bottom q of the
+    // SURVIVOR score distribution (an absolute threshold is only
+    // meaningful when scores are calibrated; on weakly-learnable
+    // labels they cluster near the base rate and a fixed 0.5 keeps
+    // everything — measured at sf0.1). Exact `percentile` (the
+    // q97/quantileBucket house pattern): the scored relation is one
+    // double per doc, and the aggregate is merge-order invariant, so
+    // the manifest stays deterministic — approx_percentile's sketch
+    // merges are partition-order sensitive and would make the cut
+    // drift run to run.
+    val thr = gateQuantile match {
+      case Some(qv) =>
+        scored.agg(expr(s"percentile(p, $qv)")).head().getDouble(0)
+      case None => pThreshold
+    }
+    val out = survivors.join(
+      scored.filter(col("p") >= thr).select("doc_id"), Seq("doc_id"))
     feats.unpersist()
     out
   }
@@ -130,8 +166,13 @@ object ManifestV2 {
     * packing appends `bin_id` from [[Packing.packGreedy]] over the
     * manifest's token counts at a 512-token context budget.
     */
-  def full(docs: DataFrame, pThreshold: Double, packBudget: Long = 512L): DataFrame = {
-    val gated = classifierGate(docs, gopherSurvivors(docs), pThreshold)
+  def full(
+      docs: DataFrame,
+      pThreshold: Double,
+      packBudget: Long = 512L,
+      gateQuantile: Option[Double] = None): DataFrame = {
+    val gated = classifierGate(docs, gopherSurvivors(docs), pThreshold,
+      gateQuantile = gateQuantile)
     // the packing join consumes the manifest twice (rows + token
     // counts); the relation is selectN-bounded, so cut its
     // whole-chain lineage before fanning out

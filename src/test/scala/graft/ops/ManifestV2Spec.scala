@@ -63,6 +63,35 @@ class ManifestV2Spec extends AnyFunSuite {
       s"gate dropped ${goodIds.diff(keptIds).size} of 100 good docs")
   }
 
+  test("gateQuantile: the data-derived cut drops ~q of survivors, preferring classifier-favored docs") {
+    import spark.implicits._
+    // reuse the bite fixture: rules pass everything, scores separate
+    val rnd = new scala.util.Random(3)
+    val goodV = Vector("word", "text", "data", "line", "info", "page")
+    val badV = Vector("zz!q", "xj!9", "qq!p", "vv!2", "kk!8", "jj!x")
+    val rows = (0L until 200L).map { i =>
+      val pool = if (i % 2 == 0) goodV else badV
+      (i, s"src${i % 4}",
+        (Seq("the", "and", "of") ++
+          (0 until 58).map(_ => pool(rnd.nextInt(pool.size)))).mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "source", "text")
+    val surv = ManifestV2.gopherSurvivors(d)
+    val kept = ManifestV2.classifierGate(d, surv, pThreshold = 0.0,
+        gateQuantile = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ≥ half survives (ties keep the boundary score), and the kept set
+    // is dominated by the classifier-favored half
+    assert(kept.size >= 100 && kept.size <= 120, s"kept ${kept.size} of 200")
+    val good = kept.count(_ % 2 == 0)
+    assert(good >= kept.size - 10, s"quantile cut kept $good good of ${kept.size}")
+    // determinism: exact percentile + deterministic training → same cut
+    val kept2 = ManifestV2.classifierGate(d, surv, pThreshold = 0.0,
+        gateQuantile = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === kept2)
+  }
+
   test("manifest invariants: membership ⊆ survivors, contiguous per-shard positions, bins respect the budget") {
     val m = ManifestV2.full(docs, pThreshold = 0.0, packBudget = 512L).cache()
     try {
@@ -104,9 +133,7 @@ class ManifestV2Spec extends AnyFunSuite {
       .parquet(src)
     // stage 1 runs INSIDE the stream (row-local → commutes with
     // batching); the selection stages run periodically over admissions
-    val q = stream.filter(TextAnalysis.gopherKeep(col("text")))
-      .writeStream.format("parquet")
-      .option("path", admitted)
+    val q = ManifestV2.admissionSink(stream, admitted)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
