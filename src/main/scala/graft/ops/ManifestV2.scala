@@ -151,7 +151,10 @@ object ManifestV2 {
     // drift run to run.
     val thr = gateQuantile match {
       case Some(qv) =>
-        scored.agg(expr(s"percentile(p, $qv)")).head().getDouble(0)
+        // percentile of an EMPTY score relation is NULL (no survivors,
+        // or none scored) — any threshold works, nothing can pass
+        val row = scored.agg(expr(s"percentile(p, $qv)")).head()
+        if (row.isNullAt(0)) Double.MaxValue else row.getDouble(0)
       case None => pThreshold
     }
     val out = survivors.join(

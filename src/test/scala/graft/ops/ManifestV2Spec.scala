@@ -118,6 +118,19 @@ class ManifestV2Spec extends AnyFunSuite {
     } finally m.unpersist()
   }
 
+  test("degenerate corpora: nothing survives the rules → empty manifest, no crash (incl. the quantile gate)") {
+    import spark.implicits._
+    // every doc fails Gopher (too short)
+    val d = (0L until 20L).map(i => (i, s"src${i % 2}", "too short"))
+      .toDF("doc_id", "source", "text")
+    assert(ManifestV2.gopherSurvivors(d).count() === 0L)
+    assert(ManifestV2.oracleChain(d).count() === 0L)
+    // the quantile gate's percentile over zero scored survivors is
+    // NULL — must resolve to keep-nothing, not NPE
+    assert(ManifestV2.full(d, pThreshold = 0.0,
+      gateQuantile = Some(0.3)).count() === 0L)
+  }
+
   test("streaming twin: per-micro-batch Gopher gating + periodic selection ≡ the batch manifest") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
