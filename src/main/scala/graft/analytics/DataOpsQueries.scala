@@ -1268,6 +1268,31 @@ object DataOpsQueries {
         Similarity.cosineCalibration(embs(s, dir), "vec_id", "embedding")
           .orderBy("bucket_lo")),
 
+    // Normalized exact dedup (the C4-style pre-dedup canonical form):
+    // lowercase / punct→space / whitespace-collapse, then min-id
+    // election under NORMALIZED equality, with the report column that
+    // names what normalization caught (docs raw dedup would keep).
+    // Engine groups 128-bit content hashes (q20's exchange
+    // discipline); oracle groups the strings (the hash-vs-content
+    // contract).
+    NamedQuery(
+      "q137_normalized_dedup",
+      Some("""WITH n AS (SELECT doc_id, text,
+             |        trim(regexp_replace(regexp_replace(lower(text),
+             |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) norm
+             |      FROM documents),
+             |nw AS (SELECT norm, min(doc_id) canonical_id FROM n GROUP BY norm),
+             |rw AS (SELECT text, min(doc_id) raw_canon FROM n GROUP BY text)
+             |SELECT n.doc_id, nw.canonical_id,
+             |  n.doc_id != nw.canonical_id AS is_dup,
+             |  (n.doc_id = rw.raw_canon AND n.doc_id != nw.canonical_id)
+             |    AS norm_only_dup
+             |FROM n JOIN nw USING (norm) JOIN rw USING (text)
+             |ORDER BY n.doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.normalizedDedup(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",

@@ -29,6 +29,7 @@ object GraftFunctions {
   val BpeEncodeName = "graft_bpe_encode"
   val RollingHashesName = "graft_rolling_hashes"
   val WinnowName = "graft_winnow"
+  val NormalizeName = "graft_normalize"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -206,6 +207,7 @@ object GraftFunctions {
       literalInt(exprs(1), MinHashName, "numHashes"))),
     (ShinglesName, 2, exprs => WordShingles(exprs.head,
       literalInt(exprs(1), ShinglesName, "n"))),
+    (NormalizeName, 1, exprs => NormalizeText(exprs.head)),
     (RollingHashesName, 2, exprs => RollingWindowHashes(exprs.head,
       literalInt(exprs(1), RollingHashesName, "width"))),
     (WinnowName, 3, exprs => WinnowFingerprints(exprs.head,
@@ -270,6 +272,9 @@ object GraftFunctions {
     * [[graft.Sessions.local]]).
     */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Native ASCII dedup-key normalization (requires `register(spark)`). */
+  def normalize(t: Column): Column = call_function(NormalizeName, t)
 
   /** Native PQ encode: raw vector → per-subspace argmin codes against a
     * fixed flat [subspace][centroid][component] codebook (requires

@@ -86,6 +86,57 @@ object Dedup {
       .select(contentCols.map(col) :+ col(idCol) :+ col("dup_count"): _*)
   }
 
+  /** ASCII text normalization for dedup keys — the C4-style canonical
+    * form: lowercase, every non-[a-z0-9 ] character becomes a space,
+    * whitespace runs collapse, ends trim. Deliberately ASCII-scoped
+    * ([a-z0-9], not \p{L}): Java-regex and RE2 Unicode classes disagree
+    * at the edges, and the q137 oracle must replay this byte-for-byte
+    * in DuckDB. The native single-byte-pass `graft_normalize` kernel —
+    * the composable double-regex form ([[normalizeTextComposable]])
+    * measured ~2 ms/doc, 22 of q137's 42 s at the 64× probe; the
+    * kernel is one pass, no regex, no intermediate strings
+    * (bit-parity pinned in NativeExpressionsSpec).
+    */
+  def normalizeText(t: Column): Column =
+    graft.functions.GraftFunctions.normalize(t)
+
+  /** Built-ins-only reference formulation of [[normalizeText]] — the
+    * parity ground truth, never the production path.
+    */
+  private[graft] def normalizeTextComposable(t: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", " "),
+      " +", " "))
+
+  /** Exact dedup under normalization — the report form: for every doc,
+    * its canonical (min-id) doc under NORMALIZED equality, whether it
+    * is a duplicate at all, and whether normalization is what caught it
+    * (`norm_only_dup` = the doc survives RAW exact dedup — it is its
+    * raw group's min-id winner — yet drops under normalization: the
+    * case/punctuation/spacing variants raw equality provably misses).
+    * Emits `(id, canonical_id, is_dup, norm_only_dup)`.
+    *
+    * Scale shape: [[exact]]'s discipline twice — both group-bys key on
+    * the 128-bit content hash of the (normalized / raw) text, so the
+    * decision shuffles carry (16-byte key, id), never document text;
+    * the oracle groups the STRINGS (the q20 hash-vs-content contract).
+    */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nh = freshName(df, "_graft_nh")
+    val rh = freshName(df, "_graft_rh")
+    val withH = df.select(col(idCol),
+      contentHash128(Seq(normalizeText(col(textCol)))).as(nh),
+      contentHash128(Seq(col(textCol))).as(rh))
+    val normWin = withH.groupBy(col(nh))
+      .agg(min(col(idCol)).as("canonical_id"))
+    val rawWin = withH.groupBy(col(rh))
+      .agg(min(col(idCol)).as("_graft_raw_canon"))
+    withH.join(normWin, Seq(nh)).join(rawWin, Seq(rh))
+      .select(col(idCol), col("canonical_id"),
+        (col(idCol) =!= col("canonical_id")).as("is_dup"),
+        (col(idCol) === col("_graft_raw_canon") &&
+          col(idCol) =!= col("canonical_id")).as("norm_only_dup"))
+  }
+
   /** The persisted side of INCREMENTAL dedup: the distinct 128-bit
     * content hashes of a corpus — 16 bytes per distinct document,
     * ~3 orders of magnitude smaller than the corpus it summarizes.

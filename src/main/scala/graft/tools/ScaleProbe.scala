@@ -192,7 +192,11 @@ object ScaleProbe {
         // token relation — both corpus-linear, metrics queries-scale.
         // q136: one scalar agg + one id-keyed equi-join (each side
         // exchanged once) + a 20-key hash agg — corpus-linear.
-        "q135_ranking_metrics", "q136_cosine_calibration")
+        "q135_ranking_metrics", "q136_cosine_calibration",
+        // q137: two 16-byte content-hash group-bys + two id-keyed
+        // winner joins — q20's exchange discipline twice; the
+        // normalizer is a codegen'd projection.
+        "q137_normalized_dedup")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

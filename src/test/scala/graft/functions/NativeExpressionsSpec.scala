@@ -434,6 +434,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("graft_normalize ≡ the double-regex composable form on the corpus and on adversarial strings") {
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val corpusDiff = docs.select(
+        Dedup.normalizeText(col("text")).as("n"),
+        graft.ops.Dedup.normalizeTextComposable(col("text")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(corpusDiff === 0L)
+    val edge = Seq(
+      "", " ", "   ", "a", " a ", "A  B!!C", "Hello,  World!",
+      "tabs\tand\nnewlines", "digits 123 mix 4a5", "UPPER lower 42",
+      "émigré café naïve", "日本語 text", "a—b–c", "!@#$%^&*()",
+      "trailing space ", " leading", "a  b   c    d")
+      .toDF("t")
+    val edgeDiff = edge.select(
+        Dedup.normalizeText(col("t")).as("n"),
+        graft.ops.Dedup.normalizeTextComposable(col("t")).as("c"))
+      .collect()
+    edgeDiff.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"native '${r.getString(0)}' vs composable '${r.getString(1)}'")
+    }
+    // NULL propagates, not NPEs
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(Dedup.normalizeText(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("SQL surface: graft_dot / graft_simhash resolve by name") {
     Tables.registerViews(spark, TestSpark.Sf001)
     val r = spark.sql(

@@ -19,6 +19,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("normalizedDedup: case/punct/spacing variants collapse; norm_only_dup names exactly what raw dedup misses") {
+    val df = Seq(
+      (1L, "hello world"),     // canonical of the whole variant family
+      (2L, "Hello,  World!"),  // case + punct + double space
+      (3L, "hello world"),     // raw duplicate of 1
+      (4L, " hello   world "), // spacing only
+      (5L, "goodbye"))         // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, false, false),
+      (2L, 1L, true, true),   // raw-unique, caught ONLY by normalization
+      (3L, 1L, true, false),  // raw dedup already catches it
+      (4L, 1L, true, true),
+      (5L, 5L, false, false)))
+    // the normalizer itself: lowercase, punct→space, collapse, trim
+    val norm = df.select(Dedup.normalizeText($"text").as("n"))
+      .collect().map(_.getString(0))
+    assert(norm.toSeq === Seq("hello world", "hello world", "hello world",
+      "hello world", "goodbye"))
+  }
+
   test("exact dedup ≡ groupBy(content) formulation on the corpus (hash key changes the plan, not the relation)") {
     val byHash = Dedup.exact(docs, "doc_id", Seq("text"))
       .select("doc_id", "dup_count").collect()
