@@ -23,12 +23,14 @@ object ExtensionsDemo {
         |       graft_simhash(array('a', 'b')) AS sh,
         |       size(graft_minhash(array('a', 'b'), 8)) AS mh,
         |       graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS sg,
-        |       graft_srp(array(1.0d, -2.0d, 0.5d), 8, 0) AS srp""".stripMargin).head()
+        |       graft_srp(array(1.0d, -2.0d, 0.5d), 8, 0) AS srp,
+        |       graft_normalize('  Hello,  World!! 42 ') AS nrm""".stripMargin).head()
     println(s"[ext] dot=${r.getDouble(0)} simhash=${r.getLong(1)} " +
       s"minhashLen=${r.getInt(2)} shingles=${r.getSeq[String](3).mkString(",")}")
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(2) == 8)
     assert(r.getSeq[String](3) == Seq("a b", "b c", "c b"))
+    assert(r.getString(5) == "hello world 42", s"normalize gave '${r.getString(5)}'")
     // the aggregate function resolves through the same extension path
     val agg = spark.sql(
       """SELECT graft_vec_sum(v) AS s FROM (
