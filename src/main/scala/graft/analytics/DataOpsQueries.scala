@@ -1293,6 +1293,49 @@ object DataOpsQueries {
         Dedup.normalizedDedup(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // Manifest diff — the data-release governance report: the per-doc
+    // change relation between two seeded-shuffle manifests built under
+    // different admission filters (the "new release tightened the
+    // short-doc floor and admitted longer docs" scenario: both sides
+    // add AND drop, and every survivor after a dropped doc shifts pos
+    // within its — hash-stable — shard). One full-outer id join over
+    // (id, shard, pos) triples; integer-LCG shuffles make the whole
+    // relation SQL-replayable.
+    NamedQuery(
+      "q138_manifest_diff",
+      Some("""WITH o AS (SELECT doc_id,
+             |          ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix
+             |        FROM documents WHERE n_chars <= 450),
+             |om AS (SELECT doc_id, CAST(mix % 8 AS BIGINT) AS old_shard,
+             |         CAST(row_number() OVER (PARTITION BY mix % 8
+             |           ORDER BY mix, doc_id) AS BIGINT) AS old_pos
+             |       FROM o),
+             |n AS (SELECT doc_id,
+             |          ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix
+             |        FROM documents WHERE n_chars >= 150),
+             |nm AS (SELECT doc_id, CAST(mix % 8 AS BIGINT) AS new_shard,
+             |         CAST(row_number() OVER (PARTITION BY mix % 8
+             |           ORDER BY mix, doc_id) AS BIGINT) AS new_pos
+             |       FROM n)
+             |SELECT COALESCE(om.doc_id, nm.doc_id) AS doc_id,
+             |  CASE WHEN om.doc_id IS NULL THEN 'added'
+             |       WHEN nm.doc_id IS NULL THEN 'dropped'
+             |       WHEN old_shard != new_shard THEN 'moved_shard'
+             |       WHEN old_pos != new_pos THEN 'moved_pos'
+             |       ELSE 'unchanged' END AS status,
+             |  old_shard, old_pos, new_shard, new_pos
+             |FROM om FULL OUTER JOIN nm ON om.doc_id = nm.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        def manifest(pred: org.apache.spark.sql.Column) =
+          Sampling.seededShuffle(d.filter(pred).select("doc_id"), "doc_id", 8)
+        ManifestV2.diff(
+            manifest(col("n_chars") <= 450),
+            manifest(col("n_chars") >= 150), "doc_id")
+          .orderBy("doc_id")
+      }),
+
     // ----------------------------------------------- text analysis
     NamedQuery(
       "q27_token_count",

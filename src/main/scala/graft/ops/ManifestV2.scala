@@ -88,6 +88,36 @@ object ManifestV2 {
   def oracleChain(docs: DataFrame): DataFrame =
     selectAndShard(gopherSurvivors(docs))
 
+  /** Manifest diff — the data-release governance report: what changed
+    * between two training manifests (any relations carrying
+    * `(idCol, shard, pos)`, e.g. two [[oracleChain]] outputs or two
+    * q95-style manifests from different filter configurations). One
+    * row per doc present in either side:
+    * `(id, status, old_shard, old_pos, new_shard, new_pos)` with
+    * status ∈ added | dropped | moved_shard | moved_pos | unchanged
+    * (a doc that changed shard reports moved_shard even if pos also
+    * moved — shard moves are the bigger retraining event).
+    *
+    * Scale shape: ONE full-outer equi-join on the id (each side
+    * exchanged once, manifest-scale — and manifests are (id, int,
+    * long) triples, not documents); status is a map-only CASE. The
+    * null-safe join key means NULL ids never silently pair.
+    */
+  def diff(old: DataFrame, neu: DataFrame, idCol: String): DataFrame = {
+    val o = old.select(col(idCol), col("shard").as("old_shard"),
+      col("pos").as("old_pos"))
+    val n = neu.select(col(idCol), col("shard").as("new_shard"),
+      col("pos").as("new_pos"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_shard").isNull, lit("added"))
+          .when(col("new_shard").isNull, lit("dropped"))
+          .when(col("old_shard") =!= col("new_shard"), lit("moved_shard"))
+          .when(col("old_pos") =!= col("new_pos"), lit("moved_pos"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_shard"), col("old_pos"), col("new_shard"), col("new_pos"))
+  }
+
   /** The streaming admission stage: row-local stages (the Gopher gate —
     * and, being row-local, they commute with micro-batching) run INSIDE
     * the stream; admissions append to `path` as the corpus the

@@ -196,7 +196,11 @@ object ScaleProbe {
         // q137: two 16-byte content-hash group-bys + two id-keyed
         // winner joins — q20's exchange discipline twice; the
         // normalizer is a codegen'd projection.
-        "q137_normalized_dedup")
+        "q137_normalized_dedup",
+        // q138: two seeded-shuffle manifests (q86's analytic-bucket
+        // shape) + ONE full-outer id join over (id, shard, pos)
+        // triples — manifest-scale, never document-scale.
+        "q138_manifest_diff")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

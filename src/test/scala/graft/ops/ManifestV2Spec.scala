@@ -118,6 +118,23 @@ class ManifestV2Spec extends AnyFunSuite {
     } finally m.unpersist()
   }
 
+  test("manifest diff: every status fires on a hand fixture; shard moves outrank pos moves") {
+    import spark.implicits._
+    val old = Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 1L, 1L), (5L, 1L, 2L))
+      .toDF("doc_id", "shard", "pos")
+    val neu = Seq((2L, 0L, 1L), (3L, 2L, 9L), (4L, 1L, 1L), (5L, 1L, 2L))
+      .toDF("doc_id", "shard", "pos")
+    val got = ManifestV2.diff(old, neu, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq(
+      (1L, "dropped"),
+      (2L, "moved_pos"),
+      (3L, "moved_shard"), // pos ALSO moved — shard wins the label
+      (4L, "added"),
+      (5L, "unchanged")))
+  }
+
   test("degenerate corpora: nothing survives the rules → empty manifest, no crash (incl. the quantile gate)") {
     import spark.implicits._
     // every doc fails Gopher (too short)
