@@ -1462,6 +1462,31 @@ object DataOpsQueries {
           .orderBy("doc_id")
       }),
 
+    // Per-doc n-gram duplication profile — the memorization-risk /
+    // boilerplate report (Lee et al. 2022: duplicated training
+    // sequences are memorized disproportionately). df over hashed
+    // shingles in the engine vs string shingles in the oracle — the
+    // q131 contract.
+    NamedQuery(
+      "q139_ngram_dup_profile",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(tok) - 2),
+             |        i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) sh
+             |      FROM t WHERE len(tok) >= 3),
+             |d AS (SELECT sh, count(*) df FROM s GROUP BY sh),
+             |j AS (SELECT s.doc_id, d.df FROM s JOIN d USING (sh))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             |  CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             |  CAST(max(df) AS BIGINT) AS max_df,
+             |  ROUND(AVG(CAST(df AS DOUBLE)), 4) AS mean_df
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        TextAnalysis.ngramDupProfile(docs(s, dir), "doc_id", "text",
+            n = 3, boilerDf = 5)
+          .orderBy("doc_id")
+      }),
+
     // Training-manifest v2 — the round-11 operator layer composed as
     // ONE oracle-gated relation (q95's modern successor): Gopher
     // quality rules (q127, as a map-only predicate — no self-join) →

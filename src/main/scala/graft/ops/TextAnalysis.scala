@@ -252,6 +252,49 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Per-document n-gram duplication profile — the memorization-risk /
+    * boilerplate governance report. Lee et al. 2022 showed sequences
+    * duplicated across a training corpus are memorized
+    * disproportionately, and C4/CCNet-style audits flag template text
+    * by repeated shingles; this reports, per doc, where its distinct
+    * n-shingles sit on that spectrum: `n_unique` (document frequency
+    * = 1 — content found nowhere else: the verbatim-leak surface a
+    * privacy audit reads), `n_boiler` (df ≥ `boilerDf` — shared
+    * template/boilerplate mass), plus `max_df`/`mean_df`.
+    *
+    * Scale shape: one map-only shingle pass (per-doc distinct inside
+    * the native expression), a df count over 8-byte `xxhash64` keys
+    * (map-side combined, vocabulary-bound output), the posting→df
+    * equi-join on the same 8-byte keys, and one per-doc agg — shingle
+    * STRINGS never enter an exchange (the q20/q131 hash-vs-content
+    * contract; a 64-bit collision merges two shingles' df, biasing
+    * `n_unique` low and df's high — one-sided, like [[ngramNovelty]]'s
+    * novelty underestimate).
+    */
+  def ngramDupProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      boilerDf: Int = 5): DataFrame = {
+    require(boilerDf >= 2, s"boilerDf=$boilerDf must be >= 2")
+    val sh = df
+      .select(col(idCol),
+        explode(TextFunctions.shingleSet(col(textCol), n)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
+    // shingleSet is per-doc distinct, so count(*) per hash IS document
+    // frequency
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") === 1, 1).otherwise(0)).cast("long").as("n_unique"),
+        sum(when(col("df") >= boilerDf, 1).otherwise(0)).cast("long")
+          .as("n_boiler"),
+        max(col("df")).cast("long").as("max_df"),
+        round(avg(col("df").cast("double")), 4).as("mean_df"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
     * copy-detection selection): per doc, the `(pos, fp)` k-gram rolling
     * hashes selected by a `window`-wide sliding minimum — any shared

@@ -186,6 +186,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 3L, 0L, 0.0), (2L, 4L, 3L, 0.75), (3L, 2L, 2L, 1.0)))
   }
 
+  test("ngramDupProfile: unique/boiler counts and df moments on a hand fixture") {
+    // shingle "a b c" appears in docs 1,2,3 (df=3); "b c d" in 1,2 (df=2);
+    // "c d e" only in 1 (df=1); doc 3's "x y z"-side shingles unique to it;
+    // doc 4 too short for a row.
+    val df = Seq(
+      (1L, "a b c d e"),   // abc df3, bcd df2, cde df1
+      (2L, "a b c d"),     // abc df3, bcd df2
+      (3L, "a b c x y z"), // abc df3, bcx df1, cxy df1, xyz df1
+      (4L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramDupProfile(df, "doc_id", "text", n = 3, boilerDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L, 1L, 3L, 2.0),    // dfs {3,2,1}
+      (2L, 2L, 0L, 1L, 3L, 2.5),    // dfs {3,2}
+      (3L, 4L, 3L, 1L, 3L, 1.5)))   // dfs {3,1,1,1}
+  }
+
   test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
     val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
