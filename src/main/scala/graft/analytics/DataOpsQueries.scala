@@ -947,6 +947,56 @@ object DataOpsQueries {
           .orderBy("q_id", "rank")
       }),
 
+    // Binary-quantized batch kNN: sign-pack to bit codes (q114's query
+    // batch), Hamming top-10 via native XOR+POPCNT — the cheap binary
+    // first stage a float rerank follows. The oracle replays the sign
+    // convention (strictly > 0) and distance on the raw floats.
+    NamedQuery(
+      "q140_hamming_knn",
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |q AS (SELECT vec_id q_id, embedding qv FROM e WHERE vec_id < 8),
+             |s AS (SELECT q_id, e.vec_id n_id,
+             |        CAST(len(e.embedding) - list_sum(list_transform(
+             |          range(len(e.embedding)),
+             |          i -> CASE WHEN (e.embedding[i+1] > 0) = (qv[i+1] > 0)
+             |               THEN 1 ELSE 0 END)) AS BIGINT) hamming
+             |      FROM e, q),
+             |r AS (SELECT q_id, n_id, hamming,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY hamming, n_id) AS "rank"
+             |      FROM s)
+             |SELECT q_id, n_id, hamming, CAST("rank" AS BIGINT) AS "rank"
+             |FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir)
+        VectorOps.hammingKnnJoin(e.filter(col("vec_id") < 8), e,
+            "vec_id", "embedding", k = 10)
+          .orderBy("q_id", "rank")
+      }),
+
+    // EXACT Hamming-radius pair mining via multi-index pigeonhole
+    // banding (Norouzi et al. 2012): 8 bands of 8 bits + single-bit
+    // probe balls (radius 15 → s = 1) find every qualifying pair
+    // without an all-pairs product; candidates pay one native exact
+    // check. The oracle IS the all-pairs brute force on the floats —
+    // the banded plan must reproduce it exactly.
+    NamedQuery(
+      "q141_hamming_pairs",
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+             |        CAST(len(a.embedding) - list_sum(list_transform(
+             |          range(len(a.embedding)),
+             |          i -> CASE WHEN (a.embedding[i+1] > 0) = (b.embedding[i+1] > 0)
+             |               THEN 1 ELSE 0 END)) AS BIGINT) hamming
+             |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 15
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        VectorOps.hammingRadiusPairs(embs(s, dir), "vec_id", "embedding",
+            radius = 15, nBands = 8)
+          .orderBy("id_a", "id_b")
+      }),
+
     // Hybrid lexical+dense retrieval via reciprocal-rank fusion: q111's
     // BM25 query relation and q114's dense kNN (query vector = the
     // embedding row sharing the query's id) each shortlist top-10,

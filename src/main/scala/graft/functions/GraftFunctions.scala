@@ -30,6 +30,8 @@ object GraftFunctions {
   val RollingHashesName = "graft_rolling_hashes"
   val WinnowName = "graft_winnow"
   val NormalizeName = "graft_normalize"
+  val SignPackName = "graft_sign_pack"
+  val HammingName = "graft_hamming"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -208,6 +210,8 @@ object GraftFunctions {
     (ShinglesName, 2, exprs => WordShingles(exprs.head,
       literalInt(exprs(1), ShinglesName, "n"))),
     (NormalizeName, 1, exprs => NormalizeText(exprs.head)),
+    (SignPackName, 1, exprs => SignPack(exprs.head)),
+    (HammingName, 2, exprs => HammingDistance(exprs.head, exprs(1))),
     (RollingHashesName, 2, exprs => RollingWindowHashes(exprs.head,
       literalInt(exprs(1), RollingHashesName, "width"))),
     (WinnowName, 3, exprs => WinnowFingerprints(exprs.head,
@@ -275,6 +279,16 @@ object GraftFunctions {
 
   /** Native ASCII dedup-key normalization (requires `register(spark)`). */
   def normalize(t: Column): Column = call_function(NormalizeName, t)
+
+  /** Native sign-bit binary quantization: `array<float|double>` →
+    * bit-packed `array<long>` (requires `register(spark)`).
+    */
+  def signPack(vec: Column): Column = call_function(SignPackName, vec)
+
+  /** Native Hamming distance over two [[signPack]]-packed codes
+    * (requires `register(spark)`).
+    */
+  def hamming(a: Column, b: Column): Column = call_function(HammingName, a, b)
 
   /** Native PQ encode: raw vector → per-subspace argmin codes against a
     * fixed flat [subspace][centroid][component] codebook (requires

@@ -216,6 +216,138 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Sign-bit binary quantization: `(id, code)` with code a bit-packed
+    * `array<long>` (64 dims/word, bit set iff the component is > 0) —
+    * the 32×-compression binary-embedding representation (Charikar
+    * 2002's SRP at one hyperplane per axis). One map-only codegen'd
+    * pass ([[graft.functions.SignPack]]); downstream Hamming distance
+    * is XOR + POPCNT per word ([[graft.functions.HammingDistance]]),
+    * which is what makes exhaustive binary rescoring affordable where
+    * float cosine is not: at 100 TB the codes are ~3 TB and a scan
+    * prices at memory bandwidth, not FLOPs.
+    */
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.signPack(rawVec(df, vecCol)).as("code"))
+
+  /** Exact batch Hamming kNN join over [[binaryQuantize]] codes for a
+    * broadcast-sized query set — the binary twin of [[bruteKnnJoin]]
+    * (Hamming over sign codes is the standard cheap first stage that a
+    * float rerank — [[bruteKnnJoin]] on the shortlist — follows).
+    *
+    * Output: `(q_id, n_id, hamming, rank)`, rank 1..≤k per query
+    * (hamming ASC, ties by neighbor id).
+    *
+    * Scale shape, exactly [[bruteKnnJoin]]'s: queries broadcast, ONE
+    * map-only pass over the corpus codes (never shuffled), per-query
+    * top-k via a `row_number ≤ k` window Spark rewrites to
+    * WindowGroupLimit, so the exchange carries ≤ k rows per query per
+    * map task — and the per-pair kernel is W xor+popcounts (W = dim/64
+    * words), not dim multiplies.
+    */
+  def hammingKnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val c = binaryQuantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("n_id"), col("code").as("cc"))
+    val q = binaryQuantize(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("code").as("qc"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.GraftFunctions.hamming(col("cc"), col("qc"))
+          .cast("long").as("hamming"))
+    val kept =
+      if (excludeSelf) scored.filter(col("q_id") =!= col("n_id")) else scored
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("hamming").asc, col("n_id"))
+    kept
+      .withColumn("rank", row_number().over(byDist).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** EXACT all-pairs within Hamming radius `radius` over
+    * [[binaryQuantize]] codes, via multi-index pigeonhole banding
+    * (Norouzi, Punjani & Fleet 2012, "Fast search in Hamming space
+    * with multi-index hashing"): split each code into `nBands` bands;
+    * if dist(a,b) ≤ radius then SOME band differs by ≤ s =
+    * ⌊radius/nBands⌋ bits, so bucketing band values — plus, when
+    * s = 1, each value's single-bit-flip probe ball, the
+    * [[graft.functions.SrpProbeBuckets]] multi-probe pattern — finds
+    * every qualifying pair without an all-pairs product. Candidates
+    * then pay one native XOR+POPCNT exact check; output is the exact
+    * relation `(id_a, id_b, hamming)`, id_a < id_b.
+    *
+    * Scale shape: one map-only pack+explode pass (nBands·(1+s·bits)
+    * rows per vector), a band-keyed self equi-join (co-partitioned,
+    * AQE-skew-splittable), the exact filter inline on the candidate
+    * rows (codes travel with them — no second corpus join), one
+    * pair-dedup agg. Candidate volume is Σ_buckets |bucket|² scaled by
+    * the probe fan-out — the standard MIH tradeoff: pruning power is
+    * 2^(bits/band) buckets per band, so SMALL radii (s ≤ 1) over wide
+    * codes prune hard, while radius ≳ 2·nBands at dim 64 degrades
+    * toward all-pairs (use more bands only with wider codes; s ≥ 2 is
+    * rejected rather than silently quadratic).
+    */
+  def hammingRadiusPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      radius: Int,
+      nBands: Int = 8): DataFrame = {
+    require(radius >= 0, s"radius=$radius must be >= 0")
+    require(nBands >= 1 && (nBands & (nBands - 1)) == 0,
+      s"nBands=$nBands must be a positive power of two (word-aligned bands)")
+    val s = radius / nBands
+    require(s <= 1,
+      s"radius=$radius over nBands=$nBands needs $s-bit probe balls per " +
+        "band; only s <= 1 is supported — raise nBands (wider codes) or " +
+        "lower the radius, s >= 2 probe enumeration degrades toward all-pairs")
+    val dim = df.select(size(rawVec(df, vecCol)).as("d")).limit(1).head()
+      .getInt(0)
+    val nWords = (dim + 63) / 64
+    require(nBands >= nWords,
+      s"nBands=$nBands < nWords=$nWords: a band may not span words")
+    val cb = nWords * 64 / nBands // power of two <= 64: never crosses a word
+    val mask = if (cb == 64) -1L else (1L << cb) - 1L
+    val packed = binaryQuantize(df, idCol, vecCol)
+    def bandVal(code: Column, j: Column): Column =
+      call_function("shiftrightunsigned",
+        element_at(code, ((j * cb) / 64 + 1).cast("int")),
+        ((j * cb) % 64).cast("int")).bitwiseAND(lit(mask))
+    val bandIdx = explode(sequence(lit(0), lit(nBands - 1)))
+    // plain side: one (band, value) row per band
+    val plain = packed
+      .select(col(idCol).as("id_b"), col("code").as("code_b"),
+        bandIdx.as("band"))
+      .withColumn("bv", bandVal(col("code_b"), col("band")))
+    // probe side: the radius-s Hamming ball around each band value
+    // (s = 0 → just the value; s = 1 → value + its cb single-bit flips)
+    val probe0 = packed
+      .select(col(idCol).as("id_a"), col("code").as("code_a"),
+        bandIdx.as("band"))
+      .withColumn("bv0", bandVal(col("code_a"), col("band")))
+    val probes =
+      if (s == 0) probe0.withColumn("bv", col("bv0"))
+      else probe0.withColumn("bv", explode(concat(
+        array(col("bv0")),
+        transform(sequence(lit(0), lit(cb - 1)),
+          t => col("bv0").bitwiseXOR(call_function("shiftleft", lit(1L), t))
+            .bitwiseAND(lit(mask))))))
+    probes.join(plain, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.hamming(col("code_a"), col("code_b"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .groupBy("id_a", "id_b")
+      .agg(first("hamming").as("hamming"))
+  }
+
   /** Batch kNN JOIN — top-`k` cosine neighbors from `corpus` for EVERY
     * row of `queries`, both sides corpus-scale (the shape
     * [[knnClassify]]'s scaladoc defers to when the query set outgrows a

@@ -200,7 +200,17 @@ object ScaleProbe {
         // q138: two seeded-shuffle manifests (q86's analytic-bucket
         // shape) + ONE full-outer id join over (id, shard, pos)
         // triples — manifest-scale, never document-scale.
-        "q138_manifest_diff")
+        "q138_manifest_diff",
+        // q139: q131's posting discipline with a df agg in the middle —
+        // hashed-shingle keys, map-side combine, vocabulary-bound join.
+        "q139_ngram_dup_profile",
+        // q140: q114's broadcast-query map-only scan with the per-pair
+        // kernel swapped to native XOR+POPCNT.
+        "q140_hamming_knn",
+        // q141: banded-bucket self-join — candidate volume is the MIH
+        // bucket-collision term (k× replicas share the band-value
+        // space, so buckets grow k× and candidates k²/buckets).
+        "q141_hamming_pairs")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

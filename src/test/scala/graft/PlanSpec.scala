@@ -165,6 +165,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q140: Hamming kNN broadcasts the query batch and group-limits the top-k") {
+    val p = plan("q140_hamming_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q141: banded Hamming pairs plan as a (band, value) equi-join — never a cartesian product") {
+    val p = plan("q141_hamming_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding fell back to an all-pairs product:\n$p")
+  }
+
   test("q115: hybrid fusion joins shortlists only — no corpus-scale product anywhere") {
     val p = plan("q115_hybrid_rrf")
     assert(!p.contains("CartesianProduct"),

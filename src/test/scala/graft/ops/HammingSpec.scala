@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binary sign quantization + Hamming search: native-kernel parity
+  * with the composable forms, exactness of the banded pair relation
+  * against brute force, and the word-padding / rejection edges.
+  */
+class HammingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-random float vectors (LCG), dim components in
+    * (-1, 1), never exactly 0.
+    */
+  private def vecs(n: Int, dim: Int, seed: Long = 7L): Seq[(Long, Seq[Float])] =
+    (0 until n).map { i =>
+      var s = seed + i * 2654435761L
+      val v = Seq.tabulate(dim) { _ =>
+        s = (s * 6364136223846793005L + 1442695040888963407L)
+        val u = ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+        (if (u == 0.0) 0.25 else u).toFloat
+      }
+      (i.toLong, v)
+    }
+
+  private def refHamming(a: Seq[Float], b: Seq[Float]): Long =
+    a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }.toLong
+
+  test("graft_sign_pack/graft_hamming ≡ composable sign-mismatch count on the corpus") {
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val pairs = e.crossJoin(broadcast(q))
+    val native = pairs.select($"vec_id", $"qid",
+        GraftFunctions.hamming(
+          GraftFunctions.signPack($"embedding"),
+          GraftFunctions.signPack($"qv")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val composable = pairs.select($"vec_id", $"qid",
+        aggregate(
+          zip_with($"embedding", $"qv",
+            (x, y) => when((x > 0f) === (y > 0f), 0).otherwise(1)),
+          lit(0), (acc, v) => acc + v).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(native.size === 2000)
+    assert(native === composable)
+  }
+
+  test("padding and null edges: dim 70 packs into 2 words, padding never contributes; nulls propagate") {
+    // 70 dims: word 1 uses 6 real bits + 58 padding zeros
+    val a = Seq.tabulate(70)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Seq.tabulate(70)(i => if (i % 7 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, a), (2L, b)).toDF("id", "v")
+    val packed = VectorOps.binaryQuantize(df, "id", "v")
+    assert(packed.select(size($"code")).head().getInt(0) === 2)
+    val d = packed.as("x").crossJoin(packed.as("y"))
+      .filter($"x.id" === 1 && $"y.id" === 2)
+      .select(GraftFunctions.hamming($"x.code", $"y.code"))
+      .head().getInt(0)
+    assert(d.toLong === refHamming(a, b))
+    // null element → null code; mismatched code lengths → null distance
+    val withNull = Seq(Seq(Some(1.0f), None, Some(-1.0f))).toDF("v")
+      .select(GraftFunctions.signPack($"v").as("c"))
+    assert(withNull.head().isNullAt(0))
+    val mismatch = spark.sql(
+      "SELECT graft_hamming(array(1L), array(1L, 2L)) IS NULL").head().getBoolean(0)
+    assert(mismatch)
+  }
+
+  test("hammingKnnJoin ≡ in-memory reference (distance asc, ties by id), excludeSelf honored") {
+    val data = vecs(40, 64)
+    val df = data.toDF("vec_id", "embedding")
+    val got = VectorOps.hammingKnnJoin(
+        df.filter($"vec_id" < 3), df, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val byId = data.toMap
+    for (qid <- 0L until 3L) {
+      val want = data
+        .map { case (nid, v) => (nid, refHamming(byId(qid), v)) }
+        .sortBy { case (nid, h) => (h, nid) }.take(5)
+      want.zipWithIndex.foreach { case ((nid, h), i) =>
+        assert(got((qid, i + 1L)) === ((nid, h)), s"q=$qid rank=${i + 1}")
+      }
+    }
+    val self = VectorOps.hammingKnnJoin(
+        df.filter($"vec_id" === 0), df, "vec_id", "embedding",
+        k = 1, excludeSelf = true)
+      .head()
+    assert(self.getLong(1) !== 0L)
+    assert(self.getLong(2) > 0L)
+  }
+
+  test("hammingRadiusPairs ≡ brute force for s=0 and s=1, boundary inclusive, planted pairs found") {
+    val base = vecs(60, 64)
+    // plant two near-dups of vector 0: 3 flips (dist 3) and 13 flips (dist 13)
+    def flip(v: Seq[Float], k: Int): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i < k) -x else x }
+    val data = base ++ Seq((100L, flip(base.head._2, 3)),
+      (101L, flip(base.head._2, 13)))
+    val df = data.toDF("vec_id", "embedding")
+    def brute(radius: Int): Set[(Long, Long, Long)] =
+      (for {
+        (ia, va) <- data; (ib, vb) <- data if ia < ib
+        h = refHamming(va, vb) if h <= radius
+      } yield (ia, ib, h)).toSet
+    for (radius <- Seq(3, 7, 13, 15)) { // s=0 at 3/7, s=1 at 13/15 (nBands=8)
+      val got = VectorOps.hammingRadiusPairs(df, "vec_id", "embedding", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute(radius), s"radius=$radius")
+    }
+    assert(brute(3).contains((0L, 100L, 3L)))   // boundary dist == radius kept
+    assert(!brute(3).contains((0L, 101L, 13L)))
+    assert(brute(13).contains((0L, 101L, 13L)))
+  }
+
+  test("rejections: s >= 2 probe balls, non-power-of-two bands, bands narrower than words") {
+    val df = vecs(4, 64).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.hammingRadiusPairs(df, "vec_id", "embedding", radius = 16, nBands = 8)
+    }
+    assert(e1.getMessage.contains("probe balls"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.hammingRadiusPairs(df, "vec_id", "embedding", radius = 2, nBands = 6)
+    }
+    assert(e2.getMessage.contains("power of two"))
+    val wide = vecs(4, 128).toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      VectorOps.hammingRadiusPairs(wide, "vec_id", "embedding", radius = 0, nBands = 1)
+    }
+    assert(e3.getMessage.contains("span words"))
+  }
+}
