@@ -345,6 +345,29 @@ object WideQueries {
             round(col("total_qty"), 2).as("total_qty"),
             round(col("min_price"), 2).as("min_price"),
             round(col("max_price"), 2).as("max_price"))
-          .orderBy("l_suppkey"))
+          .orderBy("l_suppkey")),
+
+    // Key-skew diagnostic — the report that decides whether a key needs
+    // q49's salting / AQE skew handling: counts, heaviest-key share,
+    // top-10 share, exact Gini over the key-count distribution. The
+    // only corpus-scale exchange is the map-side-combined count; ranks
+    // come from the two-phase contiguousIndex, never a global window.
+    NamedQuery(
+      "q142_key_skew_report",
+      Some("""WITH c AS (SELECT user_id, count(*) cnt FROM events GROUP BY user_id),
+             |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) rk FROM c),
+             |a AS (SELECT CAST(sum(cnt) AS BIGINT) t, CAST(count(*) AS BIGINT) nk,
+             |        CAST(max(cnt) AS BIGINT) mx, sum(cnt * rk) rw FROM r),
+             |tp AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) topc FROM
+             |        (SELECT cnt FROM c ORDER BY cnt DESC, user_id DESC LIMIT 10))
+             |SELECT t AS n_rows, nk AS n_keys, mx AS max_count,
+             |  ROUND(CAST(mx AS DOUBLE) / t, 6) AS max_share,
+             |  ROUND(CAST(topc AS DOUBLE) / t, 6) AS top10_share,
+             |  ROUND(2.0 * rw / CAST(nk * t AS DOUBLE)
+             |    - CAST(nk + 1 AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS gini
+             |FROM a, tp""".stripMargin),
+      (s, dir) =>
+        Salting.keySkewReport(Tables.load(s, dir, "events"), "user_id",
+          topK = 10))
   )
 }

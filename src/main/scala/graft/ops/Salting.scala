@@ -54,4 +54,48 @@ object Salting {
       .groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Key-skew diagnostic for a `(relation, key)` pair — the pre-shuffle
+    * health report that decides whether a join/agg on `keyCol` needs
+    * [[saltedAggregate]] / AQE skew handling at all: one row with the
+    * row and distinct-key counts, the heaviest key's share, the top-
+    * `topK` keys' combined share, and the EXACT Gini coefficient of
+    * the key-count distribution (0 = uniform, → 1 = one key owns
+    * everything), via the rank formula G = 2·Σᵢ i·cᵢ / (K·T) − (K+1)/K
+    * over counts ranked ascending.
+    *
+    * Scale shape: the only corpus-scale exchange is the map-side-
+    * combined key count; everything after runs on the (key, count)
+    * relation. Ranking uses [[Sampling.contiguousIndex]] — range-
+    * partitioned two-phase ranks, NOT a `row_number` over a global
+    * ORDER BY, which would put every distinct key on one reducer (the
+    * exact bottleneck this report exists to prevent). The top-`topK`
+    * sum is a TakeOrdered over counts; the final product is two 1-row
+    * frames cross-joined. Gini arithmetic is integer sums divided once
+    * in double, ROUNDed to 6 — engine-replayable.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val indexed = Sampling.contiguousIndex(
+        counts.withColumn("_sk", struct(col("cnt"), col(keyCol))),
+        "_sk", nShards = 32)
+      .drop("_sk")
+    val base = indexed.agg(
+      sum("cnt").cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max("cnt").cast("long").as("max_count"),
+      sum(col("cnt") * (col("global_idx") + lit(1L))).as("_rw"))
+    val top = counts.orderBy(col("cnt").desc, col(keyCol).desc).limit(topK)
+      .agg(coalesce(sum("cnt"), lit(0L)).cast("long").as("_topc"))
+    base.crossJoin(top).select(
+      col("n_rows"), col("n_keys"), col("max_count"),
+      round(col("max_count").cast("double") / col("n_rows"), 6)
+        .as("max_share"),
+      round(col("_topc").cast("double") / col("n_rows"), 6)
+        .as(s"top${topK}_share"),
+      round((lit(2.0) * col("_rw")) / (col("n_keys") * col("n_rows")).cast("double")
+          - (col("n_keys") + lit(1L)).cast("double") / col("n_keys").cast("double"),
+        6).as("gini"))
+  }
 }

@@ -210,7 +210,10 @@ object ScaleProbe {
         // q141: banded-bucket self-join — candidate volume is the MIH
         // bucket-collision term (k× replicas share the band-value
         // space, so buckets grow k× and candidates k²/buckets).
-        "q141_hamming_pairs")
+        "q141_hamming_pairs",
+        // q142: one map-side-combined key count; ranks two-phase over
+        // the (key, count) relation, finals over 1-row frames.
+        "q142_key_skew_report")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

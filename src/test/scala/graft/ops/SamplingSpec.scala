@@ -277,6 +277,25 @@ class SamplingSpec extends AnyFunSuite {
       s"sampled token mass $got far from the 10000 budget")
   }
 
+  test("keySkewReport: exact Gini and shares on hand fixtures; uniform and single-key degenerate to 0") {
+    import spark.implicits._
+    // counts {a:1, b:1, c:2, d:4}: T=8 K=4, ranks asc (1,1,2,4) →
+    // rw = 1+2+6+16 = 25, G = 50/32 − 5/4 = 0.3125
+    val skewed = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++
+      Seq.fill(2)("c") ++ Seq.fill(4)("d")).toDF("k")
+    val r = Salting.keySkewReport(skewed, "k", topK = 2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((8L, 4L, 4L)))
+    assert(r.getDouble(3) === 0.5)    // max_share
+    assert(r.getDouble(4) === 0.75)   // top2_share = (4+2)/8
+    assert(r.getDouble(5) === 0.3125) // gini
+    val uniform = (1 to 12).map(i => s"k${i % 4}").toDF("k")
+    assert(Salting.keySkewReport(uniform, "k").head().getDouble(5) === 0.0)
+    val single = Seq.fill(5)("only").toDF("k")
+    val s1 = Salting.keySkewReport(single, "k").head()
+    assert(s1.getDouble(5) === 0.0)
+    assert(s1.getDouble(3) === 1.0)
+  }
+
   test("contiguousIndex rejects an existing global_idx column and bad shard counts") {
     import spark.implicits._
     val df = Seq((1L, 5L)).toDF("doc_id", "global_idx")
