@@ -118,6 +118,21 @@ object ManifestV2 {
         col("old_shard"), col("old_pos"), col("new_shard"), col("new_pos"))
   }
 
+  /** Inverse of [[diff]]: replay a diff onto the OLD manifest to
+    * reconstruct the NEW one — the patch-apply side of release
+    * governance (ship the (usually small) diff relation, not the full
+    * manifest, and every consumer rebuilds the release). Pure
+    * projection over the diff: rows whose status isn't `dropped` carry
+    * the new placement in `new_shard`/`new_pos`; `old` participates
+    * only through the contract that diff came from it (ManifestV2Spec
+    * pins the round trip `applyDiff(old, diff(old, neu)) ≡ neu`).
+    * Map-only, diff-scale.
+    */
+  def applyDiff(diffRel: DataFrame, idCol: String): DataFrame =
+    diffRel.filter(col("status") =!= "dropped")
+      .select(col(idCol), col("new_shard").as("shard"),
+        col("new_pos").as("pos"))
+
   /** The streaming admission stage: row-local stages (the Gopher gate —
     * and, being row-local, they commute with micro-batching) run INSIDE
     * the stream; admissions append to `path` as the corpus the

@@ -135,6 +135,23 @@ class ManifestV2Spec extends AnyFunSuite {
       (5L, "unchanged")))
   }
 
+  test("applyDiff round trip: replaying diff(old, new) onto old reconstructs new exactly") {
+    import spark.implicits._
+    val d = Tables.load(spark, TestSpark.Sf001, "documents")
+    def manifest(pred: org.apache.spark.sql.Column) =
+      graft.ops.Sampling.seededShuffle(
+        d.filter(pred).select("doc_id"), "doc_id", 8)
+    val old = manifest(col("n_chars") <= 450)
+    val neu = manifest(col("n_chars") >= 150)
+    val rebuilt = ManifestV2.applyDiff(
+      ManifestV2.diff(old, neu, "doc_id"), "doc_id")
+    val want = neu.select("doc_id", "shard", "pos").orderBy("doc_id")
+      .collect().toSeq
+    val got = rebuilt.orderBy("doc_id").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("degenerate corpora: nothing survives the rules → empty manifest, no crash (incl. the quantile gate)") {
     import spark.implicits._
     // every doc fails Gopher (too short)
