@@ -997,6 +997,50 @@ object DataOpsQueries {
           .orderBy("id_a", "id_b")
       }),
 
+    // Two-stage binary-then-float retrieval: Hamming shortlist of 50
+    // (q140's machinery) re-ranked by exact float cosine — the
+    // production binary-embeddings recipe, with BOTH stages and their
+    // tie orders replayed in the oracle end-to-end.
+    NamedQuery(
+      "q143_hamming_rerank",
+      Some("""WITH e AS (SELECT vec_id,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+             |             embedding
+             |           FROM embeddings
+             |           WHERE list_dot_product(list_transform(embedding,
+             |             x -> CAST(x AS DOUBLE)), list_transform(embedding,
+             |             x -> CAST(x AS DOUBLE))) > 0),
+             |q AS (SELECT vec_id q_id, v qv, embedding qe FROM e WHERE vec_id < 8),
+             |h AS (SELECT q_id, e.vec_id n_id,
+             |        len(e.embedding) - list_sum(list_transform(
+             |          range(len(e.embedding)),
+             |          i -> CASE WHEN (e.embedding[i+1] > 0) = (qe[i+1] > 0)
+             |               THEN 1 ELSE 0 END)) hamming
+             |      FROM e, q),
+             |sl AS (SELECT q_id, n_id FROM (
+             |        SELECT q_id, n_id,
+             |          row_number() OVER (PARTITION BY q_id
+             |            ORDER BY hamming, n_id) rk
+             |        FROM h) WHERE rk <= 50),
+             |s AS (SELECT sl.q_id, sl.n_id,
+             |        ROUND(list_dot_product(e.v, q.qv)
+             |          / (sqrt(list_dot_product(e.v, e.v))
+             |             * sqrt(list_dot_product(q.qv, q.qv))), 6) cosine
+             |      FROM sl JOIN e ON sl.n_id = e.vec_id
+             |              JOIN q ON sl.q_id = q.q_id),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY cosine DESC, n_id) AS "rank"
+             |      FROM s)
+             |SELECT q_id, n_id, cosine, "rank" FROM r WHERE "rank" <= 10
+             |ORDER BY q_id, "rank"""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir)
+        VectorOps.hammingRerankKnn(e.filter(col("vec_id") < 8), e,
+            "vec_id", "embedding", shortlist = 50, k = 10)
+          .orderBy("q_id", "rank")
+      }),
+
     // Hybrid lexical+dense retrieval via reciprocal-rank fusion: q111's
     // BM25 query relation and q114's dense kNN (query vector = the
     // embedding row sharing the query's id) each shortlist top-10,

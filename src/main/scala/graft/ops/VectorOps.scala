@@ -270,6 +270,58 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage binary-then-float retrieval: a Hamming shortlist of
+    * `shortlist` candidates per query over [[binaryQuantize]] codes
+    * ([[hammingKnnJoin]]), then exact float cosine re-ranking of the
+    * shortlist only — the standard production recipe for binary
+    * embeddings (codes price the corpus scan at XOR+POPCNT speed, the
+    * expensive float math touches `|queries|·shortlist` rows, never
+    * the corpus).
+    *
+    * Output: `(q_id, n_id, cosine, rank)`, rank 1..≤k per query
+    * (cosine desc, ties by neighbor id) — [[bruteKnnJoin]]'s exact
+    * contract restricted to the binary shortlist.
+    *
+    * Scale shape: stage 1 is [[hammingKnnJoin]]'s broadcast map-only
+    * pass; stage 2 BROADCASTS the shortlist (|queries|·shortlist id
+    * pairs) against the corpus — one more map-only corpus pass, no
+    * corpus shuffle anywhere. Zero-norm rows are excluded up front on
+    * both sides (cosine undefined), so both stages see the same
+    * candidate universe.
+    */
+  def hammingRerankKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k && k >= 1,
+      s"need shortlist >= k >= 1, got shortlist=$shortlist k=$k")
+    val c = corpus
+      .select(col(idCol).as("n_id"), rawVec(corpus, vecCol).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
+    val q = queries
+      .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0)
+    val sl = hammingKnnJoin(
+        q.select(col("q_id").as(idCol), col("qv").as(vecCol)),
+        c.select(col("n_id").as(idCol), col("cv").as(vecCol)),
+        idCol, vecCol, k = shortlist)
+      .select(col("q_id"), col("n_id"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    c.join(broadcast(sl), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** EXACT all-pairs within Hamming radius `radius` over
     * [[binaryQuantize]] codes, via multi-index pigeonhole banding
     * (Norouzi, Punjani & Fleet 2012, "Fast search in Hamming space

@@ -213,7 +213,10 @@ object ScaleProbe {
         "q141_hamming_pairs",
         // q142: one map-side-combined key count; ranks two-phase over
         // the (key, count) relation, finals over 1-row frames.
-        "q142_key_skew_report")
+        "q142_key_skew_report",
+        // q143: q140's broadcast binary scan + a second broadcast
+        // (shortlist) map-only float pass — the corpus never shuffles.
+        "q143_hamming_rerank")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

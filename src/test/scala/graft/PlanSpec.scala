@@ -178,6 +178,13 @@ class PlanSpec extends AnyFunSuite {
       s"banding fell back to an all-pairs product:\n$p")
   }
 
+  test("q143: binary-then-float rerank never shuffles the corpus — broadcasts only, group-limited") {
+    val p = plan("q143_hamming_rerank")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus entered a shuffle join:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q115: hybrid fusion joins shortlists only — no corpus-scale product anywhere") {
     val p = plan("q115_hybrid_rrf")
     assert(!p.contains("CartesianProduct"),

@@ -120,6 +120,20 @@ class HammingSpec extends AnyFunSuite {
     assert(brute(13).contains((0L, 101L, 13L)))
   }
 
+  test("hammingRerankKnn at full shortlist coverage ≡ bruteKnnJoin exactly") {
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val full = VectorOps.hammingRerankKnn(q, e, "vec_id", "embedding",
+        shortlist = 500, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val brute = VectorOps.bruteKnnJoin(q, e, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(full.size === 50)
+    assert(full === brute)
+  }
+
   test("rejections: s >= 2 probe balls, non-power-of-two bands, bands narrower than words") {
     val df = vecs(4, 64).toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
