@@ -1581,6 +1581,47 @@ object DataOpsQueries {
           .orderBy("doc_id")
       }),
 
+    // Per-source dataset datasheet (Gebru et al. 2021): the one-row-
+    // per-source release summary — doc/token mass and share, language
+    // mix entropy (q128's ln-identity), exact-dup rate (hashed engine
+    // vs string-distinct oracle), mean q28 quality.
+    NamedQuery(
+      "q144_source_datasheet",
+      Some("""WITH m AS (SELECT source, lang, text, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) n_chars,
+             |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct
+             |      FROM documents),
+             |d AS (SELECT source, lang, text, CAST(len(toks) AS BIGINT) n_tok,
+             |        ROUND(GREATEST(0.0, LEAST(1.0,
+             |          0.5 * LEAST(len(toks) / 50.0, 1.0)
+             |          + 0.4 * LEAST(CAST(len(list_filter(toks,
+             |              t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+             |              / len(toks) * 5, 1.0)
+             |          + 0.1 * (1.0 - LEAST(punct / n_chars * 10, 1.0)))), 4) qs
+             |      FROM m),
+             |base AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+             |        CAST(sum(n_tok) AS BIGINT) n_tokens,
+             |        CAST(count(DISTINCT text) AS BIGINT) n_distinct,
+             |        ROUND(avg(qs), 6) avg_quality
+             |      FROM d GROUP BY source),
+             |lc AS (SELECT source, lang, count(*) c FROM d GROUP BY source, lang),
+             |le AS (SELECT source, CAST(count(*) AS BIGINT) n_langs,
+             |        ROUND(ln(CAST(sum(c) AS DOUBLE))
+             |          - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6)
+             |          lang_entropy
+             |      FROM lc GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) t FROM base)
+             |SELECT base.source, n_docs, n_tokens,
+             |  ROUND(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+             |  n_langs, lang_entropy, n_distinct,
+             |  ROUND(CAST(n_docs - n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate,
+             |  avg_quality
+             |FROM base JOIN le USING (source) CROSS JOIN tot
+             |ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.sourceDatasheet(docs(s, dir), "source", "text", "lang")
+          .orderBy("source")),
+
     // Training-manifest v2 — the round-11 operator layer composed as
     // ONE oracle-gated relation (q95's modern successor): Gopher
     // quality rules (q127, as a map-only predicate — no self-join) →

@@ -515,6 +515,53 @@ object TextAnalysis {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-source dataset datasheet — the one-row-per-source governance
+    * summary a data release ships (Gebru et al. 2021 "Datasheets for
+    * Datasets" motivates the artifact; these are the mechanical
+    * columns of it): doc count, whitespace-token mass and corpus
+    * share, language count + Shannon entropy of the language mix
+    * (the [[tokenEntropy]] ln-identity, so no per-source total join),
+    * exact-duplicate count/rate (distinct `xxhash64(text)` — the
+    * hash-vs-content contract), and mean composite quality
+    * ([[qualityScoreCol]], rounded per doc first so the mean is
+    * engine-replayable).
+    *
+    * Scale shape: TWO corpus passes, both map-side-combined group-bys
+    * (one on source carrying count/sum/distinct-hash/quality, one on
+    * (source, lang)); everything downstream — the entropy agg, the
+    * token-total, the final join — runs on source-scale rows. Sources
+    * are few by construction; a skewed giant source is exactly what
+    * partial aggregation absorbs.
+    */
+  def sourceDatasheet(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    val base = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(TextFunctions.tokens(col(textCol)))).cast("long").as("n_tokens"),
+      countDistinct(xxhash64(col(textCol))).cast("long").as("n_distinct"),
+      round(avg(round(qualityScoreCol(col(textCol)), 4)), 6).as("avg_quality"))
+    val langs = df.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(sourceCol)).agg(
+        count(lit(1)).cast("long").as("n_langs"),
+        sum("c").as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+      .select(col(sourceCol), col("n_langs"),
+        round(log(col("n").cast("double")) - col("clc") / col("n").cast("double"), 6)
+          .as("lang_entropy"))
+    val tot = base.agg(sum("n_tokens").as("t"))
+    base.join(langs, Seq(sourceCol)).crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("t"), 6).as("token_share"),
+        col("n_langs"), col("lang_entropy"), col("n_distinct"),
+        round((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("avg_quality"))
+  }
+
   /** CCNet-style unigram language-model score: the mean log corpus
     * probability of a document's tokens — low scores flag gibberish /
     * OCR noise / wrong-language text whose tokens are rare in the

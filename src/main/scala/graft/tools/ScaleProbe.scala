@@ -216,7 +216,10 @@ object ScaleProbe {
         "q142_key_skew_report",
         // q143: q140's broadcast binary scan + a second broadcast
         // (shortlist) map-only float pass — the corpus never shuffles.
-        "q143_hamming_rerank")
+        "q143_hamming_rerank",
+        // q144: two map-side-combined corpus group-bys; everything
+        // after runs on source-scale rows.
+        "q144_source_datasheet")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

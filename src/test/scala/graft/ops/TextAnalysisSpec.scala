@@ -206,6 +206,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 4L, 3L, 1L, 3L, 1.5)))   // dfs {3,1,1,1}
   }
 
+  test("sourceDatasheet: planted entropy, dup rate, and token shares on a hand fixture") {
+    // source A: 4 docs, langs en/en/fr/fr → entropy ln 2; one exact dup
+    // pair → dup_rate 0.25; source B: 1 doc, single lang → entropy 0.
+    val df = Seq(
+      ("A", "en", "the cat sat"),
+      ("A", "en", "the cat sat"),     // exact dup of the first
+      ("A", "fr", "le chat noir ici"),
+      ("A", "fr", "le chien"),
+      ("B", "xx", "lone doc here"))
+      .toDF("source", "lang", "text")
+    val out = TextAnalysis.sourceDatasheet(df, "source", "text", "lang")
+      .orderBy("source").collect()
+    val a = out(0)
+    assert(a.getString(0) === "A")
+    assert(a.getLong(1) === 4L)                       // n_docs
+    assert(a.getLong(2) === 12L)                      // tokens 3+3+4+2
+    assert(a.getDouble(3) === 0.8)                    // token_share 12/15
+    assert(a.getLong(4) === 2L)                       // n_langs
+    assert(a.getDouble(5) === math.floor(math.log(2.0) * 1e6) / 1e6
+      || math.abs(a.getDouble(5) - math.log(2.0)) < 1e-6) // entropy ln2
+    assert(a.getLong(6) === 3L)                       // n_distinct
+    assert(a.getDouble(7) === 0.25)                   // dup_rate
+    val b = out(1)
+    assert(b.getString(0) === "B")
+    assert(b.getDouble(5) === 0.0)                    // single-lang entropy
+    assert(b.getDouble(7) === 0.0)
+    assert(b.getDouble(3) === 0.2)
+  }
+
   test("multimodal decode: empty payload yields zero features, not sentinel garbage") {
     val df = Seq((1L, "")).toDF("doc_id", "text") // encode('') = empty bytes
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(df)).head()
