@@ -1622,6 +1622,41 @@ object DataOpsQueries {
         TextAnalysis.sourceDatasheet(docs(s, dir), "source", "text", "lang")
           .orderBy("source")),
 
+    // PSI drift report between two release snapshots (the q138
+    // admission-filter scenario: the new release tightened the
+    // short-doc floor and admitted longer docs) over fixed-width
+    // n_chars buckets — shares floored at 1e-6, per-bucket
+    // (p−q)·ln(p/q) contribution.
+    NamedQuery(
+      "q145_psi_drift",
+      Some("""WITH o AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100) AS BIGINT) bucket,
+             |        count(*) n_old
+             |      FROM documents WHERE n_chars <= 450 GROUP BY 1),
+             |n AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100) AS BIGINT) bucket,
+             |        count(*) n_new
+             |      FROM documents WHERE n_chars >= 150 GROUP BY 1),
+             |t AS (SELECT (SELECT sum(n_old) FROM o) t_old,
+             |             (SELECT sum(n_new) FROM n) t_new),
+             |j AS (SELECT COALESCE(o.bucket, n.bucket) bucket,
+             |        COALESCE(n_old, 0) n_old, COALESCE(n_new, 0) n_new
+             |      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+             |s AS (SELECT bucket, n_old, n_new,
+             |        GREATEST(CAST(n_old AS DOUBLE) / t_old, 1e-6) po,
+             |        GREATEST(CAST(n_new AS DOUBLE) / t_new, 1e-6) pn
+             |      FROM j CROSS JOIN t)
+             |SELECT bucket, CAST(n_old AS BIGINT) n_old, CAST(n_new AS BIGINT) n_new,
+             |  ROUND(po, 6) p_old, ROUND(pn, 6) p_new,
+             |  ROUND((po - pn) * ln(po / pn), 6) psi_contrib
+             |FROM s ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        Drift.psiReport(
+            d.filter(col("n_chars") <= 450),
+            d.filter(col("n_chars") >= 150),
+            "n_chars", binWidth = 100.0)
+          .orderBy("bucket")
+      }),
+
     // Training-manifest v2 — the round-11 operator layer composed as
     // ONE oracle-gated relation (q95's modern successor): Gopher
     // quality rules (q127, as a map-only predicate — no self-join) →

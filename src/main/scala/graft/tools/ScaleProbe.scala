@@ -219,7 +219,9 @@ object ScaleProbe {
         "q143_hamming_rerank",
         // q144: two map-side-combined corpus group-bys; everything
         // after runs on source-scale rows.
-        "q144_source_datasheet")
+        "q144_source_datasheet",
+        // q145: one bucket count per snapshot, then bucket-scale joins.
+        "q145_psi_drift")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

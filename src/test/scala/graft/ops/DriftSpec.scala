@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("psiReport: identical snapshots contribute 0; planted shift and one-sided buckets exact") {
+    val old = (Seq.fill(6)(10.0) ++ Seq.fill(2)(110.0)).toDF("v")
+    val neu = (Seq.fill(2)(10.0) ++ Seq.fill(2)(110.0) ++ Seq.fill(4)(210.0))
+      .toDF("v")
+    val same = Drift.psiReport(old, old, "v", binWidth = 100.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(5)))
+    assert(same.toSeq.sortBy(_._1) === Seq((0L, 0.0), (1L, 0.0)))
+    val rep = Drift.psiReport(old, neu, "v", binWidth = 100.0)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // bucket 0: p=0.75 q=0.25 → 0.5·ln 3; bucket 1: 0.25 vs 0.25 → 0;
+    // bucket 2: old absent → p floored at 1e-6, q=0.5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rep(0L) === ((6L, 2L, 0.75, 0.25, r6(0.5 * math.log(3.0)))))
+    assert(rep(1L) === ((2L, 2L, 0.25, 0.25, 0.0)))
+    val (n2o, n2n, p2o, p2n, c2) = rep(2L)
+    assert((n2o, n2n, p2o, p2n) === ((0L, 4L, 1e-6, 0.5)))
+    assert(c2 === r6((1e-6 - 0.5) * math.log(1e-6 / 0.5)))
+    assert(c2 > 6.0) // the one-sided bucket dominates, large but finite
+  }
+
+  test("psiReport rejects non-positive bin width and out-of-range eps") {
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Drift.psiReport(df, df, "v", binWidth = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.psiReport(df, df, "v", binWidth = 1.0, eps = 2.0)
+    }
+  }
+}
