@@ -351,45 +351,24 @@ object VectorOps {
       vecCol: String,
       radius: Int,
       nBands: Int = 8): DataFrame = {
-    require(radius >= 0, s"radius=$radius must be >= 0")
-    require(nBands >= 1 && (nBands & (nBands - 1)) == 0,
-      s"nBands=$nBands must be a positive power of two (word-aligned bands)")
-    val s = radius / nBands
-    require(s <= 1,
-      s"radius=$radius over nBands=$nBands needs $s-bit probe balls per " +
-        "band; only s <= 1 is supported — raise nBands (wider codes) or " +
-        "lower the radius, s >= 2 probe enumeration degrades toward all-pairs")
     val dim = df.select(size(rawVec(df, vecCol)).as("d")).limit(1).head()
       .getInt(0)
-    val nWords = (dim + 63) / 64
-    require(nBands >= nWords,
-      s"nBands=$nBands < nWords=$nWords: a band may not span words")
-    val cb = nWords * 64 / nBands // power of two <= 64: never crosses a word
-    val mask = if (cb == 64) -1L else (1L << cb) - 1L
+    val spec = BandSpec(nBands, dim)
+    val s = spec.probeBits(radius)
     val packed = binaryQuantize(df, idCol, vecCol)
-    def bandVal(code: Column, j: Column): Column =
-      call_function("shiftrightunsigned",
-        element_at(code, ((j * cb) / 64 + 1).cast("int")),
-        ((j * cb) % 64).cast("int")).bitwiseAND(lit(mask))
     val bandIdx = explode(sequence(lit(0), lit(nBands - 1)))
     // plain side: one (band, value) row per band
     val plain = packed
       .select(col(idCol).as("id_b"), col("code").as("code_b"),
         bandIdx.as("band"))
-      .withColumn("bv", bandVal(col("code_b"), col("band")))
+      .withColumn("bv", spec.bandVal(col("code_b"), col("band")))
     // probe side: the radius-s Hamming ball around each band value
     // (s = 0 → just the value; s = 1 → value + its cb single-bit flips)
-    val probe0 = packed
+    val probes = packed
       .select(col(idCol).as("id_a"), col("code").as("code_a"),
         bandIdx.as("band"))
-      .withColumn("bv0", bandVal(col("code_a"), col("band")))
-    val probes =
-      if (s == 0) probe0.withColumn("bv", col("bv0"))
-      else probe0.withColumn("bv", explode(concat(
-        array(col("bv0")),
-        transform(sequence(lit(0), lit(cb - 1)),
-          t => col("bv0").bitwiseXOR(call_function("shiftleft", lit(1L), t))
-            .bitwiseAND(lit(mask))))))
+      .withColumn("bv0", spec.bandVal(col("code_a"), col("band")))
+      .withColumn("bv", explode(spec.probeBall(col("bv0"), s)))
     probes.join(plain, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -398,6 +377,48 @@ object VectorOps {
       .filter(col("hamming") <= radius)
       .groupBy("id_a", "id_b")
       .agg(first("hamming").as("hamming"))
+  }
+
+  /** Shared multi-index band geometry for [[hammingRadiusPairs]] and
+    * [[HammingIndex]] — ONE definition of how a packed code splits into
+    * word-aligned bands, so the persisted index layout and the scan
+    * path can never hash a code into different bands.
+    */
+  private[ops] case class BandSpec(nBands: Int, dim: Int) {
+    require(nBands >= 1 && (nBands & (nBands - 1)) == 0,
+      s"nBands=$nBands must be a positive power of two (word-aligned bands)")
+    val nWords: Int = (dim + 63) / 64
+    require(nBands >= nWords,
+      s"nBands=$nBands < nWords=$nWords: a band may not span words")
+    val cb: Int = nWords * 64 / nBands // power of two <= 64: never crosses a word
+    val mask: Long = if (cb == 64) -1L else (1L << cb) - 1L
+
+    /** Per-band substitution budget for `radius`; rejects the s ≥ 2
+      * regimes that degrade toward all-pairs.
+      */
+    def probeBits(radius: Int): Int = {
+      require(radius >= 0, s"radius=$radius must be >= 0")
+      val s = radius / nBands
+      require(s <= 1,
+        s"radius=$radius over nBands=$nBands needs $s-bit probe balls per " +
+          "band; only s <= 1 is supported — raise nBands (wider codes) or " +
+          "lower the radius, s >= 2 probe enumeration degrades toward all-pairs")
+      s
+    }
+
+    def bandVal(code: Column, j: Column): Column =
+      call_function("shiftrightunsigned",
+        element_at(code, ((j * cb) / 64 + 1).cast("int")),
+        ((j * cb) % 64).cast("int")).bitwiseAND(lit(mask))
+
+    /** The radius-`s` Hamming ball around a band value (s ∈ {0, 1}). */
+    def probeBall(bv0: Column, s: Int): Column =
+      if (s == 0) array(bv0)
+      else concat(
+        array(bv0),
+        transform(sequence(lit(0), lit(cb - 1)),
+          t => bv0.bitwiseXOR(call_function("shiftleft", lit(1L), t))
+            .bitwiseAND(lit(mask))))
   }
 
   /** Batch kNN JOIN — top-`k` cosine neighbors from `corpus` for EVERY
