@@ -997,6 +997,43 @@ object DataOpsQueries {
           .orderBy("id_a", "id_b")
       }),
 
+    // Hamming radius search SERVED FROM THE PERSISTED MIH INDEX —
+    // q141's oracle verbatim through the build → probe path (the q117
+    // treatment): build the (band, bucket)-partitioned index, probe it
+    // with the corpus, keep q < n. The probe reads only the probe
+    // values' partition directories; the oracle stays the brute-force
+    // all-pairs relation the index must reproduce exactly.
+    NamedQuery(
+      "q146_hamming_index",
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+             |        CAST(len(a.embedding) - list_sum(list_transform(
+             |          range(len(a.embedding)),
+             |          i -> CASE WHEN (a.embedding[i+1] > 0) = (b.embedding[i+1] > 0)
+             |               THEN 1 ELSE 0 END)) AS BIGINT) hamming
+             |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 15
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"hamidx_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val e = embs(s, dir)
+        HammingIndex.hammingWriteIndex(e, "vec_id", "embedding",
+          root.toString, nBands = 8, nBuckets = 32)
+        HammingIndex.hammingProbeIndex(s, e, "vec_id", "embedding",
+            root.toString, radius = 15)
+          .filter(col("q_id") < col("n_id"))
+          .select(col("q_id").as("id_a"), col("n_id").as("id_b"),
+            col("hamming"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // Two-stage binary-then-float retrieval: Hamming shortlist of 50
     // (q140's machinery) re-ranked by exact float cosine — the
     // production binary-embeddings recipe, with BOTH stages and their

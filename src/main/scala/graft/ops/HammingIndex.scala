@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted multi-index Hamming index over [[VectorOps.binaryQuantize]]
+  * sign codes — the binary member of the persisted-index family
+  * ([[VectorOps]] exact-IVF, [[Pq]] IVF-PQ, [[LexIndex]] BM25): build
+  * once, append deltas, probe radius queries without rescanning the
+  * corpus.
+  *
+  * Layout under the index root (Norouzi et al. 2012's m hash tables,
+  * as partition directories):
+  *   - `bands/` — (band, bv, <idCol>, code), one row per (vector,
+  *     band), partitioned by `band` and `bb = bv mod nBuckets`: a
+  *     radius probe prunes to its probe values' (band, bucket)
+  *     directories AT FILE LISTING — the [[LexIndex.bm25ProbeIndex]]
+  *     term-bucket treatment. The full code rides along so the exact
+  *     check needs no second corpus join. Space is the standard MIH
+  *     trade: nBands copies of the (tiny) codes, never of the vectors.
+  *   - `meta/` — (nBands, dim, nBuckets): the band geometry
+  *     ([[VectorOps.BandSpec]]), persisted so append/probe can never
+  *     split a code differently than the index was written under.
+  *
+  * Append contract (the [[VectorOps.ivfAppendIndex]] one): delta ids
+  * are NEW — band rows stay unique per (band, id), so append ≡
+  * from-scratch rebuild gives identical probe results (HammingSpec
+  * pins it). [[hammingCompactIndex]] folds append litter in place via
+  * the shared [[Compaction.compactDirs]] publish protocol with
+  * bit-identical probes.
+  *
+  * 100 TB shape: the build is one map-only pack+explode pass written
+  * through a (band, bucket) partitioner; a probe packs the query
+  * batch, expands the per-band radius-⌊r/m⌋ probe balls, prunes the
+  * index scan to those (band, bucket) directories, broadcasts the
+  * probe rows against the pruned index slice, and pays one native
+  * XOR+POPCNT exact check per candidate. Candidate volume is the MIH
+  * bucket-collision term — [[VectorOps.hammingRadiusPairs]]'s
+  * documented tradeoff, with the same wider-codes guidance.
+  */
+object HammingIndex {
+
+  /** `dim` < 0 derives the dimension from the data; pass it explicitly
+    * to bootstrap an EMPTY index whose geometry a stream then appends
+    * under (the [[LexIndex.bm25WriteIndex]]-over-`limit(0)` stream
+    * pattern — an empty frame has no row to derive from).
+    */
+  def hammingWriteIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nBands: Int = 8,
+      nBuckets: Int = 64,
+      dim: Int = -1): Unit = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    val d = if (dim > 0) dim else {
+      val rows = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      require(rows.nonEmpty, "hammingWriteIndex: empty input — pass dim " +
+        "explicitly to bootstrap an empty index for a stream")
+      rows.head.getInt(0)
+    }
+    val dimV = d
+    VectorOps.BandSpec(nBands, dimV) // validate geometry before any write
+    import df.sparkSession.implicits._
+    Seq((nBands, dimV, nBuckets)).toDF("nBands", "dim", "nBuckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    writeBands(df, idCol, vecCol, path, nBands, dimV, nBuckets,
+      overwrite = true)
+  }
+
+  /** Append a delta of NEW vectors (new ids) under the persisted band
+    * geometry.
+    */
+  def hammingAppendIndex(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val (nBands, dim, nBuckets) = readMeta(delta.sparkSession, path)
+    writeBands(delta, idCol, vecCol, path, nBands, dim, nBuckets,
+      overwrite = false)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select("nBands", "dim", "nBuckets").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
+  }
+
+  private def writeBands(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nBands: Int,
+      dim: Int,
+      nBuckets: Int,
+      overwrite: Boolean): Unit = {
+    val spec = VectorOps.BandSpec(nBands, dim)
+    val mode = if (overwrite) "overwrite" else "append"
+    VectorOps.binaryQuantize(df, idCol, vecCol)
+      .select(col(idCol), col("code"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bv", spec.bandVal(col("code"), col("band")))
+      .withColumn("bb", pmod(col("bv"), lit(nBuckets.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("band", "bb").parquet(s"$path/bands")
+  }
+
+  /** Fold append litter back into a bounded file layout — the
+    * [[LexIndex.bm25CompactIndex]] maintenance pass for the band
+    * layout. Rows are unchanged, so probe results are identical before
+    * and after (HammingSpec pins it). Returns per-compacted-directory
+    * (files before, after).
+    */
+  def hammingCompactIndex(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerDir: Int = 8,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val bands = new Path(s"$path/bands")
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leafDirs = fs.listStatus(bands)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+      .flatMap(b => fs.listStatus(b.getPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bb="))
+      .map(_.getPath).toSeq
+    Compaction.compactDirs(spark, leafDirs, maxFilesPerDir, targetBytes,
+      "hammingCompactIndex")
+  }
+
+  /** EXACT radius search served from the index: every `(q_id, n_id,
+    * hamming)` with distance ≤ `radius` between a query-batch row and
+    * an indexed vector — [[VectorOps.hammingRadiusPairs]]'s guarantee
+    * through the persisted layout (probing the index with its own
+    * corpus and keeping `q_id < n_id` reproduces the pair relation
+    * exactly; HammingSpec pins both). The index scan prunes to the
+    * probe values' (band, bucket) directories at file listing.
+    */
+  def hammingProbeIndex(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      radius: Int): DataFrame = {
+    val (nBands, dim, nBuckets) = readMeta(spark, path)
+    val spec = VectorOps.BandSpec(nBands, dim)
+    val s = spec.probeBits(radius)
+    val probes = VectorOps.binaryQuantize(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("code").as("qcode"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bv",
+        explode(spec.probeBall(spec.bandVal(col("qcode"), col("band")), s)))
+      .withColumn("bb", pmod(col("bv"), lit(nBuckets.toLong)).cast("int"))
+    // (band, bucket) pairs to prune the listing to: bounded by
+    // |queries|·nBands·(1+cb) and by nBands·nBuckets
+    val probeBuckets = probes.select("band", "bb").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    require(probeBuckets.nonEmpty, "hammingProbeIndex: empty query batch")
+    val prune = probeBuckets
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
+      .map { case (band, bbs) =>
+        col("band") === band && col("bb").isin(bbs: _*)
+      }
+      .reduce(_ || _)
+    spark.read.parquet(s"$path/bands")
+      .filter(prune) // partition-pruned at file listing
+      .join(broadcast(probes), Seq("band", "bv", "bb"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        graft.functions.GraftFunctions.hamming(col("qcode"), col("code"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .groupBy("q_id", "n_id")
+      .agg(first("hamming").as("hamming"))
+  }
+}

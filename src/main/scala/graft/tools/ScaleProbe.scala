@@ -221,7 +221,10 @@ object ScaleProbe {
         // after runs on source-scale rows.
         "q144_source_datasheet",
         // q145: one bucket count per snapshot, then bucket-scale joins.
-        "q145_psi_drift")
+        "q145_psi_drift",
+        // q146: q141's candidate volume through the persisted layout —
+        // build (map-only pack+explode write) + partition-pruned probe.
+        "q146_hamming_index")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -134,6 +134,155 @@ class HammingSpec extends AnyFunSuite {
     assert(full === brute)
   }
 
+  test("persisted index: probe ≡ scan-path pair relation and ≡ brute reference for s=0 and s=1") {
+    val base = vecs(60, 64)
+    def flip(v: Seq[Float], k: Int): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) => if (i < k) -x else x }
+    val data = base ++ Seq((100L, flip(base.head._2, 3)),
+      (101L, flip(base.head._2, 13)))
+    val df = data.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-hidx").toString + "/idx"
+    HammingIndex.hammingWriteIndex(df, "vec_id", "embedding", root,
+      nBands = 8, nBuckets = 32)
+    for (radius <- Seq(3, 13)) {
+      val viaIndex = HammingIndex.hammingProbeIndex(
+          spark, df, "vec_id", "embedding", root, radius)
+        .filter($"q_id" < $"n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaScan = VectorOps.hammingRadiusPairs(df, "vec_id", "embedding", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaIndex === viaScan, s"radius=$radius")
+    }
+    // distinct query batch vs in-memory brute force
+    val q = Seq((200L, flip(base(5)._2, 2))).toDF("vec_id", "embedding")
+    val got = HammingIndex.hammingProbeIndex(
+        spark, q, "vec_id", "embedding", root, radius = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val want = data.map { case (nid, v) =>
+      (nid, refHamming(flip(base(5)._2, 2), v))
+    }.filter(_._2 <= 7L).toSet
+    assert(got === want)
+    assert(want.exists(_._1 == 5L)) // the perturbed source is in range
+  }
+
+  test("persisted index: append ≡ rebuild bit-identity; compaction bounds files and keeps probes identical") {
+    val data = vecs(50, 64, seed = 99L)
+    val (a, b) = data.splitAt(30)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hidx2").toString
+    val full = tmp + "/full"; val inc = tmp + "/inc"
+    val all = data.toDF("vec_id", "embedding")
+    HammingIndex.hammingWriteIndex(all, "vec_id", "embedding", full,
+      nBands = 8, nBuckets = 16)
+    HammingIndex.hammingWriteIndex(a.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", inc, nBands = 8, nBuckets = 16)
+    // three appends to generate litter
+    b.grouped(7).foreach { g =>
+      HammingIndex.hammingAppendIndex(g.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", inc)
+    }
+    def probe(path: String) = HammingIndex.hammingProbeIndex(
+        spark, all, "vec_id", "embedding", path, radius = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromFull = probe(full)
+    assert(probe(inc) === fromFull)
+    assert(fromFull.nonEmpty)
+    val report = HammingIndex.hammingCompactIndex(spark, inc,
+      maxFilesPerDir = 1, targetBytes = 128L << 20)
+    assert(report.nonEmpty, "appends produced no compactable litter")
+    report.foreach { case (dir, (before, after)) =>
+      assert(after <= before, s"$dir grew: $before -> $after")
+      assert(after == 1, s"$dir not folded to 1 file: $after")
+    }
+    assert(probe(inc) === fromFull) // bit-identical after compaction
+  }
+
+  test("persisted index: probe prunes the bands scan to the probe (band, bucket) dirs at file listing") {
+    val df = vecs(40, 64, seed = 5L).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-hidx3").toString + "/idx"
+    HammingIndex.hammingWriteIndex(df, "vec_id", "embedding", root,
+      nBands = 8, nBuckets = 32)
+    // query = a 2-flip perturbation of a corpus vector: guaranteed hits,
+    // so AQE cannot collapse the plan to an empty LocalTableScan
+    val qv = vecs(40, 64, seed = 5L).head._2
+      .zipWithIndex.map { case (x, i) => if (i < 2) -x else x }
+    val q = Seq((900L, qv)).toDF("vec_id", "embedding")
+    val probe = HammingIndex.hammingProbeIndex(
+      spark, q, "vec_id", "embedding", root, radius = 13)
+    assert(probe.collect().nonEmpty)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val bandScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("bands")))
+    assert(bandScans.nonEmpty, "no bands scan in the probe plan")
+    // 1 query × 8 bands × (1 + 8 flips) probe values = ≤ 72 (band, bb)
+    // dirs of the 8 × 32 = 256 total
+    for (scan <- bandScans) {
+      val pruned = scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters)
+      assert(pruned.length <= 72,
+        s"probe listed ${pruned.length} band-bucket dirs (expected <= 72)")
+    }
+  }
+
+  test("stream-built index probes identically to a batch build; redelivered batch appends nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-hidx-stream")
+    val (src, idx, ckpt, batchIdx) =
+      (s"$root/src", s"$root/idx", s"$root/ckpt", s"$root/batch_idx")
+    val data = vecs(48, 64, seed = 21L)
+    val df = data.toDF("vec_id", "embedding")
+    // fix the geometry over an empty frame (explicit dim), stream in
+    HammingIndex.hammingWriteIndex(df.limit(0), "vec_id", "embedding", idx,
+      nBands = 8, nBuckets = 16, dim = 64)
+    df.repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.HammingIndexStream
+      .indexSink(stream, "vec_id", "embedding", idx)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    HammingIndex.hammingWriteIndex(df, "vec_id", "embedding", batchIdx,
+      nBands = 8, nBuckets = 16)
+    def probe(path: String) = HammingIndex.hammingProbeIndex(
+        spark, df, "vec_id", "embedding", path, radius = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = probe(idx)
+    assert(streamed === probe(batchIdx))
+    assert(streamed.nonEmpty)
+    // redelivery: same (stream, batch) id is a ledger no-op
+    val reIdx = s"$root/re_idx"
+    HammingIndex.hammingWriteIndex(df.limit(0), "vec_id", "embedding", reIdx,
+      nBands = 8, nBuckets = 16, dim = 64)
+    val b0 = df.filter($"vec_id" < 20)
+    assert(graft.streaming.HammingIndexStream.appendBatch(
+      b0, 0L, "vec_id", "embedding", reIdx, streamId = "s1"))
+    val after = spark.read.parquet(s"$reIdx/bands").count()
+    assert(!graft.streaming.HammingIndexStream.appendBatch(
+      b0, 0L, "vec_id", "embedding", reIdx, streamId = "s1"))
+    assert(spark.read.parquet(s"$reIdx/bands").count() === after)
+    // a new stream lineage restarting at batch 0 still appends
+    val b1 = df.filter($"vec_id" >= 20 && $"vec_id" < 30)
+    assert(graft.streaming.HammingIndexStream.appendBatch(
+      b1, 0L, "vec_id", "embedding", reIdx, streamId = "s2"))
+    assert(spark.read.parquet(s"$reIdx/bands").count() === after + 8 * b1.count())
+  }
+
   test("rejections: s >= 2 probe balls, non-power-of-two bands, bands narrower than words") {
     val df = vecs(4, 64).toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
