@@ -1659,6 +1659,54 @@ object DataOpsQueries {
         TextAnalysis.sourceDatasheet(docs(s, dir), "source", "text", "lang")
           .orderBy("source")),
 
+    // Exact ROC-AUC (mid-rank Mann–Whitney) of the unigram-LM score
+    // against the q28 quality weak label — "does corpus-probability
+    // predict heuristic quality?" as a one-row eval. The engine ranks
+    // via a two-phase prefix sum (no global window); the oracle
+    // recomputes mid-ranks with SQL RANK(); both sum exact
+    // half-integers, so the AUC matches to the bit.
+    NamedQuery(
+      "q147_auc_lm_quality",
+      Some("""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+             |f AS (SELECT w, count(*) c FROM e GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM f),
+             |sc AS (SELECT e.doc_id, ROUND(AVG(ln(CAST(f.c AS DOUBLE) / tot.s)), 4) lm_score
+             |       FROM e JOIN f USING (w) CROSS JOIN tot GROUP BY e.doc_id),
+             |m AS (SELECT doc_id, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) n_chars,
+             |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct
+             |      FROM documents),
+             |lab AS (SELECT doc_id,
+             |        CASE WHEN GREATEST(0.0, LEAST(1.0,
+             |          0.5 * LEAST(len(toks) / 50.0, 1.0)
+             |          + 0.4 * LEAST(CAST(len(list_filter(toks,
+             |              t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+             |              / len(toks) * 5, 1.0)
+             |          + 0.1 * (1.0 - LEAST(punct / n_chars * 10, 1.0)))) >= 0.65
+             |        THEN 1 ELSE 0 END y
+             |      FROM m),
+             |r AS (SELECT lab.y,
+             |        RANK() OVER (ORDER BY sc.lm_score)
+             |          + (COUNT(*) OVER (PARTITION BY sc.lm_score) - 1) / 2.0 AS mr
+             |      FROM sc JOIN lab USING (doc_id)),
+             |a AS (SELECT CAST(sum(y) AS DOUBLE) p,
+             |        CAST(count(*) - sum(y) AS DOUBLE) n,
+             |        sum(CASE WHEN y = 1 THEN mr ELSE 0 END) sum_mr
+             |      FROM r)
+             |SELECT CAST(p AS BIGINT) n_pos, CAST(n AS BIGINT) n_neg,
+             |  ROUND((sum_mr - p * (p + 1.0) / 2.0) / (p * n), 6) AS auc
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+        val labeled = scored.join(
+          d.select(col("doc_id"),
+            when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
+              .otherwise(0.0).as("y")),
+          Seq("doc_id"))
+        Classifier.aucScore(labeled, "lm_score", "y")
+      }),
+
     // PSI drift report between two release snapshots (the q138
     // admission-filter scenario: the new release tightened the
     // short-doc floor and admitted longer docs) over fixed-width

@@ -304,6 +304,42 @@ object Classifier {
       .groupBy(col(idCol))
       .agg(sigmoid(sum(col("x") * col("w"))).as("p"))
 
+  /** Exact ROC-AUC of a score column against a binary label — the
+    * rank-sum (Mann–Whitney) formulation with MID-ranks for tied
+    * scores, so results match the textbook trapezoid-over-ROC value
+    * exactly. One row: `(n_pos, n_neg, auc)` (auc NULL when either
+    * class is empty — undefined, not 0.5-by-fiat).
+    *
+    * Scale shape: one map-side-combined per-distinct-score agg
+    * (count, positives), an exclusive [[Sampling.prefixSum]] over the
+    * score relation (two-phase — no global-window rank that would
+    * serialize the corpus onto one reducer), and a 1-row final agg.
+    * All rank terms are half-integers, so the sums are exact in
+    * double and order-independent — the AUC is engine-replayable
+    * (q147's oracle recomputes it via SQL RANK() mid-ranks).
+    */
+  def aucScore(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scored
+      .select(col(scoreCol).as("score"),
+        when(col(labelCol).cast("double") > 0.5, 1L).otherwise(0L).as("y"))
+      .groupBy("score").agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val cum = Sampling.prefixSum(g, "score", "c", nShards = 32)
+    // mid-rank of a score v = C_below + (c_v + 1)/2; Σ over positives
+    cum.agg(
+        sum("p").as("np"),
+        (sum("c") - sum("p")).as("nn"),
+        sum(col("p").cast("double") *
+          (col("cum_sum").cast("double") + (col("c").cast("double") + 1.0) / 2.0))
+          .as("sum_mr"))
+      .select(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          round(
+            (col("sum_mr") - col("np").cast("double") * (col("np").cast("double") + 1.0) / 2.0)
+              / (col("np").cast("double") * col("nn").cast("double")), 6))
+          .as("auc"))
+  }
+
   /** Mean log-loss of `weights` on a labeled set — the training
     * objective, for convergence checks.
     */

@@ -165,9 +165,15 @@ object HammingIndex {
         col("band") === band && col("bb").isin(bbs: _*)
       }
       .reduce(_ || _)
+    // deliberately NO broadcast hint on the probe side: a query BATCH
+    // broadcasts from AQE's runtime stats, but the probe contract also
+    // serves corpus-as-queries (q146's pair relation), where a forced
+    // broadcast would ship |corpus|·nBands·(1+cb) rows to every task —
+    // the round-12 probe measured 18.9× vs 8.6× at 64× for exactly
+    // that hint before it was removed
     spark.read.parquet(s"$path/bands")
       .filter(prune) // partition-pruned at file listing
-      .join(broadcast(probes), Seq("band", "bv", "bb"))
+      .join(probes, Seq("band", "bv", "bb"))
       .select(col("q_id"), col(idCol).as("n_id"),
         graft.functions.GraftFunctions.hamming(col("qcode"), col("code"))
           .cast("long").as("hamming"))

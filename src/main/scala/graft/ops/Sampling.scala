@@ -179,6 +179,38 @@ object Sampling {
       .drop(pid, rk, off)
   }
 
+  /** Exclusive prefix sum of `weightCol` in `keyCol` order — the
+    * weighted generalization of [[contiguousIndex]] (same two-phase
+    * range-partition shape, same determinism contract, `keyCol`
+    * duplicate-free): appends `cum_sum` = Σ weight over all rows with
+    * strictly smaller keys. The scalable building block for rank-sum
+    * statistics (mid-rank AUC, Gini-style functionals) that a
+    * `sum() OVER (ORDER BY key)` global window would serialize onto
+    * one reducer.
+    */
+  def prefixSum(df: DataFrame, keyCol: String, weightCol: String,
+      nShards: Int = 32): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    require(!df.columns.exists(_.equalsIgnoreCase("cum_sum")),
+      "prefixSum writes a 'cum_sum' column but the input already has one")
+    val pid = Dedup.freshName(df, "_graft_pid")
+    val loc = Dedup.freshName(df, "_graft_lcs")
+    val off = Dedup.freshName(df, "_graft_off")
+    val local = df.repartitionByRange(nShards, col(keyCol))
+      .withColumn(pid, spark_partition_id())
+      .withColumn(loc, sum(col(weightCol)).over(
+        Window.partitionBy(col(pid)).orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val offsets = local.groupBy(col(pid)).agg(sum(col(weightCol)).as("n"))
+      .withColumn(off, coalesce(
+        sum("n").over(Window.orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("n")
+    local.join(broadcast(offsets), pid)
+      .withColumn("cum_sum", coalesce(col(loc), lit(0L)) + col(off))
+      .drop(pid, loc, off)
+  }
+
   /** Weighted sampling WITHOUT replacement, `k` rows per group
     * (Efraimidis–Spirakis A-ES): each row draws a deterministic
     * pseudo-uniform u from the seeded [[seededMix]] of its key and

@@ -224,7 +224,10 @@ object ScaleProbe {
         "q145_psi_drift",
         // q146: q141's candidate volume through the persisted layout —
         // build (map-only pack+explode write) + partition-pruned probe.
-        "q146_hamming_index")
+        "q146_hamming_index",
+        // q147: one distinct-score agg + a two-phase prefix sum over
+        // the score relation + a 1-row final.
+        "q147_auc_lm_quality")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -145,6 +145,25 @@ class ClassifierSpec extends AnyFunSuite {
     assert(acc(lenF = true) >= 0.95, "length feature failed to separate")
   }
 
+  test("aucScore: hand-computed mid-rank AUC with ties; perfect/reversed/all-tied/single-class edges") {
+    def auc(rows: Seq[(Double, Double)]): (Long, Long, Option[Double]) = {
+      val r = Classifier.aucScore(rows.toDF("s", "y"), "s", "y").head()
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // scores .1,.2,.2,.3 labels 0,0,1,1 → mid-ranks 1, 2.5, 2.5, 4;
+    // Σmr⁺ = 6.5 → AUC = (6.5 − 3)/4 = 0.875
+    assert(auc(Seq((0.1, 0.0), (0.2, 0.0), (0.2, 1.0), (0.3, 1.0)))
+      === ((2L, 2L, Some(0.875))))
+    assert(auc(Seq((0.1, 0.0), (0.2, 0.0), (0.8, 1.0), (0.9, 1.0)))
+      === ((2L, 2L, Some(1.0))))
+    assert(auc(Seq((0.9, 0.0), (0.8, 0.0), (0.2, 1.0), (0.1, 1.0)))
+      === ((2L, 2L, Some(0.0))))
+    assert(auc(Seq((0.5, 0.0), (0.5, 1.0), (0.5, 0.0), (0.5, 1.0)))
+      === ((2L, 2L, Some(0.5))))
+    assert(auc(Seq((0.1, 1.0), (0.2, 1.0))) === ((2L, 0L, None)))
+  }
+
   test("hashedFeatures: length-normalized tf plus exactly one bias row per doc") {
     val df = Seq((1L, "a a b c"), (2L, "")).toDF("doc_id", "text")
     val f = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 10)

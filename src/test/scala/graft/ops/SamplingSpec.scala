@@ -296,6 +296,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1.getDouble(3) === 1.0)
   }
 
+  test("prefixSum: exclusive weighted prefix in key order across shards; collision rejected") {
+    import spark.implicits._
+    val df = (1L to 100L).map(k => (k, k * 3L)).toDF("k", "w")
+    val got = Sampling.prefixSum(df, "k", "w", nShards = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1L to 100L).foreach { k =>
+      assert(got(k) === (1L until k).map(_ * 3L).sum, s"k=$k")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.prefixSum(df.withColumnRenamed("w", "cum_sum"), "k", "cum_sum")
+    }
+  }
+
   test("contiguousIndex rejects an existing global_idx column and bad shard counts") {
     import spark.implicits._
     val df = Seq((1L, 5L)).toDF("doc_id", "global_idx")
