@@ -1659,6 +1659,42 @@ object DataOpsQueries {
         TextAnalysis.sourceDatasheet(docs(s, dir), "source", "text", "lang")
           .orderBy("source")),
 
+    // Calibration (reliability) report: the q28 composite quality
+    // score read as a "probability" of stopword-bearing text, bucketed
+    // into deciles with mean prediction, observed rate, and signed gap
+    // — the reliability-diagram relation (ECE derivable). Pure
+    // map-only bucket + one agg; oracle replays the q28 arithmetic and
+    // the top-edge clamp.
+    NamedQuery(
+      "q148_calibration",
+      Some("""WITH m AS (SELECT doc_id, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) n_chars,
+             |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct
+             |      FROM documents),
+             |d AS (SELECT doc_id,
+             |        ROUND(GREATEST(0.0, LEAST(1.0,
+             |          0.5 * LEAST(len(toks) / 50.0, 1.0)
+             |          + 0.4 * LEAST(CAST(len(list_filter(toks,
+             |              t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+             |              / len(toks) * 5, 1.0)
+             |          + 0.1 * (1.0 - LEAST(punct / n_chars * 10, 1.0)))), 4) p,
+             |        CASE WHEN list_contains(toks, 'the') THEN 1.0 ELSE 0.0 END y
+             |      FROM m),
+             |b AS (SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) bucket, p, y FROM d)
+             |SELECT bucket, CAST(count(*) AS BIGINT) n,
+             |  ROUND(avg(p), 6) mean_p, ROUND(avg(y), 6) frac_pos,
+             |  ROUND(avg(y - p), 6) gap
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = d.select(col("doc_id"),
+          round(TextAnalysis.qualityScoreCol(col("text")), 4).as("p"),
+          array_contains(TextFunctions.tokens(col("text")), "the")
+            .cast("double").as("y"))
+        Classifier.calibrationReport(scored, "p", "y", nBuckets = 10)
+          .orderBy("bucket")
+      }),
+
     // Exact ROC-AUC (mid-rank Mann–Whitney) of the unigram-LM score
     // against the q28 quality weak label — "does corpus-probability
     // predict heuristic quality?" as a one-row eval. The engine ranks

@@ -340,6 +340,36 @@ object Classifier {
           .as("auc"))
   }
 
+  /** Calibration (reliability) report for a probability score in
+    * [0, 1] against a binary label: equal-width buckets of the
+    * predicted probability with count, mean prediction, observed
+    * positive rate, and the signed gap — the relation a reliability
+    * diagram plots and ECE sums (ECE = Σ n_b/N·|gap_b|, derivable).
+    * `p = 1.0` clamps into the top bucket; empty buckets are absent
+    * (their gap is undefined, not zero).
+    *
+    * Scale shape: one map-only bucket projection + one
+    * map-side-combined agg — strictly scan-shaped.
+    */
+  def calibrationReport(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    scored
+      .select(
+        least(floor(col(scoreCol).cast("double") * nBuckets),
+          lit(nBuckets - 1L)).cast("long").as("bucket"),
+        col(scoreCol).cast("double").as("p"),
+        when(col(labelCol).cast("double") > 0.5, 1.0).otherwise(0.0).as("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg("p"), 6).as("mean_p"),
+        round(avg("y"), 6).as("frac_pos"),
+        round(avg(col("y") - col("p")), 6).as("gap"))
+  }
+
   /** Mean log-loss of `weights` on a labeled set — the training
     * objective, for convergence checks.
     */

@@ -164,6 +164,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(auc(Seq((0.1, 1.0), (0.2, 1.0))) === ((2L, 0L, None)))
   }
 
+  test("calibrationReport: hand-computed buckets, top-edge clamp, empty buckets absent") {
+    val df = Seq(
+      (0.05, 0.0), (0.05, 1.0), // bucket 0: mean_p .05, frac .5, gap .45
+      (0.95, 1.0), (1.0, 1.0),  // bucket 9 (p=1.0 clamps): mean .975, frac 1
+      (0.55, 0.0))              // bucket 5
+      .toDF("p", "y")
+    val got = Classifier.calibrationReport(df, "p", "y", nBuckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 0.05, 0.5, 0.45),
+      (5L, 1L, 0.55, 0.0, -0.55),
+      (9L, 2L, 0.975, 1.0, 0.025)))
+  }
+
   test("hashedFeatures: length-normalized tf plus exactly one bias row per doc") {
     val df = Seq((1L, "a a b c"), (2L, "")).toDF("doc_id", "text")
     val f = Classifier.hashedFeatures(df, "doc_id", "text", dim = 1 << 10)
