@@ -32,6 +32,7 @@ object GraftFunctions {
   val NormalizeName = "graft_normalize"
   val SignPackName = "graft_sign_pack"
   val HammingName = "graft_hamming"
+  val TextStatsName = "graft_text_stats"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -212,6 +213,7 @@ object GraftFunctions {
     (NormalizeName, 1, exprs => NormalizeText(exprs.head)),
     (SignPackName, 1, exprs => SignPack(exprs.head)),
     (HammingName, 2, exprs => HammingDistance(exprs.head, exprs(1))),
+    (TextStatsName, 1, exprs => TextStats(exprs.head)),
     (RollingHashesName, 2, exprs => RollingWindowHashes(exprs.head,
       literalInt(exprs(1), RollingHashesName, "width"))),
     (WinnowName, 3, exprs => WinnowFingerprints(exprs.head,
@@ -289,6 +291,11 @@ object GraftFunctions {
     * (requires `register(spark)`).
     */
   def hamming(a: Column, b: Column): Column = call_function(HammingName, a, b)
+
+  /** Native one-pass text quality stats `[n_chars, n_tok, stop_hits,
+    * punct]` (requires `register(spark)`).
+    */
+  def textStats(t: Column): Column = call_function(TextStatsName, t)
 
   /** Native PQ encode: raw vector → per-subspace argmin codes against a
     * fixed flat [subspace][centroid][component] codebook (requires

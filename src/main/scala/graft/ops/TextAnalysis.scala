@@ -49,11 +49,17 @@ object TextAnalysis {
     * divisions in double (exact, engine-portable).
     */
   def qualityScoreCol(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val nTok = size(toks).cast("double")
-    val nChars = length(text).cast("double")
-    val stopHits = TextFunctions.markerTokenCount(toks, Stopwords).cast("double")
-    val punct = (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double")
+    // ONE native byte pass ([[graft.functions.TextStats]]) replaces
+    // split + markerTokenCount + a full-text regexp_replace read only
+    // for its length — the composable form measured 53× on the 64×
+    // probe (per-doc regex cost) before the kernel; parity is pinned
+    // in NativeExpressionsSpec. element_at calls CSE into a single
+    // kernel eval inside codegen.
+    val st = graft.functions.GraftFunctions.textStats(text)
+    val nTok = element_at(st, 2).cast("double")
+    val nChars = element_at(st, 1).cast("double")
+    val stopHits = element_at(st, 3).cast("double")
+    val punct = element_at(st, 4).cast("double")
     val stopRatio = stopHits / nTok
     val punctRatio = punct / nChars
     // Heuristic composite: reward mid-length docs and presence of
@@ -66,15 +72,16 @@ object TextAnalysis {
   }
 
   /** Quality metrics: length, token stats, stopword ratio, punctuation
-    * ratio, and the composite score.
+    * ratio, and the composite score — all from the one-pass native
+    * stats kernel (see [[qualityScoreCol]]).
     */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = TextFunctions.tokens(t)
-    val nTok = size(toks).cast("double")
-    val nChars = length(t).cast("double")
-    val stopHits = TextFunctions.markerTokenCount(toks, Stopwords).cast("double")
-    val punct = (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("double")
+    val st = graft.functions.GraftFunctions.textStats(t)
+    val nTok = element_at(st, 2).cast("double")
+    val nChars = element_at(st, 1).cast("double")
+    val stopHits = element_at(st, 3).cast("double")
+    val punct = element_at(st, 4).cast("double")
     val avgTokLen = (nChars - (nTok - 1)) / nTok // chars minus separators
     df.select(col(idCol),
       nTok.cast("long").as("n_tokens"),

@@ -227,7 +227,9 @@ object ScaleProbe {
         "q146_hamming_index",
         // q147: one distinct-score agg + a two-phase prefix sum over
         // the score relation + a 1-row final.
-        "q147_auc_lm_quality")
+        "q147_auc_lm_quality",
+        // q148: map-only bucket projection + one agg — scan-shaped.
+        "q148_calibration")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -461,6 +461,37 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("graft_text_stats ≡ the composable split/markerTokenCount/regex forms on the corpus and edges") {
+    import graft.ops.{TextAnalysis, TextFunctions}
+    def composable(t: org.apache.spark.sql.Column) = array(
+      length(t).cast("long"),
+      size(TextFunctions.tokens(t)).cast("long"),
+      TextFunctions.markerTokenCount(TextFunctions.tokens(t), TextAnalysis.Stopwords)
+        .cast("long"),
+      (length(t) - length(regexp_replace(t, "[^a-z0-9 ]", ""))).cast("long"))
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    val corpusDiff = docs.select(
+        GraftFunctions.textStats(col("text")).as("n"),
+        composable(col("text")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(corpusDiff === 0L)
+    val edge = Seq(
+      "", " ", "   ", "a", " a ", "the", "and the a of to in",
+      "andy thee ain", "A  B!!C", "tabs\tand\nnewlines",
+      "digits 123 mix 4a5", "UPPER lower 42", "émigré café naïve",
+      "日本語 text", "trailing space ", " leading", "a  b   c    d",
+      "the  the", "in") // double-space: empty token between stopwords
+      .toDF("t")
+    edge.select(GraftFunctions.textStats(col("t")).as("n"),
+        composable(col("t")).as("c"), col("t"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"text='${r.getString(2)}'")
+      }
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(GraftFunctions.textStats(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("SQL surface: graft_dot / graft_simhash resolve by name") {
     Tables.registerViews(spark, TestSpark.Sf001)
     val r = spark.sql(
