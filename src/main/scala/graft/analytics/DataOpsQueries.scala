@@ -1659,6 +1659,75 @@ object DataOpsQueries {
         TextAnalysis.sourceDatasheet(docs(s, dir), "source", "text", "lang")
           .orderBy("source")),
 
+    // Exponentially-decayed per-user activity (half-life 24 h, aged
+    // from the newest event — no wall clock): recency / frequency /
+    // decayed-intensity, the feature-store staple. Integer-second
+    // ages; each decay term rounds to 6 before the sum so libm pow
+    // ulp differences cannot reach it.
+    NamedQuery(
+      "q150_decayed_activity",
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events),
+             |r AS (SELECT max(sec) ref_sec FROM e),
+             |t AS (SELECT user_id, ref_sec - sec AS age,
+             |        ROUND(pow(2.0, -CAST(ref_sec - sec AS DOUBLE) / 86400.0), 6) term
+             |      FROM e CROSS JOIN r)
+             |SELECT user_id, CAST(count(*) AS BIGINT) n_events,
+             |  CAST(min(age) AS BIGINT) recency_sec,
+             |  ROUND(SUM(term), 4) decayed_score
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) =>
+        Features.decayedActivity(Tables.load(s, dir, "events"),
+            "user_id", "ts", halfLifeHours = 24.0)
+          .orderBy("user_id")),
+
+    // Per-source ROC-AUC (q147's metric grouped by source — the
+    // mixture-eval report: does the LM score rank quality equally well
+    // in every slice?). Group-partitioned mid-ranks over distinct
+    // scores; single-class sources report NULL, not 0.5-by-fiat.
+    NamedQuery(
+      "q149_auc_by_source",
+      Some("""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+             |f AS (SELECT w, count(*) c FROM e GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) s FROM f),
+             |sc AS (SELECT e.doc_id, ROUND(AVG(ln(CAST(f.c AS DOUBLE) / tot.s)), 4) lm_score
+             |       FROM e JOIN f USING (w) CROSS JOIN tot GROUP BY e.doc_id),
+             |m AS (SELECT doc_id, source, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) n_chars,
+             |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct
+             |      FROM documents),
+             |lab AS (SELECT doc_id, source,
+             |        CASE WHEN GREATEST(0.0, LEAST(1.0,
+             |          0.5 * LEAST(len(toks) / 50.0, 1.0)
+             |          + 0.4 * LEAST(CAST(len(list_filter(toks,
+             |              t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+             |              / len(toks) * 5, 1.0)
+             |          + 0.1 * (1.0 - LEAST(punct / n_chars * 10, 1.0)))) >= 0.65
+             |        THEN 1 ELSE 0 END y
+             |      FROM m),
+             |r AS (SELECT lab.source, lab.y,
+             |        RANK() OVER (PARTITION BY lab.source ORDER BY sc.lm_score)
+             |          + (COUNT(*) OVER (PARTITION BY lab.source, sc.lm_score) - 1) / 2.0 AS mr
+             |      FROM sc JOIN lab USING (doc_id)),
+             |a AS (SELECT source, CAST(sum(y) AS DOUBLE) p,
+             |        CAST(count(*) - sum(y) AS DOUBLE) n,
+             |        sum(CASE WHEN y = 1 THEN mr ELSE 0 END) sum_mr
+             |      FROM r GROUP BY source)
+             |SELECT source, CAST(p AS BIGINT) n_pos, CAST(n AS BIGINT) n_neg,
+             |  CASE WHEN p > 0 AND n > 0
+             |       THEN ROUND((sum_mr - p * (p + 1.0) / 2.0) / (p * n), 6)
+             |       END AS auc
+             |FROM a ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+          .join(d.select(col("doc_id"), col("source"),
+            when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
+              .otherwise(0.0).as("y")),
+            Seq("doc_id"))
+        Classifier.aucByGroup(scored, "source", "lm_score", "y")
+          .orderBy("source")
+      }),
+
     // Calibration (reliability) report: the q28 composite quality
     // score read as a "probability" of stopword-bearing text, bucketed
     // into deciles with mean prediction, observed rate, and signed gap

@@ -340,6 +340,47 @@ object Classifier {
           .as("auc"))
   }
 
+  /** Per-group [[aucScore]] — one `(group, n_pos, n_neg, auc)` row per
+    * value of `groupCol` (per-source / per-language model evaluation,
+    * the grouped twin the mixture reports need). Same mid-rank
+    * Mann–Whitney arithmetic; ranks come from a group-partitioned
+    * window over each group's DISTINCT SCORES (parallel across groups,
+    * and the windowed relation is distinct-score-scale, not
+    * row-scale — a group would need ~billions of distinct scores
+    * before the per-group partition mattered). Single-class groups
+    * report NULL auc rather than vanishing.
+    */
+  def aucByGroup(
+      scored: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = scored
+      .select(col(groupCol), col(scoreCol).as("score"),
+        when(col(labelCol).cast("double") > 0.5, 1L).otherwise(0L).as("y"))
+      .groupBy(col(groupCol), col("score"))
+      .agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum("p").as("np"),
+        (sum("c") - sum("p")).as("nn"),
+        sum(col("p").cast("double") *
+          (col("cb").cast("double") + (col("c").cast("double") + 1.0) / 2.0))
+          .as("sum_mr"))
+      .select(col(groupCol),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          round(
+            (col("sum_mr") - col("np").cast("double") * (col("np").cast("double") + 1.0) / 2.0)
+              / (col("np").cast("double") * col("nn").cast("double")), 6))
+          .as("auc"))
+  }
+
   /** Calibration (reliability) report for a probability score in
     * [0, 1] against a binary label: equal-width buckets of the
     * predicted probability with count, mean prediction, observed

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between two corpus snapshots — the
@@ -36,15 +36,25 @@ object Drift {
       eps: Double = 1e-6): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth must be > 0")
     require(eps > 0 && eps < 1, s"eps=$eps must be in (0, 1)")
-    def hist(df: DataFrame, cnt: String): DataFrame = df
-      .select(floor(col(valueCol).cast("double") / lit(binWidth))
-        .cast("long").as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as(cnt))
-    val o = hist(old, "n_old")
-    val n = hist(neu, "n_new")
+    psiRelation(hist(old, valueCol, binWidth, "n_old"),
+      hist(neu, valueCol, binWidth, "n_new"), eps)
+  }
+
+  private def hist(df: DataFrame, valueCol: String, binWidth: Double,
+      cnt: String): DataFrame = df
+    .select(floor(col(valueCol).cast("double") / lit(binWidth))
+      .cast("long").as("bucket"))
+    .groupBy("bucket").agg(count(lit(1)).as(cnt))
+
+  /** The shared arithmetic stage over two (bucket, count) histograms —
+    * [[psiReport]]'s back half, also fed from the persisted layout by
+    * [[psiFromStats]] so the batch and monitored paths can never
+    * diverge.
+    */
+  private def psiRelation(o: DataFrame, n: DataFrame, eps: Double): DataFrame = {
     val totO = o.agg(sum("n_old").as("t_old"))
     val totN = n.agg(sum("n_new").as("t_new"))
-    def share(c: Column, t: Column): Column =
+    def share(c: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
       greatest(c.cast("double") / t.cast("double"), lit(eps))
     o.join(n, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_old", "n_new"))
@@ -57,5 +67,53 @@ object Drift {
         round((share(col("n_old"), col("t_old")) - share(col("n_new"), col("t_new")))
             * log(share(col("n_old"), col("t_old")) / share(col("n_new"), col("t_new"))),
           6).as("psi_contrib"))
+  }
+
+  /** Freeze the REFERENCE side of a monitored PSI under `path`:
+    * `ref/` holds the reference histogram, `meta/` the bucket geometry
+    * (binWidth, eps), `obs/` starts empty and accumulates ADDITIVE
+    * (bucket, n) rows from [[psiAppendObserved]] — the
+    * [[LexIndex]]-stats pattern, so a streamed observation side is a
+    * pure append and redelivery (behind the stream ledger) is a no-op.
+    */
+  def psiWriteRef(
+      ref: DataFrame,
+      valueCol: String,
+      binWidth: Double,
+      path: String,
+      eps: Double = 1e-6): Unit = {
+    require(binWidth > 0, s"binWidth=$binWidth must be > 0")
+    require(eps > 0 && eps < 1, s"eps=$eps must be in (0, 1)")
+    import ref.sparkSession.implicits._
+    Seq((binWidth, eps)).toDF("binWidth", "eps")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    hist(ref, valueCol, binWidth, "n").write.mode("overwrite")
+      .parquet(s"$path/ref")
+    hist(ref.limit(0), valueCol, binWidth, "n").write.mode("overwrite")
+      .parquet(s"$path/obs")
+  }
+
+  /** Append one observed batch's bucket counts under the persisted
+    * geometry (additive rows — never read-modify-write).
+    */
+  def psiAppendObserved(batch: DataFrame, valueCol: String, path: String): Unit = {
+    val binWidth = batch.sparkSession.read.parquet(s"$path/meta")
+      .select("binWidth").head().getDouble(0)
+    hist(batch, valueCol, binWidth, "n").write.mode("append")
+      .parquet(s"$path/obs")
+  }
+
+  /** The monitored PSI report: reference histogram vs everything the
+    * observation side has accumulated — identical arithmetic (and
+    * identical output relation) to running [[psiReport]] over the raw
+    * snapshots, which DriftSpec pins stream-vs-batch.
+    */
+  def psiFromStats(spark: SparkSession, path: String): DataFrame = {
+    val eps = spark.read.parquet(s"$path/meta").select("eps").head().getDouble(0)
+    val o = spark.read.parquet(s"$path/ref")
+      .groupBy("bucket").agg(sum("n").as("n_old"))
+    val n = spark.read.parquet(s"$path/obs")
+      .groupBy("bucket").agg(sum("n").as("n_new"))
+    psiRelation(o, n, eps)
   }
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key temporal feature extraction over an event log — the
+  * feature-store shapes (recency / frequency / exponentially-decayed
+  * intensity) that sit between raw events and a model.
+  */
+object Features {
+
+  /** Exponentially-decayed activity per key: for each `keyCol`,
+    * `decayed_score` = Σ over its events of 2^(−age / halfLife), with
+    * age measured back from the newest event in the relation (a
+    * data-derived reference instant keeps the relation deterministic
+    * and replayable — no wall clock), plus event count and recency.
+    * The classic recency-weighted intensity feature: an event
+    * `halfLifeHours` old counts half; one a week old (at the default
+    * 24 h) counts < 1 %.
+    *
+    * Determinism across engines: ages are INTEGER seconds (floored
+    * epoch — the `epoch_us // 1000000` oracle idiom), each decay term
+    * rounds to 6 before summing (so a last-ulp `pow` difference
+    * between libm implementations cannot reach the sum), and the
+    * per-key sum of 6-decimal terms rounds to 4.
+    *
+    * Scale shape: one scalar max-timestamp agg (broadcast), then a
+    * single map-side-combined group-by — corpus touched once, no
+    * window, no join beyond the broadcast scalar.
+    */
+  def decayedActivity(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      halfLifeHours: Double = 24.0): DataFrame = {
+    require(halfLifeHours > 0, s"halfLifeHours=$halfLifeHours must be > 0")
+    val sec = unix_timestamp(col(tsCol))
+    val ref = events.agg(max(sec).as("ref_sec"))
+    events.select(col(keyCol), sec.as("sec"))
+      .crossJoin(broadcast(ref))
+      .select(col(keyCol),
+        (col("ref_sec") - col("sec")).as("age"),
+        round(pow(lit(2.0),
+          -(col("ref_sec") - col("sec")).cast("double")
+            / lit(3600.0 * halfLifeHours)), 6).as("term"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min("age").cast("long").as("recency_sec"),
+        round(sum("term"), 4).as("decayed_score"))
+  }
+}

@@ -229,7 +229,12 @@ object ScaleProbe {
         // the score relation + a 1-row final.
         "q147_auc_lm_quality",
         // q148: map-only bucket projection + one agg — scan-shaped.
-        "q148_calibration")
+        "q148_calibration",
+        // q149: q147's shape with group-partitioned windows over
+        // per-group distinct scores.
+        "q149_auc_by_source",
+        // q150: one broadcast scalar + one map-side-combined agg.
+        "q150_decayed_activity")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

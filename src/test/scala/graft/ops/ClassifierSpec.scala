@@ -164,6 +164,28 @@ class ClassifierSpec extends AnyFunSuite {
     assert(auc(Seq((0.1, 1.0), (0.2, 1.0))) === ((2L, 0L, None)))
   }
 
+  test("aucByGroup ≡ per-group aucScore; single-class group reports NULL") {
+    val df = Seq(
+      ("g1", 0.1, 0.0), ("g1", 0.2, 0.0), ("g1", 0.2, 1.0), ("g1", 0.3, 1.0),
+      ("g2", 0.9, 0.0), ("g2", 0.8, 0.0), ("g2", 0.2, 1.0), ("g2", 0.1, 1.0),
+      ("g3", 0.5, 1.0), ("g3", 0.6, 1.0))
+      .toDF("g", "s", "y")
+    val got = Classifier.aucByGroup(df, "g", "s", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    for (g <- Seq("g1", "g2", "g3")) {
+      val solo = Classifier.aucScore(
+        df.filter(col("g") === g).select("s", "y"), "s", "y").head()
+      assert(got(g) === ((solo.getLong(0), solo.getLong(1),
+        if (solo.isNullAt(2)) None else Some(solo.getDouble(2)))), s"group $g")
+    }
+    assert(got("g1")._3 === Some(0.875))
+    assert(got("g2")._3 === Some(0.0))
+    assert(got("g3")._3 === None)
+  }
+
   test("calibrationReport: hand-computed buckets, top-edge clamp, empty buckets absent") {
     val df = Seq(
       (0.05, 0.0), (0.05, 1.0), // bucket 0: mean_p .05, frac .5, gap .45

@@ -30,6 +30,39 @@ class DriftSpec extends AnyFunSuite {
     assert(c2 > 6.0) // the one-sided bucket dominates, large but finite
   }
 
+  test("streamed monitor ≡ batch psiReport over the raw snapshots; redelivered batch is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-drift")
+    val (src, mon, ckpt) = (s"$root/src", s"$root/mon", s"$root/ckpt")
+    val old = (1 to 60).map(i => (i * 7 % 500).toDouble).toDF("v")
+    val neu = (1 to 80).map(i => (i * 13 % 700).toDouble).toDF("v")
+    Drift.psiWriteRef(old, "v", binWidth = 100.0, mon)
+    neu.repartition(3).write.parquet(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("v", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.DriftStream.monitorSink(stream, "v", mon)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+    val monitored = rows(Drift.psiFromStats(spark, mon))
+    assert(monitored === rows(Drift.psiReport(old, neu, "v", binWidth = 100.0)))
+    assert(monitored.nonEmpty)
+    // redelivery: same (stream, batch) id appends nothing
+    val b = neu.limit(10)
+    assert(graft.streaming.DriftStream.appendBatch(b, 0L, "v", mon, streamId = "s1"))
+    val after = rows(Drift.psiFromStats(spark, mon))
+    assert(!graft.streaming.DriftStream.appendBatch(b, 0L, "v", mon, streamId = "s1"))
+    assert(rows(Drift.psiFromStats(spark, mon)) === after)
+  }
+
   test("psiReport rejects non-positive bin width and out-of-range eps") {
     val df = Seq(1.0).toDF("v")
     intercept[IllegalArgumentException] {

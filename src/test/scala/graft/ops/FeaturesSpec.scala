@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FeaturesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decayedActivity: hand-computed half-life terms, recency, reference = newest event") {
+    val ref = 1700000000L
+    val h = 3600L
+    val df = Seq(
+      (1L, ref),            // term 1.0
+      (1L, ref - 24 * h),   // one half-life → 0.5
+      (1L, ref - 48 * h),   // two → 0.25
+      (2L, ref - 12 * h))   // 2^-0.5 ≈ 0.707107
+      .toDF("user_id", "sec")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"))
+    val got = Features.decayedActivity(df, "user_id", "ts", halfLifeHours = 24.0)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 0L, 1.75),
+      (2L, 1L, 12 * h, 0.7071)))
+  }
+
+  test("decayedActivity rejects a non-positive half-life") {
+    val df = Seq((1L, 0L)).toDF("user_id", "sec")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"))
+    intercept[IllegalArgumentException] {
+      Features.decayedActivity(df, "user_id", "ts", halfLifeHours = 0.0)
+    }
+  }
+}
