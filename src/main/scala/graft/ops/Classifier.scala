@@ -343,12 +343,13 @@ object Classifier {
   /** Per-group [[aucScore]] — one `(group, n_pos, n_neg, auc)` row per
     * value of `groupCol` (per-source / per-language model evaluation,
     * the grouped twin the mixture reports need). Same mid-rank
-    * Mann–Whitney arithmetic; ranks come from a group-partitioned
-    * window over each group's DISTINCT SCORES (parallel across groups,
-    * and the windowed relation is distinct-score-scale, not
-    * row-scale — a group would need ~billions of distinct scores
-    * before the per-group partition mattered). Single-class groups
-    * report NULL auc rather than vanishing.
+    * Mann–Whitney arithmetic; ranks come from the grouped two-phase
+    * [[Sampling.prefixSumBy]] — NOT a `Window.partitionBy(group)`,
+    * which caps parallelism at the group count (the first cut
+    * measured 9.8× at the 64× probe on 20 sources vs 5.1× two-phase;
+    * the two-phase shape lets one big group's distinct-score relation
+    * span many shards). Single-class groups report NULL auc rather
+    * than vanishing.
     */
   def aucByGroup(
       scored: DataFrame,
@@ -360,10 +361,8 @@ object Classifier {
         when(col(labelCol).cast("double") > 0.5, 1L).otherwise(0L).as("y"))
       .groupBy(col(groupCol), col("score"))
       .agg(count(lit(1)).as("c"), sum("y").as("p"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("score"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    g.withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
+    Sampling.prefixSumBy(g, Seq(groupCol), "score", "c", nShards = 32)
+      .withColumnRenamed("cum_sum", "cb")
       .groupBy(col(groupCol))
       .agg(
         sum("p").as("np"),
