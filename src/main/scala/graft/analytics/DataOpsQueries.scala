@@ -1728,6 +1728,32 @@ object DataOpsQueries {
           .orderBy("source")
       }),
 
+    // Link-centrality ranking (PageRank, damping 0.85, 5 iterations)
+    // over the bipartite customer→supplier graph derived from
+    // orders×lineitem — the CCNet/RefinedWeb-style host-quality signal
+    // expressed as an engine operator. SCALED-INTEGER arithmetic makes
+    // the iterative fixpoint exactly replayable, so the oracle is the
+    // SAME recurrence unrolled into 5 SQL CTEs by
+    // GraphOps.pageRankOracleSql (END-TO-END hash-gated — the
+    // q122/q126 integer-replay pattern on a graph loop). Suppliers are
+    // all dangling (outdeg 0), so the dangling-mass term is live in
+    // the gate, not just the suite.
+    NamedQuery(
+      "q151_pagerank",
+      Some(GraphOps.pageRankOracleSql(
+        """SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+          |         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin,
+        iterations = 5, scale = 1000000000000L)),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        GraphOps.pageRank(edges, "src", "dst", iterations = 5)
+          .orderBy(col("pr_units").desc, col("node")).limit(100)
+      }),
+
     // Calibration (reliability) report: the q28 composite quality
     // score read as a "probability" of stopword-bearing text, bucketed
     // into deciles with mean prediction, observed rate, and signed gap

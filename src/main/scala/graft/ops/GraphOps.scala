@@ -149,6 +149,129 @@ object GraphOps {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Distributed PageRank over a directed edge relation, in SCALED
+    * INTEGER arithmetic so a fixed-iteration run is exactly replayable
+    * by any engine (integer division and addition are associative and
+    * deterministic — no float summation-order dependence) and hence
+    * END-TO-END oracle-gatable, the q122/q126 integer-replay pattern
+    * applied to an iterative graph fixpoint.
+    *
+    * Web-corpus curation context: CCNet / RefinedWeb-class pipelines
+    * rank hosts by link centrality to prioritize crawl quality; this is
+    * that operator expressed over any (src, dst) relation.
+    *
+    * Exact update rule (all divisions are integral, all values
+    * nonnegative — truncation ≡ floor on both engines):
+    * {{{
+    *   N        = |distinct(src ∪ dst)|
+    *   pr0(v)   = SCALE div N
+    *   contrib  = pr(u) div outdeg(u)   summed per edge into inflow(v)
+    *   dang     = Σ pr(u) over outdeg(u) = 0
+    *   pr'(v)   = (15·(SCALE div N)) div 100
+    *            + (85·(inflow(v) + dang div N)) div 100
+    * }}}
+    * i.e. damping 0.85 with dangling mass redistributed uniformly. The
+    * unit quantum is SCALE/N, so with the default SCALE = 1e12 a 1e9-node
+    * graph still carries ~1000 units per node — coarse but exact; raise
+    * SCALE toward 1e15 for such graphs (overflow bound: 85·SCALE < 2^63
+    * regardless of N, because Σ pr ≤ SCALE by construction).
+    *
+    * Scale shape: edges are repartitioned by src ONCE and cached; the
+    * rank relation comes out of each iteration hash-partitioned by node
+    * (same key space as src), so the contribution join reuses both
+    * sides' exchanges and each iteration pays ONE data-sized shuffle —
+    * the inflow groupBy(dst). The dangling term is a broadcast 1-row
+    * aggregate, never a driver collect; lineage is cut per iteration
+    * with an eager localCheckpoint and the previous step's blocks
+    * unpersisted (the Classifier/Bpe loop discipline).
+    *
+    * @param edges directed (srcCol, dstCol); duplicate edges are
+    *        deduplicated, NULL endpoints dropped
+    * @return (node, pr_units) — BIGINT scaled ranks, Σ ≈ SCALE
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val pairs = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = pairs.select(col("src").as("node"))
+      .union(pairs.select(col("dst").as("node")))
+      .distinct()
+    val outdeg = pairs.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // (node, outdeg) hash-partitioned by node; reused by every iteration's
+    // final join, so cache it materialized.
+    val nodeDeg = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .repartition(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodeDeg.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = scale / n
+    val tele = (15L * base) / 100L
+    var pr = nodeDeg.withColumn("pr", lit(base)).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val dang = pr.agg(coalesce(
+        sum(when(col("outdeg") === 0L, col("pr"))), lit(0L)).as("dang"))
+      val contrib = pr.filter(col("outdeg") > 0L)
+        .join(pairs, col("node") === col("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+      val inflow = contrib.groupBy("node").agg(sum("c").as("inflow"))
+      val next = nodeDeg.join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("outdeg"),
+          (lit(tele) +
+            expr(s"(85 * (coalesce(inflow, 0L) + dang div ${n}L)) div 100").cast("long"))
+            .as("pr"))
+        .localCheckpoint(true)
+      pr.unpersist()
+      pr = next
+      i += 1
+    }
+    nodeDeg.unpersist()
+    pairs.unpersist()
+    pr.select(col("node"), col("pr").as("pr_units"))
+  }
+
+  /** The q151 oracle, generated for any iteration count so the engine
+    * loop and the SQL unrolling can never disagree on the update rule:
+    * each p_i CTE replays the exact integer recurrence above. Kept next
+    * to the operator (not in the query file) because it IS the
+    * operator's spec, serialized.
+    */
+  def pageRankOracleSql(edgeCte: String, iterations: Int, scale: Long): String = {
+    val iters = (1 to iterations).map { i =>
+      val p = s"p${i - 1}"
+      s"""d$i AS (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN pr END), 0) dang FROM $p),
+         |c$i AS (SELECT e.dst AS node, sum(pr // outdeg) inflow
+         |        FROM $p JOIN e ON $p.node = e.src WHERE outdeg > 0 GROUP BY e.dst),
+         |p$i AS (SELECT deg.node, deg.outdeg,
+         |          (15 * ($scale // nn.n)) // 100
+         |          + (85 * (coalesce(c$i.inflow, 0) + d$i.dang // nn.n)) // 100 AS pr
+         |        FROM deg CROSS JOIN nn CROSS JOIN d$i
+         |        LEFT JOIN c$i ON deg.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgeCte),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM nodes),
+       |deg AS (SELECT node, CAST(coalesce(d.c, 0) AS BIGINT) outdeg
+       |        FROM nodes LEFT JOIN (SELECT src, count(*) c FROM e GROUP BY src) d
+       |          ON nodes.node = d.src),
+       |p0 AS (SELECT node, outdeg, CAST($scale // nn.n AS BIGINT) pr
+       |       FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT node, pr AS pr_units FROM p$iterations
+       |ORDER BY pr_units DESC, node LIMIT 100""".stripMargin
+  }
+
   /** Small-graph path: classic union-find with path compression on the
     * driver, component id normalized to the minimum member.
     */

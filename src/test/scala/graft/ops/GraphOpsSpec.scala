@@ -77,4 +77,71 @@ class GraphOpsSpec extends AnyFunSuite {
         .filter(p => java.nio.file.Files.isRegularFile(p)).count() > 0)
     assert(nonEmpty <= 1, s"checkpoints accumulated: ${subdirs.map(_.getName).mkString(",")}")
   }
+
+  /** Independently written replay of pageRank's exact integer
+    * recurrence — plain Scala maps, no Spark — so a distributed-plan
+    * bug (lost dangling mass, wrong join side, float sneaking in)
+    * cannot hide behind a shared implementation.
+    */
+  private def refPageRank(
+      edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outdeg = es.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val base = scale / n
+    val tele = (15L * base) / 100L
+    var pr = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filter(v => outdeg.getOrElse(v, 0L) == 0L).map(pr).sum
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      es.foreach { case (u, v) => inflow(v) += pr(u) / outdeg(u) }
+      pr = nodes.map(v =>
+        v -> (tele + (85L * (inflow(v) + dang / n)) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pageRank ≡ in-memory integer reference, exactly, on a random digraph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPageRank(edges, 5, 1000000000000L))
+  }
+
+  test("pageRank dangling mass is redistributed, not lost: sink outranks spokes") {
+    // star: 1..5 -> 99 (sink, outdeg 0). The sink's mass must cycle
+    // back through the dangling term instead of draining to zero.
+    val edges = (1L to 5L).map(u => (u, 99L))
+    val pr = GraphOps.pageRank(edges.toDF("src", "dst"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(99L) > pr(1L), s"sink should dominate: $pr")
+    // total mass conserved up to integer-truncation loss (< 1 unit per
+    // node per division site per iteration)
+    val total = pr.values.sum
+    val scale = 1000000000000L
+    assert(total <= scale && total > scale - 10L * 6 * 4, s"mass drifted: $total")
+    assert(got0Uniform(edges.toDF("src", "dst")))
+  }
+
+  /** iterations = 0 → every node sits at the uniform base, exactly. */
+  private def got0Uniform(edges: org.apache.spark.sql.DataFrame): Boolean = {
+    val pr0 = GraphOps.pageRank(edges, iterations = 0)
+      .collect().map(_.getLong(1)).toSet
+    pr0.size == 1 && pr0.head == 1000000000000L / 6L
+  }
+
+  test("pageRank: duplicate edges collapse; more in-links → higher rank") {
+    val once = GraphOps.pageRank(
+      Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup = GraphOps.pageRank(
+      Seq((1L, 3L), (1L, 3L), (2L, 3L), (2L, 4L), (2L, 4L)).toDF("src", "dst"),
+      iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once === dup)
+    assert(once(3L) > once(4L), s"two in-links must beat one: $once")
+  }
 }
