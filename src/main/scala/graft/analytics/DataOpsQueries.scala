@@ -1754,6 +1754,113 @@ object DataOpsQueries {
           .orderBy(col("pr_units").desc, col("node")).limit(100)
       }),
 
+    // Interval-overlap join: per-(user, day) activity span vs
+    // per-(event_type, day) activity window — the sessions×windows
+    // theta join Spark would plan as a nested loop, run through
+    // RangeJoin.intervalOverlap's bucket-cover equi-join (each pair
+    // meets once, in the bin of max(start, start)). The oracle is the
+    // raw theta relation, so the hash gate is plan-independent (the
+    // q130 contract extended from points to intervals).
+    NamedQuery(
+      "q152_interval_join",
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |        epoch_us(ts) // 1000000 AS sec,
+             |        CAST((epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS day
+             |      FROM events),
+             |l AS (SELECT user_id, day, min(sec) ls, max(sec) le
+             |      FROM e GROUP BY user_id, day),
+             |r AS (SELECT event_type, min(sec) rs, max(sec) re
+             |      FROM e GROUP BY event_type, day)
+             |SELECT l.user_id, l.day, r.event_type,
+             |  CAST(LEAST(le, re) - GREATEST(ls, rs) AS BIGINT) AS overlap_sec
+             |FROM l JOIN r ON ls <= re AND rs <= le
+             |ORDER BY user_id, day, event_type""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("sec"))
+          .withColumn("day", expr("sec div 86400"))
+        val l = e.groupBy("user_id", "day")
+          .agg(min("sec").as("ls"), max("sec").as("le"))
+        val r = e.groupBy("event_type", "day")
+          .agg(min("sec").as("rs"), max("sec").as("re"))
+          .drop("day")
+        RangeJoin.intervalOverlap(l, r, Seq.empty,
+            "ls", "le", "rs", "re", bucketWidth = 86400L)
+          .select(col("user_id"), col("day"), col("event_type"),
+            (least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+              .as("overlap_sec"))
+          .orderBy("user_id", "day", "event_type")
+      }),
+
+    // Inter-annotator agreement report: three deterministic binary
+    // "annotators" (the q149 quality-threshold label, the q148
+    // stopword label, an n_chars cutoff) scored with pairwise Cohen's
+    // kappa and panel Fleiss' kappa — the label-QA relation a weak-
+    // supervision pipeline publishes before its labels train anything.
+    // Full oracle: the label derivations replay q148/q149 arithmetic
+    // and the kappa algebra is plain SQL.
+    NamedQuery(
+      "q153_annotator_agreement",
+      Some("""WITH m AS (SELECT doc_id, n_chars, string_split(text, ' ') toks,
+             |        CAST(length(text) AS DOUBLE) nc,
+             |        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) punct
+             |      FROM documents),
+             |lab AS (SELECT doc_id,
+             |        CASE WHEN GREATEST(0.0, LEAST(1.0,
+             |          0.5 * LEAST(len(toks) / 50.0, 1.0)
+             |          + 0.4 * LEAST(CAST(len(list_filter(toks,
+             |              t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+             |              / len(toks) * 5, 1.0)
+             |          + 0.1 * (1.0 - LEAST(punct / nc * 10, 1.0)))) >= 0.65
+             |          THEN 1 ELSE 0 END r_quality,
+             |        CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END r_stopword,
+             |        CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END r_length
+             |      FROM m),
+             |lng AS (SELECT doc_id item, 'r_quality' rater, CAST(r_quality AS BIGINT) lbl FROM lab
+             |   UNION ALL SELECT doc_id, 'r_stopword', CAST(r_stopword AS BIGINT) FROM lab
+             |   UNION ALL SELECT doc_id, 'r_length', CAST(r_length AS BIGINT) FROM lab),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) n FROM lab),
+             |po AS (SELECT a.rater rater_a, b.rater rater_b,
+             |        CAST(count(*) AS BIGINT) n_items,
+             |        avg(CASE WHEN a.lbl = b.lbl THEN 1.0 ELSE 0.0 END) po
+             |      FROM lng a JOIN lng b ON a.item = b.item AND a.rater < b.rater
+             |      GROUP BY 1, 2),
+             |marg AS (SELECT rater, lbl, count(*) / nn.n shr
+             |      FROM lng CROSS JOIN nn GROUP BY rater, lbl, nn.n),
+             |pe AS (SELECT ma.rater rater_a, mb.rater rater_b,
+             |        sum(ma.shr * mb.shr) pe
+             |      FROM marg ma JOIN marg mb
+             |        ON ma.lbl = mb.lbl AND ma.rater < mb.rater
+             |      GROUP BY 1, 2),
+             |cohen AS (SELECT rater_a, rater_b, n_items, ROUND(po, 6) po,
+             |        ROUND(pe, 6) pe,
+             |        CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6) END kappa
+             |      FROM po JOIN pe USING (rater_a, rater_b)),
+             |cell AS (SELECT item, lbl, count(*) c FROM lng GROUP BY 1, 2),
+             |pbar AS (SELECT avg(pi) pbar, CAST(count(*) AS BIGINT) n_items
+             |      FROM (SELECT item, sum(c * (c - 1)) / 6.0 pi FROM cell GROUP BY item)),
+             |pef AS (SELECT sum(pow(cl / (nn.n * 3.0), 2)) pe
+             |      FROM (SELECT lbl, sum(c) cl FROM cell GROUP BY lbl)
+             |      CROSS JOIN nn GROUP BY nn.n),
+             |fl AS (SELECT '_fleiss' rater_a, '_all' rater_b, n_items,
+             |        ROUND(pbar, 6) po, ROUND(pe, 6) pe,
+             |        CASE WHEN pe < 1.0 THEN ROUND((pbar - pe) / (1.0 - pe), 6) END kappa
+             |      FROM pbar CROSS JOIN pef)
+             |SELECT * FROM cohen UNION ALL SELECT * FROM fl
+             |ORDER BY rater_a, rater_b""".stripMargin),
+      (s, dir) => {
+        val lab = docs(s, dir).select(col("doc_id"),
+          when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1)
+            .otherwise(0).as("r_quality"),
+          when(array_contains(split(col("text"), " "), "the"), 1)
+            .otherwise(0).as("r_stopword"),
+          when(col("n_chars") >= 200, 1).otherwise(0).as("r_length"))
+        Classifier.interRaterAgreement(lab, "doc_id",
+            Seq("r_quality", "r_stopword", "r_length"))
+          .orderBy("rater_a", "rater_b")
+      }),
+
     // Calibration (reliability) report: the q28 composite quality
     // score read as a "probability" of stopword-bearing text, bucketed
     // into deciles with mean prediction, observed rate, and signed gap

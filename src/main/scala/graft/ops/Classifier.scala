@@ -425,6 +425,76 @@ object Classifier {
       .head().getDouble(0)
   }
 
+  /** Inter-annotator agreement over k rater columns (integer category
+    * labels): pairwise Cohen's kappa for every rater pair plus one
+    * Fleiss' kappa row (`rater_a = '_fleiss'`) for the panel — the
+    * label-QA report a labeling pipeline publishes before its labels
+    * are trusted as training signal (chance-corrected agreement, not
+    * raw percent agree).
+    *
+    * Cohen per pair (A,B): po = P[A = B], pe = Σ_label pA·pB,
+    * κ = (po − pe)/(1 − pe), NULL when pe = 1 (degenerate marginals).
+    * Fleiss: P_i = Σ_l n_il(n_il−1) / (k(k−1)), κ = (P̄ − Σ p_l²)/(1 − Σ p_l²).
+    *
+    * Scale shape: labels are stacked long (k rows per item, k small)
+    * and every pairwise statistic comes from ONE item-keyed self-join
+    * of that bounded-fan relation plus marginal aggregates that are
+    * (raters × labels)-scale — broadcast-joined, never corpus-wide.
+    * Items with a NULL in any rater column are dropped up front (an
+    * unlabeled item is not evidence of agreement or disagreement).
+    */
+  def interRaterAgreement(
+      labels: DataFrame,
+      idCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, "need at least two raters")
+    val k = raterCols.size
+    val complete = labels.na.drop(raterCols)
+    val stackArgs = raterCols
+      .map(r => s"'$r', CAST(`$r` AS BIGINT)").mkString(", ")
+    val long = complete.select(col(idCol).as("item"),
+      expr(s"stack($k, $stackArgs)"))
+      .toDF("item", "rater", "label")
+    val nItems = complete.count()
+    // pairwise observed agreement: one item-keyed self-join of the
+    // k-rows-per-item relation
+    val po = long.as("a").join(long.as("b"), Seq("item"))
+      .filter(col("a.rater") < col("b.rater"))
+      .groupBy(col("a.rater").as("rater_a"), col("b.rater").as("rater_b"))
+      .agg(count(lit(1)).as("n_items"),
+        avg(when(col("a.label") === col("b.label"), 1.0).otherwise(0.0)).as("po"))
+    // marginal label shares per rater: (raters × labels)-scale
+    val marg = long.groupBy("rater", "label")
+      .agg((count(lit(1)).cast("double") / nItems).as("share"))
+    val pe = marg.as("ma")
+      .join(marg.as("mb"), col("ma.label") === col("mb.label"))
+      .filter(col("ma.rater") < col("mb.rater"))
+      .groupBy(col("ma.rater").as("rater_a"), col("mb.rater").as("rater_b"))
+      .agg(sum(col("ma.share") * col("mb.share")).as("pe"))
+    val cohen = po.join(pe, Seq("rater_a", "rater_b"))
+      .select(col("rater_a"), col("rater_b"),
+        col("n_items").cast("long").as("n_items"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)).as("kappa"))
+    // Fleiss over the panel: per-(item, label) rating counts
+    val cell = long.groupBy("item", "label").agg(count(lit(1)).as("c"))
+    val pbar = cell.groupBy("item")
+      .agg((sum(col("c") * (col("c") - 1L)).cast("double") /
+        (k.toLong * (k - 1L))).as("pi"))
+      .agg(avg("pi").as("pbar"), count(lit(1)).cast("long").as("n_items"))
+    val peF = cell.groupBy("label")
+      .agg(sum("c").as("cl"))
+      .agg(sum(pow(col("cl").cast("double") / (nItems * k.toLong), 2)).as("pe"))
+    val fleiss = pbar.crossJoin(peF)
+      .select(lit("_fleiss").as("rater_a"), lit("_all").as("rater_b"),
+        col("n_items"),
+        round(col("pbar"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        when(col("pe") < 1.0,
+          round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)).as("kappa"))
+    cohen.unionByName(fleiss)
+  }
+
   /** In-memory reference with the same arithmetic, for the equivalence
     * suite: rows = (id, idx, x), labels keyed by id.
     */

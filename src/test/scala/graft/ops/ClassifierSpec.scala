@@ -212,4 +212,66 @@ class ClassifierSpec extends AnyFunSuite {
     val xs = f.filterNot(_._2 == Classifier.BiasIdx).map(_._3).sorted
     assert(xs === Array(0.25, 0.25, 0.5), "tf/4 for b, c and 2/4 for a")
   }
+
+  test("interRaterAgreement: textbook Cohen fixture (kappa = 0.4) and perfect-agreement pair") {
+    // r1/r2 contingency: (1,1)x20 (1,0)x5 (0,1)x10 (0,0)x15
+    // po = 0.7, pe = 0.5*0.6 + 0.5*0.4 = 0.5, kappa = 0.4 exactly.
+    // r3 duplicates r1 → kappa(r1, r3) = 1.
+    val rows = (0 until 50).map { i =>
+      val (a, b) =
+        if (i < 20) (1, 1) else if (i < 25) (1, 0)
+        else if (i < 35) (0, 1) else (0, 0)
+      (i.toLong, a, b, a)
+    }
+    val out = Classifier.interRaterAgreement(
+        rows.toDF("id", "r1", "r2", "r3"), "id", Seq("r1", "r2", "r3"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+      .toMap
+    val (n12, po12, pe12, k12) = out(("r1", "r2"))
+    assert(n12 === 50L && po12 === 0.7 && pe12 === 0.5 && k12 === 0.4)
+    val (_, po13, _, k13) = out(("r1", "r3"))
+    assert(po13 === 1.0 && k13 === 1.0)
+    assert(out.contains(("_fleiss", "_all")))
+  }
+
+  test("interRaterAgreement: Fleiss ≡ independent inline reference on random 3-category labels") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3)))
+    // independent replay of the Fleiss formulas
+    val k = 3
+    val n = rows.size
+    val cells = rows.flatMap { case (id, a, b, c) => Seq(a, b, c).map(id -> _) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val pi = rows.map { case (id, _, _, _) =>
+      (0 until 3).map(l => { val c = cells.getOrElse(id -> l, 0); c * (c - 1) }).sum /
+        (k * (k - 1)).toDouble
+    }
+    val pbar = pi.sum / n
+    val pl = (0 until 3).map(l =>
+      rows.map { case (_, a, b, c) => Seq(a, b, c).count(_ == l) }.sum /
+        (n * k).toDouble)
+    val peF = pl.map(p => p * p).sum
+    val expect = BigDecimal((pbar - peF) / (1 - peF))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Classifier.interRaterAgreement(
+        rows.toDF("id", "r1", "r2", "r3"), "id", Seq("r1", "r2", "r3"))
+      .filter(col("rater_a") === "_fleiss").head()
+    assert(math.abs(got.getDouble(5) - expect) < 2e-6,
+      s"fleiss kappa ${got.getDouble(5)} != $expect")
+  }
+
+  test("interRaterAgreement: NULL-labeled items are dropped; degenerate marginals yield NULL kappa") {
+    val rows = Seq(
+      (1L, Some(1), Some(1)), (2L, Some(1), Some(1)),
+      (3L, None, Some(1)))
+      .toDF("id", "r1", "r2")
+    val out = Classifier.interRaterAgreement(rows, "id", Seq("r1", "r2"))
+      .filter(col("rater_a") === "r1").head()
+    assert(out.getLong(2) === 2L, "null-labeled item must not count")
+    assert(out.isNullAt(5), "pe = 1 must give NULL kappa, not a division blowup")
+  }
 }
