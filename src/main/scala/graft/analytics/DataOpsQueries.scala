@@ -1861,6 +1861,39 @@ object DataOpsQueries {
           .orderBy("rater_a", "rater_b")
       }),
 
+    // Bradley–Terry preference strengths (Hunter 2004 MM) over
+    // head-to-head quality judgments between languages: adjacent docs
+    // pair off, the higher q28 quality score wins, and the fit ranks
+    // each lang by chance-adjusted strength — the reward-data curation
+    // readout. Rows-only: 20 MM iterations are a data-dependent float
+    // fixpoint (the q120/q124 ground); ClassifierSpec pins the
+    // distributed fit against an in-memory reference to 1e-9 plus
+    // dominance/normalization/direction-swap behavior.
+    NamedQuery(
+      "q154_bradley_terry",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScoreCol(col("text")).as("q"))
+        val a = d.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id div 2").as("pid"),
+            col("lang").as("lang_a"), col("q").as("q_a"))
+        val b = d.filter(col("doc_id") % 2 === 1)
+          .select(expr("doc_id div 2").as("pid"),
+            col("lang").as("lang_b"), col("q").as("q_b"))
+        val prefs = a.join(b, Seq("pid"))
+          .filter(col("lang_a") =!= col("lang_b"))
+          .select(
+            when(col("q_b") > col("q_a"), col("lang_b"))
+              .otherwise(col("lang_a")).as("winner"),
+            when(col("q_b") > col("q_a"), col("lang_a"))
+              .otherwise(col("lang_b")).as("loser"))
+        Classifier.bradleyTerry(prefs, "winner", "loser", iters = 20)
+          .select(col("item"), col("wins"), col("matches"),
+            round(col("strength"), 6).as("strength"))
+          .orderBy("item")
+      }),
+
     // Calibration (reliability) report: the q28 composite quality
     // score read as a "probability" of stopword-bearing text, bucketed
     // into deciles with mean prediction, observed rate, and signed gap

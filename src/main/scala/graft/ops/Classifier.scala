@@ -204,10 +204,13 @@ object Classifier {
     val lab = labels.select(col(idCol), col("y"))
       .repartition(col(idCol))
       .localCheckpoint(true)
-    var weights = f.select(col("idx")).distinct()
-      .select(col("idx"), lit(0.0).as("w"), lit(0.0).as("g2"))
-      .localCheckpoint(true)
-    var prev: DataFrame = null
+    // Iterate.cut, not bare localCheckpoint: each step references the
+    // weight table twice (margins broadcast + update join), so
+    // inherited checkpoint stats would square per step and hit the
+    // BigInteger planning cliff past ~20 iterations (Iterate scaladoc).
+    var weights = Iterate.cut(f.select(col("idx")).distinct()
+      .select(col("idx"), lit(0.0).as("w"), lit(0.0).as("g2")))
+    var prev: Iterate.Cut = null
     var prevLoss = Double.MaxValue
     var it = 0
     var steps = 0
@@ -243,18 +246,17 @@ object Classifier {
           // row, so the arithmetic is identical to the old inner join.
           val g = coalesce(col("g"), lit(0.0)) +
             when(col("idx") =!= BiasIdx, lit(l2) * col("w")).otherwise(lit(0.0))
-          val next = weights.join(grad, Seq("idx"), "left")
+          val next = Iterate.cut(weights.df.join(grad, Seq("idx"), "left")
             .select(col("idx"),
               (col("w") - lit(lr) * g /
                 sqrt(col("g2") + g * g + lit(eps))).as("w"),
-              (col("g2") + g * g).as("g2"))
-            .localCheckpoint(true)
-          if (prev != null) prev.unpersist()
+              (col("g2") + g * g).as("g2")))
+          if (prev != null) prev.release()
           prev = weights
           weights = next
           steps += 1
         }
-        val margins = fi.join(broadcast(weights.select("idx", "w")), Seq("idx"))
+        val margins = fi.join(broadcast(weights.df.select("idx", "w")), Seq("idx"))
           .groupBy(col(idCol))
           .agg(sum(col("x") * col("w")).as("m"))
         if (tol > 0.0) {
@@ -288,10 +290,10 @@ object Classifier {
         }
       }
     }
-    if (prev != null) prev.unpersist()
+    if (prev != null) prev.release()
     f.unpersist()
     lab.unpersist()
-    TrainResult(weights.select("idx", "w"), steps,
+    TrainResult(weights.df.select("idx", "w"), steps,
       if (tol > 0.0 && prevLoss != Double.MaxValue) prevLoss else Double.NaN)
   }
 
@@ -493,6 +495,120 @@ object Classifier {
         when(col("pe") < 1.0,
           round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)).as("kappa"))
     cohen.unionByName(fleiss)
+  }
+
+  /** Bradley–Terry preference-strength fit over pairwise comparisons —
+    * the reward-data curation primitive (which source/model/policy wins
+    * head-to-head judgments, chance-adjusted for who it was compared
+    * against, not raw win rate). Hunter (2004)'s MM algorithm:
+    * {{{
+    *   p_i ← W_i / Σ_j m_ij / (p_i + p_j)     then rescale Σ p = nItems
+    * }}}
+    * where W_i = wins of i and m_ij = comparisons between i and j.
+    * Each MM step provably increases the BT log-likelihood; the rescale
+    * fixes the scale-invariance of the model (only ratios p_i/p_j are
+    * identified).
+    *
+    * Scale shape: the raw comparison stream collapses ONCE into the
+    * symmetric match relation (i, j, m_ij) and the win table — both
+    * item-pair-scale, not comparison-scale. Per iteration: one join of
+    * strengths onto each endpoint of the match relation (two bounded
+    * exchanges), one groupBy-i denominator agg, one broadcast 1-row
+    * rescale — never a comparison-scale pass. Lineage is cut per step
+    * with an eager localCheckpoint (the trainLogReg discipline). Items
+    * appearing only as winners or only as losers are fine; items with
+    * ZERO wins get strength → 0 as iterations grow (true MLE behavior
+    * on the boundary), which the caller can floor if undesired.
+    *
+    * @param comparisons one row per judged pair
+    * @return (item, wins, matches, strength) — strengths normalized to
+    *         Σ = number of distinct items
+    */
+  def bradleyTerry(
+      comparisons: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val raw = comparisons
+      .select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    // m_ij symmetrized: every unordered match counted once per direction,
+    // so the per-i denominator sums over ALL of i's opponents in one
+    // groupBy("i") with no union
+    val sym = raw.select(col("w").as("i"), col("l").as("j"))
+      .union(raw.select(col("l").as("i"), col("w").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).cast("double").as("m"))
+      .repartition(col("i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = raw.groupBy(col("w").as("i"))
+      .agg(count(lit(1)).cast("double").as("wins"))
+    val items = sym.select(col("i").as("item")).distinct()
+      .join(wins.withColumnRenamed("i", "item"), Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0.0)).as("wins"))
+      .repartition(col("item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = items.count()
+    // Iterate.cut, not bare localCheckpoint: the step plan references
+    // the previous state 4× under joins, so inherited checkpoint stats
+    // would compound doubly-exponentially (see Iterate's scaladoc).
+    var p = Iterate.cut(items.select(col("item"), lit(1.0).as("p")))
+    var it = 0
+    while (it < iters) {
+      val withPj = sym
+        .join(p.df.select(col("item").as("j"), col("p").as("pj")), Seq("j"))
+      val denom = withPj
+        .join(p.df.select(col("item").as("i"), col("p").as("pi")), Seq("i"))
+        .groupBy(col("i").as("item"))
+        .agg(sum(col("m") / (col("pi") + col("pj"))).as("denom"))
+      val unscaled = items.join(denom, Seq("item"), "left")
+        .select(col("item"),
+          // an item with no matches keeps p = 1 (denominator undefined);
+          // zero-win items legitimately head to 0
+          when(col("denom").isNull, lit(1.0))
+            .otherwise(col("wins") / col("denom")).as("p0"))
+      val total = unscaled.agg(sum("p0").as("t"))
+      val next = Iterate.cut(unscaled.crossJoin(broadcast(total))
+        .select(col("item"), (col("p0") * nItems / col("t")).as("p")))
+      p.release()
+      p = next
+      it += 1
+    }
+    val out = items.join(p.df, Seq("item"))
+      .join(sym.groupBy(col("i").as("item"))
+        .agg(sum("m").cast("long").as("matches")), Seq("item"), "left")
+      .select(col("item"), col("wins").cast("long").as("wins"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        col("p").as("strength"))
+    sym.unpersist()
+    items.unpersist()
+    out
+  }
+
+  /** In-memory reference replaying [[bradleyTerry]]'s exact update, for
+    * the equivalence suite.
+    */
+  def bradleyTerryLocal(
+      comparisons: Seq[(String, String)],
+      iters: Int): Map[String, Double] = {
+    val raw = comparisons.filter { case (w, l) => w != l }
+    val m = scala.collection.mutable.Map.empty[(String, String), Double]
+      .withDefaultValue(0.0)
+    raw.foreach { case (w, l) => m((w, l)) += 1.0; m((l, w)) += 1.0 }
+    val wins = raw.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val items = (raw.map(_._1) ++ raw.map(_._2)).distinct.sorted
+    var p = items.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val unscaled = items.map { i =>
+        val denom = items.filter(j => m((i, j)) > 0)
+          .map(j => m((i, j)) / (p(i) + p(j))).sum
+        i -> (if (denom == 0) 1.0 else wins.getOrElse(i, 0.0) / denom)
+      }.toMap
+      val t = unscaled.values.sum
+      p = unscaled.map { case (i, v) => i -> v * items.size / t }
+    }
+    p
   }
 
   /** In-memory reference with the same arithmetic, for the equivalence

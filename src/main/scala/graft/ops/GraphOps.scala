@@ -109,7 +109,7 @@ object GraphOps {
       // whole lineage a second time.
       val grouped = labels.union(viaNeighbors).union(viaLabels)
         .groupBy("node").agg(min("label").as("label"))
-      val next = checkpointDir match {
+      val ck = checkpointDir match {
         case Some(dir) =>
           // Alternate between two subdirs, clearing before reuse: the
           // subdir being overwritten holds iteration i-2's checkpoint,
@@ -120,6 +120,12 @@ object GraphOps {
           grouped.checkpoint(eager = true)
         case None => grouped.localCheckpoint(eager = true)
       }
+      // Stats reset (Iterate scaladoc): the step references `labels`
+      // three times under joins, so checkpoint-inherited statistics
+      // would cube per iteration and stall planning on long-diameter
+      // graphs; the rewrap costs one row conversion on the label
+      // relation.
+      val next = spark.createDataFrame(ck.rdd, ck.schema)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
@@ -176,14 +182,16 @@ object GraphOps {
     * SCALE toward 1e15 for such graphs (overflow bound: 85·SCALE < 2^63
     * regardless of N, because Σ pr ≤ SCALE by construction).
     *
-    * Scale shape: edges are repartitioned by src ONCE and cached; the
-    * rank relation comes out of each iteration hash-partitioned by node
-    * (same key space as src), so the contribution join reuses both
-    * sides' exchanges and each iteration pays ONE data-sized shuffle —
-    * the inflow groupBy(dst). The dangling term is a broadcast 1-row
-    * aggregate, never a driver collect; lineage is cut per iteration
-    * with an eager localCheckpoint and the previous step's blocks
-    * unpersisted (the Classifier/Bpe loop discipline).
+    * Scale shape: edges are repartitioned by src ONCE and cached; each
+    * iteration pays one data-sized shuffle (the inflow groupBy(dst))
+    * plus one rank-relation (node-scale) exchange into the
+    * contribution join. The dangling term is a broadcast 1-row
+    * aggregate, never a driver collect; lineage AND inherited plan
+    * statistics are cut per iteration with [[Iterate.cut]] — the step
+    * plan references the previous rank state twice, so a bare
+    * localCheckpoint would compound its inherited stats
+    * doubly-exponentially and stall planning past ~20 iterations (see
+    * Iterate's scaladoc; production PageRank runs 20–50 iterations).
     *
     * @param edges directed (srcCol, dstCol); duplicate edges are
     *        deduplicated, NULL endpoints dropped
@@ -216,29 +224,28 @@ object GraphOps {
     require(n > 0, "pageRank: empty graph")
     val base = scale / n
     val tele = (15L * base) / 100L
-    var pr = nodeDeg.withColumn("pr", lit(base)).localCheckpoint(true)
+    var pr = Iterate.cut(nodeDeg.withColumn("pr", lit(base)))
     var i = 0
     while (i < iterations) {
-      val dang = pr.agg(coalesce(
+      val dang = pr.df.agg(coalesce(
         sum(when(col("outdeg") === 0L, col("pr"))), lit(0L)).as("dang"))
-      val contrib = pr.filter(col("outdeg") > 0L)
+      val contrib = pr.df.filter(col("outdeg") > 0L)
         .join(pairs, col("node") === col("src"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
       val inflow = contrib.groupBy("node").agg(sum("c").as("inflow"))
-      val next = nodeDeg.join(inflow, Seq("node"), "left")
+      val next = Iterate.cut(nodeDeg.join(inflow, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"), col("outdeg"),
           (lit(tele) +
             expr(s"(85 * (coalesce(inflow, 0L) + dang div ${n}L)) div 100").cast("long"))
-            .as("pr"))
-        .localCheckpoint(true)
-      pr.unpersist()
+            .as("pr")))
+      pr.release()
       pr = next
       i += 1
     }
     nodeDeg.unpersist()
     pairs.unpersist()
-    pr.select(col("node"), col("pr").as("pr_units"))
+    pr.df.select(col("node"), col("pr").as("pr_units"))
   }
 
   /** The q151 oracle, generated for any iteration count so the engine

@@ -264,6 +264,47 @@ class ClassifierSpec extends AnyFunSuite {
       s"fleiss kappa ${got.getDouble(5)} != $expect")
   }
 
+  test("bradleyTerry ≡ in-memory MM reference to 1e-9 on a skewed random tournament") {
+    val rnd = new scala.util.Random(13)
+    val items = Vector("a", "b", "c", "d", "e", "f")
+    // true strengths 6..1: i beats j with prob s_i/(s_i+s_j)
+    val comps = Seq.fill(400) {
+      val i = rnd.nextInt(6); var j = rnd.nextInt(6)
+      while (j == i) j = rnd.nextInt(6)
+      val si = (6 - i).toDouble; val sj = (6 - j).toDouble
+      if (rnd.nextDouble() < si / (si + sj)) (items(i), items(j))
+      else (items(j), items(i))
+    }
+    val got = Classifier.bradleyTerry(
+        comps.toDF("winner", "loser"), "winner", "loser", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ref = Classifier.bradleyTerryLocal(comps, iters = 20)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) < 1e-9, s"$k: $v vs ${ref(k)}")
+    }
+    // normalization: Σ strength = nItems
+    assert(math.abs(got.values.sum - 6.0) < 1e-9)
+    // the planted order should be recovered on 400 samples
+    assert(got("a") > got("f"), s"dominant item not ranked above weakest: $got")
+  }
+
+  test("bradleyTerry: dominance orders strengths; direction swap inverts; self-pairs dropped") {
+    // round-robin where a beats everyone, b beats c
+    val comps = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "a"))
+    val got = Classifier.bradleyTerry(
+        comps.toDF("winner", "loser"), "winner", "loser", iters = 30)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byItem = got.map(r => r._1 -> r._4).toMap
+    assert(byItem("a") > byItem("b") && byItem("b") > byItem("c"), s"$byItem")
+    val wins = got.map(r => r._1 -> r._2).toMap
+    assert(wins === Map("a" -> 2L, "b" -> 1L, "c" -> 0L), "self-pair must not count as a win")
+    val swapped = Classifier.bradleyTerry(
+        comps.toDF("winner", "loser"), "loser", "winner", iters = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(swapped("c") > swapped("b") && swapped("b") > swapped("a"), s"$swapped")
+  }
+
   test("interRaterAgreement: NULL-labeled items are dropped; degenerate marginals yield NULL kappa") {
     val rows = Seq(
       (1L, Some(1), Some(1)), (2L, Some(1), Some(1)),
