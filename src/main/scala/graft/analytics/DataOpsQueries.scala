@@ -1861,6 +1861,57 @@ object DataOpsQueries {
           .orderBy("rater_a", "rater_b")
       }),
 
+    // Int8 scalar-quantization eval: per-query recall@10 of the
+    // 4×-compressed int8-code search against exact float search, plus
+    // the per-pair cosine drift — the report that prices an embedding
+    // store's quantization tier before it ships. Rows-only: the code
+    // relation depends on double→int8 round boundaries DuckDB's
+    // differing rounding mode cannot replay (the q21/q23 sketch-class
+    // ground); SimilaritySpec pins code bounds, reconstruction ≤
+    // scale/2, cosine drift < 0.02, and mean recall ≥ 0.9.
+    NamedQuery(
+      "q156_int8_recall",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir)
+        val queries = e.filter(col("vec_id") < 32)
+        val exact = VectorOps.bruteKnnJoin(queries, e, "vec_id", "embedding",
+            k = 10, excludeSelf = true)
+          .select(col("q_id"), col("n_id"))
+        val i8 = VectorOps.int8KnnJoin(queries, e, "vec_id", "embedding",
+            k = 10, excludeSelf = true)
+          .select(col("q_id").as("q8"), col("n_id").as("n8"))
+        exact.join(i8, col("q_id") === col("q8") && col("n_id") === col("n8"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).cast("long").as("n_exact"),
+            count(col("n8")).cast("long").as("overlap"))
+          .select(col("q_id"), col("n_exact"), col("overlap"),
+            round(col("overlap").cast("double") / col("n_exact"), 6).as("recall"))
+          .orderBy("q_id")
+      }),
+
+    // MMR-diversified retrieval: exact top-20 cosine shortlists for 16
+    // queries, then the Carbonell–Goldstein greedy rerank (λ = 0.7) to
+    // a top-5 that penalizes near-duplicates of already-picked docs.
+    // Rows-only: the greedy argmax is order-dependent (each pick
+    // reshapes every remaining penalty — the q68 packing ground);
+    // RetrievalSpec pins the diversity fixture by hand, the λ = 1
+    // relevance-degeneration, and the shortlist cap guard.
+    NamedQuery(
+      "q155_mmr_diversify",
+      None,
+      (s, dir) => {
+        val e = embs(s, dir)
+        val shortlist = VectorOps.bruteKnnJoin(
+          e.filter(col("vec_id") < 16), e, "vec_id", "embedding",
+          k = 20, excludeSelf = true)
+        Retrieval.mmrRerank(shortlist, e,
+            "q_id", "n_id", "cosine", "vec_id", "embedding",
+            k = 5, lambda = 0.7)
+          .orderBy("q_id", "rank")
+      }),
+
     // Bradley–Terry preference strengths (Hunter 2004 MM) over
     // head-to-head quality judgments between languages: adjacent docs
     // pair off, the higher q28 quality score wins, and the fit ranks

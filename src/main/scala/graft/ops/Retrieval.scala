@@ -154,4 +154,108 @@ object Retrieval {
           coalesce(col("_rm_dcg"), lit(0.0)) / col("_rm_idcg"))
           .otherwise(lit(0.0)), roundTo).as("ndcg"))
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) of a per-query shortlist: greedily select `k` documents
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)` — the
+    * standard diversity pass that keeps a RAG context window from
+    * filling with near-duplicates of the top hit.
+    *
+    * The greedy argmax is inherently order-dependent (each pick
+    * changes every remaining candidate's penalty), so this is the
+    * justified `flatMapGroups` case (the Packing/Multimodal rule): the
+    * per-query group is SHORTLIST-bounded, never corpus-scale, and a
+    * group larger than `maxShortlist` fails fast instead of buffering
+    * unbounded state on an executor. Candidate vectors join onto the
+    * shortlist by doc id first — shortlist-scale work; the corpus
+    * never enters.
+    *
+    * Determinism: candidates are processed in (rel desc, doc id) order
+    * and every argmax tie breaks by doc id, so the selection is a pure
+    * function of the shortlist. Zero-norm vectors take cosine 0
+    * against everything (they penalize nothing, matching the
+    * retrievers' own zero-norm handling).
+    *
+    * @param shortlist `(queryIdCol, docIdCol, relCol)` per-query candidates
+    * @param vectors `(idCol, vecCol)` embeddings covering the
+    *        shortlisted docs (extra rows are fine — semi-joined away);
+    *        a shortlisted doc with no vector is dropped with its query
+    *        (inner join), surfacing coverage gaps as missing rows, not
+    *        silent zero-penalty picks
+    * @return `(queryIdCol, docIdCol, rank, mmr)` — rank 1..k per query
+    */
+  def mmrRerank(
+      shortlist: DataFrame,
+      vectors: DataFrame,
+      queryIdCol: String,
+      docIdCol: String,
+      relCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7,
+      maxShortlist: Int = 4096,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda out of [0,1]")
+    require(maxShortlist >= 1, s"maxShortlist=$maxShortlist must be >= 1")
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val joined = shortlist
+      .select(col(queryIdCol).cast("long").as("q"),
+        col(docIdCol).cast("long").as("d"),
+        col(relCol).cast("double").as("rel"))
+      .join(vectors.select(col(idCol).cast("long").as("d"),
+          transform(col(vecCol), x => x.cast("double")).as("vec")),
+        Seq("d"))
+      .select(col("q"), col("d"), col("rel"), col("vec"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val picked = joined.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cands = it.toArray.sortBy(t => (-t._3, t._2))
+      if (cands.length > maxShortlist)
+        throw new IllegalStateException(
+          s"mmrRerank: query $q has ${cands.length} shortlist rows " +
+            s"(> maxShortlist=$maxShortlist) — cap the shortlist upstream")
+      val vecs = cands.map(_._4.toArray)
+      val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+      def cos(i: Int, j: Int): Double =
+        if (norms(i) == 0 || norms(j) == 0) 0.0
+        else {
+          var s = 0.0; var t = 0
+          val a = vecs(i); val b = vecs(j)
+          while (t < math.min(a.length, b.length)) { s += a(t) * b(t); t += 1 }
+          s / (norms(i) * norms(j))
+        }
+      val n = cands.length
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+      val used = new Array[Boolean](n)
+      val maxSim = Array.fill(n)(0.0)
+      var rank = 1
+      while (rank <= math.min(k, n)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!used(i)) {
+            val s = lambda * cands(i)._3 - (1 - lambda) * maxSim(i)
+            // candidates are rel-then-id sorted, so strict > keeps the
+            // first (smallest-id) of any score tie
+            if (s > bestScore) { bestScore = s; best = i }
+          }
+          i += 1
+        }
+        used(best) = true
+        selected += ((cands(best)._2, rank, bestScore))
+        var j = 0
+        while (j < n) {
+          if (!used(j)) maxSim(j) = math.max(maxSim(j), cos(j, best))
+          j += 1
+        }
+        rank += 1
+      }
+      selected.iterator.map { case (d, r, s) => (q, d, r.toLong, s) }
+    }
+    picked.toDF(queryIdCol, docIdCol, "rank", "mmr")
+      .withColumn("mmr", round(col("mmr"), roundTo))
+  }
 }

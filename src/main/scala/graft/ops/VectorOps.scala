@@ -230,6 +230,73 @@ object VectorOps {
     df.select(col(idCol),
       graft.functions.GraftFunctions.signPack(rawVec(df, vecCol)).as("code"))
 
+  /** Symmetric per-vector int8 scalar quantization — the 4×-compression
+    * middle ground between float and [[binaryQuantize]]'s sign bits
+    * (the standard embedding-store tiering: int8 serves the bulk
+    * shortlist, float the final rerank). Each vector gets one scale
+    * `absmax/127` and codes `round(x/scale)` clamped to [−127, 127];
+    * reconstruction error is ≤ scale/2 per component. A zero vector
+    * quantizes to scale 0 with all-zero codes (no NaN path).
+    *
+    * One map-only codegen'd HOF pass — no UDFs, no shuffle. Output:
+    * `(id, scale, codes array<tinyint>)`.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = rawVec(df, vecCol)
+    val absmax = aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+    df.select(col(idCol), (absmax / 127.0d).as("scale"),
+        v.as("_qi_v"))
+      .select(col(idCol), col("scale"),
+        transform(col("_qi_v"), x =>
+          when(col("scale") === 0.0d, lit(0))
+            .otherwise(round(x / col("scale")))
+            .cast("int").cast("byte")).as("codes"))
+  }
+
+  /** Exact batch kNN join over [[quantizeInt8]] codes for a
+    * broadcast-sized query set — the int8 twin of [[bruteKnnJoin]].
+    * Cosine over int8 codes needs NO dequantization: the per-vector
+    * scales cancel, so the score is the integer-dot cosine of the code
+    * vectors (computed in int arithmetic, normalized once per side).
+    *
+    * Output: `(q_id, n_id, cosine, rank)`, rank 1..≤k per query —
+    * [[bruteKnnJoin]]'s exact contract and scale shape (queries
+    * broadcast, one map-only corpus pass, WindowGroupLimit top-k), at
+    * a quarter of the scan bandwidth.
+    */
+  def int8KnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = false,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    def prep(df: DataFrame, id: String, codes: String, norm: String) =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col(idCol).as(id),
+          transform(col("codes"), x => x.cast("int")).as(codes))
+        .withColumn(norm, sqrt(aggregate(col(codes), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")).cast("double")))
+        .filter(col(norm) > 0)
+    val c = prep(corpus, "n_id", "cc", "cn")
+    val q = prep(queries, "q_id", "qc", "qn")
+    val dotInt = aggregate(
+      zip_with(col("cc"), col("qc"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        round(dotInt.cast("double") / (col("cn") * col("qn")), roundTo)
+          .as("cosine"))
+    val kept = if (excludeSelf) scored.filter(col("q_id") =!= col("n_id")) else scored
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    kept
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact batch Hamming kNN join over [[binaryQuantize]] codes for a
     * broadcast-sized query set — the binary twin of [[bruteKnnJoin]]
     * (Hamming over sign codes is the standard cheap first stage that a

@@ -214,6 +214,56 @@ class RetrievalSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("mmrRerank demotes a near-duplicate of the top hit in favor of a diverse doc") {
+    import spark.implicits._
+    // docs 1 and 2 are identical vectors (near-dups), doc 3 orthogonal.
+    // Pure relevance order: 1, 2, 3. MMR at λ = 0.5 must pick 1, then 3
+    // (doc 2's max-sim penalty is 1.0 while doc 3's is 0).
+    val shortlist = Seq(
+      (7L, 1L, 0.99), (7L, 2L, 0.98), (7L, 3L, 0.60))
+      .toDF("query_id", "doc_id", "rel")
+    val vectors = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(shortlist, vectors,
+        "query_id", "doc_id", "rel", "vec_id", "embedding",
+        k = 2, lambda = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 3L), s"expected diverse pick: ${got.toSeq}")
+    // hand-checked scores: first pick 0.5·0.99, second 0.5·0.60 − 0.5·0
+    assert(got(0)._3 === 0.495 && got(1)._3 === 0.3)
+  }
+
+  test("mmrRerank at λ=1 reduces to relevance order; k past the shortlist returns all; vectorless docs drop") {
+    import spark.implicits._
+    val shortlist = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.7), (1L, 13L, 0.8))
+      .toDF("query_id", "doc_id", "rel")
+    val vectors = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.9, 0.1)), (12L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")   // 13 has no vector → dropped
+    val got = Retrieval.mmrRerank(shortlist, vectors,
+        "query_id", "doc_id", "rel", "vec_id", "embedding",
+        k = 10, lambda = 1.0)
+      .orderBy("rank").collect().map(r => r.getLong(1))
+    assert(got.toSeq === Seq(11L, 12L, 10L))
+  }
+
+  test("mmrRerank refuses an uncapped shortlist instead of buffering it") {
+    import spark.implicits._
+    val shortlist = (1 to 50).map(i => (1L, i.toLong, 1.0 / i))
+      .toDF("query_id", "doc_id", "rel")
+    val vectors = (1 to 50).map(i => (i.toLong, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Retrieval.mmrRerank(shortlist, vectors,
+        "query_id", "doc_id", "rel", "vec_id", "embedding",
+        k = 5, lambda = 0.5, maxShortlist = 10).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("hybrid fusion surfaces docs found by only one retriever") {
     import spark.implicits._
     // lexical finds d1 only; dense finds d2 only; both appear fused

@@ -770,4 +770,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === wantRows)
     assert(got.map(_._2).sum < 40, "self/zero-norm pairs must drop")
   }
+
+  test("quantizeInt8: codes bounded, reconstruction within scale/2, zero vector is NaN-free") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.3f, -1.7f, 0.0f, 0.95f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.5f, 2.5f, 1.25f, -0.01f)))
+      .toDF("vec_id", "embedding")
+    val q = VectorOps.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2))).toSeq
+    val orig = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    q.foreach { case (id, scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"$id codes out of range")
+      assert(!scale.isNaN)
+      codes.zip(orig(id)).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+          s"$id: code $c scale $scale vs $x")
+      }
+    }
+    val zero = q.find(_._1 == 2L).get
+    assert(zero._2 === 0.0 && zero._3.forall(_ == 0))
+  }
+
+  test("int8KnnJoin: cosine within quantization error of float cosine; recall@10 ≥ 0.9 vs exact") {
+    val k = 10
+    val queries = embs.filter(col("vec_id") < 16)
+    val exact = VectorOps.bruteKnnJoin(queries, embs, "vec_id", "embedding", k = k)
+      .select("q_id", "n_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val int8 = VectorOps.int8KnnJoin(queries, embs, "vec_id", "embedding", k = k)
+      .select("q_id", "n_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val int8Cos = int8.map(t => (t._1, t._2) -> t._3).toMap
+    // the shared pairs' int8 cosine tracks the float cosine closely
+    val shared = exact.filter(t => int8Cos.contains((t._1, t._2)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (q, n, c) =>
+      assert(math.abs(int8Cos((q, n)) - c) < 0.02, s"($q,$n): ${int8Cos((q, n))} vs $c")
+    }
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val int8Sets = int8.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exactSets.map { case (q, s) =>
+      int8Sets.get(q).fold(0.0)(g => (g & s).size.toDouble / s.size) }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean int8 recall@10 = $mean")
+  }
 }
