@@ -1861,6 +1861,94 @@ object DataOpsQueries {
           .orderBy("rater_a", "rater_b")
       }),
 
+    // Cross-source duplication matrix over the LEAD-16-TOKEN key:
+    // which sources share document openings (off-diagonal = distinct
+    // lead keys present in both, diagonal = leads duplicated within
+    // one source) — the boilerplate/mirror governance readout
+    // (full-content keys are the same operator; the synthetic corpus
+    // has no exact full-text dups at sf0.01, so the prefix key keeps
+    // the gated relation NON-EMPTY — a 0-row pass proves nothing).
+    // END-TO-END oracle: DuckDB groups by the key STRING where the
+    // engine groups by its 128-bit hash (the q20 contract).
+    NamedQuery(
+      "q158_source_dup_matrix",
+      Some("""WITH d AS (SELECT array_to_string(string_split(text, ' ')[1:16], ' ') k,
+             |        source FROM documents),
+             |cs AS (SELECT DISTINCT k, source FROM d),
+             |pair AS (SELECT a.source sa, b.source sb FROM cs a
+             |         JOIN cs b ON a.k = b.k AND a.source < b.source),
+             |diag AS (SELECT source sa, source sb FROM
+             |          (SELECT k, source FROM d
+             |           GROUP BY k, source HAVING count(*) >= 2))
+             |SELECT sa AS source_a, sb AS source_b,
+             |  CAST(count(*) AS BIGINT) shared_contents
+             |FROM (SELECT * FROM pair UNION ALL SELECT * FROM diag)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val keyed = docs(s, dir).select(
+          array_join(slice(split(col("text"), " "), 1, 16), " ").as("k"),
+          col("source"))
+        Dedup.crossSourceDupMatrix(keyed, "k", "source")
+          .orderBy("source_a", "source_b")
+      }),
+
+    // Tokenizer-fertility report by language under the q134 fixture
+    // merge table: subwords/word and chars/subword per lang — the
+    // report that decides whether a tokenizer under- or over-segments
+    // each language slice before a training mix is priced in tokens.
+    // Full oracle: the encode is deterministic under a FIXED merge
+    // table (q134's ground) and the fertility algebra is exact-count
+    // division.
+    NamedQuery(
+      "q157_token_fertility",
+      Some {
+        val merges = BpeFixtureMerges.map { case (l, r) =>
+          s"'$l'||chr(31)||'$r'" -> s"'$l$r'"
+        }
+        val fold = merges.foldLeft("sym") { case (acc, (from, to)) =>
+          s"replace($acc, $from, $to)"
+        }
+        s"""WITH t AS (SELECT doc_id, lang, n_chars,
+           |        string_split(text, ' ') toks FROM documents),
+           |w AS (SELECT doc_id, unnest(toks) w FROM t),
+           |g AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+           |s AS (SELECT doc_id, array_to_string(list_transform(range(length(w)),
+           |        i -> w[i+1]), chr(31)) sym FROM g),
+           |m AS (SELECT doc_id, $fold AS merged FROM s),
+           |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) nw,
+           |        CAST(sum(len(string_split(merged, chr(31)))) AS BIGINT) ns
+           |      FROM m GROUP BY doc_id)
+           |SELECT t.lang, CAST(count(*) AS BIGINT) n_docs,
+           |  CAST(sum(t.n_chars) AS BIGINT) n_chars,
+           |  CAST(coalesce(sum(c.nw), 0) AS BIGINT) n_words,
+           |  CAST(coalesce(sum(c.ns), 0) AS BIGINT) n_subwords,
+           |  ROUND(CAST(sum(c.ns) AS DOUBLE) / sum(c.nw), 6) subwords_per_word,
+           |  ROUND(CAST(sum(t.n_chars) AS DOUBLE) / sum(c.ns), 6) chars_per_subword
+           |FROM t LEFT JOIN c USING (doc_id)
+           |GROUP BY t.lang ORDER BY lang""".stripMargin
+      },
+      (s, dir) => {
+        val merges = BpeFixtureMerges.zipWithIndex.map { case ((l, r), i) =>
+          Bpe.Merge(i, l, r, 0L)
+        }
+        Bpe.encodeWords(docs(s, dir), "text", merges, "ws")
+          .select(col("lang"), col("n_chars"),
+            size(col("ws")).cast("long").as("nw"),
+            size(flatten(col("ws"))).cast("long").as("ns"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_chars").cast("long").as("n_chars"),
+            sum("nw").cast("long").as("n_words"),
+            sum("ns").cast("long").as("n_subwords"))
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            col("n_words"), col("n_subwords"),
+            round(col("n_subwords").cast("double") / col("n_words"), 6)
+              .as("subwords_per_word"),
+            round(col("n_chars").cast("double") / col("n_subwords"), 6)
+              .as("chars_per_subword"))
+          .orderBy("lang")
+      }),
+
     // Int8 scalar-quantization eval: per-query recall@10 of the
     // 4×-compressed int8-code search against exact float search, plus
     // the per-pair cosine drift — the report that prices an embedding

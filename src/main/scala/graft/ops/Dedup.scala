@@ -86,6 +86,46 @@ object Dedup {
       .select(contentCols.map(col) :+ col(idCol) :+ col("dup_count"): _*)
   }
 
+  /** Cross-source duplication matrix — the governance readout that
+    * names WHICH sources mirror each other (licensing review, mixture
+    * double-count correction, crawl-overlap audits), not just how many
+    * duplicates exist. One row per unordered source pair (a < b) with
+    * the count of distinct contents present in both, plus diagonal
+    * rows (a = a) counting contents duplicated WITHIN a source.
+    * `keyCol` is whatever canonical key defines "the same content" —
+    * full text, [[normalizeText]] output, or a lead-n-token prefix
+    * (boilerplate-opening detection, q158's choice).
+    *
+    * Scale shape: the corpus collapses once to the distinct
+    * (content-hash, source) relation — strings never shuffle after the
+    * map-side hash ([[contentHash128]], the q20 hash-vs-content
+    * contract). The pair join is per-content and each content's group
+    * is bounded by the SOURCE COUNT, not the corpus (a content in s
+    * sources yields s(s−1)/2 pair rows with s ≤ |sources|), so the
+    * join cannot go quadratic in documents.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String): DataFrame = {
+    val cs = df
+      .select(contentHash128(Seq(col(keyCol))).as("h"),
+        col(sourceCol).as("s"))
+    val distinctCs = cs.distinct()
+    val pairs = distinctCs.as("a")
+      .join(distinctCs.as("b"), col("a.h") === col("b.h"))
+      .filter(col("a.s") < col("b.s"))
+      .select(col("a.s").as("source_a"), col("b.s").as("source_b"))
+    val diag = cs
+      .groupBy(col("h"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("s").as("source_a"), col("s").as("source_b"))
+    pairs.unionByName(diag)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("shared_contents"))
+  }
+
   /** ASCII text normalization for dedup keys — the C4-style canonical
     * form: lowercase, every non-[a-z0-9 ] character becomes a space,
     * whitespace runs collapse, ends trim. Deliberately ASCII-scoped

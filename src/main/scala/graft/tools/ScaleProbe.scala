@@ -234,7 +234,31 @@ object ScaleProbe {
         // per-group distinct scores.
         "q149_auc_by_source",
         // q150: one broadcast scalar + one map-side-combined agg.
-        "q150_decayed_activity")
+        "q150_decayed_activity",
+        // q152: per-(user,day) and per-(type,day) interval aggs grow
+        // k× in rows (users replicate); the bucket-cover equi-join's
+        // per-bin candidates grow k× (k× user intervals vs the fixed
+        // 6 type intervals per day) — linear.
+        "q152_interval_join",
+        // q153: the stacked label relation is 3 rows/doc (k×); the
+        // pairwise self-join has constant per-item groups; marginals
+        // are (raters × labels)-scale — scan-band.
+        "q153_annotator_agreement",
+        // q154: the one corpus-scale pass is the comparison collapse
+        // (k× pair rows over the SAME 5-language item set); all 20 MM
+        // iterations run on the constant item-pair match relation.
+        "q154_bradley_terry",
+        // q155/q156: the q106/q114 const-queries contract — the query
+        // sets stay the 1× replica's low-id vectors while the corpus
+        // pass grows k×; MMR greedy and the recall join are
+        // shortlist-scale.
+        "q155_mmr_diversify", "q156_int8_recall",
+        // q157: map-only native BPE encode over the k× corpus + one
+        // lang-keyed map-side-combined agg — the q113 encode band;
+        // q158: corpus collapses to distinct (prefix-hash, source)
+        // (k×, disjoint replica vocabularies keep per-key groups
+        // bounded), pair join groups ≤ |sources|.
+        "q157_token_fertility", "q158_source_dup_matrix")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -337,6 +361,29 @@ object ScaleProbe {
             .orderBy(col("pc").desc, col("gid")).limit(10)
           graft.ops.VectorOps.maxSimScoresShortlisted(
             docsDf, queriesDf, "gid", "embedding", "vec_id", short).count()
+        }),
+      // q151 needs a custom relation: the probe's lineitem replicas
+      // offset l_orderkey, which can't join the UNREPLICATED orders
+      // dim — the fixed query's edge relation would stay 1× at kx. The
+      // honest probe replicates the 1× EDGE relation into k disjoint
+      // graph copies (node ids offset per replica): PageRank on k
+      // disjoint components must price k× per iteration, and the
+      // dangling/teleport algebra is per-component so results replicate
+      // exactly.
+      ("q151_pagerank[replicated-graph]",
+        d => {
+          val scale = if (d == dir) 1 else k
+          val o = Tables.load(spark, dir, "orders")
+          val l = Tables.load(spark, dir, "lineitem")
+          val base = o.join(l, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("src"),
+              (col("l_suppkey") + lit(1000000L)).as("dst"))
+          val edges = (0 until scale).map(i =>
+            base.select((col("src") + lit(i * 10000000L)).as("src"),
+              (col("dst") + lit(i * 10000000L)).as("dst")))
+            .reduce(_ unionByName _)
+          graft.ops.GraphOps.pageRank(edges, "src", "dst", iterations = 5)
+            .count()
         }),
       // incremental SemDeDup under the same rule: even ids are the kept
       // base (centroids frozen on it), odd ids + exact-direction twins

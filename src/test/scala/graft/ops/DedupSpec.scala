@@ -595,4 +595,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === distinctSpans)
     assert(out.count() === docs.count())
   }
+
+  test("crossSourceDupMatrix: planted mirrors count once per pair, diagonal counts within-source dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared one", "a"), (2L, "shared one", "b"), (3L, "shared one", "c"),
+      (4L, "shared two", "a"), (5L, "shared two", "b"),
+      (6L, "a only dup", "a"), (7L, "a only dup", "a"),
+      (8L, "unique x", "a"), (9L, "unique y", "b"),
+      // same content twice in BOTH a and b: one pair row (distinct
+      // keys), plus a diagonal row for each source
+      (10L, "both dup", "a"), (11L, "both dup", "a"),
+      (12L, "both dup", "b"), (13L, "both dup", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a", "b") -> 3L,  // shared one, shared two, both dup
+      ("a", "c") -> 1L,  // shared one
+      ("b", "c") -> 1L,
+      ("a", "a") -> 2L,  // a only dup, both dup
+      ("b", "b") -> 1L)) // both dup
+  }
 }
