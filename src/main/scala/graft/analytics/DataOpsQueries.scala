@@ -1861,6 +1861,61 @@ object DataOpsQueries {
           .orderBy("rater_a", "rater_b")
       }),
 
+    // Vocabulary-growth (Heaps-law saturation) curve: per source, docs
+    // split into 10 index-range buckets, counting tokens that appear
+    // for the FIRST time in each bucket plus the running vocabulary —
+    // does more data from this source still buy new vocabulary? Full
+    // oracle: exact integer bucket arithmetic over row_number/min
+    // (engine ranks via the two-phase prefix sum, oracle via window —
+    // same relation).
+    NamedQuery(
+      "q159_vocab_growth",
+      Some("""WITH i AS (SELECT source, doc_id,
+             |        row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS idx,
+             |        count(*) OVER (PARTITION BY source) AS nd
+             |      FROM documents),
+             |b AS (SELECT source, doc_id,
+             |        LEAST((idx * 10) // nd, 9) bucket FROM i),
+             |t AS (SELECT source, doc_id,
+             |        unnest(string_split(text, ' ')) w FROM documents),
+             |f AS (SELECT source, w, min(doc_id) doc_id FROM t
+             |      WHERE length(w) > 0 GROUP BY source, w),
+             |n AS (SELECT b.source, b.bucket, CAST(count(*) AS BIGINT) n_new
+             |      FROM f JOIN b USING (source, doc_id) GROUP BY 1, 2)
+             |SELECT source, CAST(bucket AS BIGINT) bucket, n_new,
+             |  CAST(sum(n_new) OVER (PARTITION BY source ORDER BY bucket)
+             |    AS BIGINT) cum_vocab
+             |FROM n ORDER BY source, bucket""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.vocabGrowth(docs(s, dir), "doc_id", "text", "source")
+          .orderBy("source", "bucket")),
+
+    // Concat-and-chunk packing (GPT/T5 layout): the whole corpus as
+    // one token stream cut into 256-token blocks, docs crossing
+    // boundaries — the block-membership relation with zero padding
+    // waste (q68's packGreedy is the boundary-respecting alternative).
+    // Full oracle: exact integer prefix-sum/slice arithmetic.
+    NamedQuery(
+      "q160_concat_chunks",
+      Some("""WITH t AS (SELECT doc_id,
+             |        CAST(len(list_filter(string_split(text, ' '),
+             |          w -> length(w) > 0)) AS BIGINT) n
+             |      FROM documents),
+             |c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS BIGINT) s
+             |      FROM t),
+             |g AS (SELECT doc_id, n, s, s + n - 1 e FROM c WHERE n > 0),
+             |x AS (SELECT doc_id, s, e,
+             |        unnest(range(s // 256, e // 256 + 1)) b FROM g)
+             |SELECT CAST(b AS BIGINT) block_id, doc_id,
+             |  CAST(LEAST(e, (b + 1) * 256 - 1) - GREATEST(s, b * 256) + 1
+             |    AS BIGINT) n_tokens
+             |FROM x ORDER BY block_id, doc_id""".stripMargin),
+      (s, dir) =>
+        Packing.concatChunks(docs(s, dir), "doc_id", "text", blockSize = 256)
+          .orderBy("block_id", "doc_id")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -63,4 +63,43 @@ object Packing {
       }
       .toDF(idCol, "bin_id", "n_tokens")
   }
+
+  /** Concat-and-chunk packing (the GPT/T5 pretraining layout): all
+    * documents concatenate in `idCol` order into one global token
+    * stream cut into fixed `blockSize` blocks, docs crossing block
+    * boundaries — the zero-padding-waste alternative to
+    * [[packGreedy]]'s boundary-respecting bins. Returns the block
+    * membership relation `(block_id, doc_id, n_tokens)`: how many of
+    * the doc's tokens land in each block it spans.
+    *
+    * Scale shape: one map-only token count, the two-phase
+    * [[Sampling.prefixSum]] for each doc's global start offset (never
+    * a single-reducer global window), then a map-only explode over the
+    * blocks a doc spans — bounded per doc by len/blockSize + 1, so the
+    * output is |docs| + |tokens|/blockSize rows. Exact integer
+    * arithmetic end to end (SQL-replayable). Empty docs occupy no
+    * block and emit no row.
+    */
+  def concatChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int): DataFrame = {
+    require(blockSize >= 1, s"blockSize=$blockSize must be >= 1")
+    val counted = df.select(col(idCol),
+      size(array_remove(TextFunctions.tokens(col(textCol)), ""))
+        .cast("long").as("n"))
+    val b = lit(blockSize.toLong)
+    Sampling.prefixSum(counted, idCol, "n")
+      .filter(col("n") > 0)
+      .select(col(idCol), col("n"), col("cum_sum").as("s"),
+        (col("cum_sum") + col("n") - 1).as("e"))
+      .select(col(idCol), col("s"), col("e"),
+        explode(sequence(expr(s"s div ${blockSize}L"),
+          expr(s"e div ${blockSize}L"))).as("block_id"))
+      .select(col("block_id"), col(idCol),
+        (least(col("e"), (col("block_id") + 1) * b - 1) -
+          greatest(col("s"), col("block_id") * b) + 1).cast("long")
+          .as("n_tokens"))
+  }
 }

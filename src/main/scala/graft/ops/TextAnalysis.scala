@@ -1011,4 +1011,51 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Vocabulary-growth (novelty-saturation) curve per source: docs are
+    * split into `nBuckets` equal index ranges in `idCol` order and each
+    * bucket reports how many DISTINCT tokens appear there for the
+    * FIRST time in that source, plus the running vocabulary size — the
+    * Heaps-law readout that says whether more data from a source still
+    * buys new vocabulary or the source has saturated.
+    *
+    * Scale shape: one map-only tokenize + a (source, token) min-doc
+    * agg (vocabulary-bound, map-side combined); the per-source doc
+    * index comes from the two-phase [[Sampling.prefixSumBy]] — never a
+    * corpus-wide `Window.partitionBy(source)` (parallelism capped at
+    * the source count, the q149 lesson). The only window runs on the
+    * (source × nBuckets)-row bucket relation, bounded by construction.
+    * Buckets where a source introduces nothing are absent (their
+    * n_new is zero, not a row).
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    val d = df.select(col(sourceCol).as("source"), col(idCol).as("doc"))
+      .withColumn("one", lit(1L))
+    val idx = Sampling.prefixSumBy(d, Seq("source"), "doc", "one")
+    val nd = d.groupBy("source").agg(count(lit(1)).as("nd"))
+    val bucketed = idx.join(nd, Seq("source"))
+      .select(col("source"), col("doc"),
+        least(expr(s"(cum_sum * $nBuckets) div nd"),
+          lit(nBuckets - 1L)).as("bucket"))
+    val firsts = df
+      .select(col(sourceCol).as("source"), col(idCol).as("doc"),
+        explode(array_remove(TextFunctions.tokens(col(textCol)), "")).as("w"))
+      .groupBy("source", "w").agg(min("doc").as("doc"))
+      .groupBy("source", "doc").agg(count(lit(1)).as("nw"))
+    val perBucket = firsts.join(bucketed, Seq("source", "doc"))
+      .groupBy("source", "bucket")
+      .agg(sum("nw").cast("long").as("n_new"))
+    // bounded window: exactly ≤ nBuckets rows per source by construction
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.select(col("source"), col("bucket"), col("n_new"),
+      sum("n_new").over(bySource).cast("long").as("cum_vocab"))
+  }
 }

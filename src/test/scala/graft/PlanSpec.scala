@@ -464,6 +464,38 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"partner join missing:\n$p")
   }
 
+  test("q152: interval join plans as a bin equi-join — never a nested loop or cartesian") {
+    val p = plan("q152_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to an all-pairs product:\n$p")
+  }
+
+  test("q156: both kNN passes broadcast the query batch and group-limit the top-k; the corpus is never shuffled before scoring") {
+    val p = plan("q156_int8_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+    // the only exchanges are the shortlist-scale recall join + final agg,
+    // never a corpus-width shuffle of embedding arrays
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q151: the PageRank step's contribution join is an equi-join on src — no cartesian, no nested loop") {
+    // audit ONE step's plan (the query runs 5 materialized steps, so
+    // the full executedPlan shows only the last join over LogicalRDDs)
+    val o = Tables.load(spark, TestSpark.Sf001, "orders")
+    val l = Tables.load(spark, TestSpark.Sf001, "lineitem")
+    val edges = o.join(l,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select(org.apache.spark.sql.functions.col("o_custkey").as("src"),
+        (org.apache.spark.sql.functions.col("l_suppkey") +
+          org.apache.spark.sql.functions.lit(1000000L)).as("dst"))
+    val p = graft.ops.GraphOps.pageRank(edges, "src", "dst", iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"PageRank step went all-pairs:\n$p")
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(

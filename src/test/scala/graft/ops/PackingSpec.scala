@@ -55,4 +55,42 @@ class PackingSpec extends AnyFunSuite {
     // lower bound (i.e. >= 50% average fill)
     assert(nBins <= 2 * lowerBound, s"$nBins bins vs lower bound $lowerBound")
   }
+
+  test("concatChunks: hand fixture — boundary-crossing docs split exactly; empty docs absent") {
+    // stream (blockSize 4): doc1 [0..2], doc2 [3..8], doc4 [9..9]
+    val df = Seq(
+      (1L, "a b c"),            // 3 tokens → block 0
+      (2L, "d e f g h i"),      // 6 tokens → blocks 0(1), 1(4), 2(1)
+      (3L, ""),                 // empty → no rows
+      (4L, "j"))                // 1 token → block 2
+      .toDF("doc_id", "text")
+    val got = Packing.concatChunks(df, "doc_id", "text", blockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (0L, 1L, 3L), (0L, 2L, 1L), (1L, 2L, 4L), (2L, 2L, 1L), (2L, 4L, 1L)))
+  }
+
+  test("concatChunks: corpus invariants — per-doc tokens conserved, every block full except the last, blocks contiguous") {
+    val text = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val blockSize = 256L
+    val chunks = Packing.concatChunks(text, "doc_id", "text", blockSize.toInt).cache()
+    try {
+      // conservation: each doc's chunk tokens sum to its token count
+      val perDoc = chunks.groupBy("doc_id").agg(sum("n_tokens").as("got"))
+      val want = text.select(col("doc_id"),
+        size(array_remove(TextFunctions.tokens(col("text")), ""))
+          .cast("long").as("want")).filter(col("want") > 0)
+      assert(perDoc.join(want, Seq("doc_id"), "full")
+        .filter(col("got").isNull || col("want").isNull || col("got") =!= col("want"))
+        .count() === 0L)
+      // every block holds exactly blockSize tokens except the last
+      val blocks = chunks.groupBy("block_id").agg(sum("n_tokens").as("t"))
+      val maxBlock = blocks.agg(max("block_id")).head().getLong(0)
+      assert(blocks.filter(col("block_id") < maxBlock && col("t") =!= blockSize)
+        .count() === 0L)
+      // contiguous ids 0..maxBlock
+      assert(blocks.count() === maxBlock + 1)
+    } finally chunks.unpersist()
+  }
 }

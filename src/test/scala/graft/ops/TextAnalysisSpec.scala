@@ -435,4 +435,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(f1 === f2)
     assert(f1.values.forall(_.length === 4))
   }
+
+  test("vocabGrowth: hand fixture — first appearances land in the right bucket; cum_vocab runs to the vocab size") {
+    // source A, 4 docs → 2 buckets of 2 docs each (nBuckets=2)
+    val df = Seq(
+      (1L, "a b", "A"),     // bucket 0: a, b new
+      (2L, "b c", "A"),     // bucket 0: c new
+      (3L, "a c", "A"),     // bucket 1: nothing new → no row
+      (4L, "d", "A"),       // bucket 1: d new
+      (5L, "x", "B"))       // B bucket 0: x new
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabGrowth(df, "doc_id", "text", "source", nBuckets = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(("A", 0L, 3L, 3L), ("A", 1L, 1L, 4L), ("B", 0L, 1L, 1L)))
+  }
+
+  test("vocabGrowth: corpus invariants — cum_vocab is the running sum and ends at the source vocabulary size") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
+    val g = TextAnalysis.vocabGrowth(docs, "doc_id", "text", "source").cache()
+    try {
+      assert(g.filter(col("bucket") < 0 || col("bucket") > 9).count() === 0L)
+      // last cum_vocab per source == distinct-token count of the source
+      val last = g.groupBy("source").agg(max_by(col("cum_vocab"), col("bucket")).as("v"))
+      val vocab = docs.select(col("source"),
+        explode(array_remove(TextFunctions.tokens(col("text")), "")).as("w"))
+        .groupBy("source").agg(countDistinct("w").as("want"))
+      assert(last.join(vocab, Seq("source"), "full")
+        .filter(col("v").isNull || col("want").isNull || col("v") =!= col("want"))
+        .count() === 0L)
+      // n_new sums to cum_vocab (running-sum identity)
+      val bad = g.select(col("source"), col("bucket"), col("n_new"), col("cum_vocab"))
+        .withColumn("run", sum("n_new").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("bucket")))
+        .filter(col("run") =!= col("cum_vocab")).count()
+      assert(bad === 0L)
+    } finally g.unpersist()
+  }
 }
