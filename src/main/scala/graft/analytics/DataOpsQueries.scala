@@ -1916,6 +1916,45 @@ object DataOpsQueries {
         Packing.concatChunks(docs(s, dir), "doc_id", "text", blockSize = 256)
           .orderBy("block_id", "doc_id")),
 
+    // Exact per-source token-count quantiles (p25/p50/p90/p99) with
+    // bounded memory: the corpus collapses to the (source, count)
+    // histogram, ranks come from the two-phase prefix sum, quantiles
+    // from integer rank arithmetic — never Spark's exact `percentile`
+    // aggregate, which buffers every value of a group in executor
+    // memory. Full oracle: ceil(n·p) = (n·num + den − 1) // den is
+    // integer both sides, the "disc" convention (always an element).
+    NamedQuery(
+      "q161_length_quantiles",
+      Some("""WITH t AS (SELECT source,
+             |        CAST(len(list_filter(string_split(text, ' '),
+             |          w -> length(w) > 0)) AS BIGINT) n
+             |      FROM documents),
+             |h AS (SELECT source, n, CAST(count(*) AS BIGINT) c
+             |      FROM t GROUP BY 1, 2),
+             |c AS (SELECT source, n, c,
+             |        CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY n
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS BIGINT) cum,
+             |        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) tot
+             |      FROM h)
+             |SELECT source, CAST(max(tot) AS BIGINT) n_rows,
+             |  max(CASE WHEN cum < (tot + 3) // 4
+             |    AND (tot + 3) // 4 <= cum + c THEN n END) p25,
+             |  max(CASE WHEN cum < (tot + 1) // 2
+             |    AND (tot + 1) // 2 <= cum + c THEN n END) p50,
+             |  max(CASE WHEN cum < (tot * 9 + 9) // 10
+             |    AND (tot * 9 + 9) // 10 <= cum + c THEN n END) p90,
+             |  max(CASE WHEN cum < (tot * 99 + 99) // 100
+             |    AND (tot * 99 + 99) // 100 <= cum + c THEN n END) p99
+             |FROM c GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Stats.exactQuantilesByGroup(
+          docs(s, dir).select(col("source"),
+            size(array_remove(TextFunctions.tokens(col("text")), ""))
+              .cast("long").as("n")),
+          Seq("source"), "n")
+          .orderBy("source")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

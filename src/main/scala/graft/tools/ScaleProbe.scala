@@ -258,7 +258,18 @@ object ScaleProbe {
         // q158: corpus collapses to distinct (prefix-hash, source)
         // (k×, disjoint replica vocabularies keep per-key groups
         // bounded), pair join groups ≤ |sources|.
-        "q157_token_fertility", "q158_source_dup_matrix")
+        "q157_token_fertility", "q158_source_dup_matrix",
+        // q159: (source, token) min-doc agg is vocabulary-bound (k×
+        // under disjoint replica vocabularies); the doc index is the
+        // two-phase prefixSumBy (two bounded extra exchanges); the
+        // only window runs on the ≤ sources×10 bucket relation.
+        // q160: prefixSum offsets + map-only bounded explode — output
+        // is |docs| + |tokens|/256 rows, the prefix-sum band.
+        "q159_vocab_growth", "q160_concat_chunks",
+        // q161: corpus collapses to the (source, count) histogram
+        // (map-side combined); ranks two-phase over histogram-scale
+        // rows; the quantile agg is histogram-scale — hash-groupBy band.
+        "q161_length_quantiles")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

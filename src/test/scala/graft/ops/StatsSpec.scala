@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exactQuantilesByGroup: hand fixture with ties — disc convention, element of the group") {
+    // group A: values 1,2,2,3,100 (n=5): ranks p25→ceil(1.25)=2 → 2,
+    // p50→ceil(2.5)=3 → 2, p90→ceil(4.5)=5 → 100, p99→5 → 100
+    // group B: single value (n=1): every quantile is it
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("A", 3L), ("A", 100L),
+      ("B", 7L)).toDF("g", "v")
+    val got = Stats.exactQuantilesByGroup(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("A") === ((5L, 2L, 2L, 100L, 100L)))
+    assert(got("B") === ((1L, 7L, 7L, 7L, 7L)))
+  }
+
+  test("exactQuantilesByGroup: agrees with a sort-based reference on the corpus") {
+    val df = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(col("source"),
+        size(array_remove(TextFunctions.tokens(col("text")), ""))
+          .cast("long").as("n"))
+    val got = Stats.exactQuantilesByGroup(df, Seq("source"), "n")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val raw = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sorted }
+    def q(vs: Array[Long], num: Long, den: Long): Long =
+      vs(((vs.length * num + den - 1) / den - 1).toInt)
+    assert(got.keySet === raw.keySet)
+    raw.foreach { case (s, vs) =>
+      assert(got(s) === ((vs.length.toLong, q(vs, 1, 4), q(vs, 1, 2),
+        q(vs, 9, 10), q(vs, 99, 100))), s"source $s")
+    }
+  }
+
+  test("exactQuantilesByGroup: monotone across probabilities; name clashes fail fast") {
+    val df = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(col("source"), length(col("text")).cast("long").as("n"))
+    val bad = Stats.exactQuantilesByGroup(df, Seq("source"), "n")
+      .filter(col("p25") > col("p50") || col("p50") > col("p90") ||
+        col("p90") > col("p99")).count()
+    assert(bad === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Stats.exactQuantilesByGroup(
+        df.withColumnRenamed("n", "p50"), Seq("source"), "p50")
+    }
+    assert(e.getMessage.contains("p50"))
+  }
+}
