@@ -1955,6 +1955,50 @@ object DataOpsQueries {
           Seq("source"), "n")
           .orderBy("source")),
 
+    // Fuzzy-key self-join at edit distance exactly 1 over customer
+    // names (FastSS deletion neighborhoods → one variant-hash equi-join
+    // → exact levenshtein verify; never an all-pairs product). The
+    // record-linkage primitive. Full oracle: the DuckDB side IS the
+    // quadratic ground truth (vocab² levenshtein at gate scale — the
+    // q24 pattern: oracle quadratic, engine bucketed).
+    NamedQuery(
+      "q162_fuzzy_name_pairs",
+      Some("""WITH v AS (SELECT DISTINCT c_name w FROM customer)
+             |SELECT a.w w1, b.w w2 FROM v a JOIN v b
+             |ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+             |ORDER BY w1, w2""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.editDistance1Pairs(Tables.load(s, dir, "customer"), "c_name")
+          .orderBy("w1", "w2")),
+
+    // Leakage-safe train/val/test split: the split is decided per
+    // GROUP (the q158 lead-16-token key — any canonical content key
+    // works), by the seeded integer mix of the group's min-doc_id
+    // representative, so near-duplicate documents can never straddle
+    // splits and contaminate eval. Full END-TO-END oracle: group
+    // election is exact min, the mix is the engine-replayable LCG.
+    NamedQuery(
+      "q163_leakage_safe_split",
+      Some("""WITH d AS (SELECT doc_id, source,
+             |        array_to_string(string_split(text, ' ')[1:16], ' ') k
+             |      FROM documents),
+             |g AS (SELECT k, min(doc_id) rep FROM d GROUP BY k),
+             |a AS (SELECT d.doc_id, d.source,
+             |        ((g.rep % 2147483648) * 2654435761 + 42)
+             |          % 4294967296 % 100 m
+             |      FROM d JOIN g USING (k))
+             |SELECT doc_id, source,
+             |  CASE WHEN m < 96 THEN 'train' WHEN m < 98 THEN 'val'
+             |    ELSE 'test' END split
+             |FROM a ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.groupSplit(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            array_join(slice(split(col("text"), " "), 1, 16), " ").as("k")),
+          "doc_id", "k")
+          .select(col("doc_id"), col("source"), col("split"))
+          .orderBy("doc_id")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -437,4 +437,51 @@ object Sampling {
       .withColumn("pos", col(rk) + col(off))
       .select((df.columns.map(col) :+ col("shard") :+ col("pos")): _*)
   }
+
+  /** Leakage-safe train/val/test split: every row whose `groupCol`
+    * matches (near-dup cluster key, URL domain, lead-n-token prefix —
+    * whatever names "the same content") lands in the SAME split, so an
+    * eval split can never be contaminated by a training-set twin. The
+    * split is decided by the [[seededMix]] of the group's canonical
+    * representative (its minimum `idCol`) against cumulative percent
+    * `cuts` — pure integer arithmetic, so any engine reading the
+    * manifest can recompute the assignment bit-identically; re-running
+    * with more data moves a group between splits only if its
+    * representative changed.
+    *
+    * Scale shape: the corpus collapses once to the (group-hash, rep)
+    * relation (group-cardinality-bound, map-side combined min), joins
+    * back on the 8-byte group hash, and the assignment is a map-only
+    * projection. Group strings never shuffle — only their xxhash64. A
+    * 64-bit collision MERGES two groups into one split decision, which
+    * is leakage-CONSERVATIVE (co-assignment can only over-group, never
+    * let twins straddle splits); the oracle joins by string, so the
+    * gate would surface a collision as a fraction skew.
+    */
+  def groupSplit(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      cuts: Seq[(String, Int)] = Seq(("train", 96), ("val", 98), ("test", 100)),
+      seed: Long = 42L): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) < w(1)) &&
+      cuts.head._2 >= 1,
+      s"cuts must be ascending percents ending at 100, got $cuts")
+    require(cuts.map(_._1).distinct.size == cuts.size,
+      s"duplicate split names in $cuts")
+    require(!df.columns.exists(_.equalsIgnoreCase("split")),
+      "groupSplit writes a 'split' column but the input already has one")
+    val gh = Dedup.freshName(df, "_gs_gh")
+    val rep = Dedup.freshName(df, "_gs_rep")
+    val keyed = df.withColumn(gh, xxhash64(col(groupCol)))
+    val reps = keyed.groupBy(col(gh)).agg(min(col(idCol)).as(rep))
+    val m = pmod(seededMix(col(rep), seed), lit(100L))
+    val split = cuts.tail.foldLeft(when(m < cuts.head._2, cuts.head._1)) {
+      case (acc, (name, hi)) => acc.when(m < hi, name)
+    }
+    keyed.join(reps, gh)
+      .withColumn("split", split)
+      .drop(gh, rep)
+  }
 }

@@ -1058,4 +1058,61 @@ object TextAnalysis {
     perBucket.select(col("source"), col("bucket"), col("n_new"),
       sum("n_new").over(bySource).cast("long").as("cum_vocab"))
   }
+
+  /** All pairs of distinct `keyCol` strings at edit distance exactly 1
+    * (insert / delete / substitute one character) — the fuzzy-key
+    * primitive behind record linkage and spelling-variant clustering,
+    * as `(w1, w2)` with `w1 < w2`.
+    *
+    * FastSS (Bocek et al. 2007) deletion neighborhoods: two strings are
+    * at edit distance ≤ 1 iff they share an entry in each other's
+    * {self} ∪ {1-deletions} set, so candidates come from ONE equi-join
+    * on an 8-byte variant hash — never an all-pairs product — and the
+    * codegen'd `levenshtein` verifies each candidate exactly. Hash
+    * collisions only ADD candidates; the exact verify removes them
+    * (stronger than the hash-vs-content contract: collisions cannot
+    * change the result at all).
+    *
+    * Scale shape: the corpus collapses once to its distinct key set
+    * (entity-cardinality-bound); each key emits len+1 variants
+    * (map-only, `maxKeyLen`-bounded); the candidate join groups by
+    * variant hash — posting sizes are alphabet-bounded for natural key
+    * spaces, and the one histogram-scale stats pass fails fast with the
+    * measured size if a degenerate key space exceeds `maxBucket`
+    * instead of silently detonating the pair expansion.
+    */
+  def editDistance1Pairs(
+      df: DataFrame,
+      keyCol: String,
+      maxKeyLen: Int = 256,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxKeyLen >= 1 && maxBucket >= 2,
+      s"editDistance1Pairs: maxKeyLen=$maxKeyLen, maxBucket=$maxBucket out of range")
+    val words = df.select(col(keyCol).cast("string").as("w"))
+      .na.drop().distinct()
+    val tooLong = words.filter(length(col("w")) > maxKeyLen).limit(1)
+      .collect().headOption
+    require(tooLong.isEmpty,
+      s"editDistance1Pairs: key ${tooLong.map(_.getString(0).take(32)).getOrElse("")}… " +
+        s"exceeds maxKeyLen=$maxKeyLen — raise the knob if the key space is real")
+    // {self} ∪ {1-deletions}, deduped per word (deleting either of two
+    // equal adjacent chars yields the same variant)
+    val keyed = words
+      .select(col("w"), explode(array_distinct(expr(
+        "concat(array(w), transform(sequence(1, length(w)), " +
+          "i -> concat(substr(w, 1, i - 1), substr(w, i + 1))))")))
+        .as("v"))
+      .select(col("w"), xxhash64(col("v")).as("vh"))
+    val worst = keyed.groupBy("vh").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    require(worst <= maxBucket,
+      s"editDistance1Pairs: a variant bucket holds $worst keys (> maxBucket=" +
+        s"$maxBucket) — the key space is too self-similar for the k=1 " +
+        "neighborhood join; raise maxBucket only if the pair relation is wanted")
+    keyed.as("a").join(keyed.as("b"), "vh")
+      .filter(col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+  }
 }

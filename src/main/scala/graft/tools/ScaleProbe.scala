@@ -269,7 +269,11 @@ object ScaleProbe {
         // q161: corpus collapses to the (source, count) histogram
         // (map-side combined); ranks two-phase over histogram-scale
         // rows; the quantile agg is histogram-scale — hash-groupBy band.
-        "q161_length_quantiles")
+        "q161_length_quantiles",
+        // q163: one map-side-combined min per group (k× groups under
+        // disjoint replica lead-keys), one 8-byte-keyed join back,
+        // map-only assignment — hash-groupBy band.
+        "q163_leakage_safe_split")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -395,6 +399,23 @@ object ScaleProbe {
             .reduce(_ unionByName _)
           graft.ops.GraphOps.pageRank(edges, "src", "dst", iterations = 5)
             .count()
+        }),
+      // q162 needs a custom relation too: the dims are symlinked, so
+      // the fixed query wouldn't grow. The probe replicates the 1×
+      // customer names with per-replica 4-char doubled base-26 tags
+      // (any two distinct tags differ in ≥ 2 positions, so NO
+      // cross-replica pair is ever at edit distance 1 — verified: the
+      // k× relation is exactly k× the 1× pair count) — the variant
+      // join's posting sizes stay 1×-shaped while keys grow k×.
+      ("q162_fuzzy_pairs[replicated-names]",
+        d => {
+          val scale = if (d == dir) 1 else k
+          val base = Tables.load(spark, dir, "customer").select(col("c_name"))
+          val names = (0 until scale).map { i =>
+            val tag = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+            base.select(concat(col("c_name"), lit(tag + tag)).as("c_name"))
+          }.reduce(_ unionByName _)
+          graft.ops.TextAnalysis.editDistance1Pairs(names, "c_name").count()
         }),
       // incremental SemDeDup under the same rule: even ids are the kept
       // base (centroids frozen on it), odd ids + exact-direction twins

@@ -496,6 +496,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"PageRank step went all-pairs:\n$p")
   }
 
+  test("q162: the ED-1 candidate join is a variant-hash equi-join — never an all-pairs product") {
+    val p = plan("q162_fuzzy_name_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to an all-pairs product:\n$p")
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(

@@ -319,4 +319,43 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.contiguousIndex(df.drop("global_idx"), "doc_id", 0)
     }
   }
+
+  test("groupSplit: planted near-dup twins co-assign; splits never straddle a group") {
+    val df = Seq(
+      (1L, "same lead text here"), (2L, "same lead text here"),
+      (3L, "other text entirely"), (4L, "third body of words"))
+      .toDF("doc_id", "k")
+    val got = Sampling.groupSplit(df, "doc_id", "k")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === got(2L), "twins straddled splits")
+    // corpus-level: every lead-16 group is split-coherent
+    val keyed = docs.select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 16), " ").as("k"))
+    val straddlers = Sampling.groupSplit(keyed, "doc_id", "k")
+      .groupBy("k").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddlers === 0L)
+  }
+
+  test("groupSplit: fractions near the cuts on mostly-unique keys; deterministic; bad cuts fail fast") {
+    val keyed = docs.select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 16), " ").as("k"))
+    val byShare = Sampling.groupSplit(keyed, "doc_id", "k")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byShare.values.sum.toDouble
+    assert(byShare.keySet === Set("train", "val", "test"))
+    assert(byShare("train") / total > 0.90 && byShare("train") / total < 0.99,
+      s"train share off: $byShare")
+    def run() = Sampling.groupSplit(keyed, "doc_id", "k")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toSet
+    assert(run() === run())
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(keyed, "doc_id", "k", cuts = Seq(("train", 90)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(keyed, "doc_id", "k",
+        cuts = Seq(("a", 98), ("a", 100)))
+    }
+  }
 }

@@ -471,4 +471,50 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(bad === 0L)
     } finally g.unpersist()
   }
+
+  test("editDistance1Pairs: hand fixture covers insert/delete/substitute; distance-2 pairs absent") {
+    val df = Seq("cat", "cart", "bat", "at", "hello", "cat")
+      .toDF("w") // duplicate collapses
+    val got = TextAnalysis.editDistance1Pairs(df, "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("at", "bat"), ("at", "cat"), ("bat", "cat"),
+      ("cart", "cat")))
+  }
+
+  test("editDistance1Pairs: equals the quadratic levenshtein ground truth on customer names") {
+    val names = graft.Tables.load(spark, TestSpark.Sf001, "customer")
+      .select(col("c_name")).distinct()
+    val got = TextAnalysis.editDistance1Pairs(names, "c_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val vocab = names.collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vocab; b <- vocab
+      if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the gate must not pass vacuously
+  }
+
+  test("editDistance1Pairs: degenerate key space trips the bucket guard; oversize keys trip the length guard") {
+    // 20 single-char keys all share the "" deletion variant
+    val degenerate = (0 until 20).map(i => ('a' + i).toChar.toString).toDF("w")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.editDistance1Pairs(degenerate, "w", maxBucket = 10)
+    }
+    assert(e.getMessage.contains("variant bucket"))
+    val long = Seq("x" * 300).toDF("w")
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.editDistance1Pairs(long, "w")
+    }
+    assert(e2.getMessage.contains("maxKeyLen"))
+  }
 }
