@@ -1999,6 +1999,34 @@ object DataOpsQueries {
           .select(col("doc_id"), col("source"), col("split"))
           .orderBy("doc_id")),
 
+    // Mergeable distinct-user reach: per-day HLL sketches built in ONE
+    // corpus pass, with the all-days total answered by UNIONING the
+    // daily sketches — never rescanning events (the sketch-table
+    // pattern every 100 TB rollup needs). Oracle-gated because at gate
+    // cardinalities the sketch is in its sparse EXACT mode, so the
+    // estimate equals count(DISTINCT) — SketchesSpec pins that regime
+    // plus the ~1.6 % error contract where promotion kicks in.
+    NamedQuery(
+      "q164_user_reach_hll",
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) est_users
+             |FROM events GROUP BY 1
+             |UNION ALL
+             |SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT)
+             |FROM events
+             |ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+        val daily = Sketches.hllAgg(ev, Seq("day"), "user_id")
+        val perDay = daily.select(col("day"),
+          Sketches.hllEstimate(col("sketch")).as("est_users"))
+        val all = Sketches.hllRollup(daily, Nil)
+          .select(lit("ALL").as("day"),
+            Sketches.hllEstimate(col("sketch")).as("est_users"))
+        perDay.unionByName(all).orderBy("day")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (Apache DataSketches HLL, the
+  * engine Spark ships): the 100 TB answer to "distinct X over any
+  * slice" — build per-fine-slice sketches ONCE in the corpus pass,
+  * persist the binary column, and answer every coarser rollup (any day
+  * range, any source union, global) by UNIONING sketches without ever
+  * rescanning rows. An exact `count(DISTINCT)` re-shuffles the raw keys
+  * for every new slicing; the sketch table is built once and each
+  * rollup touches only (slices) rows.
+  *
+  * Error contract: relative standard error ≈ 1.04/√2^lgK (≈1.6 % at
+  * the default lgK=12); below the sketch's coupon-promotion threshold
+  * the estimate is EXACT (the sparse mode stores hashes, not
+  * registers), which is what lets gate-scale oracles compare it to
+  * `count(DISTINCT)` directly — SketchesSpec pins both regimes.
+  * Union is lossless at equal lgK: merge-of-parts ≡ sketch-of-whole,
+  * bit-identically, regardless of how rows were partitioned.
+  */
+object Sketches {
+
+  /** Per-group HLL sketch of distinct `valueCol`: one corpus pass,
+    * map-side partial sketches merged per group — the exchange carries
+    * ≤ 2^lgK-byte sketch states, never the raw keys. Output:
+    * `groupCols…, sketch binary`.
+    */
+  def hllAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "hllAgg needs >= 1 group column")
+    require(lgK >= 4 && lgK <= 21, s"lgK=$lgK outside datasketches [4, 21]")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+  }
+
+  /** Roll a sketch table up to a coarser grouping by UNIONING sketches
+    * — rows touched: the sketch table's, never the corpus. Pass
+    * `Nil` to collapse to one global row (grouped by a literal).
+    */
+  def hllRollup(
+      df: DataFrame,
+      coarserGroupCols: Seq[String],
+      sketchCol: String = "sketch"): DataFrame =
+    if (coarserGroupCols.isEmpty)
+      df.agg(hll_union_agg(col(sketchCol)).as(sketchCol))
+    else
+      df.groupBy(coarserGroupCols.map(col): _*)
+        .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
+
+  /** Distinct-count readout of a sketch column (long). */
+  def hllEstimate(sketch: Column): Column =
+    hll_sketch_estimate(sketch).cast("long")
+}

@@ -273,7 +273,12 @@ object ScaleProbe {
         // q163: one map-side-combined min per group (k× groups under
         // disjoint replica lead-keys), one 8-byte-keyed join back,
         // map-only assignment — hash-groupBy band.
-        "q163_leakage_safe_split")
+        "q163_leakage_safe_split",
+        // q164: one map-side-combined sketch pass (exchanges carry
+        // 2^lgK-byte states, never user ids — replica-offset ids push
+        // the sketches into the promoted fixed-size regime, which is
+        // the point); the rollup unions 30 sketch rows.
+        "q164_user_reach_hll")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val events = Tables.load(spark, TestSpark.Sf001, "events")
+    .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+
+  test("merge-of-parts equals sketch-of-whole regardless of partitioning") {
+    // sketch per (day, arbitrary shard), then union the shards per day
+    val sharded = Sketches.hllAgg(
+      events.withColumn("shard", pmod(col("user_id"), lit(7L))),
+      Seq("day", "shard"), "user_id")
+    val rolled = Sketches.hllRollup(sharded, Seq("day"))
+      .select(col("day"), Sketches.hllEstimate(col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.hllAgg(events, Seq("day"), "user_id")
+      .select(col("day"), Sketches.hllEstimate(col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled === direct)
+  }
+
+  test("sparse regime is EXACT: estimates equal count(DISTINCT) at gate cardinalities") {
+    val est = Sketches.hllAgg(events, Seq("day"), "user_id")
+      .select(col("day"), Sketches.hllEstimate(col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("day").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === exact) // the q164 oracle's load-bearing fact
+    // global rollup exact too
+    val allEst = Sketches.hllRollup(
+      Sketches.hllAgg(events, Seq("day"), "user_id"), Nil)
+      .select(Sketches.hllEstimate(col("sketch"))).head().getLong(0)
+    assert(allEst === events.select(countDistinct("user_id")).head().getLong(0))
+  }
+
+  test("promoted regime holds the ~1.6% RSE contract (5% gate at 3 sigma)") {
+    val n = 200000L
+    val big = spark.range(n).select(lit("g").as("g"), col("id"))
+    val est = Sketches.hllAgg(big, Seq("g"), "id")
+      .select(Sketches.hllEstimate(col("sketch"))).head().getLong(0)
+    assert(math.abs(est - n).toDouble / n < 0.05, s"est=$est for n=$n")
+  }
+
+  test("range rollup answers a day-window distinct without rescanning rows") {
+    val daily = Sketches.hllAgg(events, Seq("day"), "user_id")
+    val window = daily.filter(col("day") <= "2024-01-10")
+    val est = Sketches.hllRollup(window, Nil)
+      .select(Sketches.hllEstimate(col("sketch"))).head().getLong(0)
+    val exact = events.filter(col("day") <= "2024-01-10")
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(est === exact)
+  }
+
+  test("lgK and group validation fail fast") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllAgg(events, Seq("day"), "user_id", lgK = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllAgg(events, Nil, "user_id")
+    }
+  }
+}
