@@ -2027,6 +2027,66 @@ object DataOpsQueries {
         perDay.unionByName(all).orderBy("day")
       }),
 
+    // Hard-negative mining over the twin corpus: for each query, the
+    // top-10 highest-cosine vectors BELOW the 0.9 near-dup ceiling —
+    // the planted twins (cos ≈ 0.956, unlabeled positives) must be
+    // excluded so contrastive "negatives" aren't secretly positives.
+    // Full END-TO-END oracle: the twin construction is pure arithmetic
+    // (replayed via DuckDB's indexed list_transform, 1-based i) and the
+    // score chain is q114's round-before-rank contract.
+    NamedQuery(
+      "q165_hard_negatives",
+      Some("""WITH b AS (SELECT vec_id,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |      FROM embeddings),
+             |tw0 AS (SELECT vec_id,
+             |        list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+             |          * (1.0 + 0.3 * (CASE WHEN (vec_id + i - 1) % 2 = 0
+             |              THEN 1.0 ELSE -1.0 END))) v
+             |      FROM embeddings),
+             |tw AS (SELECT vec_id + 10000000 AS vec_id, v FROM tw0),
+             |e AS (SELECT * FROM b UNION ALL SELECT * FROM tw),
+             |q AS (SELECT vec_id q_id, v qv FROM e
+             |      WHERE vec_id < 8 AND list_dot_product(v, v) > 0),
+             |c AS (SELECT vec_id n_id, v FROM e
+             |      WHERE list_dot_product(v, v) > 0),
+             |s AS (SELECT q_id, n_id,
+             |        ROUND(list_dot_product(v, qv)
+             |          / (sqrt(list_dot_product(v, v))
+             |             * sqrt(list_dot_product(qv, qv))), 6) cosine
+             |      FROM c, q),
+             |f AS (SELECT * FROM s WHERE n_id <> q_id AND cosine < 0.9),
+             |r AS (SELECT q_id, n_id, cosine,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY cosine DESC, n_id) AS "rank"
+             |      FROM f)
+             |SELECT q_id, n_id, cosine, "rank" FROM r WHERE "rank" <= 10
+             |ORDER BY q_id, "rank"""".stripMargin),
+      (s, dir) => {
+        val e = twinCorpus(embs(s, dir))
+        VectorOps.hardNegatives(e.filter(col("vec_id") < 8), e,
+            "vec_id", "embedding", k = 10, dupCeiling = 0.9)
+          .orderBy("q_id", "rank")
+      }),
+
+    // Sequence-example assembly: each (user, day)'s event types
+    // concatenated in exact (ts, event_id) order — the event-log →
+    // behavioral-sequence step. Full oracle: DuckDB's ordered
+    // string_agg replays the same total order (event_id breaks ts
+    // ties deterministically).
+    NamedQuery(
+      "q166_event_sequences",
+      Some("""SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq,
+             |  CAST(count(*) AS BIGINT) n_events
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin),
+      (s, dir) =>
+        Features.eventSequences(
+          Tables.load(s, dir, "events")
+            .withColumn("day", to_date(col("ts")).cast("string")),
+          Seq("user_id", "day"), Seq("ts", "event_id"), "event_type")
+          .orderBy("user_id", "day")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -48,4 +48,38 @@ object Features {
         min("age").cast("long").as("recency_sec"),
         round(sum("term"), 4).as("decayed_score"))
   }
+
+  /** Sequence-example assembly: per `keyCols` group, the `tokenCol`
+    * values concatenated in exact `orderCols` order — the step that
+    * turns an event log into behavioral-sequence training examples
+    * (and a chat log into conversation transcripts). Output:
+    * `keyCols…, seq string, n_events`. `orderCols` must be a total
+    * order within each group (include a unique id as the last column)
+    * or the sequence string is not well-defined.
+    *
+    * Scale shape: ONE partial-aggregated exchange (ObjectHashAggregate
+    * merges partial lists map-side); ordering happens per group AFTER
+    * collection via `array_sort` on a (order…, token) struct — never a
+    * corpus-wide sort or a per-key window. Per-group memory is the
+    * group's own payload, which is the operator's contract: a sequence
+    * example must fit in one row anyway — cap groups upstream
+    * ([[Sampling.quotaPerGroup]]) if a key can be unbounded.
+    */
+  def eventSequences(
+      events: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tokenCol: String,
+      sep: String = " "): DataFrame = {
+    require(keyCols.nonEmpty, "eventSequences needs >= 1 key column")
+    require(orderCols.nonEmpty, "eventSequences needs >= 1 order column")
+    val packed = struct(
+      (orderCols.map(col) :+ col(tokenCol).as("_fs_tok")): _*)
+    events.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("_fs_arr"),
+        count(lit(1)).cast("long").as("n_events"))
+      .select((keyCols.map(col) :+
+        array_join(transform(col("_fs_arr"), x => x.getField("_fs_tok")), sep)
+          .as("seq") :+ col("n_events")): _*)
+  }
 }

@@ -197,6 +197,21 @@ object VectorOps {
       excludeSelf: Boolean = false,
       roundTo: Int = 6): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    val scored = bruteScored(queries, corpus, idCol, vecCol, roundTo)
+    val kept = if (excludeSelf) scored.filter(col("q_id") =!= col("n_id")) else scored
+    topKByScore(kept, k)
+  }
+
+  /** The shared exact scoring pass of [[bruteKnnJoin]] /
+    * [[hardNegatives]]: one broadcast of the query batch against one
+    * corpus scan, `(q_id, n_id, cosine)` rounded to `roundTo`.
+    */
+  private def bruteScored(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      roundTo: Int): DataFrame = {
     val c = corpus
       .select(col(idCol).as("n_id"), rawVec(corpus, vecCol).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
@@ -205,15 +220,46 @@ object VectorOps {
       .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .filter(col("qn") > 0)
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .select(col("q_id"), col("n_id"),
         round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), roundTo).as("cosine"))
-    val kept = if (excludeSelf) scored.filter(col("q_id") =!= col("n_id")) else scored
+  }
+
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame = {
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    kept
+    scored
       .withColumn("rank", row_number().over(byScore).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining for contrastive training: for each query,
+    * the `k` highest-cosine corpus vectors BELOW `dupCeiling` — the
+    * near-duplicate band above it (likely unlabeled positives: the
+    * query's own copies, augmentations, twins) is excluded so the
+    * "negatives" aren't secretly positives, and self-matches are
+    * always excluded. Output `(q_id, n_id, cosine, rank)`.
+    *
+    * Scale shape: [[bruteKnnJoin]]'s contract — the query BATCH
+    * broadcasts, the corpus streams once, and the rank-filter window
+    * plans as WindowGroupLimit so every map task pre-prunes to k rows
+    * per query before the exchange. The band filter runs before the
+    * rank, so excluded near-dups never occupy shortlist slots.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dupCeiling: Double = 0.9,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(dupCeiling > -1.0 && dupCeiling <= 1.0,
+      s"dupCeiling=$dupCeiling outside (-1, 1]")
+    val scored = bruteScored(queries, corpus, idCol, vecCol, roundTo)
+      .filter(col("q_id") =!= col("n_id") && col("cosine") < dupCeiling)
+    topKByScore(scored, k)
   }
 
   /** Sign-bit binary quantization: `(id, code)` with code a bit-packed

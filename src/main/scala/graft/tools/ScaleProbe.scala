@@ -278,7 +278,14 @@ object ScaleProbe {
         // 2^lgK-byte states, never user ids — replica-offset ids push
         // the sketches into the promoted fixed-size regime, which is
         // the point); the rollup unions 30 sketch rows.
-        "q164_user_reach_hll")
+        "q164_user_reach_hll",
+        // q165: the q114 const-queries contract (8 pinned base-replica
+        // queries broadcast, twin corpus streams k×; band filter +
+        // WindowGroupLimit before the exchange) — scan-band.
+        "q165_hard_negatives",
+        // q166: one ObjectHashAggregate exchange; groups are user-days
+        // (replica-offset user ids keep them 1×-shaped, k× groups).
+        "q166_event_sequences")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -33,4 +33,24 @@ class FeaturesSpec extends AnyFunSuite {
       Features.decayedActivity(df, "user_id", "ts", halfLifeHours = 0.0)
     }
   }
+
+  test("eventSequences: exact order with tie-break; physical partitioning never changes the sequence") {
+    val df = Seq(
+      (1L, 100L, 2L, "b"), (1L, 100L, 1L, "a"), // ts tie → event_id order
+      (1L, 50L, 9L, "z"),
+      (2L, 10L, 3L, "only"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"),
+        $"event_id", $"event_type")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Features.eventSequences(d, Seq("user_id"), Seq("ts", "event_id"), "event_type")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val got = run(df)
+    assert(got(1L) === (("z a b", 3L)))
+    assert(got(2L) === (("only", 1L)))
+    assert(run(df.repartition(7)) === got)
+    intercept[IllegalArgumentException] {
+      Features.eventSequences(df, Nil, Seq("ts"), "event_type")
+    }
+  }
 }

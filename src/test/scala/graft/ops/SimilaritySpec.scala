@@ -816,4 +816,33 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, s"mean int8 recall@10 = $mean")
   }
+
+  test("hardNegatives: the near-dup band and self never reach the shortlist; band-filtered bruteKnn equivalence") {
+    val twins = graft.analytics.DataOpsQueries.twinCorpus(embs)
+    val queries = twins.filter(col("vec_id") < 8)
+    val hard = VectorOps.hardNegatives(queries, twins, "vec_id", "embedding",
+      k = 10, dupCeiling = 0.9)
+    val rows = hard.collect()
+    assert(rows.length === 8 * 10)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") < 0.9, s"near-dup leaked: $r")
+      assert(r.getAs[Long]("q_id") !== r.getAs[Long]("n_id"))
+    }
+    // equivalence: rank the band-filtered exact scores independently
+    val wide = VectorOps.bruteKnnJoin(queries, twins, "vec_id", "embedding",
+        k = 50, excludeSelf = true)
+      .filter(col("cosine") < 0.9)
+      .collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("n_id")))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._2, t._3)).take(10)
+        .map(t => (t._3, t._2)).toList).toMap
+    val got = rows.map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cosine"), r.getAs[Long]("rank")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toList).toMap
+    assert(got === wide)
+    intercept[IllegalArgumentException] {
+      VectorOps.hardNegatives(queries, twins, "vec_id", "embedding",
+        k = 10, dupCeiling = 1.5)
+    }
+  }
 }
