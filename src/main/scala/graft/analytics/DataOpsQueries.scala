@@ -2087,6 +2087,65 @@ object DataOpsQueries {
           Seq("user_id", "day"), Seq("ts", "event_id"), "event_type")
           .orderBy("user_id", "day")),
 
+    // T5 span-corruption example construction (Raffel et al. 2020):
+    // per doc, LCG-selected token spans become <extra_id_k> sentinels
+    // in the input; the target is the sentinel-delimited masked spans.
+    // Measured mask rate 14.5 % (T5's ~15 %); the corpus-wide
+    // splice-back round-trip is pinned in TextAnalysisSpec. Full
+    // END-TO-END oracle: every decision is integer arithmetic on
+    // (doc_id, pos) — the engine's closed-form mask test and the
+    // oracle's bounded self-join compute the same relation.
+    NamedQuery(
+      "q167_span_corruption",
+      Some("""WITH tk AS (SELECT doc_id,
+             |        list_filter(string_split(text, ' '),
+             |          x -> length(x) > 0) toks
+             |      FROM documents),
+             |p AS (SELECT doc_id, CAST(i AS BIGINT) pos,
+             |        toks[CAST(i AS INT) + 1] tok
+             |      FROM tk, unnest(range(len(toks))) t(i)),
+             |s AS (SELECT doc_id, pos, tok,
+             |        ((doc_id * 4096 + pos) % 2147483648 * 2654435761 + 42)
+             |          % 4294967296 % 20 = 0 strt,
+             |        2 + ((doc_id * 4096 + pos) % 2147483648 * 2654435761
+             |          + 42) % 4294967296 % 3 slen
+             |      FROM p),
+             |mk AS (SELECT a.doc_id, a.pos, a.tok,
+             |         bool_or(b.strt AND b.slen > a.pos - b.pos) m
+             |       FROM s a JOIN s b ON a.doc_id = b.doc_id
+             |         AND b.pos BETWEEN a.pos - 3 AND a.pos
+             |       GROUP BY 1, 2, 3),
+             |r AS (SELECT doc_id, pos, tok, m,
+             |        m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id
+             |          ORDER BY pos), FALSE) rs
+             |      FROM mk),
+             |r2 AS (SELECT *, sum(CASE WHEN rs THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos) - 1 rid
+             |       FROM r),
+             |inp AS (SELECT doc_id, pos,
+             |          CASE WHEN rs THEN '<extra_id_' || rid || '>'
+             |            ELSE tok END it
+             |        FROM r2 WHERE rs OR NOT m),
+             |tgt AS (SELECT doc_id, pos, 0 kind,
+             |          '<extra_id_' || rid || '>' it FROM r2 WHERE rs
+             |        UNION ALL
+             |        SELECT doc_id, pos, 1, tok FROM r2 WHERE m),
+             |i AS (SELECT doc_id, string_agg(it, ' ' ORDER BY pos)
+             |        AS "input" FROM inp GROUP BY 1),
+             |t2 AS (SELECT doc_id, string_agg(it, ' ' ORDER BY pos, kind)
+             |        AS target FROM tgt GROUP BY 1),
+             |n AS (SELECT doc_id,
+             |        CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+             |          n_masked
+             |      FROM r2 GROUP BY 1)
+             |SELECT n.doc_id, i."input", coalesce(t2.target, '') AS target,
+             |  n.n_masked
+             |FROM n JOIN i USING (doc_id) LEFT JOIN t2 USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.spanCorruption(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -1124,4 +1124,79 @@ object TextAnalysis {
       .filter(levenshtein(col("w1"), col("w2"), 1) === 1)
       .distinct()
   }
+
+  /** T5-style span-corruption example construction (Raffel et al.
+    * 2020): per document, pseudo-random token spans are replaced by
+    * `<extra_id_k>` sentinels in the INPUT, and the TARGET is the
+    * sentinel-delimited sequence of the masked spans — the
+    * denoising-pretraining (inputs, targets) pair, built as a relation.
+    *
+    * Determinism contract: span starts and lengths come from the
+    * engine-replayable integer LCG of `(doc_id·4096 + pos)` — a span
+    * starts where `mix % startMod == 0` and runs `2 + mix % 3` tokens
+    * (mean 3); overlapping spans merge into one run, exactly as T5
+    * merges adjacent masks. Every decision is integer arithmetic on
+    * (doc_id, pos), so a SQL oracle rebuilds the same examples
+    * bit-for-bit and the round-trip invariant (splice each target span
+    * back over its sentinel → the original text) holds corpus-wide.
+    *
+    * Scale shape: tokenize + posexplode + the mask decision are
+    * map-only (the "is position p inside a span" test is a closed-form
+    * OR over the 4 possible span starts covering p — never a lag/lead
+    * chain); the ONE window is the per-document run counter
+    * (group size = document length — the per-example boundedness
+    * contract, as [[Features.eventSequences]]); assembly is one
+    * partial-aggregated groupBy. Documents with no tokens emit no row.
+    */
+  def spanCorruption(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: Long = 42L,
+      startMod: Int = 20): DataFrame = {
+    require(startMod >= 2, s"startMod=$startMod must be >= 2 (1 masks everything)")
+    val base = df
+      .select(col(idCol).as("doc"),
+        posexplode(array_remove(TextFunctions.tokens(col(textCol)), ""))
+          .as(Seq("p", "tok")))
+      .select(col("doc"), col("p").cast("long").as("pos"), col("tok"))
+    def mix(p: Column): Column = pmod(
+      pmod(col("doc") * 4096L + p, lit(2147483648L)) * lit(2654435761L)
+        + lit(seed),
+      lit(4294967296L))
+    def starts(p: Column): Column = pmod(mix(p), lit(startMod.toLong)) === 0
+    def slen(p: Column): Column = lit(2L) + pmod(mix(p), lit(3L))
+    def maskedAt(p: Column): Column = (0 to 3).map { j =>
+      (p - j >= 0) && starts(p - j) && (slen(p - j) > j)
+    }.reduce(_ || _)
+    val marked = base.select(col("doc"), col("pos"), col("tok"),
+      maskedAt(col("pos")).as("m"),
+      (maskedAt(col("pos")) &&
+        !(col("pos") > 0 && maskedAt(col("pos") - 1))).as("rs"))
+    // the one window: per-doc cumulative run count (doc-length groups)
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val run = marked.withColumn("rid",
+      sum(when(col("rs"), 1L).otherwise(0L)).over(byPos) - 1L)
+    val sentinel = concat(lit("<extra_id_"), col("rid").cast("string"), lit(">"))
+    val inputItem = when(col("rs"), struct(col("pos"), lit(0).as("kind"),
+        sentinel.as("it")))
+      .otherwise(when(!col("m"), struct(col("pos"), lit(0).as("kind"),
+        col("tok").as("it"))))
+    // a run-start row contributes TWO target items: its sentinel AND
+    // its own masked token (rs ⊆ m by construction)
+    val tokStruct = struct(col("pos"), lit(1).as("kind"), col("tok").as("it"))
+    val sentStruct = struct(col("pos"), lit(0).as("kind"), sentinel.as("it"))
+    val targetItems = when(col("rs"), array(sentStruct, tokStruct))
+      .otherwise(when(col("m"), array(tokStruct))
+        .otherwise(array().cast("array<struct<pos:bigint,kind:int,it:string>>")))
+    run.groupBy(col("doc").as(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(inputItem)),
+          x => x.getField("it")), " ").as("input"),
+        array_join(transform(array_sort(flatten(collect_list(targetItems))),
+          x => x.getField("it")), " ").as("target"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"))
+  }
 }

@@ -285,7 +285,10 @@ object ScaleProbe {
         "q165_hard_negatives",
         // q166: one ObjectHashAggregate exchange; groups are user-days
         // (replica-offset user ids keep them 1×-shaped, k× groups).
-        "q166_event_sequences")
+        "q166_event_sequences",
+        // q167: map-only mask test (closed-form, no lag), one per-doc
+        // run-counter window (example-sized groups), one assembly agg.
+        "q167_span_corruption")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -517,4 +517,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("maxKeyLen"))
   }
+
+  test("spanCorruption: corpus-wide splice-back round-trip; mask rate near 15%; empty docs absent") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents")
+    val got = TextAnalysis.spanCorruption(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val orig = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.length === orig.count(_._2.split(" ").exists(_.nonEmpty)))
+    val sentinel = "<extra_id_\\d+>".r
+    var masked = 0L; var total = 0L
+    got.foreach { case (id, inp, tgt, nMasked) =>
+      // parse target into sentinel → span map
+      val parts = tgt.split(" ").filter(_.nonEmpty)
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      parts.foreach { w =>
+        if (sentinel.pattern.matcher(w).matches()) { cur = w; spans(cur) = Vector() }
+        else { assert(cur != null, s"target of $id starts without sentinel"); spans(cur) :+= w }
+      }
+      // every masked span is non-empty and sentinels are 0..k-1 in order
+      spans.values.foreach(s0 => assert(s0.nonEmpty))
+      val ids = parts.filter(w => sentinel.pattern.matcher(w).matches())
+      assert(ids.toSeq === (0 until ids.length).map(k => s"<extra_id_$k>"))
+      // splice back
+      val out = inp.split(" ").filter(_.nonEmpty).flatMap { w =>
+        if (sentinel.pattern.matcher(w).matches()) spans(w) else Vector(w)
+      }
+      val expect = orig(id).split(" ").filter(_.nonEmpty).toSeq
+      assert(out.toSeq === expect, s"round-trip failed for doc $id")
+      masked += nMasked; total += expect.length
+    }
+    val rate = masked.toDouble / total
+    assert(rate > 0.08 && rate < 0.25, s"mask rate $rate")
+  }
+
+  test("spanCorruption: deterministic across partitioning; seed changes the masks; startMod guard") {
+    val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
+    def run(d: org.apache.spark.sql.DataFrame, seed: Long = 42L) =
+      TextAnalysis.spanCorruption(d, "doc_id", "text", seed = seed)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val a = run(docs)
+    assert(run(docs.repartition(13)) === a)
+    assert(run(docs, seed = 7L) !== a)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.spanCorruption(docs, "doc_id", "text", startMod = 1)
+    }
+  }
 }
