@@ -2146,6 +2146,39 @@ object DataOpsQueries {
         TextAnalysis.spanCorruption(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // q160 with the CONTENT: each 256-token pretraining block carries
+    // its token sequence plus the in-block doc-start positions (the
+    // cross-document attention-mask boundaries). Full oracle: the
+    // prefix-sum/div/mod layout is exact integer arithmetic and the
+    // assembly order is in-block position.
+    NamedQuery(
+      "q168_chunk_blocks",
+      Some("""WITH t AS (SELECT doc_id,
+             |        list_filter(string_split(text, ' '),
+             |          x -> length(x) > 0) toks
+             |      FROM documents),
+             |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) n,
+             |        CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS BIGINT) s
+             |      FROM t),
+             |p AS (SELECT doc_id, CAST(i AS BIGINT) + s g,
+             |        toks[CAST(i AS INT) + 1] tok, i = 0 ds
+             |      FROM c, unnest(range(len(toks))) u(i) WHERE n > 0),
+             |q AS (SELECT doc_id, tok, ds, g // 256 block_id, g % 256 ip
+             |      FROM p)
+             |SELECT CAST(block_id AS BIGINT) block_id,
+             |  string_agg(tok, ' ' ORDER BY ip) seq,
+             |  CAST(count(*) AS BIGINT) n_tokens,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) n_docs,
+             |  coalesce(string_agg(CASE WHEN ds THEN CAST(ip AS VARCHAR)
+             |    END, ',' ORDER BY ip), '') boundaries
+             |FROM q GROUP BY block_id ORDER BY block_id""".stripMargin),
+      (s, dir) =>
+        Packing.concatChunkBlocks(docs(s, dir), "doc_id", "text",
+            blockSize = 256)
+          .orderBy("block_id")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

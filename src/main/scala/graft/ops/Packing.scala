@@ -102,4 +102,52 @@ object Packing {
           greatest(col("s"), col("block_id") * b) + 1).cast("long")
           .as("n_tokens"))
   }
+
+  /** [[concatChunks]] with the CONTENT: each fixed-size block carries
+    * its actual token sequence plus the 0-based in-block positions
+    * where a new document starts — exactly what a decoder-style
+    * pretraining loader needs to build the block text and its
+    * cross-document attention-mask boundaries. Output:
+    * `(block_id, seq, n_tokens, n_docs, boundaries)` where `boundaries`
+    * is the comma-joined doc-start positions ("" when the block only
+    * continues an earlier document).
+    *
+    * Scale shape: [[Sampling.prefixSum]] for each doc's global offset,
+    * a map-only token posexplode (global position = offset + pos,
+    * block = div, in-block = mod), then ONE partial-aggregated
+    * assembly per block ([[Features.eventSequences]]'s contract —
+    * per-group payload is exactly one training block). No window at
+    * all: in-block order is arithmetic, not rank.
+    */
+  def concatChunkBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int): DataFrame = {
+    require(blockSize >= 1, s"blockSize=$blockSize must be >= 1")
+    val counted = df.select(col(idCol), col(textCol),
+      size(array_remove(TextFunctions.tokens(col(textCol)), ""))
+        .cast("long").as("n"))
+    val b = lit(blockSize.toLong)
+    val positioned = Sampling.prefixSum(counted, idCol, "n")
+      .filter(col("n") > 0)
+      .select(col(idCol), col("cum_sum").as("s"),
+        posexplode(array_remove(TextFunctions.tokens(col(textCol)), ""))
+          .as(Seq("p", "tok")))
+      .select(col(idCol), col("tok"),
+        (col("s") + col("p")).as("g"), (col("p") === 0).as("doc_start"))
+      .select(col(idCol), col("tok"), col("doc_start"),
+        expr(s"g div ${blockSize}L").as("block_id"),
+        pmod(col("g"), b).as("ip"))
+    positioned.groupBy("block_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("ip"), col("tok").as("it")))), x => x.getField("it")),
+          " ").as("seq"),
+        count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col(idCol)).cast("long").as("n_docs"),
+        array_join(transform(array_sort(collect_list(
+          when(col("doc_start"), struct(col("ip"))))),
+          x => x.getField("ip").cast("string")), ",").as("boundaries"))
+  }
 }

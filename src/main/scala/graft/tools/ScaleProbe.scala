@@ -288,7 +288,10 @@ object ScaleProbe {
         "q166_event_sequences",
         // q167: map-only mask test (closed-form, no lag), one per-doc
         // run-counter window (example-sized groups), one assembly agg.
-        "q167_span_corruption")
+        "q167_span_corruption",
+        // q168: prefixSum offsets + map-only div/mod layout (no
+        // window); the assembly agg's groups are single blocks.
+        "q168_chunk_blocks")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -93,4 +93,34 @@ class PackingSpec extends AnyFunSuite {
       assert(blocks.count() === maxBlock + 1)
     } finally chunks.unpersist()
   }
+
+  test("concatChunkBlocks: hand fixture — content, boundaries, and membership agree with concatChunks") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f g h i"), (3L, ""), (4L, "j"))
+      .toDF("doc_id", "text")
+    val got = Packing.concatChunkBlocks(df, "doc_id", "text", blockSize = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // stream: [a b c d | e f g h | i j]
+    assert(got(0L) === (("a b c d", 4L, 2L, "0,3")))
+    assert(got(1L) === (("e f g h", 4L, 1L, "")))
+    assert(got(2L) === (("i j", 2L, 2L, "1")))
+  }
+
+  test("concatChunkBlocks: corpus — concatenation of blocks reproduces the corpus token stream exactly") {
+    val text = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val blocks = Packing.concatChunkBlocks(text, "doc_id", "text", blockSize = 256)
+      .orderBy("block_id").collect()
+    val stream = blocks.flatMap(_.getString(1).split(" ")).toSeq
+    val orig = text.orderBy("doc_id").collect()
+      .flatMap(_.getString(1).split(" ").filter(_.nonEmpty)).toSeq
+    assert(stream === orig)
+    // membership relation agrees with the counts-only q160 operator
+    val fromBlocks = blocks.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fromCounts = Packing.concatChunks(text, "doc_id", "text", blockSize = 256)
+      .groupBy("block_id").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromBlocks === fromCounts)
+  }
 }
