@@ -2179,6 +2179,34 @@ object DataOpsQueries {
             blockSize = 256)
           .orderBy("block_id")),
 
+    // Pairwise source vocabulary overlap from the HLL sketch table by
+    // inclusion–exclusion — the sketch twin of q87's exact posting
+    // join: the pair matrix prices at |sources|² sketch unions, never
+    // a corpus rescan. Oracle-gated because all three sparse-regime
+    // terms are exact at gate cardinalities (SketchesSpec pins it).
+    NamedQuery(
+      "q169_source_overlap_hll",
+      Some("""WITH t AS (SELECT DISTINCT source, w FROM (
+             |        SELECT source, unnest(string_split(text, ' ')) w
+             |        FROM documents) WHERE length(w) > 0),
+             |src AS (SELECT DISTINCT source FROM t),
+             |ov AS (SELECT a.source sa, b.source sb,
+             |         CAST(count(*) AS BIGINT) c
+             |       FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+             |       GROUP BY 1, 2)
+             |SELECT s1.source source_a, s2.source source_b,
+             |  CAST(coalesce(ov.c, 0) AS BIGINT) est_shared
+             |FROM src s1 JOIN src s2 ON s1.source < s2.source
+             |LEFT JOIN ov ON ov.sa = s1.source AND ov.sb = s2.source
+             |ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("source"),
+          explode(array_remove(TextFunctions.tokens(col("text")), "")).as("w"))
+        Sketches.hllOverlapMatrix(
+            Sketches.hllAgg(toks, Seq("source"), "w"), "source")
+          .orderBy("source_a", "source_b")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

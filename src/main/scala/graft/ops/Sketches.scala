@@ -55,4 +55,31 @@ object Sketches {
   /** Distinct-count readout of a sketch column (long). */
   def hllEstimate(sketch: Column): Column =
     hll_sketch_estimate(sketch).cast("long")
+
+  /** Pairwise distinct-overlap matrix from a sketch table by
+    * inclusion–exclusion: `|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)`,
+    * one row per unordered group pair. In the sparse regime all three
+    * terms are exact, so the overlap is exact (the q169 oracle's
+    * load-bearing fact); in the promoted regime the error compounds to
+    * ~3 RSEs, clamped at 0.
+    *
+    * Scale shape: runs ENTIRELY on the sketch table — the |groups|²/2
+    * pair join over fixed-size sketch states is group-cardinality-
+    * bound (the [[Dedup.crossSourceDupMatrix]] contract: sources, not
+    * corpus, price the pairs) and never rescans rows.
+    */
+  def hllOverlapMatrix(
+      sketches: DataFrame,
+      groupCol: String,
+      sketchCol: String = "sketch"): DataFrame = {
+    val a = sketches.select(col(groupCol).as("_sk_ga"), col(sketchCol).as("_sk_sa"))
+    val b = sketches.select(col(groupCol).as("_sk_gb"), col(sketchCol).as("_sk_sb"))
+    a.join(b, col("_sk_ga") < col("_sk_gb"))
+      .select(col("_sk_ga").as(s"${groupCol}_a"),
+        col("_sk_gb").as(s"${groupCol}_b"),
+        greatest(lit(0L),
+          hllEstimate(col("_sk_sa")) + hllEstimate(col("_sk_sb"))
+            - hllEstimate(hll_union(col("_sk_sa"), col("_sk_sb"))))
+          .as("est_shared"))
+  }
 }

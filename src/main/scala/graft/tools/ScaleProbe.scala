@@ -291,7 +291,11 @@ object ScaleProbe {
         "q167_span_corruption",
         // q168: prefixSum offsets + map-only div/mod layout (no
         // window); the assembly agg's groups are single blocks.
-        "q168_chunk_blocks")
+        "q168_chunk_blocks",
+        // q169: one sketch pass over k× tokens (vocabulary disjoint per
+        // replica pushes unions into the promoted fixed-size regime);
+        // the pair matrix is |sources|² sketch unions.
+        "q169_source_overlap_hll")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -57,6 +57,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(est === exact)
   }
 
+  test("hllOverlapMatrix: sparse-regime overlaps are exact vs a string-join ground truth; clamped at 0") {
+    val toks = graft.Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(col("source"),
+        explode(array_remove(TextFunctions.tokens(col("text")), "")).as("w"))
+    val got = Sketches.hllOverlapMatrix(
+        Sketches.hllAgg(toks, Seq("source"), "w"), "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val d = toks.distinct().collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      a <- d.keys; b <- d.keys if a < b
+    } yield (a, b) -> (d(a) & d(b)).size.toLong).toMap
+    assert(got === want)
+    assert(got.values.forall(_ >= 0))
+    // disjoint groups → overlap 0 (the clamp never goes negative)
+    val disjoint = Seq(("x", "a1"), ("x", "a2"), ("y", "b1")).toDF("g", "w")
+    val z = Sketches.hllOverlapMatrix(
+        Sketches.hllAgg(disjoint, Seq("g"), "w"), "g")
+      .collect()
+    assert(z.length === 1 && z.head.getLong(2) === 0L)
+  }
+
   test("lgK and group validation fail fast") {
     intercept[IllegalArgumentException] {
       Sketches.hllAgg(events, Seq("day"), "user_id", lgK = 2)
