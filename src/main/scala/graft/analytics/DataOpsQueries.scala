@@ -2207,6 +2207,34 @@ object DataOpsQueries {
           .orderBy("source_a", "source_b")
       }),
 
+    // Curriculum manifest: global training order = (length-band bucket
+    // ascending, seeded-shuffle position within bucket) — short/easy
+    // examples first, each band internally shuffled, deterministic and
+    // engine-replayable. Full oracle: fixed 100-token bands + the LCG
+    // window replay (the q86 shape with the bucket in the partition).
+    NamedQuery(
+      "q170_curriculum_order",
+      Some("""WITH t AS (SELECT doc_id,
+             |        CAST(len(list_filter(string_split(text, ' '),
+             |          w -> length(w) > 0)) AS BIGINT) n
+             |      FROM documents),
+             |b AS (SELECT doc_id, LEAST(n // 100, 3) bucket,
+             |        ((doc_id % 2147483648) * 2654435761 + 42)
+             |          % 4294967296 mix
+             |      FROM t)
+             |SELECT doc_id, CAST(bucket AS BIGINT) bucket,
+             |  CAST(row_number() OVER (PARTITION BY bucket
+             |    ORDER BY mix, doc_id) AS BIGINT) pos
+             |FROM b ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Sampling.curriculumShuffle(
+          docs(s, dir).select(col("doc_id"),
+            least(expr("size(array_remove(split(text, ' '), '')) div 100"),
+              lit(3)).cast("long").as("bucket")),
+          "doc_id", "bucket")
+          .select("doc_id", "bucket", "pos")
+          .orderBy("doc_id")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -438,6 +438,54 @@ object Sampling {
       .select((df.columns.map(col) :+ col("shard") :+ col("pos")): _*)
   }
 
+  /** Per-bucket seeded shuffle — the curriculum-ordering primitive:
+    * `pos` = 1-based position of the row within its `bucketCol` group
+    * under the seeded pseudo-random order (mix, key), so the global
+    * training order `(bucket, pos)` visits buckets in difficulty order
+    * with each bucket internally shuffled, deterministically and
+    * engine-replayably (the [[seededMix]] contract).
+    *
+    * Scale shape: [[seededShuffle]]'s two-phase slice trick with the
+    * shard replaced by the CALLER's bucket — each (bucket, slice)
+    * window ranks ~n/(buckets·S) rows, the offsets relation is
+    * ≤ buckets·S count rows, and no window ever sees a whole bucket
+    * (a `Window.partitionBy(bucket)` would cap parallelism at the
+    * bucket count — the q149 lesson).
+    */
+  def curriculumShuffle(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      seed: Long = 42L,
+      slicesPerBucket: Int = 32): DataFrame = {
+    require(slicesPerBucket >= 1 && slicesPerBucket <= (1 << 20),
+      s"slicesPerBucket=$slicesPerBucket must be in [1, 2^20]")
+    require(!df.columns.exists(_.equalsIgnoreCase("pos")),
+      "curriculumShuffle writes a 'pos' column but the input already has one")
+    val k = col(keyCol).cast("long")
+    val mixExpr = seededMix(k, seed)
+    val mix = Dedup.freshName(df, "_graft_mix")
+    val slc = Dedup.freshName(df, "_graft_slc")
+    val rk = Dedup.freshName(df, "_graft_lrk")
+    val off = Dedup.freshName(df, "_graft_off")
+    val s = slicesPerBucket.toLong
+    val base = df
+      .withColumn(mix, mixExpr)
+      .withColumn(slc, shiftrightunsigned(col(mix) * lit(s), 32))
+    val local = base.withColumn(rk, row_number().over(
+      Window.partitionBy(col(bucketCol), col(slc)).orderBy(col(mix), k))
+      .cast("long"))
+    val offsets = base.groupBy(col(bucketCol), col(slc))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(off, coalesce(
+        sum("n").over(Window.partitionBy(col(bucketCol)).orderBy(col(slc))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("n")
+    local.join(broadcast(offsets), Seq(bucketCol, slc))
+      .withColumn("pos", col(rk) + col(off))
+      .select((df.columns.map(col) :+ col("pos")): _*)
+  }
+
   /** Leakage-safe train/val/test split: every row whose `groupCol`
     * matches (near-dup cluster key, URL domain, lead-n-token prefix —
     * whatever names "the same content") lands in the SAME split, so an

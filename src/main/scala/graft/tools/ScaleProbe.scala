@@ -295,7 +295,10 @@ object ScaleProbe {
         // q169: one sketch pass over k× tokens (vocabulary disjoint per
         // replica pushes unions into the promoted fixed-size regime);
         // the pair matrix is |sources|² sketch unions.
-        "q169_source_overlap_hll")
+        "q169_source_overlap_hll",
+        // q170: the seededShuffle two-phase shape with 4 caller
+        // buckets × 32 slices; no whole-bucket window.
+        "q170_curriculum_order")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

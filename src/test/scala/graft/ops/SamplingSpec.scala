@@ -320,6 +320,33 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumShuffle: equals the per-bucket window reference; contiguous 1..n per bucket; partitioning-invariant") {
+    val d = docs.select(col("doc_id"),
+      least(expr("size(array_remove(split(text, ' '), '')) div 100"),
+        lit(3)).cast("long").as("bucket"))
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Sampling.curriculumShuffle(x, "doc_id", "bucket")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(d)
+    assert(run(d.repartition(11)) === got)
+    // naive single-window reference
+    val mixOf = d.select(col("doc_id"),
+        Sampling.seededMix(col("doc_id"), 42L).as("mix"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = got.keys.toSeq.groupBy(id => got(id)._1).flatMap { case (b, ids) =>
+      ids.sortBy(id => (mixOf(id), id)).zipWithIndex
+        .map { case (id, i) => id -> ((b, i + 1L)) }
+    }.toMap
+    assert(got === want)
+    // contiguous positions per bucket
+    got.values.groupBy(_._1).foreach { case (b, vs) =>
+      assert(vs.map(_._2).toSeq.sorted === (1L to vs.size).toSeq, s"bucket $b")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumShuffle(d.withColumn("pos", lit(1)), "doc_id", "bucket")
+    }
+  }
+
   test("groupSplit: planted near-dup twins co-assign; splits never straddle a group") {
     val df = Seq(
       (1L, "same lead text here"), (2L, "same lead text here"),
