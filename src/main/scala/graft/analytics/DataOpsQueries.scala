@@ -2235,6 +2235,29 @@ object DataOpsQueries {
           .select("doc_id", "bucket", "pos")
           .orderBy("doc_id")),
 
+    // Sliding-window document chunking (window 64, stride 48 — 16-token
+    // overlap): the retrieval-side splitter every RAG/embedding
+    // ingestion needs, as one map-only projection. Full oracle: the
+    // chunk-start sequence and window slices are exact integer
+    // arithmetic on the token array.
+    NamedQuery(
+      "q171_doc_chunks",
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+             |        w -> length(w) > 0) toks FROM documents),
+             |g AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) n
+             |      FROM t WHERE len(toks) > 0),
+             |c AS (SELECT doc_id, CAST(i AS BIGINT) chunk_id, toks, n
+             |      FROM g, unnest(range((n - 1) // 48 + 1)) u(i))
+             |SELECT doc_id, chunk_id,
+             |  array_to_string(toks[CAST(chunk_id * 48 + 1 AS INT)
+             |    : CAST(chunk_id * 48 + 64 AS INT)], ' ') chunk,
+             |  CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) n_tokens
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) =>
+        Packing.slidingChunks(docs(s, dir), "doc_id", "text",
+            window = 64, stride = 48)
+          .orderBy("doc_id", "chunk_id")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -150,4 +150,43 @@ object Packing {
           when(col("doc_start"), struct(col("ip"))))),
           x => x.getField("ip").cast("string")), ",").as("boundaries"))
   }
+
+  /** Sliding-window document chunking — the retrieval-side splitter
+    * (RAG / embedding ingestion): each document yields chunks of up to
+    * `window` tokens starting every `stride` tokens, so consecutive
+    * chunks overlap by `window − stride` and no token is more than a
+    * chunk boundary away from full context. Output:
+    * `(idCol, chunk_id, chunk, n_tokens)`; chunk 0 always exists for a
+    * non-empty doc, and no chunk starts at or past the end.
+    *
+    * Scale shape: ONE map-only projection — tokenize, explode the
+    * closed-form chunk-start sequence (≤ ⌈n/stride⌉ per doc), `slice`
+    * each window out of the token array. No shuffle, no window, no
+    * join; Catalyst prunes the scan to (id, text).
+    */
+  def slidingChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      s"stride=$stride must be in [1, window=$window]")
+    df
+      .select(col(idCol),
+        array_remove(TextFunctions.tokens(col(textCol)), "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(cast(size(toks) as bigint) - 1L) div ${stride}L")))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(window)), " ")
+          .as("chunk"),
+        least(lit(window.toLong),
+          size(col("toks")).cast("long") - col("chunk_id") * stride)
+          .as("n_tokens"))
+  }
 }

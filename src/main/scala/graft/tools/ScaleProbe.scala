@@ -298,7 +298,10 @@ object ScaleProbe {
         "q169_source_overlap_hll",
         // q170: the seededShuffle two-phase shape with 4 caller
         // buckets × 32 slices; no whole-bucket window.
-        "q170_curriculum_order")
+        "q170_curriculum_order",
+        // q171: one map-only projection (chunk-start explode + array
+        // slice) — scan-flat.
+        "q171_doc_chunks")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

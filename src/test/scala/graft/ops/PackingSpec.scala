@@ -123,4 +123,27 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fromBlocks === fromCounts)
   }
+
+  test("slidingChunks: overlap layout on a hand fixture; coverage and stride invariants on the corpus") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = Packing.slidingChunks(df, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // doc 1 (7 toks): starts 0, 3, 6 → "a b c d", "d e f g", "g"
+    assert(got === Map(
+      (1L, 0L) -> (("a b c d", 4L)), (1L, 1L) -> (("d e f g", 4L)),
+      (1L, 2L) -> (("g", 1L)), (2L, 0L) -> (("x", 1L))))
+    // corpus: every token index is covered by some chunk; stride gaps never exceed window
+    val docs0 = Tables.load(spark, TestSpark.Sf001, "documents")
+    val chunks = Packing.slidingChunks(docs0, "doc_id", "text", window = 64, stride = 48)
+    val agg = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_id") * 48 + col("n_tokens")).as("covered"),
+        count(lit(1)).as("nc"))
+    val n = docs0.select(col("doc_id"),
+      size(array_remove(TextFunctions.tokens(col("text")), "")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    // last chunk reaches exactly the end; chunk count = ceil(max(n-? )/stride)
+    assert(agg.join(n, "doc_id")
+      .filter(col("covered") =!= col("n") ||
+        col("nc") =!= expr("(n - 1) div 48 + 1")).count() === 0L)
+  }
 }
