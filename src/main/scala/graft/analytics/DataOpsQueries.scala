@@ -2258,6 +2258,28 @@ object DataOpsQueries {
             window = 64, stride = 48)
           .orderBy("doc_id", "chunk_id")),
 
+    // First-order event-transition matrix within (user, day) sequences
+    // — the Markov what-follows-what view of the behavior log.
+    // Transitions never cross the group boundary. Full oracle: the
+    // engine's per-group zip_with pairing ≡ the window lead().
+    NamedQuery(
+      "q172_event_transitions",
+      Some("""WITH o AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |        event_type,
+             |        lead(event_type) OVER (PARTITION BY user_id,
+             |          CAST(ts AS DATE) ORDER BY ts, event_id) nxt
+             |      FROM events)
+             |SELECT event_type AS prev, nxt AS "next",
+             |  CAST(count(*) AS BIGINT) n
+             |FROM o WHERE nxt IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Features.eventTransitions(
+          Tables.load(s, dir, "events")
+            .withColumn("day", to_date(col("ts"))),
+          Seq("user_id", "day"), Seq("ts", "event_id"), "event_type")
+          .orderBy("prev", "next")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -82,4 +82,37 @@ object Features {
         array_join(transform(col("_fs_arr"), x => x.getField("_fs_tok")), sep)
           .as("seq") :+ col("n_events")): _*)
   }
+
+  /** First-order transition matrix over per-group event sequences: for
+    * each consecutive `(prev, next)` token pair within a `keyCols`
+    * group (in `orderCols` order), the corpus-wide count — the Markov
+    * view of a behavior log (what follows what), which prices
+    * next-event models and flags anomalous flows. Transitions never
+    * cross group boundaries.
+    *
+    * Scale shape: sequences assemble per group via
+    * [[eventSequences]]'s one-exchange contract; the pair explode is a
+    * map-only `zip_with` over each group's own array (n−1 pairs); the
+    * final count is a map-side-combined groupBy over the
+    * (distinct prev × next)-bounded matrix.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tokenCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "eventTransitions needs >= 1 key column")
+    require(orderCols.nonEmpty, "eventTransitions needs >= 1 order column")
+    val packed = struct(
+      (orderCols.map(col) :+ col(tokenCol).as("_fs_tok")): _*)
+    events.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(packed)).as("_fs_arr"))
+      .select(explode(zip_with(
+        slice(col("_fs_arr"), lit(1), greatest(size(col("_fs_arr")) - 1, lit(0))),
+        slice(col("_fs_arr"), lit(2), greatest(size(col("_fs_arr")) - 1, lit(0))),
+        (a, b) => struct(a.getField("_fs_tok").as("prev"),
+          b.getField("_fs_tok").as("next")))).as("t"))
+      .groupBy(col("t.prev").as("prev"), col("t.next").as("next"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
 }

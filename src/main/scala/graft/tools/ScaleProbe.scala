@@ -301,7 +301,10 @@ object ScaleProbe {
         "q170_curriculum_order",
         // q171: one map-only projection (chunk-start explode + array
         // slice) — scan-flat.
-        "q171_doc_chunks")
+        "q171_doc_chunks",
+        // q172: the q166 assembly exchange + map-only zip_with pairing
+        // + a 25-row matrix agg.
+        "q172_event_transitions")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

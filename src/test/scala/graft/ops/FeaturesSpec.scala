@@ -53,4 +53,24 @@ class FeaturesSpec extends AnyFunSuite {
       Features.eventSequences(df, Nil, Seq("ts"), "event_type")
     }
   }
+
+  test("eventTransitions: pairs respect order and never cross groups; singleton groups vanish") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), // a→b, b→a
+      (2L, 1L, "x"),                               // singleton: nothing
+      (3L, 5L, "b"), (3L, 9L, "b"))                // b→b
+      .toDF("g", "ord", "tok")
+    val got = Features.eventTransitions(df, Seq("g"), Seq("ord"), "tok")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L))
+    // corpus: total transitions = total events - number of groups
+    val ev = graft.Tables.load(spark, TestSpark.Sf001, "events")
+      .withColumn("day", to_date(col("ts")))
+    val t = Features.eventTransitions(ev, Seq("user_id", "day"),
+      Seq("ts", "event_id"), "event_type")
+    val nT = t.agg(sum("n")).head().getLong(0)
+    val nE = ev.count()
+    val nG = ev.select("user_id", "day").distinct().count()
+    assert(nT === nE - nG)
+  }
 }
