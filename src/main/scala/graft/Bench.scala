@@ -32,6 +32,10 @@ object Bench {
       // state); its relation's batch machinery is benched via q21
       // (same banding/buckets, heavier exact-Jaccard verify).
       "q121_stream_neardup",
+      // q173 is a real micro-batch run (stage + 4-batch stream +
+      // rollup probe) — streaming section; its batch semantics are
+      // benched by q164 (same sketch pass + rollup).
+      "q173_stream_sketches",
       "q24_embed_neardup")
     // Decomposition knob (never set by the driver): restrict the
     // headline set to a comma-separated name list, so suite-composition
@@ -137,7 +141,8 @@ object Bench {
     // Trigger.AvailableNow micro-batch pipeline costs at this SF.
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
       "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
-      "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup")
+      "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup",
+      "q173_stream_sketches")
       .filter(n => only.forall(_.contains(n)))
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {

@@ -2280,6 +2280,48 @@ object DataOpsQueries {
           Seq("user_id", "day"), Seq("ts", "event_id"), "event_type")
           .orderBy("prev", "next")),
 
+    // Streaming sketch-table maintenance: the events corpus arrives as
+    // a 4-micro-batch stream, each batch appending its per-day partial
+    // HLL rows under the shared batch ledger; the probe rolls the
+    // table up. ORACLE-gated (unusual for streaming): union is
+    // lossless and the sparse regime exact, so the stream-built
+    // rollup must equal exact count(DISTINCT) bit-for-bit.
+    NamedQuery(
+      "q173_stream_sketches",
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) est_users
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val ev = Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"sketchstream_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val (src, tbl, ckpt) = (s"$root/src", s"$root/tbl", s"$root/ckpt")
+        ev.repartition(4).write.parquet(src)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("day", StringType), StructField("user_id", LongType))))
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.SketchStream
+          .sketchSink(stream, Seq("day"), "user_id", tbl)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Sketches.readSketchTable(s, tbl, Seq("day"))
+          .select(col("day"),
+            Sketches.hllEstimate(col("sketch")).as("est_users"))
+          .orderBy("day")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -90,11 +90,16 @@ object Features {
     * next-event models and flags anomalous flows. Transitions never
     * cross group boundaries.
     *
-    * Scale shape: sequences assemble per group via
-    * [[eventSequences]]'s one-exchange contract; the pair explode is a
-    * map-only `zip_with` over each group's own array (n−1 pairs); the
-    * final count is a map-side-combined groupBy over the
-    * (distinct prev × next)-bounded matrix.
+    * Scale shape: one exchange on the group key feeding a sort-based
+    * `lead` window — safe here because the group KEY CARDINALITY is
+    * corpus-scale (users × days), so parallelism is never capped the
+    * way a few-groups window would be (the q149 lesson cuts the other
+    * way when groups are many and small); then a map-side-combined
+    * groupBy over the (distinct prev × next)-bounded matrix. The first
+    * cut assembled arrays per group ([[eventSequences]]'s shape) and
+    * measured 15.1 s / ratio 13.7 at the 64× probe — the
+    * collect+sort+explode round trip cost 12× the window plan
+    * (shipped: 1.2 s / ratio 3.2) for identical output.
     */
   def eventTransitions(
       events: DataFrame,
@@ -103,16 +108,14 @@ object Features {
       tokenCol: String): DataFrame = {
     require(keyCols.nonEmpty, "eventTransitions needs >= 1 key column")
     require(orderCols.nonEmpty, "eventTransitions needs >= 1 order column")
-    val packed = struct(
-      (orderCols.map(col) :+ col(tokenCol).as("_fs_tok")): _*)
-    events.groupBy(keyCols.map(col): _*)
-      .agg(array_sort(collect_list(packed)).as("_fs_arr"))
-      .select(explode(zip_with(
-        slice(col("_fs_arr"), lit(1), greatest(size(col("_fs_arr")) - 1, lit(0))),
-        slice(col("_fs_arr"), lit(2), greatest(size(col("_fs_arr")) - 1, lit(0))),
-        (a, b) => struct(a.getField("_fs_tok").as("prev"),
-          b.getField("_fs_tok").as("next")))).as("t"))
-      .groupBy(col("t.prev").as("prev"), col("t.next").as("next"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    events
+      .select(col(tokenCol).as("prev"),
+        lead(col(tokenCol), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .groupBy("prev", "next")
       .agg(count(lit(1)).cast("long").as("n"))
   }
 }

@@ -56,6 +56,18 @@ object Sketches {
   def hllEstimate(sketch: Column): Column =
     hll_sketch_estimate(sketch).cast("long")
 
+  /** Read a persisted sketch table (e.g. one maintained by
+    * [[graft.streaming.SketchStream]]) and roll its partial rows up to
+    * one sketch per group — the read path that makes the table's
+    * additive-rows append contract invisible to consumers.
+    */
+  def readSketchTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCols: Seq[String],
+      sketchCol: String = "sketch"): DataFrame =
+    hllRollup(spark.read.parquet(path), groupCols, sketchCol)
+
   /** Pairwise distinct-overlap matrix from a sketch table by
     * inclusion–exclusion: `|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)`,
     * one row per unordered group pair. In the sparse regime all three

@@ -79,6 +79,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(z.length === 1 && z.head.getLong(2) === 0L)
   }
 
+  test("sketch table: stream-built rollup ≡ batch build; redelivered batch is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sketch-stream").toString
+    val parts = events.repartition(3)
+    parts.write.parquet(s"$root/src")
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("day", StringType), StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+    val q = graft.streaming.SketchStream
+      .sketchSink(stream, Seq("day"), "user_id", s"$root/tbl")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def estimates = Sketches.readSketchTable(spark, s"$root/tbl", Seq("day"))
+      .select(col("day"), Sketches.hllEstimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = estimates
+    val direct = Sketches.hllAgg(events, Seq("day"), "user_id")
+      .select(col("day"), Sketches.hllEstimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === direct)
+    // redelivery of an already-ledgered (streamId, batchId) is a no-op
+    val once = graft.streaming.SketchStream.appendBatch(
+      events.limit(10), 99L, Seq("day"), "user_id", s"$root/tbl",
+      streamId = "manual")
+    assert(once)
+    val snapshot = estimates
+    val twice = graft.streaming.SketchStream.appendBatch(
+      events.limit(10), 99L, Seq("day"), "user_id", s"$root/tbl",
+      streamId = "manual")
+    assert(!twice)
+    assert(estimates === snapshot)
+  }
+
   test("lgK and group validation fail fast") {
     intercept[IllegalArgumentException] {
       Sketches.hllAgg(events, Seq("day"), "user_id", lgK = 2)
