@@ -2322,6 +2322,78 @@ object DataOpsQueries {
           .orderBy("day")
       }),
 
+    // Flagship composition v3 — the pretraining-release build as ONE
+    // relation over THIS round's operators: normalized-dedup winners
+    // (q137) → leakage-safe train split (q163) → curriculum order
+    // (q170: length bands, seeded within band) → content blocks with
+    // attention boundaries (q168) laid out in curriculum order. Every
+    // stage is integer/string-exact, so the END-TO-END oracle replays
+    // the whole build.
+    NamedQuery(
+      "q174_pretraining_build",
+      Some("""WITH n AS (SELECT doc_id, text,
+             |        trim(regexp_replace(regexp_replace(lower(text),
+             |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) norm
+             |      FROM documents),
+             |w AS (SELECT norm, min(doc_id) cid FROM n GROUP BY norm),
+             |kept AS (SELECT n.doc_id, n.text FROM n JOIN w USING (norm)
+             |         WHERE n.doc_id = w.cid),
+             |d2 AS (SELECT doc_id, text,
+             |        array_to_string(string_split(text, ' ')[1:16], ' ') k
+             |      FROM kept),
+             |g2 AS (SELECT k, min(doc_id) rep FROM d2 GROUP BY k),
+             |tr AS (SELECT d2.doc_id, d2.text FROM d2 JOIN g2 USING (k)
+             |       WHERE ((g2.rep % 2147483648) * 2654435761 + 42)
+             |         % 4294967296 % 100 < 96),
+             |b AS (SELECT doc_id, text,
+             |        LEAST(CAST(len(list_filter(string_split(text, ' '),
+             |          x -> length(x) > 0)) AS BIGINT) // 100, 3) bucket,
+             |        ((doc_id % 2147483648) * 2654435761 + 42)
+             |          % 4294967296 mix
+             |      FROM tr),
+             |o AS (SELECT doc_id, text, bucket * 1099511627776 +
+             |        row_number() OVER (PARTITION BY bucket
+             |          ORDER BY mix, doc_id) okey
+             |      FROM b),
+             |t AS (SELECT okey, list_filter(string_split(text, ' '),
+             |        x -> length(x) > 0) toks FROM o),
+             |c AS (SELECT okey, toks, CAST(len(toks) AS BIGINT) nn,
+             |        CAST(coalesce(sum(len(toks)) OVER (ORDER BY okey
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS BIGINT) s
+             |      FROM t),
+             |p AS (SELECT okey, CAST(i AS BIGINT) + s gg,
+             |        toks[CAST(i AS INT) + 1] tok, i = 0 ds
+             |      FROM c, unnest(range(len(toks))) u(i) WHERE nn > 0),
+             |q AS (SELECT okey, tok, ds, gg // 256 block_id, gg % 256 ip
+             |      FROM p)
+             |SELECT CAST(block_id AS BIGINT) block_id,
+             |  string_agg(tok, ' ' ORDER BY ip) seq,
+             |  CAST(count(*) AS BIGINT) n_tokens,
+             |  CAST(count(DISTINCT okey) AS BIGINT) n_docs,
+             |  coalesce(string_agg(CASE WHEN ds THEN CAST(ip AS VARCHAR)
+             |    END, ',' ORDER BY ip), '') boundaries
+             |FROM q GROUP BY block_id ORDER BY block_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val winners = Dedup.normalizedDedup(d, "doc_id", "text")
+          .filter(!col("is_dup")).select("doc_id")
+        val kept = d.select("doc_id", "text").join(winners, "doc_id")
+        val train = Sampling.groupSplit(
+            kept.select(col("doc_id"), col("text"),
+              array_join(slice(split(col("text"), " "), 1, 16), " ").as("k")),
+            "doc_id", "k")
+          .filter(col("split") === "train").select("doc_id", "text")
+        val bucketed = train.select(col("doc_id"), col("text"),
+          least(expr("size(array_remove(split(text, ' '), '')) div 100"),
+            lit(3)).cast("long").as("bucket"))
+        val ordered = Sampling.curriculumShuffle(bucketed, "doc_id", "bucket")
+          .select((col("bucket") * lit(1L << 40) + col("pos")).as("okey"),
+            col("text"))
+        Packing.concatChunkBlocks(ordered, "okey", "text", blockSize = 256)
+          .orderBy("block_id")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -304,7 +304,11 @@ object ScaleProbe {
         "q171_doc_chunks",
         // q172: the q166 assembly exchange + map-only zip_with pairing
         // + a 25-row matrix agg.
-        "q172_event_transitions")
+        "q172_event_transitions",
+        // q174: the composed build — q137's two hash group-bys +
+        // q163's min/join + q170's two-phase shuffle + q168's payload
+        // assembly, each stage individually banded above.
+        "q174_pretraining_build")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -502,6 +502,12 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy join fell back to an all-pairs product:\n$p")
   }
 
+  test("q174: the composed build never degenerates to a product and keeps the split join on the 8-byte hash") {
+    val p = plan("q174_pretraining_build")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composed build produced an all-pairs product:\n$p")
+  }
+
   test("q93: the z-value is pure projection — no exchange, inside codegen") {
     val df = Tables.load(spark, TestSpark.Sf001, "events")
       .select(graft.ops.Layout.zValue(
