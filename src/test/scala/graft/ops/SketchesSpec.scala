@@ -113,6 +113,17 @@ class SketchesSpec extends AnyFunSuite {
       streamId = "manual")
     assert(!twice)
     assert(estimates === snapshot)
+    // compaction folds the append litter without touching estimates
+    // (the index-compaction contract, same shared machinery)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/tbl")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(dir).count(s0 => s0.isFile &&
+      !s0.getPath.getName.startsWith(".") && !s0.getPath.getName.startsWith("_"))
+    val before = nFiles
+    val folded = Compaction.compactDirs(spark, Seq(dir),
+      maxFilesPerDir = 1, targetBytes = 64L << 20, opName = "sketch-compact")
+    assert(folded.nonEmpty && nFiles < before)
+    assert(estimates === snapshot)
   }
 
   test("lgK and group validation fail fast") {
