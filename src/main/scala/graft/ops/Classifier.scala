@@ -521,6 +521,11 @@ object Classifier {
     * on the boundary), which the caller can floor if undesired.
     *
     * @param comparisons one row per judged pair
+    * @param localMatchRows when the collapsed match relation has at
+    *        most this many rows, the MM iterations run in memory over
+    *        the ONE collected copy (a bounded collect — the kmeans
+    *        k-rows contract) instead of as 20 scheduler-bound Spark
+    *        jobs over a tiny frame; 0 forces the distributed loop
     * @return (item, wins, matches, strength) — strengths normalized to
     *         Σ = number of distinct items
     */
@@ -528,7 +533,8 @@ object Classifier {
       comparisons: DataFrame,
       winnerCol: String,
       loserCol: String,
-      iters: Int = 20): DataFrame = {
+      iters: Int = 20,
+      localMatchRows: Long = 1000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val raw = comparisons
       .select(col(winnerCol).cast("string").as("w"),
@@ -550,6 +556,45 @@ object Classifier {
       .repartition(col("item"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = items.count()
+    // Small-tournament fast path: once the corpus has collapsed to the
+    // item-pair match relation, EVERYTHING the MM iterations touch is
+    // match-relation-sized — and reward tournaments usually rank a
+    // handful of systems/policies, so that relation is tiny while the
+    // comparison stream is huge. Running 20 Spark jobs over a 20-row
+    // frame is pure scheduler/planning overhead (measured: the q154
+    // bench row was ~10 s of it); when the relation fits the bounded
+    // `localMatchRows` budget we collect it ONCE and iterate the same
+    // update in memory (ClassifierSpec pins fast ≡ distributed). The
+    // distributed loop remains the path for genuinely large item sets.
+    val nSym = sym.count()
+    if (nSym <= localMatchRows) {
+      val symL = sym.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val neighbors = symL.keys.toSeq.groupBy(_._1)
+        .map { case (i, ks) => i -> ks.map(_._2) }
+      val itemsL = items.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val keys = itemsL.keys.toSeq.sorted
+      var pL = keys.map(_ -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        val unscaled = keys.map { i =>
+          val denom = neighbors.getOrElse(i, Nil)
+            .map(j => symL((i, j)) / (pL(i) + pL(j))).sum
+          i -> (if (denom == 0) 1.0 else itemsL(i) / denom)
+        }.toMap
+        val t = unscaled.values.sum
+        pL = unscaled.map { case (i, v) => i -> v * nItems / t }
+      }
+      val matchesL = symL.toSeq.groupBy(_._1._1)
+        .map { case (i, ks) => i -> ks.map(_._2).sum.toLong }
+      val spark = comparisons.sparkSession
+      import spark.implicits._
+      val out = keys.map(i => (i, itemsL(i).toLong,
+          matchesL.getOrElse(i, 0L), pL(i)))
+        .toDF("item", "wins", "matches", "strength")
+      sym.unpersist(); items.unpersist()
+      return out
+    }
     // Iterate.cut, not bare localCheckpoint: the step plan references
     // the previous state 4× under joins, so inherited checkpoint stats
     // would compound doubly-exponentially (see Iterate's scaladoc).

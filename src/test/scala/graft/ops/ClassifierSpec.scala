@@ -287,6 +287,15 @@ class ClassifierSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 6.0) < 1e-9)
     // the planted order should be recovered on 400 samples
     assert(got("a") > got("f"), s"dominant item not ranked above weakest: $got")
+    // the distributed loop (fast path disabled) matches the fast path
+    val dist = Classifier.bradleyTerry(
+        comps.toDF("winner", "loser"), "winner", "loser", iters = 20,
+        localMatchRows = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(dist.keySet === got.keySet)
+    dist.foreach { case (k, v) =>
+      assert(math.abs(v - got(k)) < 1e-9, s"fast vs distributed $k: ${got(k)} vs $v")
+    }
   }
 
   test("bradleyTerry: dominance orders strengths; direction swap inverts; self-pairs dropped") {
