@@ -2394,6 +2394,91 @@ object DataOpsQueries {
           .orderBy("block_id")
       }),
 
+    // Token-mass-weighted length quantiles per source: "the median
+    // TOKEN lives in a document of length p50" — the length statistic
+    // that matters for sequence-budget planning, where long docs carry
+    // weight proportional to their tokens (q161 is the per-DOCUMENT
+    // view). Same histogram + prefix-sum machinery, integer rank
+    // arithmetic over cumulative WEIGHT. Full oracle.
+    NamedQuery(
+      "q175_weighted_quantiles",
+      Some("""WITH t AS (SELECT source,
+             |        CAST(len(list_filter(string_split(text, ' '),
+             |          w -> length(w) > 0)) AS BIGINT) n
+             |      FROM documents),
+             |h AS (SELECT source, n, CAST(sum(n) AS BIGINT) c
+             |      FROM t GROUP BY 1, 2),
+             |c AS (SELECT source, n, c,
+             |        CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY n
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS BIGINT) cum,
+             |        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) tot
+             |      FROM h)
+             |SELECT source, CAST(max(tot) AS BIGINT) n_rows,
+             |  max(CASE WHEN cum < (tot + 3) // 4
+             |    AND (tot + 3) // 4 <= cum + c THEN n END) p25,
+             |  max(CASE WHEN cum < (tot + 1) // 2
+             |    AND (tot + 1) // 2 <= cum + c THEN n END) p50,
+             |  max(CASE WHEN cum < (tot * 9 + 9) // 10
+             |    AND (tot * 9 + 9) // 10 <= cum + c THEN n END) p90,
+             |  max(CASE WHEN cum < (tot * 99 + 99) // 100
+             |    AND (tot * 99 + 99) // 100 <= cum + c THEN n END) p99
+             |FROM c GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Stats.weightedQuantilesByGroup(
+          docs(s, dir).select(col("source"),
+            size(array_remove(TextFunctions.tokens(col("text")), ""))
+              .cast("long").as("n")),
+          Seq("source"), "n", "n")
+          .orderBy("source")),
+
+    // Novel-bigram count per source vs a base release, from sketches
+    // alone: est(source ∪ base) − est(base) — the sketch-table set
+    // DIFFERENCE (q169 is the intersection), answering "does this
+    // source still contribute new n-grams?" without a posting join.
+    // lgK=14 keeps both sides in the sparse EXACT regime at gate
+    // cardinalities (base ≈ 905 distinct bigrams), so the oracle is
+    // the exact anti-join count.
+    NamedQuery(
+      "q176_novel_bigrams_hll",
+      Some("""WITH tk AS (SELECT doc_id, source,
+             |        list_filter(string_split(text, ' '),
+             |          x -> length(x) > 0) toks
+             |      FROM documents),
+             |bg AS (SELECT doc_id, source, toks[CAST(i AS INT)] || ' '
+             |          || toks[CAST(i AS INT) + 1] w
+             |       FROM tk, unnest(range(1, len(toks))) u(i)),
+             |b AS (SELECT DISTINCT w FROM bg WHERE doc_id < 100),
+             |d AS (SELECT DISTINCT source, w FROM bg WHERE doc_id >= 100)
+             |SELECT d.source, CAST(sum(CASE WHEN b.w IS NULL THEN 1
+             |  ELSE 0 END) AS BIGINT) est_new
+             |FROM d LEFT JOIN b ON d.w = b.w
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val bigrams = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            array_remove(TextFunctions.tokens(col("text")), "").as("toks"))
+          // size < 2 would make sequence(1, 0) DESCEND, not empty
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(expr(
+              "transform(sequence(1, size(toks) - 1), " +
+                "i -> concat(toks[i - 1], ' ', toks[i]))")).as("w"))
+        val base = Sketches.hllAgg(
+            bigrams.filter(col("doc_id") < 100).withColumn("g", lit(1)),
+            Seq("g"), "w", lgK = 14)
+          .select(col("sketch").as("base_sketch"))
+        Sketches.hllAgg(bigrams.filter(col("doc_id") >= 100),
+            Seq("source"), "w", lgK = 14)
+          .crossJoin(broadcast(base))
+          .select(col("source"),
+            greatest(lit(0L),
+              Sketches.hllEstimate(
+                hll_union(col("sketch"), col("base_sketch")))
+                - Sketches.hllEstimate(col("base_sketch"))).as("est_new"))
+          .orderBy("source")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

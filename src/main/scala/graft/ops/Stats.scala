@@ -34,13 +34,39 @@ object Stats {
     * quantile agg run on histogram-scale rows. Memory per task is
     * bounded by partition size, never by group size.
     */
+  /** As [[exactQuantilesByGroup]], but each row carries an integer
+    * `weightCol` mass and quantiles are over the WEIGHTED distribution
+    * — e.g. with token counts as weights, "the median token lives in a
+    * document of length p50". `n_rows` reports the group's total
+    * weight. Same histogram/prefix-sum machinery, same integer rank
+    * arithmetic (`ceil(W·num/den)` over cumulative weight).
+    */
+  def weightedQuantilesByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      quantiles: Seq[(String, Int, Int)] =
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+      nShards: Int = 32): DataFrame =
+    quantilesImpl(df, groupCols, valueCol, Some(weightCol), quantiles, nShards)
+
   def exactQuantilesByGroup(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
       quantiles: Seq[(String, Int, Int)] =
         Seq(("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
-      nShards: Int = 32): DataFrame = {
+      nShards: Int = 32): DataFrame =
+    quantilesImpl(df, groupCols, valueCol, None, quantiles, nShards)
+
+  private def quantilesImpl(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: Option[String],
+      quantiles: Seq[(String, Int, Int)],
+      nShards: Int): DataFrame = {
     require(groupCols.nonEmpty, "exactQuantilesByGroup needs >= 1 group column")
     require(quantiles.nonEmpty, "exactQuantilesByGroup needs >= 1 quantile")
     quantiles.foreach { case (name, num, den) =>
@@ -56,10 +82,13 @@ object Stats {
     val cnt = Dedup.freshName(df, "_st_cnt")
     val tot = Dedup.freshName(df, "_st_tot")
     val gcols = groupCols.map(col)
+    def mass = weightCol
+      .map(w => sum(col(w).cast("long")))
+      .getOrElse(count(lit(1)))
     val hist = df.groupBy((gcols :+ col(valueCol)): _*)
-      .agg(count(lit(1)).as(cnt))
+      .agg(mass.as(cnt))
     val ranked = Sampling.prefixSumBy(hist, groupCols, valueCol, cnt, nShards)
-    val totals = df.groupBy(gcols: _*).agg(count(lit(1)).as(tot))
+    val totals = df.groupBy(gcols: _*).agg(mass.as(tot))
     // histogram-scale equi-join on the group key (totals is one row per
     // group; Catalyst broadcasts it when small, shuffles when not)
     val joined = ranked.join(totals, groupCols)

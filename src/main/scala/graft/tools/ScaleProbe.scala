@@ -308,7 +308,12 @@ object ScaleProbe {
         // q174: the composed build — q137's two hash group-bys +
         // q163's min/join + q170's two-phase shuffle + q168's payload
         // assembly, each stage individually banded above.
-        "q174_pretraining_build")
+        "q174_pretraining_build",
+        // q175: q161's histogram/prefix-sum machinery over weights;
+        // q176: two sketch passes over k× bigrams (disjoint replica
+        // vocabularies → promoted fixed-size states) + a broadcast
+        // 1-row diff.
+        "q175_weighted_quantiles", "q176_novel_bigrams_hll")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -53,4 +53,26 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("p50"))
   }
+
+  test("weightedQuantilesByGroup: hand fixture — the heavy value owns the median; n_rows is total mass") {
+    // values 1 (w=1), 10 (w=8), 100 (w=1): W=10, p50 target ceil(5)=5 → 10,
+    // p25 target ceil(2.5)=3 → 10, p90 target 9 → 10, p99 target 10 → 100
+    val df = Seq(("A", 1L, 1L), ("A", 10L, 8L), ("A", 100L, 1L))
+      .toDF("g", "v", "w")
+    val got = Stats.weightedQuantilesByGroup(df, Seq("g"), "v", "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("A") === ((10L, 10L, 10L, 10L, 100L)))
+    // unit weights reduce to the unweighted operator
+    val docs0 = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(col("source"),
+        size(array_remove(TextFunctions.tokens(col("text")), ""))
+          .cast("long").as("n"))
+    val unit = Stats.weightedQuantilesByGroup(
+        docs0.withColumn("one", lit(1L)), Seq("source"), "n", "one")
+      .collect().map(r => r.toSeq).toSet
+    val plain = Stats.exactQuantilesByGroup(docs0, Seq("source"), "n")
+      .collect().map(r => r.toSeq).toSet
+    assert(unit === plain)
+  }
 }
