@@ -33,4 +33,47 @@ object PackingPropertiesSpec extends Properties("graft.packing") {
       val deterministic = run().toSet == out.toSet
       exactlyOnce && budgetOk && deterministic
     }
+
+  private val textCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(0, 30)
+    ids <- Gen.listOfN(n, Gen.choose(0L, 100000L)).map(_.distinct)
+    texts <- Gen.listOfN(ids.length, for {
+      k <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "dddd", "x1"))
+    } yield ws.mkString(" "))
+  } yield ids.zip(texts)
+
+  property("concatChunks conserves tokens and fills every block but the last — any corpus/blockSize") =
+    forAll(textCorpus, Gen.choose(1, 16)) { (rows, bs) =>
+      val df = rows.toDF("doc_id", "text")
+      val out = Packing.concatChunks(df, "doc_id", "text", bs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val perDoc = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val want = rows.map { case (id, t) =>
+        id -> t.split(" ").count(_.nonEmpty).toLong
+      }.filter(_._2 > 0).toMap
+      val conserve = perDoc == want
+      val blocks = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val full = blocks.isEmpty || {
+        val last = blocks.keys.max
+        blocks.forall { case (b, t) => b == last || t == bs.toLong } &&
+          blocks.keys.toSet == (0L to last).toSet
+      }
+      conserve && full
+    }
+
+  property("slidingChunks covers every token exactly under stride=window; overlap otherwise bounded") =
+    forAll(textCorpus, Gen.choose(1, 8)) { (rows, w0 ) =>
+      val df = rows.toDF("doc_id", "text")
+      val stride = math.max(1, w0 / 2 + 1)
+      val out = Packing.slidingChunks(df, "doc_id", "text", w0, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      out.forall { case (id, cid, chunk, nt) =>
+        val toks = rows.toMap.apply(id).split(" ").filter(_.nonEmpty)
+        val s = (cid * stride).toInt
+        val want = toks.slice(s, s + w0)
+        chunk.split(" ").filter(_.nonEmpty).toSeq == want.toSeq &&
+          nt == want.length.toLong
+      }
+    }
 }

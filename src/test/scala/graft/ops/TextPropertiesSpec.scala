@@ -61,4 +61,26 @@ object TextPropertiesSpec extends Properties("graft.text") {
         .head()
       r.getLong(0) == r.getLong(1) && r.getInt(2) == h
     }
+
+  property("spanCorruption splices back to the original for any random corpus/seed") =
+    forAll(Gen.choose(0, 12).flatMap(Gen.listOfN(_, doc)), Gen.choose(0L, 1000L)) {
+      (ds, seed) =>
+        val rows = ds.zipWithIndex.map { case (d, i) => (i.toLong, d.mkString(" ")) }
+        val df = rows.toDF("doc_id", "text")
+        val sentinel = "<extra_id_\\d+>".r
+        val out = TextAnalysis.spanCorruption(df, "doc_id", "text", seed = seed)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        out.forall { case (id, inp, tgt) =>
+          val spans = scala.collection.mutable.Map[String, Vector[String]]()
+          var cur: String = null
+          tgt.split(" ").filter(_.nonEmpty).foreach { w =>
+            if (sentinel.pattern.matcher(w).matches()) { cur = w; spans(cur) = Vector() }
+            else spans(cur) :+= w
+          }
+          val spliced = inp.split(" ").filter(_.nonEmpty).flatMap { w =>
+            if (sentinel.pattern.matcher(w).matches()) spans(w) else Vector(w)
+          }.toSeq
+          spliced == rows.toMap.apply(id).split(" ").filter(_.nonEmpty).toSeq
+        } && out.length == rows.count(_._2.split(" ").exists(_.nonEmpty))
+    }
 }
