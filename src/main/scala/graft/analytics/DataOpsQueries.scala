@@ -2479,6 +2479,41 @@ object DataOpsQueries {
           .orderBy("source")
       }),
 
+    // Zipf-fit corpus-QA screen: least-squares slope of log-frequency
+    // on log-rank over each source's top-100 tokens — natural text
+    // sits near −1; templated/synthetic slices flatten. Full oracle:
+    // log terms round to 6 before the sums, coefficients to 4 (the
+    // decayedActivity determinism contract).
+    NamedQuery(
+      "q177_zipf_fit",
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) w
+             |      FROM documents),
+             |c AS (SELECT source, w, CAST(count(*) AS BIGINT) cnt
+             |      FROM t WHERE length(w) > 0 GROUP BY 1, 2),
+             |r AS (SELECT source,
+             |        ROUND(ln(CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY cnt DESC, w) AS DOUBLE)), 6) x,
+             |        ROUND(ln(CAST(cnt AS DOUBLE)), 6) y,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY cnt DESC, w) rk
+             |      FROM c),
+             |f AS (SELECT source, x, y FROM r WHERE rk <= 100),
+             |a AS (SELECT source, CAST(count(*) AS BIGINT) n_terms,
+             |        sum(x) sx, sum(y) sy, sum(x * y) sxy, sum(x * x) sxx
+             |      FROM f GROUP BY 1)
+             |SELECT source, n_terms,
+             |  CASE WHEN n_terms * sxx - sx * sx != 0 THEN
+             |    ROUND((n_terms * sxy - sx * sy)
+             |      / (n_terms * sxx - sx * sx), 4) END slope,
+             |  CASE WHEN n_terms * sxx - sx * sx != 0 THEN
+             |    ROUND((sy - ((n_terms * sxy - sx * sy)
+             |      / (n_terms * sxx - sx * sx)) * sx) / n_terms, 4)
+             |    END intercept
+             |FROM a ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.zipfFit(docs(s, dir), "text", "source")
+          .orderBy("source")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

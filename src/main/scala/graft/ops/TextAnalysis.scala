@@ -1125,6 +1125,58 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Zipf-fit report per source: least-squares slope of
+    * log(frequency) on log(rank) over the top `topK` tokens — natural
+    * language sits near slope −1 (Zipf 1949); templated/spammy/
+    * synthetic slices flatten (repetitive small vocab) or steepen
+    * (boilerplate dominating), making the slope a cheap corpus-QA
+    * screen per source. Output:
+    * `(source, n_terms, slope, intercept)`; sources whose top-k ranks
+    * have zero log-rank variance (n_terms = 1) report NULL slope.
+    *
+    * Determinism across engines: each log term rounds to 6 before the
+    * sums (a last-ulp `ln` difference between libms cannot reach
+    * them), the fitted coefficients round to 4 — the
+    * [[Features.decayedActivity]] contract.
+    *
+    * Scale shape: the corpus collapses to (source, token) counts
+    * (map-side combined, vocabulary-bound); the rank window runs on
+    * that ALREADY-COLLAPSED relation (≤ |vocab| rows per source — not
+    * the q149 corpus-window trap) with WindowGroupLimit pruning to
+    * topK; the regression is one per-source agg over ≤ topK rows.
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK=$topK must be >= 2 (a fit needs variance)")
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(array_remove(TextFunctions.tokens(col(textCol)), "")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("w"))
+    val terms = counts
+      .withColumn("r", row_number().over(byFreq).cast("long"))
+      .filter(col("r") <= topK)
+      .select(col("source"),
+        round(log(col("r").cast("double")), 6).as("x"),
+        round(log(col("cnt").cast("double")), 6).as("y"))
+    val agg = terms.groupBy("source").agg(
+      count(lit(1)).cast("long").as("n_terms"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val den = col("n_terms") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) / den
+    agg.select(col("source"), col("n_terms"),
+      when(den =!= 0.0, round(slope, 4)).as("slope"),
+      when(den =!= 0.0,
+        round((col("sy") - slope * col("sx")) / col("n_terms"), 4))
+        .as("intercept"))
+  }
+
   /** T5-style span-corruption example construction (Raffel et al.
     * 2020): per document, pseudo-random token spans are replaced by
     * `<extra_id_k>` sentinels in the INPUT, and the TARGET is the

@@ -313,7 +313,10 @@ object ScaleProbe {
         // q176: two sketch passes over k× bigrams (disjoint replica
         // vocabularies → promoted fixed-size states) + a broadcast
         // 1-row diff.
-        "q175_weighted_quantiles", "q176_novel_bigrams_hll")
+        "q175_weighted_quantiles", "q176_novel_bigrams_hll",
+        // q177: vocabulary-bound counts; the rank window runs on the
+        // collapsed relation; regression is a ≤ topK-row agg.
+        "q177_zipf_fit")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -552,6 +552,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rate > 0.08 && rate < 0.25, s"mask rate $rate")
   }
 
+  test("zipfFit: exact slope on a planted power law; degenerate single-token source yields NULL slope") {
+    // counts 48/r at ranks 1..4 (48, 24, 16, 12): y = ln48 − 1·ln r
+    // exactly, so slope = −1, intercept = ln 48 (to the 6-decimal grid)
+    val planted = (1 to 4).flatMap { r =>
+      Seq.fill(48 / r)(s"tok$r")
+    }.mkString(" ")
+    val df = Seq(("A", planted), ("B", "solo solo solo")).toDF("source", "text")
+    val got = TextAnalysis.zipfFit(df, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    val (nA, slopeA, intA) = got("A")
+    assert(nA === 4L)
+    assert(math.abs(slopeA.get.asInstanceOf[Double] - (-1.0)) < 1e-3,
+      s"slope ${slopeA.get}")
+    assert(math.abs(intA.get.asInstanceOf[Double] - math.log(48)) < 1e-3)
+    // B has one distinct token → zero rank variance → NULL fit
+    assert(got("B") === ((1L, None, None)))
+    // corpus sanity: every source fits with a negative slope
+    val corpus = TextAnalysis.zipfFit(
+        graft.Tables.load(spark, TestSpark.Sf001, "documents"), "text", "source")
+      .collect()
+    assert(corpus.length === 20)
+    corpus.foreach { r =>
+      assert(r.getDouble(2) < 0, s"non-negative Zipf slope: $r")
+    }
+  }
+
   test("spanCorruption: deterministic across partitioning; seed changes the masks; startMod guard") {
     val docs = graft.Tables.load(spark, TestSpark.Sf001, "documents").limit(50)
     def run(d: org.apache.spark.sql.DataFrame, seed: Long = 42L) =
