@@ -2514,6 +2514,122 @@ object DataOpsQueries {
         TextAnalysis.zipfFit(docs(s, dir), "text", "source")
           .orderBy("source")),
 
+    // Interpolated Kneser-Ney bigram LM per doc: the continuation-count
+    // smoothing (q103 is the unigram-interpolated cousin) — the
+    // standard n-gram filter-LM score. Full oracle: exact-count algebra
+    // over the shared bigram table, rounded to 4 after the mean.
+    NamedQuery(
+      "q178_kneser_ney",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(len(tok) - 1),
+             |        i -> {'w1': tok[i+1], 'w2': tok[i+2]})) p
+             |      FROM t WHERE len(tok) >= 2),
+             |e AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b),
+             |bg AS (SELECT w1, w2, count(*) c12 FROM e GROUP BY w1, w2),
+             |ctx AS (SELECT w1, sum(c12) c1, count(*) n_follow
+             |        FROM bg GROUP BY w1),
+             |cont AS (SELECT w2, count(*) n_prec FROM bg GROUP BY w2),
+             |ty AS (SELECT CAST(count(*) AS DOUBLE) b_types FROM bg)
+             |SELECT e.doc_id,
+             |  ROUND(AVG(ln(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+             |      / CAST(c1 AS DOUBLE)
+             |    + 0.75 * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE)
+             |      * (CAST(n_prec AS DOUBLE) / b_types))), 4) AS kn_score
+             |FROM e JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+             |  JOIN cont USING (w2) CROSS JOIN ty
+             |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.kneserNeyLogProb(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // SCD Type-2 dimension build from a change stream: each customer's
+    // order-status events (ordered by date, orderkey tiebreak) collapse
+    // into versioned validity intervals [valid_from, valid_to), open
+    // current version last — the point-in-time-join side table. Full
+    // oracle: LAG run detection, running-sum version numbering, LEAD
+    // valid_to, all exact.
+    NamedQuery(
+      "q179_scd2_orders",
+      Some("""WITH e AS (SELECT o_custkey, o_orderstatus v, o_orderdate ts,
+             |        o_orderkey sq FROM orders),
+             |r AS (SELECT *,
+             |        CASE WHEN row_number() OVER w = 1
+             |          OR v IS DISTINCT FROM lag(v) OVER w
+             |          THEN 1 ELSE 0 END st
+             |      FROM e WINDOW w AS (PARTITION BY o_custkey
+             |        ORDER BY ts, sq)),
+             |g AS (SELECT *, CAST(sum(st) OVER (PARTITION BY o_custkey
+             |        ORDER BY ts, sq
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) "version"
+             |      FROM r),
+             |f AS (SELECT o_custkey, "version", min(v) o_orderstatus,
+             |        min(ts) valid_from
+             |      FROM g GROUP BY 1, 2)
+             |SELECT o_custkey, "version", o_orderstatus, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY o_custkey
+             |    ORDER BY "version") valid_to,
+             |  lead(valid_from) OVER (PARTITION BY o_custkey
+             |    ORDER BY "version") IS NULL is_current
+             |FROM f ORDER BY o_custkey, "version"""".stripMargin),
+      (s, dir) =>
+        Scd2.fromChanges(
+          Tables.load(s, dir, "orders")
+            .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+          Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+          .select("o_custkey", "version", "o_orderstatus", "valid_from",
+            "valid_to", "is_current")
+          .orderBy("o_custkey", "version")),
+
+    // ROUGE-1 clipped-multiset overlap between release slices: each doc
+    // scored against the doc 100 ids later — the synthetic-data /
+    // summarization QA metric (multiset clipping, vs q22's set
+    // Jaccard). END-TO-END oracle: DuckDB overlaps gram STRINGS where
+    // the engine joins their xxhash64 keys (the q20/q131 contract).
+    NamedQuery(
+      "q180_rouge_overlap",
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+             |        x -> length(x) > 0) tok FROM documents),
+             |pr AS (SELECT c.doc_id, c.tok tc, r.tok tr
+             |       FROM d c JOIN d r ON r.doc_id = c.doc_id + 100),
+             |cc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) c
+             |       FROM (SELECT doc_id, unnest(tc) w FROM pr) GROUP BY 1, 2),
+             |cr AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) c
+             |       FROM (SELECT doc_id, unnest(tr) w FROM pr) GROUP BY 1, 2),
+             |t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_cand
+             |       FROM cc GROUP BY 1),
+             |t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_ref
+             |       FROM cr GROUP BY 1),
+             |ov AS (SELECT cc.doc_id, CAST(sum(least(cc.c, cr.c)) AS BIGINT)
+             |         n_overlap
+             |       FROM cc JOIN cr ON cc.doc_id = cr.doc_id AND cc.w = cr.w
+             |       GROUP BY 1),
+             |b AS (SELECT DISTINCT doc_id FROM pr),
+             |j AS (SELECT b.doc_id, coalesce(n_cand, 0) n_cand,
+             |        coalesce(n_ref, 0) n_ref, coalesce(n_overlap, 0) n_overlap
+             |      FROM b LEFT JOIN t1 USING (doc_id)
+             |        LEFT JOIN t2 USING (doc_id) LEFT JOIN ov USING (doc_id)),
+             |m AS (SELECT *,
+             |        CASE WHEN n_cand > 0
+             |          THEN CAST(n_overlap AS DOUBLE) / n_cand ELSE 0.0 END p,
+             |        CASE WHEN n_ref > 0
+             |          THEN CAST(n_overlap AS DOUBLE) / n_ref ELSE 0.0 END r
+             |      FROM j)
+             |SELECT doc_id, n_cand, n_ref, n_overlap,
+             |  ROUND(p, 6) rouge_p, ROUND(r, 6) rouge_r,
+             |  ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+             |    ELSE 0.0 END, 6) rouge_f1
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select("doc_id", "text")
+        val pairs = d.as("c")
+          .join(d.as("r"), col("r.doc_id") === col("c.doc_id") + 100)
+          .select(col("c.doc_id").as("doc_id"),
+            col("c.text").as("cand"), col("r.text").as("ref"))
+        TextAnalysis.rougeN(pairs, "doc_id", "cand", "ref", n = 1)
+          .orderBy("doc_id")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

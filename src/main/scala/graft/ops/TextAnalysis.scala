@@ -678,6 +678,133 @@ object TextAnalysis {
       .agg(round(avg(log(p)), 4).as("bg_score"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score per document: mean log of
+    * P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *             + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+    * where N1+(w1·) is the number of distinct continuations of w1,
+    * N1+(·w2) the number of distinct contexts preceding w2, and B the
+    * total number of distinct bigram types (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form). The continuation probability is
+    * what separates this from [[bigramInterpLogProb]]'s unigram
+    * interpolation: a token that appears often but only ever after ONE
+    * context ("Francisco") gets a LOW backoff weight — the smoothing
+    * that makes KN the standard n-gram filter LM. Scoring is over the
+    * training counts themselves (c12 ≥ 1), and the continuation term is
+    * strictly positive, so the log never hits −∞; docs need ≥ 2 tokens
+    * to own a bigram, the [[bigramInterpLogProb]] contract.
+    *
+    * Scale shape identical to [[bigramInterpLogProb]]: one explode
+    * feeds the (w1,w2) hash agg with map-side combine; context totals,
+    * continuation-fan-out counts (both directions), and the type total
+    * are second-level aggs over the vocabulary-scale bigram table; the
+    * scoring joins shuffle vocab-sized sides (web vocabularies exceed
+    * broadcast — [[sourceKlDivergence]] policy); only the scalar B
+    * broadcasts.
+    */
+  def kneserNeyLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"kneserNeyLogProb: discount must be in (0,1), got $discount")
+    val base = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("tok"))
+    val e = base.filter(size(col("tok")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("tok"), lit(1), size(col("tok")) - 1),
+        slice(col("tok"), lit(2), size(col("tok")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = e.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // one pass over the bigram table yields BOTH per-context statistics
+    val ctx = bg.groupBy("w1").agg(
+      sum("c12").as("c1"), count(lit(1)).as("n_follow"))
+    val cont = bg.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = bg.agg(count(lit(1)).cast("double").as("b_types"))
+    // evaluation order mirrors the oracle SQL exactly
+    val p = greatest(col("c12").cast("double") - lit(discount), lit(0.0)) /
+      col("c1").cast("double") +
+      lit(discount) * col("n_follow").cast("double") / col("c1").cast("double") *
+        (col("n_prec").cast("double") / col("b_types"))
+    e.join(bg, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(p)), 4).as("kn_score"))
+  }
+
+  /** ROUGE-N overlap scoring over a candidate/reference pair relation:
+    * per pair, the CLIPPED n-gram multiset overlap (Lin 2004) —
+    * Σ_g min(count_cand(g), count_ref(g)) — with precision (÷ candidate
+    * gram count), recall (÷ reference gram count), and F1. The
+    * synthetic-data QA readout: score each generated doc against its
+    * source/prompt, or one release slice against another. Multiset
+    * clipping is what distinguishes this from the SET-semantics overlap
+    * family (q22 Jaccard / q131 novelty): a candidate repeating a rare
+    * reference n-gram five times gets credit once per reference
+    * occurrence, not five.
+    *
+    * Scale shape: each side explodes to a (pair, gram) hash agg with
+    * map-side combine, the overlap join keys on (pair, xxhash64(gram))
+    * — 8-byte gram keys, never gram strings, the q20/q131 hash-vs-
+    * content contract (collisions clip an overlap count UP by pairing
+    * unrelated grams; one-sided, negligible at 64 bits) — and
+    * everything downstream is pair-content-bounded, never
+    * corpus-quadratic: the pair relation itself is the caller's
+    * contract.
+    *
+    * Output per pair id: `n_cand`, `n_ref`, `n_overlap` (exact counts),
+    * `rouge_p`, `rouge_r`, `rouge_f1` (rounded 6; 0.0 — not null — for
+    * empty denominators, so a gramless side reads as zero quality).
+    */
+  def rougeN(
+      pairs: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      n: Int = 1): DataFrame = {
+    require(n >= 1, s"rougeN: n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val toks = array_remove(TextFunctions.tokens(c), "")
+      if (n == 1) toks else TextFunctions.shinglesComposable(toks, n)
+    }
+    def sideCounts(c: String): DataFrame = pairs
+      .select(col(idCol), explode(grams(col(c))).as("g"))
+      .groupBy(col(idCol), xxhash64(col("g")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val cc = sideCounts(candCol)
+    val cr = sideCounts(refCol)
+    val totC = cc.groupBy(idCol).agg(sum("c").as("n_cand"))
+    val totR = cr.groupBy(idCol).agg(sum("c").as("n_ref"))
+    val ov = cc.join(cr.withColumnRenamed("c", "cr"), Seq(idCol, "h"))
+      .groupBy(idCol)
+      .agg(sum(least(col("c"), col("cr"))).as("n_overlap"))
+    val base = pairs.select(col(idCol)).distinct()
+    val joined = base
+      .join(totC, Seq(idCol), "left")
+      .join(totR, Seq(idCol), "left")
+      .join(ov, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+    val p = when(col("n_cand") > 0,
+      col("n_overlap").cast("double") / col("n_cand").cast("double"))
+      .otherwise(lit(0.0))
+    val r = when(col("n_ref") > 0,
+      col("n_overlap").cast("double") / col("n_ref").cast("double"))
+      .otherwise(lit(0.0))
+    joined
+      .withColumn("_p", p).withColumn("_r", r)
+      .select(col(idCol), col("n_cand"), col("n_ref"), col("n_overlap"),
+        round(col("_p"), 6).as("rouge_p"),
+        round(col("_r"), 6).as("rouge_r"),
+        round(when(col("_p") + col("_r") > 0,
+          lit(2.0) * col("_p") * col("_r") / (col("_p") + col("_r")))
+          .otherwise(lit(0.0)), 6).as("rouge_f1"))
+  }
+
   /** Okapi BM25 scoring of every document against a SMALL query-term
     * set — the lexical side of hybrid retrieval (the vector side being
     * the ANN family + MaxSim rerank). Lucene-flavored robust idf

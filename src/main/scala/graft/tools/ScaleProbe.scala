@@ -316,7 +316,16 @@ object ScaleProbe {
         "q175_weighted_quantiles", "q176_novel_bigrams_hll",
         // q177: vocabulary-bound counts; the rank window runs on the
         // collapsed relation; regression is a ≤ topK-row agg.
-        "q177_zipf_fit")
+        "q177_zipf_fit",
+        // q178: the q103 plan family — (w1,w2) hash agg + vocab-scale
+        // second-level aggs (continuation fan-in/out) + posting joins;
+        // disjoint replica vocabularies keep every posting 1x-sized.
+        "q178_kneser_ney",
+        // q180: pair relation grows exactly k× (doc_id+100 pairing stays
+        // within replica except k−1 boundary slivers, whose disjoint
+        // vocabularies overlap zero); per-pair gram aggs + the (pair,
+        // gram-hash) overlap join are pair-content-bounded.
+        "q180_rouge_overlap")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -442,6 +451,26 @@ object ScaleProbe {
             .reduce(_ unionByName _)
           graft.ops.GraphOps.pageRank(edges, "src", "dst", iterations = 5)
             .count()
+        }),
+      // q179 reads the symlinked (unreplicated) orders dim, so the
+      // fixed query wouldn't grow. The probe replicates the 1× change
+      // stream into k disjoint key copies (custkey AND orderkey offset
+      // per replica): per-key histories replicate exactly, so the
+      // single key exchange + sorts must price k× with 1×-shaped
+      // per-key run lengths.
+      ("q179_scd2[replicated-changes]",
+        d => {
+          val scale = if (d == dir) 1 else k
+          val o = Tables.load(spark, dir, "orders")
+            .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+          val maxCk = o.agg(max("o_custkey")).head().getLong(0) + 1
+          val maxOk2 = o.agg(max("o_orderkey")).head().getLong(0) + 1
+          val changes = (0 until scale).map(i => o
+              .withColumn("o_custkey", col("o_custkey") + lit(i * maxCk))
+              .withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk2)))
+            .reduce(_ unionByName _)
+          graft.ops.Scd2.fromChanges(changes, Seq("o_custkey"),
+            "o_orderstatus", "o_orderdate", "o_orderkey").count()
         }),
       // q162 needs a custom relation too: the dims are symlinked, so
       // the fixed query wouldn't grow. The probe replicates the 1×

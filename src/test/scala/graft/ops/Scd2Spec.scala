@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fromChanges: hand fixture — runs collapse, re-opened value gets a NEW version, ties order by seq") {
+    val ev = Seq(
+      // K1: A A B B A -> 3 versions (A re-opens as version 3, not merged)
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "B", 40L, 4L), (1L, "A", 50L, 5L),
+      // K2: same-ts tie, seq decides X before Y
+      (2L, "X", 10L, 1L), (2L, "Y", 10L, 2L))
+      .toDF("k", "v", "ts", "sq")
+    val got = Scd2.fromChanges(ev, Seq("k"), "v", "ts", "sq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got((1L, 1L)) === (("A", 10L, 30L, false)))
+    assert(got((1L, 2L)) === (("B", 30L, 50L, false)))
+    assert(got((1L, 3L)) === (("A", 50L, -1L, true)))
+    // tie: X's interval is zero-width [10, 10), Y is current
+    assert(got((2L, 1L)) === (("X", 10L, 10L, false)))
+    assert(got((2L, 2L)) === (("Y", 10L, -1L, true)))
+    assert(got.size === 5)
+  }
+
+  test("fromChanges: null-safe value transitions version correctly") {
+    val ev = Seq(
+      (1L, Option.empty[String], 10L, 1L), (1L, Some("A"), 20L, 2L),
+      (1L, Option.empty[String], 30L, 3L), (1L, Option.empty[String], 40L, 4L))
+      .toDF("k", "v", "ts", "sq")
+    val got = Scd2.fromChanges(ev, Seq("k"), "v", "ts", "sq")
+      .orderBy("version").collect()
+    assert(got.length === 3) // null, A, null (two trailing nulls collapse)
+    assert(got(0).isNullAt(2) && got(1).getString(2) === "A" && got(2).isNullAt(2))
+    assert(got(2).getBoolean(5))
+  }
+
+  test("fromChanges: orders corpus invariants — contiguous versions, chained intervals, one current, no same-value neighbors") {
+    val orders = Tables.load(spark, TestSpark.Sf001, "orders")
+      .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    val dim = Scd2.fromChanges(orders, Seq("o_custkey"),
+      "o_orderstatus", "o_orderdate", "o_orderkey")
+    val rows = dim.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getAs[java.time.LocalDateTime](3),
+      if (r.isNullAt(4)) null else r.getAs[java.time.LocalDateTime](4),
+      r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      val s = vs.sortBy(_._2)
+      assert(s.map(_._2).toSeq === (1L to s.length.toLong), s"key $k versions")
+      assert(s.count(_._6) === 1 && s.last._6, s"key $k current")
+      s.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._5 === b._4, s"key $k interval chain")
+        assert(a._3 !== b._3, s"key $k consecutive versions must differ")
+        assert(a._4.compareTo(b._4) <= 0, s"key $k valid_from monotone")
+      }
+      assert(s.init.forall(_._5 != null) && s.last._5 == null, s"key $k open tail")
+    }
+    // version count ≡ number of value changes in the event stream
+    val events = orders.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+    val wantVersions = events.groupBy(_._1).map { case (k, es) =>
+      val ordered = es.sortBy(e =>
+        (e._3.toEpochSecond(java.time.ZoneOffset.UTC), e._4)).map(_._2)
+      k -> (1 + ordered.sliding(2).count(p => p.length == 2 && p(0) != p(1)))
+    }
+    val gotVersions = rows.groupBy(_._1).map { case (k, vs) => k -> vs.length }
+    assert(gotVersions === wantVersions)
+  }
+
+  test("fromChanges: reserved output names on the input fail fast") {
+    val bad = Seq((1L, "A", 10L, 1L, 9L)).toDF("k", "v", "ts", "sq", "version")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.fromChanges(bad, Seq("k"), "v", "ts", "sq")
+    }
+    assert(e.getMessage.contains("version"))
+    intercept[IllegalArgumentException] {
+      Scd2.fromChanges(Seq((1L, "A")).toDF("k", "v"), Seq(), "v", "k", "k")
+    }
+  }
+}
