@@ -2630,6 +2630,88 @@ object DataOpsQueries {
           .orderBy("doc_id")
       }),
 
+    // Point-in-time join against the q179 SCD2 dimension: each lineitem
+    // gets the customer's order-status version valid at its SHIP date —
+    // the as-of formulation (one key exchange) of what the oracle
+    // expresses as interval containment. Full oracle: LEFT JOIN on
+    // [valid_from, valid_to) mirrors the as-of + version-tiebreak
+    // exactly because q179's intervals are contiguous per key.
+    NamedQuery(
+      "q181_pit_join",
+      Some("""WITH e AS (SELECT o_custkey, o_orderstatus v, o_orderdate ts,
+             |        o_orderkey sq FROM orders),
+             |r AS (SELECT *,
+             |        CASE WHEN row_number() OVER w = 1
+             |          OR v IS DISTINCT FROM lag(v) OVER w
+             |          THEN 1 ELSE 0 END st
+             |      FROM e WINDOW w AS (PARTITION BY o_custkey
+             |        ORDER BY ts, sq)),
+             |g AS (SELECT *, CAST(sum(st) OVER (PARTITION BY o_custkey
+             |        ORDER BY ts, sq
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) "version"
+             |      FROM r),
+             |f AS (SELECT o_custkey, "version", min(v) o_orderstatus,
+             |        min(ts) valid_from
+             |      FROM g GROUP BY 1, 2),
+             |dim AS (SELECT o_custkey, "version", o_orderstatus, valid_from,
+             |        lead(valid_from) OVER (PARTITION BY o_custkey
+             |          ORDER BY "version") valid_to
+             |      FROM f),
+             |fact AS (SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT fact.l_orderkey, fact.l_linenumber, fact.o_custkey,
+             |  fact.l_shipdate, d.o_orderstatus status_at_ship, d."version"
+             |FROM fact LEFT JOIN dim d
+             |  ON fact.o_custkey = d.o_custkey
+             |  AND fact.l_shipdate >= d.valid_from
+             |  AND (d.valid_to IS NULL OR fact.l_shipdate < d.valid_to)
+             |ORDER BY fact.l_orderkey, fact.l_linenumber""".stripMargin),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val dim = Scd2.fromChanges(
+          o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+          Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+          .withColumnRenamed("o_orderstatus", "status_at_ship")
+        val facts = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_shipdate")
+          .join(o.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .drop("o_orderkey")
+        Scd2.pointInTime(facts, dim, Seq("o_custkey"), "l_shipdate",
+          Seq("status_at_ship", "version"))
+          .select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate",
+            "status_at_ship", "version")
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // Weekly cohort-retention triangle over the event log: users bucket
+    // into their first-event ISO week; each cell counts the cohort's
+    // active users k weeks on. Full oracle: exact counts, Monday-start
+    // week truncation agreeing across engines, rate rounded 6.
+    NamedQuery(
+      "q182_cohort_retention",
+      Some("""WITH f AS (SELECT user_id, min(ts) first_ts FROM events
+             |      GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) wk
+             |      FROM events),
+             |cs AS (SELECT date_trunc('week', first_ts) cohort_week,
+             |        CAST(count(*) AS BIGINT) n_cohort
+             |      FROM f GROUP BY 1),
+             |j AS (SELECT date_trunc('week', f.first_ts) cohort_week,
+             |        CAST(date_diff('day', date_trunc('week', f.first_ts),
+             |          a.wk) // 7 AS BIGINT) week_offset
+             |      FROM a JOIN f USING (user_id))
+             |SELECT j.cohort_week, j.week_offset, cs.n_cohort,
+             |  CAST(count(*) AS BIGINT) n_active,
+             |  ROUND(CAST(count(*) AS DOUBLE) / cs.n_cohort, 6) retention
+             |FROM j JOIN cs USING (cohort_week)
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Features.cohortRetention(
+          Tables.load(s, dir, "events"), "user_id", "ts")
+          .orderBy("cohort_week", "week_offset")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -118,4 +118,45 @@ object Features {
       .groupBy("prev", "next")
       .agg(count(lit(1)).cast("long").as("n"))
   }
+
+  /** Weekly cohort-retention matrix: users bucket into the ISO week of
+    * their FIRST event (the cohort), and each cell counts how many of
+    * that cohort were active `week_offset` weeks later — the classic
+    * product-analytics triangle, with exact counts and a rounded rate.
+    * `week_offset` 0 is the cohort week itself (retention 1.0 by
+    * construction — every user is active in their first week).
+    *
+    * Scale shape: one user-keyed first-event agg, one (user, week)
+    * distinct (both hash aggs with map-side combine), a user-keyed join
+    * that reuses the first agg's partitioning, then week-granularity
+    * matrix aggs — nothing downstream of the two user-scale exchanges
+    * exceeds |weeks|² rows. No window over unbounded user history.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_first_ts"))
+      .select(col(userCol),
+        // date-typed weeks (DuckDB/warehouse convention for a week bucket)
+        date_trunc("week", col("_first_ts")).cast("date").as("cohort_week"))
+    val active = events
+      .select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("_wk"))
+      .distinct()
+    val sizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    val cells = active.join(firsts, Seq(userCol))
+      .select(col("cohort_week"),
+        (datediff(col("_wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    cells.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("n_cohort"), col("n_active"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+  }
 }

@@ -65,4 +65,34 @@ object Scd2 {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time join: attach to each fact row the dimension version
+    * whose validity interval contains the fact's timestamp. Because
+    * [[fromChanges]] emits CONTIGUOUS intervals per key (each
+    * `valid_to` is the next `valid_from`), interval containment is
+    * equivalent to an as-of join on `valid_from` — most recent version
+    * start ≤ fact ts — so this delegates to [[AsOfJoin.asOf]] (one key
+    * exchange + one sort, never an interval theta join). Zero-width
+    * versions (two changes at the same timestamp) lose the as-of tie
+    * to the later version via the `version` tiebreak, exactly matching
+    * the containment semantics (nothing lives in `[t, t)`). Facts
+    * before the key's first version, or with no key match, keep NULL
+    * version columns — the left-join contract.
+    *
+    * @param facts     fact rows (all kept)
+    * @param dim       a [[fromChanges]] output (needs `valid_from`,
+    *                  `version`, the key columns, and `valueCols`)
+    * @param keyCols   equality keys present on both sides
+    * @param factTs    event-time column on the facts
+    * @param valueCols dimension columns to attach (e.g. the value and
+    *                  `version`)
+    */
+  def pointInTime(
+      facts: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      factTs: String,
+      valueCols: Seq[String]): DataFrame =
+    AsOfJoin.asOf(facts, dim, keyCols, factTs, "valid_from",
+      valueCols, tiebreakCols = Seq("version"))
 }

@@ -325,7 +325,11 @@ object ScaleProbe {
         // within replica except k−1 boundary slivers, whose disjoint
         // vocabularies overlap zero); per-pair gram aggs + the (pair,
         // gram-hash) overlap join are pair-content-bounded.
-        "q180_rouge_overlap")
+        "q180_rouge_overlap",
+        // q182: two user-scale hash aggs + a user-keyed join (offset
+        // replica user_ids keep cohorts splitting k× users across the
+        // same weeks); everything past them is |weeks|²-bounded.
+        "q182_cohort_retention")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -471,6 +475,36 @@ object ScaleProbe {
             .reduce(_ unionByName _)
           graft.ops.Scd2.fromChanges(changes, Seq("o_custkey"),
             "o_orderstatus", "o_orderdate", "o_orderkey").count()
+        }),
+      // q181 joins replicated lineitem against the symlinked orders dim
+      // (only replica 0 would match) — the probe replicates BOTH the
+      // change stream and the facts with consistently offset keys, so
+      // dim histories and per-key fact volumes stay 1×-shaped while
+      // keys grow k×: the as-of union window must price k× linearly.
+      ("q181_pit_join[replicated-both]",
+        d => {
+          val scale = if (d == dir) 1 else k
+          val o = Tables.load(spark, dir, "orders")
+          val f0 = Tables.load(spark, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_shipdate")
+            .join(o.select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
+          val ch0 = o.select("o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderkey")
+          val maxCk = o.agg(max("o_custkey")).head().getLong(0) + 1
+          val maxOk2 = o.agg(max("o_orderkey")).head().getLong(0) + 1
+          val changes = (0 until scale).map(i => ch0
+              .withColumn("o_custkey", col("o_custkey") + lit(i * maxCk))
+              .withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk2)))
+            .reduce(_ unionByName _)
+          val facts = (0 until scale).map(i => f0
+              .withColumn("o_custkey", col("o_custkey") + lit(i * maxCk))
+              .withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk2)))
+            .reduce(_ unionByName _)
+          val dim = graft.ops.Scd2.fromChanges(changes, Seq("o_custkey"),
+            "o_orderstatus", "o_orderdate", "o_orderkey")
+          graft.ops.Scd2.pointInTime(facts, dim, Seq("o_custkey"),
+            "l_shipdate", Seq("o_orderstatus", "version")).count()
         }),
       // q162 needs a custom relation too: the dims are symlinked, so
       // the fixed query wouldn't grow. The probe replicates the 1×

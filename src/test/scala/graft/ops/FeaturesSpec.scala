@@ -73,4 +73,42 @@ class FeaturesSpec extends AnyFunSuite {
     val nG = ev.select("user_id", "day").distinct().count()
     assert(nT === nE - nG)
   }
+
+  test("cohortRetention: hand fixture — Monday cohorts, gap weeks absent, rates exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1, u2 first seen week of Mon 2024-01-01; u3 the next week.
+    // u1 active weeks 0 and 2 (gap at 1); u2 only week 0; u3 weeks 0, 1.
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-17 09:00:00")),
+      (2L, ts("2024-01-05 23:59:59")),
+      (3L, ts("2024-01-08 00:00:00")), (3L, ts("2024-01-18 12:00:00")))
+      .toDF("user_id", "ts")
+    val got = Features.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("2024-01-01", 0L)) === ((2L, 2L, 1.0)))
+    assert(got(("2024-01-01", 2L)) === ((2L, 1L, 0.5)))
+    assert(!got.contains(("2024-01-01", 1L))) // nobody active that week
+    assert(got(("2024-01-08", 0L)) === ((1L, 1L, 1.0)))
+    assert(got(("2024-01-08", 1L)) === ((1L, 1L, 1.0)))
+    assert(got.size === 4)
+  }
+
+  test("cohortRetention: corpus invariants — offset-0 rate is 1.0, cells bounded by cohort, cohorts partition users") {
+    val ev = graft.Tables.load(spark, TestSpark.Sf001, "events")
+    val got = Features.cohortRetention(ev, "user_id", "ts")
+    val rows = got.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cw, off, nc, na, rate) =>
+      assert(off >= 0, s"$cw offset")
+      assert(na <= nc, s"$cw/$off cell exceeds cohort")
+      assert(math.abs(rate - BigDecimal(na.toDouble / nc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-12)
+      if (off == 0) assert(na === nc, s"$cw offset-0 must be the whole cohort")
+    }
+    val nUsers = ev.select("user_id").distinct().count()
+    val cohortSum = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(cohortSum === nUsers, "cohort sizes must partition the user base")
+  }
 }

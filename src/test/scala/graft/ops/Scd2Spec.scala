@@ -74,6 +74,62 @@ class Scd2Spec extends AnyFunSuite {
     assert(gotVersions === wantVersions)
   }
 
+  test("pointInTime: facts land in the containing interval; zero-width versions never match; pre-history is NULL") {
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 30L, 2L),
+      // key 2: two changes at ts 10 -> X is zero-width, Y current
+      (2L, "X", 10L, 1L), (2L, "Y", 10L, 2L))
+      .toDF("k", "v", "ts", "sq")
+    val dim = Scd2.fromChanges(ev, Seq("k"), "v", "ts", "sq")
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 29L), (1L, 30L), (1L, 99L),
+      (2L, 10L), (3L, 50L)).toDF("k", "fts")
+    val got = Scd2.pointInTime(facts, dim, Seq("k"), "fts", Seq("v", "version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got((1L, 5L)) === null)        // before first version
+    assert(got((1L, 10L)) === "A")        // inclusive at valid_from
+    assert(got((1L, 29L)) === "A")
+    assert(got((1L, 30L)) === "B")        // boundary goes to the NEW version
+    assert(got((1L, 99L)) === "B")        // open current interval
+    assert(got((2L, 10L)) === "Y")        // zero-width X skipped
+    assert(got((3L, 50L)) === null)       // unknown key kept, NULL attach
+    assert(got.size === 7)
+  }
+
+  test("pointInTime: equals the interval-containment reference on the orders/lineitem corpus") {
+    val o = Tables.load(spark, TestSpark.Sf001, "orders")
+    val dim = Scd2.fromChanges(
+      o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+      Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+    val facts = Tables.load(spark, TestSpark.Sf001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .join(o.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey")).drop("o_orderkey")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    // lineitem, so compare the full output as a sorted multiset of
+    // (fact identity, attached version) tuples, one per fact row.
+    val got = Scd2.pointInTime(facts, dim, Seq("o_custkey"), "l_shipdate",
+        Seq("o_orderstatus", "version"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3),
+        r.getAs[java.time.LocalDateTime](2).toString,
+        if (r.isNullAt(4)) -1L else r.getLong(5))).sorted
+    // reference: brute interval scan per fact
+    val intervals = dim.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[java.time.LocalDateTime](3),
+      if (r.isNullAt(4)) null else r.getAs[java.time.LocalDateTime](4)))
+      .groupBy(_._1)
+    val want = facts.collect().map { r =>
+      val (ok, ln, ts, ck) = (r.getLong(0), r.getInt(1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3))
+      val hit = intervals.getOrElse(ck, Array.empty).find { case (_, _, f, t) =>
+        ts.compareTo(f) >= 0 && (t == null || ts.compareTo(t) < 0)
+      }
+      (ok, ln, ck, ts.toString, hit.map(_._2).getOrElse(-1L))
+    }.sorted
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("fromChanges: reserved output names on the input fail fast") {
     val bad = Seq((1L, "A", 10L, 1L, 9L)).toDF("k", "v", "ts", "sq", "version")
     val e = intercept[IllegalArgumentException] {
