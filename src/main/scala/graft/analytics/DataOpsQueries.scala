@@ -2712,6 +2712,64 @@ object DataOpsQueries {
           Tables.load(s, dir, "events"), "user_id", "ts")
           .orderBy("cohort_week", "week_offset")),
 
+    // Market-basket pair affinity over order baskets: support /
+    // directional confidence / lift for part pairs co-ordered >= 2
+    // times (Apriori item prune before any pairing; mega-basket cap
+    // named). Full oracle: exact counts and ratio algebra.
+    NamedQuery(
+      "q183_basket_affinity",
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey b, l_partkey it
+             |      FROM lineitem),
+             |tot AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) n_baskets
+             |      FROM i),
+             |s AS (SELECT it, CAST(count(*) AS BIGINT) s FROM i GROUP BY 1),
+             |fi AS (SELECT i.b, i.it FROM i JOIN s USING (it)
+             |       WHERE s.s >= 2),
+             |bs AS (SELECT b, count(*) n FROM fi GROUP BY 1),
+             |fi2 AS (SELECT fi.b, fi.it FROM fi JOIN bs USING (b)
+             |        WHERE bs.n BETWEEN 2 AND 10000),
+             |p AS (SELECT least(a.it, c.it) item_a,
+             |        greatest(a.it, c.it) item_b,
+             |        CAST(count(*) AS BIGINT) n_ab
+             |      FROM fi2 a JOIN fi2 c ON a.b = c.b AND a.it < c.it
+             |      GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT item_a, item_b, sa.s n_a, sb.s n_b, n_ab,
+             |  ROUND(n_ab / tot.n_baskets, 6) support,
+             |  ROUND(CAST(n_ab AS DOUBLE) / sa.s, 6) conf_a_to_b,
+             |  ROUND(CAST(n_ab AS DOUBLE) / sb.s, 6) conf_b_to_a,
+             |  ROUND(tot.n_baskets * n_ab
+             |    / (CAST(sa.s AS DOUBLE) * sb.s), 6) lift
+             |FROM p JOIN s sa ON p.item_a = sa.it
+             |  JOIN s sb ON p.item_b = sb.it CROSS JOIN tot
+             |ORDER BY item_a, item_b""".stripMargin),
+      (s, dir) =>
+        Baskets.pairAffinity(
+          Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+          .orderBy("item_a", "item_b")),
+
+    // CountMin point-frequency estimates from a fixed-size sketch:
+    // per-source token counts for a probe term set, answered from the
+    // depth×width cell table — the FREQUENCY twin of the q164 HLL
+    // distinct table (rows-only: cells are xxhash64 placements no SQL
+    // engine reproduces; SketchesSpec pins est ≥ exact, the e/width
+    // overcount bound, cell-exact merge-of-parts, and stream ≡ batch).
+    NamedQuery(
+      "q184_countmin_freq",
+      None,
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("source"),
+            explode(array_remove(TextFunctions.tokens(col("text")), ""))
+              .as("tok"))
+        val table = Sketches.cmAgg(toks, Seq("source"), "tok")
+        val probeTerms = Seq("the", "a", "of", "table", "spark", "query",
+          "value", "zzz_absent")
+        val queries = toks.select("source").distinct()
+          .select(col("source"),
+            explode(array(probeTerms.map(lit): _*)).as("tok"))
+        Sketches.cmEstimate(table, queries, Seq("source"), "tok")
+          .orderBy("source", "tok")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -94,4 +94,81 @@ object Sketches {
             - hllEstimate(hll_union(col("_sk_sa"), col("_sk_sb"))))
           .as("est_shared"))
   }
+
+  // ---------------------------------------------------------------
+  // CountMin frequency sketch (Cormode & Muthukrishnan 2005) — the
+  // FREQUENCY twin of the HLL distinct table: per-group point-count
+  // estimates from a fixed-size state, never a vocabulary-sized
+  // relation. The sketch is kept as ROWS (group…, d, bucket, cnt),
+  // ≤ depth×width cells per group: cells are ADDITIVE, so merging
+  // sketches (or appending streamed partials) is a plain SUM group-by
+  // — the LexIndex stats-row contract — and merge-of-parts equals
+  // sketch-of-whole EXACTLY, not just within error. Estimates are
+  // one-sided: est(x) ≥ true(x) always; overcount ≤ e/width · N per
+  // row with prob 1 − exp(−depth) (xxhash64 row-seeded by d).
+  // ---------------------------------------------------------------
+
+  private def cmBucket(value: Column, d: Column, width: Int): Column =
+    pmod(xxhash64(value, d), lit(width.toLong))
+
+  private def cmValidate(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 16, s"cm: depth=$depth outside [1, 16]")
+    require(width >= 8, s"cm: width=$width < 8")
+  }
+
+  /** Per-group CountMin sketch of `valueCol` occurrences: one corpus
+    * pass; the explode-by-depth exchange map-side combines to
+    * ≤ depth×width cells per group per task, so the shuffle payload is
+    * sketch-sized regardless of vocabulary. Output:
+    * `groupCols…, d, bucket, cnt` (sparse — zero cells absent).
+    */
+  def cmAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    require(groupCols.nonEmpty, "cmAgg needs >= 1 group column")
+    cmValidate(depth, width)
+    df.select(groupCols.map(col) :+ col(valueCol).as("_cm_v") :+
+        explode(sequence(lit(0), lit(depth - 1))).as("d"): _*)
+      .select(groupCols.map(col) :+ col("d") :+
+        cmBucket(col("_cm_v"), col("d"), width).as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("d") :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge a CountMin table to a coarser grouping — cell-wise sums,
+    * exact (merge-of-parts ≡ sketch-of-whole). Also the read path for
+    * streamed additive partials. Pass `Nil` to collapse all groups.
+    */
+  def cmMerge(
+      table: DataFrame,
+      coarserGroupCols: Seq[String]): DataFrame =
+    table.groupBy((coarserGroupCols ++ Seq("d", "bucket")).map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for a query relation
+    * (`groupCols…, valueCol`): min over the depth rows of the matching
+    * cells (absent cell = 0). One explode-by-depth of the QUERY side, a
+    * (group, d, bucket)-keyed left join against the sketch table, and
+    * a per-query min agg — sketch-table-scale, never a corpus rescan.
+    * Output: `groupCols…, valueCol, est`.
+    */
+  def cmEstimate(
+      table: DataFrame,
+      queries: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    cmValidate(depth, width)
+    queries.select(groupCols.map(col) :+ col(valueCol): _*).distinct()
+      .select(groupCols.map(col) :+ col(valueCol) :+
+        explode(sequence(lit(0), lit(depth - 1))).as("d"): _*)
+      .withColumn("bucket", cmBucket(col(valueCol), col("d"), width))
+      .join(table, groupCols ++ Seq("d", "bucket"), "left")
+      .groupBy(groupCols.map(col) :+ col(valueCol): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -47,4 +47,36 @@ object SketchStream {
         VectorIndexStream.runningQueryId(batch))
       ()
     }
+
+  /** CountMin twin: append one micro-batch's partial cell counts
+    * ([[Sketches.cmAgg]] rows are additive — readers re-sum via
+    * [[Sketches.cmMerge]], so stream-built ≡ batch-built EXACTLY,
+    * cell for cell, not just within sketch error).
+    */
+  def cmAppendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      groupCols: Seq[String],
+      valueCol: String,
+      path: String,
+      depth: Int = 4,
+      width: Int = 2048,
+      streamId: String = ""): Boolean =
+    VectorIndexStream.ledgered(batch, batchId, path, streamId) {
+      Sketches.cmAgg(batch, groupCols, valueCol, depth, width)
+        .write.mode("append").parquet(path)
+    }
+
+  def cmSink(
+      stream: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      path: String,
+      depth: Int = 4,
+      width: Int = 2048): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      cmAppendBatch(batch, batchId, groupCols, valueCol, path, depth, width,
+        VectorIndexStream.runningQueryId(batch))
+      ()
+    }
 }

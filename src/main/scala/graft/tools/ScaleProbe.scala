@@ -329,7 +329,16 @@ object ScaleProbe {
         // q182: two user-scale hash aggs + a user-keyed join (offset
         // replica user_ids keep cohorts splitting k× users across the
         // same weeks); everything past them is |weeks|²-bounded.
-        "q182_cohort_retention")
+        "q182_cohort_retention",
+        // q183: offset l_orderkeys make k× baskets over the SAME part
+        // space — per-basket expansion stays 1×-shaped (cap guard),
+        // pair/item relations keep their row counts while counts grow
+        // k×: one basket exchange + item-scale joins.
+        "q183_basket_affinity",
+        // q184: the CM cell exchange saturates at depth×width cells per
+        // source regardless of the k× (disjoint) vocabulary — the
+        // sketch-table contract; probes are a cell join.
+        "q184_countmin_freq")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

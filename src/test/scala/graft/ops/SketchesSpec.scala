@@ -134,4 +134,94 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.hllAgg(events, Nil, "user_id")
     }
   }
+
+  lazy val toks = Tables.load(spark, TestSpark.Sf001, "documents")
+    .select(col("source"),
+      explode(array_remove(split(col("text"), " "), "")).as("tok"))
+
+  test("cm: estimates dominate exact counts and hold the e/width overcount bound on the corpus") {
+    val width = 2048
+    val table = Sketches.cmAgg(toks, Seq("source"), "tok", width = width)
+    val exact = toks.groupBy("source", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerSource = toks.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = toks.select("source", "tok").distinct()
+      .union(toks.select("source").distinct()
+        .select(col("source"), lit("zzz_absent").as("tok")))
+    val est = Sketches.cmEstimate(table, probes, Seq("source"), "tok",
+        width = width)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.nonEmpty)
+    est.foreach { case ((src, t), e) =>
+      val truth = exact.getOrElse((src, t), 0L)
+      assert(e >= truth, s"($src, $t): CM must never undercount")
+      val bound = math.ceil(math.E / width * nPerSource(src)).toLong
+      assert(e - truth <= bound,
+        s"($src, $t): overcount ${e - truth} exceeds e/width bound $bound")
+    }
+  }
+
+  test("cm: merge-of-parts equals sketch-of-whole cell-for-cell; global rollup matches direct") {
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val whole = cells(Sketches.cmAgg(toks, Seq("source"), "tok"))
+    val even = toks.filter(xxhash64(col("tok")) % 2 === 0)
+    val odd = toks.filter(xxhash64(col("tok")) % 2 =!= 0)
+    val merged = cells(Sketches.cmMerge(
+      Sketches.cmAgg(even, Seq("source"), "tok")
+        .unionByName(Sketches.cmAgg(odd, Seq("source"), "tok")),
+      Seq("source")))
+    assert(merged === whole)
+    // collapse to one global sketch ≡ building it directly
+    val global = Sketches.cmMerge(
+      Sketches.cmAgg(toks, Seq("source"), "tok"), Nil)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Sketches.cmAgg(toks.select(lit(1).as("g"), col("tok")),
+        Seq("g"), "tok")
+      .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(global === direct)
+  }
+
+  test("cm: stream-built table ≡ batch build cell-for-cell; redelivered batch is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cm-stream").toString
+    toks.repartition(3).write.parquet(s"$root/src")
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("source", StringType), StructField("tok", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+    val q = graft.streaming.SketchStream
+      .cmSink(stream, Seq("source"), "tok", s"$root/tbl")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def cells = Sketches.cmMerge(spark.read.parquet(s"$root/tbl"), Seq("source"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val streamed = cells
+    val direct = Sketches.cmAgg(toks, Seq("source"), "tok")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(streamed === direct)
+    val once = graft.streaming.SketchStream.cmAppendBatch(
+      toks.limit(10), 7L, Seq("source"), "tok", s"$root/tbl", streamId = "manual")
+    assert(once)
+    val snapshot = cells
+    val twice = graft.streaming.SketchStream.cmAppendBatch(
+      toks.limit(10), 7L, Seq("source"), "tok", s"$root/tbl", streamId = "manual")
+    assert(!twice)
+    assert(cells === snapshot)
+  }
+
+  test("cm: depth/width guards fail fast") {
+    intercept[IllegalArgumentException] {
+      Sketches.cmAgg(toks, Seq("source"), "tok", depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmAgg(toks, Seq("source"), "tok", width = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmAgg(toks, Nil, "tok")
+    }
+  }
 }
