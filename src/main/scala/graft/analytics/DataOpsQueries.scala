@@ -2770,6 +2770,63 @@ object DataOpsQueries {
           .orderBy("source", "tok")
       }),
 
+    // Benford first-digit screen over order-line prices per return
+    // flag: observed digit shares vs log10(1 + 1/d), group chi-square —
+    // the fabricated-numbers / synthetic-column QA screen. Full oracle:
+    // the digit comes from the decimal RENDERING (exact cross-engine;
+    // a floor(log10) formulation can misdigit on a libm ulp).
+    NamedQuery(
+      "q185_benford_screen",
+      Some("""WITH b AS (SELECT l_returnflag g, CAST(l_extendedprice AS DOUBLE) v
+             |      FROM lineitem WHERE l_extendedprice > 0),
+             |d AS (SELECT g, CAST(substr(regexp_replace(CAST(v AS VARCHAR),
+             |        '[^1-9]', '', 'g'), 1, 1) AS INT) digit FROM b),
+             |c AS (SELECT g, digit, CAST(count(*) AS BIGINT) n_d
+             |      FROM d GROUP BY 1, 2),
+             |t AS (SELECT g, CAST(sum(n_d) AS BIGINT) n FROM c GROUP BY 1),
+             |sp AS (SELECT g, CAST(unnest(range(1, 10)) AS INT) digit FROM t),
+             |f AS (SELECT sp.g, sp.digit, coalesce(c.n_d, 0) n_d, t.n
+             |      FROM sp LEFT JOIN c ON sp.g = c.g AND sp.digit = c.digit
+             |        JOIN t ON sp.g = t.g),
+             |s AS (SELECT *, log10(1 + 1.0 / digit) * n exp_n FROM f),
+             |chi AS (SELECT g, ROUND(sum((n_d - exp_n) * (n_d - exp_n)
+             |          / exp_n), 4) chi2
+             |        FROM s GROUP BY 1)
+             |SELECT s.g AS l_returnflag, s.digit, s.n_d, s.n,
+             |  ROUND(CAST(s.n_d AS DOUBLE) / s.n, 6) AS share,
+             |  ROUND(log10(1 + 1.0 / s.digit), 6) expected, chi.chi2
+             |FROM s JOIN chi ON s.g = chi.g ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Stats.benfordScreen(
+          Tables.load(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice")
+          .orderBy("l_returnflag", "digit")),
+
+    // Column-level dataset profile of the orders table: row/null/exact-
+    // distinct counts and min/max per column, long format — the release
+    // governance "is this column populated / keyed / in range" check
+    // (q144 is the per-source corpus view). Full oracle: UNION ALL of
+    // per-column aggregates; min/max rendered as strings on both sides.
+    NamedQuery(
+      "q186_column_profile",
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+        .map(c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) n_distinct,
+             |  CAST(min($c) AS VARCHAR) min_value,
+             |  CAST(max($c) AS VARCHAR) max_value
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+      (s, dir) =>
+        Stats.columnProfile(
+          Tables.load(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"))
+          .orderBy("column")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

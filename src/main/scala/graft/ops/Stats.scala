@@ -102,4 +102,93 @@ object Stats {
     joined.groupBy(gcols: _*)
       .agg(max(col(tot)).cast("long").as("n_rows"), qCols: _*)
   }
+
+  /** Benford's-law first-significant-digit screen per group: observed
+    * digit shares against the log10(1 + 1/d) expectation, plus the
+    * group's Pearson χ² — the data-QA / fabricated-numbers screen
+    * (naturally-generated multiplicative quantities track Benford;
+    * templated or synthetic columns flatten or spike). Non-positive
+    * values carry no first significant digit and are excluded (their
+    * count is visible as n_group vs the digit-row sum). Every group
+    * emits all nine digit rows (zero-count digits included — χ² needs
+    * them), each carrying the group's n and χ².
+    *
+    * Scale shape: the digit extract is a map-only projection, the
+    * digit histogram a (group, digit) hash agg with map-side combine
+    * (≤ 9 cells per group per task), the digit spine a broadcast-sized
+    * per-group cross, and χ² a ≤ 9-row-per-group second agg — nothing
+    * past the scan exceeds 9×|groups| rows.
+    */
+  def benfordScreen(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "benfordScreen needs >= 1 group column")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    // first significant digit via the decimal rendering (strip every
+    // non-1-9 char; scientific-notation exponents only contribute
+    // characters AFTER the mantissa's lead digit) — exact, where a
+    // floor(log10) formulation can misdigit on a libm ulp (10^k reads
+    // as 9.999…) and drift across engines
+    val digit = substring(
+      regexp_replace(v.cast("string"), "[^1-9]", ""), 1, 1).cast("int")
+    val counts = df.filter(v > 0)
+      .select(gcols :+ digit.as("digit"): _*)
+      .groupBy(gcols :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_d"))
+    val totals = counts.groupBy(gcols: _*).agg(sum("n_d").as("n"))
+    val spine = totals.select(gcols :+
+      explode(sequence(lit(1), lit(9))).as("digit"): _*)
+    val filled = spine
+      .join(counts, groupCols :+ "digit", "left")
+      .join(totals, groupCols)
+      .select(gcols ++ Seq(col("digit"),
+        coalesce(col("n_d"), lit(0L)).as("n_d"), col("n")): _*)
+    val expected = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    val scored = filled.withColumn("_exp_n", expected * col("n"))
+      .withColumn("_chi_term",
+        (col("n_d") - col("_exp_n")) * (col("n_d") - col("_exp_n")) / col("_exp_n"))
+    val chi = scored.groupBy(gcols: _*)
+      .agg(round(sum("_chi_term"), 4).as("chi2"))
+    scored.join(chi, groupCols)
+      .select(gcols ++ Seq(col("digit"), col("n_d"), col("n").cast("long").as("n"),
+        round(col("n_d").cast("double") / col("n"), 6).as("share"),
+        round(expected, 6).as("expected"), col("chi2")): _*)
+  }
+
+  /** Column-level dataset profile in long format: per listed column,
+    * row count, null count, exact distinct count, and min/max rendered
+    * as strings — the governance companion to the per-source datasheet
+    * (q144 profiles the CORPUS by source; this profiles a TABLE by
+    * column: the "is this column populated / keyed / in range" check a
+    * release review starts with).
+    *
+    * Scale shape: one aggregation per column over a column-PRUNED scan
+    * (the parquet reader materializes exactly that column), so the
+    * whole profile costs Σ column sizes ≈ one full-table scan split
+    * into |cols| parallel single-column passes; each pass is a global
+    * agg whose only wide term is the exact count(DISTINCT) shuffle of
+    * that column's values (the profiler's point — swap
+    * `approx_count_distinct` in via `exact = false` when a 2% answer
+    * is enough at 100 TB).
+    */
+  def columnProfile(
+      df: DataFrame,
+      cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs >= 1 column")
+    cols.map { c =>
+      val nd = if (exact) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("long")).as("n_null"),
+        nd.as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -338,7 +338,10 @@ object ScaleProbe {
         // q184: the CM cell exchange saturates at depth×width cells per
         // source regardless of the k× (disjoint) vocabulary — the
         // sketch-table contract; probes are a cell join.
-        "q184_countmin_freq")
+        "q184_countmin_freq",
+        // q185: map-only digit projection + a ≤ 9-cells-per-group hash
+        // agg + 9-row-per-group algebra — scan-flat.
+        "q185_benford_screen")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -514,6 +517,23 @@ object ScaleProbe {
             "o_orderstatus", "o_orderdate", "o_orderkey")
           graft.ops.Scd2.pointInTime(facts, dim, Seq("o_custkey"),
             "l_shipdate", Seq("o_orderstatus", "version")).count()
+        }),
+      // q186 profiles the symlinked orders dim — the probe replicates
+      // it with offset keys so the per-column pruned scans AND the
+      // count(DISTINCT) shuffles (keys genuinely k×-distinct) grow.
+      ("q186_column_profile[replicated-orders]",
+        d => {
+          val scale = if (d == dir) 1 else k
+          val o = Tables.load(spark, dir, "orders")
+          val maxCk = o.agg(max("o_custkey")).head().getLong(0) + 1
+          val maxOk2 = o.agg(max("o_orderkey")).head().getLong(0) + 1
+          val rep = (0 until scale).map(i => o
+              .withColumn("o_custkey", col("o_custkey") + lit(i * maxCk))
+              .withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk2)))
+            .reduce(_ unionByName _)
+          graft.ops.Stats.columnProfile(rep,
+            Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate")).count()
         }),
       // q162 needs a custom relation too: the dims are symlinked, so
       // the fixed query wouldn't grow. The probe replicates the 1×

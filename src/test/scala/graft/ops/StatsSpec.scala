@@ -75,4 +75,62 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => r.toSeq).toSet
     assert(unit === plain)
   }
+
+  test("benfordScreen: hand fixture — digit extraction incl. sub-1 and scientific ranges, zero-count digits present, non-positive excluded") {
+    // digits: 1.5->1, 19->1, 0.02->2, 300->3, 25->2, 1e7->1, 0.0|−4 dropped
+    val df = Seq(("A", 1.5), ("A", 19.0), ("A", 0.02), ("A", 300.0),
+      ("A", 25.0), ("A", 1e7), ("A", 0.0), ("A", -4.0))
+      .toDF("g", "v")
+    val rows = Stats.benfordScreen(df, Seq("g"), "v")
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.size === 9)
+    assert(rows(1)._1 === 3L && rows(2)._1 === 2L && rows(3)._1 === 1L)
+    (4 to 9).foreach(d => assert(rows(d)._1 === 0L, s"digit $d"))
+    assert(rows.values.forall(_._2 === 6L)) // n excludes the two non-positives
+    assert(rows(1)._3 === 0.5)
+    // chi2 matches an in-test recompute
+    val chi2 = Stats.benfordScreen(df, Seq("g"), "v")
+      .select("chi2").head().getDouble(0)
+    val want = (1 to 9).map { d =>
+      val expN = math.log10(1.0 + 1.0 / d) * 6
+      val nD = rows(d)._1.toDouble
+      (nD - expN) * (nD - expN) / expN
+    }.sum
+    assert(math.abs(chi2 - BigDecimal(want)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9)
+  }
+
+  test("benfordScreen: corpus invariants — shares sum to 1 per group, all nine digits, chi2 finite and shared across the group") {
+    val got = Stats.benfordScreen(
+      Tables.load(spark, TestSpark.Sf001, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(6)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._2).toSet === (1 to 9).toSet, s"group $g digits")
+      assert(rows.map(_._3).sum === rows.head._4, s"group $g counts vs n")
+      assert(rows.map(_._6).distinct.length === 1, s"group $g chi2 shared")
+      assert(rows.head._6 >= 0 && !rows.head._6.isNaN)
+    }
+  }
+
+  test("columnProfile: hand fixture — nulls, distincts, min/max strings; empty column list fails fast") {
+    val df = Seq((1L, Some("b")), (2L, None), (2L, Some("a")))
+      .toDF("k", "s")
+    val got = Stats.columnProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(got("k") === ((3L, 0L, 2L, "1", "2")))
+    assert(got("s") === ((3L, 1L, 2L, "a", "b")))
+    intercept[IllegalArgumentException] {
+      Stats.columnProfile(df, Nil)
+    }
+    // the approximate path stays within its advertised 5% at tiny scale
+    val approx = Stats.columnProfile(df, Seq("k"), exact = false)
+      .head().getLong(3)
+    assert(approx === 2L)
+  }
 }
