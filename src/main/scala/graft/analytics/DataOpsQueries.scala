@@ -2827,6 +2827,52 @@ object DataOpsQueries {
             "o_orderdate"))
           .orderBy("column")),
 
+    // Label-propagation communities on the customer-supplier bipartite
+    // graph (q151's edge relation): most-frequent-neighbor relabeling,
+    // smallest label at ties — the deterministic LPA variant, so the
+    // 5-iteration recurrence unrolls into SQL. END-TO-END oracle via
+    // GraphOps.labelPropagationOracleSql (the q151 generated-oracle
+    // pattern: the SQL IS the update rule, serialized).
+    NamedQuery(
+      "q187_lpa_communities",
+      Some(GraphOps.labelPropagationOracleSql(
+        """SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+          |         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin,
+        iterations = 5)),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+        GraphOps.labelPropagation(edges, "src", "dst", iterations = 5)
+          .orderBy("node")
+      }),
+
+    // Funnel time-to-convert: each user's first 'view' and the first
+    // 'purchase' at or after it, lag in whole seconds, non-converts
+    // kept with NULLs — the step-latency relation behind funnel
+    // dashboards (q52 counts reach). Full oracle.
+    NamedQuery(
+      "q188_conversion_lag",
+      Some("""WITH f AS (SELECT user_id, min(ts) t_from FROM events
+             |      WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) t_to
+             |      FROM events e JOIN f ON e.user_id = f.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts >= f.t_from
+             |      GROUP BY 1)
+             |SELECT f.user_id, f.t_from, c.t_to,
+             |  CAST(CASE WHEN c.t_to IS NOT NULL THEN
+             |    epoch_us(c.t_to) // 1000000 - epoch_us(f.t_from) // 1000000
+             |  END AS BIGINT) lag_secs
+             |FROM f LEFT JOIN c ON f.user_id = c.user_id
+             |ORDER BY f.user_id""".stripMargin),
+      (s, dir) =>
+        Features.conversionLag(
+          Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+          "view", "purchase")
+          .orderBy("user_id")),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

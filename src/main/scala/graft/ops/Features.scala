@@ -159,4 +159,38 @@ object Features {
         round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
           .as("retention"))
   }
+
+  /** Funnel conversion lag: for every user with a `fromEvent`, the
+    * first `toEvent` AT OR AFTER their first `fromEvent`, and the lag
+    * in whole seconds — the time-to-convert relation behind funnel
+    * dashboards (q52 counts stage reach; this measures the step's
+    * latency). Non-converts stay in the output with NULL `t_to`/
+    * `lag_secs` (they are the funnel's denominator).
+    *
+    * Scale shape: two user-keyed hash aggs (first from-event; first
+    * qualifying to-event after a user-keyed join that reuses the
+    * partitioning) and one left join — never a per-user window over
+    * the full event history.
+    */
+  def conversionLag(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      fromEvent: String,
+      toEvent: String): DataFrame = {
+    require(fromEvent != toEvent,
+      "conversionLag: fromEvent and toEvent must differ")
+    val f = events.filter(col(typeCol) === fromEvent)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_from"))
+    val c = events.filter(col(typeCol) === toEvent)
+      .join(f, Seq(userCol))
+      .filter(col(tsCol) >= col("t_from"))
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_to"))
+    f.join(c, Seq(userCol), "left")
+      .select(col(userCol), col("t_from"), col("t_to"),
+        when(col("t_to").isNotNull,
+          col("t_to").cast("long") - col("t_from").cast("long"))
+          .as("lag_secs"))
+  }
 }

@@ -279,6 +279,88 @@ object GraphOps {
        |ORDER BY pr_units DESC, node LIMIT 100""".stripMargin
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, deterministic variant): every node starts labeled with
+    * its own id; each iteration relabels every node with its
+    * neighbors' MOST FREQUENT label, ties broken by the smallest
+    * label — the determinism choice that replaces the paper's random
+    * tie-coin, making the result exactly replayable (and SQL-
+    * unrollable, see [[labelPropagationOracleSql]]). Communities
+    * differ from [[connectedComponents]]: a bridge edge joins two
+    * cliques into one component, but LPA keeps them as two label
+    * groups because frequency, not reachability, wins. Self-loops are
+    * dropped (a node voting for itself drowns sparse neighborhoods);
+    * nodes with no non-self edge don't appear, matching the
+    * components contract for null endpoints.
+    *
+    * Scale shape: the undirected adjacency is built once, hash-
+    * partitioned by node and cached; each iteration is one
+    * neighbor-label join (adjacency ⋈ node-scale label table), one
+    * (node, label) hash agg with map-side combine, and a per-node
+    * argmax as a max(struct) agg — no window over unbounded
+    * neighborhoods. Label tables ride [[Iterate.cut]] (checkpoint +
+    * stats reset), the q154/q120 loop discipline.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val pairs = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val und = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("src").as("node")).distinct()
+    var labels = Iterate.cut(nodes.withColumn("label", col("node")))
+    var i = 0
+    while (i < iterations) {
+      val nbr = und.join(labels.df.select(col("node").as("dst"),
+          col("label").as("nl")), Seq("dst"))
+        .select(col("src").as("node"), col("nl"))
+      val counts = nbr.groupBy("node", "nl").agg(count(lit(1)).as("c"))
+      val next = Iterate.cut(counts
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label")))
+      labels.release()
+      labels = next
+      i += 1
+    }
+    und.unpersist()
+    labels.df.select("node", "label")
+  }
+
+  /** The q187 oracle: the exact recurrence above, unrolled — each l_i
+    * CTE replays one synchronous relabeling (count per neighbor label,
+    * row_number argmax with the same (count desc, label asc) order).
+    * Kept next to the operator because it IS the spec, serialized.
+    */
+  def labelPropagationOracleSql(edgeCte: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val p = s"l${i - 1}"
+      s"""n$i AS (SELECT e.src AS node, $p.label nl,
+         |          CAST(count(*) AS BIGINT) c
+         |        FROM e JOIN $p ON e.dst = $p.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, nl AS label FROM (
+         |          SELECT node, nl, row_number() OVER (PARTITION BY node
+         |            ORDER BY c DESC, nl ASC) rn FROM n$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgeCte),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |        SELECT src, dst FROM e0 WHERE src <> dst
+       |        UNION ALL
+       |        SELECT dst, src FROM e0 WHERE src <> dst)),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$iters
+       |SELECT node, label FROM l$iterations ORDER BY node""".stripMargin
+  }
+
   /** Small-graph path: classic union-find with path compression on the
     * driver, component id normalized to the minimum member.
     */

@@ -341,7 +341,10 @@ object ScaleProbe {
         "q184_countmin_freq",
         // q185: map-only digit projection + a ≤ 9-cells-per-group hash
         // agg + 9-row-per-group algebra — scan-flat.
-        "q185_benford_screen")
+        "q185_benford_screen",
+        // q188: two user-keyed hash aggs + one left join over offset
+        // replica users — hash-groupBy band.
+        "q188_conversion_lag")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -517,6 +520,25 @@ object ScaleProbe {
             "o_orderstatus", "o_orderdate", "o_orderkey")
           graft.ops.Scd2.pointInTime(facts, dim, Seq("o_custkey"),
             "l_shipdate", Seq("o_orderstatus", "version")).count()
+        }),
+      // q187: the q151 replicated-graph rule — LPA on k disjoint graph
+      // copies (the fixed query's orders⋈lineitem edges wouldn't
+      // replicate); each of the 5 relabelings prices the k× adjacency
+      // join + (node, label) agg, and labels replicate exactly.
+      ("q187_lpa[replicated-graph]",
+        d => {
+          val scale = if (d == dir) 1 else k
+          val o = Tables.load(spark, dir, "orders")
+          val l = Tables.load(spark, dir, "lineitem")
+          val base = o.join(l, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("src"),
+              (col("l_suppkey") + lit(1000000L)).as("dst"))
+          val edges = (0 until scale).map(i =>
+            base.select((col("src") + lit(i * 10000000L)).as("src"),
+              (col("dst") + lit(i * 10000000L)).as("dst")))
+            .reduce(_ unionByName _)
+          graft.ops.GraphOps.labelPropagation(edges, "src", "dst",
+            iterations = 5).count()
         }),
       // q186 profiles the symlinked orders dim — the probe replicates
       // it with offset keys so the per-column pruned scans AND the

@@ -111,4 +111,29 @@ class FeaturesSpec extends AnyFunSuite {
     val cohortSum = rows.filter(_._2 == 0L).map(_._3).sum
     assert(cohortSum === nUsers, "cohort sizes must partition the user base")
   }
+
+  test("conversionLag: first qualifying to-event at-or-after the first from; pre-from purchases don't count; non-converts keep NULLs") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: view @10:00, purchases @09:00 (before — ignored) and @10:30
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 09:00:00"), "purchase"),
+      (1L, ts("2024-01-01 10:30:00"), "purchase"),
+      // u2: view only — non-convert
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      // u3: purchase at the SAME instant as the view (>= is inclusive)
+      (3L, ts("2024-01-01 12:00:00"), "view"),
+      (3L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u4: purchase with no view at all — absent from the funnel
+      (4L, ts("2024-01-01 13:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Features.conversionLag(ev, "user_id", "ts", "event_type",
+        "view", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got === Map(1L -> 1800L, 2L -> -1L, 3L -> 0L))
+    intercept[IllegalArgumentException] {
+      Features.conversionLag(ev, "user_id", "ts", "event_type", "view", "view")
+    }
+  }
 }

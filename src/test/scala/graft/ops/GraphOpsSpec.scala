@@ -144,4 +144,44 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(once === dup)
     assert(once(3L) > once(4L), s"two in-links must beat one: $once")
   }
+
+  test("labelPropagation: bridged cliques stay TWO communities where components would merge them") {
+    // K4 on 1-4, K4 on 11-14, one bridge 4-11
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L))
+      .toDF("src", "dst")
+    val lpa = GraphOps.labelPropagation(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(lpa).toSet.size === 1, "clique A one label")
+    assert(Seq(11L, 12L, 13L, 14L).map(lpa).toSet.size === 1, "clique B one label")
+    assert(lpa(1L) !== lpa(11L), "bridge must NOT merge the communities")
+    val cc = GraphOps.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) === cc(11L), "components DO merge over the bridge")
+  }
+
+  test("labelPropagation ≡ in-memory synchronous reference on a random graph; self-loops dropped; iterations=0 is identity") {
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val df = raw.toDF("src", "dst")
+    val got = GraphOps.labelPropagation(df, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: same deterministic synchronous update
+    val und = raw.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      labels = adj.map { case (n, nbrs) =>
+        val freq = nbrs.groupBy(labels).map { case (l, xs) => l -> xs.size }
+        n -> freq.toSeq.map { case (l, c) => (c, -l) }.max._2 * -1
+      }
+    }
+    assert(got === labels)
+    val idty = GraphOps.labelPropagation(df, iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(idty.forall(p => p._1 === p._2) && idty.map(_._1).toSet === adj.keySet)
+  }
 }
