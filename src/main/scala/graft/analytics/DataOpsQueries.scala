@@ -2873,6 +2873,44 @@ object DataOpsQueries {
           "view", "purchase")
           .orderBy("user_id")),
 
+    // Per-event-type daily volume trend: OLS slope/intercept/r² of
+    // count-per-day on epoch-day — the ingest-health screen ("is this
+    // stream growing, collapsing, or noise"). Full oracle: the OLS
+    // sums accumulate on integer-exact longs, algebra identical both
+    // sides.
+    NamedQuery(
+      "q189_volume_trend",
+      Some("""WITH d AS (SELECT event_type,
+             |        CAST(date_diff('day', DATE '1970-01-01',
+             |          CAST(ts AS DATE)) AS BIGINT) x,
+             |        CAST(count(*) AS BIGINT) y
+             |      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+             |        sum(x) sx, sum(y) sy, sum(x * y) sxy,
+             |        sum(x * x) sxx, sum(y * y) syy
+             |      FROM d GROUP BY 1)
+             |SELECT event_type, n,
+             |  CASE WHEN n * sxx - sx * sx != 0 THEN
+             |    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (n * sxx - sx * sx), 6) END slope,
+             |  CASE WHEN n * sxx - sx * sx != 0 THEN
+             |    ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (n * sxx - sx * sx) * sx) / n, 6) END intercept,
+             |  CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+             |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      * (n * sxy - sx * sy)
+             |      / ((n * sxx - sx * sx) * CAST(n * syy - sy * sy
+             |        AS DOUBLE)), 6) END r2
+             |FROM a ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+        Stats.groupedTrend(daily, Seq("event_type"), "x", "y")
+          .orderBy("event_type")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

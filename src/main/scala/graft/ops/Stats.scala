@@ -173,6 +173,46 @@ object Stats {
     * `approx_count_distinct` in via `exact = false` when a 2% answer
     * is enough at 100 TB).
     */
+  /** Grouped least-squares trend over integer (x, y) points: per group,
+    * n, slope, intercept, and r² — the "is this series growing,
+    * collapsing, or noise" screen over per-day counts (ingest-volume
+    * monitoring, source-health dashboards). Closed-form OLS on
+    * integer-exact sums: Σx, Σy, Σxy, Σx², Σy² accumulate as longs
+    * (exact — no float-summation order sensitivity enters before the
+    * final division), so the oracle algebra is bit-stable. Degenerate
+    * groups (single point, or zero x-variance) yield NULL
+    * slope/intercept/r², never a division blow-up.
+    *
+    * Scale shape: one (group) hash agg with map-side combine over the
+    * point relation; everything after it is per-group scalar algebra.
+    */
+  def groupedTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedTrend needs >= 1 group column")
+    val gcols = groupCols.map(col)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val sums = df.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val slope = when(dxx =!= 0.0, dxy / dxx)
+    val intercept = when(dxx =!= 0.0,
+      (col("sy").cast("double") - (dxy / dxx) * col("sx").cast("double"))
+        / col("n").cast("double"))
+    val r2 = when(dxx =!= 0.0 && dyy =!= 0.0, dxy * dxy / (dxx * dyy))
+    sums.select(gcols ++ Seq(col("n"),
+      round(slope, 6).as("slope"),
+      round(intercept, 6).as("intercept"),
+      round(r2, 6).as("r2")): _*)
+  }
+
   def columnProfile(
       df: DataFrame,
       cols: Seq[String],

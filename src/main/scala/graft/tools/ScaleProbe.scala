@@ -344,7 +344,10 @@ object ScaleProbe {
         "q185_benford_screen",
         // q188: two user-keyed hash aggs + one left join over offset
         // replica users — hash-groupBy band.
-        "q188_conversion_lag")
+        "q188_conversion_lag",
+        // q189: one (type, day) hash agg + per-group scalar algebra —
+        // scan-flat.
+        "q189_volume_trend")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

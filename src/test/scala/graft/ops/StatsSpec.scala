@@ -133,4 +133,31 @@ class StatsSpec extends AnyFunSuite {
       .head().getLong(3)
     assert(approx === 2L)
   }
+
+  test("groupedTrend: exact fit on a planted line, NULL on degenerate groups, r2 = 1 on noiseless data") {
+    val df = Seq(
+      // group A: y = 3x + 7 exactly
+      ("A", 1L, 10L), ("A", 2L, 13L), ("A", 3L, 16L), ("A", 4L, 19L),
+      // group B: single point -> NULLs
+      ("B", 5L, 100L),
+      // group C: zero x-variance -> NULLs
+      ("C", 2L, 1L), ("C", 2L, 9L))
+      .toDF("g", "x", "y")
+    val got = Stats.groupedTrend(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getLong(1) === 4L)
+    assert(got("A").getDouble(2) === 3.0 && got("A").getDouble(3) === 7.0)
+    assert(got("A").getDouble(4) === 1.0)
+    Seq("B", "C").foreach { g =>
+      assert(got(g).isNullAt(2) && got(g).isNullAt(3) && got(g).isNullAt(4), g)
+    }
+    // flat-y group: slope 0, r2 NULL (zero y-variance)
+    val flat = Stats.groupedTrend(
+      Seq(("F", 1L, 5L), ("F", 2L, 5L)).toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .head()
+    assert(flat.getDouble(2) === 0.0 && flat.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Stats.groupedTrend(df, Nil, "x", "y")
+    }
+  }
 }
