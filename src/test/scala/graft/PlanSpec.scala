@@ -519,4 +519,48 @@ class PlanSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
       s"z projection fell out of codegen:\n$p")
   }
+
+  test("q179: SCD2 runs on ONE key hash exchange — windows and the run fold all reuse it; only the presentation sort adds a range exchange") {
+    val p = plan("q179_scd2_orders")
+    val hashEx = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"SCD2 must exchange the key ONCE, saw $hashEx:\n$p")
+    assert(rangeEx === 1, s"expected exactly the output sort's range exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).length === 2, p)
+  }
+
+  test("q181: the point-in-time attach is the as-of union window — no interval theta join, no NLJ") {
+    val p = plan("q181_pit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT join degenerated to a product:\n$p")
+    assert(p.contains("Window"), s"as-of window missing:\n$p")
+  }
+
+  test("q183: basket pairing expands map-side from the collected basket — no pair self-join, no product") {
+    val p = plan("q183_basket_affinity")
+    assert(!p.contains("CartesianProduct"),
+      s"basket affinity produced an all-pairs product:\n$p")
+    // the ONLY nested-loop join allowed is the broadcast 1-row basket
+    // total (scalar attach — BNLJ Cross BuildRight by construction)
+    val bnlj = "BroadcastNestedLoopJoin [^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")) && bnlj.size <= 1,
+      s"unexpected nested-loop join beyond the scalar total:\n$p")
+    // pair generation is explode-over-array, not a basket-keyed self-join
+    assert(p.contains("Generate explode"), s"map-side pair expansion missing:\n$p")
+  }
+
+  test("q184: the CountMin estimate probes cells with an equi-join; the sketch build is one hash agg family") {
+    val p = plan("q184_countmin_freq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CM probe degenerated:\n$p")
+  }
+
+  test("q185/q189: the screens are projection + hash aggs — never a window over an unpartitioned corpus") {
+    for (q <- Seq("q185_benford_screen", "q189_volume_trend")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated:\n$p")
+    }
+  }
 }
