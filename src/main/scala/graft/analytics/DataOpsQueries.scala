@@ -2911,6 +2911,97 @@ object DataOpsQueries {
           .orderBy("event_type")
       }),
 
+    // Percent-rank normalization of doc token counts within source:
+    // the CDF feature map, computed two-phase (histogram + prefix-sum
+    // ranks) where the oracle's percent_rank() puts each source's
+    // whole row set through one window task — the plan divergence IS
+    // the operator's point (PlanSpec pins the engine side window-free).
+    NamedQuery(
+      "q190_pct_rank",
+      Some("""WITH d AS (SELECT doc_id, source,
+             |        CAST(len(list_filter(string_split(text, ' '),
+             |          w -> length(w) > 0)) AS BIGINT) n_tok
+             |      FROM documents)
+             |SELECT doc_id, source, n_tok,
+             |  ROUND(percent_rank() OVER (PARTITION BY source
+             |    ORDER BY n_tok), 6) pct_rank
+             |FROM d ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(array_remove(TextFunctions.tokens(col("text")), ""))
+            .cast("long").as("n_tok"))
+        d.join(Stats.percentRankByGroup(d.select("source", "n_tok"),
+            Seq("source"), "n_tok"),
+            Seq("source", "n_tok"))
+          .select("doc_id", "source", "n_tok", "pct_rank")
+          .orderBy("doc_id")
+      }),
+
+    // Streaming SCD2 maintenance: the orders change stream arrives in
+    // micro-batches appended to a ledgered change LOG; the dimension is
+    // the fold-on-read (q179's fromChanges over the accumulated log) —
+    // stream-built ≡ batch-built by construction, and the q179 oracle
+    // applies VERBATIM to the streamed result (real micro-batch run in
+    // the gate; bench times it in the streaming section).
+    NamedQuery(
+      "q191_stream_scd2",
+      Some("""WITH e AS (SELECT o_custkey, o_orderstatus v, o_orderdate ts,
+             |        o_orderkey sq FROM orders),
+             |r AS (SELECT *,
+             |        CASE WHEN row_number() OVER w = 1
+             |          OR v IS DISTINCT FROM lag(v) OVER w
+             |          THEN 1 ELSE 0 END st
+             |      FROM e WINDOW w AS (PARTITION BY o_custkey
+             |        ORDER BY ts, sq)),
+             |g AS (SELECT *, CAST(sum(st) OVER (PARTITION BY o_custkey
+             |        ORDER BY ts, sq
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        AS BIGINT) "version"
+             |      FROM r),
+             |f AS (SELECT o_custkey, "version", min(v) o_orderstatus,
+             |        min(ts) valid_from
+             |      FROM g GROUP BY 1, 2)
+             |SELECT o_custkey, "version", o_orderstatus, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY o_custkey
+             |    ORDER BY "version") valid_to,
+             |  lead(valid_from) OVER (PARTITION BY o_custkey
+             |    ORDER BY "version") IS NULL is_current
+             |FROM f ORDER BY o_custkey, "version"""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val changes = Tables.load(s, dir, "orders")
+          .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"scd2stream_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val (src, log, ckpt) = (s"$root/src", s"$root/log", s"$root/ckpt")
+        changes.repartition(4).write.parquet(src)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("o_custkey", LongType),
+            StructField("o_orderstatus", StringType),
+            // orders timestamps read as NTZ (micros, isAdjustedToUTC=false)
+            StructField("o_orderdate", TimestampNTZType),
+            StructField("o_orderkey", LongType))))
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.Scd2Stream.changeSink(stream, log)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.Scd2Stream.readDimension(s, log, Seq("o_custkey"),
+            "o_orderstatus", "o_orderdate", "o_orderkey")
+          .select("o_custkey", "version", "o_orderstatus", "valid_from",
+            "valid_to", "is_current")
+          .orderBy("o_custkey", "version")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

@@ -103,6 +103,40 @@ object Stats {
       .agg(max(col(tot)).cast("long").as("n_rows"), qCols: _*)
   }
 
+  /** Per-group percent-rank lookup table (SQL `percent_rank()`
+    * semantics: `(rank − 1)/(n − 1)` with rank = 1 + count of strictly
+    * smaller values, ties sharing the value; 0.0 for single-row
+    * groups) — the CDF/feature-normalization map ("this doc is longer
+    * than 93% of its source"). One row per DISTINCT (group, value);
+    * join it back to the row relation to normalize rows.
+    *
+    * Scale shape: the corpus collapses to the (group, value) histogram
+    * in one map-side-combined agg, [[Sampling.prefixSumBy]] ranks it
+    * two-phase, and the totals join is histogram-scale — NEVER the
+    * whole-partition window the equivalent SQL uses (a hot group would
+    * put its entire row set through one task's sort; see the q149
+    * grouped-AUC lift for the measured cost of that shape).
+    */
+  def percentRankByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      nShards: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty, "percentRankByGroup needs >= 1 group column")
+    val cnt = Dedup.freshName(df, "_pr_cnt")
+    val tot = Dedup.freshName(df, "_pr_tot")
+    val gcols = groupCols.map(col)
+    val hist = df.groupBy((gcols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as(cnt))
+    val ranked = Sampling.prefixSumBy(hist, groupCols, valueCol, cnt, nShards)
+    val totals = df.groupBy(gcols: _*).agg(count(lit(1)).as(tot))
+    ranked.join(totals, groupCols)
+      .select(gcols :+ col(valueCol) :+
+        round(when(col(tot) > 1,
+          col("cum_sum").cast("double") / (col(tot) - 1).cast("double"))
+          .otherwise(lit(0.0)), 6).as("pct_rank"): _*)
+  }
+
   /** Benford's-law first-significant-digit screen per group: observed
     * digit shares against the log10(1 + 1/d) expectation, plus the
     * group's Pearson χ² — the data-QA / fabricated-numbers screen

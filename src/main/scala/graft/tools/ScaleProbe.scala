@@ -347,7 +347,10 @@ object ScaleProbe {
         "q188_conversion_lag",
         // q189: one (type, day) hash agg + per-group scalar algebra —
         // scan-flat.
-        "q189_volume_trend")
+        "q189_volume_trend",
+        // q190: histogram + two-phase prefix ranks + a histogram-keyed
+        // row join back — the q161 machinery; never a group window.
+        "q190_pct_rank")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -555,6 +555,19 @@ class PlanSpec extends AnyFunSuite {
       s"CM probe degenerated:\n$p")
   }
 
+  test("q190: percent-rank is histogram + two-phase prefix ranks — no whole-group window over the row stream") {
+    val p = plan("q190_pct_rank")
+    // exactly the prefix-sum pair: the per-shard local sum and the
+    // ≤nShards-row offset chain — BOTH shard-scoped (reference the
+    // shard pid), never the oracle's percent_rank() over a full group
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windows.size === 2, s"expected the two prefix-sum windows:\n$p")
+    assert(windows.forall(_.contains("_graft_pid")),
+      s"a window lost its shard scoping (whole-group shape):\n$p")
+    assert(!p.contains("percent_rank"), s"window percent_rank leaked in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q185/q189: the screens are projection + hash aggs — never a window over an unpartitioned corpus") {
     for (q <- Seq("q185_benford_screen", "q189_volume_trend")) {
       val p = plan(q)

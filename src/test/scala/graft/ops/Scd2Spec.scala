@@ -130,6 +130,47 @@ class Scd2Spec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("stream-built change log folds to the batch dimension; redelivery is a ledger no-op; a duplicate change row is a semantic echo") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString
+    val changes = Tables.load(spark, TestSpark.Sf001, "orders")
+      .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    changes.repartition(3).write.parquet(s"$root/src")
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_orderdate", TimestampNTZType),
+        StructField("o_orderkey", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+    val q = graft.streaming.Scd2Stream.changeSink(stream, s"$root/log")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def dim = graft.streaming.Scd2Stream.readDimension(spark, s"$root/log",
+        Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = dim
+    val direct = Scd2.fromChanges(changes, Seq("o_custkey"),
+        "o_orderstatus", "o_orderdate", "o_orderkey")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === direct)
+    // ledger: a redelivered (streamId, batchId) appends nothing
+    val batch = changes.limit(5)
+    assert(graft.streaming.Scd2Stream.appendBatch(batch, 42L, s"$root/log",
+      streamId = "manual"))
+    val afterOnce = dim
+    assert(!graft.streaming.Scd2Stream.appendBatch(batch, 42L, s"$root/log",
+      streamId = "manual"))
+    assert(dim === afterOnce)
+    // semantic echo: even a ledger-bypassing exact-duplicate change row
+    // cannot open a version (consecutive equal values collapse)
+    graft.streaming.Scd2Stream.appendBatch(batch, 43L, s"$root/log",
+      streamId = "manual")
+    assert(dim === afterOnce)
+  }
+
   test("fromChanges: reserved output names on the input fail fast") {
     val bad = Seq((1L, "A", 10L, 1L, 9L)).toDF("k", "v", "ts", "sq", "version")
     val e = intercept[IllegalArgumentException] {

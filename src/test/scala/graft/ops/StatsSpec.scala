@@ -160,4 +160,28 @@ class StatsSpec extends AnyFunSuite {
       Stats.groupedTrend(df, Nil, "x", "y")
     }
   }
+
+  test("percentRankByGroup: ties share the min-rank value, singles are 0, equals the window percent_rank on the corpus") {
+    // group A values 1,2,2,5: pr(1)=0, pr(2)=1/3, pr(5)=1; B single -> 0
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("A", 5L), ("B", 9L))
+      .toDF("g", "v")
+    val got = Stats.percentRankByGroup(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(("A", 1L)) === 0.0 && got(("A", 5L)) === 1.0)
+    assert(math.abs(got(("A", 2L)) - 0.333333) < 1e-9)
+    assert(got(("B", 9L)) === 0.0)
+    // corpus: two-phase table ≡ the whole-partition-window formulation
+    val d = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select(col("source"),
+        size(array_remove(TextFunctions.tokens(col("text")), ""))
+          .cast("long").as("n"))
+    val two = Stats.percentRankByGroup(d, Seq("source"), "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n")
+    val win = d.withColumn("pr", round(percent_rank().over(w), 6))
+      .select("source", "n", "pr").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(two === win)
+  }
 }
