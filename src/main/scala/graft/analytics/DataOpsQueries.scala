@@ -3002,6 +3002,50 @@ object DataOpsQueries {
           .orderBy("o_custkey", "version")
       }),
 
+    // Embedding-space release drift per label: cosine between the even-
+    // and odd-id slices' mean vectors — the semantic drift monitor
+    // (q145 PSI is the scalar view). Full oracle: per-dim means round
+    // 6 on both sides (q81's contract) before the cosine, final round
+    // 6; the noise floor of the 64-term double sums sits ~1e-16, nine
+    // orders under the rounding grid.
+    NamedQuery(
+      "q192_embedding_drift",
+      Some("""WITH a AS (SELECT label, embedding FROM embeddings
+             |      WHERE vec_id % 2 = 0),
+             |b AS (SELECT label, embedding FROM embeddings
+             |      WHERE vec_id % 2 = 1),
+             |ea AS (SELECT label, unnest(list_transform(range(len(embedding)),
+             |        i -> {'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) z
+             |      FROM a),
+             |eb AS (SELECT label, unnest(list_transform(range(len(embedding)),
+             |        i -> {'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) z
+             |      FROM b),
+             |ma AS (SELECT label, z.pos pos, ROUND(AVG(z.v), 6) m
+             |       FROM ea GROUP BY 1, 2),
+             |mb AS (SELECT label, z.pos pos, ROUND(AVG(z.v), 6) m
+             |       FROM eb GROUP BY 1, 2),
+             |na AS (SELECT label, CAST(count(*) AS BIGINT) n_base
+             |       FROM a GROUP BY 1),
+             |nb AS (SELECT label, CAST(count(*) AS BIGINT) n_current
+             |       FROM b GROUP BY 1),
+             |d AS (SELECT ma.label, sum(ma.m * mb.m) dp,
+             |        sqrt(sum(ma.m * ma.m)) la, sqrt(sum(mb.m * mb.m)) lb
+             |      FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos
+             |      GROUP BY 1)
+             |SELECT d.label, n_base, n_current,
+             |  CASE WHEN la > 0 AND lb > 0
+             |    THEN ROUND(dp / (la * lb), 6) END centroid_cos
+             |FROM d JOIN na USING (label) JOIN nb USING (label)
+             |ORDER BY d.label""".stripMargin),
+      (s, dir) => {
+        val e = embs(s, dir).select("label", "vec_id", "embedding")
+        Drift.embeddingDrift(
+          e.filter(col("vec_id") % 2 === 0).drop("vec_id"),
+          e.filter(col("vec_id") % 2 =!= 0).drop("vec_id"),
+          "label", "embedding")
+          .orderBy("label")
+      }),
+
     // Cross-source duplication matrix over the LEAD-16-TOKEN key:
     // which sources share document openings (off-diagonal = distinct
     // lead keys present in both, diagonal = leads duplicated within

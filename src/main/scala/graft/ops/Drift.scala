@@ -116,4 +116,43 @@ object Drift {
       .groupBy("bucket").agg(sum("n").as("n_new"))
     psiRelation(o, n, eps)
   }
+
+  /** Embedding-space drift between two release slices: per group, the
+    * cosine between the slices' mean vectors (plus both sample sizes)
+    * — the semantic companion to [[psiReport]]'s scalar-distribution
+    * view: an embedding model swap, a scraper language shift, or a
+    * contaminated slice moves a group's centroid long before scalar
+    * stats notice. Cosine near 1 = stable; the monitored threshold is
+    * the caller's policy. Groups missing from either side drop (no
+    * drift is measurable one-sided); zero-norm centroids yield NULL
+    * rather than a division blow-up.
+    *
+    * Scale shape: each side is one [[VectorOps.meanPool]] hash agg
+    * (native `graft_vec_sum` partials — the exchange carries
+    * group-count × dim doubles, never vectors-per-row) plus a count
+    * agg the same exchange serves; the final joins and the cosine are
+    * group-cardinality-scale.
+    */
+  def embeddingDrift(
+      base: DataFrame,
+      current: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    val ca = VectorOps.meanPool(base, groupCol, vecCol)
+      .withColumnRenamed("centroid", "_ca")
+    val cb = VectorOps.meanPool(current, groupCol, vecCol)
+      .withColumnRenamed("centroid", "_cb")
+    def counts(df: DataFrame, as: String) = df
+      .filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as(as))
+    val la = VectorOps.l2Norm(col("_ca"))
+    val lb = VectorOps.l2Norm(col("_cb"))
+    ca.join(cb, Seq(groupCol))
+      .join(counts(base, "n_base"), Seq(groupCol))
+      .join(counts(current, "n_current"), Seq(groupCol))
+      .select(col(groupCol), col("n_base"), col("n_current"),
+        round(when(la > 0 && lb > 0,
+          VectorOps.dot(col("_ca"), col("_cb")) / (la * lb)), 6)
+          .as("centroid_cos"))
+  }
 }

@@ -350,7 +350,11 @@ object ScaleProbe {
         "q189_volume_trend",
         // q190: histogram + two-phase prefix ranks + a histogram-keyed
         // row join back — the q161 machinery; never a group window.
-        "q190_pct_rank")
+        "q190_pct_rank",
+        // q192: two meanPool hash aggs (native vec_sum partials — the
+        // exchange carries labels × dim doubles) + label-scale joins;
+        // sign-flipped replicas keep per-label residual shapes.
+        "q192_embedding_drift")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

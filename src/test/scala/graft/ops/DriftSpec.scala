@@ -72,4 +72,45 @@ class DriftSpec extends AnyFunSuite {
       Drift.psiReport(df, df, "v", binWidth = 1.0, eps = 2.0)
     }
   }
+
+  test("embeddingDrift: identical slices 1.0, orthogonal 0.0, flipped -1.0, zero-norm NULL, one-sided groups drop") {
+    import org.apache.spark.sql.functions._
+    def df(rows: Seq[(String, Array[Float])]) = rows.toDF("g", "embedding")
+    val base = df(Seq(
+      ("same", Array(1f, 2f, 0f)), ("same", Array(3f, 2f, 0f)),
+      ("orth", Array(2f, 0f, 0f)),
+      ("flip", Array(0f, 4f, 0f)),
+      ("zero", Array(0f, 0f, 0f)),
+      ("only_base", Array(1f, 1f, 1f))))
+    val cur = df(Seq(
+      ("same", Array(1f, 2f, 0f)), ("same", Array(3f, 2f, 0f)),
+      ("orth", Array(0f, 0f, 5f)),
+      ("flip", Array(0f, -6f, 0f)),
+      ("zero", Array(1f, 1f, 0f))))
+    val got = Drift.embeddingDrift(base, cur, "g", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got.keySet === Set("same", "orth", "flip", "zero"))
+    assert(got("same") === ((2L, 2L, 1.0)))
+    assert(got("orth")._3 === 0.0)
+    assert(got("flip")._3 === -1.0)
+    assert(got("zero")._3.isNaN) // zero-norm base centroid -> NULL
+    // corpus: the synthetic embeddings are near-uniform on the sphere
+    // (no cluster structure — SCALE.md's ANN note), so each label's
+    // centroid is a noise residual and even/odd cosines hover near 0:
+    // assert the range contract, and that the SAME slice against
+    // itself reads exactly 1.0 (the stable-release fixed point).
+    val e = graft.Tables.load(spark, graft.TestSpark.Sf001, "embeddings")
+      .select("label", "vec_id", "embedding")
+    val even = e.filter(col("vec_id") % 2 === 0).drop("vec_id")
+    val corpus = Drift.embeddingDrift(even,
+      e.filter(col("vec_id") % 2 =!= 0).drop("vec_id"),
+      "label", "embedding")
+      .collect().map(r => r.getDouble(3))
+    assert(corpus.nonEmpty && corpus.forall(c => c >= -1.0 && c <= 1.0))
+    val self = Drift.embeddingDrift(even, even, "label", "embedding")
+      .collect().map(r => r.getDouble(3))
+    assert(self.nonEmpty && self.forall(_ === 1.0))
+  }
 }
