@@ -44,8 +44,29 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
+        # The driver's hash is TYPE-sensitive (q151 round 12: values
+        # identical, DuckDB HUGEINT vs Spark BIGINT → red). Compare the
+        # declared column types too, name-aligned, so an uncast
+        # sum/DECIMAL in an oracle's final projection fails HERE first.
+        # (DBAPI .description collapses numerics to 'NUMBER'; the
+        # relation API keeps the real DuckDB types.)
+        grel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        wrel = con.sql(sql)
+        got_types = dict(zip(grel.columns, (str(t) for t in grel.types)))
+        want_types = dict(zip(wrel.columns, (str(t) for t in wrel.types)))
+        type_bad = [
+            (c, got_types[c], want_types[c])
+            for c in sorted(set(got_types) & set(want_types))
+            if got_types[c] != want_types[c]
+        ]
         cg, cw = canon(got_rows, got_cols), canon(want_rows, want_cols)
-        if cg == cw:
+        if cg == cw and type_bad:
+            n_bad += 1
+            print(f"FAIL {name}: values match but declared types differ "
+                  f"(driver hash is type-sensitive): "
+                  + ", ".join(f"{c} spark={a} oracle={b}"
+                              for c, a, b in type_bad))
+        elif cg == cw:
             print(f"ok   {name} ({len(got_rows)} rows)")
             n_ok += 1
         else:

@@ -4454,6 +4454,124 @@ object DataOpsQueries {
              |  CAST(MAX(width) AS BIGINT) AS max_width
              |FROM m GROUP BY 1 ORDER BY media_type""".stripMargin),
       (s, dir) =>
-        Multimodal.metadataSummary(Multimodal.fromDocuments(docs(s, dir))))
+        Multimodal.metadataSummary(Multimodal.fromDocuments(docs(s, dir)))),
+
+    // ---------------------------------------- index delete lifecycle
+    // Takedown against the persisted MIH index, ORACLE-GATED END TO
+    // END: build over the full corpus, tombstone ~1/7 of the ids
+    // (Tombstones — probes exclude them IMMEDIATELY, before any
+    // rewrite), then radius-probe with the FULL corpus as queries. The
+    // oracle is the brute-force directed pair relation with the
+    // deleted ids removed from the INDEX side only: a deleted vector
+    // can still be asked about (q side), it just can't be found
+    // (n side). The physical half of the lifecycle (purge ≡ this
+    // relation too, bit-identically) is pinned in TombstoneSpec.
+    NamedQuery(
+      "q193_hamming_delete",
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |kept AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+             |p AS (SELECT q.vec_id q_id, n.vec_id n_id,
+             |        CAST(len(n.embedding) - list_sum(list_transform(
+             |          range(len(n.embedding)),
+             |          i -> CASE WHEN (n.embedding[i+1] > 0) = (q.embedding[i+1] > 0)
+             |               THEN 1 ELSE 0 END)) AS BIGINT) hamming
+             |      FROM e q, kept n WHERE q.vec_id <> n.vec_id)
+             |SELECT q_id, n_id, hamming FROM p WHERE hamming <= 15
+             |ORDER BY q_id, n_id""".stripMargin),
+      (s, dir) => {
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"hamdel_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val e = embs(s, dir)
+        HammingIndex.hammingWriteIndex(e, "vec_id", "embedding",
+          root.toString, nBands = 8, nBuckets = 32)
+        HammingIndex.hammingDeleteIds(e.filter(col("vec_id") % 7 === 3),
+          "vec_id", root.toString)
+        HammingIndex.hammingProbeIndex(s, e, "vec_id", "embedding",
+            root.toString, radius = 15)
+          .filter(col("q_id") =!= col("n_id"))
+          .orderBy("q_id", "n_id")
+      }),
+
+    // Takedown against the persisted BM25 index through the PHYSICAL
+    // half of the lifecycle: build over the full corpus, delete 1/5 of
+    // the docs (negative stats row keeps N/avgdl exact), PURGE (the
+    // affected term buckets + doclen rewrite through the checked
+    // publish protocol, tombstones cleared), then probe. The oracle is
+    // q117's BM25 relation over a corpus that never contained the
+    // deleted docs — scores must match bit-for-bit, which holds
+    // because doclen sums are integer-valued doubles (Σall − Σdeleted
+    // is exact).
+    NamedQuery(
+      "q194_bm25_delete",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok
+             |           FROM documents WHERE doc_id % 5 <> 1),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |e AS (SELECT doc_id, unnest(tok) w FROM t),
+             |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) tf FROM e
+             |       WHERE w IN ('vector', 'join', 'scan') GROUP BY doc_id, w),
+             |df AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |    * tf.tf * 2.2
+             |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+             |FROM tf JOIN df USING (w) JOIN l USING (doc_id) CROSS JOIN s
+             |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 25""".stripMargin),
+      (s, dir) => {
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"lexdel_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val d = docs(s, dir)
+        LexIndex.bm25WriteIndex(d, "doc_id", "text", root.toString,
+          buckets = 32)
+        LexIndex.bm25DeleteIds(d.filter(col("doc_id") % 5 === 1),
+          "doc_id", root.toString)
+        LexIndex.bm25PurgeIndex(s, root.toString, "doc_id")
+        LexIndex.bm25ProbeIndex(s, root.toString, "doc_id",
+            Seq("vector", "join", "scan"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(25)
+      }),
+
+    // KLL quantile-sketch table (Karnin–Lang–Liberty 2016, the
+    // DataSketches KllDoublesSketch Spark ships) — the quantile member
+    // of the mergeable-sketch family: bounded ~KB state per group on
+    // CONTINUOUS domains where the exact histogram path is value-
+    // cardinality-bound. ORACLE-GATED via the q164 exactness pattern:
+    // below k retained items the sketch stores every value, so at gate
+    // scale (per-source n ≪ k=4096) the inclusive quantile readout is
+    // EXACTLY "smallest value whose rank ≥ q" — deterministic, no
+    // compaction randomness — and quarter ranks make the rank
+    // comparison FP-exact in both engines. At corpus scale the same
+    // query degrades gracefully to the ε-rank-error contract
+    // (SketchesSpec pins both regimes + merge + streaming).
+    NamedQuery(
+      "q195_kll_quantiles",
+      Some("""WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) x FROM documents),
+             |n AS (SELECT source, count(*) n FROM v GROUP BY source),
+             |r AS (SELECT v.source, x,
+             |        row_number() OVER (PARTITION BY v.source ORDER BY x) rk,
+             |        n.n FROM v JOIN n USING (source))
+             |SELECT source,
+             |  min(CASE WHEN rk * 1.0 / n >= 0.25 THEN x END) AS "q_0.25",
+             |  min(CASE WHEN rk * 1.0 / n >= 0.5  THEN x END) AS "q_0.5",
+             |  min(CASE WHEN rk * 1.0 / n >= 0.75 THEN x END) AS "q_0.75"
+             |FROM r GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Sketches.kllGroupQuantiles(
+          Sketches.kllAgg(docs(s, dir).select(col("source"), col("n_chars")),
+            Seq("source"), "n_chars", k = 4096),
+          Seq(0.25, 0.5, 0.75))
+          .orderBy("source"))
   )
 }

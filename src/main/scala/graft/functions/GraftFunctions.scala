@@ -33,6 +33,10 @@ object GraftFunctions {
   val SignPackName = "graft_sign_pack"
   val HammingName = "graft_hamming"
   val TextStatsName = "graft_text_stats"
+  val KllAggName = "graft_kll_agg"
+  val KllUnionAggName = "graft_kll_union_agg"
+  val KllQuantilesName = "graft_kll_quantiles"
+  val KllRankName = "graft_kll_rank"
 
   /** Extract a required integer-literal argument with a diagnosable
     * error (a bare eval() on a non-foldable expression would surface as
@@ -229,6 +233,12 @@ object GraftFunctions {
     // aggregates return the raw AggregateFunction — the analyzer wraps
     // it in an AggregateExpression (pre-wrapping breaks DISTINCT)
     (VecSumName, 1, exprs => VectorSum(exprs.head)),
+    (KllAggName, 2, exprs => KllSketchAgg(exprs.head,
+      literalInt(exprs(1), KllAggName, "k"))),
+    (KllUnionAggName, 2, exprs => KllUnionAgg(exprs.head,
+      literalInt(exprs(1), KllUnionAggName, "k"))),
+    (KllQuantilesName, 2, exprs => KllQuantiles(exprs.head, exprs(1))),
+    (KllRankName, 2, exprs => KllRank(exprs.head, exprs(1))),
     (MgTopKName, 2, exprs => MisraGriesTopK(exprs.head,
       literalInt(exprs(1), MgTopKName, "capacity"))),
     // Spark's own runtime-filter probe expression (codegen'd, lazily
@@ -411,6 +421,27 @@ object GraftFunctions {
     * map-side partials — no posexplode dimension blow-up).
     */
   def vecSum(vec: Column): Column = call_function(VecSumName, vec)
+
+  /** KLL quantile-sketch aggregate: double column → compact binary
+    * state (mergeable; rank error ≤ ~1.65% at the default k=200).
+    */
+  def kllAgg(value: Column, k: Int = 200): Column =
+    call_function(KllAggName, value, org.apache.spark.sql.functions.lit(k))
+
+  /** Union of serialized KLL states (rollup-on-read). */
+  def kllUnionAgg(sketch: Column, k: Int = 200): Column =
+    call_function(KllUnionAggName, sketch, org.apache.spark.sql.functions.lit(k))
+
+  /** Estimated quantiles at the given normalized ranks; null for an
+    * empty sketch.
+    */
+  def kllQuantiles(sketch: Column, qs: Seq[Double]): Column =
+    call_function(KllQuantilesName, sketch,
+      org.apache.spark.sql.functions.lit(qs.toArray))
+
+  /** Estimated normalized rank of a value; null for an empty sketch. */
+  def kllRank(sketch: Column, value: Column): Column =
+    call_function(KllRankName, sketch, value)
 
   /** Native Misra–Gries frequent-items summary (mergeable; every item
     * with count > N/(capacity+1) is guaranteed present).

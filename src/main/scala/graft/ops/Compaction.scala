@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared small-file compaction for append-accumulating parquet
   * directories (the persisted-index maintenance primitive behind
@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   * and a mid-flight failure either rolls hidden originals back or
   * leaves them recoverable as `.*.old`, never duplicated next to the
   * compacted copy.
+  *
+  * The same publish protocol also serves [[Tombstones]] purges via
+  * [[rewriteDirs]]: a purge is a compaction whose rewrite drops
+  * tombstoned rows, so the crash-safety story is identical — a purge
+  * that dies mid-way leaves the tombstone set in place and every
+  * original row recoverable, and re-running it is idempotent.
   */
 object Compaction {
 
@@ -27,12 +33,32 @@ object Compaction {
       targetBytes: Long,
       opName: String): Map[String, (Int, Int)] = {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
+    rewriteDirs(spark, dirs, targetBytes, opName,
+      shouldRewrite = (_, nFiles) => nFiles > maxFilesPerDir,
+      transform = identity)
+  }
+
+  /** The generalized pass: rewrite every directory `shouldRewrite`
+    * accepts through `transform` (row-preserving for compaction,
+    * row-dropping for tombstone purges), behind the checked
+    * hide-rename publish protocol described above. The rewritten dir
+    * may legitimately end up with ZERO visible files (a purge that
+    * drops every row); readers of the parent partitioned root handle
+    * an empty partition directory fine.
+    */
+  def rewriteDirs(
+      spark: SparkSession,
+      dirs: Seq[Path],
+      targetBytes: Long,
+      opName: String,
+      shouldRewrite: (Path, Int) => Boolean,
+      transform: DataFrame => DataFrame): Map[String, (Int, Int)] = {
     def visible(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
     dirs.flatMap { dir =>
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val files = fs.listStatus(dir).filter(s => s.isFile && visible(s.getPath))
-      if (files.length <= maxFilesPerDir) None
+      if (files.isEmpty || !shouldRewrite(dir, files.length)) None
       else {
         val target = math.max(1,
           math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
@@ -41,7 +67,7 @@ object Compaction {
         // The read's file listing happens at plan time, before tmp
         // exists — and dot-prefixed children are hidden from parquet
         // listings anyway.
-        spark.read.parquet(dir.toString)
+        transform(spark.read.parquet(dir.toString))
           .coalesce(target)
           .write.mode("overwrite").parquet(tmp.toString)
         val compacted = fs.listStatus(tmp)

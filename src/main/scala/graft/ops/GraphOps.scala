@@ -275,7 +275,7 @@ object GraphOps {
        |p0 AS (SELECT node, outdeg, CAST($scale // nn.n AS BIGINT) pr
        |       FROM deg CROSS JOIN nn),
        |$iters
-       |SELECT node, pr AS pr_units FROM p$iterations
+       |SELECT node, CAST(pr AS BIGINT) AS pr_units FROM p$iterations
        |ORDER BY pr_units DESC, node LIMIT 100""".stripMargin
   }
 

@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   * probe rows against the pruned index slice, and pays one native
   * XOR+POPCNT exact check per candidate. Candidate volume is the MIH
   * bucket-collision term — [[VectorOps.hammingRadiusPairs]]'s
-  * documented tradeoff, with the same wider-codes guidance.
+  * documented tradeoff; size `nBands`/`nBuckets` with
+  * [[VectorOps.hammingParamsFor]], which prices the collision term
+  * from (n, dim, radius) and refuses infeasible combinations.
   */
 object HammingIndex {
 
@@ -130,6 +132,42 @@ object HammingIndex {
       "hammingCompactIndex")
   }
 
+  /** Tombstone ids out of the index ([[Tombstones]] — the
+    * persisted-index delete lifecycle): append-only, O(|ids|), safe
+    * next to concurrent probes. Probes exclude the set immediately;
+    * [[hammingPurgeIndex]] is the physical drop of the nBands band
+    * rows per deleted vector.
+    */
+  def hammingDeleteIds(ids: DataFrame, idCol: String, path: String): Unit =
+    Tombstones.add(ids, idCol, path)
+
+  /** Physically drop tombstoned vectors' band rows and clear the
+    * tombstone set. A deleted vector holds one row in each of its
+    * nBands (band, bucket) directories; the affected-directory list
+    * comes from one column-pruned (id, band, bb) semi-join — ≤
+    * nBands·nBuckets pairs — and only those leaves rewrite, through
+    * the shared [[Compaction.rewriteDirs]] publish protocol.
+    * Quiesced-window maintenance, idempotent across crashes.
+    */
+  def hammingPurgeIndex(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+    Tombstones.purge(spark, path, idCol,
+      candidateDirs = Seq.empty,
+      affectedOf = (tombs, _) => {
+        import org.apache.hadoop.fs.Path
+        spark.read.parquet(s"$path/bands")
+          .select(col(idCol), col("band"), col("bb"))
+          .join(tombs, Seq(idCol), "left_semi")
+          .select("band", "bb").distinct()
+          .collect() // ≤ nBands·nBuckets pairs
+          .map(r => new Path(s"$path/bands/band=${r.getInt(0)}/bb=${r.getInt(1)}"))
+          .toSeq
+      },
+      targetBytes = targetBytes, opName = "hammingPurgeIndex")
+
   /** EXACT radius search served from the index: every `(q_id, n_id,
     * hamming)` with distance ≤ `radius` between a query-batch row and
     * an indexed vector — [[VectorOps.hammingRadiusPairs]]'s guarantee
@@ -137,6 +175,9 @@ object HammingIndex {
     * corpus and keeping `q_id < n_id` reproduces the pair relation
     * exactly; HammingSpec pins both). The index scan prunes to the
     * probe values' (band, bucket) directories at file listing.
+    * Tombstoned ids ([[hammingDeleteIds]]) are excluded from the
+    * scanned slice (never from the caller's query batch — a deleted
+    * vector can still be ASKED about; it just can't be FOUND).
     */
   def hammingProbeIndex(
       spark: SparkSession,
@@ -171,8 +212,9 @@ object HammingIndex {
     // broadcast would ship |corpus|·nBands·(1+cb) rows to every task —
     // the round-12 probe measured 18.9× vs 8.6× at 64× for exactly
     // that hint before it was removed
-    spark.read.parquet(s"$path/bands")
-      .filter(prune) // partition-pruned at file listing
+    Tombstones.excludeFrom(
+      spark.read.parquet(s"$path/bands").filter(prune), // pruned at listing
+      path, idCol)
       .join(probes, Seq("band", "bv", "bb"))
       .select(col("q_id"), col(idCol).as("n_id"),
         graft.functions.GraftFunctions.hamming(col("qcode"), col("code"))

@@ -120,11 +120,79 @@ object LexIndex {
       maxFilesPerDir, targetBytes, "bm25CompactIndex")
   }
 
+  /** Tombstone documents out of the index ([[Tombstones]] — the
+    * persisted-index delete lifecycle). Two writes, neither touching
+    * index data:
+    *
+    *   1. a NEGATIVE `stats/` row (−n, −sum_dl) for the ids being
+    *      deleted for the FIRST time, so the probe's corpus-wide
+    *      N/avgdl (Σ over stats rows) immediately reflect the
+    *      deletion — `dl` values are integer-valued doubles (token
+    *      counts), so Σall − Σdeleted is exact, bit-identical to a
+    *      rebuild without the ids;
+    *   2. the tombstone append itself; probes anti-join it out of the
+    *      postings/doclen slices they scan.
+    *
+    * Already-tombstoned (or never-indexed) ids contribute nothing to
+    * the negative row — re-deleting is idempotent on scores.
+    * [[bm25PurgeIndex]] is the physical drop.
+    */
+  def bm25DeleteIds(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val requested = ids.select(col(idCol)).distinct()
+    val fresh = Tombstones.ids(spark, path, idCol) match {
+      case Some(t) => requested.join(t, Seq(idCol), "left_anti")
+      case None => requested
+    }
+    // one row, computed BEFORE the tombstone append mutates the set
+    // the anti-join above reads
+    val neg = fresh
+      .join(spark.read.parquet(s"$path/doclen"), Seq(idCol))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .head()
+    if (neg.getLong(0) > 0L) {
+      import spark.implicits._
+      Seq((-neg.getLong(0), -neg.getDouble(1))).toDF("n", "sum_dl")
+        .write.mode("append").parquet(s"$path/stats")
+    }
+    Tombstones.add(requested, idCol, path)
+  }
+
+  /** Physically drop tombstoned documents' postings/doclen rows and
+    * clear the tombstone set — quiesced-window maintenance through the
+    * shared [[Compaction.rewriteDirs]] publish protocol; only the
+    * `tb=` buckets that actually hold a tombstoned doc's terms (plus
+    * `doclen/`) are rewritten. The `stats/` rows are untouched: the
+    * negative rows written at delete time are part of the additive
+    * history and keep summing to the rebuilt-without-ids totals.
+    * Idempotent across crashes (see [[Tombstones]]).
+    */
+  def bm25PurgeIndex(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+    Tombstones.purge(spark, path, idCol,
+      candidateDirs = Seq.empty,
+      affectedOf = (tombs, _) => {
+        import org.apache.hadoop.fs.Path
+        val affected = spark.read.parquet(s"$path/postings")
+          .select(col(idCol), col("tb"))
+          .join(tombs, Seq(idCol), "left_semi")
+          .select("tb").distinct()
+          .collect().map(_.getInt(0)) // ≤ buckets ints
+        affected.map(b => new Path(s"$path/postings/tb=$b")).toSeq :+
+          new Path(s"$path/doclen")
+      },
+      targetBytes = targetBytes, opName = "bm25PurgeIndex")
+
   /** BM25 scores for `queryTerms` over the persisted index — the
     * index-backed twin of [[TextAnalysis.bm25Scores]] (same robust-idf
     * Okapi formula, same rounding), returning `(<idCol>, bm25)` for
     * every document matching ≥ 1 term. The postings scan prunes to
-    * the query terms' `tb=` directories at file listing.
+    * the query terms' `tb=` directories at file listing. Tombstoned
+    * documents ([[bm25DeleteIds]]) are excluded from the scanned slice
+    * and from the per-term document frequencies.
     */
   def bm25ProbeIndex(
       spark: SparkSession,
@@ -148,10 +216,15 @@ object LexIndex {
       .select(col("n_l").cast("double").as("n_docs"),
         (col("sum_dl") / col("n_l").cast("double")).as("avgdl"))
     val lens = spark.read.parquet(s"$path/doclen")
-    val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
-      .filter(col("w").isin(queryTerms.distinct: _*))
-      .select(col(idCol), col("w"), col("tf"))
+    // tombstone anti-join AFTER the bucket/term prune (slice-sized,
+    // skipped when no delete ever landed); df and the doclen attach
+    // inherit the exclusion through this relation
+    val tf = Tombstones.excludeFrom(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+        .filter(col("w").isin(queryTerms.distinct: _*))
+        .select(col(idCol), col("w"), col("tf")),
+      path, idCol)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

@@ -315,6 +315,26 @@ object Pq {
       targetBytes, "pqIvfCompactIndex")
   }
 
+  /** Tombstone ids out of a persisted IVF-PQ index — the layout shares
+    * the exact path's `cluster=` partitioning, so the whole delete
+    * lifecycle is [[VectorOps.ivfDeleteIds]]/[[VectorOps.ivfPurgeIndex]]
+    * verbatim: append-only tombstones, immediate probe-side exclusion,
+    * physical drop confined to the affected clusters. Exposed under the
+    * PQ name so the compressed layout's lifecycle reads complete.
+    */
+  def pqIvfDeleteIds(ids: DataFrame, idCol: String, path: String): Unit =
+    VectorOps.ivfDeleteIds(ids, idCol, path)
+
+  /** [[VectorOps.ivfPurgeIndex]] for the compressed layout (identical
+    * mechanics — see [[pqIvfDeleteIds]]).
+    */
+  def pqIvfPurgeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+    VectorOps.ivfPurgeIndex(spark, path, idCol, targetBytes)
+
   /** Stage 1 of the probe, exposed for plan inspection: the pruned ADC
     * scan — (id, adist) over the query's nProbe clusters, reading only
     * the codes column of the index files.
@@ -328,8 +348,8 @@ object Pq {
       query: Seq[Double],
       rows: Int,
       nProbe: Int): DataFrame =
-    pqIvfShortlistFrom(spark.read.parquet(path), model, centroids,
-      idCol, query, rows, nProbe)
+    pqIvfShortlistFrom(VectorOps.ivfOpenIndex(spark, path, idCol), model,
+      centroids, idCol, query, rows, nProbe)
 
   /** [[pqIvfShortlist]] over an ALREADY-OPENED index relation: a query
     * workload opens `spark.read.parquet(path)` once and probes it many
@@ -398,12 +418,14 @@ object Pq {
       k: Int,
       nProbe: Int = 4,
       overFetch: Int = 3): DataFrame =
-    pqIvfProbeFrom(spark.read.parquet(path), model, centroids,
-      idCol, query, k, nProbe, overFetch)
+    pqIvfProbeFrom(VectorOps.ivfOpenIndex(spark, path, idCol), model,
+      centroids, idCol, query, k, nProbe, overFetch)
 
   /** [[pqIvfProbe]] over an already-opened index relation (one
     * partition listing amortized over the workload — see
     * [[pqIvfShortlistFrom]]); both probe stages reuse the same handle.
+    * Open it through [[VectorOps.ivfOpenIndex]] (not a raw parquet
+    * read) so tombstoned deletes stay excluded on the warm path.
     */
   def pqIvfProbeFrom(
       index: DataFrame,

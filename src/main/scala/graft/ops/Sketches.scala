@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * `count(DISTINCT)` directly — SketchesSpec pins both regimes.
   * Union is lossless at equal lgK: merge-of-parts ≡ sketch-of-whole,
   * bit-identically, regardless of how rows were partitioned.
+  *
+  * DELETE-INCAPABLE BY CONSTRUCTION — deliberately outside the
+  * [[Tombstones]] lifecycle the persisted indexes carry: an HLL
+  * register is a max over hashed offsets and a CountMin cell a sum
+  * whose one-sided overcount guarantee dies under subtraction, so no
+  * tombstone can be "applied" to a persisted sketch state. The
+  * takedown path for sketch tables is REBUILD-FROM-SLICES: keep the
+  * sketch table keyed at the finest slice you must be able to forget
+  * (e.g. source × day), drop the affected slice rows, and re-sketch
+  * only that slice's raw data — every coarser rollup self-heals
+  * because rollups are unions over the slice rows.
   */
 object Sketches {
 
@@ -170,5 +181,81 @@ object Sketches {
       .join(table, groupCols ++ Seq("d", "bucket"), "left")
       .groupBy(groupCols.map(col) :+ col(valueCol): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  // ---------------------------------------------------------------
+  // KLL quantile sketch (Karnin–Lang–Liberty 2016, DataSketches
+  // KllDoublesSketch) — the QUANTILE member of the family, closing
+  // the continuous-domain gap: [[Stats.exactQuantilesByGroup]] is
+  // exact but histogram-based, so its state is value-cardinality-
+  // bound — unbounded for classifier probabilities / LM perplexities
+  // where every value is distinct. The KLL state is ~3 KB per group
+  // at the default k=200 regardless of cardinality, mergeable
+  // (rollup-on-read, streaming partials) like the HLL table, with
+  // rank error ≤ getNormalizedRankError(k) ≈ 1.65% at 99% confidence.
+  // Native aggregates live in [[graft.functions.KllSketchAgg]] /
+  // [[graft.functions.KllUnionAgg]] (TypedImperativeAggregate —
+  // buffers are heap sketches per task, compact bytes only on the
+  // exchange).
+  // ---------------------------------------------------------------
+
+  /** Per-group KLL sketch of `valueCol` (cast to double): one corpus
+    * pass, map-side partial sketches merged per group. Output:
+    * `groupCols…, sketch binary`.
+    */
+  def kllAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 200): DataFrame = {
+    require(groupCols.nonEmpty, "kllAgg needs >= 1 group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.GraftFunctions
+        .kllAgg(col(valueCol).cast("double"), k).as("sketch"))
+  }
+
+  /** Roll a KLL sketch table up to a coarser grouping by merging
+    * states — rows touched: the sketch table's, never the corpus.
+    * Pass `Nil` to collapse to one global row.
+    */
+  def kllRollup(
+      df: DataFrame,
+      coarserGroupCols: Seq[String],
+      sketchCol: String = "sketch",
+      k: Int = 200): DataFrame = {
+    val u = graft.functions.GraftFunctions.kllUnionAgg(col(sketchCol), k)
+      .as(sketchCol)
+    if (coarserGroupCols.isEmpty) df.agg(u)
+    else df.groupBy(coarserGroupCols.map(col): _*).agg(u)
+  }
+
+  /** Read a persisted KLL sketch table (e.g. one maintained by
+    * [[graft.streaming.SketchStream.kllAppendBatch]]) and roll its
+    * partial rows up to one sketch per group.
+    */
+  def readKllTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCols: Seq[String],
+      sketchCol: String = "sketch",
+      k: Int = 200): DataFrame =
+    kllRollup(spark.read.parquet(path), groupCols, sketchCol, k)
+
+  /** Convenience readout: per-group estimated quantiles at `qs` from a
+    * sketch table — `groupCols…, q_<rank>…` one double column per
+    * requested rank.
+    */
+  def kllGroupQuantiles(
+      sketches: DataFrame,
+      qs: Seq[Double],
+      sketchCol: String = "sketch"): DataFrame = {
+    require(qs.nonEmpty, "kllGroupQuantiles: empty rank list")
+    qs.foreach(q => require(q >= 0 && q <= 1, s"rank $q outside [0, 1]"))
+    val arr = graft.functions.GraftFunctions.kllQuantiles(col(sketchCol), qs)
+    val cols = qs.zipWithIndex.map { case (q, i) =>
+      element_at(arr, i + 1).as(s"q_$q")
+    }
+    sketches.select(
+      sketches.columns.filterNot(_ == sketchCol).map(col) ++ cols: _*)
   }
 }

@@ -456,7 +456,9 @@ object VectorOps {
     * 2^(bits/band) buckets per band, so SMALL radii (s ≤ 1) over wide
     * codes prune hard, while radius ≳ 2·nBands at dim 64 degrades
     * toward all-pairs (use more bands only with wider codes; s ≥ 2 is
-    * rejected rather than silently quadratic).
+    * rejected rather than silently quadratic). Don't guess `nBands`:
+    * [[hammingParamsFor]] solves it from (n, dim, radius) and REFUSES
+    * infeasible combinations with the cost it priced.
     */
   def hammingRadiusPairs(
       df: DataFrame,
@@ -532,6 +534,95 @@ object VectorOps {
         transform(sequence(lit(0), lit(cb - 1)),
           t => bv0.bitwiseXOR(call_function("shiftleft", lit(1L), t))
             .bitwiseAND(lit(mask))))
+  }
+
+  /** Solved MIH geometry from [[hammingParamsFor]]: the band count to
+    * pass to [[hammingRadiusPairs]] / [[HammingIndex.hammingWriteIndex]]
+    * (with `nBuckets` for the persisted layout), plus the cost terms
+    * the choice was made on — all PER VECTOR, so they read the same at
+    * any corpus size: `probeRowsPerVec` rows fed into the band join and
+    * `expCandidatesPerVec` random-collision candidates surviving it
+    * (each paying one native exact check).
+    */
+  case class HammingParams(
+      nBands: Int,
+      bandWidth: Int,
+      probeBits: Int,
+      nBuckets: Int,
+      probeRowsPerVec: Double,
+      expCandidatesPerVec: Double,
+      costPerVec: Double)
+
+  /** Closed-form MIH parameter solver — the [[Dedup.minhashParamsFor]]
+    * / [[Similarity.srpParamsFor]] treatment for the Hamming family,
+    * replacing the round-12 "use dim ≥ 256" scaladoc guidance with an
+    * honest model: for every legal band count m (power of two ≥ the
+    * word count, per-band probe budget s = ⌊radius/m⌋ ≤ 1 — the
+    * [[BandSpec]] constraints), the per-vector work is
+    *
+    *   cost(m) = m·(1 + V)            — band rows fed + probe-ball rows
+    *           + m·n·V / 2^w          — expected random-collision
+    *                                    candidates (uniform-code model),
+    *                                    each one exact XOR+POPCNT check
+    *
+    * with w = bandWidth(m) and V = ball volume (1 for s=0, 1+w for
+    * s=1). The result is EXACT regardless of the choice (the
+    * pigeonhole guarantee never depends on m); only the cost moves.
+    * Returns the argmin if its cost fits `costBudgetPerVector`;
+    * otherwise throws naming the best achievable cost and the honest
+    * fixes (wider codes, smaller radius, bigger budget) — an
+    * infeasible (n, dim, radius) should fail loudly at plan time, not
+    * run as a quadratic-leaning job (the q141 64×=9.95 bucket-
+    * collision term, now priced before it runs).
+    *
+    * Model caveats, deliberately conservative: codes are assumed
+    * uniform (real sign codes correlate, RAISING collisions — treat
+    * the budget as a floor, not a ceiling) and a dim not divisible by
+    * 64 leaves zero-padding that concentrates the last band's values
+    * (same direction). `nBuckets` is layout-only (partition-pruning
+    * granularity for [[HammingIndex]]): capped so a build stays under
+    * ~512 directories per index.
+    */
+  def hammingParamsFor(
+      n: Long,
+      dim: Int,
+      radius: Int,
+      costBudgetPerVector: Double = 4096.0,
+      maxBands: Int = 64): HammingParams = {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(dim >= 1, s"dim=$dim must be >= 1")
+    require(radius >= 0, s"radius=$radius must be >= 0")
+    require(costBudgetPerVector > 0, "costBudgetPerVector must be > 0")
+    val nWords = (dim + 63) / 64
+    val candidates = Iterator.iterate(1)(_ * 2)
+      .takeWhile(m => m <= maxBands && m <= nWords * 64)
+      .filter(m => m >= nWords && radius / m <= 1)
+      .map { m =>
+        val w = nWords * 64 / m
+        val s = radius / m
+        val v = if (s == 0) 1.0 else 1.0 + w
+        val feed = m * (1.0 + v)
+        val coll = m * n.toDouble * v / math.pow(2.0, w.toDouble)
+        val nBuckets = math.min(1L << math.min(w, 30),
+          Integer.highestOneBit(math.max(8, 512 / m))).toInt
+        HammingParams(m, w, s, nBuckets, m * v, coll, feed + coll)
+      }
+      .toSeq
+    require(candidates.nonEmpty,
+      s"hammingParamsFor: no legal band count for dim=$dim radius=$radius " +
+        s"within maxBands=$maxBands — every power-of-two m in " +
+        s"[$nWords, $maxBands] needs a ≥2-bit per-band probe ball " +
+        "(radius too large for the code width); use wider codes or a " +
+        "smaller radius")
+    val best = candidates.minBy(_.costPerVec)
+    require(best.costPerVec <= costBudgetPerVector,
+      f"hammingParamsFor: best achievable cost ${best.costPerVec}%.1f " +
+        f"work units/vector (nBands=${best.nBands}, " +
+        f"${best.expCandidatesPerVec}%.1f expected collision candidates) " +
+        f"exceeds budget $costBudgetPerVector%.1f at n=$n dim=$dim " +
+        f"radius=$radius — use wider codes, a smaller radius, or raise " +
+        "the budget if the scan cost is acceptable")
+    best
   }
 
   /** Batch kNN JOIN — top-`k` cosine neighbors from `corpus` for EVERY
@@ -1592,7 +1683,9 @@ object VectorOps {
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
     val occupied = d.select("cluster").distinct()
       .collect().map(_.getInt(0)).sorted
-    val b = delta.sparkSession.read.parquet(indexPath)
+    // open through the tombstone filter: a deleted (taken-down) base
+    // row must not suppress a new near-duplicate of itself
+    val b = ivfOpenIndex(delta.sparkSession, indexPath, idCol)
       .filter(col("cluster").isin(occupied.map(Int.box).toSeq: _*))
       .select(col(idCol), col("dv"), col("nrm"), col("cluster"))
     semDedupDeltaFrom(delta, d, b, idCol, threshold, maxCluster)
@@ -1815,6 +1908,57 @@ object VectorOps {
       targetBytes, "ivfCompactIndex")
   }
 
+  /** Tombstone ids out of a persisted `cluster=`-partitioned index
+    * (exact IVF here and [[Pq]]'s IVF-PQ — both share the layout, and
+    * a delete never reads index data, so one implementation serves
+    * both): appends to `_graft_tombstones/` under the index root
+    * ([[Tombstones]]). Every probe excludes the set immediately;
+    * [[ivfPurgeIndex]] is the physical drop. O(|ids|), concurrent-
+    * probe-safe (unlike compaction/purge, which want a quiesced
+    * window).
+    */
+  def ivfDeleteIds(ids: DataFrame, idCol: String, path: String): Unit =
+    Tombstones.add(ids, idCol, path)
+
+  /** Physically drop tombstoned rows from a `cluster=`-partitioned
+    * index (exact IVF or IVF-PQ) and clear the tombstone set. Only
+    * clusters that actually hold a tombstoned id are rewritten — found
+    * by one column-pruned scan of (id, cluster), where `cluster` comes
+    * from directory names — through the [[Compaction.rewriteDirs]]
+    * publish protocol. Quiesced-window maintenance, idempotent across
+    * crashes ([[Tombstones]] has the full story). Returns
+    * clusterDir → (filesBefore, filesAfter).
+    */
+  def ivfPurgeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+    Tombstones.purge(spark, path, idCol,
+      candidateDirs = Seq.empty, // derived from the affected clusters
+      affectedOf = (tombs, _) => {
+        val affected = spark.read.parquet(path)
+          .select(col(idCol), col("cluster"))
+          .join(tombs, Seq(idCol), "left_semi")
+          .select("cluster").distinct()
+          .collect().map(_.getInt(0)) // ≤ nClusters ints
+        affected.map(c =>
+          new org.apache.hadoop.fs.Path(path, s"cluster=$c")).toSeq
+      },
+      targetBytes = targetBytes, opName = "ivfPurgeIndex")
+
+  /** The index relation with tombstoned ids excluded — what every
+    * probe should scan. Warm-workload callers (the
+    * [[Pq.pqIvfShortlistFrom]] open-once pattern) open through this
+    * instead of `spark.read.parquet(path)` so deletes are visible to
+    * them too.
+    */
+  def ivfOpenIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String): DataFrame =
+    Tombstones.excludeFrom(spark.read.parquet(path), path, idCol)
+
   def ivfProbeIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -1827,8 +1971,11 @@ object VectorOps {
     require(qNorm > 0, "query vector has zero norm — cosine undefined")
     require(centroids.nonEmpty, "ivfProbeIndex: empty centroid table")
     val probes = probeClusters(indexedCents(centroids), query, qNorm, nProbe)
-    spark.read.parquet(path)
-      .filter(col("cluster").isin(probes: _*))
+    // tombstone anti-join AFTER the cluster prune: the excluded set is
+    // joined against the nProbe-partition slice, never the full index
+    Tombstones.excludeFrom(
+      spark.read.parquet(path).filter(col("cluster").isin(probes: _*)),
+      path, idCol)
       .select(col(idCol),
         round(dot(col("dv"), lit(query.toArray)) / (col("nrm") * lit(qNorm)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))

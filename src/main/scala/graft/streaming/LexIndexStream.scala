@@ -33,6 +33,38 @@ object LexIndexStream {
       LexIndex.bm25AppendIndex(batch, idCol, textCol, path)
     }
 
+  /** Apply one micro-batch of takedown ids
+    * ([[graft.ops.LexIndex.bm25DeleteIds]]) behind the batch ledger —
+    * the streaming half of the delete lifecycle: redelivery of a
+    * delete batch must not re-run the negative-stats write (it is
+    * id-idempotent already, but the ledger makes it O(1)). Ledger
+    * namespace is kept apart from append streams' so a delete stream
+    * and an append stream over the same index can share batch ids.
+    */
+  def deleteBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      path: String,
+      streamId: String = ""): Boolean =
+    VectorIndexStream.ledgered(batch, batchId, path,
+      VectorIndexStream.deleteLedgerId(streamId)) {
+      LexIndex.bm25DeleteIds(batch, idCol, path)
+    }
+
+  /** The delete-stream writer: micro-batches of (idCol) takedown
+    * requests; attach a checkpoint + trigger and `.start()`.
+    */
+  def deleteSink(
+      stream: DataFrame,
+      idCol: String,
+      path: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      deleteBatch(batch, batchId, idCol, path,
+        VectorIndexStream.runningQueryId(batch))
+      ()
+    }
+
   /** The stream writer: attach a checkpoint + trigger and `.start()`.
     * The index root must already exist (bm25WriteIndex, possibly over
     * an empty frame) so the bucket fanout is fixed for the stream's

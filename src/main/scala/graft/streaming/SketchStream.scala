@@ -79,4 +79,34 @@ object SketchStream {
         VectorIndexStream.runningQueryId(batch))
       ()
     }
+
+  /** KLL quantile twin: append one micro-batch's per-group partial
+    * sketches ([[Sketches.kllAgg]] rows — readers merge via
+    * [[Sketches.readKllTable]]; the merged sketch honors the same
+    * rank-error bound as a batch build, the KLL merge rule).
+    */
+  def kllAppendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      groupCols: Seq[String],
+      valueCol: String,
+      path: String,
+      k: Int = 200,
+      streamId: String = ""): Boolean =
+    VectorIndexStream.ledgered(batch, batchId, path, streamId) {
+      Sketches.kllAgg(batch, groupCols, valueCol, k)
+        .write.mode("append").parquet(path)
+    }
+
+  def kllSink(
+      stream: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      path: String,
+      k: Int = 200): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      kllAppendBatch(batch, batchId, groupCols, valueCol, path, k,
+        VectorIndexStream.runningQueryId(batch))
+      ()
+    }
 }

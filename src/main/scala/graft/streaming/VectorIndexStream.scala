@@ -151,4 +151,42 @@ object VectorIndexStream {
   private[streaming] def runningQueryId(batch: DataFrame): String =
     Option(batch.sparkSession.sparkContext
       .getLocalProperty("sql.streaming.queryId")).getOrElse("")
+
+  /** Delete streams ledger under `deletes-<streamId>` so a delete
+    * stream and an append stream over the SAME index never collide on
+    * a batch id (manual callers with no query id collide with each
+    * other only if they reuse batch ids across roles — don't).
+    */
+  private[streaming] def deleteLedgerId(streamId: String): String =
+    s"deletes-$streamId"
+
+  /** Apply one micro-batch of takedown ids behind the batch ledger —
+    * the streaming half of the [[graft.ops.Tombstones]] delete
+    * lifecycle, shared by every tombstone-only layout (exact IVF,
+    * IVF-PQ, Hamming — a delete is layout-blind: it only appends ids
+    * under the root). BM25 has its own ([[LexIndexStream.deleteBatch]])
+    * because its delete also writes the negative stats row.
+    */
+  def deleteBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      path: String,
+      streamId: String = ""): Boolean =
+    ledgered(batch, batchId, path, deleteLedgerId(streamId)) {
+      graft.ops.Tombstones.add(batch, idCol, path)
+    }
+
+  /** The delete-stream writer: micro-batches of (idCol) takedown
+    * requests against an exact-IVF, IVF-PQ, or Hamming index root;
+    * attach a checkpoint + trigger and `.start()`.
+    */
+  def deleteSink(
+      stream: DataFrame,
+      idCol: String,
+      path: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      deleteBatch(batch, batchId, idCol, path, runningQueryId(batch))
+      ()
+    }
 }

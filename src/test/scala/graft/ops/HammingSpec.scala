@@ -30,6 +30,56 @@ class HammingSpec extends AnyFunSuite {
   private def refHamming(a: Seq[Float], b: Seq[Float]): Long =
     a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }.toLong
 
+  test("hammingParamsFor: argmin over the legal band set; exactness-preserving; honest infeasibility") {
+    // brute-force the model over every legal m and check the solver
+    // returns its argmin
+    def brute(n: Long, dim: Int, radius: Int): Seq[(Int, Double)] = {
+      val nWords = (dim + 63) / 64
+      (0 to 6).map(1 << _).filter(m => m >= nWords && m <= 64 &&
+          m <= nWords * 64 && radius / m <= 1)
+        .map { m =>
+          val w = nWords * 64 / m
+          val v = if (radius / m == 0) 1.0 else 1.0 + w
+          m -> (m * (1.0 + v) + m * n.toDouble * v / math.pow(2.0, w.toDouble))
+        }
+    }
+    for ((n, dim, r) <- Seq((1000000L, 256, 15), (5000L, 64, 7),
+        (320000L, 128, 9), (100L, 64, 15))) {
+      val got = VectorOps.hammingParamsFor(n, dim, r)
+      val want = brute(n, dim, r).minBy(_._2)
+      assert(got.nBands === want._1, s"(n=$n dim=$dim r=$r)")
+      assert(math.abs(got.costPerVec - want._2) < 1e-9)
+      // the choice never changes the result relation, only cost: the
+      // BandSpec constraints the solver promises must actually hold
+      VectorOps.BandSpec(got.nBands, dim).probeBits(r)
+    }
+    // the round-12 watch item, priced and REFUSED: dim 64, radius 15
+    // at corpus scale has no band count under the default budget
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.hammingParamsFor(320000L, 64, 15)
+    }
+    assert(e.getMessage.contains("wider codes"))
+    // radius too large for the code width at any m: different error
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.hammingParamsFor(1000L, 64, 200)
+    }
+    assert(e2.getMessage.contains("no legal band count"))
+    // solver-chosen params drive the real operator to the exact relation
+    val data = vecs(60, 128)
+    val df = data.toDF("vec_id", "embedding")
+    val p = VectorOps.hammingParamsFor(60L, 128, 9)
+    val got = VectorOps.hammingRadiusPairs(df, "vec_id", "embedding",
+        radius = 9, nBands = p.nBands)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+    def ref(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }.toLong
+    val want = (for {
+      (i, vi) <- data; (j, vj) <- data if i < j
+      h = ref(vi, vj) if h <= 9
+    } yield (i, j, h)).toSet
+    assert(got === want)
+  }
+
   test("graft_sign_pack/graft_hamming ≡ composable sign-mismatch count on the corpus") {
     val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
       .select($"vec_id", $"embedding")

@@ -224,4 +224,125 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.cmAgg(toks, Nil, "tok")
     }
   }
+
+  // ------------------------------------------------------------- KLL
+
+  lazy val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+    .select(col("source"), col("doc_id"), col("n_chars"))
+
+  /** True inclusive normalized rank of v in the group's values. */
+  private def trueRank(values: Seq[Double], v: Double): Double =
+    values.count(_ <= v).toDouble / values.length
+
+  private def byGroup: Map[String, Seq[Double]] =
+    docs.collect().map(r => r.getString(0) -> r.getLong(2).toDouble)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("kll: per-group quantile estimates hold the rank-error contract vs exact (2ε gate)") {
+    val k = 200
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(k, false)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val est = Sketches.kllGroupQuantiles(
+      Sketches.kllAgg(docs, Seq("source"), "n_chars", k), qs)
+      .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    val groups = byGroup
+    for ((src, estQs) <- est; (q, v) <- qs.zip(estQs)) {
+      val r = trueRank(groups(src), v)
+      assert(math.abs(r - q) <= 2 * eps + 1.0 / groups(src).length,
+        s"source=$src q=$q est=$v trueRank=$r")
+    }
+  }
+
+  test("kll: merge-of-parts honors the same bound; global rollup ≡ collapse of parts in distribution") {
+    val k = 200
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(k, false)
+    val sharded = Sketches.kllAgg(
+      docs.withColumn("shard", pmod(col("doc_id"), lit(5L))),
+      Seq("source", "shard"), "n_chars", k)
+    val rolled = Sketches.kllGroupQuantiles(
+      Sketches.kllRollup(sharded, Seq("source"), k = k), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val groups = byGroup
+    for ((src, med) <- rolled) {
+      val r = trueRank(groups(src), med)
+      assert(math.abs(r - 0.5) <= 2 * eps + 1.0 / groups(src).length,
+        s"merged median source=$src est=$med trueRank=$r")
+    }
+    // global collapse: one row, same contract over the whole corpus
+    val all = groups.values.flatten.toSeq
+    val global = Sketches.kllGroupQuantiles(
+      Sketches.kllRollup(sharded, Nil, k = k), Seq(0.5))
+      .head().getDouble(0)
+    assert(math.abs(trueRank(all, global) - 0.5) <= 2 * eps + 1.0 / all.length)
+  }
+
+  test("kll: exact regime (n < k) — estimates are EXACT order statistics; rank readout inverse-consistent; null/empty edges") {
+    // every group far below k: the sketch retains all values
+    val k = 4096
+    val qs = Seq(0.25, 0.5, 0.75)
+    val est = Sketches.kllGroupQuantiles(
+      Sketches.kllAgg(docs, Seq("source"), "n_chars", k), qs)
+      .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    val groups = byGroup
+    for ((src, estQs) <- est; (q, v) <- qs.zip(estQs)) {
+      val sorted = groups(src).sorted
+      // inclusive quantile = smallest value whose rank (#≤v / n) >= q
+      val want = sorted.find(x =>
+        sorted.count(_ <= x).toDouble / sorted.length >= q).get
+      assert(v === want, s"exact-regime source=$src q=$q")
+    }
+    // rank(quantile(q)) >= q, with equality-on-grid in the exact regime
+    val sk = Sketches.kllAgg(docs, Seq("source"), "n_chars", k)
+    // argument order guard: (sketch, value), not (value, sketch) —
+    // rejected at analysis (select is eagerly analyzed)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sk.select(col("source"),
+        graft.functions.GraftFunctions.kllRank(
+          graft.functions.GraftFunctions.kllQuantiles(col("sketch"),
+            Seq(0.5)).getItem(0), col("sketch")).as("bad"))
+    }
+    val ranks = sk.select(col("source"),
+        graft.functions.GraftFunctions.kllRank(col("sketch"),
+          element_at(graft.functions.GraftFunctions.kllQuantiles(
+            col("sketch"), Seq(0.5)), 1)).as("rk"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    for ((src, rk) <- ranks)
+      assert(rk >= 0.5 && rk <= 0.5 + 1.0 / groups(src).length + 1e-12)
+    // all-null group → empty sketch → null readout
+    val empty = Sketches.kllAgg(
+      Seq(("a", null.asInstanceOf[java.lang.Double])).toDF("g", "v"),
+      Seq("g"), "v", 200)
+    assert(empty.select(graft.functions.GraftFunctions
+      .kllQuantiles(col("sketch"), Seq(0.5))).head().isNullAt(0))
+  }
+
+  test("kll: stream-built table holds the contract; redelivered batch is a no-op; k guard fails fast") {
+    val root = java.nio.file.Files.createTempDirectory("graft-kll").toString
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    assert(graft.streaming.SketchStream.kllAppendBatch(
+      b0, 0L, Seq("source"), "n_chars", s"$root/tbl", streamId = "m"))
+    assert(graft.streaming.SketchStream.kllAppendBatch(
+      b1, 1L, Seq("source"), "n_chars", s"$root/tbl", streamId = "m"))
+    val rowsBefore = spark.read.parquet(s"$root/tbl").count()
+    assert(!graft.streaming.SketchStream.kllAppendBatch(
+      b1, 1L, Seq("source"), "n_chars", s"$root/tbl", streamId = "m"))
+    assert(spark.read.parquet(s"$root/tbl").count() === rowsBefore)
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(200, false)
+    val med = Sketches.kllGroupQuantiles(
+      Sketches.readKllTable(spark, s"$root/tbl", Seq("source")), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val groups = byGroup
+    for ((src, v) <- med)
+      assert(math.abs(trueRank(groups(src), v) - 0.5)
+        <= 2 * eps + 1.0 / groups(src).length)
+    intercept[IllegalArgumentException] {
+      Sketches.kllAgg(docs, Seq("source"), "n_chars", k = 4)
+    }
+  }
 }
