@@ -169,19 +169,27 @@ object ManifestV2 {
       dim: Int = 1 << 15,
       itersBudget: Int = 16,
       tol: Double = 1e-3,
-      gateQuantile: Option[Double] = None): DataFrame = {
+      gateQuantile: Option[Double] = None,
+      trainedWeights: Option[DataFrame] = None): DataFrame = {
     require(gateQuantile.forall(q => q >= 0.0 && q < 1.0),
       s"gateQuantile=$gateQuantile out of [0, 1)")
-    val labels = corpus.select(col("doc_id"),
-      when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
-        .otherwise(0.0).as("y"))
     // lengthFeature: the q28-style weak label weights a length term
     // 0.5, which tf/dl-normalized BoW cannot see (Classifier scaladoc)
-    val feats = Classifier.hashedFeatures(corpus, "doc_id", "text", dim,
-        lengthFeature = true)
-      .localCheckpoint(true) // two consumers (train + score): one pass
-    val w = Classifier.trainLogReg(feats, labels, "doc_id",
-      iters = itersBudget, lr = 2.0, tol = tol)
+    def feats0 = Classifier.hashedFeatures(corpus, "doc_id", "text", dim,
+      lengthFeature = true)
+    // a pre-trained gate ([[trainGateWeights]]) skips the training loop
+    // AND the two-consumer checkpoint: scoring is the only feature pass
+    val (feats, w) = trainedWeights match {
+      case Some(tw) => (feats0, tw)
+      case None =>
+        val labels = corpus.select(col("doc_id"),
+          when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
+            .otherwise(0.0).as("y"))
+        val f = feats0
+          .localCheckpoint(true) // two consumers (train + score): one pass
+        (f, Classifier.trainLogReg(f, labels, "doc_id",
+          iters = itersBudget, lr = 2.0, tol = tol))
+    }
     val scored = Classifier.scoreLogReg(feats, w, "doc_id")
       .join(survivors.select("doc_id"), Seq("doc_id"))
     // gateQuantile: a DATA-derived cut — drop the bottom q of the
@@ -208,19 +216,45 @@ object ManifestV2 {
     out
   }
 
+  /** Train the [[classifierGate]] model ONCE, for reuse across
+    * compositions: training is deterministic (seeded, fixed schedule),
+    * so `full(docs, …, trainedWeights = Some(trainGateWeights(docs)))`
+    * is RESULT-IDENTICAL to the self-training chain while paying the
+    * AdaGrad loop once per corpus instead of once per invocation — the
+    * production shape (a gate model is fit offline and applied to many
+    * manifest builds). Returns the (idx, w) weight table; it is
+    * dim-bounded (≤ 2^15 rows at the default), so callers may collect
+    * and re-literalize it across sessions.
+    */
+  def trainGateWeights(
+      corpus: DataFrame,
+      dim: Int = 1 << 15,
+      itersBudget: Int = 16,
+      tol: Double = 1e-3): DataFrame = {
+    val labels = corpus.select(col("doc_id"),
+      when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
+        .otherwise(0.0).as("y"))
+    val feats = Classifier.hashedFeatures(corpus, "doc_id", "text", dim,
+      lengthFeature = true)
+    Classifier.trainLogReg(feats, labels, "doc_id",
+      iters = itersBudget, lr = 2.0, tol = tol)
+  }
+
   /** The q133 relation: the full six-stage chain. `pThreshold <= 0`
     * makes the classifier gate keep-all (σ > 0 always), which
     * ManifestV2Spec uses to pin this chain against [[oracleChain]];
     * packing appends `bin_id` from [[Packing.packGreedy]] over the
     * manifest's token counts at a 512-token context budget.
+    * `trainedWeights` hoists the gate model ([[trainGateWeights]]).
     */
   def full(
       docs: DataFrame,
       pThreshold: Double,
       packBudget: Long = 512L,
-      gateQuantile: Option[Double] = None): DataFrame = {
+      gateQuantile: Option[Double] = None,
+      trainedWeights: Option[DataFrame] = None): DataFrame = {
     val gated = classifierGate(docs, gopherSurvivors(docs), pThreshold,
-      gateQuantile = gateQuantile)
+      gateQuantile = gateQuantile, trainedWeights = trainedWeights)
     // the packing join consumes the manifest twice (rows + token
     // counts); the relation is selectN-bounded, so cut its
     // whole-chain lineage before fanning out

@@ -31,6 +31,26 @@ class ManifestV2Spec extends AnyFunSuite {
     assert(full.toSeq === base.toSeq)
   }
 
+  test("hoisted gate model: full(trainedWeights = trainGateWeights(docs)) ≡ self-training full, row for row") {
+    val selfTrained = ManifestV2.full(docs, pThreshold = 0.0,
+        gateQuantile = Some(0.3)).orderBy("doc_id").collect()
+    val w = ManifestV2.trainGateWeights(docs)
+    val hoisted = ManifestV2.full(docs, pThreshold = 0.0,
+        gateQuantile = Some(0.3), trainedWeights = Some(w))
+      .orderBy("doc_id").collect()
+    assert(selfTrained.nonEmpty)
+    assert(hoisted.toSeq === selfTrained.toSeq)
+    // and a collected-then-relit weight table (the q133 memo shape)
+    // behaves the same as the live one
+    import spark.implicits._
+    val relit = w.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq.toDF("idx", "w")
+    val viaMemoShape = ManifestV2.full(docs, pThreshold = 0.0,
+        gateQuantile = Some(0.3), trainedWeights = Some(relit))
+      .orderBy("doc_id").collect()
+    assert(viaMemoShape.toSeq === selfTrained.toSeq)
+  }
+
   test("the classifier gate bites where the rules cannot: Gopher-passing low-quality docs are rejected") {
     import spark.implicits._
     // every doc passes the Gopher rules (≥ 50 words, sane lengths, ≥ 2
