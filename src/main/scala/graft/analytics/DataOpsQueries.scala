@@ -4593,7 +4593,7 @@ object DataOpsQueries {
             Seq("source"), "n_chars", k = 4096),
           Seq(0.25, 0.5, 0.75))
           .orderBy("source"))
-  ) :+ {
+  ) ++ {
     // PCA projection under a LITERAL fixture rotation — the q134
     // oracle-upgrade pattern applied to q116: the TRAINED model's
     // Jacobi eigensolve isn't SQL-expressible (q116 stays rows-only),
@@ -4617,7 +4617,69 @@ object DataOpsQueries {
          |           * (CAST(((i+1)*(${j + 2})) % 7 - 3 AS DOUBLE) / 3.0)))), 6)
          |  AS c$j""".stripMargin
     }.mkString(",\n")
-    NamedQuery(
+    // PII scrub + governance report (ops/Pii.scala): the documents
+    // corpus is deterministically LACED with synthetic PII (email,
+    // intl phone, IPv4 derived from doc_id — both engines build the
+    // same text), then redacted by the RE2-and-Java-compatible pattern
+    // chain and rolled up per source. The oracle replays lacing,
+    // per-stage counting (pattern i counts on text after patterns
+    // 1..i−1 — DuckDB len(regexp_extract_all) with 'g' replaces), and
+    // the redacted-length sum, so the whole scrub path is hash-gated.
+    val pii = NamedQuery(
+      "q197_pii_scrub",
+      Some("""WITH laced AS (
+             |  SELECT doc_id, source,
+             |    'Contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1415555'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text AS t
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, source,
+             |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) n_email,
+             |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') t
+             |       FROM laced),
+             |s2 AS (SELECT doc_id, source, n_email,
+             |         len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) n_card,
+             |         regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g') t
+             |       FROM s1),
+             |s3 AS (SELECT doc_id, source, n_email, n_card,
+             |         len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) n_ssn,
+             |         regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') t
+             |       FROM s2),
+             |s4 AS (SELECT doc_id, source, n_email, n_card, n_ssn,
+             |         len(regexp_extract_all(t, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b')) n_phone,
+             |         regexp_replace(t, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') t
+             |       FROM s3),
+             |s5 AS (SELECT doc_id, source, n_email, n_card, n_ssn, n_phone,
+             |         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) n_ipv4,
+             |         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') t
+             |       FROM s4)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN n_email + n_card + n_ssn + n_phone + n_ipv4 > 0
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             |  CAST(sum(n_email) AS BIGINT) AS n_email,
+             |  CAST(sum(n_card) AS BIGINT) AS n_card,
+             |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+             |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+             |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+             |  CAST(sum(length(t)) AS BIGINT) AS scrubbed_chars
+             |FROM s5 GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val laced = docs(s, dir).select(col("doc_id"), col("source"),
+          concat(lit("Contact u"), col("doc_id").cast("string"),
+            lit("@example.com or +1415555"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1 "), col("text")).as("t"))
+        Pii.report(laced, "source", "t")
+          .join(
+            Pii.detect(laced, "t")
+              .groupBy("source")
+              .agg(sum(length(col("pii_scrubbed"))).as("scrubbed_chars")),
+            Seq("source"))
+          .orderBy("source")
+      })
+
+    val pca = NamedQuery(
       "q196_pca_fixture",
       Some(s"""SELECT vec_id,
               |$projCols
@@ -4630,5 +4692,6 @@ object DataOpsQueries {
             round(element_at(col("pca"), j + 1), 6).as(s"c$j")): _*)
           .orderBy("vec_id")
       })
+    Seq(pii, pca)
   }
 }

@@ -354,7 +354,32 @@ object ScaleProbe {
         // q192: two meanPool hash aggs (native vec_sum partials — the
         // exchange carries labels × dim doubles) + label-scale joins;
         // sign-flipped replicas keep per-label residual shapes.
-        "q192_embedding_drift")
+        "q192_embedding_drift",
+        // round-13: q193 is q146's candidate-volume band through the
+        // delete path — build + tombstone append are map-only writes,
+        // the probe adds ONE anti-join of the (small) tombstone set
+        // against the pruned band slice; candidates carry q141's MIH
+        // bucket-collision term (the solver prices/refuses it — see
+        // hamming_solver below). q194 is q117's build + bucket-pruned
+        // probe with a delete (doclen semi-join for the negative stats
+        // row, O(|ids|) append) and a PURGE in the middle — the purge
+        // rewrites only tb= buckets holding a deleted doc's terms
+        // (at this corpus that is most buckets — an honest worst case:
+        // 1/5 of docs deleted touches nearly every term bucket; the
+        // rewrite is one pruned read + write per affected dir, still
+        // corpus-linear).
+        "q193_hamming_delete", "q194_bm25_delete",
+        // q195: one map-side-combined KLL sketch pass — the exchange
+        // carries ≤ ~8·k-byte states per (source, partition), never
+        // the values (the q164/q184 sketch-table contract); the
+        // readout is sketch-table-scale. q196: one map-only projection
+        // (nComp native dots per row) — scan-flat, the q127 band.
+        "q195_kll_quantiles", "q196_pca_fixture",
+        // q197: five chained codegen'd regexp projections + one
+        // map-side-combined source agg — scan-shaped (regex constant
+        // per task; replica-tagged tokens change nothing, the lacing
+        // is per-row arithmetic).
+        "q197_pii_scrub")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
@@ -984,6 +1009,54 @@ object ScaleProbe {
       println(f"[scale] manifest_repair admit/batch=${admitTimes.sum / admitTimes.size}%5.2fs " +
         f"manifest(first-seen)=${raw}%5.2fs manifest(repaired)=${repaired}%5.2fs " +
         f"overhead=${repaired - raw}%5.2fs (${(repaired / raw - 1) * 100}%4.0f%%)")
+    }
+    // hammingParamsFor at work (round-12 Next #4): 256-bit codes (the
+    // width the solver's feasible region starts at for radius 15),
+    // radius-15 pair mining with the SOLVER's band count vs the q141
+    // default nBands=8. At 256 bits the solver picks 16 bands (s=0:
+    // 16 plain band rows/vector, collision term n/2^16) over 8 bands
+    // (s=1: 264 probe rows/vector) — same exact relation, different
+    // price. Also prints the priced REFUSAL for (dim 64, radius 15)
+    // at the 64× corpus: the round-12 watch item (64× ratio 9.95) now
+    // fails loudly at plan time instead of running.
+    if (only.forall(_.exists("hamming_solver".startsWith))) {
+      def widen(d: String) = {
+        val e = Tables.load(spark, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        e.withColumn("embedding", concat((0 until 4).map { c =>
+          if (c == 0) col("embedding")
+          else transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+        }: _*))
+      }
+      val n1 = Tables.load(spark, dir, "embeddings").count()
+      val nk = n1 * k
+      val p1 = graft.ops.VectorOps.hammingParamsFor(n1, 256, 15)
+      val pk = graft.ops.VectorOps.hammingParamsFor(nk, 256, 15)
+      def run(d: String, m: Int): (Double, Long) = {
+        val w = widen(d)
+        val t0 = System.nanoTime()
+        val rows = graft.ops.VectorOps.hammingRadiusPairs(
+          w, "vec_id", "embedding", radius = 15, nBands = m).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      for ((d, tag, p) <- Seq((dir, "1x", p1), (tmp, s"${k}x", pk))) {
+        val results = Seq(8, p.nBands).distinct.map { m =>
+          run(d, m) // warm
+          val (t, rows) = run(d, m)
+          val role = if (m == p.nBands) "solver" else "default"
+          println(f"[scale] hamming_solver $tag%-3s nBands=$m%-2d ($role%-7s) " +
+            f"t=${t}%6.2fs rows=$rows")
+          rows
+        }
+        if (results.distinct.size != 1)
+          println(s"[scale] hamming_solver $tag ROWS DISAGREE: $results")
+      }
+      val refusal =
+        try { graft.ops.VectorOps.hammingParamsFor(nk, 64, 15); "UNEXPECTEDLY FEASIBLE" }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.linesIterator.next() }
+      println(s"[scale] hamming_solver dim64 r15 n=$nk: REFUSED — $refusal")
     }
     // Streaming state probe: the bounded-state CLAIMS on sessionize
     // (EventStreams.scala) get numbers. The stream is staged as

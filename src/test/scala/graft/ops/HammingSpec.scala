@@ -64,10 +64,18 @@ class HammingSpec extends AnyFunSuite {
       VectorOps.hammingParamsFor(1000L, 64, 200)
     }
     assert(e2.getMessage.contains("no legal band count"))
-    // solver-chosen params drive the real operator to the exact relation
-    val data = vecs(60, 128)
+    // solver-chosen params drive the real operator to the exact
+    // relation — with PLANTED near-duplicates (base vector ± a few
+    // sign flips), so the compared relation is provably non-empty and
+    // spans s=0/s=1 band splits
+    val base = vecs(60, 128)
+    val planted = base.take(10).map { case (i, v) =>
+      (1000L + i, v.zipWithIndex.map { case (x, d) =>
+        if (d % 37 == (i % 5)) -x else x }) // 3–4 flips per plant
+    }
+    val data = base ++ planted
     val df = data.toDF("vec_id", "embedding")
-    val p = VectorOps.hammingParamsFor(60L, 128, 9)
+    val p = VectorOps.hammingParamsFor(data.length.toLong, 128, 9)
     val got = VectorOps.hammingRadiusPairs(df, "vec_id", "embedding",
         radius = 9, nBands = p.nBands)
       .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
@@ -77,6 +85,7 @@ class HammingSpec extends AnyFunSuite {
       (i, vi) <- data; (j, vj) <- data if i < j
       h = ref(vi, vj) if h <= 9
     } yield (i, j, h)).toSet
+    assert(want.nonEmpty, "planted near-dups must appear in the reference")
     assert(got === want)
   }
 
