@@ -4692,6 +4692,168 @@ object DataOpsQueries {
             round(element_at(col("pca"), j + 1), 6).as(s"c$j")): _*)
           .orderBy("vec_id")
       })
-    Seq(pii, pca)
+    // Markup-to-text extraction (ops/TextExtract.scala): the corpus is
+    // deterministically WRAPPED in HTML (script/style payloads,
+    // comments, tags, escaped entities — doc_id-derived so both
+    // engines build the same page), then extracted by the
+    // RE2-and-Java-compatible strip chain. The oracle replays every
+    // stage — including the full cleaned TEXT, so any stripping
+    // divergence hash-fails, not just length drift.
+    val html = NamedQuery(
+      "q198_html_strip",
+      Some("""WITH laced AS (SELECT doc_id,
+             |  '<html><head><script type="text/javascript">var id='
+             |    || CAST(doc_id AS VARCHAR)
+             |    || ';</script><style>.c{color:red}</style></head><body><!-- hdr '
+             |    || CAST(doc_id AS VARCHAR) || ' --><h1>Title &amp; '
+             |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+             |    || '</p><br/><div>&lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</div></body></html>'
+             |    AS raw
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |s1 AS (SELECT doc_id, raw, regexp_replace(regexp_replace(raw,
+             |         '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+             |         '(?is)<style\b[^>]*>.*?</style>', '', 'g') t FROM laced),
+             |s2 AS (SELECT doc_id, raw, regexp_replace(regexp_replace(t,
+             |         '(?s)<!--.*?-->', '', 'g'), '(?s)<[^>]*>', ' ', 'g') t FROM s1),
+             |s3 AS (SELECT doc_id, raw,
+             |         replace(replace(replace(replace(replace(replace(replace(t,
+             |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+             |           '&amp;', '&') t FROM s2),
+             |s4 AS (SELECT doc_id, raw,
+             |         trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) clean
+             |       FROM s3)
+             |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+             |  CAST(length(clean) AS BIGINT) AS n_clean,
+             |  ROUND((length(raw) - length(clean)) * 1.0 / length(raw), 6)
+             |    AS markup_ratio,
+             |  clean
+             |FROM s4 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val did = col("doc_id").cast("string")
+        val laced = docs(s, dir).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(
+            lit("<html><head><script type=\"text/javascript\">var id="), did,
+            lit(";</script><style>.c{color:red}</style></head><body><!-- hdr "),
+            did, lit(" --><h1>Title &amp; "), did, lit("</h1><p>"), col("text"),
+            lit("</p><br/><div>&lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</div></body></html>"))
+            .as("raw"))
+        laced.select(col("doc_id"),
+            length(col("raw")).cast("long").as("n_raw"),
+            length(TextExtract.stripMarkup(col("raw"))).cast("long")
+              .as("n_clean"),
+            round(TextExtract.markupRatio(col("raw")), 6).as("markup_ratio"),
+            TextExtract.stripMarkup(col("raw")).as("clean"))
+          .orderBy("doc_id")
+      })
+
+    // URL canonicalization + URL-level dedup (ops/UrlOps.scala): the
+    // corpus is laced with doc_id-derived URLs in four shapes — mixed
+    // case, default ports, tracking params, fragments — two of which
+    // canonicalize to the SAME key, so the dedup genuinely folds
+    // refetches. The oracle replays the whole generic pipeline (parse
+    // regexes, query scrub, port/fragment rules, keep-min dedup,
+    // last-two-labels domain), never the lacing shortcut.
+    val urls = NamedQuery(
+      "q199_url_dedup",
+      Some("""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+             |    WHEN 0 THEN 'https://WWW.News' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '.COM:443/a/' || CAST(doc_id % 97 AS VARCHAR)
+             |      || '?utm_source=rss&id=' || CAST(doc_id % 13 AS VARCHAR) || '#frag'
+             |    WHEN 1 THEN 'http://blog.news' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '.com/a/' || CAST(doc_id % 97 AS VARCHAR)
+             |    WHEN 2 THEN 'https://www.news' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '.com/a/' || CAST(doc_id % 97 AS VARCHAR)
+             |      || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+             |    ELSE 'http://News' || CAST(doc_id % 7 AS VARCHAR) || '.Com:80'
+             |  END AS url FROM documents),
+             |p AS (SELECT doc_id,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) hostport,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) path0,
+             |    regexp_extract(url, '\?([^#]*)', 1) query0
+             |  FROM u),
+             |q AS (SELECT doc_id, scheme,
+             |    lower(regexp_extract(hostport, '^([^:]*)', 1)) host,
+             |    regexp_extract(hostport, ':([0-9]+)$', 1) port,
+             |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             |    regexp_replace(regexp_replace(regexp_replace(query0,
+             |      '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+             |      '&&+', '&', 'g'), '^&|&$', '', 'g') qq
+             |  FROM p),
+             |c AS (SELECT doc_id, host,
+             |    scheme || '://' || host
+             |      || CASE WHEN port <> ''
+             |              AND NOT (scheme = 'http' AND port = '80')
+             |              AND NOT (scheme = 'https' AND port = '443')
+             |         THEN ':' || port ELSE '' END
+             |      || path
+             |      || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END
+             |    AS url_canonical
+             |  FROM q)
+             |SELECT url_canonical,
+             |  CAST(min(doc_id) AS BIGINT) AS doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_fetches,
+             |  regexp_extract(min(host), '([^.]+\.[^.]+)$', 1) AS domain
+             |FROM c GROUP BY url_canonical
+             |ORDER BY url_canonical""".stripMargin),
+      (s, dir) => {
+        val k7 = (col("doc_id") % 7).cast("string")
+        val p97 = (col("doc_id") % 97).cast("string")
+        val m13 = (col("doc_id") % 13).cast("string")
+        val laced = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("https://WWW.News"), k7, lit(".COM:443/a/"), p97,
+              lit("?utm_source=rss&id="), m13, lit("#frag")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("http://blog.news"), k7, lit(".com/a/"), p97))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("https://www.news"), k7, lit(".com/a/"), p97,
+                lit("?id="), m13))
+            .otherwise(concat(lit("http://News"), k7, lit(".Com:80")))
+            .as("url"))
+        UrlOps.dedupByUrl(laced, "doc_id", "url")
+          .withColumn("domain", UrlOps.registeredDomain(
+            regexp_extract(col("url_canonical"), "^[a-z]+://([^/:]*)", 1)))
+          .select("url_canonical", "doc_id", "n_fetches", "domain")
+          .orderBy("url_canonical")
+      })
+
+    // Theta-sketch set algebra (the q169 relation, answered DIRECTLY):
+    // per source-pair, |A ∩ B| as a real intersection plus the
+    // asymmetric |A \ B| / |B \ A| that HLL's inclusion–exclusion
+    // cannot give — the novelty-audit question. Oracle-gated because
+    // at gate cardinalities every sketch has θ = 1 (nothing sampled),
+    // so intersection and difference estimates are EXACT set sizes;
+    // SketchesSpec pins that regime plus estimation-mode error.
+    val theta = NamedQuery(
+      "q200_theta_overlap",
+      Some("""WITH t AS (SELECT DISTINCT source, w FROM (
+             |        SELECT source, unnest(string_split(text, ' ')) w
+             |        FROM documents) WHERE length(w) > 0),
+             |src AS (SELECT DISTINCT source FROM t),
+             |ov AS (SELECT a.source sa, b.source sb,
+             |         CAST(count(*) AS BIGINT) c
+             |       FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+             |       GROUP BY 1, 2),
+             |n AS (SELECT source, CAST(count(*) AS BIGINT) n FROM t GROUP BY 1)
+             |SELECT s1.source AS source_a, s2.source AS source_b,
+             |  CAST(coalesce(ov.c, 0) AS BIGINT) AS est_shared,
+             |  CAST(na.n - coalesce(ov.c, 0) AS BIGINT) AS est_only_a,
+             |  CAST(nb.n - coalesce(ov.c, 0) AS BIGINT) AS est_only_b
+             |FROM src s1 JOIN src s2 ON s1.source < s2.source
+             |LEFT JOIN ov ON ov.sa = s1.source AND ov.sb = s2.source
+             |JOIN n na ON na.source = s1.source
+             |JOIN n nb ON nb.source = s2.source
+             |ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("source"),
+          explode(array_remove(TextFunctions.tokens(col("text")), "")).as("w"))
+        Sketches.thetaOverlapMatrix(
+            Sketches.thetaAgg(toks, Seq("source"), "w"), "source")
+          .orderBy("source_a", "source_b")
+      })
+
+    Seq(pii, pca, html, urls, theta)
   }
 }

@@ -258,4 +258,93 @@ object Sketches {
     sketches.select(
       sketches.columns.filterNot(_ == sketchCol).map(col) ++ cols: _*)
   }
+
+  // ---------------------------------------------------------------
+  // Theta sketch (the DataSketches theta family Spark 4 ships as
+  // built-ins) — the SET-ALGEBRA member: where HLL answers only
+  // "how many distinct" (intersections forced through inclusion–
+  // exclusion, [[hllOverlapMatrix]], whose error COMPOUNDS across
+  // three estimates and can go negative), a theta sketch retains a
+  // θ-sampled set of the hashes themselves, so A ∩ B and A \ B are
+  // first-class operations with their own error bounds — the audit
+  // questions ("how many of source A's tokens/users are NOT in B?")
+  // that inclusion–exclusion answers badly. Price: ~8–16 bytes per
+  // retained hash vs HLL's registers, i.e. a theta state at lgK=12 is
+  // ~4–8× an HLL state — carry both tables; they answer different
+  // questions. Exactness contract (the oracle's lever): below 2^lgK
+  // retained hashes the sketch never samples (θ = 1) and estimate,
+  // intersection and difference are all EXACT; union at equal lgK is
+  // merge-order-insensitive. Delete-incapable like the rest of the
+  // family (θ-sampling is not subtractive) — rebuild-from-slices.
+  // ---------------------------------------------------------------
+
+  /** Per-group theta sketch of distinct `valueCol`: one corpus pass,
+    * map-side partial sketches merged per group — the exchange carries
+    * sketch states bounded by 2^lgK hashes, never the raw keys.
+    * Output: `groupCols…, sketch binary`.
+    */
+  def thetaAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "thetaAgg needs >= 1 group column")
+    require(lgK >= 4 && lgK <= 26, s"lgK=$lgK outside datasketches [4, 26]")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(theta_sketch_agg(col(valueCol), lgK).as("sketch"))
+  }
+
+  /** Roll a theta sketch table up to a coarser grouping by UNIONING
+    * states — rows touched: the sketch table's, never the corpus.
+    * Pass `Nil` to collapse to one global row.
+    */
+  def thetaRollup(
+      df: DataFrame,
+      coarserGroupCols: Seq[String],
+      sketchCol: String = "sketch",
+      lgK: Int = 12): DataFrame = {
+    val u = theta_union_agg(col(sketchCol), lgK).as(sketchCol)
+    if (coarserGroupCols.isEmpty) df.agg(u)
+    else df.groupBy(coarserGroupCols.map(col): _*).agg(u)
+  }
+
+  /** Distinct-count readout of a theta sketch column (long). */
+  def thetaEstimate(sketch: Column): Column =
+    theta_sketch_estimate(sketch).cast("long")
+
+  /** Read a persisted theta sketch table (e.g. one maintained by
+    * [[graft.streaming.SketchStream.thetaAppendBatch]]) and roll its
+    * partial rows up to one sketch per group.
+    */
+  def readThetaTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCols: Seq[String],
+      sketchCol: String = "sketch",
+      lgK: Int = 12): DataFrame =
+    thetaRollup(spark.read.parquet(path), groupCols, sketchCol, lgK)
+
+  /** Pairwise set-algebra matrix from a theta sketch table: per
+    * unordered group pair, DIRECT `|A ∩ B|` plus the asymmetric
+    * `|A \ B|` / `|B \ A|` — single-estimate error each (exact in the
+    * θ = 1 regime), never inclusion–exclusion. Same scale shape as
+    * [[hllOverlapMatrix]]: |groups|²/2 pairs over fixed-size states,
+    * group-cardinality-bound, zero corpus rescans.
+    */
+  def thetaOverlapMatrix(
+      sketches: DataFrame,
+      groupCol: String,
+      sketchCol: String = "sketch"): DataFrame = {
+    val a = sketches.select(col(groupCol).as("_th_ga"), col(sketchCol).as("_th_sa"))
+    val b = sketches.select(col(groupCol).as("_th_gb"), col(sketchCol).as("_th_sb"))
+    a.join(b, col("_th_ga") < col("_th_gb"))
+      .select(col("_th_ga").as(s"${groupCol}_a"),
+        col("_th_gb").as(s"${groupCol}_b"),
+        thetaEstimate(theta_intersection(col("_th_sa"), col("_th_sb")))
+          .as("est_shared"),
+        thetaEstimate(theta_difference(col("_th_sa"), col("_th_sb")))
+          .as("est_only_a"),
+        thetaEstimate(theta_difference(col("_th_sb"), col("_th_sa")))
+          .as("est_only_b"))
+  }
 }

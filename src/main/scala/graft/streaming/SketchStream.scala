@@ -109,4 +109,34 @@ object SketchStream {
         VectorIndexStream.runningQueryId(batch))
       ()
     }
+
+  /** Theta set-algebra twin: append one micro-batch's per-group partial
+    * sketches ([[Sketches.thetaAgg]] rows — readers union via
+    * [[Sketches.readThetaTable]]; union at equal lgK is merge-order-
+    * insensitive, so stream-built ≡ batch-built in every readout).
+    */
+  def thetaAppendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      groupCols: Seq[String],
+      valueCol: String,
+      path: String,
+      lgK: Int = 12,
+      streamId: String = ""): Boolean =
+    VectorIndexStream.ledgered(batch, batchId, path, streamId) {
+      Sketches.thetaAgg(batch, groupCols, valueCol, lgK)
+        .write.mode("append").parquet(path)
+    }
+
+  def thetaSink(
+      stream: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      path: String,
+      lgK: Int = 12): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      thetaAppendBatch(batch, batchId, groupCols, valueCol, path, lgK,
+        VectorIndexStream.runningQueryId(batch))
+      ()
+    }
 }

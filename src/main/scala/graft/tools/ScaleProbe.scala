@@ -379,7 +379,16 @@ object ScaleProbe {
         // map-side-combined source agg — scan-shaped (regex constant
         // per task; replica-tagged tokens change nothing, the lacing
         // is per-row arithmetic).
-        "q197_pii_scrub")
+        "q197_pii_scrub",
+        // q198: the markup-strip chain is map-only regexp projections
+        // over a 1/7 selection — scan-shaped like q197. q199: map-only
+        // canonicalization + ONE hash agg on the canonical key (the
+        // exact-dedup band). q200: one explode + per-source theta
+        // sketch agg (states on the exchange, never tokens) + a
+        // |sources|²/2 pair join over fixed-size states — the q169
+        // band; replica-tagged tokens grow per-source sets ~k× but the
+        // sketch states stay 2^lgK-bounded.
+        "q198_html_strip", "q199_url_dedup", "q200_theta_overlap")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

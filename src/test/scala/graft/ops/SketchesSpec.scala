@@ -345,4 +345,96 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.kllAgg(docs, Seq("source"), "n_chars", k = 4)
     }
   }
+
+  test("theta: θ=1 regime — estimate, intersection and difference are EXACT set sizes") {
+    val t = toks.distinct()
+    val est = Sketches.thetaAgg(t, Seq("source"), "tok")
+      .select(col("source"), Sketches.thetaEstimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = t.groupBy("source").agg(countDistinct("tok").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === exact)
+    // pairwise set algebra vs an exact join ground truth
+    val got = Sketches.thetaOverlapMatrix(
+        Sketches.thetaAgg(t, Seq("source"), "tok"), "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sets = t.collect().map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).map { case (s0, a) => s0 -> a.map(_._2).toSet }
+    for {
+      (sa, a) <- sets; (sb, b) <- sets if sa < sb
+    } assert(got((sa, sb)) ===
+        ((a & b).size.toLong, (a -- b).size.toLong, (b -- a).size.toLong),
+      s"pair ($sa, $sb)")
+  }
+
+  test("theta: union rollup ≡ direct build; merge-of-parts insensitive to partitioning") {
+    val sharded = Sketches.thetaAgg(
+      events.withColumn("shard", pmod(col("user_id"), lit(5L))),
+      Seq("day", "shard"), "user_id")
+    val rolled = Sketches.thetaRollup(sharded, Seq("day"))
+      .select(col("day"), Sketches.thetaEstimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.thetaAgg(events, Seq("day"), "user_id")
+      .select(col("day"), Sketches.thetaEstimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled === direct)
+  }
+
+  test("theta: estimation mode holds the RSE contract; intersection beats inclusion–exclusion's compounding") {
+    val n = 200000L
+    val big = spark.range(n).select(lit("g").as("g"), col("id"))
+    val est = Sketches.thetaAgg(big, Seq("g"), "id")
+      .select(Sketches.thetaEstimate(col("sketch"))).head().getLong(0)
+    assert(math.abs(est - n).toDouble / n < 0.05, s"est=$est for n=$n")
+    // two 200k sets with a known 100k overlap: the DIRECT intersection
+    // estimate stays within 5% of truth even though all operand
+    // sketches are in estimation mode
+    val a = spark.range(0, 200000).select(lit("a").as("g"), col("id"))
+    val b = spark.range(100000, 300000).select(lit("b").as("g"), col("id"))
+    val m = Sketches.thetaOverlapMatrix(
+        Sketches.thetaAgg(a.unionByName(b), Seq("g"), "id"), "g")
+      .head()
+    assert(math.abs(m.getLong(2) - 100000L).toDouble / 100000 < 0.05,
+      s"shared=${m.getLong(2)}")
+    assert(math.abs(m.getLong(3) - 100000L).toDouble / 100000 < 0.05,
+      s"only_a=${m.getLong(3)}")
+  }
+
+  test("theta: stream-built table ≡ batch build in every readout; redelivered batch is a no-op; lgK guard") {
+    val root = java.nio.file.Files.createTempDirectory("graft-theta-stream").toString
+    events.repartition(3).write.parquet(s"$root/src")
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("day", StringType), StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+    val q = graft.streaming.SketchStream
+      .thetaSink(stream, Seq("day"), "user_id", s"$root/tbl")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def estimates = Sketches.readThetaTable(spark, s"$root/tbl", Seq("day"))
+      .select(col("day"), Sketches.thetaEstimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.thetaAgg(events, Seq("day"), "user_id")
+      .select(col("day"), Sketches.thetaEstimate(col("sketch")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estimates === direct)
+    assert(graft.streaming.SketchStream.thetaAppendBatch(
+      events.limit(10), 7L, Seq("day"), "user_id", s"$root/tbl",
+      streamId = "m"))
+    val snapshot = estimates
+    assert(!graft.streaming.SketchStream.thetaAppendBatch(
+      events.limit(10), 7L, Seq("day"), "user_id", s"$root/tbl",
+      streamId = "m"))
+    assert(estimates === snapshot)
+    intercept[IllegalArgumentException] {
+      Sketches.thetaAgg(events, Seq("day"), "user_id", lgK = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.thetaAgg(events, Nil, "user_id")
+    }
+  }
 }
