@@ -4854,6 +4854,178 @@ object DataOpsQueries {
           .orderBy("source_a", "source_b")
       })
 
-    Seq(pii, pca, html, urls, theta)
+    // Web-corpus preparation funnel — the round-13 layer composed as
+    // ONE relation, the crawl-to-training-text pipeline every web
+    // corpus runs: URL-canonical dedup (fold refetches) → markup
+    // strip → PII scrub → token-count quality gate → per-source
+    // funnel report. Lacing: each doc gets a q199-shaped URL and a
+    // full HTML page with embedded PII (doc_id-derived, so both
+    // engines build the same crawl). The oracle replays EVERY stage —
+    // the q132/q174 composition-oracle pattern over the new layer.
+    val webprep = NamedQuery(
+      "q201_web_prep",
+      Some("""WITH u AS (SELECT doc_id, source, text,
+             |  CASE CAST(doc_id % 4 AS INTEGER)
+             |    WHEN 0 THEN 'https://WWW.News' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '.COM:443/a/' || CAST(doc_id % 97 AS VARCHAR)
+             |      || '?utm_source=rss&id=' || CAST(doc_id % 13 AS VARCHAR) || '#frag'
+             |    WHEN 1 THEN 'http://blog.news' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '.com/a/' || CAST(doc_id % 97 AS VARCHAR)
+             |    WHEN 2 THEN 'https://www.news' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '.com/a/' || CAST(doc_id % 97 AS VARCHAR)
+             |      || '?id=' || CAST(doc_id % 13 AS VARCHAR)
+             |    ELSE 'http://News' || CAST(doc_id % 7 AS VARCHAR) || '.Com:80'
+             |  END AS url FROM documents),
+             |raw AS (SELECT doc_id, source, url,
+             |  '<html><head><script>var u="' || url
+             |    || '";</script><style>.a{}</style></head><body><!-- c --><h1>Doc '
+             |    || CAST(doc_id AS VARCHAR) || '</h1><p>Contact u'
+             |    || CAST(doc_id AS VARCHAR) || '@example.com or +1415555'
+             |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |    || '</p><p>' || text || ' &amp; more</p></body></html>' AS page
+             |  FROM u),
+             |p AS (SELECT doc_id,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) hostport,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) path0,
+             |    regexp_extract(url, '\?([^#]*)', 1) query0
+             |  FROM u),
+             |q AS (SELECT doc_id, scheme,
+             |    lower(regexp_extract(hostport, '^([^:]*)', 1)) host,
+             |    regexp_extract(hostport, ':([0-9]+)$', 1) port,
+             |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             |    regexp_replace(regexp_replace(regexp_replace(query0,
+             |      '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+             |      '&&+', '&', 'g'), '^&|&$', '', 'g') qq
+             |  FROM p),
+             |c AS (SELECT doc_id,
+             |    scheme || '://' || host
+             |      || CASE WHEN port <> ''
+             |              AND NOT (scheme = 'http' AND port = '80')
+             |              AND NOT (scheme = 'https' AND port = '443')
+             |         THEN ':' || port ELSE '' END
+             |      || path
+             |      || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END
+             |    AS url_canonical
+             |  FROM q),
+             |keep AS (SELECT min(doc_id) doc_id FROM c GROUP BY url_canonical),
+             |s1 AS (SELECT r.doc_id, r.source, r.page,
+             |         regexp_replace(regexp_replace(r.page,
+             |           '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+             |           '(?is)<style\b[^>]*>.*?</style>', '', 'g') t
+             |       FROM raw r JOIN keep k ON r.doc_id = k.doc_id),
+             |s2 AS (SELECT doc_id, source, page, regexp_replace(regexp_replace(t,
+             |         '(?s)<!--.*?-->', '', 'g'), '(?s)<[^>]*>', ' ', 'g') t FROM s1),
+             |s3 AS (SELECT doc_id, source, page,
+             |         replace(replace(replace(replace(replace(replace(replace(t,
+             |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |           '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+             |           '&amp;', '&') t FROM s2),
+             |clean AS (SELECT doc_id, source,
+             |         trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) clean,
+             |         (length(page) - length(trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))))
+             |           * 1.0 / length(page) AS markup_ratio
+             |       FROM s3),
+             |p1 AS (SELECT doc_id, source, markup_ratio,
+             |         len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) n_email,
+             |         regexp_replace(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') t
+             |       FROM clean),
+             |p2 AS (SELECT doc_id, source, markup_ratio, n_email,
+             |         len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) n_card,
+             |         regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g') t
+             |       FROM p1),
+             |p3 AS (SELECT doc_id, source, markup_ratio, n_email, n_card,
+             |         len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) n_ssn,
+             |         regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') t
+             |       FROM p2),
+             |p4 AS (SELECT doc_id, source, markup_ratio, n_email, n_card, n_ssn,
+             |         len(regexp_extract_all(t, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b')) n_phone,
+             |         regexp_replace(t, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') t
+             |       FROM p3),
+             |p5 AS (SELECT doc_id, source, markup_ratio, n_email, n_card, n_ssn, n_phone,
+             |         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) n_ipv4,
+             |         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') t
+             |       FROM p4),
+             |toks AS (SELECT *,
+             |         len(list_filter(string_split(t, ' '), x -> x <> '')) n_tok
+             |       FROM p5),
+             |kept AS (SELECT * FROM toks WHERE n_tok >= 50),
+             |f AS (SELECT source, CAST(count(*) AS BIGINT) n_fetches
+             |      FROM raw GROUP BY source),
+             |uq AS (SELECT source, CAST(count(*) AS BIGINT) n_unique,
+             |         AVG(markup_ratio) avg_markup
+             |       FROM clean GROUP BY source),
+             |fin AS (SELECT source, CAST(count(*) AS BIGINT) n_kept,
+             |          CAST(sum(n_tok) AS BIGINT) n_tokens,
+             |          CAST(sum(n_email + n_card + n_ssn + n_phone + n_ipv4)
+             |            AS BIGINT) n_pii
+             |        FROM kept GROUP BY source)
+             |SELECT f.source, f.n_fetches,
+             |  CAST(coalesce(uq.n_unique, 0) AS BIGINT) AS n_unique,
+             |  ROUND(coalesce(uq.avg_markup, 0.0), 6) AS avg_markup,
+             |  CAST(coalesce(fin.n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(coalesce(fin.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(fin.n_pii, 0) AS BIGINT) AS n_pii
+             |FROM f LEFT JOIN uq ON f.source = uq.source
+             |LEFT JOIN fin ON f.source = fin.source
+             |ORDER BY f.source""".stripMargin),
+      (s, dir) => {
+        val k7 = (col("doc_id") % 7).cast("string")
+        val p97 = (col("doc_id") % 97).cast("string")
+        val m13 = (col("doc_id") % 13).cast("string")
+        val did = col("doc_id").cast("string")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://WWW.News"), k7, lit(".COM:443/a/"), p97,
+              lit("?utm_source=rss&id="), m13, lit("#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://blog.news"), k7, lit(".com/a/"), p97))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://www.news"), k7, lit(".com/a/"), p97,
+              lit("?id="), m13))
+          .otherwise(concat(lit("http://News"), k7, lit(".Com:80")))
+        val laced = docs(s, dir).select(col("doc_id"), col("source"),
+          url.as("url"),
+          concat(lit("<html><head><script>var u=\""), url,
+            lit("\";</script><style>.a{}</style></head><body><!-- c --><h1>Doc "),
+            did, lit("</h1><p>Contact u"), did,
+            lit("@example.com or +1415555"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit("</p><p>"), col("text"), lit(" &amp; more</p></body></html>"))
+            .as("page"))
+        val keepers = UrlOps.dedupByUrl(
+          laced.select(col("doc_id"), col("url")), "doc_id", "url")
+        val clean = laced
+          .join(keepers.select("doc_id"), Seq("doc_id"))
+          .withColumn("clean", TextExtract.stripMarkup(col("page")))
+          .withColumn("markup_ratio",
+            (length(col("page")) - length(col("clean"))).cast("double")
+              / length(col("page")))
+        val kept = Pii.detect(clean, "clean")
+          .withColumn("n_tok",
+            size(array_remove(split(col("pii_scrubbed"), " "), "")))
+          .filter(col("n_tok") >= 50)
+        val fetches = laced.groupBy("source")
+          .agg(count(lit(1)).as("n_fetches"))
+        val uniq = clean.groupBy("source")
+          .agg(count(lit(1)).as("_n_unique"),
+            avg(col("markup_ratio")).as("_avg_markup"))
+        val fin = kept.groupBy("source")
+          .agg(count(lit(1)).as("_n_kept"),
+            sum(col("n_tok")).as("_n_tokens"),
+            sum(Pii.Patterns.map(p => col(s"pii_${p._1}")).reduce(_ + _))
+              .as("_n_pii"))
+        fetches
+          .join(uniq, Seq("source"), "left")
+          .join(fin, Seq("source"), "left")
+          .select(col("source"), col("n_fetches"),
+            coalesce(col("_n_unique"), lit(0L)).as("n_unique"),
+            round(coalesce(col("_avg_markup"), lit(0.0)), 6).as("avg_markup"),
+            coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("_n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("_n_pii"), lit(0L)).as("n_pii"))
+          .orderBy("source")
+      })
+
+    Seq(pii, pca, html, urls, theta, webprep)
   }
 }

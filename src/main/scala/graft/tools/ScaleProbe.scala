@@ -388,7 +388,12 @@ object ScaleProbe {
         // |sources|²/2 pair join over fixed-size states — the q169
         // band; replica-tagged tokens grow per-source sets ~k× but the
         // sketch states stay 2^lgK-bounded.
-        "q198_html_strip", "q199_url_dedup", "q200_theta_overlap")
+        "q198_html_strip", "q199_url_dedup", "q200_theta_overlap",
+        // q201: the web-prep funnel = q199's canonical-key agg + one
+        // keeper semi-join + q198/q197's map-only chains + three
+        // source-scale aggs — the composition inherits its stages'
+        // bands (no stage multiplies another).
+        "q201_web_prep")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
