@@ -5026,6 +5026,31 @@ object DataOpsQueries {
           .orderBy("source")
       })
 
-    Seq(pii, pca, html, urls, theta, webprep)
+    // Paired-bootstrap significance (Poisson form): is per-user
+    // activity in the back half of January significantly different
+    // from the front half? Integer paired counts per user, so the
+    // whole replicate distribution — p-value and exact order-statistic
+    // CI included — replays bit-for-bit through the GENERATED oracle
+    // (Stats.pairedBootstrapOracleSql shares the Poisson thresholds
+    // and mix constants with the engine).
+    val boot = NamedQuery(
+      "q202_paired_bootstrap",
+      Some(Stats.pairedBootstrapOracleSql(
+        """SELECT user_id AS id,
+          |  sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+          |      THEN 1 ELSE 0 END) AS a,
+          |  sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+          |      THEN 1 ELSE 0 END) AS b
+          |FROM events GROUP BY user_id""".stripMargin)),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val pairs = ev.groupBy("user_id").agg(
+          sum(when(col("d") <= lit("2024-01-15"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("d") > lit("2024-01-15"), 1L).otherwise(0L)).as("b"))
+        Stats.pairedBootstrap(pairs, "user_id", "a", "b")
+      })
+
+    Seq(pii, pca, html, urls, theta, webprep, boot)
   }
 }

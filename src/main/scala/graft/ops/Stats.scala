@@ -265,4 +265,142 @@ object Stats {
           col("n_distinct"), col("min_value"), col("max_value"))
     }.reduce(_ unionByName _)
   }
+
+  /** Exclusive cumulative Poisson(1) probabilities: `PoissonCdf(k)` =
+    * P(X ≤ k−1), so a uniform u draws `k = #{t ∈ cdf : u ≥ t}`.
+    * Truncated at 8 (P(X > 8) ≈ 1.1e-6 — a documented, negligible
+    * resampling bias). Shared between the engine expression and
+    * generated oracle SQL so the literals can never drift.
+    */
+  val PoissonCdf: Seq[Double] = {
+    val pdf = (0 to 7).scanLeft(math.exp(-1.0)) { (p, k) => p / (k + 1) }
+    pdf.init.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Paired bootstrap significance test (Poisson-bootstrap form —
+    * Chamandy et al. 2012's scale trick: instead of materializing B
+    * index-resamples and joining them back, each (item, replicate)
+    * pair draws a DETERMINISTIC Poisson(1) weight from
+    * [[Sampling.seededMix]], which approximates multinomial
+    * resampling with a purely MAP-SIDE plan — the corpus explodes to
+    * B weighted rows per item in situ and partial-aggregates per
+    * replicate before any exchange, so the shuffle carries
+    * B × tasks partial rows, never B × n draws, and there is no join
+    * at all).
+    *
+    * Input: one row per paired item (a query, a user…) with the two
+    * systems' scores. Output: ONE row —
+    * `n_items, n_boot, mean_delta, p_le_zero, ci_lo, ci_hi` where
+    * `mean_delta` = observed mean(a − b), `p_le_zero` is the add-one
+    * one-sided bootstrap p for "A beats B"
+    * (`(1 + #{replicate mean ≤ 0}) / (B + 1)`), and the CI bounds are
+    * the exact ceil(0.025·B)/ceil(0.975·B) order statistics of the B
+    * replicate means (rank selection over [[Sampling.prefixSumBy]] —
+    * integer rank logic, no floating quantile conventions).
+    *
+    * Cross-engine reproducibility contract: with INTEGER-valued
+    * scores (hits@k, success flags, counts) every replicate mean is an
+    * exact integer ratio, so the p-value and CI replay bit-for-bit in
+    * a SQL oracle; with continuous scores the test is correct but the
+    * oracle guarantee drops to the usual FP-sum caveat. A replicate
+    * whose total weight is 0 contributes mean 0 (probability e^(−n) —
+    * unreachable past toy n).
+    */
+  def pairedBootstrap(
+      df: DataFrame,
+      idCol: String,
+      aCol: String,
+      bCol: String,
+      nBoot: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(nBoot >= 40, s"nBoot=$nBoot too small for 2.5%/97.5% bounds")
+    val base = df.select(col(idCol).cast("long").as("_pb_id"),
+      (col(aCol).cast("double") - col(bCol).cast("double")).as("_pb_d"))
+    // one (item, replicate) row per pair, Poisson(1) weight from the
+    // seeded mix of (id, b) — u exact in double (power-of-two scale).
+    // The id pre-reduces mod 2^31 BEFORE the combine so the combined
+    // key never exceeds 2^31·B — Spark longs would wrap silently but
+    // DuckDB BIGINT overflow throws, and the oracle must replay this
+    val u = (Sampling.seededMix(
+      pmod(col("_pb_id"), lit(2147483648L)) * lit(nBoot.toLong)
+        + col("_pb_b"), seed)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = PoissonCdf.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = base
+      .select(col("_pb_d"),
+        explode(sequence(lit(0L), lit(nBoot.toLong - 1))).as("_pb_b"),
+        col("_pb_id"))
+      .withColumn("_pb_w", w)
+      .groupBy("_pb_b")
+      .agg((sum(col("_pb_w") * col("_pb_d"))
+        / greatest(sum(col("_pb_w")), lit(1L))).as("_pb_mean"))
+    // exact order statistics of the B means: rank selection over the
+    // two-phase prefix sum (ties broken by replicate id — the key is
+    // unique, so selection is deterministic)
+    val kLo = math.ceil(0.025 * nBoot).toLong
+    val kHi = math.ceil(0.975 * nBoot).toLong
+    val ranked = Sampling.prefixSumBy(
+      means.withColumn("_pb_key", struct(col("_pb_mean"), col("_pb_b")))
+        .withColumn("_pb_one", lit(1L)),
+      Nil, "_pb_key", "_pb_one")
+    def atRank(k: Long) = ranked.filter(col("cum_sum") === k - 1)
+      .select(col("_pb_mean"))
+    val summary = means.agg(
+      (sum(when(col("_pb_mean") <= 0.0, 1L).otherwise(0L)) + 1L)
+        .cast("double").as("_pb_ple"))
+    val observed = base.agg(
+      count(lit(1)).as("n_items"),
+      (sum(col("_pb_d")) / count(lit(1))).as("_pb_obs"))
+    observed
+      .crossJoin(summary)                      // 1 × 1 rows
+      .crossJoin(atRank(kLo).withColumnRenamed("_pb_mean", "_pb_lo"))
+      .crossJoin(atRank(kHi).withColumnRenamed("_pb_mean", "_pb_hi"))
+      .select(col("n_items"), lit(nBoot).cast("long").as("n_boot"),
+        round(col("_pb_obs"), 6).as("mean_delta"),
+        round(col("_pb_ple") / lit((nBoot + 1).toDouble), 6).as("p_le_zero"),
+        round(col("_pb_lo"), 6).as("ci_lo"),
+        round(col("_pb_hi"), 6).as("ci_hi"))
+  }
+
+  /** Generated DuckDB oracle for [[pairedBootstrap]] — the
+    * next-to-the-operator oracle-builder pattern
+    * ([[GraphOps.pageRankOracleSql]]): `pairsSql` must select
+    * `id, a, b`; the replay shares [[PoissonCdf]]'s literals and
+    * [[Sampling.seededMix]]'s constants with the engine, so the two
+    * sides cannot drift. Sound bit-for-bit for INTEGER-valued scores
+    * (see the operator's contract).
+    */
+  def pairedBootstrapOracleSql(
+      pairsSql: String,
+      nBoot: Int = 1000,
+      seed: Long = 42L): String = {
+    val kLo = math.ceil(0.025 * nBoot).toLong
+    val kHi = math.ceil(0.975 * nBoot).toLong
+    val wCase = PoissonCdf
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH pairs AS ($pairsSql),
+       |d AS (SELECT id, CAST(a AS DOUBLE) - CAST(b AS DOUBLE) AS dlt
+       |      FROM pairs),
+       |draws AS (SELECT d.dlt, br.b,
+       |    (CAST((((((id % 2147483648) + 2147483648) % 2147483648)
+       |        * $nBoot + br.b) % 2147483648 + 2147483648) % 2147483648
+       |        AS BIGINT) * 2654435761 + $seed) % 4294967296 AS mix
+       |  FROM d CROSS JOIN range(0, $nBoot) br(b)),
+       |wtd AS (SELECT dlt, b,
+       |    $wCase AS w
+       |  FROM (SELECT dlt, b, (mix + 0.5) / 4294967296.0 AS u FROM draws)),
+       |means AS (SELECT b, sum(w * dlt) / greatest(sum(w), 1) AS m
+       |          FROM wtd GROUP BY b),
+       |ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn
+       |           FROM means)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_items,
+       |  CAST($nBoot AS BIGINT) AS n_boot,
+       |  (SELECT ROUND(sum(dlt) / count(*), 6) FROM d) AS mean_delta,
+       |  (SELECT ROUND((sum(CASE WHEN m <= 0.0 THEN 1 ELSE 0 END) + 1)
+       |     / ${nBoot + 1}.0, 6) FROM means) AS p_le_zero,
+       |  (SELECT ROUND(m, 6) FROM ranked WHERE rn = $kLo) AS ci_lo,
+       |  (SELECT ROUND(m, 6) FROM ranked WHERE rn = $kHi) AS ci_hi""".stripMargin
+  }
 }

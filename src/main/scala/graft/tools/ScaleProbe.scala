@@ -393,7 +393,12 @@ object ScaleProbe {
         // keeper semi-join + q198/q197's map-only chains + three
         // source-scale aggs — the composition inherits its stages'
         // bands (no stage multiplies another).
-        "q201_web_prep")
+        "q201_web_prep",
+        // q202: Poisson bootstrap — per task, items explode to B
+        // weighted rows IN SITU and partial-aggregate per replicate
+        // before the exchange (B × tasks partial rows, no draw join);
+        // the B-row means relation prices the rest.
+        "q202_paired_bootstrap")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -184,4 +184,56 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(two === win)
   }
+
+  test("pairedBootstrap: degenerate certainty — constant deltas pin p and collapse the CI") {
+    import spark.implicits._
+    // A beats B by exactly 5 on every item: every replicate mean is 5
+    val up = (1L to 120L).map(i => (i, 10.0 + 5.0, 10.0)).toDF("id", "a", "b")
+    val r1 = Stats.pairedBootstrap(up, "id", "a", "b", nBoot = 200).head()
+    assert(r1.getLong(0) === 120L && r1.getLong(1) === 200L)
+    assert(r1.getDouble(2) === 5.0)                       // mean_delta
+    assert(r1.getDouble(3) === 0.004975)                  // minimal add-one p, ROUND(1/201, 6)
+    assert(r1.getDouble(4) === 5.0 && r1.getDouble(5) === 5.0) // CI collapses
+    // identical systems: every replicate mean is 0 → p = 1
+    val same = (1L to 120L).map(i => (i, 3.0, 3.0)).toDF("id", "a", "b")
+    val r2 = Stats.pairedBootstrap(same, "id", "a", "b", nBoot = 200).head()
+    assert(r2.getDouble(2) === 0.0 && r2.getDouble(3) === 1.0)
+    assert(r2.getDouble(4) === 0.0 && r2.getDouble(5) === 0.0)
+  }
+
+  test("pairedBootstrap: noisy positive effect — CI brackets the observed mean, bounds ordered, p small") {
+    import spark.implicits._
+    // deterministic noise in [-2, 2] around a +1 effect
+    val d = (1L to 400L).map(i => (i, 1.0 + (i % 5) - 2.0, 0.0))
+      .toDF("id", "a", "b")
+    val r = Stats.pairedBootstrap(d, "id", "a", "b", nBoot = 400).head()
+    val (mean, p, lo, hi) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(mean === 1.0)
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] should bracket $mean")
+    assert(lo > 0.0, s"a +1 effect at n=400 should exclude 0 (lo=$lo)")
+    assert(p < 0.05, s"p=$p")
+    intercept[IllegalArgumentException] {
+      Stats.pairedBootstrap(d, "id", "a", "b", nBoot = 10)
+    }
+  }
+
+  test("pairedBootstrap: Poisson(1) weight machinery — CDF literals and empirical weight mean") {
+    // the shared thresholds really are the Poisson(1) CDF
+    val expect = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product
+    }.tail
+    Stats.PoissonCdf.zip(expect).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-15)
+    }
+    assert(Stats.PoissonCdf.last > 0.999989) // truncation bias ~1e-5
+    // resampled item multiplicity averages ~1 (weights are Poisson(1))
+    import spark.implicits._
+    val d = (1L to 2000L).map(i => (i, 1.0, 0.0)).toDF("id", "a", "b")
+    val r = Stats.pairedBootstrap(d, "id", "a", "b", nBoot = 50).head()
+    // constant delta 1 → every replicate mean is exactly 1 whatever
+    // the weights; the CI collapsing to [1, 1] shows Σw never hit 0
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0)
+  }
 }
