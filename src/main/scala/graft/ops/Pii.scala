@@ -66,7 +66,10 @@ object Pii {
   }
 
   /** Governance rollup: per group, documents affected and total hits
-    * per type — one codegen'd scan + one map-side-combined agg.
+    * per type — one codegen'd scan + one map-side-combined agg. Every
+    * output column is an additive count, so report rows from disjoint
+    * slices re-sum exactly ([[readReport]]) — the property
+    * [[graft.streaming.PiiStream]]'s append-only maintenance relies on.
     */
   def report(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val d = detect(df, textCol)
@@ -76,5 +79,19 @@ object Pii {
         count(lit(1)).as("n_docs"),
         sum(when(total > 0, 1L).otherwise(0L)).as("docs_with_pii") +:
           Patterns.map(p => sum(col(s"pii_${p._1}")).as(s"n_${p._1}")): _*)
+  }
+
+  /** Read a persisted incidence table (streamed partial [[report]]
+    * rows) and re-sum to one row per group — exact, counts are
+    * additive; stream-built ≡ batch-built count for count.
+    */
+  def readReport(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCol: String): DataFrame = {
+    val t = spark.read.parquet(path)
+    val sums = t.columns.filterNot(_ == groupCol)
+      .map(c => sum(col(c)).as(c))
+    t.groupBy(col(groupCol)).agg(sums.head, sums.tail: _*)
   }
 }

@@ -79,4 +79,36 @@ class PiiSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(n === 0L, "synthetic corpus unexpectedly matches a PII shape")
   }
+
+  test("streaming monitor: stream-built incidence table ≡ batch report; redelivered batch is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pii-stream").toString
+    val laced = graft.Tables.load(spark, graft.TestSpark.Sf001, "documents")
+      .select(col("source"), concat(
+        lit("u"), col("doc_id").cast("string"), lit("@ex.com or 10.0.0."),
+        (col("doc_id") % 256).cast("string"), lit(" "), col("text")).as("t"))
+    laced.repartition(3).write.parquet(s"$root/src")
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("source", StringType), StructField("t", StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+    val q = graft.streaming.PiiStream
+      .monitorSink(stream, "source", "t", s"$root/tbl")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def snap = Pii.readReport(spark, s"$root/tbl", "source")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val streamed = snap
+    val direct = Pii.report(laced, "source", "t")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(streamed === direct)
+    assert(graft.streaming.PiiStream.appendBatch(
+      laced.limit(5), 42L, "source", "t", s"$root/tbl", streamId = "m"))
+    val after = snap
+    assert(!graft.streaming.PiiStream.appendBatch(
+      laced.limit(5), 42L, "source", "t", s"$root/tbl", streamId = "m"))
+    assert(snap === after)
+  }
 }
