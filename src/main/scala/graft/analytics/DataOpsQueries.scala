@@ -5051,6 +5051,74 @@ object DataOpsQueries {
         Stats.pairedBootstrap(pairs, "user_id", "a", "b")
       })
 
-    Seq(pii, pca, html, urls, theta, webprep, boot)
+    // Split-conformal prediction intervals (Mondrian/grouped): train a
+    // per-type median predictor on the front half of January,
+    // calibrate the 90% nonconformity radius on days 16–23, report
+    // empirical coverage on the held-out tail. Integer rank arithmetic
+    // end to end (median = ceil(n/2) rank, qhat = ceil((n+1)·9/10)
+    // rank, ties by event_id), so the full relation — radii AND
+    // coverage — replays in DuckDB.
+    val conformal = NamedQuery(
+      "q203_conformal",
+      Some("""WITH ev AS (SELECT event_type, CAST(ts AS DATE) d, value, event_id
+             |           FROM events),
+             |tr AS (SELECT * FROM ev WHERE d <= DATE '2024-01-15'),
+             |med AS (SELECT event_type, value AS yhat FROM (
+             |    SELECT event_type, value,
+             |      row_number() OVER (PARTITION BY event_type
+             |                         ORDER BY value, event_id) rn,
+             |      count(*) OVER (PARTITION BY event_type) n
+             |    FROM tr) WHERE rn = (n + 1) // 2),
+             |cal AS (SELECT c.event_type, abs(c.value - m.yhat) s, c.event_id
+             |        FROM ev c JOIN med m USING (event_type)
+             |        WHERE c.d BETWEEN DATE '2024-01-16' AND DATE '2024-01-23'),
+             |nc AS (SELECT event_type, CAST(count(*) AS BIGINT) n_calib
+             |       FROM cal GROUP BY 1),
+             |qh AS (SELECT r.event_type, r.s AS qhat FROM (
+             |    SELECT event_type, s,
+             |      row_number() OVER (PARTITION BY event_type
+             |                         ORDER BY s, event_id) rn
+             |    FROM cal) r JOIN nc USING (event_type)
+             |    WHERE rn = ((n_calib + 1) * 9 + 9) // 10),
+             |tst AS (SELECT t.event_type, t.value, m.yhat
+             |        FROM ev t JOIN med m USING (event_type)
+             |        WHERE t.d > DATE '2024-01-23'),
+             |cov AS (SELECT t.event_type,
+             |          CAST(count(*) AS BIGINT) n_test,
+             |          ROUND(sum(CASE WHEN t.value BETWEEN t.yhat - q.qhat
+             |                          AND t.yhat + q.qhat
+             |                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             |            AS coverage
+             |        FROM tst t JOIN qh q USING (event_type) GROUP BY 1)
+             |SELECT nc.event_type, nc.n_calib, ROUND(qh.qhat, 6) AS qhat,
+             |  cov.n_test, cov.coverage
+             |FROM nc JOIN qh USING (event_type) JOIN cov USING (event_type)
+             |ORDER BY nc.event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events").select(col("event_type"),
+          to_date(col("ts")).as("d"), col("value"), col("event_id"))
+        val med = Stats.exactQuantilesByGroup(
+            ev.filter(col("d") <= lit("2024-01-15")),
+            Seq("event_type"), "value", Seq(("yhat", 1, 2)))
+          .select("event_type", "yhat")
+        val cal = ev.filter(col("d").between("2024-01-16", "2024-01-23"))
+          .join(med, "event_type")
+          .withColumn("s", abs(col("value") - col("yhat")))
+        val iv = Classifier.conformalCalibrate(
+          cal, Seq("event_type"), "s", "event_id", alphaNum = 1, alphaDen = 10)
+        val applied = Classifier.conformalApply(
+          ev.filter(col("d") > lit("2024-01-23")).join(med, "event_type"),
+          iv, Seq("event_type"), "yhat")
+        val cov = applied.groupBy("event_type").agg(
+          count(lit(1)).as("n_test"),
+          round(sum(when(col("value").between(col("pi_lo"), col("pi_hi")), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 6).as("coverage"))
+        iv.join(cov, "event_type")
+          .select(col("event_type"), col("n_calib"),
+            round(col("qhat"), 6).as("qhat"), col("n_test"), col("coverage"))
+          .orderBy("event_type")
+      })
+
+    Seq(pii, pca, html, urls, theta, webprep, boot, conformal)
   }
 }

@@ -686,4 +686,76 @@ object Classifier {
     }
     w
   }
+
+  /** Split-conformal calibration (Vovk's inductive conformal
+    * prediction; Lei et al. 2018): per group, the
+    * `ceil((n+1)·(1−α))`-th smallest nonconformity score on a held-out
+    * calibration set — the radius `qhat` whose prediction bands
+    * `ŷ ± qhat` cover a fresh exchangeable point with probability
+    * ≥ 1−α, model-agnostic and distribution-free. Grouped = "Mondrian"
+    * conformal: each group (source, event type…) gets its own radius
+    * and its own guarantee, the per-slice coverage a single global
+    * radius cannot promise.
+    *
+    * α is a RATIONAL (`alphaNum/alphaDen`) so the rank is pure integer
+    * arithmetic — `k = ceil((n+1)(den−num)/den)` — and the whole
+    * relation replays bit-for-bit in a SQL oracle (the
+    * [[Stats.exactQuantilesByGroup]] convention). When `k > n` (tiny
+    * calibration group) the guarantee needs an infinite band; `qhat`
+    * is NULL and [[conformalApply]] propagates unbounded rows as NULL
+    * bounds rather than inventing a radius.
+    *
+    * Scale shape: one per-group count + rank selection over
+    * [[Sampling.prefixSumBy]] (two-phase, never a whole-group window);
+    * ties in the score break by `idCol`, so selection is
+    * deterministic. Output: `groupCols…, n_calib, qhat`.
+    */
+  def conformalCalibrate(
+      calib: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      alphaNum: Int = 1,
+      alphaDen: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "conformalCalibrate needs >= 1 group column")
+    require(alphaDen >= 1 && alphaNum >= 1 && alphaNum < alphaDen,
+      s"alpha=$alphaNum/$alphaDen outside (0, 1)")
+    val gcols = groupCols.map(col)
+    val s = calib.select(
+      gcols :+ col(scoreCol).cast("double").as("_cf_s") :+
+        col(idCol).as("_cf_id"): _*)
+    val ranked = Sampling.prefixSumBy(
+      s.withColumn("_cf_key", struct(col("_cf_s"), col("_cf_id")))
+        .withColumn("_cf_one", lit(1L)),
+      groupCols, "_cf_key", "_cf_one")
+    val ns = s.groupBy(gcols: _*).agg(count(lit(1)).as("n_calib"))
+    // k = ceil((n+1)(den−num)/den), all integer; (a − a mod den)/den is
+    // exact floor division (the double quotient is an integer < 2^53)
+    val a = (col("n_calib") + 1) * lit((alphaDen - alphaNum).toLong) +
+      lit(alphaDen.toLong - 1)
+    val k = ((a - pmod(a, lit(alphaDen.toLong))) / lit(alphaDen.toLong))
+      .cast("long")
+    val picked = ranked.join(ns, groupCols)
+      .filter(col("cum_sum") === k - 1)
+      .select(gcols :+ col("_cf_s").as("qhat"): _*)
+    ns.join(picked, groupCols, "left")
+      .select(gcols :+ col("n_calib") :+ col("qhat"): _*)
+  }
+
+  /** Attach conformal prediction bands to scored rows: `pi_lo/pi_hi` =
+    * `yhat ± qhat` from the matching group's calibrated radius (NULL
+    * bounds when the group was uncalibratable or unseen). The
+    * intervals relation is group-scale — AQE broadcast-picks the join.
+    */
+  def conformalApply(
+      df: DataFrame,
+      intervals: DataFrame,
+      groupCols: Seq[String],
+      yhatCol: String): DataFrame =
+    df.join(intervals.select(
+        (groupCols.map(col) :+ col("qhat")): _*),
+        groupCols, "left")
+      .withColumn("pi_lo", col(yhatCol).cast("double") - col("qhat"))
+      .withColumn("pi_hi", col(yhatCol).cast("double") + col("qhat"))
+      .drop("qhat")
 }

@@ -398,7 +398,12 @@ object ScaleProbe {
         // weighted rows IN SITU and partial-aggregate per replicate
         // before the exchange (B × tasks partial rows, no draw join);
         // the B-row means relation prices the rest.
-        "q202_paired_bootstrap")
+        "q202_paired_bootstrap",
+        // q203: conformal — the median train pass is the q161
+        // histogram band; calibration rank selection is prefixSumBy
+        // two-phase; apply is a group-scale broadcast join + map-only
+        // band check.
+        "q203_conformal")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

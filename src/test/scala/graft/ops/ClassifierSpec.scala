@@ -324,4 +324,56 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out.getLong(2) === 2L, "null-labeled item must not count")
     assert(out.isNullAt(5), "pe = 1 must give NULL kappa, not a division blowup")
   }
+
+  test("conformalCalibrate: hand fixture — exact order-statistic radius, ties by id, small-group NULL") {
+    // group g: scores 1..10, alpha = 1/10 → k = ceil(11·9/10) = 10 →
+    // qhat = the 10th smallest = 10.0
+    val cal = ((1 to 10).map(i => ("g", i.toDouble, i.toLong)) ++
+      // group tiny: n = 3, k = ceil(4·9/10) = 4 > 3 → NULL radius
+      (1 to 3).map(i => ("tiny", i.toDouble, 100L + i)))
+      .toDF("grp", "s", "id")
+    val iv = Classifier.conformalCalibrate(cal, Seq("grp"), "s", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(iv("g") === ((10L, Some(10.0))))
+    assert(iv("tiny") === ((3L, None)))
+    // alpha = 1/2 → k = ceil(11/2) = 6 → the 6th smallest
+    val med = Classifier.conformalCalibrate(cal.filter($"grp" === "g"),
+      Seq("grp"), "s", "id", alphaNum = 1, alphaDen = 2).head()
+    assert(med.getDouble(2) === 6.0)
+    // agrees with an in-memory reference on non-trivial scores
+    val scores = (1 to 137).map(i => ("h", ((i * 2654435761L) % 1000).toDouble, i.toLong))
+    val got = Classifier.conformalCalibrate(scores.toDF("grp", "s", "id"),
+      Seq("grp"), "s", "id").head().getDouble(2)
+    val k = math.ceil(138 * 9 / 10.0).toInt
+    assert(got === scores.map(_._2).sorted.apply(k - 1))
+    intercept[IllegalArgumentException] {
+      Classifier.conformalCalibrate(cal, Seq("grp"), "s", "id", 10, 10)
+    }
+  }
+
+  test("conformalApply: bands bracket ~1-alpha of exchangeable points; NULL radius gives NULL bounds") {
+    // deterministic pseudo-noise around a constant prediction — the
+    // exchangeability conformal needs; calibrate on odd ids, test on
+    // even ids
+    val rows = (1L to 4000L).map { i =>
+      val u = ((i * 2654435761L + 17L) % 4096).toDouble / 4096.0
+      ("g", i, 50.0, 50.0 + (u - 0.5) * 20.0) // y in yhat ± 10
+    }.toDF("grp", "id", "yhat", "y")
+    val cal = rows.filter($"id" % 2 === 1)
+      .withColumn("s", abs($"y" - $"yhat"))
+    val iv = Classifier.conformalCalibrate(cal, Seq("grp"), "s", "id")
+    val applied = Classifier.conformalApply(
+      rows.filter($"id" % 2 === 0), iv, Seq("grp"), "yhat")
+    val (n, covered) = applied
+      .agg(count(lit(1)), sum(when($"y".between($"pi_lo", $"pi_hi"), 1L)
+        .otherwise(0L))).as[(Long, Long)].head()
+    val cov = covered.toDouble / n
+    assert(cov >= 0.87 && cov <= 0.95, s"coverage $cov at alpha=0.1")
+    // unseen group → NULL bounds, not a dropped row or a fake radius
+    val stranger = Seq(("other", 1L, 5.0, 5.0)).toDF("grp", "id", "yhat", "y")
+    val sr = Classifier.conformalApply(stranger, iv, Seq("grp"), "yhat").head()
+    assert(sr.isNullAt(sr.fieldIndex("pi_lo")) &&
+      sr.isNullAt(sr.fieldIndex("pi_hi")))
+  }
 }
