@@ -5119,6 +5119,95 @@ object DataOpsQueries {
           .orderBy("event_type")
       })
 
-    Seq(pii, pca, html, urls, theta, webprep, boot, conformal)
+    // Experiment readout (ops/Experiment.scala): users split into two
+    // arms by id parity; CUPED-adjusted back-half activity with the
+    // front-half count as the pre-period covariate, plus the SRM χ²
+    // against the 50/50 design — every statistic a closed form over
+    // integer-exact power sums, so the whole readout replays in SQL.
+    val cuped = NamedQuery(
+      "q204_cuped",
+      Some("""WITH uv AS (SELECT user_id,
+             |    CAST(user_id % 2 AS VARCHAR) arm,
+             |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+             |        THEN 1 ELSE 0 END) AS DOUBLE) x,
+             |    CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+             |        THEN 1 ELSE 0 END) AS DOUBLE) y
+             |  FROM events GROUP BY 1, 2),
+             |pool AS (SELECT count(*) n, sum(x) sx, sum(y) sy, sum(x*y) sxy,
+             |                sum(x*x) sxx, sum(y*y) syy FROM uv),
+             |st AS (SELECT n,
+             |    (sxy - sx*sy/n) / (sxx - sx*sx/n) AS theta,
+             |    sx/n AS xbar,
+             |    (syy - sy*sy/n)/n AS vraw,
+             |    (syy - sy*sy/n)/n
+             |      - ((sxy - sx*sy/n)/n)*((sxy - sx*sy/n)/n)
+             |        / ((sxx - sx*sx/n)/n) AS vadj
+             |  FROM pool),
+             |arms AS (SELECT arm, CAST(count(*) AS BIGINT) n,
+             |                sum(y) asy, sum(x) asx FROM uv GROUP BY arm),
+             |tot AS (SELECT sum(n) nt FROM arms),
+             |chi AS (SELECT sum((n - nt*0.5e0)*(n - nt*0.5e0)/(nt*0.5e0)) chi2
+             |        FROM arms CROSS JOIN tot)
+             |SELECT a.arm, a.n,
+             |  ROUND(a.asy / a.n, 6) AS mean_raw,
+             |  ROUND(a.asy / a.n - st.theta * (a.asx / a.n - st.xbar), 6)
+             |    AS mean_adj,
+             |  ROUND(st.theta, 6) AS theta,
+             |  ROUND(st.vraw, 6) AS var_raw,
+             |  ROUND(st.vadj, 6) AS var_adj,
+             |  ROUND(1.0 - st.vadj / st.vraw, 6) AS var_reduction,
+             |  ROUND((SELECT nt FROM tot) * 0.5e0, 6) AS n_expected,
+             |  ROUND((a.n - (SELECT nt FROM tot)*0.5e0)
+             |    * (a.n - (SELECT nt FROM tot)*0.5e0)
+             |    / ((SELECT nt FROM tot)*0.5e0), 6) AS chi2_term,
+             |  ROUND((SELECT chi2 FROM chi), 6) AS chi2,
+             |  CAST(1 AS BIGINT) AS df
+             |FROM arms a CROSS JOIN st ORDER BY a.arm""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val uv = ev.groupBy("user_id").agg(
+          sum(when(col("d") <= lit("2024-01-15"), 1L).otherwise(0L))
+            .cast("double").as("x"),
+          sum(when(col("d") > lit("2024-01-15"), 1L).otherwise(0L))
+            .cast("double").as("y"))
+          .withColumn("arm", (col("user_id") % 2).cast("string"))
+        val adj = Experiment.cuped(uv, "arm", "y", "x")
+        val srm = Experiment.srmCheck(uv, "arm",
+          Map("0" -> 0.5, "1" -> 0.5))
+        adj.join(srm.drop("n_obs"), Seq("arm")).orderBy("arm")
+      })
+
+    // Robust per-type engagement: 5%-trimmed mean of per-user event
+    // counts — the histogram/prefix-sum rank machinery with an exact
+    // integer overlap per value row, replayed in SQL via the
+    // equivalent sorted-row trim.
+    val trimmed = NamedQuery(
+      "q205_trimmed_mean",
+      Some("""WITH uv AS (SELECT event_type, user_id,
+             |    CAST(count(*) AS DOUBLE) v
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY v) rn,
+             |    count(*) OVER (PARTITION BY event_type) n
+             |  FROM uv),
+             |t AS (SELECT event_type, v, rn, n, (n + 19) // 20 AS tt FROM r)
+             |SELECT event_type,
+             |  CAST(max(n) AS BIGINT) AS n_rows,
+             |  CAST(max(n) - 2 * max(tt) AS BIGINT) AS n_kept,
+             |  ROUND(sum(CASE WHEN rn > tt AND rn <= n - tt THEN v ELSE 0 END)
+             |    / (max(n) - 2 * max(tt)), 6) AS trimmed_mean
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val uv = Tables.load(s, dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).cast("double").as("v"))
+        Experiment.trimmedMeanByGroup(uv, Seq("event_type"), "v",
+            trimNum = 1, trimDen = 20)
+          .orderBy("event_type")
+      })
+
+    Seq(pii, pca, html, urls, theta, webprep, boot, conformal, cuped,
+      trimmed)
   }
 }

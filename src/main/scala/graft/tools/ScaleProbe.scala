@@ -403,7 +403,11 @@ object ScaleProbe {
         // histogram band; calibration rank selection is prefixSumBy
         // two-phase; apply is a group-scale broadcast join + map-only
         // band check.
-        "q203_conformal")
+        "q203_conformal",
+        // q204: one user-keyed agg + closed forms over two 1-row
+        // scalar frames — agg-band. q205: (type, user) agg + the q161
+        // histogram/prefix-sum band.
+        "q204_cuped", "q205_trimmed_mean")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
