@@ -5207,7 +5207,67 @@ object DataOpsQueries {
           .orderBy("event_type")
       })
 
+    // Semi-structured VARIANT ingestion (the Spark 4 lakehouse path for
+    // schema-on-read JSON): each doc gets a nested JSON envelope —
+    // objects, arrays, mixed numeric types, a JSON null — parsed ONCE
+    // to VARIANT and read back through typed variant_get paths
+    // (array indexing, int→double coercion, JSON-null detection,
+    // missing-path null). The binary VARIANT encoding beats re-parsing
+    // the string per path at 100 TB; the oracle replays the same paths
+    // with DuckDB's JSON extraction.
+    val variantQ = NamedQuery(
+      "q206_variant_path",
+      Some("""WITH j AS (SELECT doc_id,
+             |  '{"meta":{"id":' || CAST(doc_id AS VARCHAR)
+             |    || ',"lang":"' || lang || '","tags":["t'
+             |    || CAST(doc_id % 5 AS VARCHAR) || '","x'
+             |    || CAST(doc_id % 3 AS VARCHAR) || '"]},"metrics":{"chars":'
+             |    || CAST(n_chars AS VARCHAR) || ',"score":'
+             |    || CAST(doc_id % 7 AS VARCHAR) || '},"opt":'
+             |    || CASE WHEN doc_id % 2 = 0 THEN 'null'
+             |       ELSE CAST(doc_id % 9 AS VARCHAR) END || '}' AS js
+             |  FROM documents WHERE doc_id % 11 = 0)
+             |SELECT doc_id,
+             |  CAST(json_extract_string(js, '$.meta.id') AS BIGINT) AS meta_id,
+             |  json_extract_string(js, '$.meta.lang') AS lang,
+             |  json_extract_string(js, '$.meta.tags[0]') AS tag0,
+             |  CAST(json_extract_string(js, '$.metrics.chars') AS BIGINT)
+             |    AS chars,
+             |  CAST(json_extract_string(js, '$.metrics.score') AS DOUBLE)
+             |    AS score,
+             |  (json_type(js, '$.opt') = 'NULL') AS opt_is_null,
+             |  json_extract_string(js, '$.missing.path') AS missing
+             |FROM j ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val did = col("doc_id").cast("string")
+        val js = concat(
+          lit("{\"meta\":{\"id\":"), did,
+          lit(",\"lang\":\""), col("lang"), lit("\",\"tags\":[\"t"),
+          (col("doc_id") % 5).cast("string"), lit("\",\"x"),
+          (col("doc_id") % 3).cast("string"),
+          lit("\"]},\"metrics\":{\"chars\":"), col("n_chars").cast("string"),
+          lit(",\"score\":"), (col("doc_id") % 7).cast("string"),
+          lit("},\"opt\":"),
+          when(col("doc_id") % 2 === 0, lit("null"))
+            .otherwise((col("doc_id") % 9).cast("string")),
+          lit("}"))
+        docs(s, dir).filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), parse_json(js).as("v"))
+          .select(col("doc_id"),
+            variant_get(col("v"), "$.meta.id", "bigint").as("meta_id"),
+            variant_get(col("v"), "$.meta.lang", "string").as("lang"),
+            variant_get(col("v"), "$.meta.tags[0]", "string").as("tag0"),
+            variant_get(col("v"), "$.metrics.chars", "bigint").as("chars"),
+            try_variant_get(col("v"), "$.metrics.score", "double")
+              .as("score"),
+            is_variant_null(variant_get(col("v"), "$.opt", "variant"))
+              .as("opt_is_null"),
+            try_variant_get(col("v"), "$.missing.path", "string")
+              .as("missing"))
+          .orderBy("doc_id")
+      })
+
     Seq(pii, pca, html, urls, theta, webprep, boot, conformal, cuped,
-      trimmed)
+      trimmed, variantQ)
   }
 }

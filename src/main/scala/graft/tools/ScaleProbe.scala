@@ -407,7 +407,10 @@ object ScaleProbe {
         // q204: one user-keyed agg + closed forms over two 1-row
         // scalar frames — agg-band. q205: (type, user) agg + the q161
         // histogram/prefix-sum band.
-        "q204_cuped", "q205_trimmed_mean")
+        "q204_cuped", "q205_trimmed_mean",
+        // q206: parse_json → binary VARIANT once, typed path reads —
+        // map-only over a 1/11 selection, scan-flat.
+        "q206_variant_path")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
