@@ -5267,7 +5267,45 @@ object DataOpsQueries {
           .orderBy("doc_id")
       })
 
+    // Ratio-metric readout with delta-method uncertainty: purchase
+    // share per user across the parity arms — the "revenue per
+    // session" statistic whose naive per-row variance is wrong because
+    // sessions cluster within the randomization unit. Integer power
+    // sums per arm → every moment, the SE and the two-arm z replay in
+    // SQL with matching operation order.
+    val ratio = NamedQuery(
+      "q207_ratio_metric",
+      Some("""WITH uv AS (SELECT user_id, CAST(user_id % 2 AS VARCHAR) arm,
+             |    CAST(sum(CASE WHEN event_type = 'purchase'
+             |        THEN 1 ELSE 0 END) AS DOUBLE) y,
+             |    CAST(count(*) AS DOUBLE) x
+             |  FROM events GROUP BY 1, 2),
+             |a AS (SELECT arm, CAST(count(*) AS BIGINT) n, sum(y) sy,
+             |        sum(x) sx, sum(y*y) syy, sum(x*x) sxx, sum(x*y) sxy
+             |      FROM uv GROUP BY arm),
+             |m AS (SELECT arm, n, sy, sx, sy/sx r,
+             |        ((syy - sy*sy/n)/n
+             |          - 2e0*(sy/sx)*((sxy - sx*sy/n)/n)
+             |          + (sy/sx)*(sy/sx)*((sxx - sx*sx/n)/n))
+             |          / (n * (sx/n) * (sx/n)) v
+             |      FROM a),
+             |z AS (SELECT abs(m1.r - m2.r)/sqrt(m1.v + m2.v) z
+             |      FROM m m1, m m2 WHERE m1.arm < m2.arm)
+             |SELECT arm, n, ROUND(sy, 6) AS sum_num, ROUND(sx, 6) AS sum_den,
+             |  ROUND(r, 6) AS ratio, ROUND(sqrt(v), 6) AS se,
+             |  ROUND((SELECT z FROM z), 6) AS z
+             |FROM m ORDER BY arm""".stripMargin),
+      (s, dir) => {
+        val uv = Tables.load(s, dir, "events")
+          .groupBy("user_id").agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .cast("double").as("y"),
+            count(lit(1)).cast("double").as("x"))
+          .withColumn("arm", (col("user_id") % 2).cast("string"))
+        Experiment.ratioMetric(uv, "arm", "y", "x").orderBy("arm")
+      })
+
     Seq(pii, pca, html, urls, theta, webprep, boot, conformal, cuped,
-      trimmed, variantQ)
+      trimmed, variantQ, ratio)
   }
 }

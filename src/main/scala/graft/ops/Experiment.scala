@@ -120,6 +120,66 @@ object Experiment {
         lit(ratios.size - 1L).as("df"))
   }
 
+  /** Ratio-metric readout with delta-method uncertainty (the classic
+    * experimentation trap: "revenue per session" is a ratio of two
+    * unit-level sums, Σy/Σx, and its variance is NOT var(y/x) — the
+    * unit is the randomization unit, sessions cluster within it;
+    * Deng et al. 2017's delta method gives
+    * `var(r) ≈ (var(y) − 2r·cov(x,y) + r²·var(x)) / (n·x̄²)`).
+    *
+    * Output: one row per arm — `armCol, n, sum_num, sum_den, ratio,
+    * se` — plus, when exactly two arms are present, the pairwise
+    * z-statistic of the ratio difference repeated per row (`z`, NULL
+    * for ≠ 2 arms; the caller turns it into a p-value at their chosen
+    * test). Every moment is an integer-exact power sum per arm, so
+    * the relation replays in a SQL oracle; SE is NULL for degenerate
+    * arms (n < 2 or x̄ = 0).
+    */
+  def ratioMetric(
+      df: DataFrame,
+      armCol: String,
+      numCol: String,
+      denCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val y = col(numCol).cast("double")
+    val x = col(denCol).cast("double")
+    val arms = df.groupBy(col(armCol)).agg(
+      count(lit(1)).as("n"),
+      sum(y).as("_rm_sy"), sum(x).as("_rm_sx"),
+      sum(y * y).as("_rm_syy"), sum(x * x).as("_rm_sxx"),
+      sum(x * y).as("_rm_sxy"))
+    val n = col("n").cast("double")
+    val xbar = col("_rm_sx") / n
+    val r = col("_rm_sy") / col("_rm_sx")
+    val varY = (col("_rm_syy") - col("_rm_sy") * col("_rm_sy") / n) / n
+    val varX = (col("_rm_sxx") - col("_rm_sx") * col("_rm_sx") / n) / n
+    val covXY = (col("_rm_sxy") - col("_rm_sx") * col("_rm_sy") / n) / n
+    val varR = (varY - lit(2.0) * r * covXY + r * r * varX) /
+      (n * xbar * xbar)
+    val per = arms.select(col(armCol), col("n"),
+      col("_rm_sy").as("sum_num"), col("_rm_sx").as("sum_den"),
+      when(col("_rm_sx") =!= 0.0, r).as("_rm_r"),
+      when(col("n") >= 2 && col("_rm_sx") =!= 0.0, varR).as("_rm_var"))
+    // pairwise z only when the experiment has exactly two arms: the
+    // arms relation is arm-scale, so this is a 2-row self-join
+    val z2 = per.select(col(armCol).as("_rm_a"), col("_rm_r").as("_rm_ra"),
+        col("_rm_var").as("_rm_va"))
+      .crossJoin(per.select(col(armCol).as("_rm_b"),
+        col("_rm_r").as("_rm_rb"), col("_rm_var").as("_rm_vb")))
+      .filter(col("_rm_a") < col("_rm_b"))
+      .agg(count(lit(1)).as("_rm_npairs"),
+        first(abs(col("_rm_ra") - col("_rm_rb"))
+          / sqrt(col("_rm_va") + col("_rm_vb"))).as("_rm_z"))
+      .select(when(col("_rm_npairs") === 1, col("_rm_z")).as("_rm_z"))
+    per.crossJoin(z2) // 1-row scalar
+      .select(col(armCol), col("n"), round(col("sum_num"), roundTo)
+        .as("sum_num"),
+        round(col("sum_den"), roundTo).as("sum_den"),
+        round(col("_rm_r"), roundTo).as("ratio"),
+        round(sqrt(col("_rm_var")), roundTo).as("se"),
+        round(col("_rm_z"), roundTo).as("z"))
+  }
+
   /** Per-group trimmed mean: drop the `trimNum/trimDen` bottom AND top
     * mass by rank (`t = ceil(n·trimNum/trimDen)` rows each side,
     * integer arithmetic) and average the middle. Robust to the heavy

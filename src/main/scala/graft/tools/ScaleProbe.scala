@@ -410,7 +410,10 @@ object ScaleProbe {
         "q204_cuped", "q205_trimmed_mean",
         // q206: parse_json → binary VARIANT once, typed path reads —
         // map-only over a 1/11 selection, scan-flat.
-        "q206_variant_path")
+        "q206_variant_path",
+        // q207: one user-keyed agg + arm-scale closed forms — the q204
+        // agg-band.
+        "q207_ratio_metric")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

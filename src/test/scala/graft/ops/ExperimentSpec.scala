@@ -66,6 +66,43 @@ class ExperimentSpec extends AnyFunSuite {
     }
   }
 
+  test("ratioMetric: delta-method SE vs an in-memory reference; two-arm z; degenerate paths") {
+    val rows = (1L to 300L).map { i =>
+      val arm = if (i % 2 == 0) "t" else "c"
+      val x = (1 + i % 7).toDouble            // sessions per user
+      val y = (i % 3).toDouble                // conversions per user
+      (arm, i, y, x)
+    }.toDF("arm", "id", "y", "x")
+    val out = Experiment.ratioMetric(rows, "arm", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // in-memory delta method for one arm
+    val c = (1L to 300L).filter(_ % 2 == 1)
+      .map(i => ((i % 3).toDouble, (1 + i % 7).toDouble))
+    val n = c.length.toDouble
+    val (sy, sx) = (c.map(_._1).sum, c.map(_._2).sum)
+    val r = sy / sx
+    val varY = (c.map(v => v._1 * v._1).sum - sy * sy / n) / n
+    val varX = (c.map(v => v._2 * v._2).sum - sx * sx / n) / n
+    val covXY = (c.map(v => v._1 * v._2).sum - sx * sy / n) / n
+    val se = math.sqrt(
+      (varY - 2.0 * r * covXY + r * r * varX) / (n * (sx / n) * (sx / n)))
+    assert(out("c").getAs[Double]("ratio") === math.rint(r * 1e6) / 1e6)
+    assert(math.abs(out("c").getAs[Double]("se") - se) < 1e-6)
+    assert(!out("c").isNullAt(out("c").fieldIndex("z")))
+    // three arms → z NULL (no canonical pair), per-arm stats intact
+    val three = rows.withColumn("arm",
+      (col("id") % 3).cast("string"))
+    val t3 = Experiment.ratioMetric(three, "arm", "y", "x").head()
+    assert(t3.isNullAt(t3.fieldIndex("z")))
+    assert(!t3.isNullAt(t3.fieldIndex("ratio")))
+    // zero denominator arm → NULL ratio/se, not a blowup
+    val degen = Seq(("z", 1L, 1.0, 0.0), ("z", 2L, 2.0, 0.0))
+      .toDF("arm", "id", "y", "x")
+    val dz = Experiment.ratioMetric(degen, "arm", "y", "x").head()
+    assert(dz.isNullAt(dz.fieldIndex("ratio")) &&
+      dz.isNullAt(dz.fieldIndex("se")))
+  }
+
   test("trimmedMean: outliers clipped, duplicate mass split exactly at the cut, empty-middle NULL") {
     // 18 ones + two huge outliers, trim 1/20 of n=20 → 1 row each side:
     // drops one 1 and one 1000 → mean of (17×1 + 1000)/18
