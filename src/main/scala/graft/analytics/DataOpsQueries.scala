@@ -5305,7 +5305,54 @@ object DataOpsQueries {
         Experiment.ratioMetric(uv, "arm", "y", "x").orderBy("arm")
       })
 
+    // Isotonic probability calibration — the FIX for what q148's
+    // reliability report detects: deterministic pseudo-scores with a
+    // label whose positive rate rises with the score (pure integer
+    // compares, so both engines lace identically), fit by PAV via its
+    // MINIMAX closed form max_{j≤i} min_{k≥i} pooledAvg(j, k) — fixed
+    // relational depth, so the WHOLE monotone fit replays in SQL.
+    val isotonic = NamedQuery(
+      "q208_isotonic",
+      Some("""WITH s AS (SELECT doc_id,
+             |    ((doc_id * 2654435761) % 1000) / 1000e0 AS p,
+             |    CASE WHEN ((doc_id * 31) % 1000) * 5
+             |           < ((doc_id * 2654435761) % 1000) * 4 + 500
+             |      THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |b AS (SELECT CAST(least(floor(p * 20), 19) AS BIGINT) bucket,
+             |        CAST(count(*) AS BIGINT) n, CAST(sum(y) AS BIGINT) sy,
+             |        ROUND(avg(p), 6) mean_score
+             |      FROM s GROUP BY 1),
+             |pre AS (SELECT *,
+             |    coalesce(sum(n) OVER (ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) exn,
+             |    coalesce(sum(sy) OVER (ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) exy
+             |  FROM b),
+             |pre2 AS (SELECT *, exn + n AS cn, exy + sy AS cy FROM pre),
+             |rng AS (SELECT j.bucket jb, k.bucket kb,
+             |        CAST(k.cy - j.exy AS DOUBLE) / (k.cn - j.exn) a
+             |      FROM pre2 j JOIN pre2 k ON j.bucket <= k.bucket),
+             |m1 AS (SELECT i.bucket AS bucket, r.jb, min(r.a) m
+             |       FROM pre2 i JOIN rng r
+             |         ON r.jb <= i.bucket AND r.kb >= i.bucket
+             |       GROUP BY 1, 2),
+             |fit AS (SELECT bucket, max(m) f FROM m1 GROUP BY 1)
+             |SELECT b.bucket, b.n, b.mean_score,
+             |  ROUND(CAST(b.sy AS DOUBLE) / b.n, 6) AS frac_pos,
+             |  ROUND(fit.f, 6) AS calibrated
+             |FROM b JOIN fit USING (bucket) ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val m = (col("doc_id") * 2654435761L) % 1000
+        val scored = docs(s, dir).select(
+          (m / lit(1000.0)).as("p"),
+          when((col("doc_id") * 31 % 1000) * 5 < m * 4 + 500, 1L)
+            .otherwise(0L).as("y"))
+        Classifier.isotonicCalibrate(scored, "p", "y", nBuckets = 20)
+          .orderBy("bucket")
+      })
+
     Seq(pii, pca, html, urls, theta, webprep, boot, conformal, cuped,
-      trimmed, variantQ, ratio)
+      trimmed, variantQ, ratio, isotonic)
   }
 }

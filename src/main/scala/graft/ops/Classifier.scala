@@ -742,6 +742,75 @@ object Classifier {
       .select(gcols :+ col("n_calib") :+ col("qhat"): _*)
   }
 
+  /** Isotonic (monotone) probability calibration over score buckets —
+    * the FIX for what [[calibrationReport]] detects (Zadrozny & Elkan
+    * 2002; Niculescu-Mizil & Caruana 2005): fit the best monotone map
+    * score → P(y=1) by pool-adjacent-violators. Computed via PAV's
+    * MINIMAX closed form (Barlow et al. 1972),
+    * `ŷ(i) = max_{j≤i} min_{k≥i} (Σ_{j..k} y / Σ_{j..k} n)`, which —
+    * unlike the sequential pooling algorithm — is a fixed-depth
+    * relational expression, so the whole fit replays in a SQL oracle.
+    *
+    * Scale shape: ONE map-side-combined aggregation collapses the
+    * corpus to ≤ `nBuckets` rows; everything after (prefix sums, the
+    * j ≤ i ≤ k range product, the min/max aggs) runs on bucket-scale
+    * relations (≤ B³ rows at B ≤ 128 — thousands, not corpus). The
+    * prefix window is over the bucket relation only, the
+    * prefixSumBy-offsets precedent. Counts are integers, so every
+    * pooled average is a ratio of exact sums — deterministic
+    * cross-engine.
+    *
+    * Output: one row per NON-EMPTY bucket — `bucket, n, mean_score,
+    * frac_pos, calibrated` — with `calibrated` monotone non-decreasing
+    * in `bucket`. Apply by bucketing new scores the same way and
+    * joining (a group-scale broadcast, the [[conformalApply]] shape).
+    */
+  def isotonicCalibrate(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBuckets: Int = 20,
+      roundTo: Int = 6): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 128,
+      s"nBuckets=$nBuckets outside [1, 128] (the B^3 pair relation is priced for bucket counts, not histograms)")
+    val b = scored.select(
+      least(floor(col(scoreCol).cast("double") * nBuckets),
+        lit(nBuckets - 1L)).cast("long").as("bucket"),
+      col(scoreCol).cast("double").as("_iso_p"),
+      when(col(labelCol).cast("double") > 0.5, 1L).otherwise(0L).as("_iso_y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("_iso_y").as("_iso_sy"),
+        round(avg("_iso_p"), roundTo).as("mean_score"))
+    // inclusive/exclusive prefix sums over the ≤ nBuckets bucket rows
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pre = b.withColumn("_iso_exn", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("_iso_exy", coalesce(sum("_iso_sy").over(w), lit(0L)))
+      .withColumn("_iso_cn", col("_iso_exn") + col("n"))
+      .withColumn("_iso_cy", col("_iso_exy") + col("_iso_sy"))
+    // pooled average of the bucket range [j, k]: (cy(k) − exy(j)) /
+    // (cn(k) − exn(j)) — exact integer sums either side of the ratio
+    val js = pre.select(col("bucket").as("_iso_j"),
+      col("_iso_exn").as("_iso_jn"), col("_iso_exy").as("_iso_jy"))
+    val ks = pre.select(col("bucket").as("_iso_k"),
+      col("_iso_cn").as("_iso_kn"), col("_iso_cy").as("_iso_ky"))
+    val ranges = js.join(ks, col("_iso_j") <= col("_iso_k"))
+      .select(col("_iso_j"), col("_iso_k"),
+        ((col("_iso_ky") - col("_iso_jy")).cast("double")
+          / (col("_iso_kn") - col("_iso_jn"))).as("_iso_avg"))
+    val is = pre.select(col("bucket").as("_iso_i"))
+    // stage 1: m(i, j) = min over k ≥ i; stage 2: max over j ≤ i
+    val fit = ranges.join(is,
+        col("_iso_j") <= col("_iso_i") && col("_iso_k") >= col("_iso_i"))
+      .groupBy("_iso_i", "_iso_j").agg(min("_iso_avg").as("_iso_m"))
+      .groupBy("_iso_i").agg(max("_iso_m").as("_iso_fit"))
+    b.join(fit, col("bucket") === col("_iso_i"))
+      .select(col("bucket"), col("n"), col("mean_score"),
+        round(col("_iso_sy").cast("double") / col("n"), roundTo)
+          .as("frac_pos"),
+        round(col("_iso_fit"), roundTo).as("calibrated"))
+  }
+
   /** Attach conformal prediction bands to scored rows: `pi_lo/pi_hi` =
     * `yhat ± qhat` from the matching group's calibrated radius (NULL
     * bounds when the group was uncalibratable or unseen). The

@@ -413,7 +413,11 @@ object ScaleProbe {
         "q206_variant_path",
         // q207: one user-keyed agg + arm-scale closed forms — the q204
         // agg-band.
-        "q207_ratio_metric")
+        "q207_ratio_metric",
+        // q208: one map-side-combined bucket agg collapses the corpus
+        // to ≤ B rows; the PAV minimax runs on ≤ B³ bucket-scale rows
+        // — corpus-independent after the collapse.
+        "q208_isotonic")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

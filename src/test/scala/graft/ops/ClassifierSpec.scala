@@ -352,6 +352,58 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonicCalibrate: minimax fit ≡ sequential PAV reference; monotone; identity on monotone input") {
+    // classic violator pattern: bucket positive-rates 0.8, 0.2, 0.5 →
+    // PAV pools the first two to 0.5, then all three to 0.5
+    def mk(rates: Seq[(Double, Int, Int)]) = // (center, pos, neg)
+      rates.zipWithIndex.flatMap { case ((c, pos, neg), _) =>
+        Seq.fill(pos)((c, 1.0)) ++ Seq.fill(neg)((c, 0.0))
+      }.toDF("p", "y")
+    val fit1 = Classifier.isotonicCalibrate(
+      mk(Seq((0.1, 8, 2), (0.3, 2, 8), (0.5, 5, 5))), "p", "y", 10)
+      .orderBy("bucket").collect().map(_.getAs[Double]("calibrated"))
+    assert(fit1.toSeq === Seq(0.5, 0.5, 0.5))
+    // sequential pool-adjacent-violators reference on random-ish rates
+    val rates = (0 until 12).map(i =>
+      ((i + 0.5) / 12.0, ((i * 2654435761L) % 10).toInt + 1,
+        ((i * 40503L) % 7).toInt + 1))
+    val got = Classifier.isotonicCalibrate(mk(rates), "p", "y", 12)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("calibrated")))
+    // reversed-list PAV: head is the newest block; pool while the
+    // PREVIOUS block's average ≥ the new one's (an isotonic violation)
+    def pav(blocks: List[(Double, Double)]): List[(Double, Double)] =
+      blocks match {
+        case (y1, w1) :: (y2, w2) :: rest if y2 / w2 >= y1 / w1 - 1e-12 =>
+          pav((y1 + y2, w1 + w2) :: rest)
+        case b :: rest => b :: pav(rest)
+        case Nil => Nil
+      }
+    val pooled = rates.foldLeft(List.empty[(Double, Double)]) {
+      case (acc, (_, pos, neg)) =>
+        pav(((pos.toDouble, (pos + neg).toDouble)) :: acc)
+    }.reverse
+    // PAV blocks are unions of whole buckets: expand block values to
+    // units, then read each bucket's value at its first unit offset
+    val unitVals = pooled.flatMap { case (y0, w0) =>
+      Seq.fill(w0.toInt)(y0 / w0) }
+    val masses = rates.map(r => r._2 + r._3)
+    val refByBucket = masses.scanLeft(0)(_ + _).init.map(unitVals(_))
+    got.zip(refByBucket).foreach { case ((bkt, g), r) =>
+      assert(math.abs(g - math.rint(r * 1e6) / 1e6) < 1e-9, s"bucket $bkt")
+    }
+    // monotone non-decreasing always
+    assert(got.map(_._2).sliding(2).forall(s => s.head <= s.last + 1e-12))
+    // already-monotone input is returned unchanged
+    val mono = Classifier.isotonicCalibrate(
+      mk(Seq((0.1, 1, 9), (0.5, 5, 5), (0.9, 9, 1))), "p", "y", 10)
+      .orderBy("bucket").collect().map(_.getAs[Double]("calibrated"))
+    assert(mono.toSeq === Seq(0.1, 0.5, 0.9))
+    intercept[IllegalArgumentException] {
+      Classifier.isotonicCalibrate(mk(rates), "p", "y", 1000)
+    }
+  }
+
   test("conformalApply: bands bracket ~1-alpha of exchangeable points; NULL radius gives NULL bounds") {
     // deterministic pseudo-noise around a constant prediction — the
     // exchangeability conformal needs; calibrate on odd ids, test on
