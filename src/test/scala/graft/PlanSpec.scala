@@ -576,4 +576,36 @@ class PlanSpec extends AnyFunSuite {
         s"$q degenerated:\n$p")
     }
   }
+
+  test("q197/q198/q199: the scrub/strip/canonicalize chains are map-only hash-agg plans — no window, no join on the corpus path") {
+    for (q <- Seq("q197_pii_scrub", "q198_html_strip")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("SortMergeJoin") || q == "q197_pii_scrub",
+        s"$q joined on the corpus path:\n$p")
+    }
+    // URL dedup is ONE hash aggregation on the canonical key — keep-min
+    // must never become a window/rank plan
+    val p199 = plan("q199_url_dedup")
+    assert(!p199.contains("Window"), s"q199 grew a window:\n$p199")
+    assert(p199.contains("HashAggregate"), p199)
+  }
+
+  test("q202: Poisson bootstrap plans with NO join — weights are generated in situ; replicate agg is partial before the exchange") {
+    val p = plan("q202_paired_bootstrap")
+    // the draws → means path must be explode + partial agg, never an
+    // index-join of a draws relation back onto the items
+    assert(!p.contains("SortMergeJoin"), s"bootstrap grew a sort-merge join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("q208: isotonic collapses the corpus in ONE partial agg; the B^3 minimax never touches a corpus-scale relation") {
+    val p = formatted("q208_isotonic")
+    // exactly one scan of documents feeds the bucket agg; the minimax
+    // joins run on the bucket relation (reused via exchange reuse or
+    // re-agg, but never a corpus x corpus join)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BuildRight"), p) // bucket-scale theta joins broadcast
+  }
 }
