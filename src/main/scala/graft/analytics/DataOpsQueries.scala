@@ -5352,7 +5352,160 @@ object DataOpsQueries {
           .orderBy("bucket")
       })
 
+    // One-sided CUSUM volume monitor over per-type daily counts: the
+    // sequential max(0, C+x−k) recurrence computed as the CLOSED FORM
+    // D_i − min(0, min_{j≤i} D_j) over prefix sums — window-of-window
+    // on the bounded time-bucket relation, fully SQL-replayable.
+    val cusumQ = NamedQuery(
+      "q209_cusum_monitor",
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) d,
+             |    CAST(count(*) AS DOUBLE) n
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) nn,
+             |         sum(n) sx, sum(n*n) sxx
+             |       FROM daily GROUP BY 1),
+             |pr AS (SELECT event_type,
+             |    sx/nn + 0.5e0 * sqrt((sxx - sx*sx/nn)/nn) AS k,
+             |    4e0 * sqrt((sxx - sx*sx/nn)/nn) AS h
+             |  FROM st),
+             |seq AS (SELECT daily.event_type, d, n, k, h,
+             |    row_number() OVER (PARTITION BY daily.event_type
+             |                       ORDER BY d) i,
+             |    sum(n) OVER (PARTITION BY daily.event_type ORDER BY d
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) s
+             |  FROM daily JOIN pr ON daily.event_type = pr.event_type),
+             |dd AS (SELECT *, s - k * i AS dv FROM seq),
+             |mm AS (SELECT *, min(dv) OVER (PARTITION BY event_type
+             |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+             |    AND CURRENT ROW) mn FROM dd)
+             |SELECT event_type, CAST(d AS VARCHAR) AS d,
+             |  CAST(n AS BIGINT) AS n,
+             |  ROUND(dv - least(0e0, mn), 6) AS cusum,
+             |  (dv - least(0e0, mn)) > h AS alarm
+             |FROM mm ORDER BY event_type, d""".stripMargin),
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        Stats.cusumByGroup(daily, Seq("event_type"), "d", "n")
+          .select(col("event_type"), col("d").cast("string").as("d"),
+            col("n").cast("long").as("n"), col("cusum"), col("alarm"))
+          .orderBy("event_type", "d")
+      })
+
+    // Seasonal-naive forecast evaluation (MASE, Hyndman & Koehler
+    // 2006): does last week predict today better than yesterday does?
+    // Lags are equi-joins on the shifted day key; integer counts make
+    // both MAEs exact ratios.
+    val mase = NamedQuery(
+      "q210_seasonal_mase",
+      Some("""WITH daily AS (SELECT event_type,
+             |    CAST(ts AS DATE) - DATE '1970-01-01' AS t,
+             |    CAST(count(*) AS DOUBLE) n
+             |  FROM events GROUP BY 1, 2),
+             |j AS (SELECT b.event_type, b.n, s7.n ns, s1.n n1
+             |      FROM daily b
+             |      JOIN daily s7 ON b.event_type = s7.event_type
+             |        AND b.t = s7.t + 7
+             |      JOIN daily s1 ON b.event_type = s1.event_type
+             |        AND b.t = s1.t + 1)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+             |  ROUND(sum(abs(n - ns)) / count(*), 6) AS mae_seasonal,
+             |  ROUND(sum(abs(n - n1)) / count(*), 6) AS mae_naive1,
+             |  ROUND(CASE WHEN sum(abs(n - n1)) > 0e0 THEN
+             |    (sum(abs(n - ns)) / count(*)) / (sum(abs(n - n1)) / count(*))
+             |    END, 6) AS mase
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        Stats.seasonalNaiveEval(daily, Seq("event_type"), "t", "n",
+            season = 7)
+          .orderBy("event_type")
+      })
+
+    // Declarative data-quality expectations: the publish gate as one
+    // violations report over lineitem + orders — including two checks
+    // that genuinely FAIL on this data (discounts above 5%, and the
+    // (l_orderkey, l_linenumber) tuple the generator does NOT keep
+    // unique), so the report's violation counting is exercised, not
+    // just its green path.
+    val expect = NamedQuery(
+      "q211_expectations",
+      Some("""WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders),
+             |r AS (
+             |  SELECT 'not_null(l_orderkey)' c,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM li) n,
+             |    (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) FROM li) v
+             |  UNION ALL SELECT 'in_range(l_quantity, 1.0, 50.0)',
+             |    (SELECT count(*) FROM li),
+             |    (SELECT CAST(sum(CASE WHEN l_quantity IS NOT NULL
+             |       AND (l_quantity < 1.0 OR l_quantity > 50.0)
+             |       THEN 1 ELSE 0 END) AS BIGINT) FROM li)
+             |  UNION ALL SELECT 'in_range(l_discount, 0.0, 0.05)',
+             |    (SELECT count(*) FROM li),
+             |    (SELECT CAST(sum(CASE WHEN l_discount IS NOT NULL
+             |       AND (l_discount < 0.0 OR l_discount > 0.05)
+             |       THEN 1 ELSE 0 END) AS BIGINT) FROM li)
+             |  UNION ALL SELECT 'accepted(l_returnflag)',
+             |    (SELECT count(*) FROM li),
+             |    (SELECT CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+             |       AND l_returnflag NOT IN ('A', 'N', 'R')
+             |       THEN 1 ELSE 0 END) AS BIGINT) FROM li)
+             |  UNION ALL SELECT 'matches(l_linestatus)',
+             |    (SELECT count(*) FROM li),
+             |    (SELECT CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+             |       AND NOT regexp_full_match(l_linestatus, '[OF]')
+             |       THEN 1 ELSE 0 END) AS BIGINT) FROM li)
+             |  UNION ALL SELECT 'unique(l_orderkey, l_linenumber)',
+             |    (SELECT count(*) FROM li),
+             |    (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+             |      (SELECT count(*) c FROM li GROUP BY l_orderkey, l_linenumber))
+             |  UNION ALL SELECT 'foreign_key(l_orderkey -> orders)',
+             |    (SELECT count(*) FROM li),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM li
+             |     WHERE l_orderkey IS NOT NULL
+             |       AND l_orderkey NOT IN (SELECT o_orderkey FROM o))
+             |  UNION ALL SELECT 'unique(o_orderkey)',
+             |    (SELECT count(*) FROM o),
+             |    (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+             |      (SELECT count(*) c FROM o GROUP BY o_orderkey))
+             |  UNION ALL SELECT 'not_null(o_custkey)',
+             |    (SELECT count(*) FROM o),
+             |    (SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) FROM o)
+             |  UNION ALL SELECT 'foreign_key(o_custkey -> customer)',
+             |    (SELECT count(*) FROM o),
+             |    (SELECT CAST(count(*) AS BIGINT) FROM o
+             |     WHERE o_custkey IS NOT NULL
+             |       AND o_custkey NOT IN (SELECT c_custkey FROM customer)))
+             |SELECT c AS "check", CAST(n AS BIGINT) AS n_rows,
+             |  v AS n_violations, v <= 0 AS pass
+             |FROM r ORDER BY c""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        import Expectations._
+        val liReport = Expectations.validate(li, Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1.0, 50.0),
+          InRange("l_discount", 0.0, 0.05),
+          Accepted("l_returnflag", Seq("A", "N", "R")),
+          Matches("l_linestatus", "[OF]"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          ForeignKey(Seq("l_orderkey"), o, Seq("o_orderkey"), "orders")))
+        val oReport = Expectations.validate(o, Seq(
+          Unique(Seq("o_orderkey")),
+          NotNull("o_custkey"),
+          ForeignKey(Seq("o_custkey"), cust, Seq("c_custkey"), "customer")))
+        liReport.unionByName(oReport).orderBy("check")
+      })
+
     Seq(pii, pca, html, urls, theta, webprep, boot, conformal, cuped,
-      trimmed, variantQ, ratio, isotonic)
+      trimmed, variantQ, ratio, isotonic, cusumQ, mase, expect)
   }
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Great-Expectations /
+  * dbt-test idea as an engine operator): a checklist of column and
+  * relationship contracts evaluated into ONE violations report — the
+  * gate a pipeline runs before publishing a partition, and the other
+  * half of profiling ([[Stats.columnProfile]] describes what IS;
+  * expectations assert what MUST BE).
+  *
+  * Scale shape: every row-local check (`NotNull`, `InRange`,
+  * `Accepted`, `Matches`) compiles to ONE shared aggregation pass over
+  * the table — one conditional-sum column per check, map-side
+  * combined, so ten checks cost one scan, not ten. `Unique` adds one
+  * hash aggregation on its key; `ForeignKey` one left-anti join
+  * against the (distinct) reference keys. Nothing collects; the
+  * report is checks-scale.
+  */
+object Expectations {
+
+  sealed trait Check { def name: String }
+
+  /** ≤ `maxNullFrac` of rows may be NULL (0.0 = strictly required).
+    * The tolerance is part of the check's NAME when non-zero, so the
+    * same column can carry checks at several thresholds without the
+    * report rows colliding.
+    */
+  case class NotNull(col: String, maxNullFrac: Double = 0.0) extends Check {
+    val name =
+      if (maxNullFrac > 0) s"not_null($col, $maxNullFrac)"
+      else s"not_null($col)"
+  }
+
+  /** Non-null values must lie in [lo, hi]. */
+  case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    val name = s"in_range($col, $lo, $hi)"
+  }
+
+  /** Non-null values must be one of the accepted literals. */
+  case class Accepted(col: String, values: Seq[String]) extends Check {
+    require(values.nonEmpty, "Accepted: empty value list")
+    val name = s"accepted($col)"
+  }
+
+  /** Non-null values must fully match the (Java/RE2-compatible)
+    * regex.
+    */
+  case class Matches(col: String, pattern: String) extends Check {
+    val name = s"matches($col)"
+  }
+
+  /** The column tuple must be unique across rows. */
+  case class Unique(cols: Seq[String]) extends Check {
+    require(cols.nonEmpty, "Unique: empty column list")
+    val name = s"unique(${cols.mkString(", ")})"
+  }
+
+  /** Every non-null key tuple must exist in `ref` (referential
+    * integrity; `ref` is typically a dimension — the anti-join
+    * broadcasts when it is small).
+    */
+  case class ForeignKey(cols: Seq[String], ref: DataFrame,
+      refCols: Seq[String], refName: String) extends Check {
+    require(cols.nonEmpty && cols.length == refCols.length,
+      "ForeignKey: key/ref column lists must be non-empty and same-length")
+    val name = s"foreign_key(${cols.mkString(", ")} -> $refName)"
+  }
+
+  /** Evaluate all checks: one row per check —
+    * `check, n_rows, n_violations, pass`. Row-local checks share one
+    * aggregation pass; violations count ROWS that break the contract
+    * (for `Unique`, rows beyond the first of each duplicated key).
+    */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "validate: empty checklist")
+    require(checks.map(_.name).distinct.length == checks.length,
+      s"validate: duplicate check names — ${checks.map(_.name).diff(checks.map(_.name).distinct).distinct.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowLocal = checks.collect {
+      case c: NotNull => c.name ->
+        sum(col(c.col).isNull.cast("long")).as(c.name)
+      case c: InRange => c.name ->
+        sum((col(c.col).isNotNull &&
+          !col(c.col).cast("double").between(c.lo, c.hi)).cast("long"))
+          .as(c.name)
+      case c: Accepted => c.name ->
+        sum((col(c.col).isNotNull &&
+          !col(c.col).cast("string").isin(c.values: _*)).cast("long"))
+          .as(c.name)
+      case c: Matches => c.name ->
+        sum((col(c.col).isNotNull &&
+          !col(c.col).cast("string").rlike("^(?:" + c.pattern + ")$"))
+          .cast("long")).as(c.name)
+    }
+    val aggCols = count(lit(1)).as("_ex_n") +: rowLocal.map(_._2)
+    val one = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val nRows = one.getAs[Long]("_ex_n")
+    val local = rowLocal.map { case (nm, _) => nm -> one.getAs[Long](nm) }
+    val heavy = checks.collect {
+      case c: Unique =>
+        val dups = df.groupBy(c.cols.map(col): _*)
+          .agg(count(lit(1)).as("_ex_c"))
+          .agg(coalesce(sum(col("_ex_c") - 1), lit(0L)))
+          .head().getLong(0)
+        c.name -> dups
+      case c: ForeignKey =>
+        val keys = df.select(c.cols.map(col): _*)
+          .na.drop("any", c.cols)
+        val ref = c.ref.selectExpr(
+          c.refCols.zip(c.cols).map { case (r, k) => s"$r AS $k" }: _*)
+          .distinct()
+        c.name -> keys.join(ref, c.cols, "left_anti").count()
+    }
+    // preserve the checklist's order in the report
+    val byName = (local ++ heavy).toMap
+    val thresholds = checks.collect {
+      case c: NotNull => c.name -> (c.maxNullFrac * nRows)
+    }.toMap
+    checks.map { c =>
+      val v = byName(c.name)
+      val limit = thresholds.getOrElse(c.name, 0.0)
+      (c.name, nRows, v, v <= limit)
+    }.toDF("check", "n_rows", "n_violations", "pass")
+  }
+}

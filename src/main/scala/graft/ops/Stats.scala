@@ -363,6 +363,98 @@ object Stats {
         round(col("_pb_hi"), 6).as("ci_hi"))
   }
 
+  /** One-sided CUSUM change detection over a per-group time series
+    * (Page 1954) — the volume-monitoring alarm: a sustained upward
+    * shift in daily counts accumulates while transient spikes decay.
+    * Computed via the CLOSED FORM `C_i = D_i − min_{j≤i} D_j` with
+    * `D_i = S_i − k·i` (S = prefix sum of x, i = 1-based position,
+    * k = the per-group reference mean + `allowance·σ`, both from
+    * integer-exact power sums) — the max(0, C_{i−1} + x_i − k)
+    * recurrence without the sequential dependency, so it replays in a
+    * SQL oracle as prefix sums + a running min.
+    *
+    * Scale shape: the input is already a (group, t, x) TIME-BUCKET
+    * relation (days, hours — bounded by the time range, not the
+    * corpus); the windows here run per group over those bucket rows —
+    * the isotonic/bucket-relation precedent, NEVER over raw events.
+    * Output: every input row + `cusum` and `alarm` (cusum > h·σ).
+    */
+  def cusumByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tCol: String,
+      valueCol: String,
+      allowance: Double = 0.5,
+      h: Double = 4.0,
+      roundTo: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "cusumByGroup needs >= 1 group column")
+    val gcols = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val stats = df.groupBy(gcols: _*).agg(
+      count(lit(1)).as("_cs_n"), sum(x).as("_cs_sx"),
+      sum(x * x).as("_cs_sxx"))
+    val n = col("_cs_n").cast("double")
+    val mean = col("_cs_sx") / n
+    val sd = sqrt((col("_cs_sxx") - col("_cs_sx") * col("_cs_sx") / n) / n)
+    val params = stats.select(gcols :+ (mean + lit(allowance) * sd)
+      .as("_cs_k") :+ (lit(h) * sd).as("_cs_h"): _*)
+    import org.apache.spark.sql.expressions.Window
+    val wRow = Window.partitionBy(gcols: _*).orderBy(col(tCol))
+    val wRun = wRow.rowsBetween(Window.unboundedPreceding, 0)
+    val d = df.join(params, groupCols)
+      .withColumn("_cs_i",
+        org.apache.spark.sql.functions.row_number().over(wRow))
+      .withColumn("_cs_s", sum(x).over(wRun))
+      .withColumn("_cs_d", col("_cs_s") - col("_cs_k") * col("_cs_i"))
+      .withColumn("_cs_min", min(col("_cs_d")).over(wRun))
+      // C_i = D_i − min_{0≤j≤i} D_j with D_0 = 0 folded in as the zero
+      // term of the least — equals the max(0, C_{i−1} + x_i − k)
+      // recurrence by induction, and is ≥ 0 by construction
+      .withColumn("cusum",
+        col("_cs_d") - least(lit(0.0), col("_cs_min")))
+    d.select(df.columns.map(col) :+
+        round(col("cusum"), roundTo).as("cusum") :+
+        (col("cusum") > col("_cs_h")).as("alarm"): _*)
+  }
+
+  /** Seasonal-naive forecast evaluation (the Hyndman & Koehler 2006
+    * MASE convention): forecast `x_t = x_{t−season}`, scaled by the
+    * one-step naive error on the same evaluable rows — MASE < 1 means
+    * the seasonal pattern beats a random walk. Lags are EQUI-JOINS on
+    * the shifted time key (never a window over raw rows); with
+    * integer-valued series both MAEs are ratios of exact sums, so the
+    * relation replays in SQL. Output per group:
+    * `n_eval, mae_seasonal, mae_naive1, mase` (NULL when the naive
+    * error is 0 — a constant series has no scale).
+    */
+  def seasonalNaiveEval(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tCol: String,
+      valueCol: String,
+      season: Int,
+      roundTo: Int = 6): DataFrame = {
+    require(season >= 2, s"season=$season must be >= 2 (1 IS the naive scale)")
+    val base = df.select(groupCols.map(col) :+ col(tCol).cast("long")
+      .as("_sn_t") :+ col(valueCol).cast("double").as("_sn_x"): _*)
+    def lagged(by: Int, as: String) = base.select(
+      groupCols.map(col) :+ (col("_sn_t") + by).as("_sn_t") :+
+        col("_sn_x").as(as): _*)
+    val joined = base
+      .join(lagged(season, "_sn_xs"), groupCols :+ "_sn_t")
+      .join(lagged(1, "_sn_x1"), groupCols :+ "_sn_t")
+    val agg = joined.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_eval"),
+      sum(abs(col("_sn_x") - col("_sn_xs"))).as("_sn_es"),
+      sum(abs(col("_sn_x") - col("_sn_x1"))).as("_sn_e1"))
+    agg.select(groupCols.map(col) :+ col("n_eval") :+
+      round(col("_sn_es") / col("n_eval"), roundTo).as("mae_seasonal") :+
+      round(col("_sn_e1") / col("n_eval"), roundTo).as("mae_naive1") :+
+      round(when(col("_sn_e1") > 0.0,
+        (col("_sn_es") / col("n_eval")) / (col("_sn_e1") / col("n_eval")))
+        , roundTo).as("mase"): _*)
+  }
+
   /** Generated DuckDB oracle for [[pairedBootstrap]] — the
     * next-to-the-operator oracle-builder pattern
     * ([[GraphOps.pageRankOracleSql]]): `pairsSql` must select

@@ -417,7 +417,15 @@ object ScaleProbe {
         // q208: one map-side-combined bucket agg collapses the corpus
         // to ≤ B rows; the PAV minimax runs on ≤ B³ bucket-scale rows
         // — corpus-independent after the collapse.
-        "q208_isotonic")
+        "q208_isotonic",
+        // q209/q210: the corpus collapses to the (type, day) bucket
+        // relation in one map-side-combined agg; windows/lag joins run
+        // on bucket rows only — the collapse prices k×. q211: each
+        // row-local check shares ONE agg pass; Unique adds a key agg
+        // and ForeignKey an anti-join (at kx the replicas' offset
+        // l_orderkeys all miss the symlinked 1× orders — more misses,
+        // same join shape, honest worst case).
+        "q209_cusum_monitor", "q210_seasonal_mase", "q211_expectations")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -219,6 +219,58 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cusumByGroup: closed form ≡ the sequential max(0, C+x−k) recurrence; planted shift alarms, spikes decay") {
+    import spark.implicits._
+    // baseline ~10 with a sustained +8 shift from t=30
+    val series = (1 to 50).map(i =>
+      ("g", i, (10 + (i % 3) + (if (i >= 30) 8 else 0)).toDouble))
+    val df = series.toDF("grp", "t", "x")
+    val got = Stats.cusumByGroup(df, Seq("grp"), "t", "x")
+      .orderBy("t").collect()
+      .map(r => (r.getInt(1), r.getAs[Double]("cusum"), r.getAs[Boolean]("alarm")))
+    // sequential reference with the SAME k
+    val xs = series.map(_._3)
+    val n = xs.length.toDouble
+    val mean = xs.sum / n
+    val sd = math.sqrt((xs.map(v => v * v).sum - xs.sum * xs.sum / n) / n)
+    val k = mean + 0.5 * sd
+    var c = 0.0
+    val ref = xs.map { v => c = math.max(0.0, c + v - k); c }
+    got.zip(ref).foreach { case ((t, g, _), r) =>
+      assert(math.abs(g - math.rint(r * 1e6) / 1e6) < 1e-9, s"t=$t")
+    }
+    // the sustained shift crosses h·σ; the pre-shift region never does
+    assert(got.filter(_._1 >= 35).exists(_._3), "shift never alarmed")
+    assert(!got.filter(_._1 < 30).exists(_._3), "false alarm before the shift")
+    // a single spike decays back to zero rather than latching
+    val spike = (1 to 40).map(i =>
+      ("s", i, (10 + (i % 3) + (if (i == 20) 60 else 0)).toDouble))
+    val sg = Stats.cusumByGroup(spike.toDF("grp", "t", "x"),
+      Seq("grp"), "t", "x").orderBy("t").collect()
+    assert(sg(19).getAs[Double]("cusum") > sg(39).getAs[Double]("cusum"),
+      "spike should decay")
+  }
+
+  test("seasonalNaiveEval: perfect weekly pattern → mase 0; constant series → NULL scale; lag join drops boundary rows") {
+    import spark.implicits._
+    // period-7 pattern, 28 days: seasonal error 0, naive error > 0
+    val weekly = (1 to 28).map(i => ("w", i, (i % 7).toDouble * 3 + 5))
+    val w = Stats.seasonalNaiveEval(weekly.toDF("grp", "t", "x"),
+      Seq("grp"), "t", "x", season = 7).head()
+    assert(w.getAs[Long]("n_eval") === 21L) // first 7 days have no lag
+    assert(w.getAs[Double]("mae_seasonal") === 0.0)
+    assert(w.getAs[Double]("mase") === 0.0)
+    // constant series: naive error 0 → NULL mase, not a division blowup
+    val const = (1 to 20).map(i => ("c", i, 4.0))
+    val cr = Stats.seasonalNaiveEval(const.toDF("grp", "t", "x"),
+      Seq("grp"), "t", "x", season = 7).head()
+    assert(cr.isNullAt(cr.fieldIndex("mase")))
+    intercept[IllegalArgumentException] {
+      Stats.seasonalNaiveEval(const.toDF("grp", "t", "x"),
+        Seq("grp"), "t", "x", season = 1)
+    }
+  }
+
   test("pairedBootstrap: Poisson(1) weight machinery — CDF literals and empirical weight mean") {
     // the shared thresholds really are the Poisson(1) CDF
     val expect = (0 to 7).scanLeft(0.0) { (acc, k) =>
