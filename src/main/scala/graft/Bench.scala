@@ -39,6 +39,9 @@ object Bench {
       // q191 is a real micro-batch run (stage + stream + fold) —
       // streaming section; its fold is exactly q179's batch machinery.
       "q191_stream_scd2",
+      // q212 is a real micro-batch run (stage + stream + re-sum) —
+      // streaming section; its scrub chain is q197's batch machinery.
+      "q212_stream_pii",
       "q24_embed_neardup")
     // Decomposition knob (never set by the driver): restrict the
     // headline set to a comma-separated name list, so suite-composition
@@ -145,7 +148,7 @@ object Bench {
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
       "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
       "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup",
-      "q173_stream_sketches", "q191_stream_scd2")
+      "q173_stream_sketches", "q191_stream_scd2", "q212_stream_pii")
       .filter(n => only.forall(_.contains(n)))
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {

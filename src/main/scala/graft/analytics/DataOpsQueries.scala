@@ -5505,7 +5505,80 @@ object DataOpsQueries {
         liReport.unionByName(oReport).orderBy("check")
       })
 
+    // Streaming twin of the q197 governance report, HASH-GATED end to
+    // end: the laced corpus arrives as micro-batches, each appending
+    // its own per-source incidence rows (PiiStream under the batch
+    // ledger); readReport re-sums — additive counts make stream-built
+    // ≡ batch-built EXACTLY, so the q197 oracle's report half gates a
+    // REAL streaming run.
+    val piiStream = NamedQuery(
+      "q212_stream_pii",
+      Some("""WITH laced AS (
+             |  SELECT doc_id, source,
+             |    'Contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1415555'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text AS t
+             |  FROM documents),
+             |s1 AS (SELECT doc_id, source,
+             |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) n_email,
+             |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') t
+             |       FROM laced),
+             |s2 AS (SELECT doc_id, source, n_email,
+             |         len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) n_card,
+             |         regexp_replace(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g') t
+             |       FROM s1),
+             |s3 AS (SELECT doc_id, source, n_email, n_card,
+             |         len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) n_ssn,
+             |         regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') t
+             |       FROM s2),
+             |s4 AS (SELECT doc_id, source, n_email, n_card, n_ssn,
+             |         len(regexp_extract_all(t, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b')) n_phone,
+             |         regexp_replace(t, '\+\d{7,15}\b|\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') t
+             |       FROM s3),
+             |s5 AS (SELECT doc_id, source, n_email, n_card, n_ssn, n_phone,
+             |         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) n_ipv4
+             |       FROM s4)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN n_email + n_card + n_ssn + n_phone + n_ipv4 > 0
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             |  CAST(sum(n_email) AS BIGINT) AS n_email,
+             |  CAST(sum(n_card) AS BIGINT) AS n_card,
+             |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+             |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+             |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4
+             |FROM s5 GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val laced = docs(s, dir).select(col("source"), concat(
+          lit("Contact u"), col("doc_id").cast("string"),
+          lit("@example.com or +1415555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 "), col("text")).as("t"))
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"piistream_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val (src, tbl, ckpt) = (s"$root/src", s"$root/tbl", s"$root/ckpt")
+        laced.repartition(4).write.parquet(src)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("source", StringType), StructField("t", StringType))))
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.PiiStream.monitorSink(stream, "source", "t", tbl)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Pii.readReport(s, tbl, "source").orderBy("source")
+      })
+
     Seq(pii, pca, html, urls, theta, webprep, boot, conformal, cuped,
-      trimmed, variantQ, ratio, isotonic, cusumQ, mase, expect)
+      trimmed, variantQ, ratio, isotonic, cusumQ, mase, expect, piiStream)
   }
 }
