@@ -4778,7 +4778,7 @@ object DataOpsQueries {
              |    regexp_extract(hostport, ':([0-9]+)$', 1) port,
              |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
              |    regexp_replace(regexp_replace(regexp_replace(query0,
-             |      '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+             |      '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
              |      '&&+', '&', 'g'), '^&|&$', '', 'g') qq
              |  FROM p),
              |c AS (SELECT doc_id, host,
@@ -4895,7 +4895,7 @@ object DataOpsQueries {
              |    regexp_extract(hostport, ':([0-9]+)$', 1) port,
              |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
              |    regexp_replace(regexp_replace(regexp_replace(query0,
-             |      '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+             |      '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
              |      '&&+', '&', 'g'), '^&|&$', '', 'g') qq
              |  FROM p),
              |c AS (SELECT doc_id,
@@ -5113,7 +5113,11 @@ object DataOpsQueries {
           count(lit(1)).as("n_test"),
           round(sum(when(col("value").between(col("pi_lo"), col("pi_hi")), 1L)
             .otherwise(0L)).cast("double") / count(lit(1)), 6).as("coverage"))
-        iv.join(cov, "event_type")
+        // uncalibratable groups (k > n_calib ⇒ NULL qhat from the
+        // left-join calibrate) are dropped from the REPORT, matching
+        // the oracle's qh CTE which never emits them — without this
+        // the two sides disagree on the row set for tiny groups
+        iv.filter(col("qhat").isNotNull).join(cov, "event_type")
           .select(col("event_type"), col("n_calib"),
             round(col("qhat"), 6).as("qhat"), col("n_test"), col("coverage"))
           .orderBy("event_type")
@@ -5136,12 +5140,15 @@ object DataOpsQueries {
              |pool AS (SELECT count(*) n, sum(x) sx, sum(y) sy, sum(x*y) sxy,
              |                sum(x*x) sxx, sum(y*y) syy FROM uv),
              |st AS (SELECT n,
-             |    (sxy - sx*sy/n) / (sxx - sx*sx/n) AS theta,
+             |    CASE WHEN n >= 2 THEN
+             |      ((sxy - sx*sy/n)/n) / NULLIF((sxx - sx*sx/n)/n, 0) END
+             |      AS theta,
              |    sx/n AS xbar,
              |    (syy - sy*sy/n)/n AS vraw,
-             |    (syy - sy*sy/n)/n
-             |      - ((sxy - sx*sy/n)/n)*((sxy - sx*sy/n)/n)
-             |        / ((sxx - sx*sx/n)/n) AS vadj
+             |    CASE WHEN n >= 2 THEN
+             |      (syy - sy*sy/n)/n
+             |        - ((sxy - sx*sy/n)/n)*((sxy - sx*sy/n)/n)
+             |          / NULLIF((sxx - sx*sx/n)/n, 0) END AS vadj
              |  FROM pool),
              |arms AS (SELECT arm, CAST(count(*) AS BIGINT) n,
              |                sum(y) asy, sum(x) asx FROM uv GROUP BY arm),

@@ -121,61 +121,119 @@ object LexIndex {
   }
 
   /** Tombstone documents out of the index ([[Tombstones]] — the
-    * persisted-index delete lifecycle). Two writes, neither touching
-    * index data:
+    * persisted-index delete lifecycle). ONE write — the tombstone
+    * append itself — so the delete is atomic by construction: there is
+    * no second artifact to fall out of sync with, a crash mid-append
+    * leaves a legal subset of the ids deleted, and a retry (or a
+    * redelivered streaming batch) merely appends duplicate ids, which
+    * every tombstone reader deduplicates.
     *
-    *   1. a NEGATIVE `stats/` row (−n, −sum_dl) for the ids being
-    *      deleted for the FIRST time, so the probe's corpus-wide
-    *      N/avgdl (Σ over stats rows) immediately reflect the
-    *      deletion — `dl` values are integer-valued doubles (token
-    *      counts), so Σall − Σdeleted is exact, bit-identical to a
-    *      rebuild without the ids;
-    *   2. the tombstone append itself; probes anti-join it out of the
-    *      postings/doclen slices they scan.
-    *
-    * Already-tombstoned (or never-indexed) ids contribute nothing to
-    * the negative row — re-deleting is idempotent on scores.
-    * [[bm25PurgeIndex]] is the physical drop.
+    * The corpus-wide N/avgdl a probe scores against are derived AT
+    * PROBE TIME as Σ(stats rows) minus the (count, Σdl) of tombstoned
+    * ids still present in `doclen/` — `dl` values are integer-valued
+    * doubles (token counts), so the subtraction is exact and scores
+    * are bit-identical to a rebuild without the ids. The decrement
+    * materializes into a physical negative `stats/` row only at
+    * [[bm25PurgeIndex]] time, idempotently (an earlier design wrote
+    * the negative row here, at delete time — two non-atomic writes
+    * whose crash window could double-decrement N/avgdl on retry).
     */
-  def bm25DeleteIds(ids: DataFrame, idCol: String, path: String): Unit = {
-    val spark = ids.sparkSession
-    val requested = ids.select(col(idCol)).distinct()
-    val fresh = Tombstones.ids(spark, path, idCol) match {
-      case Some(t) => requested.join(t, Seq(idCol), "left_anti")
-      case None => requested
+  def bm25DeleteIds(ids: DataFrame, idCol: String, path: String): Unit =
+    Tombstones.add(ids, idCol, path)
+
+  /** One hex key per tombstone-set STATE (the sorted data-file names):
+    * retries of a crashed purge see the same files, hence the same key
+    * — the idempotence handle for the staged negative stats row.
+    */
+  private def tombstoneBatchKey(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val names = fs.listStatus(new Path(Tombstones.dir(path)))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(names.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Total stats repair: rebuild `stats/` as one row aggregated from
+    * the CURRENT `doclen/` (tombstones NOT subtracted — probes derive
+    * the live decrement themselves). The documented recovery for the
+    * one corner the incremental protocol refuses: a purge crashed
+    * mid-rewrite AND new deletes landed before it was re-run, so the
+    * crashed generation's pre-rewrite decrement can no longer be
+    * attributed. Runs in the quiesced maintenance window; staged
+    * write-then-swap so a crash never leaves `stats/` empty (re-run
+    * completes the swap).
+    */
+  def bm25RebuildStats(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val statsDir = new Path(s"$path/stats")
+    val stage = new Path(s"$path/.stats_rebuild")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = fs.exists(new Path(stage, "_SUCCESS"))
+    if (!(staged && !fs.exists(statsDir))) { // else: resume the swap
+      spark.read.parquet(s"$path/doclen")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0.0)).as("sum_dl"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      if (fs.exists(statsDir) && !fs.delete(statsDir, true))
+        throw new java.io.IOException(s"bm25RebuildStats: cannot drop $statsDir")
     }
-    // one row, computed BEFORE the tombstone append mutates the set
-    // the anti-join above reads
-    val neg = fresh
-      .join(spark.read.parquet(s"$path/doclen"), Seq(idCol))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-      .head()
-    if (neg.getLong(0) > 0L) {
-      import spark.implicits._
-      Seq((-neg.getLong(0), -neg.getDouble(1))).toDF("n", "sum_dl")
-        .write.mode("append").parquet(s"$path/stats")
-    }
-    Tombstones.add(requested, idCol, path)
+    if (!fs.rename(stage, statsDir))
+      throw new java.io.IOException(
+        s"bm25RebuildStats: cannot publish $stage -> $statsDir")
   }
 
   /** Physically drop tombstoned documents' postings/doclen rows and
     * clear the tombstone set — quiesced-window maintenance through the
     * shared [[Compaction.rewriteDirs]] publish protocol; only the
     * `tb=` buckets that actually hold a tombstoned doc's terms (plus
-    * `doclen/`) are rewritten. The `stats/` rows are untouched: the
-    * negative rows written at delete time are part of the additive
-    * history and keep summing to the rebuilt-without-ids totals.
-    * Idempotent across crashes (see [[Tombstones]]).
+    * `doclen/`) are rewritten. Because the probe derives the live
+    * N/avgdl decrement from tombstones ⋈ doclen, the purge must leave
+    * that decrement behind as a physical NEGATIVE `stats/` row before
+    * the tombstones clear — staged from the PRE-rewrite doclen under a
+    * key derived from the tombstone-set state and published by one
+    * atomic rename, so every crash-retry interleaving lands exactly
+    * one row:
+    *
+    *   1. stage `(−n, −Σdl)` of tombstoned ids still in doclen into a
+    *      dot-hidden dir `stats/.neg_stage_<key>` (skipped when the
+    *      stage or the published row already exists — a retry);
+    *   2. rewrite the affected dirs (idempotent);
+    *   3. rename the staged part file to `stats/graft-neg-<key>.parquet`
+    *      (atomic; skipped if already published);
+    *   4. clear the tombstones.
+    *
+    * A stage dir from a DIFFERENT key means a purge crashed and new
+    * deletes landed before it was re-run — its pre-rewrite decrement
+    * can no longer be attributed incrementally, so the purge refuses
+    * and points at [[bm25RebuildStats]] (the total repair).
     */
   def bm25PurgeIndex(
       spark: SparkSession,
       path: String,
       idCol: String,
-      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+      targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val statsDir = new Path(s"$path/stats")
+    val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!Tombstones.exists(spark, path)) return Map.empty
+    val key = tombstoneBatchKey(fs, path)
+    val visible = new Path(statsDir, s"graft-neg-$key.parquet")
+    val stage = new Path(statsDir, s".neg_stage_$key")
+    val foreign = fs.listStatus(statsDir).map(_.getPath.getName)
+      .filter(n => n.startsWith(".neg_stage_") && n != s".neg_stage_$key")
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"bm25PurgeIndex: stale purge stage(s) ${foreign.mkString(", ")} — " +
+        "a purge crashed and newer deletes landed before it was re-run; " +
+        s"run bm25RebuildStats(spark, \"$path\") in the maintenance " +
+        "window, delete the stale stage dirs, then retry")
     Tombstones.purge(spark, path, idCol,
       candidateDirs = Seq.empty,
       affectedOf = (tombs, _) => {
-        import org.apache.hadoop.fs.Path
         val affected = spark.read.parquet(s"$path/postings")
           .select(col(idCol), col("tb"))
           .join(tombs, Seq(idCol), "left_semi")
@@ -184,7 +242,38 @@ object LexIndex {
         affected.map(b => new Path(s"$path/postings/tb=$b")).toSeq :+
           new Path(s"$path/doclen")
       },
-      targetBytes = targetBytes, opName = "bm25PurgeIndex")
+      targetBytes = targetBytes, opName = "bm25PurgeIndex",
+      beforeRewrite = tombs => {
+        val stageValid = fs.exists(new Path(stage, "_SUCCESS")) &&
+          fs.exists(stage) && fs.listStatus(stage).exists(
+            _.getPath.getName.startsWith("part-"))
+        if (!fs.exists(visible) && !stageValid) {
+          // rewrites under THIS key only start after a valid stage
+          // exists, so an invalid/absent stage means doclen is still
+          // pre-rewrite — the value below is exact
+          spark.read.parquet(s"$path/doclen")
+            .join(tombs, Seq(idCol), "left_semi")
+            .agg((lit(0L) - count(lit(1))).as("n"),
+              (lit(0.0) - coalesce(sum(col("dl")), lit(0.0))).as("sum_dl"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+        }
+      },
+      beforeClear = () => {
+        if (!fs.exists(visible)) {
+          val part = fs.listStatus(stage).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") &&
+              p.getName.endsWith(".parquet"))
+            .getOrElse(throw new java.io.IOException(
+              s"bm25PurgeIndex: staged negative stats row missing in $stage"))
+          if (!fs.rename(part, visible))
+            throw new java.io.IOException(
+              s"bm25PurgeIndex: cannot publish $part -> $visible")
+        }
+        fs.delete(stage, true)
+        ()
+      })
+  }
 
   /** BM25 scores for `queryTerms` over the persisted index — the
     * index-backed twin of [[TextAnalysis.bm25Scores]] (same robust-idf
@@ -211,11 +300,28 @@ object LexIndex {
       .withColumn("tb", termBucket(col("w"), buckets))
     val probeBuckets = termsDf.select("tb").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val stats0 = spark.read.parquet(s"$path/stats")
+    // N/avgdl: Σ(stats rows) minus the live tombstone decrement
+    // (tombstoned ids still present in doclen — after a purge their
+    // doclen rows are gone and the physical negative row has replaced
+    // this term). dl values are integer-valued doubles, so both paths
+    // are exact and bit-identical to a rebuild without the ids. The
+    // extra narrow doclen pass runs only while a delete is pending.
+    val statsBase = spark.read.parquet(s"$path/stats")
       .agg(sum("n").as("n_l"), sum("sum_dl").as("sum_dl"))
-      .select(col("n_l").cast("double").as("n_docs"),
-        (col("sum_dl") / col("n_l").cast("double")).as("avgdl"))
     val lens = spark.read.parquet(s"$path/doclen")
+    val stats0 = Tombstones.ids(spark, path, idCol) match {
+      case Some(t) =>
+        val del = lens.join(t, Seq(idCol), "left_semi")
+          .agg(count(lit(1)).as("d_n"),
+            coalesce(sum(col("dl")), lit(0.0)).as("d_dl"))
+        statsBase.crossJoin(del) // 1 × 1 rows
+          .select((col("n_l") - col("d_n")).cast("double").as("n_docs"),
+            ((col("sum_dl") - col("d_dl"))
+              / (col("n_l") - col("d_n")).cast("double")).as("avgdl"))
+      case None =>
+        statsBase.select(col("n_l").cast("double").as("n_docs"),
+          (col("sum_dl") / col("n_l").cast("double")).as("avgdl"))
+    }
     // tombstone anti-join AFTER the bucket/term prune (slice-sized,
     // skipped when no delete ever landed); df and the doclen attach
     // inherit the exclusion through this relation

@@ -314,7 +314,22 @@ object Stats {
       nBoot: Int = 1000,
       seed: Long = 42L): DataFrame = {
     require(nBoot >= 40, s"nBoot=$nBoot too small for 2.5%/97.5% bounds")
-    val base = df.select(col(idCol).cast("long").as("_pb_id"),
+    // Replicate streams are seeded off a LONG item id. Numeric ids cast
+    // directly (the SQL-replayable contract the generated oracle
+    // interpolates); any other id type is hashed via xxhash64 — still a
+    // valid deterministic bootstrap, just suite-gated rather than
+    // oracle-replayable (DuckDB has no xxhash64). A NULL id would make
+    // u NULL and every Poisson weight 0 while the item still counted in
+    // n_items — a silent bias — so NULL ids fail the job instead.
+    val idIsNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idLong = if (idIsNumeric) col(idCol).cast("long")
+                 else xxhash64(col(idCol))
+    val base = df.select(
+      when(col(idCol).isNotNull, idLong)
+        .otherwise(raise_error(lit(
+          s"pairedBootstrap: NULL $idCol — every paired item needs a deterministic replicate stream")))
+        .as("_pb_id"),
       (col(aCol).cast("double") - col(bCol).cast("double")).as("_pb_d"))
     // one (item, replicate) row per pair, Poisson(1) weight from the
     // seeded mix of (id, b) — u exact in double (power-of-two scale).

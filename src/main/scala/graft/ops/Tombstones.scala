@@ -117,15 +117,23 @@ object Tombstones {
       candidateDirs: Seq[Path],
       affectedOf: (DataFrame, Seq[Path]) => Seq[Path],
       targetBytes: Long,
-      opName: String): Map[String, (Int, Int)] =
+      opName: String,
+      beforeRewrite: DataFrame => Unit = _ => (),
+      beforeClear: () => Unit = () => ()): Map[String, (Int, Int)] =
     ids(spark, indexRoot, idCol) match {
       case None => Map.empty
       case Some(tombs) =>
+        // layout hooks around the rewrite, for layouts that must stage
+        // derived state off the PRE-rewrite data (LexIndex stages the
+        // negative stats row here) and publish it before the tombstone
+        // clear — both run inside the same crash-idempotent protocol
+        beforeRewrite(tombs)
         val affected = affectedOf(tombs, candidateDirs)
         val report = Compaction.rewriteDirs(spark, affected, targetBytes,
           opName,
           shouldRewrite = (_, _) => true,
           transform = df => df.join(tombs, Seq(idCol), "left_anti"))
+        beforeClear()
         clear(spark, indexRoot)
         report
     }

@@ -63,7 +63,11 @@ object UrlOps {
     * empty.
     */
   private def scrubQuery(q: Column): Column = {
-    val dropped = regexp_replace(q, "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "")
+    // anchored to the param start ((^|&) consumed with the param) so a
+    // param whose NAME merely ends in a tracking name ("xfbclid=2",
+    // "myutm_a=1") is untouched — an unanchored pattern would eat its
+    // suffix and fold genuinely distinct URLs into one dedup key
+    val dropped = regexp_replace(q, "(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "")
     // collapse the separators the drop left behind: "&&", leading or
     // trailing "&"
     regexp_replace(regexp_replace(dropped, "&&+", "&"), "^&|&$", "")

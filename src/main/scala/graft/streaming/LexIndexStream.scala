@@ -35,11 +35,13 @@ object LexIndexStream {
 
   /** Apply one micro-batch of takedown ids
     * ([[graft.ops.LexIndex.bm25DeleteIds]]) behind the batch ledger —
-    * the streaming half of the delete lifecycle: redelivery of a
-    * delete batch must not re-run the negative-stats write (it is
-    * id-idempotent already, but the ledger makes it O(1)). Ledger
-    * namespace is kept apart from append streams' so a delete stream
-    * and an append stream over the same index can share batch ids.
+    * the streaming half of the delete lifecycle. The delete is a
+    * single tombstone append (idempotent under redelivery by itself —
+    * duplicate ids are legal); the ledger still short-circuits a
+    * redelivered batch to O(1) and keeps the tombstone dir free of
+    * duplicate batch files. Ledger namespace is kept apart from append
+    * streams' so a delete stream and an append stream over the same
+    * index can share batch ids.
     */
   def deleteBatch(
       batch: DataFrame,

@@ -123,6 +123,65 @@ class TombstoneSpec extends AnyFunSuite {
       .join(delDocs.select("doc_id"), Seq("doc_id"), "left_semi")
       .count() === 0L)
     assert(scores(idxA) === want)
+
+    // the purge left EXACTLY one published negative stats row for this
+    // tombstone generation, and stats totals now equal the rebuilt
+    // index's (the decrement materialized physically)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idxA).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val negFiles = fs.listStatus(new Path(s"$idxA/stats"))
+      .map(_.getPath.getName).filter(_.startsWith("graft-neg-"))
+    assert(negFiles.length === 1)
+    def statTotals(p: String): (Long, Double) = {
+      val r = spark.read.parquet(s"$p/stats")
+        .agg(sum("n"), sum("sum_dl")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(statTotals(idxA) === statTotals(idxB))
+
+    // re-delete ALREADY-PURGED ids (a retry long after the fact): the
+    // second generation's decrement is zero — scores and totals stay
+    // put through a full second delete → purge cycle
+    LexIndex.bm25DeleteIds(delDocs, "doc_id", idxA)
+    assert(scores(idxA) === want)
+    LexIndex.bm25PurgeIndex(spark, idxA, "doc_id")
+    assert(!Tombstones.exists(spark, idxA))
+    assert(scores(idxA) === want)
+    assert(statTotals(idxA) === statTotals(idxB))
+  }
+
+  test("BM25: purge refuses a stale crashed-purge stage; bm25RebuildStats is the total repair") {
+    val root = tmp("lexcrash")
+    val idx = s"$root/a"
+    LexIndex.bm25WriteIndex(docs, "doc_id", "text", idx, buckets = 8)
+    val delDocs = docs.filter($"doc_id" % 5 === 1)
+    LexIndex.bm25DeleteIds(delDocs, "doc_id", idx)
+    // simulate a purge that crashed under an OLDER tombstone set (its
+    // staged decrement can no longer be attributed incrementally)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$idx/stats/.neg_stage_deadbeefdeadbeef"))
+    val ex = intercept[IllegalStateException] {
+      LexIndex.bm25PurgeIndex(spark, idx, "doc_id")
+    }
+    assert(ex.getMessage.contains("bm25RebuildStats"))
+    // the documented recovery: total stats rebuild from doclen, drop
+    // the stale stage, retry — scores equal a rebuild without the ids
+    LexIndex.bm25RebuildStats(spark, idx)
+    fs.delete(new Path(s"$idx/stats/.neg_stage_deadbeefdeadbeef"), true)
+    val idxB = s"$root/b"
+    LexIndex.bm25WriteIndex(docs.filter($"doc_id" % 5 =!= 1),
+      "doc_id", "text", idxB, buckets = 8)
+    def scores(path: String): Map[Long, Double] =
+      LexIndex.bm25ProbeIndex(spark, path, "doc_id",
+          Seq("vector", "join", "scan"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = scores(idxB)
+    assert(scores(idx) === want)          // pre-purge: derived decrement
+    LexIndex.bm25PurgeIndex(spark, idx, "doc_id")
+    assert(scores(idx) === want)          // post-purge: physical row
   }
 
   test("Hamming: delete → probe ≡ rebuild without the ids; deleted ids still usable as queries; purge physical") {
