@@ -5587,5 +5587,53 @@ object DataOpsQueries {
 
     Seq(pii, pca, html, urls, theta, webprep, boot, conformal, cuped,
       trimmed, variantQ, ratio, isotonic, cusumQ, mase, expect, piiStream)
+  } ++ {
+    // ------------------------------------------------- round 14
+
+    // Perceptual near-dup retrieval (ops/Phash.scala): dHash codes fed
+    // through the UNCHANGED binary Hamming stack (q140's kNN
+    // machinery). The gate rides the deterministic stub decode
+    // (integer grid from (doc_id, length) — the brief's documented
+    // fake for codecs this container lacks), so grid → gradient signs
+    // → 64-bit pack → Hamming top-10 replays in DuckDB end to end;
+    // the REAL PNG/JPEG decode half (exact-integer luminance,
+    // area-average 9×8 grid) is pinned by PhashSpec's re-encode/
+    // recompress/resize robustness suite. Cell j = (id·(2j+3) +
+    // len·(j+1)) mod 251; bit i compares cells (r·9+c+1) vs (r·9+c),
+    // r = i/8, c = i%8 — both engines spell the same arithmetic.
+    val phashQ = NamedQuery(
+      "q213_phash_knn",
+      Some("""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+             |           FROM documents),
+             |b AS (SELECT doc_id, list_transform(range(64), i ->
+             |        CASE WHEN
+             |          (doc_id*(2*((i//8)*9 + (i%8) + 1)+3)
+             |           + len*((i//8)*9 + (i%8) + 2)) % 251
+             |          > (doc_id*(2*((i//8)*9 + (i%8))+3)
+             |             + len*((i//8)*9 + (i%8) + 1)) % 251
+             |        THEN 1 ELSE 0 END) bits
+             |      FROM d),
+             |q AS (SELECT doc_id q_id, bits qb FROM b WHERE doc_id < 8),
+             |s AS (SELECT q_id, b.doc_id n_id,
+             |        CAST(list_sum(list_transform(range(64),
+             |          i -> CASE WHEN qb[i+1] <> bits[i+1] THEN 1 ELSE 0 END))
+             |          AS BIGINT) hamming
+             |      FROM b, q),
+             |r AS (SELECT q_id, n_id, hamming,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY hamming, n_id) AS "rank"
+             |      FROM s)
+             |SELECT q_id, n_id, hamming, CAST("rank" AS BIGINT) AS "rank"
+             |FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""".stripMargin),
+      (s, dir) => {
+        val codes = docs(s, dir).select(col("doc_id"),
+          Phash.stubDHashDiff(col("doc_id"), length(col("text")))
+            .as("phash_diff"))
+        VectorOps.hammingKnnJoin(codes.filter(col("doc_id") < 8), codes,
+            "doc_id", "phash_diff", k = 10)
+          .orderBy("q_id", "rank")
+      })
+
+    Seq(phashQ)
   }
 }
