@@ -82,6 +82,69 @@ object DataOpsQueries {
     (scoreSql, caseChain)
   }
 
+  /** The q132 manifest chain as a reusable WITH-prefix ending in the
+    * `man` CTE — shared verbatim by q132 (full manifest readout) and
+    * q214 (takedown propagation over the same manifest), so the two
+    * oracles can never drift apart on the chain itself.
+    */
+  private val ManifestV2ChainSql: String =
+    """WITH m AS (SELECT doc_id, source, text, string_split(text, ' ') toks,
+      |        CAST(length(text) AS DOUBLE) n_chars,
+      |        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) hashes,
+      |        CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3 ellipses
+      |      FROM documents),
+      |g AS (SELECT doc_id, source, text, toks, CAST(len(toks) AS DOUBLE) n_tok FROM (
+      |        SELECT *, CAST(len(toks) AS DOUBLE) nt,
+      |          CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) alpha,
+      |          CAST(len(list_filter(toks,
+      |            t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) stop_hits
+      |        FROM m)
+      |      WHERE nt >= 50 AND nt <= 100000
+      |        AND (n_chars - (nt - 1)) / nt BETWEEN 3.0 AND 10.0
+      |        AND (hashes + ellipses) / nt <= 0.1
+      |        AND alpha / nt >= 0.8 AND stop_hits >= 2),
+      |b AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+      |        i -> toks[i+1] || ' ' || toks[i+2])) f
+      |      FROM g WHERE len(toks) >= 2),
+      |dfc AS (SELECT doc_id, f, count(*) c FROM b GROUP BY doc_id, f),
+      |raw AS (SELECT f, sum(c) craw FROM dfc GROUP BY f),
+      |v AS (SELECT f, craw FROM raw ORDER BY craw DESC, f LIMIT 512),
+      |tgt AS (SELECT f, sum(c) ctgt FROM dfc WHERE doc_id % 7 = 0 GROUP BY f),
+      |vt AS (SELECT v.f, v.craw, COALESCE(tgt.ctgt, 0) ctgt
+      |       FROM v LEFT JOIN tgt USING (f)),
+      |tot AS (SELECT CAST(sum(craw) AS DOUBLE) traw,
+      |          CAST(sum(ctgt) AS DOUBLE) ttgt,
+      |          CAST(count(*) AS DOUBLE) vn FROM vt),
+      |lr AS (SELECT f, ln((ctgt + 1) / (ttgt + vn))
+      |            - ln((craw + 1) / (traw + vn)) r
+      |       FROM vt CROSS JOIN tot),
+      |w AS (SELECT dfc.doc_id, ROUND(SUM(dfc.c * lr.r), 4) AS dsir_w
+      |      FROM dfc JOIN lr USING (f) GROUP BY dfc.doc_id),
+      |sel AS (SELECT doc_id, dsir_w,
+      |        ROUND(dsir_w - ln(-ln((CAST(r2 AS DOUBLE) + 0.5) / 2147483648.0)), 4) AS gkey
+      |      FROM (SELECT doc_id, dsir_w, (r1 * r1 + 7) % 2147483648 AS r2
+      |            FROM (SELECT doc_id, dsir_w,
+      |                    (doc_id * 2654435761 + 7) % 2147483648 AS r1 FROM w))
+      |      ORDER BY gkey DESC, doc_id LIMIT 100),
+      |st AS (SELECT g.doc_id, g.source, CAST(g.n_tok AS BIGINT) n_tok,
+      |         sel.dsir_w, sel.gkey
+      |       FROM sel JOIN g USING (doc_id)),
+      |per AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) t FROM st GROUP BY source),
+      |z AS (SELECT sum(pow(t, 0.5)) z FROM per),
+      |f AS (SELECT source,
+      |        round(LEAST(1.0, 3000.0 * pow(t, 0.5) / z.z / t), 6) AS fraction
+      |      FROM per CROSS JOIN z),
+      |cut AS (SELECT st.*, f.fraction
+      |        FROM st JOIN f USING (source)
+      |        WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 4294967296 AS DOUBLE)
+      |              < f.fraction * 4294967296.0),
+      |mx AS (SELECT *, ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix FROM cut),
+      |man AS (SELECT doc_id, source, n_tok, dsir_w, gkey, fraction,
+      |    CAST(mix % 4 AS BIGINT) AS shard,
+      |    CAST(row_number() OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id)
+      |      AS BIGINT) AS pos
+      |  FROM mx)""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
 
     // -------------------------------------------------------- dedup
@@ -3358,62 +3421,9 @@ object DataOpsQueries {
     // stage is a keep-all threshold.
     NamedQuery(
       "q132_manifest_v2",
-      Some("""WITH m AS (SELECT doc_id, source, text, string_split(text, ' ') toks,
-             |        CAST(length(text) AS DOUBLE) n_chars,
-             |        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) hashes,
-             |        CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3 ellipses
-             |      FROM documents),
-             |g AS (SELECT doc_id, source, text, toks, CAST(len(toks) AS DOUBLE) n_tok FROM (
-             |        SELECT *, CAST(len(toks) AS DOUBLE) nt,
-             |          CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) alpha,
-             |          CAST(len(list_filter(toks,
-             |            t -> list_contains(['the','a','of','and','to','in'], t))) AS BIGINT) stop_hits
-             |        FROM m)
-             |      WHERE nt >= 50 AND nt <= 100000
-             |        AND (n_chars - (nt - 1)) / nt BETWEEN 3.0 AND 10.0
-             |        AND (hashes + ellipses) / nt <= 0.1
-             |        AND alpha / nt >= 0.8 AND stop_hits >= 2),
-             |b AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
-             |        i -> toks[i+1] || ' ' || toks[i+2])) f
-             |      FROM g WHERE len(toks) >= 2),
-             |dfc AS (SELECT doc_id, f, count(*) c FROM b GROUP BY doc_id, f),
-             |raw AS (SELECT f, sum(c) craw FROM dfc GROUP BY f),
-             |v AS (SELECT f, craw FROM raw ORDER BY craw DESC, f LIMIT 512),
-             |tgt AS (SELECT f, sum(c) ctgt FROM dfc WHERE doc_id % 7 = 0 GROUP BY f),
-             |vt AS (SELECT v.f, v.craw, COALESCE(tgt.ctgt, 0) ctgt
-             |       FROM v LEFT JOIN tgt USING (f)),
-             |tot AS (SELECT CAST(sum(craw) AS DOUBLE) traw,
-             |          CAST(sum(ctgt) AS DOUBLE) ttgt,
-             |          CAST(count(*) AS DOUBLE) vn FROM vt),
-             |lr AS (SELECT f, ln((ctgt + 1) / (ttgt + vn))
-             |            - ln((craw + 1) / (traw + vn)) r
-             |       FROM vt CROSS JOIN tot),
-             |w AS (SELECT dfc.doc_id, ROUND(SUM(dfc.c * lr.r), 4) AS dsir_w
-             |      FROM dfc JOIN lr USING (f) GROUP BY dfc.doc_id),
-             |sel AS (SELECT doc_id, dsir_w,
-             |        ROUND(dsir_w - ln(-ln((CAST(r2 AS DOUBLE) + 0.5) / 2147483648.0)), 4) AS gkey
-             |      FROM (SELECT doc_id, dsir_w, (r1 * r1 + 7) % 2147483648 AS r2
-             |            FROM (SELECT doc_id, dsir_w,
-             |                    (doc_id * 2654435761 + 7) % 2147483648 AS r1 FROM w))
-             |      ORDER BY gkey DESC, doc_id LIMIT 100),
-             |st AS (SELECT g.doc_id, g.source, CAST(g.n_tok AS BIGINT) n_tok,
-             |         sel.dsir_w, sel.gkey
-             |       FROM sel JOIN g USING (doc_id)),
-             |per AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) t FROM st GROUP BY source),
-             |z AS (SELECT sum(pow(t, 0.5)) z FROM per),
-             |f AS (SELECT source,
-             |        round(LEAST(1.0, 3000.0 * pow(t, 0.5) / z.z / t), 6) AS fraction
-             |      FROM per CROSS JOIN z),
-             |cut AS (SELECT st.*, f.fraction
-             |        FROM st JOIN f USING (source)
-             |        WHERE CAST(((doc_id % 2147483648) * 2654435761 + 7) % 4294967296 AS DOUBLE)
-             |              < f.fraction * 4294967296.0),
-             |mx AS (SELECT *, ((doc_id % 2147483648) * 2654435761 + 42) % 4294967296 AS mix FROM cut)
-             |SELECT doc_id, source, n_tok, dsir_w, gkey, fraction,
-             |  CAST(mix % 4 AS BIGINT) AS shard,
-             |  CAST(row_number() OVER (PARTITION BY mix % 4 ORDER BY mix, doc_id)
-             |    AS BIGINT) AS pos
-             |FROM mx ORDER BY doc_id""".stripMargin),
+      Some(ManifestV2ChainSql +
+        "\nSELECT doc_id, source, n_tok, dsir_w, gkey, fraction, shard, pos" +
+        "\nFROM man ORDER BY doc_id"),
       (s, dir) => ManifestV2.oracleChain(docs(s, dir)).orderBy("doc_id")),
 
     // The manifest with the two non-SQL stages live: the trained
@@ -5634,6 +5644,34 @@ object DataOpsQueries {
           .orderBy("q_id", "rank")
       })
 
-    Seq(phashQ)
+    // Takedown propagation into the SHIPPED release manifest
+    // (ManifestV2.applyTombstones): the q132 manifest loses every
+    // selected doc with doc_id % 3 = 1, survivors in the affected
+    // shards shift up to dense positions, untouched shards pass
+    // through byte-identical. The oracle extends q132's chain (the
+    // SHARED ManifestV2ChainSql prefix — the two cannot drift) with
+    // the per-shard cumulative-deletion renumber; the engine side is
+    // the broadcast map-only shift, pinned ≡ a full per-shard
+    // renumber in ManifestV2Spec.
+    val takedown = NamedQuery(
+      "q214_manifest_takedown",
+      Some(ManifestV2ChainSql + """,
+        |flag AS (SELECT man.*, CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END dl
+        |         FROM man),
+        |cum AS (SELECT *, sum(dl) OVER (PARTITION BY shard ORDER BY pos) cd
+        |        FROM flag)
+        |SELECT doc_id, shard, CAST(pos - cd AS BIGINT) AS pos
+        |FROM cum WHERE dl = 0 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        // manifest consumed twice (tombstone derivation + the patch):
+        // cut the 16-operator chain's lineage once, selectN-bounded
+        val man = ManifestV2.oracleChain(docs(s, dir)).localCheckpoint(true)
+        val tombs = man.filter(col("doc_id") % 3 === 1).select("doc_id")
+        ManifestV2.applyTombstones(man, tombs, "doc_id")
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("doc_id")
+      })
+
+    Seq(phashQ, takedown)
   }
 }

@@ -118,6 +118,113 @@ object ManifestV2 {
         col("old_shard"), col("old_pos"), col("new_shard"), col("new_pos"))
   }
 
+  /** Takedown propagation into a SHIPPED manifest — the missing half
+    * of the delete lifecycle: [[Tombstones]] makes the indexes forget
+    * an id, but a release manifest (any `(idCol, shard, pos)` relation
+    * — [[oracleChain]], [[full]], q95-style) still schedules the
+    * deleted document into training. Re-running the whole selection
+    * chain would re-randomize EVERY placement; this recomputes ONLY
+    * the affected shards: deleted rows drop, survivors in a shard that
+    * lost rows shift up to keep positions dense (`pos` −= number of
+    * deleted rows below them in the same shard), and every other shard
+    * is byte-identical pass-through. All other manifest columns carry
+    * through unchanged.
+    *
+    * Scale shape: the deleted placements are takedown-sized, so they
+    * collapse to one broadcastable `(shard, sorted deleted positions)`
+    * row per affected shard; the new `pos` is then a MAP-ONLY
+    * projection (a bounded array scan per row — no per-shard window,
+    * no sort, no shuffle of the manifest). A manifest stored
+    * partitioned by shard prunes the rewrite to the affected
+    * directories, the [[Tombstones]] purge discipline.
+    */
+  def applyTombstones(
+      manifest: DataFrame,
+      tombstones: DataFrame,
+      idCol: String): DataFrame = {
+    val tombIds = tombstones.select(col(idCol)).distinct()
+    val delByShard = manifest
+      .join(tombIds, Seq(idCol), "left_semi")
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(col("pos"))).as("_mt_dpos"))
+    val shifted = manifest
+      .join(broadcast(tombIds), Seq(idCol), "left_anti")
+      .join(broadcast(delByShard), Seq("shard"), "left")
+      .withColumn("pos",
+        when(col("_mt_dpos").isNull, col("pos"))
+          .otherwise(col("pos") - aggregate(col("_mt_dpos"),
+            lit(0L).cast(manifest.schema("pos").dataType),
+            (acc, x) => acc + when(x < col("pos"), lit(1L)).otherwise(lit(0L)))))
+    shifted.select(manifest.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The takedown as a governance report in [[diff]]'s exact format —
+    * computed SELECTIVELY (never by materializing two full manifests):
+    * deleted rows → `dropped`, survivors that shifted → `moved_pos`,
+    * everything else → `unchanged`; `added`/`moved_shard` cannot occur
+    * (ManifestV2Spec pins equivalence to
+    * `diff(manifest, applyTombstones(manifest, …))`). Feed the
+    * non-`unchanged` rows downstream as the sparse release patch.
+    */
+  def tombstoneDiff(
+      manifest: DataFrame,
+      tombstones: DataFrame,
+      idCol: String): DataFrame = {
+    val tombIds = tombstones.select(col(idCol)).distinct()
+      .withColumn("_mt_del", lit(1))
+    val delByShard = manifest
+      .join(tombIds, Seq(idCol), "left_semi")
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(col("pos"))).as("_mt_dpos"))
+    val shift = when(col("_mt_dpos").isNull, lit(0L))
+      .otherwise(aggregate(col("_mt_dpos"), lit(0L),
+        (acc, x) => acc + when(x < col("pos"), lit(1L)).otherwise(lit(0L))))
+    manifest
+      .join(broadcast(tombIds), Seq(idCol), "left")
+      .join(broadcast(delByShard), Seq("shard"), "left")
+      .select(col(idCol),
+        when(col("_mt_del") === 1, lit("dropped"))
+          .when(shift > 0L, lit("moved_pos"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("shard").as("old_shard"), col("pos").as("old_pos"),
+        when(col("_mt_del") === 1, lit(null)).otherwise(col("shard"))
+          .as("new_shard"),
+        when(col("_mt_del") === 1, lit(null))
+          .otherwise(col("pos") - shift).as("new_pos"))
+  }
+
+  /** The packed-artifact half of takedown propagation, for any
+    * bin-membership relation `(idCol, binCol, tokCol)`
+    * ([[Packing.packGreedy]] bins, [[Packing.concatChunkBlocks]]
+    * blocks, q160/q168/q174 layouts): deleted docs' rows drop (bins
+    * keep their ids — they go underfull rather than renumbering the
+    * corpus), and the report says exactly which bins must be
+    * re-emitted and how much content they lost — the steward's
+    * work-list, one takedown-sized semi-join + one agg over ONLY the
+    * affected bins' rows, never a full repack.
+    * Output: `(binCol, docs_before, docs_after, tokens_before,
+    * tokens_after)` for AFFECTED bins only.
+    */
+  def binTombstoneReport(
+      packed: DataFrame,
+      tombstones: DataFrame,
+      idCol: String,
+      binCol: String,
+      tokCol: String): DataFrame = {
+    val tombIds = tombstones.select(col(idCol)).distinct()
+      .withColumn("_mt_del", lit(1))
+    val affected = packed.join(tombIds.drop("_mt_del"), Seq(idCol), "left_semi")
+      .select(binCol).distinct()
+    packed.join(broadcast(affected), Seq(binCol), "left_semi")
+      .join(broadcast(tombIds), Seq(idCol), "left")
+      .groupBy(col(binCol))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(when(col("_mt_del").isNull, 1L).otherwise(0L)).as("docs_after"),
+        sum(col(tokCol)).cast("long").as("tokens_before"),
+        sum(when(col("_mt_del").isNull, col(tokCol)).otherwise(lit(0L)))
+          .cast("long").as("tokens_after"))
+  }
+
   /** Inverse of [[diff]]: replay a diff onto the OLD manifest to
     * reconstruct the NEW one — the patch-apply side of release
     * governance (ship the (usually small) diff relation, not the full

@@ -172,6 +172,70 @@ class ManifestV2Spec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("applyTombstones ≡ full per-shard renumber of survivors; untouched shards byte-identical; diff twin matches diff()") {
+    import spark.implicits._
+    val man = ManifestV2.oracleChain(docs).localCheckpoint(true)
+    // takedown set chosen so SOME shard keeps zero deletions (the
+    // pass-through path must actually exercise)
+    val tombs = man.filter(col("doc_id") % 3 === 1).select("doc_id")
+    assert(tombs.count() > 0)
+    val got = ManifestV2.applyTombstones(man, tombs, "doc_id")
+
+    // the reference: brute-force re-rank survivors inside EVERY shard
+    // (row_number over the old pos order) — the incremental shift must
+    // reproduce it exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("pos")
+    val want = man.join(tombs, Seq("doc_id"), "left_anti")
+      .withColumn("pos", row_number().over(w).cast("long"))
+    val keyCols = man.columns.toSeq
+    assert(got.orderBy("doc_id").collect().toSeq
+      === want.select(keyCols.map(col).toIndexedSeq: _*)
+        .orderBy("doc_id").collect().toSeq)
+
+    // rows in shards with no deletion are bit-identical pass-through
+    val delShards = man.join(tombs, Seq("doc_id"), "left_semi")
+      .select("shard").distinct().as[Long].collect().toSet
+    val untouched = got.filter(!col("shard").isin(delShards.toSeq: _*))
+    val before = man.join(tombs, Seq("doc_id"), "left_anti")
+      .filter(!col("shard").isin(delShards.toSeq: _*))
+    assert(untouched.orderBy("doc_id").collect().toSeq
+      === before.select(keyCols.map(col).toIndexedSeq: _*)
+        .orderBy("doc_id").collect().toSeq)
+
+    // the selective diff ≡ the generic diff over (old, patched new)
+    val sel = ManifestV2.tombstoneDiff(man, tombs, "doc_id")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val gen = ManifestV2.diff(man, got, "doc_id")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(sel === gen)
+    // statuses are exactly dropped / moved_pos / unchanged, all present
+    val statuses = sel.map(_(1).asInstanceOf[String]).toSet
+    assert(statuses === Set("dropped", "moved_pos", "unchanged"))
+    // tombstoning an id the manifest never scheduled is a no-op
+    val noop = ManifestV2.applyTombstones(man,
+      Seq(999999999L).toDF("doc_id"), "doc_id")
+    assert(noop.orderBy("doc_id").collect().toSeq
+      === man.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("binTombstoneReport: affected bins only, with exact doc/token shrink") {
+    import spark.implicits._
+    val packed = Seq(
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 11L, 300L),
+      (4L, 12L, 400L), (5L, 12L, 500L))
+      .toDF("doc_id", "bin_id", "n_tokens")
+    val got = ManifestV2.binTombstoneReport(packed,
+        Seq(2L, 4L, 5L).toDF("doc_id"), "doc_id", "bin_id", "n_tokens")
+      .orderBy("bin_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // bin 11 is unaffected — absent from the work-list; bin 12 empties
+    assert(got.toSeq === Seq(
+      (10L, 2L, 1L, 300L, 100L),
+      (12L, 2L, 0L, 900L, 0L)))
+  }
+
   test("degenerate corpora: nothing survives the rules → empty manifest, no crash (incl. the quantile gate)") {
     import spark.implicits._
     // every doc fails Gopher (too short)
