@@ -145,6 +145,90 @@ object DataOpsQueries {
       |      AS BIGINT) AS pos
       |  FROM mx)""".stripMargin
 
+  /** q154's preference stream in SQL: the q28 quality-score arithmetic
+    * (its cross-engine parity established by q148's hash gate) decides
+    * each adjacent-pair judgment. Fed to
+    * [[graft.ops.Classifier.bradleyTerryOracleSql]] as the prefs CTE.
+    */
+  private val bradleyTerryPrefsSql: String = {
+    val toks = "string_split(text, ' ')"
+    val qExpr =
+      s"""GREATEST(0.0e0, LEAST(1.0e0,
+         |      0.5e0 * LEAST(CAST(len($toks) AS DOUBLE) / 50.0e0, 1.0e0)
+         |      + 0.4e0 * LEAST(CAST(len(list_filter($toks,
+         |          t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+         |          / CAST(len($toks) AS DOUBLE) * 5, 1.0e0)
+         |      + 0.1e0 * (1.0e0 - LEAST(
+         |          CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |          / CAST(length(text) AS DOUBLE) * 10, 1.0e0))))""".stripMargin
+    s"""SELECT CASE WHEN b.q > a.q THEN b.lang ELSE a.lang END AS winner,
+       |       CASE WHEN b.q > a.q THEN a.lang ELSE b.lang END AS loser
+       |FROM (SELECT doc_id // 2 AS pid, lang, $qExpr AS q
+       |      FROM documents WHERE doc_id % 2 = 0) a
+       |JOIN (SELECT doc_id // 2 AS pid, lang, $qExpr AS q
+       |      FROM documents WHERE doc_id % 2 = 1) b USING (pid)
+       |WHERE a.lang <> b.lang""".stripMargin
+  }
+
+  /** q124's literal refine seed: 16 × 64 exact-rational entries
+    * ((((i+2)·(k+3)) mod 11) − 5) / 5 — interpolated VERBATIM into the
+    * generated oracle (shortest-round-trip doubles, the
+    * PoissonCdf-literal pattern) so engine and oracle start from the
+    * same bits.
+    */
+  private val KmeansFixture: Array[Array[Double]] =
+    Array.tabulate(16, 64)((k, i) => ((((i + 2) * (k + 3)) % 11) - 5) / 5.0)
+
+  /** The q124 oracle: one spherical Lloyd pass from [[KmeansFixture]]
+    * replayed in SQL — assignment (argmax of dot/(‖v‖·‖c‖), ties to
+    * the HIGHER index, zero-norm dropped), unit-vector mean +
+    * normalize with the hold rule for empty/cancelled clusters, then
+    * the profile (count + mean dot(v, c)/‖v‖, ROUND 4) against the
+    * refined table.
+    */
+  private def kmeansRefineOracleSql: String = {
+    val fixtureRows = KmeansFixture.zipWithIndex.map { case (c, k) =>
+      s"($k, [${c.map(v => s"${v}e0").mkString(", ")}])"
+    }.mkString(",\n        ")
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |      FROM embeddings),
+       |u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+       |      WHERE sqrt(list_dot_product(v, v)) > 0),
+       |c0 AS (SELECT * FROM (VALUES
+       |        $fixtureRows) t(cluster, c)),
+       |cn0 AS (SELECT cluster, c, sqrt(list_dot_product(c, c)) cn FROM c0),
+       |a1 AS (SELECT vec_id, cluster FROM (
+       |        SELECT u.vec_id, cn0.cluster,
+       |          row_number() OVER (PARTITION BY u.vec_id
+       |            ORDER BY list_dot_product(u.v, cn0.c) / (u.nrm * cn0.cn)
+       |              DESC, cn0.cluster DESC) rn
+       |        FROM u CROSS JOIN cn0) WHERE rn = 1),
+       |m1 AS (SELECT a1.cluster, t.i, sum(u.v[t.i+1] / u.nrm) sv
+       |       FROM a1 JOIN u USING (vec_id) CROSS JOIN range(64) t(i)
+       |       GROUP BY a1.cluster, t.i),
+       |nz AS (SELECT cluster, sqrt(sum(sv * sv)) cnorm FROM m1 GROUP BY cluster),
+       |c1 AS (SELECT m1.cluster, m1.i, m1.sv / nz.cnorm AS val
+       |       FROM m1 JOIN nz USING (cluster) WHERE nz.cnorm > 0
+       |       UNION ALL
+       |       SELECT cn0.cluster, t.i, cn0.c[t.i+1] AS val
+       |       FROM cn0 CROSS JOIN range(64) t(i)
+       |       WHERE cn0.cluster NOT IN (SELECT cluster FROM nz WHERE cnorm > 0)),
+       |c1n AS (SELECT cluster, sqrt(sum(val * val)) cn FROM c1 GROUP BY cluster),
+       |s2 AS (SELECT u.vec_id, c1.cluster, sum(u.v[c1.i+1] * c1.val) AS dt
+       |       FROM u CROSS JOIN c1 GROUP BY u.vec_id, c1.cluster),
+       |a2 AS (SELECT vec_id, cluster, dt FROM (
+       |        SELECT s2.vec_id, s2.cluster, s2.dt,
+       |          row_number() OVER (PARTITION BY s2.vec_id
+       |            ORDER BY s2.dt / (u.nrm * c1n.cn) DESC, s2.cluster DESC) rn
+       |        FROM s2 JOIN u USING (vec_id) JOIN c1n USING (cluster))
+       |       WHERE rn = 1)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |  ROUND(avg(dt / nrm), 4) AS mean_cos
+       |FROM a2 JOIN u USING (vec_id)
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // -------------------------------------------------------- dedup
@@ -276,21 +360,27 @@ object DataOpsQueries {
           .select("vec_id")
           .orderBy("vec_id")),
 
-    // Distributed full-corpus k-means refinement readout: sample-seeded
-    // fit + 2 Lloyd passes where EVERY pass is one map-only native
-    // assignment + one k×dim hash agg (the scale path past the bounded
-    // sample's reach), then one row per non-empty cluster. Iterative
-    // float fixpoint → not oracle-expressible; KmeansRefineSpec pins
-    // the refinement against an independent in-memory reference to
-    // 1e-9/component, post-refinement assignment exactly, empty-cluster
-    // hold bit-identically, and hier-routed ≡ flat at full coverage.
+    // Distributed full-corpus k-means refinement readout under a
+    // LITERAL exact-rational seed (the q196 fixture-oracle pattern):
+    // ONE spherical Lloyd pass — map-only native argmax assignment +
+    // one k×dim hash agg + normalize-or-hold — then the per-cluster
+    // profile against the refined table. With the seed literal, the
+    // whole pass is arithmetic both engines spell identically (ties
+    // toward the HIGHER centroid index, zero-norm rows dropped,
+    // empty/cancelled clusters hold their seed), so the refinement
+    // gets an end-to-end DuckDB oracle; centroid-component sums keep
+    // shuffle-order ulps (~1e-12) which ROUND 4 absorbs. The
+    // sample-seeded production fit stays pinned by KmeansRefineSpec
+    // (reference to 1e-9/component, assignment exact, hier ≡ flat).
     NamedQuery(
       "q124_kmeans_refine",
-      None,
-      (s, dir) =>
-        VectorOps.kmeansClusterProfile(embs(s, dir), "embedding",
-            k = 16, refineIters = 2)
-          .orderBy("cluster")),
+      Some(kmeansRefineOracleSql),
+      (s, dir) => {
+        val cents = VectorOps.kmeansRefine(embs(s, dir), "embedding",
+          KmeansFixture.map(_.clone()), iters = 1)
+        VectorOps.kmeansProfileFrom(embs(s, dir), "embedding", cents)
+          .orderBy("cluster")
+      }),
 
     // Incremental SemDeDup — the steady-state loop of an append-only
     // corpus: yesterday's docs (vec_id < 250) are the immutable kept
@@ -3259,13 +3349,17 @@ object DataOpsQueries {
     // head-to-head quality judgments between languages: adjacent docs
     // pair off, the higher q28 quality score wins, and the fit ranks
     // each lang by chance-adjusted strength — the reward-data curation
-    // readout. Rows-only: 20 MM iterations are a data-dependent float
-    // fixpoint (the q120/q124 ground); ClassifierSpec pins the
-    // distributed fit against an in-memory reference to 1e-9 plus
-    // dominance/normalization/direction-swap behavior.
+    // readout. Oracle-gated via the GENERATED unrolling
+    // (Classifier.bradleyTerryOracleSql — the pageRankOracleSql
+    // pattern): the engine's small-tournament path folds its sums in
+    // sorted order and the SQL replays each of the 20 MM iterations as
+    // an ordered list_reduce, so the strengths match bit-for-bit; the
+    // prefs CTE replays the q148-established quality-score arithmetic.
+    // ClassifierSpec keeps pinning the DISTRIBUTED loop (shuffle-order
+    // sums) against the local path to 1e-9.
     NamedQuery(
       "q154_bradley_terry",
-      None,
+      Some(Classifier.bradleyTerryOracleSql(bradleyTerryPrefsSql, iters = 20)),
       (s, dir) => {
         val d = docs(s, dir).select(col("doc_id"), col("lang"),
           TextAnalysis.qualityScoreCol(col("text")).as("q"))

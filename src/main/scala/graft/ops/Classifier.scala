@@ -570,8 +570,12 @@ object Classifier {
     if (nSym <= localMatchRows) {
       val symL = sym.collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // folds run in SORTED order (neighbors by j, the rescale total by
+      // item) — a documented, engine-independent summation order, so
+      // [[bradleyTerryOracleSql]]'s ordered list_reduce replays every
+      // double bit-for-bit instead of chasing map-iteration ulps
       val neighbors = symL.keys.toSeq.groupBy(_._1)
-        .map { case (i, ks) => i -> ks.map(_._2) }
+        .map { case (i, ks) => i -> ks.map(_._2).sorted }
       val itemsL = items.collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       val keys = itemsL.keys.toSeq.sorted
@@ -582,7 +586,7 @@ object Classifier {
             .map(j => symL((i, j)) / (pL(i) + pL(j))).sum
           i -> (if (denom == 0) 1.0 else itemsL(i) / denom)
         }.toMap
-        val t = unscaled.values.sum
+        val t = keys.map(unscaled).sum
         pL = unscaled.map { case (i, v) => i -> v * nItems / t }
       }
       val matchesL = symL.toSeq.groupBy(_._1._1)
@@ -654,6 +658,66 @@ object Classifier {
       p = unscaled.map { case (i, v) => i -> v * items.size / t }
     }
     p
+  }
+
+  /** The q154 oracle, generated for any iteration count so the engine
+    * loop and the SQL unrolling can never disagree on the MM update —
+    * the [[graft.ops.GraphOps.pageRankOracleSql]] pattern. `prefsCte`
+    * must yield `(winner, loser)` rows. Floating-point contract: the
+    * engine's small-tournament path folds its sums in SORTED order
+    * (neighbors by j, the rescale total by item), and every sum here
+    * is a `list_reduce` over a `list(... ORDER BY ...)` — a sequential
+    * left fold in the SAME order (DuckDB's fold seeds with the first
+    * element; Scala's seeds with 0.0, and 0.0 + x ≡ x for the positive
+    * terms involved) — so 20 iterations of rational updates replay
+    * bit-for-bit, not merely to ROUND-6 luck. Covers the local
+    * fast path (any real reward tournament: the match relation is
+    * item-pair-scale); the distributed loop's shuffle-order sums are
+    * pinned against the local path by ClassifierSpec instead.
+    */
+  def bradleyTerryOracleSql(prefsCte: String, iters: Int): String = {
+    require(iters >= 1, "iters must be >= 1")
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // each iteration references the previous strengths TWICE (pi, pj)
+    // — inlining would re-expand the chain 2^iters times (first
+    // symptom: file-handle exhaustion from the re-opened base scans)
+    val its = (1 to iters).map { k =>
+      val p = s"bt_p${k - 1}"
+      s"""bt_d$k AS MATERIALIZED (SELECT s.i AS item,
+         |    list_reduce(list(s.m / (pi.p + pj.p) ORDER BY s.j),
+         |                (a, b) -> a + b) AS denom
+         |  FROM bt_s s JOIN $p pi ON s.i = pi.item
+         |              JOIN $p pj ON s.j = pj.item
+         |  GROUP BY s.i),
+         |bt_u$k AS MATERIALIZED (SELECT d.item, w.wins / d.denom AS p0
+         |  FROM bt_d$k d JOIN bt_w w USING (item)),
+         |bt_t$k AS MATERIALIZED (SELECT list_reduce(list(p0 ORDER BY item),
+         |                (a, b) -> a + b) AS t FROM bt_u$k),
+         |bt_p$k AS MATERIALIZED (SELECT item,
+         |    p0 * (SELECT ni FROM bt_n) / (SELECT t FROM bt_t$k) AS p
+         |  FROM bt_u$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bt_pref AS MATERIALIZED ($prefsCte),
+       |bt_raw AS MATERIALIZED (SELECT winner w, loser l FROM bt_pref
+       |  WHERE winner IS NOT NULL AND loser IS NOT NULL AND winner <> loser),
+       |bt_s AS MATERIALIZED (SELECT i, j, CAST(count(*) AS DOUBLE) m FROM (
+       |    SELECT w AS i, l AS j FROM bt_raw
+       |    UNION ALL SELECT l AS i, w AS j FROM bt_raw) GROUP BY i, j),
+       |bt_w0 AS MATERIALIZED (SELECT w AS item, CAST(count(*) AS DOUBLE) wins
+       |  FROM bt_raw GROUP BY w),
+       |bt_items AS MATERIALIZED (SELECT DISTINCT i AS item FROM bt_s),
+       |bt_w AS MATERIALIZED (SELECT item, COALESCE(bt_w0.wins, 0.0e0) AS wins
+       |  FROM bt_items LEFT JOIN bt_w0 USING (item)),
+       |bt_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) ni FROM bt_items),
+       |bt_p0 AS MATERIALIZED (SELECT item, 1.0e0 AS p FROM bt_items),
+       |$its,
+       |bt_m AS MATERIALIZED (SELECT i AS item, CAST(sum(m) AS BIGINT) AS matches
+       |  FROM bt_s GROUP BY i)
+       |SELECT bt_w.item, CAST(bt_w.wins AS BIGINT) AS wins,
+       |  bt_m.matches,
+       |  ROUND(bt_p$iters.p, 6) AS strength
+       |FROM bt_w JOIN bt_p$iters USING (item) JOIN bt_m USING (item)
+       |ORDER BY bt_w.item""".stripMargin
   }
 
   /** In-memory reference with the same arithmetic, for the equivalence

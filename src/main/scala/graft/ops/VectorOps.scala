@@ -1339,6 +1339,20 @@ object VectorOps {
       coarseProbes: Int = 8): DataFrame = {
     val cents = kmeansCentroidsRefined(df, vecCol, k, iters, seed,
       sampleRows, refineIters, hierThreshold, coarseProbes)
+    kmeansProfileFrom(df, vecCol, cents, hierThreshold, coarseProbes)
+  }
+
+  /** The profile readout of [[kmeansClusterProfile]] for an ALREADY
+    * FITTED centroid table (one map-only assignment + one k-row agg) —
+    * shared by the fitted path above and by callers that refine from a
+    * literal fixture (q124's oracle-gated form).
+    */
+  def kmeansProfileFrom(
+      df: DataFrame,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): DataFrame = {
     if (cents.isEmpty)
       return df.select(lit(0).as("cluster"), lit(0L).as("n"),
         lit(0.0).as("mean_cos")).filter(lit(false))
