@@ -5766,6 +5766,90 @@ object DataOpsQueries {
           .orderBy("doc_id")
       })
 
-    Seq(phashQ, takedown)
+    // Streaming twin of the q211 publish gate, HASH-GATED end to end
+    // (the q212 pattern): the corpus arrives as micro-batches, each
+    // appending its own row-local violation counts
+    // (ExpectationsStream under the batch ledger); readReport re-sums
+    // and judges thresholds over the TOTALS — additive counts make
+    // stream-built ≡ batch-built, so the oracle is the plain batch
+    // aggregation. One tolerant NotNull passes on totals, the strict
+    // twin fails, the range/accepted checks catch real violations.
+    // Unique/ForeignKey stay batch-only (documented exclusion: global
+    // contracts can pair across micro-batches).
+    val exStream = NamedQuery(
+      "q215_stream_expectations",
+      Some("""WITH d AS (SELECT source, n_chars,
+             |       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END lang10,
+             |       lang
+             |     FROM documents),
+             |r AS (
+             |  SELECT 'not_null(lang10, 0.15)' c, 0.15e0 frac,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM d) n,
+             |    (SELECT CAST(sum(CASE WHEN lang10 IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) FROM d) v
+             |  UNION ALL SELECT 'not_null(lang10)', 0.0e0,
+             |    (SELECT count(*) FROM d),
+             |    (SELECT CAST(sum(CASE WHEN lang10 IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) FROM d)
+             |  UNION ALL SELECT 'in_range(n_chars, 1.0, 400.0)', 0.0e0,
+             |    (SELECT count(*) FROM d),
+             |    (SELECT CAST(sum(CASE WHEN n_chars IS NOT NULL
+             |       AND (n_chars < 1.0 OR n_chars > 400.0)
+             |       THEN 1 ELSE 0 END) AS BIGINT) FROM d)
+             |  UNION ALL SELECT 'accepted(source)', 0.0e0,
+             |    (SELECT count(*) FROM d),
+             |    (SELECT CAST(sum(CASE WHEN source IS NOT NULL
+             |       AND source NOT IN ('src0', 'src1', 'src2', 'src3')
+             |       THEN 1 ELSE 0 END) AS BIGINT) FROM d)
+             |  UNION ALL SELECT 'matches(lang)', 0.0e0,
+             |    (SELECT count(*) FROM d),
+             |    (SELECT CAST(sum(CASE WHEN lang IS NOT NULL
+             |       AND NOT regexp_full_match(lang, '[a-z]{2}')
+             |       THEN 1 ELSE 0 END) AS BIGINT) FROM d))
+             |SELECT c AS "check", CAST(n AS BIGINT) AS n_rows,
+             |  v AS n_violations, CAST(v AS DOUBLE) <= frac * n AS pass
+             |FROM r ORDER BY c""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        import Expectations._
+        val checks = Seq(
+          NotNull("lang10", 0.15),
+          NotNull("lang10"),
+          InRange("n_chars", 1.0, 400.0),
+          Accepted("source", Seq("src0", "src1", "src2", "src3")),
+          Matches("lang", "[a-z]{2}"))
+        val laced = docs(s, dir).select(col("source"), col("n_chars"),
+          when(pmod(col("doc_id"), lit(10)) === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang10"),
+          col("lang"))
+        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_stage", s"exstream_${Integer.toHexString(dir.hashCode)}")
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val (src, tbl, ckpt) = (s"$root/src", s"$root/tbl", s"$root/ckpt")
+        laced.repartition(4).write.parquet(src)
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("source", StringType),
+            StructField("n_chars", LongType),
+            StructField("lang10", StringType),
+            StructField("lang", StringType))))
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.ExpectationsStream
+          .monitorSink(stream, checks, tbl)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.ExpectationsStream.readReport(s, tbl, checks)
+          .orderBy("check")
+      })
+
+    Seq(phashQ, takedown, exStream)
   }
 }

@@ -73,12 +73,14 @@ object Expectations {
     * aggregation pass; violations count ROWS that break the contract
     * (for `Unique`, rows beyond the first of each duplicated key).
     */
-  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    require(checks.nonEmpty, "validate: empty checklist")
-    require(checks.map(_.name).distinct.length == checks.length,
-      s"validate: duplicate check names — ${checks.map(_.name).diff(checks.map(_.name).distinct).distinct.mkString(", ")}")
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The one-pass shared aggregation for every row-local check:
+    * `(total rows, (check name, violation count)*)`. Violation counts
+    * are ADDITIVE across row disjoint slices — the property the
+    * streaming monitor ([[graft.streaming.ExpectationsStream]]) leans
+    * on: per-micro-batch counts re-sum to the batch pass's exactly.
+    */
+  private def rowLocalCounts(
+      df: DataFrame, checks: Seq[Check]): (Long, Seq[(String, Long)]) = {
     val rowLocal = checks.collect {
       case c: NotNull => c.name ->
         sum(col(c.col).isNull.cast("long")).as(c.name)
@@ -97,8 +99,71 @@ object Expectations {
     }
     val aggCols = count(lit(1)).as("_ex_n") +: rowLocal.map(_._2)
     val one = df.agg(aggCols.head, aggCols.tail: _*).head()
-    val nRows = one.getAs[Long]("_ex_n")
-    val local = rowLocal.map { case (nm, _) => nm -> one.getAs[Long](nm) }
+    // an EMPTY slice leaves conditional sums NULL — they must read as
+    // 0 so appended micro-batch rows stay summable
+    (one.getAs[Long]("_ex_n"),
+      rowLocal.map { case (nm, _) =>
+        nm -> (if (one.isNullAt(one.fieldIndex(nm))) 0L
+               else one.getAs[Long](nm))
+      })
+  }
+
+  def isRowLocal(c: Check): Boolean = c match {
+    case _: Unique | _: ForeignKey => false
+    case _ => true
+  }
+
+  /** Row-local checks as the tidy ADDITIVE relation
+    * `(check, n_rows, n_violations)` — the per-micro-batch unit of the
+    * streaming monitor. `Unique`/`ForeignKey` are refused: they are
+    * global contracts (a duplicate can pair ACROSS micro-batches, a
+    * key missing now may arrive later) and stay batch-only by design.
+    */
+  def rowLocalReport(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "rowLocalReport: empty checklist")
+    val global = checks.filterNot(isRowLocal)
+    require(global.isEmpty,
+      s"rowLocalReport: global checks are batch-only — ${global.map(_.name).mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (nRows, local) = rowLocalCounts(df, checks)
+    val byName = local.toMap
+    checks.map(c => (c.name, nRows, byName(c.name)))
+      .toDF("check", "n_rows", "n_violations")
+  }
+
+  /** Re-sum an appended [[rowLocalReport]] dir (the streaming monitor's
+    * sink) into the [[validate]]-shaped report: totals per check, pass
+    * judged against the checklist's thresholds over the TOTALS — so
+    * stream-built ≡ batch-built row for row (counts are additive;
+    * ExpectationsSpec pins it). Checklist order preserved.
+    */
+  def readReport(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      checks: Seq[Check]): DataFrame = {
+    import spark.implicits._
+    val totals = spark.read.parquet(path)
+      .groupBy("check")
+      .agg(sum("n_rows").as("n_rows"), sum("n_violations").as("n_violations"))
+    val meta = checks.zipWithIndex.map { c =>
+      (c._1.name, c._2,
+        c._1 match { case n: NotNull => n.maxNullFrac; case _ => 0.0 })
+    }.toDF("check", "_ex_ord", "_ex_frac")
+    totals.join(meta, Seq("check"))
+      .withColumn("pass",
+        col("n_violations").cast("double") <= col("_ex_frac") * col("n_rows"))
+      .orderBy("_ex_ord")
+      .select("check", "n_rows", "n_violations", "pass")
+  }
+
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "validate: empty checklist")
+    require(checks.map(_.name).distinct.length == checks.length,
+      s"validate: duplicate check names — ${checks.map(_.name).diff(checks.map(_.name).distinct).distinct.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (nRows, local) = rowLocalCounts(df, checks)
     val heavy = checks.collect {
       case c: Unique =>
         val dups = df.groupBy(c.cols.map(col): _*)

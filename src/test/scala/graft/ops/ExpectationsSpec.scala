@@ -62,6 +62,50 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming monitor: appended micro-batch counts re-sum to the batch validate; redelivery no-ops; global checks refused") {
+    val checks = Seq(
+      NotNull("k", 0.5),
+      NotNull("k"),
+      InRange("q", 0.0, 100.0),
+      Matches("s", "ab.*"))
+    val df = Seq(
+      (Some(1L), Some(5.0), "abc"),
+      (None, Some(500.0), "abc"),
+      (Some(2L), Some(50.0), "xyz"),
+      (None, Some(7.0), "abz"))
+      .toDF("k", "q", "s")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exstream").toString + "/rep"
+    // three slices arriving as micro-batches (one empty — conditional
+    // sums over empty slices must append zeros, not NULLs)
+    val slices = Seq(
+      df.filter($"q" < 10.0), df.filter($"q" >= 10.0), df.limit(0))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      assert(graft.streaming.ExpectationsStream.appendBatch(
+        b, i.toLong, checks, path, streamId = "ex1"))
+    }
+    // redelivery of batch 1 is a ledgered no-op
+    assert(!graft.streaming.ExpectationsStream.appendBatch(
+      slices(1), 1L, checks, path, streamId = "ex1"))
+
+    val want = Expectations.validate(df, checks)
+      .collect().toSeq.map(_.toSeq)
+    val got = graft.streaming.ExpectationsStream
+      .readReport(spark, path, checks)
+      .collect().toSeq.map(_.toSeq)
+    assert(got === want)
+    // the tolerant NotNull passes on TOTALS (2/4 ≤ 0.5) even though
+    // batch 2 alone was 100% null — thresholds judge the re-sum,
+    // never a single slice
+    assert(got.find(_.head == "not_null(k, 0.5)").get(3) === true)
+    assert(got.find(_.head == "not_null(k)").get(3) === false)
+
+    val ex = intercept[IllegalArgumentException] {
+      Expectations.rowLocalReport(df, Seq(Unique(Seq("k"))))
+    }
+    assert(ex.getMessage.contains("batch-only"))
+  }
+
   test("corpus contracts: the generator's known dirty facts are caught, clean facts pass") {
     val li = graft.Tables.load(spark, graft.TestSpark.Sf001, "lineitem")
     val o = graft.Tables.load(spark, graft.TestSpark.Sf001, "orders")
