@@ -5850,6 +5850,45 @@ object DataOpsQueries {
           .orderBy("check")
       })
 
-    Seq(phashQ, takedown, exStream)
+    // The KLL sketch table's first downstream CONSUMER (q195 was its
+    // own readout): the per-source datasheet's distribution view —
+    // exact mass columns and sketch-estimated token-length quartiles
+    // from ONE hash-aggregation pass (counts, sums, and the KLL state
+    // share the exchange), replacing the exact histogram whose state
+    // is value-cardinality-bound on continuous domains. Oracle lever:
+    // gate-scale groups sit far under k = 4096, the sketch's exact
+    // regime, so the quartiles ARE the inclusive order statistics
+    // (q195's convention); past k the 2ε rank-error gate is pinned in
+    // SketchesSpec's kllDatasheet test.
+    val kllDs = NamedQuery(
+      "q216_kll_datasheet",
+      Some("""WITH d AS (SELECT source,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) n_tok
+             |      FROM documents),
+             |n AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+             |        CAST(sum(n_tok) AS BIGINT) total_n_tok
+             |      FROM d GROUP BY source),
+             |r AS (SELECT d.source, CAST(n_tok AS DOUBLE) x,
+             |        row_number() OVER (PARTITION BY d.source
+             |          ORDER BY n_tok) rk,
+             |        n.n_docs nn
+             |      FROM d JOIN n USING (source)),
+             |q AS (SELECT source,
+             |        min(CASE WHEN rk * 1.0 / nn >= 0.25 THEN x END) AS "q_0.25",
+             |        min(CASE WHEN rk * 1.0 / nn >= 0.5  THEN x END) AS "q_0.5",
+             |        min(CASE WHEN rk * 1.0 / nn >= 0.75 THEN x END) AS "q_0.75"
+             |      FROM r GROUP BY source)
+             |SELECT n.source, n.n_docs, n.total_n_tok,
+             |  q."q_0.25", q."q_0.5", q."q_0.75"
+             |FROM n JOIN q USING (source) ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        Sketches.kllDatasheet(d, Seq("source"), "n_tok",
+            Seq(0.25, 0.5, 0.75), k = 4096)
+          .orderBy("source")
+      })
+
+    Seq(phashQ, takedown, exStream, kllDs)
   }
 }

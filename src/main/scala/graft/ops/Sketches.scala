@@ -259,6 +259,34 @@ object Sketches {
       sketches.columns.filterNot(_ == sketchCol).map(col) ++ cols: _*)
   }
 
+  /** The continuous-domain DATASHEET consumer of the KLL path: per
+    * group, exact mass columns (`n_docs`, `total_<valueCol>`) plus
+    * sketch-estimated quantile columns — the q144-style release
+    * summary's distribution view without the exact histogram's
+    * value-cardinality bound (on a float domain an exact histogram
+    * keys one row per distinct value; the KLL state stays ~k
+    * regardless). ONE corpus pass: counts, sums, and the KLL state
+    * ride the same hash aggregation, so the datasheet costs exactly
+    * what the plain mass rollup cost. Exact-regime contract (n ≤ k per
+    * group) makes the quantiles the true order statistics — the q195
+    * oracle lever; past k the 2ε rank-error gate applies
+    * (SketchesSpec).
+    */
+  def kllDatasheet(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      k: Int = 200): DataFrame = {
+    require(groupCols.nonEmpty, "kllDatasheet needs >= 1 group column")
+    val sk = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(valueCol)).cast("long").as(s"total_$valueCol"),
+        graft.functions.GraftFunctions
+          .kllAgg(col(valueCol).cast("double"), k).as("sketch"))
+    kllGroupQuantiles(sk, qs)
+  }
+
   // ---------------------------------------------------------------
   // Theta sketch (the DataSketches theta family Spark 4 ships as
   // built-ins) — the SET-ALGEBRA member: where HLL answers only

@@ -279,6 +279,46 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(trueRank(all, global) - 0.5) <= 2 * eps + 1.0 / all.length)
   }
 
+  test("kllDatasheet: one-pass mass + quantile columns — exact regime equals brute force, estimation regime holds 2ε") {
+    val qs = Seq(0.25, 0.5, 0.75)
+    val groups = byGroup
+    // exact regime (k >> any group): quartiles ARE the inclusive order
+    // statistics and the mass columns the plain aggregates
+    val ds = Sketches.kllDatasheet(docs, Seq("source"), "n_chars", qs,
+        k = 4096)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          qs.indices.map(i => r.getDouble(3 + i)))))
+      .toMap
+    assert(ds.keySet === groups.keySet)
+    for ((src, (n, tot, quart)) <- ds) {
+      val vals = groups(src)
+      assert(n === vals.length.toLong)
+      assert(tot === vals.map(_.toLong).sum)
+      val sorted = vals.sorted
+      qs.zip(quart).foreach { case (q, v) =>
+        val want = sorted.find(x =>
+          sorted.count(_ <= x).toDouble / sorted.length >= q).get
+        assert(v === want, s"datasheet source=$src q=$q")
+      }
+    }
+    // estimation regime (k = 200 over the collapsed corpus — n >> k):
+    // the same consumer holds the 2ε rank-error contract
+    val k = 200
+    val eps = org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(k, false)
+    val all = groups.values.flatten.toSeq
+    val row = Sketches.kllDatasheet(
+        docs.withColumn("one", lit("all")), Seq("one"), "n_chars", qs, k)
+      .head()
+    assert(row.getLong(1) === all.length.toLong)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val r = trueRank(all, row.getDouble(3 + i))
+      assert(math.abs(r - q) <= 2 * eps + 1.0 / all.length,
+        s"datasheet estimation q=$q trueRank=$r")
+    }
+  }
+
   test("kll: exact regime (n < k) — estimates are EXACT order statistics; rank readout inverse-consistent; null/empty edges") {
     // every group far below k: the sketch retains all values
     val k = 4096
