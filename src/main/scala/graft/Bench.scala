@@ -42,6 +42,10 @@ object Bench {
       // q212 is a real micro-batch run (stage + stream + re-sum) —
       // streaming section; its scrub chain is q197's batch machinery.
       "q212_stream_pii",
+      // q215 is a real micro-batch run (stage + stream + re-sum) —
+      // streaming section; its check compiler is q211's batch
+      // machinery.
+      "q215_stream_expectations",
       "q24_embed_neardup")
     // Decomposition knob (never set by the driver): restrict the
     // headline set to a comma-separated name list, so suite-composition
@@ -148,7 +152,8 @@ object Bench {
     val streamingNames = Seq("q32_stream_hourly", "q41_stream_dedup",
       "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
       "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup",
-      "q173_stream_sketches", "q191_stream_scd2", "q212_stream_pii")
+      "q173_stream_sketches", "q191_stream_scd2", "q212_stream_pii",
+      "q215_stream_expectations")
       .filter(n => only.forall(_.contains(n)))
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {

@@ -5889,6 +5889,57 @@ object DataOpsQueries {
           .orderBy("source")
       })
 
-    Seq(phashQ, takedown, exStream, kllDs)
+    // Hamming pair mining at SOLVER-CHOSEN geometry (round-13 Next
+    // #6): 256-bit codes (four sign-variant widenings of the
+    // embeddings — wide enough that hammingParamsFor's feasible region
+    // opens up), radius 15, with nBands picked by the solver (16
+    // bands, s = 0: plain band rows, collision term n/2^16) instead of
+    // q141's dim-64 fixed 8 — the measured 4.9×-cheaper plan at 64×
+    // (SCALE.md hamming_solver). Ground truth is planted: every 50th
+    // vector gets a twin with the first three dims sign-flipped (≤ 12
+    // of 256 bits), natural pairs sit near 128 bits apart. The oracle
+    // is the brute-force all-pairs relation over the SAME widened bit
+    // rule — the banded solver plan must reproduce it exactly.
+    val solverPairs = NamedQuery(
+      "q217_hamming_solver_pairs",
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+             |tw AS (SELECT vec_id + 10000000 AS vec_id,
+             |        list_transform(embedding,
+             |          (x, i) -> CASE WHEN i <= 3 THEN -x ELSE x END) embedding
+             |       FROM base WHERE vec_id % 50 = 0),
+             |e AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+             |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+             |        CAST(256 - list_sum(list_transform(range(256), i ->
+             |          CASE WHEN
+             |            (CASE WHEN ((i%64)*3 + (i//64)*7) % 2 = 0
+             |              THEN a.embedding[(i%64)+1] > 0
+             |              ELSE a.embedding[(i%64)+1] < 0 END)
+             |            = (CASE WHEN ((i%64)*3 + (i//64)*7) % 2 = 0
+             |              THEN b.embedding[(i%64)+1] > 0
+             |              ELSE b.embedding[(i%64)+1] < 0 END)
+             |          THEN 1 ELSE 0 END)) AS BIGINT) hamming
+             |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 15
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val base = embs(s, dir).select(col("vec_id"), col("embedding"))
+        val twins = base.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(i < 3, -x).otherwise(x)).as("embedding"))
+        val corpus = base.unionAll(twins)
+        val widened = corpus.select(col("vec_id"),
+          concat((0 until 4).map { c =>
+            transform(col("embedding"), (x, i) =>
+              when(pmod(i * 3 + lit(c * 7), lit(2)) === 0, x).otherwise(-x))
+          }: _*).as("embedding"))
+        val n = corpus.count()
+        val p = VectorOps.hammingParamsFor(n, dim = 256, radius = 15)
+        VectorOps.hammingRadiusPairs(widened, "vec_id", "embedding",
+            radius = 15, nBands = p.nBands)
+          .orderBy("id_a", "id_b")
+      })
+
+    Seq(phashQ, takedown, exStream, kllDs, solverPairs)
   }
 }

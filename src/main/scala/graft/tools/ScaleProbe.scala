@@ -425,7 +425,21 @@ object ScaleProbe {
         // and ForeignKey an anti-join (at kx the replicas' offset
         // l_orderkeys all miss the symlinked 1× orders — more misses,
         // same join shape, honest worst case).
-        "q209_cusum_monitor", "q210_seasonal_mase", "q211_expectations")
+        "q209_cusum_monitor", "q210_seasonal_mase", "q211_expectations",
+        // q213: one map-only 64-expression projection (the stub grid)
+        // + q140's broadcast XOR+POPCNT scan — the binary-kNN band.
+        "q213_phash_knn",
+        // q214: the q132 manifest chain (its own band) + a
+        // takedown-sized broadcast and a map-only pos shift — the
+        // patch itself never exchanges the manifest.
+        "q214_manifest_takedown",
+        // q216: counts, sums, and the KLL state share ONE map-side-
+        // combined hash agg — scan-shaped, state ~k per group.
+        "q216_kll_datasheet",
+        // q217: q141's banded self-join at SOLVER geometry — 16 plain
+        // band rows/vector (s=0) and an n/2^16 collision term, the
+        // measured 4.9×-cheaper 64× plan vs the dim-64 band.
+        "q217_hamming_solver_pairs")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
