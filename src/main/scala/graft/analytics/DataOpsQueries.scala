@@ -5730,9 +5730,18 @@ object DataOpsQueries {
              |SELECT q_id, n_id, hamming, CAST("rank" AS BIGINT) AS "rank"
              |FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""".stripMargin),
       (s, dir) => {
+        // materialize the stub codes ONCE before the join: fused into
+        // the kNN stage, the 64-element array expression makes the
+        // generated method so large the JVM refuses to JIT it (no
+        // Janino overflow — just interpreted bytecode), measured 27.7 s
+        // vs 1.9 s at the 64× probe. One eager cut of (id, 64 doubles)
+        // restores the scan-flat q140 shape. The REAL phash path
+        // (imageDHash) is mapPartitions-produced data, not a giant
+        // expression — this is stub-only.
         val codes = docs(s, dir).select(col("doc_id"),
           Phash.stubDHashDiff(col("doc_id"), length(col("text")))
             .as("phash_diff"))
+          .localCheckpoint(true)
         VectorOps.hammingKnnJoin(codes.filter(col("doc_id") < 8), codes,
             "doc_id", "phash_diff", k = 10)
           .orderBy("q_id", "rank")

@@ -1496,7 +1496,12 @@ object VectorOps {
 
   /** The pre-native greatest-over-structs assignment — kept ONLY as the
     * reference semantics for the parity gate (NativeExpressionsSpec);
-    * never on a production path.
+    * never on a production path. Known limit, accepted for a reference:
+    * generated code is LINEAR in nCentroids, so somewhere around ~200
+    * centroids Janino hits its 64 KB method cap and Spark silently
+    * falls back to interpreted struct comparisons (the parity suite's
+    * 200-centroid case logs exactly that) — the native expression has
+    * no such cliff, which is half the reason it exists.
     */
   private[ops] def assignClustersComposable(
       df: DataFrame,
