@@ -138,6 +138,42 @@ class PhashSpec extends AnyFunSuite {
     assert(probe() === Set((1L, 3L), (2L, 3L)))
   }
 
+  test("streaming image ingestion: stream-built phash index probes ≡ batch build; redelivery no-ops; rejects dropped") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-phash-stream").toString
+    val (idxS, idxB) = (s"$root/s", s"$root/b")
+    val all = Seq(
+      (1L, basePng), (2L, baseJpg), (3L, encode(big, "png")),
+      (4L, encode(other, "png")), (5L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    // geometry fixed up front over an empty frame, dim explicit
+    val empty = all.limit(0)
+    val (ec, _) = Phash.imageDHash(empty, "doc_id", "payload")
+    HammingIndex.hammingWriteIndex(ec.toDF(), "id", "phash_diff", idxS,
+      nBands = 8, nBuckets = 8, dim = 64)
+    // two micro-batches + a redelivery of the first
+    assert(graft.streaming.PhashStream.appendBatch(
+      all.filter($"doc_id" <= 2), 0L, "doc_id", "payload", idxS, "ph1"))
+    assert(!graft.streaming.PhashStream.appendBatch(
+      all.filter($"doc_id" <= 2), 0L, "doc_id", "payload", idxS, "ph1"))
+    assert(graft.streaming.PhashStream.appendBatch(
+      all.filter($"doc_id" > 2), 1L, "doc_id", "payload", idxS, "ph1"))
+    // batch twin over the same decodable images
+    val (codes, _) = Phash.imageDHash(all, "doc_id", "payload")
+    HammingIndex.hammingWriteIndex(codes.toDF(), "id", "phash_diff", idxB,
+      nBands = 8, nBuckets = 8, dim = 64)
+    def probe(p: String): Set[(Long, Long)] =
+      HammingIndex.hammingProbeIndex(spark, codes.toDF(), "id",
+          "phash_diff", p, radius = 10)
+        .filter(col("q_id") < col("n_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(idxS) === probe(idxB))
+    assert(probe(idxS) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the undecodable payload never entered the index
+    assert(spark.read.parquet(s"$idxS/bands")
+      .filter(col("id") === 5L).count() === 0L)
+  }
+
   test("stub twin: Spark stubDHashDiff sign pack ≡ the replayed integer formula (the q213 oracle contract)") {
     def expected(id: Long, len: Long): Long = {
       def g(j: Int): Long = {
