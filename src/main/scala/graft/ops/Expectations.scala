@@ -121,6 +121,11 @@ object Expectations {
     */
   def rowLocalReport(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "rowLocalReport: empty checklist")
+    // same guard as validate(): two same-named checks would append two
+    // rows per micro-batch under one name and readReport's re-sum
+    // would silently double that check's totals
+    require(checks.map(_.name).distinct.length == checks.length,
+      s"rowLocalReport: duplicate check names — ${checks.map(_.name).diff(checks.map(_.name).distinct).distinct.mkString(", ")}")
     val global = checks.filterNot(isRowLocal)
     require(global.isEmpty,
       s"rowLocalReport: global checks are batch-only — ${global.map(_.name).mkString(", ")}")
@@ -150,7 +155,14 @@ object Expectations {
       (c._1.name, c._2,
         c._1 match { case n: NotNull => n.maxNullFrac; case _ => 0.0 })
     }.toDF("check", "_ex_ord", "_ex_frac")
-    totals.join(meta, Seq("check"))
+    // LEFT from the checklist: a check no appended batch has covered
+    // yet (e.g. the list was extended after the monitor started) must
+    // surface as an explicit zero-observation row, not silently vanish
+    // — n_rows = 0 is the "never observed" signal (vacuously passing)
+    meta.join(totals, Seq("check"), "left")
+      .select(col("check"), col("_ex_ord"), col("_ex_frac"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
       .withColumn("pass",
         col("n_violations").cast("double") <= col("_ex_frac") * col("n_rows"))
       .orderBy("_ex_ord")

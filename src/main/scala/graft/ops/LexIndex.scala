@@ -110,6 +110,14 @@ object LexIndex {
       maxFilesPerDir: Int = 8,
       targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
     import org.apache.hadoop.fs.Path
+    // compacting stats/ would fold a generation-keyed graft-neg row
+    // into an anonymous part file, erasing the name probes use to
+    // exclude the current generation's published row while its
+    // tombstones still exist — run the purge to completion first
+    // (maintenance passes are serialized by contract anyway)
+    require(!Tombstones.exists(spark, path),
+      s"bm25CompactIndex: tombstones pending on $path — run " +
+        "bm25PurgeIndex to completion before compacting")
     val postings = new Path(s"$path/postings")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tbDirs = fs.listStatus(postings)
@@ -125,21 +133,58 @@ object LexIndex {
     * append itself — so the delete is atomic by construction: there is
     * no second artifact to fall out of sync with, a crash mid-append
     * leaves a legal subset of the ids deleted, and a retry (or a
-    * redelivered streaming batch) merely appends duplicate ids, which
+    * redelivered streaming batch) merely appends duplicate rows, which
     * every tombstone reader deduplicates.
     *
-    * The corpus-wide N/avgdl a probe scores against are derived AT
-    * PROBE TIME as Σ(stats rows) minus the (count, Σdl) of tombstoned
-    * ids still present in `doclen/` — `dl` values are integer-valued
-    * doubles (token counts), so the subtraction is exact and scores
-    * are bit-identical to a rebuild without the ids. The decrement
-    * materializes into a physical negative `stats/` row only at
-    * [[bm25PurgeIndex]] time, idempotently (an earlier design wrote
-    * the negative row here, at delete time — two non-atomic writes
-    * whose crash window could double-decrement N/avgdl on retry).
+    * BM25's tombstone rows CARRY the document length: `(idCol, dl)`
+    * captured from `doclen/` at delete time. That makes the probe's
+    * N/avgdl decrement a function of the tombstone set ALONE — exact
+    * (`dl` are integer-valued doubles) and, crucially, independent of
+    * whether a purge has already physically dropped the doclen rows,
+    * so probes stay bit-identical to a rebuild-without-the-ids through
+    * EVERY purge-crash interleaving (an earlier design derived the
+    * decrement from tombstones ⋈ doclen, which went silently stale in
+    * the window between a purge's rewrite and its negative-row
+    * publish; the design before that wrote the negative row at delete
+    * time — two non-atomic writes that could double-decrement on
+    * retry). Ids not present in `doclen/` (never indexed, or already
+    * purged) contribute no tombstone row — there is nothing to exclude
+    * or account.
+    *
+    * One refusal: while a crashed purge sits in its published-but-not-
+    * cleared window (visible `graft-neg-<key>` row for the CURRENT
+    * tombstone generation), new deletes would change the generation
+    * under the published row and make its coverage unattributable —
+    * re-run [[bm25PurgeIndex]] (cheap: skips to the clear) first.
     */
-  def bm25DeleteIds(ids: DataFrame, idCol: String, path: String): Unit =
-    Tombstones.add(ids, idCol, path)
+  def bm25DeleteIds(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    if (Tombstones.exists(spark, path)) {
+      import org.apache.hadoop.fs.Path
+      val statsDir = new Path(s"$path/stats")
+      val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val key = tombstoneBatchKey(fs, path)
+      require(!fs.exists(new Path(statsDir, s"graft-neg-$key.parquet")),
+        s"bm25DeleteIds: a purge of the current tombstone generation " +
+          s"published its stats row but did not clear — re-run " +
+          s"bm25PurgeIndex(spark, \"$path\") before new deletes")
+    }
+    ids.select(col(idCol)).distinct()
+      .join(spark.read.parquet(s"$path/doclen"), Seq(idCol))
+      .select(col(idCol), col("dl"))
+      .write.mode("append").parquet(Tombstones.dir(path))
+  }
+
+  /** The deduplicated `(id, dl)` tombstone rows, or None when no
+    * delete has landed. `dl` per id is stable (doclen rows are
+    * immutable between build/append and purge), so distinct rows ≡
+    * distinct ids.
+    */
+  private def tombstoneRows(
+      spark: SparkSession, path: String, idCol: String): Option[DataFrame] =
+    if (!Tombstones.exists(spark, path)) None
+    else Some(spark.read.parquet(s"${Tombstones.dir(path)}/part-*")
+      .select(col(idCol), col("dl")).distinct())
 
   /** One hex key per tombstone-set STATE (the sorted data-file names):
     * retries of a crashed purge see the same files, hence the same key
@@ -191,26 +236,28 @@ object LexIndex {
     * clear the tombstone set — quiesced-window maintenance through the
     * shared [[Compaction.rewriteDirs]] publish protocol; only the
     * `tb=` buckets that actually hold a tombstoned doc's terms (plus
-    * `doclen/`) are rewritten. Because the probe derives the live
-    * N/avgdl decrement from tombstones ⋈ doclen, the purge must leave
-    * that decrement behind as a physical NEGATIVE `stats/` row before
-    * the tombstones clear — staged from the PRE-rewrite doclen under a
-    * key derived from the tombstone-set state and published by one
-    * atomic rename, so every crash-retry interleaving lands exactly
-    * one row:
+    * `doclen/`) are rewritten. The probe's live N/avgdl decrement is a
+    * function of the tombstone rows alone (they carry `dl`), so the
+    * purge's job is to swap that live term for a physical NEGATIVE
+    * `stats/` row in a way no crash can double- or under-count:
     *
-    *   1. stage `(−n, −Σdl)` of tombstoned ids still in doclen into a
-    *      dot-hidden dir `stats/.neg_stage_<key>` (skipped when the
-    *      stage or the published row already exists — a retry);
+    *   1. stage `(−n, −Σdl)` over the DEDUPLICATED tombstone rows into
+    *      a dot-hidden dir `stats/.neg_stage_<key>` — the value is
+    *      reproducible at any time (tombstones are frozen until the
+    *      clear), so retries recompute or reuse it identically; stage
+    *      dirs from an older generation (a crash + newer deletes) are
+    *      simply deleted, their never-published value superseded;
     *   2. rewrite the affected dirs (idempotent);
     *   3. rename the staged part file to `stats/graft-neg-<key>.parquet`
-    *      (atomic; skipped if already published);
-    *   4. clear the tombstones.
+    *      (atomic; skipped if already published). While tombstones
+    *      still exist, probes EXCLUDE this generation's published row
+    *      — so the publish→clear window double-counts nothing;
+    *   4. clear the tombstones (the published row takes over).
     *
-    * A stage dir from a DIFFERENT key means a purge crashed and new
-    * deletes landed before it was re-run — its pre-rewrite decrement
-    * can no longer be attributed incrementally, so the purge refuses
-    * and points at [[bm25RebuildStats]] (the total repair).
+    * The one corner that needs cooperation: new deletes inside the
+    * publish→clear window would change the generation under the
+    * published row, so [[bm25DeleteIds]] refuses them until the purge
+    * is re-run (which skips straight to the clear).
     */
   def bm25PurgeIndex(
       spark: SparkSession,
@@ -224,13 +271,10 @@ object LexIndex {
     val key = tombstoneBatchKey(fs, path)
     val visible = new Path(statsDir, s"graft-neg-$key.parquet")
     val stage = new Path(statsDir, s".neg_stage_$key")
-    val foreign = fs.listStatus(statsDir).map(_.getPath.getName)
-      .filter(n => n.startsWith(".neg_stage_") && n != s".neg_stage_$key")
-    if (foreign.nonEmpty) throw new IllegalStateException(
-      s"bm25PurgeIndex: stale purge stage(s) ${foreign.mkString(", ")} — " +
-        "a purge crashed and newer deletes landed before it was re-run; " +
-        s"run bm25RebuildStats(spark, \"$path\") in the maintenance " +
-        "window, delete the stale stage dirs, then retry")
+    fs.listStatus(statsDir).map(_.getPath)
+      .filter(p => p.getName.startsWith(".neg_stage_") &&
+        p.getName != s".neg_stage_$key")
+      .foreach(p => fs.delete(p, true)) // superseded, never published
     Tombstones.purge(spark, path, idCol,
       candidateDirs = Seq.empty,
       affectedOf = (tombs, _) => {
@@ -243,16 +287,14 @@ object LexIndex {
           new Path(s"$path/doclen")
       },
       targetBytes = targetBytes, opName = "bm25PurgeIndex",
-      beforeRewrite = tombs => {
+      beforeRewrite = _ => {
         val stageValid = fs.exists(new Path(stage, "_SUCCESS")) &&
           fs.exists(stage) && fs.listStatus(stage).exists(
             _.getPath.getName.startsWith("part-"))
         if (!fs.exists(visible) && !stageValid) {
-          // rewrites under THIS key only start after a valid stage
-          // exists, so an invalid/absent stage means doclen is still
-          // pre-rewrite — the value below is exact
-          spark.read.parquet(s"$path/doclen")
-            .join(tombs, Seq(idCol), "left_semi")
+          // from the tombstone rows' carried dl — NOT doclen, whose
+          // rows a crashed earlier attempt may already have dropped
+          tombstoneRows(spark, path, idCol).get
             .agg((lit(0L) - count(lit(1))).as("n"),
               (lit(0.0) - coalesce(sum(col("dl")), lit(0.0))).as("sum_dl"))
             .coalesce(1)
@@ -300,27 +342,40 @@ object LexIndex {
       .withColumn("tb", termBucket(col("w"), buckets))
     val probeBuckets = termsDf.select("tb").distinct()
       .collect().map(_.getInt(0)).toSeq
-    // N/avgdl: Σ(stats rows) minus the live tombstone decrement
-    // (tombstoned ids still present in doclen — after a purge their
-    // doclen rows are gone and the physical negative row has replaced
-    // this term). dl values are integer-valued doubles, so both paths
-    // are exact and bit-identical to a rebuild without the ids. The
-    // extra narrow doclen pass runs only while a delete is pending.
-    val statsBase = spark.read.parquet(s"$path/stats")
-      .agg(sum("n").as("n_l"), sum("sum_dl").as("sum_dl"))
+    // N/avgdl: Σ(stats rows) minus the live tombstone decrement (the
+    // tombstone rows carry dl, so the decrement is takedown-sized and
+    // independent of purge progress). While tombstones exist, the
+    // CURRENT generation's published negative row — the purge's
+    // publish→clear crash window — is EXCLUDED from Σ(stats), so the
+    // live term and the physical row can never both count. dl values
+    // are integer-valued doubles: every path is exact, bit-identical
+    // to a rebuild without the ids.
     val lens = spark.read.parquet(s"$path/doclen")
-    val stats0 = Tombstones.ids(spark, path, idCol) match {
+    val stats0 = tombstoneRows(spark, path, idCol) match {
       case Some(t) =>
-        val del = lens.join(t, Seq(idCol), "left_semi")
-          .agg(count(lit(1)).as("d_n"),
-            coalesce(sum(col("dl")), lit(0.0)).as("d_dl"))
+        import org.apache.hadoop.fs.Path
+        val statsDir = new Path(s"$path/stats")
+        val fs = statsDir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val gen = tombstoneBatchKey(fs, path)
+        val files = fs.listStatus(statsDir).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith(".") && !p.getName.startsWith("_") &&
+            p.getName != s"graft-neg-$gen.parquet")
+          .map(_.toString)
+        val statsBase = spark.read.parquet(files.toIndexedSeq: _*)
+          .agg(sum("n").as("n_l"), sum("sum_dl").as("sum_dl"))
+        val del = t.agg(count(lit(1)).as("d_n"),
+          coalesce(sum(col("dl")), lit(0.0)).as("d_dl"))
         statsBase.crossJoin(del) // 1 × 1 rows
           .select((col("n_l") - col("d_n")).cast("double").as("n_docs"),
             ((col("sum_dl") - col("d_dl"))
               / (col("n_l") - col("d_n")).cast("double")).as("avgdl"))
       case None =>
-        statsBase.select(col("n_l").cast("double").as("n_docs"),
-          (col("sum_dl") / col("n_l").cast("double")).as("avgdl"))
+        spark.read.parquet(s"$path/stats")
+          .agg(sum("n").as("n_l"), sum("sum_dl").as("sum_dl"))
+          .select(col("n_l").cast("double").as("n_docs"),
+            (col("sum_dl") / col("n_l").cast("double")).as("avgdl"))
     }
     // tombstone anti-join AFTER the bucket/term prune (slice-sized,
     // skipped when no delete ever landed); df and the doclen attach

@@ -147,14 +147,21 @@ object ManifestV2 {
       .join(tombIds, Seq(idCol), "left_semi")
       .groupBy(col("shard"))
       .agg(sort_array(collect_list(col("pos"))).as("_mt_dpos"))
+    // the shift accumulates in LONG regardless of the manifest's pos
+    // type, then casts back — a pos-typed accumulator would make the
+    // ArrayAggregate's merge lambda (long-coerced) fail analysis on
+    // e.g. an IntegerType pos, the very "any manifest" case this API
+    // documents
+    val posType = manifest.schema("pos").dataType
     val shifted = manifest
       .join(broadcast(tombIds), Seq(idCol), "left_anti")
       .join(broadcast(delByShard), Seq("shard"), "left")
       .withColumn("pos",
         when(col("_mt_dpos").isNull, col("pos"))
-          .otherwise(col("pos") - aggregate(col("_mt_dpos"),
-            lit(0L).cast(manifest.schema("pos").dataType),
-            (acc, x) => acc + when(x < col("pos"), lit(1L)).otherwise(lit(0L)))))
+          .otherwise((col("pos").cast("long") - aggregate(col("_mt_dpos"),
+            lit(0L),
+            (acc, x) => acc + when(x < col("pos"), lit(1L)).otherwise(lit(0L))))
+            .cast(posType)))
     shifted.select(manifest.columns.map(col).toIndexedSeq: _*)
   }
 

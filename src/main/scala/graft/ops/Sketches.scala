@@ -279,9 +279,13 @@ object Sketches {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
       k: Int = 200): DataFrame = {
     require(groupCols.nonEmpty, "kllDatasheet needs >= 1 group column")
+    // no cast on the total: Spark's sum already yields long for
+    // integral inputs, and forcing long would silently truncate the
+    // "exact mass" promise on the float domains this datasheet exists
+    // for
     val sk = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        sum(col(valueCol)).cast("long").as(s"total_$valueCol"),
+        sum(col(valueCol)).as(s"total_$valueCol"),
         graft.functions.GraftFunctions
           .kllAgg(col(valueCol).cast("double"), k).as("sketch"))
     kllGroupQuantiles(sk, qs)

@@ -7,8 +7,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 /** Streaming expectations monitor ([[graft.ops.Expectations]]): each
   * micro-batch of newly-ingested rows appends its own row-local
   * violation counts (`(check, n_rows, n_violations)` — every column
-  * additive) behind the shared per-stream batch ledger, so
-  * at-least-once redelivery never double-counts. Readers re-sum via
+  * additive) through the staged-rename exactly-once publish
+  * ([[VectorIndexStream.ledgeredSingleFile]]), so neither
+  * at-least-once redelivery nor a crash between the parquet write and
+  * the ledger marker can double-count. Readers re-sum via
   * [[graft.ops.Expectations.readReport]], which judges pass/fail over
   * the TOTALS — stream-built ≡ batch-built `validate` row for row by
   * construction (ExpectationsSpec pins it). The publish gate's live
@@ -31,9 +33,8 @@ object ExpectationsStream {
       checks: Seq[Expectations.Check],
       path: String,
       streamId: String = ""): Boolean =
-    VectorIndexStream.ledgered(batch, batchId, path, streamId) {
+    VectorIndexStream.ledgeredSingleFile(batch, batchId, path, streamId) {
       Expectations.rowLocalReport(batch, checks)
-        .write.mode("append").parquet(path)
     }
 
   /** The stream writer: attach a checkpoint + trigger and `.start()`. */

@@ -7,8 +7,9 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 /** Streaming PII-incidence monitor ([[graft.ops.Pii]]): each
   * micro-batch of newly-ingested documents appends its own per-group
   * incidence ROWS ([[Pii.report]] — every column an additive count)
-  * behind the shared per-stream batch ledger, so at-least-once
-  * redelivery never double-counts. Readers re-sum via
+  * through the staged-rename exactly-once publish
+  * ([[VectorIndexStream.ledgeredSingleFile]]), so neither at-least-once
+  * redelivery nor a crash between write and marker can double-count. Readers re-sum via
   * [[Pii.readReport]]; stream-built ≡ batch-built count for count
   * (PiiSpec pins it). The compliance dashboard's live feed — how much
   * PII is arriving per source, without rescanning the corpus.
@@ -25,9 +26,8 @@ object PiiStream {
       textCol: String,
       path: String,
       streamId: String = ""): Boolean =
-    VectorIndexStream.ledgered(batch, batchId, path, streamId) {
+    VectorIndexStream.ledgeredSingleFile(batch, batchId, path, streamId) {
       Pii.report(batch, groupCol, textCol)
-        .write.mode("append").parquet(path)
     }
 
   /** The stream writer: attach a checkpoint + trigger and `.start()`. */

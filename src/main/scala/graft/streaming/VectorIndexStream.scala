@@ -87,8 +87,14 @@ object VectorIndexStream {
         autoCompact, maxFilesPerCluster)
     }
 
-  /** The at-least-once guard both sinks share: run `append` only when
-    * `streamId`/`batchId` has no ledger marker yet, then mark.
+  /** The at-least-once guard the INDEX sinks share: run `append` only
+    * when `streamId`/`batchId` has no ledger marker yet, then mark.
+    * The marker lands after the (multi-file, partitioned) append, so a
+    * crash between the two re-appends on retry — acceptable for the
+    * index layouts because duplicate rows there are id-keyed and
+    * bounded to the one crashed batch; ADDITIVE-COUNT report sinks
+    * must use [[ledgeredSingleFile]] instead, where the same window
+    * would skew re-summed totals forever.
     */
   private[streaming] def ledgered(
       batch: DataFrame, batchId: Long, path: String, streamId: String)(
@@ -106,6 +112,47 @@ object VectorIndexStream {
       fs.create(marker, true).close()
       true
     }
+  }
+
+  /** Exactly-once publish for ADDITIVE-COUNT report sinks (PII and
+    * expectations monitors): the batch's rows are staged into a
+    * dot-hidden dir, published by ONE atomic rename to a batch-keyed
+    * file name, then marked. Every crash interleaving lands the rows
+    * at most once — a retry either sees the marker (no-op), or sees
+    * the published file (skips the write, re-marks), or re-stages from
+    * scratch. Count rows, unlike id-keyed index rows, cannot be
+    * deduplicated on read, so the plain [[ledgered]]'s append→marker
+    * window would double-count totals permanently. Report relations
+    * are group/check-scale — the single file per batch IS the right
+    * layout.
+    */
+  private[streaming] def ledgeredSingleFile(
+      batch: DataFrame, batchId: Long, path: String, streamId: String)(
+      rows: => DataFrame): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val sid = if (streamId.isEmpty) "b" else streamId
+    val marker = new Path(path, s"_graft_batches/$sid/$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    val visible = new Path(path, s"graft-batch-$sid-$batchId.parquet")
+    if (!fs.exists(visible)) {
+      val stage = new Path(path, s".stage-$sid-$batchId")
+      rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(throw new java.io.IOException(
+          s"ledgeredSingleFile: no staged part file in $stage"))
+      fs.mkdirs(visible.getParent)
+      if (!fs.rename(part, visible))
+        throw new java.io.IOException(
+          s"ledgeredSingleFile: cannot publish $part -> $visible")
+      fs.delete(stage, true)
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    true
   }
 
   /** The stream writer: attach a checkpoint + trigger and `.start()`.

@@ -104,6 +104,19 @@ class ExpectationsSpec extends AnyFunSuite {
       Expectations.rowLocalReport(df, Seq(Unique(Seq("k"))))
     }
     assert(ex.getMessage.contains("batch-only"))
+    // a check added to the list AFTER batches landed surfaces as an
+    // explicit zero-observation row, never silently vanishing
+    val extended = checks :+ Accepted("s", Seq("abc"))
+    val ext = graft.streaming.ExpectationsStream
+      .readReport(spark, path, extended)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(ext("accepted(s)") === ((0L, 0L, true)))
+    // duplicate names refused on the streaming compiler too
+    val dup = intercept[IllegalArgumentException] {
+      Expectations.rowLocalReport(df, Seq(NotNull("k"), NotNull("k")))
+    }
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("corpus contracts: the generator's known dirty facts are caught, clean facts pass") {

@@ -151,26 +151,15 @@ class TombstoneSpec extends AnyFunSuite {
     assert(statTotals(idxA) === statTotals(idxB))
   }
 
-  test("BM25: purge refuses a stale crashed-purge stage; bm25RebuildStats is the total repair") {
+  test("BM25 purge crash windows: stale stages superseded; mid-rewrite scores exact; publish→clear window excludes the row, refuses new deletes") {
     val root = tmp("lexcrash")
     val idx = s"$root/a"
     LexIndex.bm25WriteIndex(docs, "doc_id", "text", idx, buckets = 8)
     val delDocs = docs.filter($"doc_id" % 5 === 1)
     LexIndex.bm25DeleteIds(delDocs, "doc_id", idx)
-    // simulate a purge that crashed under an OLDER tombstone set (its
-    // staged decrement can no longer be attributed incrementally)
     import org.apache.hadoop.fs.Path
     val fs = new Path(idx).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(s"$idx/stats/.neg_stage_deadbeefdeadbeef"))
-    val ex = intercept[IllegalStateException] {
-      LexIndex.bm25PurgeIndex(spark, idx, "doc_id")
-    }
-    assert(ex.getMessage.contains("bm25RebuildStats"))
-    // the documented recovery: total stats rebuild from doclen, drop
-    // the stale stage, retry — scores equal a rebuild without the ids
-    LexIndex.bm25RebuildStats(spark, idx)
-    fs.delete(new Path(s"$idx/stats/.neg_stage_deadbeefdeadbeef"), true)
     val idxB = s"$root/b"
     LexIndex.bm25WriteIndex(docs.filter($"doc_id" % 5 =!= 1),
       "doc_id", "text", idxB, buckets = 8)
@@ -179,9 +168,67 @@ class TombstoneSpec extends AnyFunSuite {
           Seq("vector", "join", "scan"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val want = scores(idxB)
-    assert(scores(idx) === want)          // pre-purge: derived decrement
+
+    // a never-published stage from an older crashed generation is
+    // simply superseded (its value is reproducible from the tombstone
+    // rows), not a refusal
+    fs.mkdirs(new Path(s"$idx/stats/.neg_stage_deadbeefdeadbeef"))
+
+    // snapshot the tombstone files so crashed states can be
+    // reconstructed with IDENTICAL file names (→ identical generation
+    // key) after a clean purge
+    val tombSnapshot = s"$root/tombsnap"
+    fs.mkdirs(new Path(tombSnapshot))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(Tombstones.dir(idx)), fs, new Path(tombSnapshot),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(scores(idx) === want) // pre-purge: live decrement
     LexIndex.bm25PurgeIndex(spark, idx, "doc_id")
-    assert(scores(idx) === want)          // post-purge: physical row
+    assert(!fs.exists(new Path(s"$idx/stats/.neg_stage_deadbeefdeadbeef")))
+    assert(scores(idx) === want) // post-purge: physical row
+    val negFile = fs.listStatus(new Path(s"$idx/stats"))
+      .map(_.getPath).find(_.getName.startsWith("graft-neg-")).get
+
+    // crash window "published but not cleared": restore the tombstone
+    // files next to the published graft-neg row. Probes must exclude
+    // that row while its generation's tombstones exist — the carried
+    // dl decrement and the physical row never both count — and new
+    // deletes are refused until the purge is re-run.
+    def restoreTombs(): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new Path(s"$tombSnapshot/_graft_tombstones"), fs,
+        new Path(Tombstones.dir(idx)),
+        false, spark.sparkContext.hadoopConfiguration)
+    restoreTombs()
+    assert(Tombstones.exists(spark, idx))
+    assert(scores(idx) === want)
+    val ex = intercept[IllegalArgumentException] {
+      LexIndex.bm25DeleteIds(docs.filter($"doc_id" % 5 === 2)
+        .select("doc_id"), "doc_id", idx)
+    }
+    assert(ex.getMessage.contains("re-run"))
+
+    // crash window "mid-rewrite": doclen rows already dropped,
+    // NOTHING published, tombstones live — drop the neg row from the
+    // published state above to construct it. The decrement rides the
+    // tombstone rows' carried dl, so probes stay exact even though
+    // the tombstoned doclen rows no longer exist.
+    assert(fs.delete(negFile, false))
+    assert(scores(idx) === want)
+
+    // retrying the purge from THIS state re-stages the identical value
+    // from the tombstone rows, publishes, clears; scores stay put
+    LexIndex.bm25PurgeIndex(spark, idx, "doc_id")
+    assert(!Tombstones.exists(spark, idx))
+    assert(scores(idx) === want)
+    // compaction refuses while tombstones pend (it would fold the
+    // generation-keyed row); runs clean after the purge finished
+    LexIndex.bm25DeleteIds(docs.filter($"doc_id" % 5 === 2)
+      .select("doc_id"), "doc_id", idx)
+    val cex = intercept[IllegalArgumentException] {
+      LexIndex.bm25CompactIndex(spark, idx)
+    }
+    assert(cex.getMessage.contains("tombstones pending"))
   }
 
   test("Hamming: delete → probe ≡ rebuild without the ids; deleted ids still usable as queries; purge physical") {
