@@ -203,17 +203,30 @@ object LexIndex {
   }
 
   /** Total stats repair: rebuild `stats/` as one row aggregated from
-    * the CURRENT `doclen/` (tombstones NOT subtracted — probes derive
-    * the live decrement themselves). The documented recovery for the
-    * one corner the incremental protocol refuses: a purge crashed
-    * mid-rewrite AND new deletes landed before it was re-run, so the
-    * crashed generation's pre-rewrite decrement can no longer be
-    * attributed. Runs in the quiesced maintenance window; staged
-    * write-then-swap so a crash never leaves `stats/` empty (re-run
-    * completes the swap).
+    * the CURRENT `doclen/`. REFUSED while tombstones pend: the very
+    * state that suggests a repair (a crashed purge) is one where the
+    * crashed rewrite may already have dropped some tombstoned doclen
+    * rows — a rebuild from that doclen would exclude them while probes
+    * still subtract the full tombstone-carried decrement (and a later
+    * purge publishes the same negative row again), leaving N/avgdl
+    * permanently under-counted for the already-rewritten subset. The
+    * recovery order is therefore: run [[bm25PurgeIndex]] TO COMPLETION
+    * first — it is idempotent across mid-rewrite crashes, deletes
+    * superseded stage generations, and derives its negative row from
+    * the tombstone rows' carried `dl` (never from doclen), so it is a
+    * total repair by itself; rebuild after the clear if a physically
+    * fresh single-row `stats/` is wanted. Runs in the quiesced
+    * maintenance window; staged write-then-swap so a crash never
+    * leaves `stats/` empty (re-run completes the swap).
     */
   def bm25RebuildStats(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    require(!Tombstones.exists(spark, path),
+      s"bm25RebuildStats: tombstones pending on $path — a crashed purge " +
+        "may already have dropped tombstoned doclen rows, so a rebuild " +
+        "from the current doclen would double-count their decrement; run " +
+        "bm25PurgeIndex to completion first (idempotent; handles " +
+        "mid-rewrite crashes and superseded generations), then rebuild")
     val statsDir = new Path(s"$path/stats")
     val stage = new Path(s"$path/.stats_rebuild")
     val fs = statsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -137,12 +137,25 @@ object ManifestV2 {
     * no sort, no shuffle of the manifest). A manifest stored
     * partitioned by shard prunes the rewrite to the affected
     * directories, the [[Tombstones]] purge discipline.
+    *
+    * MASS deletes (a licensing-driven bulk removal, say 5% of a
+    * corpus) would blow that broadcast, so past `maxBroadcastDeletes`
+    * distinct deleted ids the call dispatches to
+    * [[applyTombstonesMerge]] — the sort-merge plan whose cost is one
+    * manifest exchange instead of a per-row array scan
+    * (ManifestV2Spec pins the two paths row-identical). The dispatch
+    * count is one scan of the (by-assumption small) tombstone
+    * relation; callers that KNOW the delete set is huge should call
+    * the merge path directly and skip the count.
     */
   def applyTombstones(
       manifest: DataFrame,
       tombstones: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String,
+      maxBroadcastDeletes: Long = 4000000L): DataFrame = {
     val tombIds = tombstones.select(col(idCol)).distinct()
+    if (tombIds.count() > maxBroadcastDeletes)
+      return applyTombstonesMerge(manifest, tombstones, idCol)
     val delByShard = manifest
       .join(tombIds, Seq(idCol), "left_semi")
       .groupBy(col("shard"))
@@ -162,6 +175,36 @@ object ManifestV2 {
             lit(0L),
             (acc, x) => acc + when(x < col("pos"), lit(1L)).otherwise(lit(0L))))
             .cast(posType)))
+    shifted.select(manifest.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** [[applyTombstones]]' sort-merge twin for MASS delete sets — no
+    * broadcast anywhere: the deleted flag arrives by a plain id join,
+    * and the per-shard renumber is one running count over
+    * (shard, pos) — `pos` −= deletions at lower positions in the same
+    * shard, exactly the window the q214 oracle replays. Cost is one
+    * manifest exchange + per-shard sort, the right trade once the
+    * deleted-position arrays stop being broadcastable; the broadcast
+    * path stays the default for takedown-sized sets because it never
+    * shuffles the manifest at all. Same contract, row-identical
+    * output (ManifestV2Spec pins it).
+    */
+  def applyTombstonesMerge(
+      manifest: DataFrame,
+      tombstones: DataFrame,
+      idCol: String): DataFrame = {
+    val posType = manifest.schema("pos").dataType
+    val tombIds = tombstones.select(col(idCol)).distinct()
+      .withColumn("_mt_del", lit(1))
+    val byShardPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("pos")
+    val shifted = manifest
+      .join(tombIds, Seq(idCol), "left")
+      .withColumn("_mt_cd",
+        sum(coalesce(col("_mt_del"), lit(0))).over(byShardPos))
+      .filter(col("_mt_del").isNull)
+      .withColumn("pos",
+        (col("pos").cast("long") - col("_mt_cd")).cast(posType))
     shifted.select(manifest.columns.map(col).toIndexedSeq: _*)
   }
 

@@ -171,9 +171,20 @@ object Phash {
     } catch { case _: Exception => Left("corrupt_image") }
   }
 
+  /** One decoded-or-rejected row — the single-pass product both
+    * relations of [[imageDHash]] project from.
+    */
+  final case class PhashTagged(
+      id: Long,
+      n_bytes: Long,
+      phash_diff: Option[Array[Double]],
+      reason: Option[String])
+
   final case class PhashCode(id: Long, phash_diff: Array[Double])
   final case class PhashReject(id: Long, n_bytes: Long, reason: String)
 
+  private implicit val taggedEnc: org.apache.spark.sql.Encoder[PhashTagged] =
+    org.apache.spark.sql.Encoders.product[PhashTagged]
   private implicit val codeEnc: org.apache.spark.sql.Encoder[PhashCode] =
     org.apache.spark.sql.Encoders.product[PhashCode]
   private implicit val rejEnc: org.apache.spark.sql.Encoder[PhashReject] =
@@ -183,30 +194,48 @@ object Phash {
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.BINARY)
 
+  /** ONE status-tagged decode pass over a binary payload column — the
+    * 100 TB primitive: each payload is decoded exactly once, producing
+    * either a dHash difference vector or a typed reject reason.
+    * Callers that need BOTH the codes and the rejects persist or
+    * checkpoint THIS relation and project twice; [[imageDHash]] does
+    * the split for them.
+    */
+  def imageDHashTagged(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String): Dataset[PhashTagged] =
+    media.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val n = if (p == null) 0L else p.length.toLong
+          decodeDHashDiff(p) match {
+            case Right(d) => PhashTagged(id, n, Some(d), None)
+            case Left(r) => PhashTagged(id, n, None, Some(r))
+          }
+        }
+      }
+
   /** Partition-batched image dHash over a binary payload column:
     * `(id, phash_diff array<double>)` for decodable images, typed
-    * rejects otherwise — map-only on both relations (the two-pass
-    * split keeps the contracts independently typed; at 100 TB fuse
-    * into one status-tagged pass when decode dominates the scan, the
-    * [[Multimodal.extractFeaturesStrict]] note).
+    * rejects otherwise. Both relations project from the SAME
+    * status-tagged pass ([[imageDHashTagged]]), so consuming one
+    * relation costs one decode of the corpus; a caller consuming BOTH
+    * should persist the tagged relation first — lazy evaluation
+    * re-runs the decode otherwise (PhashSpec pins the tagged
+    * projections against the relations' contracts).
     */
   def imageDHash(
       media: DataFrame,
       idCol: String,
       payloadCol: String): (Dataset[PhashCode], Dataset[PhashReject]) = {
-    val rows = media.select(col(idCol).cast("long").as("id"),
-      col(payloadCol).as("payload"))
-    val feats = rows.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.flatMap { case (id, p) =>
-        decodeDHashDiff(p).toOption.map(PhashCode(id, _))
-      }
-    }
-    val rejects = rows.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.flatMap { case (id, p) =>
-        val n = if (p == null) 0L else p.length.toLong
-        decodeDHashDiff(p).left.toOption.map(PhashReject(id, n, _))
-      }
-    }
+    val tagged = imageDHashTagged(media, idCol, payloadCol)
+    val feats = tagged.filter(_.phash_diff.isDefined)
+      .map(t => PhashCode(t.id, t.phash_diff.get))
+    val rejects = tagged.filter(_.reason.isDefined)
+      .map(t => PhashReject(t.id, t.n_bytes, t.reason.get))
     (feats, rejects)
   }
 
@@ -244,13 +273,18 @@ object Phash {
       radius: Int = 6,
       nBands: Int = 8,
       maxIters: Int = 20): DataFrame = {
-    val (codes, _) = imageDHash(media, idCol, payloadCol)
-    val edges = VectorOps.hammingRadiusPairs(codes.toDF(), "id",
+    // the codes relation fans out to the edge mining AND the final
+    // assignment join — cut it eagerly so the corpus is decoded ONCE
+    // (the q213/q214 pattern; without it lazy eval re-decodes per
+    // consumer, the one cost that dominates at 100 TB)
+    val codes = imageDHash(media, idCol, payloadCol)._1.toDF()
+      .localCheckpoint(true)
+    val edges = VectorOps.hammingRadiusPairs(codes, "id",
       "phash_diff", radius = radius, nBands = nBands)
     val comps = GraphOps.connectedComponents(edges,
       srcCol = "id_a", dstCol = "id_b", maxIterations = maxIters)
     // isolated images (no near-dup edge) keep themselves
-    codes.toDF().select(col("id"))
+    codes.select(col("id"))
       .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("keep_id"))
   }

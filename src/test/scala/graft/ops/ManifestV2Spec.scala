@@ -219,6 +219,29 @@ class ManifestV2Spec extends AnyFunSuite {
       === man.orderBy("doc_id").collect().toSeq)
   }
 
+  test("mass-delete path: applyTombstonesMerge ≡ the broadcast plan row-for-row; the size guard dispatches to it") {
+    import spark.implicits._
+    val man = ManifestV2.oracleChain(docs).localCheckpoint(true)
+    // a BULK removal — every third doc — where the sort-merge plan is
+    // the right trade; both paths must agree exactly
+    val tombs = man.filter(col("doc_id") % 3 === 1).select("doc_id")
+    val broadcastPath = ManifestV2.applyTombstones(man, tombs, "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val mergePath = ManifestV2.applyTombstonesMerge(man, tombs, "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(mergePath === broadcastPath)
+    // maxBroadcastDeletes = 0 forces the dispatch — same rows again
+    val dispatched = ManifestV2.applyTombstones(man, tombs, "doc_id",
+        maxBroadcastDeletes = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(dispatched === broadcastPath)
+    // merge path no-op contract matches too
+    val noop = ManifestV2.applyTombstonesMerge(man,
+      Seq(999999999L).toDF("doc_id"), "doc_id")
+    assert(noop.orderBy("doc_id").collect().toSeq
+      === man.orderBy("doc_id").collect().toSeq)
+  }
+
   test("binTombstoneReport: affected bins only, with exact doc/token shrink") {
     import spark.implicits._
     val packed = Seq(

@@ -174,6 +174,25 @@ class PhashSpec extends AnyFunSuite {
       .filter(col("id") === 5L).count() === 0L)
   }
 
+  test("single-pass tagged decode: every row lands in exactly one relation; imageDHash projections match it") {
+    val media = Seq(
+      (1L, basePng), (2L, baseJpg), (3L, "junk".getBytes("UTF-8")),
+      (4L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val tagged = Phash.imageDHashTagged(media, "doc_id", "payload").collect()
+    assert(tagged.length === 4)
+    assert(tagged.forall(t => t.phash_diff.isDefined != t.reason.isDefined))
+    val (codes, rejects) = Phash.imageDHash(media, "doc_id", "payload")
+    assert(codes.collect().map(_.id).sorted.toSeq === Seq(1L, 2L))
+    assert(rejects.collect().map(r => (r.id, r.reason)).sortBy(_._1).toSeq
+      === Seq((3L, "unsupported_format"), (4L, "empty_payload")))
+    // the tagged projections carry the same diff vectors as the codes
+    val fromTagged = tagged.filter(_.phash_diff.isDefined)
+      .map(t => t.id -> t.phash_diff.get.toSeq).toMap
+    codes.collect().foreach(c =>
+      assert(fromTagged(c.id) === c.phash_diff.toSeq))
+  }
+
   test("stub twin: Spark stubDHashDiff sign pack ≡ the replayed integer formula (the q213 oracle contract)") {
     def expected(id: Long, len: Long): Long = {
       def g(j: Int): Long = {

@@ -231,6 +231,71 @@ class TombstoneSpec extends AnyFunSuite {
     assert(cex.getMessage.contains("tombstones pending"))
   }
 
+  test("bm25RebuildStats refuses while tombstones pend — even after a crashed rewrite dropped tombstoned doclen rows — and rebuilds exactly after the purge completes") {
+    val root = tmp("lexrebuild")
+    val idx = s"$root/a"
+    LexIndex.bm25WriteIndex(docs, "doc_id", "text", idx, buckets = 8)
+    val delDocs = docs.filter($"doc_id" % 5 === 1)
+    LexIndex.bm25DeleteIds(delDocs, "doc_id", idx)
+    def scores(path: String): Map[Long, Double] =
+      LexIndex.bm25ProbeIndex(spark, path, "doc_id",
+          Seq("vector", "join", "scan"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idxB = s"$root/b"
+    LexIndex.bm25WriteIndex(docs.filter($"doc_id" % 5 =!= 1),
+      "doc_id", "text", idxB, buckets = 8)
+    val want = scores(idxB)
+
+    // plain pending-tombstone state: rebuild must refuse
+    val ex1 = intercept[IllegalArgumentException] {
+      LexIndex.bm25RebuildStats(spark, idx)
+    }
+    assert(ex1.getMessage.contains("bm25PurgeIndex"))
+
+    // the ADVICE hazard state: a crashed purge already dropped SOME
+    // tombstoned doclen rows (simulate the partial rewrite by hand),
+    // tombstones still pending. A rebuild from this doclen would
+    // exclude the dropped docs from the totals while probes still
+    // subtract the full tombstone-carried decrement — refuse here too.
+    val doclen = s"$idx/doclen"
+    val oneDeleted = delDocs.select($"doc_id").orderBy($"doc_id")
+      .head().getLong(0)
+    val remaining = spark.read.parquet(doclen)
+      .filter($"doc_id" =!= oneDeleted)
+      .collect()
+    val stageDir = s"$root/doclen_rewrite"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(remaining.toIndexedSeq),
+        spark.read.parquet(doclen).schema)
+      .coalesce(1).write.mode("overwrite").parquet(stageDir)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(doclen), true))
+    assert(fs.rename(new Path(stageDir), new Path(doclen)))
+    val ex2 = intercept[IllegalArgumentException] {
+      LexIndex.bm25RebuildStats(spark, idx)
+    }
+    assert(ex2.getMessage.contains("bm25PurgeIndex"))
+    // probes stay exact through the crash state (the carried-dl design)
+    assert(scores(idx) === want)
+
+    // the documented recovery: purge TO COMPLETION (idempotent across
+    // the partial rewrite), then rebuild — stats/ becomes one fresh
+    // row and probes still match the rebuilt-without-ids index
+    LexIndex.bm25PurgeIndex(spark, idx, "doc_id")
+    assert(!Tombstones.exists(spark, idx))
+    assert(scores(idx) === want)
+    LexIndex.bm25RebuildStats(spark, idx)
+    assert(scores(idx) === want)
+    // the rebuilt stats row equals the surviving doclen totals exactly
+    val st = spark.read.parquet(s"$idx/stats")
+      .agg(sum("n"), sum("sum_dl")).head()
+    val dl = spark.read.parquet(doclen)
+      .agg(count(lit(1)), sum("dl")).head()
+    assert(st.getLong(0) === dl.getLong(0))
+    assert(st.getDouble(1) === dl.getDouble(1))
+  }
+
   test("Hamming: delete → probe ≡ rebuild without the ids; deleted ids still usable as queries; purge physical") {
     val root = tmp("ham")
     val (idxA, idxB) = (s"$root/a", s"$root/b")
