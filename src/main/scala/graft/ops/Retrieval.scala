@@ -218,13 +218,21 @@ object Retrieval {
             s"(> maxShortlist=$maxShortlist) — cap the shortlist upstream")
       val vecs = cands.map(_._4.toArray)
       val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+      // candidate–candidate similarities are ROUNDED to roundTo before
+      // they enter the penalty — the argmax then compares the same
+      // "nice" doubles on every platform AND in the generated DuckDB
+      // oracle's replay (mmrOracleSql), so FP argmax ties are pinned
+      // rather than lucky; BigDecimal HALF_UP is exactly Spark's
+      // round() on doubles (the shortlist rel is already rounded by
+      // bruteKnnJoin's round-before-rank contract)
       def cos(i: Int, j: Int): Double =
         if (norms(i) == 0 || norms(j) == 0) 0.0
         else {
           var s = 0.0; var t = 0
           val a = vecs(i); val b = vecs(j)
           while (t < math.min(a.length, b.length)) { s += a(t) * b(t); t += 1 }
-          s / (norms(i) * norms(j))
+          java.math.BigDecimal.valueOf(s / (norms(i) * norms(j)))
+            .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
         }
       val n = cands.length
       val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
@@ -255,7 +263,106 @@ object Retrieval {
       }
       selected.iterator.map { case (d, r, s) => (q, d, r.toLong, s) }
     }
+    // NO final rounding: the score is already a bit-exact pure function
+    // of the ROUNDED rel and sim inputs (identical doubles in any IEEE
+    // engine), while rounding it again would land on the half-boundary
+    // grid the inputs' 10^-roundTo steps create — exactly where Spark's
+    // shortest-decimal HALF_UP and DuckDB's binary-value ROUND disagree
+    // (caught live by the q155 gate on first conversion)
     picked.toDF(queryIdCol, docIdCol, "rank", "mmr")
-      .withColumn("mmr", round(col("mmr"), roundTo))
+  }
+
+  /** Generated DuckDB oracle for [[mmrRerank]] over the embeddings
+    * table — the q154/pageRank unrolling pattern applied to the greedy
+    * Carbonell–Goldstein chain: the selection is a FIXED-DEPTH argmax
+    * chain (k picks), so each pick is one window CTE and each state
+    * update one join CTE, materialized so DuckDB never re-expands the
+    * chain. Cross-engine exactness leans on three pins:
+    *   - the shortlist relation replays [[VectorOps.bruteKnnJoin]]'s
+    *     round-before-rank contract (the q114 oracle, verbatim);
+    *   - candidate–candidate similarities are ROUNDED to `roundTo`
+    *     INSIDE the engine's greedy loop ([[mmrRerank]]'s documented
+    *     contract), so both engines compare identical doubles at every
+    *     argmax — FP ties are pinned, not lucky;
+    *   - λ and (1 − λ) are interpolated as shortest-round-trip Scala
+    *     doubles, which DuckDB parses back to the identical bits (the
+    *     Stats.PoissonCdf convention).
+    *
+    * `queriesPred` is a SQL boolean over the query alias `q` (e.g.
+    * `"q.vec_id < 16"`) selecting the query batch; the corpus is the
+    * whole embeddings table (the engine side must select the same
+    * sets).
+    */
+  def mmrOracleSql(
+      queriesPred: String,
+      shortlistK: Int,
+      k: Int,
+      lambda: Double,
+      roundTo: Int = 6): String = {
+    require(k >= 1 && shortlistK >= 1, "mmrOracleSql: k and shortlistK >= 1")
+    val lam = lambda.toString
+    val oneMinusLam = (1 - lambda).toString
+    // picks 2..k: score the remaining set under the current penalty,
+    // take the argmax, fold the new pick into every survivor's maxSim
+    val its = (2 to k).map { i =>
+      val prevR = s"mmr_r${i - 1}"
+      s"""mmr_s$i AS MATERIALIZED (SELECT q, d, rel, ms,
+         |    ${lam}e0 * rel - ${oneMinusLam}e0 * ms AS score
+         |  FROM $prevR),
+         |mmr_p$i AS MATERIALIZED (SELECT q, d, rel, score FROM (
+         |    SELECT q, d, rel, score, row_number() OVER (PARTITION BY q
+         |      ORDER BY score DESC, rel DESC, d) rn FROM mmr_s$i)
+         |  WHERE rn = 1),
+         |mmr_r$i AS MATERIALIZED (SELECT r.q, r.d, r.rel,
+         |    greatest(r.ms, COALESCE(s.cs, 0.0e0)) AS ms
+         |  FROM $prevR r
+         |  JOIN mmr_p$i p ON r.q = p.q AND r.d <> p.d
+         |  LEFT JOIN mmr_sim s ON s.q = r.q AND s.d1 = r.d AND s.d2 = p.d)"""
+        .stripMargin
+    }.mkString(",\n")
+    // the output score is deliberately UNROUNDED on both sides — see
+    // mmrRerank's closing note (it is a pure function of rounded
+    // inputs; re-rounding lands on cross-engine half-boundaries)
+    val picks = (1 to k).map { i =>
+      s"SELECT q AS q_id, d AS n_id, CAST($i AS BIGINT) AS \"rank\", " +
+        s"score AS mmr FROM mmr_p$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH mmr_e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |  FROM embeddings),
+       |mmr_n AS MATERIALIZED (SELECT vec_id, v,
+       |    sqrt(list_dot_product(v, v)) nrm
+       |  FROM mmr_e WHERE list_dot_product(v, v) > 0),
+       |mmr_sc AS MATERIALIZED (SELECT q.vec_id q, c.vec_id d,
+       |    ROUND(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), $roundTo) rel
+       |  FROM mmr_n c, mmr_n q
+       |  WHERE ($queriesPred) AND c.vec_id <> q.vec_id),
+       |mmr_base AS MATERIALIZED (SELECT q, d, rel FROM (
+       |    SELECT q, d, rel, row_number() OVER (PARTITION BY q
+       |      ORDER BY rel DESC, d) rk FROM mmr_sc)
+       |  WHERE rk <= $shortlistK),
+       |mmr_sim AS MATERIALIZED (SELECT b1.q, b1.d d1, b2.d d2,
+       |    ROUND(CASE WHEN n1.nrm = 0 OR n2.nrm = 0 THEN 0.0e0
+       |      ELSE list_dot_product(n1.v, n2.v) / (n1.nrm * n2.nrm) END,
+       |      $roundTo) cs
+       |  FROM mmr_base b1
+       |  JOIN mmr_base b2 ON b1.q = b2.q AND b1.d <> b2.d
+       |  JOIN mmr_n n1 ON n1.vec_id = b1.d
+       |  JOIN mmr_n n2 ON n2.vec_id = b2.d),
+       |mmr_s1 AS MATERIALIZED (SELECT q, d, rel,
+       |    ${lam}e0 * rel - ${oneMinusLam}e0 * 0.0e0 AS score
+       |  FROM mmr_base),
+       |mmr_p1 AS MATERIALIZED (SELECT q, d, rel, score FROM (
+       |    SELECT q, d, rel, score, row_number() OVER (PARTITION BY q
+       |      ORDER BY score DESC, rel DESC, d) rn FROM mmr_s1)
+       |  WHERE rn = 1),
+       |mmr_r1 AS MATERIALIZED (SELECT b.q, b.d, b.rel,
+       |    greatest(0.0e0, COALESCE(s.cs, 0.0e0)) AS ms
+       |  FROM mmr_base b
+       |  JOIN mmr_p1 p ON b.q = p.q AND b.d <> p.d
+       |  LEFT JOIN mmr_sim s ON s.q = b.q AND s.d1 = b.d AND s.d2 = p.d),
+       |$its
+       |SELECT * FROM ($picks)
+       |ORDER BY q_id, "rank"""".stripMargin
   }
 }

@@ -280,9 +280,16 @@ object VectorOps {
     * middle ground between float and [[binaryQuantize]]'s sign bits
     * (the standard embedding-store tiering: int8 serves the bulk
     * shortlist, float the final rerank). Each vector gets one scale
-    * `absmax/127` and codes `round(x/scale)` clamped to [−127, 127];
+    * `absmax/127` and codes `⌊x/scale + 0.5⌋` in [−127, 127];
     * reconstruction error is ≤ scale/2 per component. A zero vector
     * quantizes to scale 0 with all-zero codes (no NaN path).
+    *
+    * The rounding is floor(x + 0.5) — round-half-toward-+∞ — rather
+    * than HALF_UP: identical everywhere except exact NEGATIVE
+    * half-integer boundaries (where the tie goes up instead of away
+    * from zero), and ⌊·⌋ is an exact IEEE operation every engine
+    * computes identically, which is what makes the whole code relation
+    * cross-engine replayable (the q156 oracle's ground).
     *
     * One map-only codegen'd HOF pass — no UDFs, no shuffle. Output:
     * `(id, scale, codes array<tinyint>)`.
@@ -295,7 +302,7 @@ object VectorOps {
       .select(col(idCol), col("scale"),
         transform(col("_qi_v"), x =>
           when(col("scale") === 0.0d, lit(0))
-            .otherwise(round(x / col("scale")))
+            .otherwise(floor(x / col("scale") + lit(0.5d)))
             .cast("int").cast("byte")).as("codes"))
   }
 
@@ -724,9 +731,11 @@ object VectorOps {
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector
-    * scale = max(|x|)/127, elements round to [-127, 127]. 4× less
-    * storage/shuffle than float32 — at 100 TB of embeddings that is the
-    * difference between a broadcastable index and not. Emits
+    * scale = max(|x|)/127, elements quantize to ⌊x/scale + 0.5⌋ in
+    * [-127, 127] (the [[quantizeInt8(df*)*]] rounding contract —
+    * floor-plus-half, cross-engine exact). 4× less storage/shuffle
+    * than float32 — at 100 TB of embeddings that is the difference
+    * between a broadcastable index and not. Emits
     * (scale: double, q: array<int>) columns; `dequantize` inverts.
     * Reconstruction error ≤ scale/2 per element; cosine drift is
     * bounded in the suite against exact.
@@ -737,7 +746,8 @@ object VectorOps {
     struct(
       scale.as("scale"),
       transform(dv, x =>
-        when(scale === 0, lit(0)).otherwise(round(x / scale, 0)).cast("int")).as("q"))
+        when(scale === 0, lit(0))
+          .otherwise(floor(x / scale + lit(0.5))).cast("int")).as("q"))
   }
 
   def dequantize(quantized: Column): Column =
