@@ -27,6 +27,7 @@ object GraftFunctions {
   val PqCodesName = "graft_pq_codes"
   val PqAdcName = "graft_pq_adc"
   val BpeEncodeName = "graft_bpe_encode"
+  val UnigramEncodeName = "graft_unigram_encode"
   val RollingHashesName = "graft_rolling_hashes"
   val WinnowName = "graft_winnow"
   val NormalizeName = "graft_normalize"
@@ -50,6 +51,20 @@ object GraftFunctions {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$fn: $argName must be an integer literal, got $other")
+    }
+  }
+
+  /** Extract a required double-literal argument (same diagnosis
+    * rationale as [[literalInt]]).
+    */
+  private[graft] def literalDouble(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, argName: String): Double = {
+    require(e.foldable, s"$fn: $argName must be a double literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $argName must be a double literal, got $other")
     }
   }
 
@@ -275,6 +290,14 @@ object GraftFunctions {
       require(lefts.length == rights.length,
         s"$BpeEncodeName: ${lefts.length} left vs ${rights.length} right symbols")
       BpeEncode(exprs.head, lefts, rights)
+    }),
+    (UnigramEncodeName, 4, exprs => {
+      val pieces = literalStringArray(exprs(1), UnigramEncodeName, "pieces")
+      val scores = literalDoubleArray(exprs(2), UnigramEncodeName, "scores")
+      val unk = literalDouble(exprs(3), UnigramEncodeName, "unkScore")
+      require(pieces.length == scores.length,
+        s"$UnigramEncodeName: ${pieces.length} pieces vs ${scores.length} scores")
+      UnigramEncode(exprs.head, pieces, scores, unk)
     }))
 
   def register(spark: SparkSession): Unit = {
@@ -332,6 +355,19 @@ object GraftFunctions {
     call_function(BpeEncodeName, words,
       org.apache.spark.sql.functions.lit(lefts),
       org.apache.spark.sql.functions.lit(rights))
+
+  /** Native unigram-LM Viterbi encode of a token array under a fixed
+    * (piece, score) vocabulary (requires `register(spark)`).
+    */
+  def unigramEncode(
+      words: Column,
+      pieces: Array[String],
+      scores: Array[Double],
+      unkScore: Double): Column =
+    call_function(UnigramEncodeName, words,
+      org.apache.spark.sql.functions.lit(pieces),
+      org.apache.spark.sql.functions.lit(scores),
+      org.apache.spark.sql.functions.lit(unkScore))
 
   /** Native nearest-centroid assignment against a fixed centroid table
     * (requires `register(spark)` — done by [[graft.Sessions.local]]).

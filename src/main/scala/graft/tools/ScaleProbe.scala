@@ -439,7 +439,19 @@ object ScaleProbe {
         // q217: q141's banded self-join at SOLVER geometry — 16 plain
         // band rows/vector (s=0) and an n/2^16 collision term, the
         // measured 4.9×-cheaper 64× plan vs the dim-64 band.
-        "q217_hamming_solver_pairs")
+        "q217_hamming_solver_pairs",
+        // q218: q213's band verbatim — one eager-cut map-only
+        // 64-expression stub projection + the broadcast XOR+POPCNT
+        // binary-kNN scan (q219 is a real micro-batch stream, not
+        // probed — the q215 convention; its append/probe machinery is
+        // q146's band).
+        "q218_audio_fp_knn",
+        // q220: substring seeding is one corpus-histogram explode +
+        // hash agg (vocabulary-bound), each EM round one map-only
+        // native Viterbi pass + one exact-count agg over the
+        // vocabulary relation — corpus touched once. q221 adds the
+        // map-only corpus encode + the q157 fertility agg.
+        "q220_unigram_vocab", "q221_unigram_fertility")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx
