@@ -143,8 +143,10 @@ object AudioHash {
     val out = new Array[Double](TimeCells * Bands)
     var t = 0
     while (t < TimeCells) {
-      val i0 = t * n / TimeCells
-      val i1 = math.min(math.max((t + 1) * n / TimeCells, i0 + 1), n)
+      // long arithmetic: t*n overflows Int past ~4 hours of 16 kHz audio
+      val i0 = (t.toLong * n / TimeCells).toInt
+      val i1 = math.min(math.max(((t + 1).toLong * n / TimeCells).toInt,
+        i0 + 1), n)
       val len = (i1 - i0).toDouble
       var b = 0
       while (b < Bands) {

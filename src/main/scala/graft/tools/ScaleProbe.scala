@@ -716,6 +716,21 @@ object ScaleProbe {
           graft.ops.VectorOps.kmeansClusterProfile(e, "embedding",
             k = 16 * scale, refineIters = 2,
             sampleRows = math.max(4096, 8 * 16 * scale)).count()
+        }),
+      // q220's TRAINER, probed directly: the gate entry memoizes the
+      // vocabulary per corpus dir, so the fixed-query row measures a
+      // cache hit after the warm pass. The disjoint-replica-vocabulary
+      // documents grow the word histogram AND the substring candidate
+      // relation k×; the piece table is capped (seedSize), so each EM
+      // round is one map-only Viterbi pass + one exact-count agg over
+      // the k× histogram — linear.
+      ("q220_unigram_train[direct]",
+        d => {
+          val docsDf = Tables.load(spark, d, "documents")
+          graft.ops.Unigram.trainPieces(
+            graft.ops.Bpe.wordHistogram(docsDf, "text"),
+            vocabSize = 160, maxPieceLen = 5, seedSize = 2048,
+            emRounds = 3).size.toLong
         }))
       if only.forall(_.exists(label.startsWith))) {
       timeOp(label, run(dir)) // warm 1x
