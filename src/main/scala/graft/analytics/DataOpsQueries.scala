@@ -6206,5 +6206,358 @@ object DataOpsQueries {
       })
 
     Seq(audioQ, phashIdxStream, unigramVocab, unigramFert)
+  } ++ {
+    // ------------------------------------------------- round 15
+
+    // Perceptual VIDEO near-dup, whole-clip signature
+    // (ops/VideoHash.scala) — the multimodal trilogy's third member,
+    // the q213/q218 recipe applied to the time axis: 65 mean-luminance
+    // time boxes → 64 consecutive-difference signs → 64-bit pack →
+    // Hamming top-10 through the UNCHANGED binary stack. The gate
+    // rides the deterministic stub decode (integer time boxes from
+    // (doc_id, length) — the brief's documented fake for codecs this
+    // container lacks), so the full chain replays in DuckDB end to
+    // end; the REAL GVF1 decode half (exact-integer per-frame
+    // luminance sums, fractional-duration time boxes) is pinned by
+    // VideoHashSpec's fps-resample/resize/brightness robustness suite.
+    // Box k = (doc_id·(3k+7) + len·(2k+5)) mod 239; bit i compares
+    // boxes i+1 vs i.
+    val videoQ = NamedQuery(
+      "q222_video_temporal_knn",
+      Some("""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+             |           FROM documents),
+             |b AS (SELECT doc_id, list_transform(range(64), i ->
+             |        CASE WHEN
+             |          (doc_id*(3*(i+1)+7) + len*(2*(i+1)+5)) % 239
+             |          > (doc_id*(3*i+7) + len*(2*i+5)) % 239
+             |        THEN 1 ELSE 0 END) bits
+             |      FROM d),
+             |q AS (SELECT doc_id q_id, bits qb FROM b WHERE doc_id < 8),
+             |s AS (SELECT q_id, b.doc_id n_id,
+             |        CAST(list_sum(list_transform(range(64),
+             |          i -> CASE WHEN qb[i+1] <> bits[i+1] THEN 1 ELSE 0 END))
+             |          AS BIGINT) hamming
+             |      FROM b, q),
+             |r AS (SELECT q_id, n_id, hamming,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY hamming, n_id) AS "rank"
+             |      FROM s)
+             |SELECT q_id, n_id, hamming, CAST("rank" AS BIGINT) AS "rank"
+             |FROM r WHERE "rank" <= 10 ORDER BY q_id, "rank"""".stripMargin),
+      (s, dir) => {
+        // q213's eager cut: the 64-element stub array expression must
+        // not fuse into the kNN join stage (JIT-cliff note)
+        val codes = docs(s, dir).select(col("doc_id"),
+          VideoHash.stubTemporalDiff(col("doc_id"), length(col("text")))
+            .as("video_diff"))
+          .localCheckpoint(true)
+        VectorOps.hammingKnnJoin(codes.filter(col("doc_id") < 8), codes,
+            "doc_id", "video_diff", k = 10)
+          .orderBy("q_id", "rank")
+      })
+
+    // Frame-vote video pair mining (VideoHash.frameVotePairs) — the
+    // partial-overlap key the whole-clip code cannot give: per-sampled-
+    // frame spatial dHashes mined at radius 6 through the MIH banded
+    // plan under composite id·64+slot keys, aggregated to video-pair
+    // VOTES (distinct matching slots of the smaller id), kept at ≥ 3
+    // of 5. Fixture: every doc is a 5-frame stub clip; docs with
+    // doc_id % 100 = 0 get a PLANTED EDIT twin under id+10⁷ — 4 frames
+    // bit-identical (copied from the original's formula), frame 0
+    // re-rendered under a different seed — so each twin votes exactly
+    // its shared-frame count. The oracle replays frames, twins, and
+    // the brute-force radius relation with four 32-bit code words +
+    // bit_count(xor(…)) (exact Hamming, no list compare per pair).
+    // Frame grid cell j of slot f = (doc_id·(2j+3)·(j+5) +
+    // len·(j+1)·(j+7) + (f+1)·(7j+11)·(j+2)) mod 1021 — quadratic in
+    // j, see VideoHash.stubFrameCell's scaladoc for why pair mining
+    // cannot use the linear stub families. 256-bit frame signatures
+    // (VideoHash.FrameBits — the q217 wide-code regime: 8 bands of 32
+    // bits at zero probe bits): bit i's family by i/64 — horizontal
+    // (cell(base+1) vs cell(base)) / vertical (+9) / diagonal (+10) /
+    // anti-diagonal (+1 vs +9), base = (k/8)·9 + k%8, k = i mod 64;
+    // the twin's frame 0 uses seed f = 9.
+    val frameVotes = {
+      def cell(j: String, seed: String): String =
+        s"((fid*(2*($j)+3)*(($j)+5) + len*(($j)+1)*(($j)+7)" +
+          s" + (($seed)+1)*(7*($j)+11)*(($j)+2)) % 1021)"
+      val base = "((i%64)//8)*9 + ((i%64)%8)"
+      // four gradient families over base: +1 / +9 / +10 / (+1 vs +9)
+      def bit(seed: String): String =
+        s"CASE WHEN (CASE WHEN i < 64 THEN ${cell(s"$base + 1", seed)} - ${cell(base, seed)}" +
+          s" WHEN i < 128 THEN ${cell(s"$base + 9", seed)} - ${cell(base, seed)}" +
+          s" WHEN i < 192 THEN ${cell(s"$base + 10", seed)} - ${cell(base, seed)}" +
+          s" ELSE ${cell(s"$base + 1", seed)} - ${cell(s"$base + 9", seed)} END) > 0 " +
+          "THEN 1 ELSE 0 END"
+      def word(k: Int, seed: String): String =
+        s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+          s"          ${bit(seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+          s"          AS BIGINT) w$k"
+      NamedQuery(
+        "q223_video_frame_votes",
+        Some(s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+                |           FROM documents),
+                |f AS (SELECT doc_id vid, doc_id fid, len,
+                |        CAST(s.i AS BIGINT) slot, CAST(s.i AS BIGINT) seed
+                |      FROM d, (SELECT unnest(range(5)) i) s
+                |      UNION ALL
+                |      SELECT doc_id + 10000000 vid, doc_id fid, len,
+                |        CAST(s.i AS BIGINT) slot,
+                |        CASE WHEN s.i = 0 THEN 9 ELSE CAST(s.i AS BIGINT) END seed
+                |      FROM d, (SELECT unnest(range(5)) i) s
+                |      WHERE doc_id % 100 = 0),
+                |c AS (SELECT vid, slot,
+                |        ${word(0, "seed")},
+                |        ${word(1, "seed")},
+                |        ${word(2, "seed")},
+                |        ${word(3, "seed")},
+                |        ${word(4, "seed")},
+                |        ${word(5, "seed")},
+                |        ${word(6, "seed")},
+                |        ${word(7, "seed")}
+                |      FROM f),
+                |p AS (SELECT a.vid id_a, b.vid id_b, a.slot slot_a,
+                |        CAST(bit_count(xor(a.w0, b.w0)) AS BIGINT)
+                |        + bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2))
+                |        + bit_count(xor(a.w3, b.w3)) + bit_count(xor(a.w4, b.w4))
+                |        + bit_count(xor(a.w5, b.w5)) + bit_count(xor(a.w6, b.w6))
+                |        + bit_count(xor(a.w7, b.w7)) h
+                |      FROM c a, c b WHERE a.vid < b.vid),
+                |m AS (SELECT id_a, id_b,
+                |        CAST(count(DISTINCT slot_a) AS BIGINT) votes,
+                |        CAST(min(h) AS BIGINT) min_hamming
+                |      FROM p WHERE h <= 6 GROUP BY 1, 2)
+                |SELECT id_a, id_b, votes, min_hamming FROM m
+                |WHERE votes >= 3 ORDER BY id_a, id_b""".stripMargin),
+        (s, dir) => {
+          import s.implicits._
+          val base = docs(s, dir)
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          val slots = explode(sequence(lit(0L), lit(VideoHash.SampleFrames - 1L)))
+          val corpFrames = base
+            .select(col("doc_id").as("vid"), col("doc_id").as("fid"),
+              col("len"), slots.as("slot"))
+            .withColumn("seed", col("slot"))
+          val twinFrames = base.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + lit(10000000L)).as("vid"),
+              col("doc_id").as("fid"), col("len"), slots.as("slot"))
+            .withColumn("seed",
+              when(col("slot") === 0, lit(9L)).otherwise(col("slot")))
+          // the stub grids run as a plain-JVM kernel (stubFrameDiffScalar
+          // — the fused wide Catalyst array is past the JIT budget and
+          // interpreted eval dominates at 5x-corpus rows); the miner
+          // cuts its packed codes internally, so no checkpoint here
+          val frames = corpFrames.unionAll(twinFrames)
+            .as[(Long, Long, Long, Long, Long)]
+            .map { case (vid, fid, len, slot, seed) =>
+              (vid, slot, VideoHash.stubFrameDiffScalar(fid, len, seed))
+            }
+            .toDF("doc_id", "slot", "frame_diff")
+          // band geometry solver-chosen from the frame count (q217's
+          // discipline — the fixed 8-bit band saturates at 5x codes)
+          VideoHash.frameVotePairs(frames, "doc_id", "slot", "frame_diff",
+              radius = 6, minVotes = 3)
+            .orderBy("id_a", "id_b")
+        })
+    }
+
+    // Temporal ALIGNMENT (VideoHash.frameAlignPairs) — copy
+    // LOCALIZATION, the readout the symmetric vote count cannot give:
+    // per video pair, the dominant slot offset (mode of slot_b −
+    // slot_a, ties → smallest) and the votes on that diagonal. The
+    // fixture plants SHIFTED twins: doc_id % 100 = 0 gets a copy under
+    // id+10⁷ whose slot s carries the ORIGINAL'S SLOT s+1 content
+    // (s ≤ 3; slot 4 re-rendered under seed 9) — a re-cut trimmed by
+    // one sampled bucket — so the winning diagonal is offset −1 with
+    // exactly 4 aligned votes. Same stub cells as q223; the oracle
+    // adds the per-offset regroup and the row_number mode pick.
+    val frameAlign = {
+      def cell(j: String, seed: String): String =
+        s"((fid*(2*($j)+3)*(($j)+5) + len*(($j)+1)*(($j)+7)" +
+          s" + (($seed)+1)*(7*($j)+11)*(($j)+2)) % 1021)"
+      val base = "((i%64)//8)*9 + ((i%64)%8)"
+      // four gradient families over base: +1 / +9 / +10 / (+1 vs +9)
+      def bit(seed: String): String =
+        s"CASE WHEN (CASE WHEN i < 64 THEN ${cell(s"$base + 1", seed)} - ${cell(base, seed)}" +
+          s" WHEN i < 128 THEN ${cell(s"$base + 9", seed)} - ${cell(base, seed)}" +
+          s" WHEN i < 192 THEN ${cell(s"$base + 10", seed)} - ${cell(base, seed)}" +
+          s" ELSE ${cell(s"$base + 1", seed)} - ${cell(s"$base + 9", seed)} END) > 0 " +
+          "THEN 1 ELSE 0 END"
+      def word(k: Int, seed: String): String =
+        s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+          s"          ${bit(seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+          s"          AS BIGINT) w$k"
+      NamedQuery(
+        "q224_video_frame_align",
+        Some(s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+                |           FROM documents),
+                |f AS (SELECT doc_id vid, doc_id fid, len,
+                |        CAST(s.i AS BIGINT) slot, CAST(s.i AS BIGINT) seed
+                |      FROM d, (SELECT unnest(range(5)) i) s
+                |      UNION ALL
+                |      SELECT doc_id + 10000000 vid, doc_id fid, len,
+                |        CAST(s.i AS BIGINT) slot,
+                |        CASE WHEN s.i <= 3 THEN CAST(s.i + 1 AS BIGINT)
+                |             ELSE 9 END seed
+                |      FROM d, (SELECT unnest(range(5)) i) s
+                |      WHERE doc_id % 100 = 0),
+                |c AS (SELECT vid, slot,
+                |        ${word(0, "seed")},
+                |        ${word(1, "seed")},
+                |        ${word(2, "seed")},
+                |        ${word(3, "seed")},
+                |        ${word(4, "seed")},
+                |        ${word(5, "seed")},
+                |        ${word(6, "seed")},
+                |        ${word(7, "seed")}
+                |      FROM f),
+                |p AS (SELECT a.vid id_a, b.vid id_b, a.slot slot_a, b.slot slot_b,
+                |        CAST(bit_count(xor(a.w0, b.w0)) AS BIGINT)
+                |        + bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2))
+                |        + bit_count(xor(a.w3, b.w3)) + bit_count(xor(a.w4, b.w4))
+                |        + bit_count(xor(a.w5, b.w5)) + bit_count(xor(a.w6, b.w6))
+                |        + bit_count(xor(a.w7, b.w7)) h
+                |      FROM c a, c b WHERE a.vid < b.vid),
+                |o AS (SELECT id_a, id_b, slot_b - slot_a AS "offset",
+                |        CAST(count(DISTINCT slot_a) AS BIGINT) aligned_votes,
+                |        CAST(min(h) AS BIGINT) min_hamming
+                |      FROM p WHERE h <= 6 GROUP BY 1, 2, 3),
+                |m AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                |        ORDER BY aligned_votes DESC, "offset" ASC) rn
+                |      FROM o)
+                |SELECT id_a, id_b, "offset", aligned_votes, min_hamming
+                |FROM m WHERE rn = 1 AND aligned_votes >= 3
+                |ORDER BY id_a, id_b""".stripMargin),
+        (s, dir) => {
+          import s.implicits._
+          val base = docs(s, dir)
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          val slots = explode(sequence(lit(0L), lit(VideoHash.SampleFrames - 1L)))
+          val corpFrames = base
+            .select(col("doc_id").as("vid"), col("doc_id").as("fid"),
+              col("len"), slots.as("slot"))
+            .withColumn("seed", col("slot"))
+          val twinFrames = base.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + lit(10000000L)).as("vid"),
+              col("doc_id").as("fid"), col("len"), slots.as("slot"))
+            .withColumn("seed",
+              when(col("slot") <= 3, col("slot") + 1).otherwise(lit(9L)))
+          // scalar stub kernel, no checkpoint — the q223 notes apply
+          val frames = corpFrames.unionAll(twinFrames)
+            .as[(Long, Long, Long, Long, Long)]
+            .map { case (vid, fid, len, slot, seed) =>
+              (vid, slot, VideoHash.stubFrameDiffScalar(fid, len, seed))
+            }
+            .toDF("doc_id", "slot", "frame_diff")
+          VideoHash.frameAlignPairs(frames, "doc_id", "slot", "frame_diff",
+              radius = 6, minVotes = 3)
+            .orderBy("id_a", "id_b")
+        })
+    }
+
+    // Audio clip-in-recording localization (AudioHash.audioSegment
+    // AlignPairs) — the segment fingerprints' gate entry: per-segment
+    // Haitsma–Kalker stub codes through the SHARED slot machinery
+    // (VectorOps.slotAlignPairs — the same plan q224 pins for video).
+    // Fixture: shifted twins under id+10⁷ whose segment s carries the
+    // original's segment s+1 content (s ≤ 3; segment 4 re-rendered
+    // under seed 11) — a recording trimmed by one fifth — so the
+    // winning diagonal is offset −1 with exactly 4 aligned votes
+    // (measured: the ONLY qualifying pairs at sf0.01). Segment grid
+    // cell j of seed f = (doc_id·(2j+5)·(j+3) + len·(3j+7)·(j+2) +
+    // (f+1)·(5j+13)·(j+4)) mod 1019 (quadratic-in-j, the q223 lesson);
+    // bit i is the H–K double difference over cells (t,b),(t,b+1),
+    // (t+1,b),(t+1,b+1), t = i/8, b = i%8.
+    val audioAlign = {
+      def cell(j: String, seed: String): String =
+        s"((fid*(2*($j)+5)*(($j)+3) + len*(3*($j)+7)*(($j)+2)" +
+          s" + (($seed)+1)*(5*($j)+13)*(($j)+4)) % 1019)"
+      val t = "((i%64)//8)"
+      val b = "((i%64)%8)"
+      // bit i by family (the 256-bit segment layout): 0..63 the H-K
+      // mixed double difference, 64..127 time gradients, 128..191
+      // band gradients, 192..255 diagonal gradients
+      def bit(seed: String): String =
+        s"CASE WHEN (CASE WHEN i < 64 THEN" +
+          s" (${cell(s"($t+1)*9 + $b", seed)} - ${cell(s"($t+1)*9 + $b + 1", seed)})" +
+          s" - (${cell(s"$t*9 + $b", seed)} - ${cell(s"$t*9 + $b + 1", seed)})" +
+          s" WHEN i < 128 THEN ${cell(s"($t+1)*9 + $b", seed)} - ${cell(s"$t*9 + $b", seed)}" +
+          s" WHEN i < 192 THEN ${cell(s"$t*9 + $b + 1", seed)} - ${cell(s"$t*9 + $b", seed)}" +
+          s" ELSE ${cell(s"($t+1)*9 + $b + 1", seed)} - ${cell(s"$t*9 + $b", seed)}" +
+          s" END) > 0 THEN 1 ELSE 0 END"
+      def word(k: Int, seed: String): String =
+        s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+          s"          ${bit(seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+          s"          AS BIGINT) w$k"
+      NamedQuery(
+        "q225_audio_segment_align",
+        Some(s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+                |           FROM documents),
+                |f AS (SELECT doc_id vid, doc_id fid, len,
+                |        CAST(s.i AS BIGINT) slot, CAST(s.i AS BIGINT) seed
+                |      FROM d, (SELECT unnest(range(5)) i) s
+                |      UNION ALL
+                |      SELECT doc_id + 10000000 vid, doc_id fid, len,
+                |        CAST(s.i AS BIGINT) slot,
+                |        CASE WHEN s.i <= 3 THEN CAST(s.i + 1 AS BIGINT)
+                |             ELSE 11 END seed
+                |      FROM d, (SELECT unnest(range(5)) i) s
+                |      WHERE doc_id % 100 = 0),
+                |c AS (SELECT vid, slot,
+                |        ${word(0, "seed")},
+                |        ${word(1, "seed")},
+                |        ${word(2, "seed")},
+                |        ${word(3, "seed")},
+                |        ${word(4, "seed")},
+                |        ${word(5, "seed")},
+                |        ${word(6, "seed")},
+                |        ${word(7, "seed")}
+                |      FROM f),
+                |p AS (SELECT a.vid id_a, b.vid id_b, a.slot slot_a, b.slot slot_b,
+                |        CAST(bit_count(xor(a.w0, b.w0)) AS BIGINT)
+                |        + bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2))
+                |        + bit_count(xor(a.w3, b.w3)) + bit_count(xor(a.w4, b.w4))
+                |        + bit_count(xor(a.w5, b.w5)) + bit_count(xor(a.w6, b.w6))
+                |        + bit_count(xor(a.w7, b.w7)) h
+                |      FROM c a, c b WHERE a.vid < b.vid),
+                |o AS (SELECT id_a, id_b, slot_b - slot_a AS "offset",
+                |        CAST(count(DISTINCT slot_a) AS BIGINT) aligned_votes,
+                |        CAST(min(h) AS BIGINT) min_hamming
+                |      FROM p WHERE h <= 6 GROUP BY 1, 2, 3),
+                |m AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                |        ORDER BY aligned_votes DESC, "offset" ASC) rn
+                |      FROM o)
+                |SELECT id_a, id_b, "offset", aligned_votes, min_hamming
+                |FROM m WHERE rn = 1 AND aligned_votes >= 3
+                |ORDER BY id_a, id_b""".stripMargin),
+        (s, dir) => {
+          import s.implicits._
+          val base = docs(s, dir)
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          val slots = explode(sequence(lit(0L), lit(AudioHash.Segments - 1L)))
+          val corpSegs = base
+            .select(col("doc_id").as("vid"), col("doc_id").as("fid"),
+              col("len"), slots.as("slot"))
+            .withColumn("seed", col("slot"))
+          val twinSegs = base.filter(col("doc_id") % 100 === 0)
+            .select((col("doc_id") + lit(10000000L)).as("vid"),
+              col("doc_id").as("fid"), col("len"), slots.as("slot"))
+            .withColumn("seed",
+              when(col("slot") <= 3, col("slot") + 1).otherwise(lit(11L)))
+          // scalar stub kernel, no checkpoint — the q223 notes apply
+          // (the 4-cell H–K stub is even further past the JIT budget)
+          val segs = corpSegs.unionAll(twinSegs)
+            .as[(Long, Long, Long, Long, Long)]
+            .map { case (vid, fid, len, slot, seed) =>
+              (vid, slot, AudioHash.stubSegHkDiffScalar(fid, len, seed))
+            }
+            .toDF("doc_id", "slot", "seg_diff")
+          VectorOps.slotAlignPairs(segs, "doc_id", "slot", "seg_diff",
+              radius = 6, minVotes = 3)
+            .orderBy("id_a", "id_b")
+        })
+    }
+
+    Seq(videoQ, frameVotes, frameAlign, audioAlign)
   }
 }

@@ -358,6 +358,158 @@ object AudioHash {
   }
 
   // ------------------------------------------------------------------
+  // Segment fingerprints (partial-overlap / clip-in-recording mining)
+  // ------------------------------------------------------------------
+
+  /** Segments fingerprinted per clip for partial-overlap mining —
+    * [[graft.ops.VideoHash.SampleFrames]]'s convention on the audio
+    * axis.
+    */
+  val Segments = 5
+
+  /** Segment-signature width: 64 Haitsma–Kalker mixed-difference signs
+    * + 64 time gradients + 64 band gradients + 64 diagonal gradients
+    * of the segment's 9 × 9 spectral grid — WIDE on purpose, the
+    * [[VideoHash.FrameBits]] / q217 contract: the banded pair miner
+    * needs 32-bit bands at ZERO probe bits to keep both its feed and
+    * its collision term flat, and a radius-6 pigeonhole needs 8 such
+    * bands = a 256-bit code.
+    */
+  val SegBits = 256
+
+  /** The [[Segments]] per-segment signature vectors of a decoded clip:
+    * segment s = samples `[⌊s·n/5⌋, ⌊(s+1)·n/5⌋)` through its OWN
+    * spectral grid, emitting [[SegBits]] = 256 differences over
+    * t, b ∈ 0..7 —
+    *   - 0..63   the H–K mixed double differences ([[hkDiff]]),
+    *   - 64..127 TIME gradients `E(t+1, b) − E(t, b)`,
+    *   - 128..191 BAND gradients `E(t, b+1) − E(t, b)`,
+    *   - 192..255 DIAGONAL gradients `E(t+1, b+1) − E(t, b)`
+    * (volume scaling multiplies every energy by the same positive
+    * factor, so all four families stay sign-exact). The whole-clip
+    * code ([[hkDiff]] over the full grid) answers "same recording";
+    * these answer "same passage" — a clip embedded in a longer
+    * recording, a trimmed re-cut, a sampled loop — via
+    * [[VectorOps.slotVotePairs]] / [[VectorOps.slotAlignPairs]].
+    */
+  def segmentDiffs(samples: Array[Double], sampleRate: Double,
+      segments: Int = Segments): Array[Array[Double]] = {
+    val n = samples.length
+    Array.tabulate(segments) { s =>
+      val i0 = (s.toLong * n / segments).toInt
+      val i1 = math.min(math.max(((s + 1).toLong * n / segments).toInt,
+        i0 + 1), n)
+      val grid = spectralGrid(java.util.Arrays.copyOfRange(samples, i0, i1),
+        sampleRate)
+      val mixed = hkDiff(grid)
+      val out = new Array[Double](SegBits)
+      System.arraycopy(mixed, 0, out, 0, Bits)
+      var t = 0
+      while (t < 8) {
+        var b = 0
+        while (b < 8) {
+          out(64 + t * 8 + b) = grid((t + 1) * Bands + b) - grid(t * Bands + b)
+          out(128 + t * 8 + b) = grid(t * Bands + b + 1) - grid(t * Bands + b)
+          out(192 + t * 8 + b) = grid((t + 1) * Bands + b + 1) - grid(t * Bands + b)
+          b += 1
+        }
+        t += 1
+      }
+      out
+    }
+  }
+
+  /** One decoded-or-rejected row of the segment pass; `seg_flat` is
+    * the [[Segments]] × 64 slot-major concatenation.
+    */
+  final case class AudioSegTagged(
+      id: Long,
+      n_bytes: Long,
+      seg_flat: Option[Array[Double]],
+      reason: Option[String])
+
+  final case class AudioSegment(id: Long, slot: Int, seg_diff: Array[Double])
+
+  private implicit val segTaggedEnc: org.apache.spark.sql.Encoder[AudioSegTagged] =
+    org.apache.spark.sql.Encoders.product[AudioSegTagged]
+  private implicit val segEnc: org.apache.spark.sql.Encoder[AudioSegment] =
+    org.apache.spark.sql.Encoders.product[AudioSegment]
+
+  /** ONE status-tagged segment-decode pass — [[audioFingerprintTagged]]
+    * with the per-segment kernel.
+    */
+  def audioSegmentsTagged(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String): Dataset[AudioSegTagged] =
+    media.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val n = if (p == null) 0L else p.length.toLong
+          decodeSamples(p) match {
+            case Right((samples, sr)) =>
+              AudioSegTagged(id, n,
+                Some(segmentDiffs(samples, sr).flatten), None)
+            case Left(r) => AudioSegTagged(id, n, None, Some(r))
+          }
+        }
+      }
+
+  /** The segment projections: `(id, slot, seg_diff)` per decodable
+    * clip × segment, plus typed rejects. One decode per consumed
+    * projection — persist the tagged relation when consuming both.
+    */
+  def audioSegments(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String): (Dataset[AudioSegment], Dataset[AudioReject]) = {
+    val tagged = audioSegmentsTagged(media, idCol, payloadCol)
+    val segs = tagged.filter(_.seg_flat.isDefined)
+      .flatMap { t =>
+        val flat = t.seg_flat.get
+        (0 until Segments).iterator.map { s =>
+          AudioSegment(t.id, s, java.util.Arrays.copyOfRange(
+            flat, s * SegBits, (s + 1) * SegBits))
+        }
+      }
+    val rejects = tagged.filter(_.reason.isDefined)
+      .map(t => AudioReject(t.id, t.n_bytes, t.reason.get))
+    (segs, rejects)
+  }
+
+  /** Segment-vote near-dup pairs straight from payloads: ONE decode
+    * pass (the miner cuts its packed codes internally — see
+    * [[VectorOps.slotVotePairs]]).
+    */
+  def audioSegmentVotePairs(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      radius: Int = 6,
+      nBands: Int = 0,
+      minVotes: Int = 3): DataFrame =
+    VectorOps.slotVotePairs(audioSegments(media, idCol, payloadCol)._1.toDF(),
+      "id", "slot", "seg_diff",
+      radius = radius, nBands = nBands, minVotes = minVotes)
+
+  /** Clip-in-recording LOCALIZATION straight from payloads: ONE decode
+    * pass, then [[VectorOps.slotAlignPairs]] — the dominant segment
+    * offset and its aligned votes per clip pair.
+    */
+  def audioSegmentAlignPairs(
+      media: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      radius: Int = 6,
+      nBands: Int = 0,
+      minVotes: Int = 3): DataFrame =
+    VectorOps.slotAlignPairs(audioSegments(media, idCol, payloadCol)._1.toDF(),
+      "id", "slot", "seg_diff",
+      radius = radius, nBands = nBands, minVotes = minVotes)
+
+  // ------------------------------------------------------------------
   // Deterministic stub-decode twin (SQL-replayable, the gate path)
   // ------------------------------------------------------------------
 
@@ -387,4 +539,73 @@ object AudioHash {
       ((cell(t + 1, b) - cell(t + 1, b + 1)) - (cell(t, b) - cell(t, b + 1)))
         .cast("double")
     }: _*)
+
+  /** Stub segment-grid cell j of segment `slot`: `(id·(2j+5)·(j+3) +
+    * len·(3j+7)·(j+2) + (slot+1)·(5j+13)·(j+4)) mod 1019` — QUADRATIC
+    * in j (the [[VideoHash.stubFrameCell]] lesson: linear-in-j stub
+    * families collapse into one rotation family whose members sit a
+    * few bits apart — pair mining needs a spread-out code family),
+    * constants distinct from the image (251/1021) and whole-clip-audio
+    * (241) stubs, `slot` as a COLUMN so one expression serves an
+    * exploded slot relation.
+    */
+  def stubSegGridCell(id: Column, len: Column, slot: Column, j: Int): Column =
+    pmod(id.cast("long") * lit((2L * j + 5L) * (j + 3L))
+      + len.cast("long") * lit((3L * j + 7L) * (j + 2L))
+      + (slot.cast("long") + lit(1L)) * lit((5L * j + 13L) * (j + 4L)),
+      lit(1019L))
+
+  /** The stub twin of a segment's [[segmentDiffs]] element: 256
+    * differences over the stub 9 × 9 segment grid in the four-family
+    * layout (H–K mixed / time / band / diagonal gradients, t, b ∈
+    * 0..7). Same eager-cut note
+    * as [[stubHkDiff]] — and for SLOT-exploded relations use
+    * [[stubSegHkDiffScalar]] through a typed map instead: at 4 cells
+    * per element the fused Catalyst expression is even further past
+    * the JIT budget than the video stub (measured 97 s of a 64×-probe
+    * run interpreted vs ~3 s with the scalar kernel).
+    */
+  def stubSegHkDiff(id: Column, len: Column, slot: Column): Column =
+    array((0 until SegBits).map { i =>
+      def cell(tt: Int, bb: Int): Column =
+        stubSegGridCell(id, len, slot, tt * Bands + bb)
+      val k = i % 64
+      val t = k / 8
+      val b = k % 8
+      (i / 64 match {
+        case 0 => (cell(t + 1, b) - cell(t + 1, b + 1)) - (cell(t, b) - cell(t, b + 1))
+        case 1 => cell(t + 1, b) - cell(t, b)
+        case 2 => cell(t, b + 1) - cell(t, b)
+        case _ => cell(t + 1, b + 1) - cell(t, b)
+      }).cast("double")
+    }: _*)
+
+  /** [[stubSegHkDiff]] as a plain-JVM kernel (trivially JIT-able) for
+    * typed maps over slot-exploded relations — bit-for-bit the Column
+    * expression's values (AudioHashSpec pins scalar ≡ Column ≡ the
+    * replayed integer formula).
+    */
+  def stubSegHkDiffScalar(id: Long, len: Long, slot: Long): Array[Double] = {
+    def cell(j: Int): Long = {
+      val v = (id * ((2L * j + 5L) * (j + 3L)) + len * ((3L * j + 7L) * (j + 2L))
+        + (slot + 1L) * ((5L * j + 13L) * (j + 4L))) % 1019L
+      if (v < 0) v + 1019L else v
+    }
+    def c(tt: Int, bb: Int): Long = cell(tt * Bands + bb)
+    val out = new Array[Double](SegBits)
+    var i = 0
+    while (i < SegBits) {
+      val k = i % 64
+      val t = k / 8
+      val b = k % 8
+      out(i) = ((i / 64 match {
+        case 0 => (c(t + 1, b) - c(t + 1, b + 1)) - (c(t, b) - c(t, b + 1))
+        case 1 => c(t + 1, b) - c(t, b)
+        case 2 => c(t, b + 1) - c(t, b)
+        case _ => c(t + 1, b + 1) - c(t, b)
+      })).toDouble
+      i += 1
+    }
+    out
+  }
 }

@@ -52,8 +52,10 @@ object Multimodal {
     * is needed — yielding [width, height, meanLuminance, nPixels].
     * Audio/video payloads would need ffmpeg-class libraries that are not
     * in this container, so they take the clearly-marked DETERMINISTIC
-    * STUB (byte statistics); the Spark-side plumbing is identical either
-    * way.
+    * STUB (byte statistics) HERE; the content-level paths live in
+    * [[AudioHash]] (real javax.sound WAV decode) and [[VideoHash]]
+    * (the GVF1 raw-frame container). The Spark-side plumbing is
+    * identical either way.
     */
   private def looksLikeImage(p: Array[Byte]): Boolean =
     (p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||

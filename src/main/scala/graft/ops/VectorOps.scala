@@ -475,9 +475,24 @@ object VectorOps {
       nBands: Int = 8): DataFrame = {
     val dim = df.select(size(rawVec(df, vecCol)).as("d")).limit(1).head()
       .getInt(0)
-    val spec = BandSpec(nBands, dim)
+    hammingRadiusPairsPacked(binaryQuantize(df, idCol, vecCol), idCol,
+      radius, BandSpec(nBands, dim))
+  }
+
+  /** The banded join over an ALREADY-PACKED `(id, code array<long>)`
+    * relation — the body of [[hammingRadiusPairs]], split out so
+    * callers that fan the same codes into both sides (the slot miners)
+    * can quantize ONCE, cut the compact packed relation, and feed it
+    * here, instead of re-evaluating the sign pack (and whatever decode
+    * produced the vectors) per side.
+    */
+  private[ops] def hammingRadiusPairsPacked(
+      packed: DataFrame,
+      idCol: String,
+      radius: Int,
+      spec: BandSpec): DataFrame = {
+    val nBands = spec.nBands
     val s = spec.probeBits(radius)
-    val packed = binaryQuantize(df, idCol, vecCol)
     val bandIdx = explode(sequence(lit(0), lit(nBands - 1)))
     // plain side: one (band, value) row per band
     val plain = packed
@@ -630,6 +645,132 @@ object VectorOps {
         f"radius=$radius — use wider codes, a smaller radius, or raise " +
         "the budget if the scan cost is acceptable")
     best
+  }
+
+  // ------------------------------------------------------------------
+  // Slot-keyed partial-overlap mining (shared by the video frame and
+  // audio segment fingerprints)
+  // ------------------------------------------------------------------
+
+  /** Composite slot-key stride for [[slotVotePairs]]/[[slotAlignPairs]]:
+    * key = id·64 + slot keeps keys monotone in the parent id (so MIH's
+    * `id_a < id_b` pair ordering at the slot level IS parent-id
+    * ordering across parents). Bounds: slot < 64, id < 2⁵⁷.
+    */
+  val SlotStride = 64L
+
+  private def slotMatches(
+      slots: DataFrame,
+      idCol: String,
+      slotCol: String,
+      vecCol: String,
+      radius: Int,
+      nBands: Int): DataFrame = {
+    val fid = slots.select(
+      (col(idCol).cast("long") * lit(SlotStride) + col(slotCol).cast("long"))
+        .as("fid"),
+      col(vecCol).as("v"))
+    val dim = fid.select(size(rawVec(fid, "v")).as("d")).limit(1).head()
+      .getInt(0)
+    // quantize ONCE and cut the COMPACT relation: the banded join fans
+    // the codes into its probe and plain sides, and without this cut
+    // each side would re-run the sign pack AND whatever produced the
+    // diff vectors (a decode, a stub kernel) — while the packed codes
+    // are dim/64 longs per row, ~64 MB per 10⁶ slots, vs gigabytes of
+    // double vectors (measured: this cut halved the 64×-probe time).
+    // Upstream relations therefore do NOT need their own checkpoint
+    // when they are consumed by the slot miners alone.
+    val packed = binaryQuantize(fid, "fid", "v").localCheckpoint(true)
+    val bands =
+      if (nBands > 0) nBands
+      else hammingParamsFor(math.max(packed.count(), 1L), dim, radius).nBands
+    hammingRadiusPairsPacked(packed, "fid", radius, BandSpec(bands, dim))
+      .select(
+        (col("id_a") / lit(SlotStride)).cast("long").as("va"),
+        pmod(col("id_a"), lit(SlotStride)).as("slot_a"),
+        (col("id_b") / lit(SlotStride)).cast("long").as("vb"),
+        pmod(col("id_b"), lit(SlotStride)).as("slot_b"),
+        col("hamming"))
+      .filter(col("va") =!= col("vb"))
+  }
+
+  /** Partial-overlap VOTES over a `(id, slot, diff-vector)` relation —
+    * slot-level radius matches through the UNCHANGED MIH banded plan
+    * under composite id·64+slot keys, aggregated to parent pairs:
+    *
+    *   `(id_a, id_b, votes, min_hamming)` — votes = DISTINCT slots of
+    *   the smaller id with ≥ 1 radius-`radius` match in the other,
+    *   kept when votes ≥ `minVotes`.
+    *
+    * The key the whole-object code cannot give: two objects sharing
+    * 3 of 5 sampled slots (an edit, a re-cut, a clip embedded in a
+    * reel) vote 3 even when their global signatures diverge.
+    * `nBands` ≤ 0 (the default) solves the band geometry from the
+    * relation's size via [[hammingParamsFor]] — at slot-corpus scale
+    * (slots× the parent count) the fixed 8-bit-band default saturates
+    * its 256 buckets (the q141 collision term) while the solver's
+    * 16-bit bands with 1-bit probe balls keep the candidate set
+    * collision-bound; the RESULT is identical either way. The miner
+    * quantizes and CUTS the compact packed codes internally before
+    * fanning them into the banded join's two sides, so upstream
+    * relations (a decode, a stub kernel) are evaluated once and need
+    * no checkpoint of their own.
+    *
+    * 100 TB shape: one exchange of (8-byte code, 8-byte key) rows into
+    * the banded join, then a parent-pair-keyed agg over the (sparse)
+    * match set.
+    */
+  def slotVotePairs(
+      slots: DataFrame,
+      idCol: String,
+      slotCol: String,
+      vecCol: String,
+      radius: Int = 6,
+      nBands: Int = 0,
+      minVotes: Int = 3): DataFrame =
+    slotMatches(slots, idCol, slotCol, vecCol, radius, nBands)
+      .groupBy(col("va").as("id_a"), col("vb").as("id_b"))
+      .agg(countDistinct(col("slot_a")).cast("long").as("votes"),
+        min(col("hamming")).cast("long").as("min_hamming"))
+      .filter(col("votes") >= minVotes)
+
+  /** Temporal ALIGNMENT of slot-level matches — copy LOCALIZATION,
+    * the readout [[slotVotePairs]]'s symmetric count cannot give: per
+    * parent pair, the dominant slot OFFSET (mode of `slot_b − slot_a`
+    * over radius matches, ties → smallest offset) and how many of the
+    * smaller id's slots match AT that offset:
+    *
+    *   `(id_a, id_b, offset, aligned_votes, min_hamming)` — id_a <
+    *   id_b, aligned_votes ≥ `minVotes`, min_hamming over the winning
+    *   diagonal's matches.
+    *
+    * A trimmed re-cut or a clip embedded later in a longer recording
+    * matches at a consistent non-zero offset; unrelated accidental
+    * matches scatter across offsets and fail `minVotes`. Same plan as
+    * [[slotVotePairs]] plus one sparse-side window over the per-pair
+    * offset groups.
+    */
+  def slotAlignPairs(
+      slots: DataFrame,
+      idCol: String,
+      slotCol: String,
+      vecCol: String,
+      radius: Int = 6,
+      nBands: Int = 0,
+      minVotes: Int = 3): DataFrame = {
+    val byOffset = slotMatches(slots, idCol, slotCol, vecCol, radius, nBands)
+      .groupBy(col("va"), col("vb"),
+        (col("slot_b") - col("slot_a")).cast("long").as("offset"))
+      .agg(countDistinct(col("slot_a")).cast("long").as("aligned_votes"),
+        min(col("hamming")).cast("long").as("min_hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("va", "vb")
+      .orderBy(col("aligned_votes").desc, col("offset").asc)
+    byOffset
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("aligned_votes") >= minVotes)
+      .select(col("va").as("id_a"), col("vb").as("id_b"), col("offset"),
+        col("aligned_votes"), col("min_hamming"))
   }
 
   /** Batch kNN JOIN — top-`k` cosine neighbors from `corpus` for EVERY

@@ -451,7 +451,22 @@ object ScaleProbe {
         // native Viterbi pass + one exact-count agg over the
         // vocabulary relation — corpus touched once. q221 adds the
         // map-only corpus encode + the q157 fertility agg.
-        "q220_unigram_vocab", "q221_unigram_fertility")
+        "q220_unigram_vocab", "q221_unigram_fertility",
+        // q222: q213's band verbatim over the temporal stub — one
+        // eager-cut map-only 64-expression projection + the broadcast
+        // XOR+POPCNT binary-kNN scan.
+        "q222_video_temporal_knn",
+        // q223: the frame relation is 5x the corpus' code count; the
+        // banded radius join runs at SOLVER geometry (16-bit bands,
+        // 1-bit probe balls — the fixed 8-bit band's 256 buckets
+        // saturate at this n, the q141→q217 lesson), then one sparse
+        // video-pair agg.
+        "q223_video_frame_votes",
+        // q224/q225: q223's banded match mining (video frames / audio
+        // segments) + one sparse-side per-offset regroup and window
+        // mode pick — the alignment readout adds no corpus-scale
+        // exchange.
+        "q224_video_frame_align", "q225_audio_segment_align")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

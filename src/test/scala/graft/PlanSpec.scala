@@ -185,6 +185,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q222: video temporal kNN broadcasts the query batch and group-limits the top-k") {
+    val p = plan("q222_video_temporal_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q223: frame-vote mining stays a (band, value) equi-join — never a cartesian product") {
+    val p = plan("q223_video_frame_votes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding fell back to an all-pairs product:\n$p")
+  }
+
   test("q115: hybrid fusion joins shortlists only — no corpus-scale product anywhere") {
     val p = plan("q115_hybrid_rrf")
     assert(!p.contains("CartesianProduct"),

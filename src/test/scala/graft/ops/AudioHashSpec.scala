@@ -221,6 +221,82 @@ class AudioHashSpec extends AnyFunSuite {
       .filter(col("id") === 5L).count() === 0L)
   }
 
+  test("segment fingerprints: a recording trimmed by one fifth localizes at offset -1 with the surviving diagonal; unrelated audio stays out") {
+    val sr = 16000
+    val a = clip(2.5, sr, 500.0, 1800.0)
+    val n = a.length
+    val fifth = n / 5
+    // b = a with its first fifth trimmed and a NEW final fifth
+    // appended: b's segment s (s <= 3) is sample-exact a's segment
+    // s+1, so the winning diagonal is offset -1 with 4 aligned votes
+    val tail = clip(2.5, sr, 950.0, 2400.0).slice(0, n - 4 * fifth)
+    val b = a.slice(fifth, 5 * fifth) ++ tail
+    val unrelated = clip(2.5, sr, 700.0, 2750.0)
+    val media = Seq(
+      (1L, wavBytes(a, sr)), (2L, wavBytes(b, sr)),
+      (3L, wavBytes(unrelated, sr)), (4L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    // the tagged pass: rejects accounted, 5 segment rows per clip
+    val (segs, rejects) = AudioHash.audioSegments(media, "doc_id", "payload")
+    assert(segs.collect().groupBy(_.id).view.mapValues(_.length).toMap
+      === Map(1L -> 5, 2L -> 5, 3L -> 5))
+    assert(rejects.collect().map(r => (r.id, r.reason)).toSeq
+      === Seq((4L, "unsupported_format")))
+    val align = AudioHash.audioSegmentAlignPairs(media, "doc_id", "payload",
+        radius = 6, minVotes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(align((1L, 2L)) === ((-1L, 4L)), s"alignment: $align")
+    assert(!align.contains((1L, 3L)) && !align.contains((2L, 3L)),
+      s"unrelated audio aligned: $align")
+    // votes agree with the alignment's diagonal on the planted pair
+    val votes = AudioHash.audioSegmentVotePairs(media, "doc_id", "payload",
+        radius = 6, minVotes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(votes((1L, 2L)) === 4L, s"votes: $votes")
+  }
+
+  test("stub twins: Spark stubSegHkDiff sign pack ≡ the replayed integer formula (the q225 oracle contract)") {
+    def cell(id: Long, len: Long, slot: Long, j: Int): Long = {
+      val v = (id * (2L * j + 5L) * (j + 3L) + len * (3L * j + 7L) * (j + 2L)
+        + (slot + 1L) * (5L * j + 13L) * (j + 4L)) % 1019L
+      if (v < 0) v + 1019L else v
+    }
+    // 256-bit segment signature: four family words (H-K mixed / time
+    // / band / diagonal gradients)
+    def expected(id: Long, len: Long, slot: Long): Seq[Long] = {
+      def c(tt: Int, bb: Int): Long = cell(id, len, slot, tt * 9 + bb)
+      val ws = new Array[Long](4)
+      for (i <- 0 until 256) {
+        val k = i % 64; val t = k / 8; val b = k % 8
+        val diff = i / 64 match {
+          case 0 => (c(t + 1, b) - c(t + 1, b + 1)) - (c(t, b) - c(t, b + 1))
+          case 1 => c(t + 1, b) - c(t, b)
+          case 2 => c(t, b + 1) - c(t, b)
+          case _ => c(t + 1, b + 1) - c(t, b)
+        }
+        if (diff > 0) ws(i / 64) |= (1L << k)
+      }
+      ws.toSeq
+    }
+    def packWide(diff: Array[Double]): Seq[Long] =
+      (0 until 4).map(w => AudioHash.pack64(diff.slice(w * 64, (w + 1) * 64)))
+    val rows = Seq((1L, 10L, 0L), (5L, 37L, 2L), (100L, 37L, 4L), (123457L, 2048L, 11L))
+    val got = rows.toDF("id", "len", "slot")
+      .select(col("id"), col("len"), col("slot"),
+        graft.functions.GraftFunctions.signPack(
+          AudioHash.stubSegHkDiff(col("id"), col("len"), col("slot"))).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toSeq))
+    got.foreach { case (id, len, slot, fw) =>
+      assert(fw === expected(id, len, slot), s"id=$id len=$len slot=$slot")
+      // the plain-JVM kernel the gate's typed map runs (the JIT-cliff
+      // fix) is bit-for-bit the Column expression's values
+      assert(packWide(AudioHash.stubSegHkDiffScalar(id, len, slot))
+        === fw, s"scalar kernel drifted: id=$id len=$len slot=$slot")
+    }
+  }
+
   test("stub twin: Spark stubHkDiff sign pack ≡ the replayed integer formula (the q218 oracle contract)") {
     def expected(id: Long, len: Long): Long = {
       def g(j: Int): Long = {
