@@ -6558,6 +6558,245 @@ object DataOpsQueries {
         })
     }
 
-    Seq(videoQ, frameVotes, frameAlign, audioAlign)
+    // Cross-modal content probe: STILL IMAGE in VIDEO
+    // (VideoHash.imageInVideo / VectorOps.slotProbePairs) — probes
+    // ride the reserved slot 63 through the SAME banded plan as
+    // q223/q224 (no broadcast of the probe library). Fixture: docs
+    // with doc_id % 200 = 0 plant a MATCHING probe under id+2·10⁷
+    // whose signature IS the video's sampled frame 2 (the shared-grid
+    // contract: a still of the same pixels hashes identically); docs
+    // with doc_id % 200 = 100 plant a DISTRACTOR (seed 23 — matches
+    // nothing). Expected: one (probe, video, slot 2, hamming 0) row
+    // per matcher. Same stub cells as q223.
+    val imgProbe = {
+      def cell(idExpr: String, j: String, seed: String): String =
+        s"(($idExpr*(2*($j)+3)*(($j)+5) + len*(($j)+1)*(($j)+7)" +
+          s" + (($seed)+1)*(7*($j)+11)*(($j)+2)) % 1021)"
+      val base = "((i%64)//8)*9 + ((i%64)%8)"
+      def bit(idExpr: String, seed: String): String =
+        s"CASE WHEN (CASE WHEN i < 64 THEN ${cell(idExpr, s"$base + 1", seed)} - ${cell(idExpr, base, seed)}" +
+          s" WHEN i < 128 THEN ${cell(idExpr, s"$base + 9", seed)} - ${cell(idExpr, base, seed)}" +
+          s" WHEN i < 192 THEN ${cell(idExpr, s"$base + 10", seed)} - ${cell(idExpr, base, seed)}" +
+          s" ELSE ${cell(idExpr, s"$base + 1", seed)} - ${cell(idExpr, s"$base + 9", seed)} END) > 0 " +
+          "THEN 1 ELSE 0 END"
+      def word(k: Int, idExpr: String, seed: String): String =
+        s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+          s"          ${bit(idExpr, seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+          s"          AS BIGINT) w$k"
+      def words(idExpr: String, seed: String): String =
+        (0 until 8).map(word(_, idExpr, seed)).mkString(",\n        ")
+      NamedQuery(
+        "q226_image_in_video",
+        Some(s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+                |           FROM documents),
+                |fc AS (SELECT doc_id vid, CAST(s.i AS BIGINT) slot,
+                |        ${words("doc_id", "s.i")}
+                |      FROM d, (SELECT unnest(range(5)) i) s),
+                |pc AS (SELECT doc_id + 20000000 pid,
+                |        ${words("doc_id", "2")}
+                |      FROM d WHERE doc_id % 200 = 0
+                |      UNION ALL
+                |      SELECT doc_id + 20000000 pid,
+                |        ${words("doc_id", "23")}
+                |      FROM d WHERE doc_id % 200 = 100),
+                |m AS (SELECT p.pid probe_id, f.vid id, f.slot,
+                |        CAST(bit_count(xor(p.w0, f.w0)) AS BIGINT)
+                |        + bit_count(xor(p.w1, f.w1)) + bit_count(xor(p.w2, f.w2))
+                |        + bit_count(xor(p.w3, f.w3)) + bit_count(xor(p.w4, f.w4))
+                |        + bit_count(xor(p.w5, f.w5)) + bit_count(xor(p.w6, f.w6))
+                |        + bit_count(xor(p.w7, f.w7)) hamming
+                |      FROM pc p, fc f)
+                |SELECT probe_id, id, slot, hamming FROM m WHERE hamming <= 6
+                |ORDER BY probe_id, id, slot""".stripMargin),
+        (s, dir) => {
+          import s.implicits._
+          val base = docs(s, dir)
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          val frames = base
+            .select(col("doc_id"), col("len"),
+              explode(sequence(lit(0L), lit(VideoHash.SampleFrames - 1L)))
+                .as("slot"))
+            .as[(Long, Long, Long)]
+            .map { case (vid, len, slot) =>
+              (vid, slot, VideoHash.stubFrameDiffScalar(vid, len, slot))
+            }
+            .toDF("doc_id", "slot", "frame_diff")
+          val probes = base.filter(col("doc_id") % 200 === 0)
+            .select(col("doc_id"), col("len"), lit(2L).as("seed"))
+            .unionAll(base.filter(col("doc_id") % 200 === 100)
+              .select(col("doc_id"), col("len"), lit(23L).as("seed")))
+            .as[(Long, Long, Long)]
+            .map { case (fid, len, seed) =>
+              (fid + 20000000L, VideoHash.stubFrameDiffScalar(fid, len, seed))
+            }
+            .toDF("probe_id", "img_diff")
+          VectorOps.slotProbePairs(probes, "probe_id", "img_diff",
+              frames, "doc_id", "slot", "frame_diff", radius = 6)
+            .orderBy("probe_id", "id", "slot")
+        })
+    }
+
+    // Cross-relation content probe: known AUDIO SNIPPET in recordings
+    // (AudioHash.audioSnippetProbe) — the q226 shape on the audio
+    // axis: a snippet whose samples are a recording's fifth hashes
+    // identically to that segment (snippetDiff ≡ the segment's
+    // signature over the same samples), so matchers (doc_id % 200 = 0,
+    // seed 2 = segment slot 2) land at hamming 0 and distractors
+    // (doc_id % 200 = 100, seed 29) nowhere. Same stub cells as q225.
+    val audProbe = {
+      def cell(idExpr: String, j: String, seed: String): String =
+        s"(($idExpr*(2*($j)+5)*(($j)+3) + len*(3*($j)+7)*(($j)+2)" +
+          s" + (($seed)+1)*(5*($j)+13)*(($j)+4)) % 1019)"
+      val t = "((i%64)//8)"
+      val b = "((i%64)%8)"
+      def bit(idExpr: String, seed: String): String =
+        s"CASE WHEN (CASE WHEN i < 64 THEN" +
+          s" (${cell(idExpr, s"($t+1)*9 + $b", seed)} - ${cell(idExpr, s"($t+1)*9 + $b + 1", seed)})" +
+          s" - (${cell(idExpr, s"$t*9 + $b", seed)} - ${cell(idExpr, s"$t*9 + $b + 1", seed)})" +
+          s" WHEN i < 128 THEN ${cell(idExpr, s"($t+1)*9 + $b", seed)} - ${cell(idExpr, s"$t*9 + $b", seed)}" +
+          s" WHEN i < 192 THEN ${cell(idExpr, s"$t*9 + $b + 1", seed)} - ${cell(idExpr, s"$t*9 + $b", seed)}" +
+          s" ELSE ${cell(idExpr, s"($t+1)*9 + $b + 1", seed)} - ${cell(idExpr, s"$t*9 + $b", seed)}" +
+          s" END) > 0 THEN 1 ELSE 0 END"
+      def word(k: Int, idExpr: String, seed: String): String =
+        s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+          s"          ${bit(idExpr, seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+          s"          AS BIGINT) w$k"
+      def words(idExpr: String, seed: String): String =
+        (0 until 8).map(word(_, idExpr, seed)).mkString(",\n        ")
+      NamedQuery(
+        "q227_audio_snippet_probe",
+        Some(s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+                |           FROM documents),
+                |fc AS (SELECT doc_id vid, CAST(s.i AS BIGINT) slot,
+                |        ${words("doc_id", "s.i")}
+                |      FROM d, (SELECT unnest(range(5)) i) s),
+                |pc AS (SELECT doc_id + 20000000 pid,
+                |        ${words("doc_id", "2")}
+                |      FROM d WHERE doc_id % 200 = 0
+                |      UNION ALL
+                |      SELECT doc_id + 20000000 pid,
+                |        ${words("doc_id", "29")}
+                |      FROM d WHERE doc_id % 200 = 100),
+                |m AS (SELECT p.pid probe_id, f.vid id, f.slot,
+                |        CAST(bit_count(xor(p.w0, f.w0)) AS BIGINT)
+                |        + bit_count(xor(p.w1, f.w1)) + bit_count(xor(p.w2, f.w2))
+                |        + bit_count(xor(p.w3, f.w3)) + bit_count(xor(p.w4, f.w4))
+                |        + bit_count(xor(p.w5, f.w5)) + bit_count(xor(p.w6, f.w6))
+                |        + bit_count(xor(p.w7, f.w7)) hamming
+                |      FROM pc p, fc f)
+                |SELECT probe_id, id, slot, hamming FROM m WHERE hamming <= 6
+                |ORDER BY probe_id, id, slot""".stripMargin),
+        (s, dir) => {
+          import s.implicits._
+          val base = docs(s, dir)
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          val segs = base
+            .select(col("doc_id"), col("len"),
+              explode(sequence(lit(0L), lit(AudioHash.Segments - 1L)))
+                .as("slot"))
+            .as[(Long, Long, Long)]
+            .map { case (vid, len, slot) =>
+              (vid, slot, AudioHash.stubSegHkDiffScalar(vid, len, slot))
+            }
+            .toDF("doc_id", "slot", "seg_diff")
+          val probes = base.filter(col("doc_id") % 200 === 0)
+            .select(col("doc_id"), col("len"), lit(2L).as("seed"))
+            .unionAll(base.filter(col("doc_id") % 200 === 100)
+              .select(col("doc_id"), col("len"), lit(29L).as("seed")))
+            .as[(Long, Long, Long)]
+            .map { case (fid, len, seed) =>
+              (fid + 20000000L, AudioHash.stubSegHkDiffScalar(fid, len, seed))
+            }
+            .toDF("probe_id", "snip_diff")
+          VectorOps.slotProbePairs(probes, "probe_id", "snip_diff",
+              segs, "doc_id", "slot", "seg_diff", radius = 6)
+            .orderBy("probe_id", "id", "slot")
+        })
+    }
+
+    // Takedown BY CONTENT, not by id — the probe hits drive the
+    // manifest patch: every video whose sampled frames contain a
+    // banned still (the q226 probe relation) is tombstoned out of the
+    // SHIPPED release manifest, survivors renumbered to dense
+    // positions (q214's applyTombstones). The oracle composes the
+    // SHARED ManifestV2ChainSql prefix with the q226 probe CTEs and
+    // the q214 cumulative-deletion renumber — all three stay
+    // drift-locked to their own gate entries.
+    val contentTakedown = {
+      def cell(idExpr: String, j: String, seed: String): String =
+        s"(($idExpr*(2*($j)+3)*(($j)+5) + len*(($j)+1)*(($j)+7)" +
+          s" + (($seed)+1)*(7*($j)+11)*(($j)+2)) % 1021)"
+      val base = "((i%64)//8)*9 + ((i%64)%8)"
+      def bit(idExpr: String, seed: String): String =
+        s"CASE WHEN (CASE WHEN i < 64 THEN ${cell(idExpr, s"$base + 1", seed)} - ${cell(idExpr, base, seed)}" +
+          s" WHEN i < 128 THEN ${cell(idExpr, s"$base + 9", seed)} - ${cell(idExpr, base, seed)}" +
+          s" WHEN i < 192 THEN ${cell(idExpr, s"$base + 10", seed)} - ${cell(idExpr, base, seed)}" +
+          s" ELSE ${cell(idExpr, s"$base + 1", seed)} - ${cell(idExpr, s"$base + 9", seed)} END) > 0 " +
+          "THEN 1 ELSE 0 END"
+      def word(k: Int, idExpr: String, seed: String): String =
+        s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+          s"          ${bit(idExpr, seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+          s"          AS BIGINT) w$k"
+      def words(idExpr: String, seed: String): String =
+        (0 until 8).map(word(_, idExpr, seed)).mkString(",\n        ")
+      NamedQuery(
+        "q228_content_takedown",
+        Some(ManifestV2ChainSql + s""",
+          |dd AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+          |       FROM documents),
+          |vfc AS (SELECT doc_id vid, CAST(s.i AS BIGINT) slot,
+          |        ${words("doc_id", "s.i")}
+          |      FROM dd, (SELECT unnest(range(5)) i) s),
+          |vpc AS (SELECT doc_id + 20000000 pid,
+          |        ${words("doc_id", "2")}
+          |      FROM dd WHERE doc_id % 200 = 0),
+          |vhits AS (SELECT DISTINCT c.vid FROM vpc p, vfc c
+          |      WHERE CAST(bit_count(xor(p.w0, c.w0)) AS BIGINT)
+          |        + bit_count(xor(p.w1, c.w1)) + bit_count(xor(p.w2, c.w2))
+          |        + bit_count(xor(p.w3, c.w3)) + bit_count(xor(p.w4, c.w4))
+          |        + bit_count(xor(p.w5, c.w5)) + bit_count(xor(p.w6, c.w6))
+          |        + bit_count(xor(p.w7, c.w7)) <= 6),
+          |flag AS (SELECT man.*, CASE WHEN doc_id IN (SELECT vid FROM vhits)
+          |           THEN 1 ELSE 0 END dl
+          |         FROM man),
+          |cum AS (SELECT *, sum(dl) OVER (PARTITION BY shard ORDER BY pos) cd
+          |        FROM flag)
+          |SELECT doc_id, shard, CAST(pos - cd AS BIGINT) AS pos
+          |FROM cum WHERE dl = 0 ORDER BY doc_id""".stripMargin),
+        (s, dir) => {
+          import s.implicits._
+          val man = ManifestV2.oracleChain(docs(s, dir)).localCheckpoint(true)
+          val baseD = docs(s, dir)
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          val frames = baseD
+            .select(col("doc_id"), col("len"),
+              explode(sequence(lit(0L), lit(VideoHash.SampleFrames - 1L)))
+                .as("slot"))
+            .as[(Long, Long, Long)]
+            .map { case (vid, len, slot) =>
+              (vid, slot, VideoHash.stubFrameDiffScalar(vid, len, slot))
+            }
+            .toDF("doc_id", "slot", "frame_diff")
+          val probes = baseD.filter(col("doc_id") % 200 === 0)
+            .as[(Long, Long)]
+            .map { case (fid, len) =>
+              (fid + 20000000L, VideoHash.stubFrameDiffScalar(fid, len, 2L))
+            }
+            .toDF("probe_id", "img_diff")
+          // cut the tiny hit set: applyTombstones consumes it twice
+          // (the size-guard count + the manifest join), and each lazy
+          // consumption would re-run the whole probe pipeline
+          val hits = VectorOps.slotProbePairs(probes, "probe_id", "img_diff",
+              frames, "doc_id", "slot", "frame_diff", radius = 6)
+            .select(col("id").as("doc_id")).distinct()
+            .localCheckpoint(true)
+          ManifestV2.applyTombstones(man, hits, "doc_id")
+            .select(col("doc_id"), col("shard"), col("pos"))
+            .orderBy("doc_id")
+        })
+    }
+
+    Seq(videoQ, frameVotes, frameAlign, audioAlign, imgProbe, audProbe,
+      contentTakedown)
   }
 }

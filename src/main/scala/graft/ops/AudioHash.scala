@@ -509,6 +509,56 @@ object AudioHash {
       "id", "slot", "seg_diff",
       radius = radius, nBands = nBands, minVotes = minVotes)
 
+  /** The wide signature of a STANDALONE clip treated as a single
+    * segment ([[segmentDiffs]] with segments = 1): a snippet whose
+    * samples ARE an excerpt covering one fifth of a recording yields
+    * the same spectral grid — hence the same 256 differences — as that
+    * recording's segment, so snippet-vs-segment Hamming matching finds
+    * "this known audio appears in that recording".
+    */
+  def snippetDiff(samples: Array[Double], sampleRate: Double): Array[Double] =
+    segmentDiffs(samples, sampleRate, segments = 1)(0)
+
+  final case class SnippetCode(id: Long, snip_diff: Array[Double])
+
+  private implicit val snipEnc: org.apache.spark.sql.Encoder[SnippetCode] =
+    org.apache.spark.sql.Encoders.product[SnippetCode]
+
+  /** Cross-relation content probe — "does this known SNIPPET (a
+    * jingle, a watermark tone, a banned recording) appear in any
+    * recording": snippets decode to single wide signatures
+    * ([[snippetDiff]]), recordings to their [[Segments]] segment
+    * signatures, matched at Hamming ≤ `radius` through
+    * [[VectorOps.slotProbePairs]] (one banded join — the probe library
+    * is never broadcast). Output: `(probe_id, id, slot, hamming)` =
+    * snippet, containing recording, matched segment. Undecodable
+    * payloads are dropped; snippet and recording ids must be disjoint.
+    */
+  def audioSnippetProbe(
+      snippets: DataFrame,
+      snipIdCol: String,
+      snipPayloadCol: String,
+      recordings: DataFrame,
+      recIdCol: String,
+      recPayloadCol: String,
+      radius: Int = 6,
+      nBands: Int = 0): DataFrame = {
+    val probes = snippets.select(col(snipIdCol).cast("long").as("id"),
+        col(snipPayloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          decodeSamples(p).toOption.map { case (samples, sr) =>
+            SnippetCode(id, snippetDiff(samples, sr))
+          }
+        }
+      }
+      .toDF()
+    val segs = audioSegments(recordings, recIdCol, recPayloadCol)._1.toDF()
+    VectorOps.slotProbePairs(probes, "id", "snip_diff",
+      segs, "id", "slot", "seg_diff", radius = radius, nBands = nBands)
+  }
+
   // ------------------------------------------------------------------
   // Deterministic stub-decode twin (SQL-replayable, the gate path)
   // ------------------------------------------------------------------

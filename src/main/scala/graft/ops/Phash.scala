@@ -156,6 +156,49 @@ object Phash {
     word
   }
 
+  /** The four-family 2D gradient differences of a 9×9 luminance grid,
+    * 256 elements over r, c ∈ 0..7 with base = r·9 + c — horizontal
+    * (base+1 − base), vertical (base+9 − base), diagonal (base+10 −
+    * base), anti-diagonal (base+1 − base+9), 64 signs each. ONE
+    * definition shared by still images and video frames (
+    * [[VideoHash.frameDiff256]] delegates here), so an image's wide
+    * signature and a frame's are directly comparable — the key
+    * [[VideoHash.imageInVideo]] probes on. 256-bit wide for the banded
+    * slot miners' 32-bit-band regime (see [[VideoHash.FrameBits]]).
+    */
+  def gridDiff256(grid: Array[Double]): Array[Double] = {
+    require(grid.length == 81, s"gridDiff256: expected 9x9 grid, got ${grid.length}")
+    val out = new Array[Double](256)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val base = r * 9 + c
+        out(r * 8 + c) = grid(base + 1) - grid(base)
+        out(64 + r * 8 + c) = grid(base + 9) - grid(base)
+        out(128 + r * 8 + c) = grid(base + 10) - grid(base)
+        out(192 + r * 8 + c) = grid(base + 1) - grid(base + 9)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Decode a PNG/JPEG payload to the WIDE 256-element signature
+    * ([[gridDiff256]] over the exact 9×9 luminance grid), or a typed
+    * reject — the probe-side kernel of [[VideoHash.imageInVideo]].
+    */
+  def decodeGridDiff256(payload: Array[Byte]): Either[String, Array[Double]] = {
+    if (payload == null || payload.isEmpty) return Left("empty_payload")
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) Left("unsupported_format")
+      else Right(gridDiff256(luminanceGrid(img, gw = 9, gh = 9)))
+    } catch { case _: Exception => Left("corrupt_image") }
+  }
+
   /** Decode a PNG/JPEG payload and produce the dHash difference
     * vector, or a typed reject reason — the [[Multimodal]] strict
     * codec boundary (no fake hashes for undecodable media: a byte-stat

@@ -734,6 +734,64 @@ object VectorOps {
         min(col("hamming")).cast("long").as("min_hamming"))
       .filter(col("votes") >= minVotes)
 
+  /** Content PROBES against a slot relation — "find this known object
+    * inside the corpus' sampled slots": a slot-less probe relation
+    * (reference stills, banned posters, known jingles) matched at
+    * Hamming ≤ `radius` against every `(id, slot, vec)` row, through
+    * the SAME banded plan as [[slotVotePairs]] (probes ride the
+    * reserved slot [[SlotStride]]−1, so one packed relation feeds one
+    * join — no broadcast of the probe set, which may itself be large).
+    * Output: `(probe_id, id, slot, hamming)` — every slot of every
+    * parent within radius of a probe.
+    *
+    * Contract: probe ids and parent ids must be DISJOINT (they share
+    * the composite key space), and the slot column must stay below
+    * [[SlotStride]]−1 = 63 (the samplers use 5).
+    */
+  def slotProbePairs(
+      probes: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      slots: DataFrame,
+      idCol: String,
+      slotCol: String,
+      vecCol: String,
+      radius: Int = 6,
+      nBands: Int = 0): DataFrame = {
+    val probeSlot = lit(SlotStride - 1L)
+    val fid = probes.select(
+      (col(probeIdCol).cast("long") * lit(SlotStride) + probeSlot).as("fid"),
+      col(probeVecCol).as("v"))
+      .unionAll(slots.select(
+        (col(idCol).cast("long") * lit(SlotStride) + col(slotCol).cast("long"))
+          .as("fid"),
+        col(vecCol).as("v")))
+    val dim = fid.select(size(rawVec(fid, "v")).as("d")).limit(1).head()
+      .getInt(0)
+    val packed = binaryQuantize(fid, "fid", "v").localCheckpoint(true)
+    val bands =
+      if (nBands > 0) nBands
+      else hammingParamsFor(math.max(packed.count(), 1L), dim, radius).nBands
+    val pairs = hammingRadiusPairsPacked(packed, "fid", radius,
+      BandSpec(bands, dim))
+      .select(
+        (col("id_a") / lit(SlotStride)).cast("long").as("pa"),
+        pmod(col("id_a"), lit(SlotStride)).as("sa"),
+        (col("id_b") / lit(SlotStride)).cast("long").as("pb"),
+        pmod(col("id_b"), lit(SlotStride)).as("sb"),
+        col("hamming"))
+    // keep exactly the probe-vs-slot pairs, normalized to probe-first
+    // (id_a < id_b at the composite level can put either side first)
+    val probeMark = lit(SlotStride - 1L)
+    pairs.filter(col("sa") === probeMark && col("sb") =!= probeMark)
+      .select(col("pa").as("probe_id"), col("pb").as("id"),
+        col("sb").cast("long").as("slot"), col("hamming"))
+      .unionAll(
+        pairs.filter(col("sb") === probeMark && col("sa") =!= probeMark)
+          .select(col("pb").as("probe_id"), col("pa").as("id"),
+            col("sa").cast("long").as("slot"), col("hamming")))
+  }
+
   /** Temporal ALIGNMENT of slot-level matches — copy LOCALIZATION,
     * the readout [[slotVotePairs]]'s symmetric count cannot give: per
     * parent pair, the dominant slot OFFSET (mode of `slot_b − slot_a`

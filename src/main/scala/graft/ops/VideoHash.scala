@@ -219,10 +219,11 @@ object VideoHash {
     out
   }
 
-  /** Exact-integer 9×8 luminance grid of frame `f` — the
+  /** Exact-integer luminance grid of frame `f` — the
     * [[Phash.luminanceGrid]] box-sum arithmetic over the raw RGB24
-    * plane (deliberately shared geometry: a video frame's spatial
-    * dHash is comparable against [[Phash]] image codes).
+    * plane (deliberately shared arithmetic AND geometry: the 9×9 grid
+    * of a frame and of a still image yield directly comparable
+    * [[Phash.gridDiff256]] signatures — [[imageInVideo]]'s key).
     */
   def frameGrid(v: Gvf, f: Int, gw: Int = Phash.GridW,
       gh: Int = Phash.GridH): Array[Double] = {
@@ -281,24 +282,8 @@ object VideoHash {
     * exact-luminance differences, so the upscale/brightness/fps
     * invariances carry over bit-for-bit.
     */
-  def frameDiff256(grid: Array[Double]): Array[Double] = {
-    require(grid.length == 81, s"frameDiff256: expected 9x9 grid, got ${grid.length}")
-    val out = new Array[Double](FrameBits)
-    var r = 0
-    while (r < 8) {
-      var c = 0
-      while (c < 8) {
-        val base = r * 9 + c
-        out(r * 8 + c) = grid(base + 1) - grid(base)
-        out(64 + r * 8 + c) = grid(base + 9) - grid(base)
-        out(128 + r * 8 + c) = grid(base + 10) - grid(base)
-        out(192 + r * 8 + c) = grid(base + 1) - grid(base + 9)
-        c += 1
-      }
-      r += 1
-    }
-    out
-  }
+  def frameDiff256(grid: Array[Double]): Array[Double] =
+    Phash.gridDiff256(grid)
 
   /** The [[SampleFrames]] spatial signature vectors of a clip,
     * slot-major (each [[FrameBits]] = 256 doubles — [[frameDiff256]]
@@ -511,6 +496,47 @@ object VideoHash {
     frameAlignPairs(videoFingerprint(media, idCol, payloadCol)._2.toDF(),
       "id", "slot", "frame_diff",
       radius = radius, nBands = nBands, minVotes = minVotes)
+
+  final case class ImageCode(id: Long, img_diff: Array[Double])
+
+  private implicit val imgEnc: org.apache.spark.sql.Encoder[ImageCode] =
+    org.apache.spark.sql.Encoders.product[ImageCode]
+
+  /** Cross-modal content probe — "does this STILL IMAGE appear in any
+    * video": decode each image payload to the wide 9×9 signature
+    * ([[Phash.decodeGridDiff256]] — bit-identical to a sampled frame
+    * of the same pixels, the shared-grid contract), decode each video
+    * to its [[SampleFrames]] frame signatures, and match probes
+    * against frames at Hamming ≤ `radius` through
+    * [[VectorOps.slotProbePairs]] (one banded join — the probe set is
+    * never broadcast, so a large reference library scales like the
+    * corpus). Output: `(probe_id, id, slot, hamming)` = image,
+    * containing video, matched sample slot. Undecodable payloads on
+    * either side are dropped (route the typed reject relations
+    * upstream for quarantining); image and video ids must be disjoint.
+    */
+  def imageInVideo(
+      images: DataFrame,
+      imgIdCol: String,
+      imgPayloadCol: String,
+      videos: DataFrame,
+      vidIdCol: String,
+      vidPayloadCol: String,
+      radius: Int = 6,
+      nBands: Int = 0): DataFrame = {
+    val probes = images.select(col(imgIdCol).cast("long").as("id"),
+        col(imgPayloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          Phash.decodeGridDiff256(p).toOption.map(d => ImageCode(id, d))
+        }
+      }
+      .toDF()
+    val frames = videoFingerprint(videos, vidIdCol, vidPayloadCol)._2.toDF()
+    VectorOps.slotProbePairs(probes, "id", "img_diff",
+      frames, "id", "slot", "frame_diff", radius = radius, nBands = nBands)
+  }
 
   // ------------------------------------------------------------------
   // Deterministic stub-decode twins (SQL-replayable, the gate path)

@@ -466,7 +466,16 @@ object ScaleProbe {
         // segments) + one sparse-side per-offset regroup and window
         // mode pick — the alignment readout adds no corpus-scale
         // exchange.
-        "q224_video_frame_align", "q225_audio_segment_align")
+        "q224_video_frame_align", "q225_audio_segment_align",
+        // q226/q227: probes join the SAME banded plan through the
+        // reserved slot (slotProbePairs) — the probe library is never
+        // broadcast; cost = the q223 band plus a probe-count-linear
+        // union side.
+        "q226_image_in_video", "q227_audio_snippet_probe",
+        // q228: q226's probe hits composed with q214's manifest patch
+        // (the q133-style composition row) — the probe join + the
+        // chain + one takedown-sized broadcast.
+        "q228_content_takedown")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -256,6 +256,31 @@ class AudioHashSpec extends AnyFunSuite {
     assert(votes((1L, 2L)) === 4L, s"votes: $votes")
   }
 
+  test("snippet probe: a WAV of a recording's middle fifth matches that segment at hamming 0; unrelated snippets match nothing") {
+    val sr = 16000
+    val a = clip(2.5, sr, 500.0, 1800.0)
+    val n = a.length
+    val fifth = n / 5
+    // decode-what-the-recording-decodes: the snippet carries the SAME
+    // double samples the recording's WAV quantizes, so both sides
+    // quantize identically and the spectral grids are bit-equal
+    val snippet = a.slice(2 * fifth, 3 * fifth)
+    val unrelated = clip(0.5, sr, 900.0, 2600.0)
+    val snips = Seq(
+      (100L, wavBytes(snippet, sr)),
+      (101L, wavBytes(unrelated, sr)),
+      (102L, "junk".getBytes("UTF-8")))
+      .toDF("snip_id", "payload")
+    val recs = Seq(
+      (1L, wavBytes(a, sr)),
+      (2L, wavBytes(clip(2.5, sr, 1300.0, 500.0), sr)))
+      .toDF("rec_id", "payload")
+    val hits = AudioHash.audioSnippetProbe(snips, "snip_id", "payload",
+        recs, "rec_id", "payload", radius = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hits.toSeq === Seq((100L, 1L, 2L, 0L)), s"hits: ${hits.toSeq}")
+  }
+
   test("stub twins: Spark stubSegHkDiff sign pack ≡ the replayed integer formula (the q225 oracle contract)") {
     def cell(id: Long, len: Long, slot: Long, j: Int): Long = {
       val v = (id * (2L * j + 5L) * (j + 3L) + len * (3L * j + 7L) * (j + 2L)

@@ -322,6 +322,50 @@ class VideoHashSpec extends AnyFunSuite {
       s"unrelated clips aligned: $align")
   }
 
+  test("image-in-video: a PNG still of a sampled frame's pixels matches that frame at hamming 0; unrelated stills match nothing") {
+    // render frame sampleIndex(130, 2) = 65 of base as a real PNG
+    val v = VideoHash.decodeGvf(base).toOption.get
+    val fIdx = VideoHash.sampleIndex(v.n, 2)
+    def framePng(idx: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(v.w, v.h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until v.h; x <- 0 until v.w) {
+        val off = VideoHash.HeaderLen + 3 * ((idx * v.h + y) * v.w + x)
+        img.setRGB(x, y, ((v.bytes(off) & 0xff) << 16) |
+          ((v.bytes(off + 1) & 0xff) << 8) | (v.bytes(off + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ov = VideoHash.decodeGvf(other).toOption.get
+    def otherPng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(ov.w, ov.h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until ov.h; x <- 0 until ov.w) {
+        val off = VideoHash.HeaderLen + 3 * ((40 * ov.h + y) * ov.w + x)
+        img.setRGB(x, y, ((ov.bytes(off) & 0xff) << 16) |
+          ((ov.bytes(off + 1) & 0xff) << 8) | (ov.bytes(off + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val images = Seq(
+      (100L, framePng(fIdx)),                  // the planted still
+      (101L, otherPng()),                       // unrelated footage's frame 40 (not a sampled slot)
+      (102L, "junk".getBytes("UTF-8")))        // undecodable -> dropped
+      .toDF("img_id", "payload")
+    val videos = Seq((1L, base), (2L, other)).toDF("vid_id", "payload")
+    val hits = VideoHash.imageInVideo(images, "img_id", "payload",
+        videos, "vid_id", "payload", radius = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the still matches exactly its source frame slot, bit-for-bit
+    // (PNG round-trip is lossless and the image/frame grids share
+    // exact box-sum arithmetic)
+    assert(hits.toSeq === Seq((100L, 1L, 2L, 0L)), s"hits: ${hits.toSeq}")
+  }
+
   test("streaming video ingestion: stream-built index probes ≡ batch build; redelivery no-ops; rejects dropped") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-video-stream").toString
