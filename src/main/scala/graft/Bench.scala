@@ -50,6 +50,10 @@ object Bench {
       // + takedown + probe) — streaming section; its append/probe
       // machinery is q146's batch build (same band writes).
       "q219_stream_phash_index",
+      // q229 is a real micro-batch run (stage + stream-built 256-bit
+      // frame index + takedown + probe) — streaming section; its
+      // append/probe machinery is q146's band and its scan q226's.
+      "q229_stream_frame_index",
       "q24_embed_neardup")
     // Decomposition knob (never set by the driver): restrict the
     // headline set to a comma-separated name list, so suite-composition
@@ -157,7 +161,8 @@ object Bench {
       "q33_sessionization", "q62_stream_join", "q69_stream_enrich",
       "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup",
       "q173_stream_sketches", "q191_stream_scd2", "q212_stream_pii",
-      "q215_stream_expectations", "q219_stream_phash_index")
+      "q215_stream_expectations", "q219_stream_phash_index",
+      "q229_stream_frame_index")
       .filter(n => only.forall(_.contains(n)))
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {

@@ -6796,7 +6796,130 @@ object DataOpsQueries {
         })
     }
 
+    // The streaming FRAME index in the gate (the 14th real stream) —
+    // the live half of the cross-modal probe: stub frame codes arrive
+    // as micro-batches under their composite fid = vid·64 + slot keys
+    // (HammingIndexStream.indexSink — the same ledgered append q219
+    // pins for whole-object codes), building the persisted 256-bit MIH
+    // index; a TAKEDOWN lands (every frame of the banned videos,
+    // hammingDeleteIds) and the q226 probe library queries the index.
+    // HASH-GATED end to end: matchers (doc_id % 200 = 0, seed 2 = the
+    // videos' sampled frame 2) hit at hamming 0, distractors (seed 23)
+    // nowhere, and the deleted videos (doc_id % 400 = 200) vanish from
+    // the hits — the oracle replays codes, probes, takedown, and the
+    // brute-force radius relation.
+    val frameIdxStream = {
+      def cell(idExpr: String, j: String, seed: String): String =
+        s"(($idExpr*(2*($j)+3)*(($j)+5) + len*(($j)+1)*(($j)+7)" +
+          s" + (($seed)+1)*(7*($j)+11)*(($j)+2)) % 1021)"
+      val base = "((i%64)//8)*9 + ((i%64)%8)"
+      def bit(idExpr: String, seed: String): String =
+        s"CASE WHEN (CASE WHEN i < 64 THEN ${cell(idExpr, s"$base + 1", seed)} - ${cell(idExpr, base, seed)}" +
+          s" WHEN i < 128 THEN ${cell(idExpr, s"$base + 9", seed)} - ${cell(idExpr, base, seed)}" +
+          s" WHEN i < 192 THEN ${cell(idExpr, s"$base + 10", seed)} - ${cell(idExpr, base, seed)}" +
+          s" ELSE ${cell(idExpr, s"$base + 1", seed)} - ${cell(idExpr, s"$base + 9", seed)} END) > 0 " +
+          "THEN 1 ELSE 0 END"
+      def word(k: Int, idExpr: String, seed: String): String =
+        s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+          s"          ${bit(idExpr, seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+          s"          AS BIGINT) w$k"
+      def words(idExpr: String, seed: String): String =
+        (0 until 8).map(word(_, idExpr, seed)).mkString(",\n        ")
+      NamedQuery(
+        "q229_stream_frame_index",
+        Some(s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) len
+                |           FROM documents),
+                |fc AS (SELECT doc_id vid, CAST(s.i AS BIGINT) slot,
+                |        ${words("doc_id", "s.i")}
+                |      FROM d, (SELECT unnest(range(5)) i) s
+                |      WHERE doc_id % 400 <> 200),
+                |pc AS (SELECT doc_id + 20000000 pid,
+                |        ${words("doc_id", "2")}
+                |      FROM d WHERE doc_id % 200 = 0
+                |      UNION ALL
+                |      SELECT doc_id + 20000000 pid,
+                |        ${words("doc_id", "23")}
+                |      FROM d WHERE doc_id % 200 = 100),
+                |m AS (SELECT p.pid probe_id, f.vid id, f.slot,
+                |        CAST(bit_count(xor(p.w0, f.w0)) AS BIGINT)
+                |        + bit_count(xor(p.w1, f.w1)) + bit_count(xor(p.w2, f.w2))
+                |        + bit_count(xor(p.w3, f.w3)) + bit_count(xor(p.w4, f.w4))
+                |        + bit_count(xor(p.w5, f.w5)) + bit_count(xor(p.w6, f.w6))
+                |        + bit_count(xor(p.w7, f.w7)) hamming
+                |      FROM pc p, fc f)
+                |SELECT probe_id, id, slot, hamming FROM m WHERE hamming <= 6
+                |ORDER BY probe_id, id, slot""".stripMargin),
+        (s, dir) => {
+          import org.apache.spark.sql.streaming.Trigger
+          import org.apache.spark.sql.types._
+          import s.implicits._
+          val base = docs(s, dir)
+            .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+          val frames = base
+            .select(col("doc_id"), col("len"),
+              explode(sequence(lit(0L), lit(VideoHash.SampleFrames - 1L)))
+                .as("slot"))
+            .as[(Long, Long, Long)]
+            .map { case (vid, len, slot) =>
+              (vid * VideoHash.MaxSlots + slot,
+                VideoHash.stubFrameDiffScalar(vid, len, slot))
+            }
+            .toDF("fid", "frame_diff")
+          val probes = base.filter(col("doc_id") % 200 === 0)
+            .select(col("doc_id"), col("len"), lit(2L).as("seed"))
+            .unionAll(base.filter(col("doc_id") % 200 === 100)
+              .select(col("doc_id"), col("len"), lit(23L).as("seed")))
+            .as[(Long, Long, Long)]
+            .map { case (fid, len, seed) =>
+              (fid + 20000000L, VideoHash.stubFrameDiffScalar(fid, len, seed))
+            }
+            .toDF("probe_id", "img_diff")
+            .localCheckpoint(true)
+          val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+            "graft_stage", s"fridx_${Integer.toHexString(dir.hashCode)}")
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
+          }
+          val (src, idx, ckpt) = (s"$root/src", s"$root/idx", s"$root/ckpt")
+          frames.repartition(4).write.parquet(src)
+          HammingIndex.hammingWriteIndex(frames.limit(0), "fid",
+            "frame_diff", idx, nBands = 8, nBuckets = 64, dim = 256)
+          val stream = s.readStream
+            .schema(StructType(Seq(
+              StructField("fid", LongType),
+              StructField("frame_diff", ArrayType(DoubleType)))))
+            .option("maxFilesPerTrigger", "1").parquet(src)
+          val q = graft.streaming.HammingIndexStream
+            .indexSink(stream, "fid", "frame_diff", idx)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // takedown: every frame of the banned videos
+          HammingIndex.hammingDeleteIds(
+            base.filter(col("doc_id") % 400 === 200)
+              .select(col("doc_id"), explode(sequence(lit(0L),
+                lit(VideoHash.SampleFrames - 1L))).as("slot"))
+              .select((col("doc_id") * VideoHash.MaxSlots + col("slot"))
+                .as("fid")),
+            "fid", idx)
+          // the probe contract shares ONE id column name with the
+          // index's persisted layout ("fid" here)
+          HammingIndex.hammingProbeIndex(s,
+              probes.withColumnRenamed("probe_id", "fid"), "fid", "img_diff",
+              idx, radius = 6)
+            .select(col("q_id").as("probe_id"),
+              (col("n_id") / lit(VideoHash.MaxSlots)).cast("long").as("id"),
+              pmod(col("n_id"), lit(VideoHash.MaxSlots)).cast("long").as("slot"),
+              col("hamming"))
+            .orderBy("probe_id", "id", "slot")
+        })
+    }
+
     Seq(videoQ, frameVotes, frameAlign, audioAlign, imgProbe, audProbe,
-      contentTakedown)
+      contentTakedown, frameIdxStream)
   }
 }
