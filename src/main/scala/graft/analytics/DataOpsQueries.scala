@@ -6133,7 +6133,12 @@ object DataOpsQueries {
         // eager cut AND the stream source in one write
         base.unionAll(twins).repartition(4).write.parquet(src)
         HammingIndex.hammingWriteIndex(base.limit(0), "doc_id",
-          "phash_diff", idx, nBands = 8, nBuckets = 64, dim = 64)
+          // nBuckets 8, not the solver's 64: each micro-batch append
+          // writes one parquet tree per (band, bucket) dir, and at 4
+          // batches the 512-dir layout is a small-file storm the gate
+          // pays 4x (measured 22.3 s -> see bench notes); pruning
+          // granularity is irrelevant at gate scale
+          "phash_diff", idx, nBands = 8, nBuckets = 8, dim = 64)
         val stream = s.readStream
           .schema(StructType(Seq(
             StructField("doc_id", LongType),
@@ -6886,7 +6891,8 @@ object DataOpsQueries {
           val (src, idx, ckpt) = (s"$root/src", s"$root/idx", s"$root/ckpt")
           frames.repartition(4).write.parquet(src)
           HammingIndex.hammingWriteIndex(frames.limit(0), "fid",
-            "frame_diff", idx, nBands = 8, nBuckets = 64, dim = 256)
+            // nBuckets 8 — the q219 small-file note
+            "frame_diff", idx, nBands = 8, nBuckets = 8, dim = 256)
           val stream = s.readStream
             .schema(StructType(Seq(
               StructField("fid", LongType),
