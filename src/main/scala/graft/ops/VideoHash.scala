@@ -196,8 +196,10 @@ object VideoHash {
     val out = new Array[Double](cells)
     var k = 0
     while (k < cells) {
-      val f0 = k * n / cells
-      val f1 = math.min(math.max((k + 1) * n / cells, f0 + 1), n)
+      // long arithmetic: k*n overflows Int past ~33M frames (the
+      // AudioHash.spectralGrid guard, same degenerate-but-free fix)
+      val f0 = (k.toLong * n / cells).toInt
+      val f1 = math.min(math.max(((k + 1).toLong * n / cells).toInt, f0 + 1), n)
       var s = 0L
       var f = f0
       while (f < f1) { s += frameSums(f); f += 1 }
