@@ -18,7 +18,8 @@ object SparkEntry {
       analytics.StreamingQueries.all ++
       analytics.SubqueryQueries.all ++
       analytics.WideQueries.all ++
-      analytics.FormatQueries.all
+      analytics.FormatQueries.all ++
+      analytics.UpsertQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Reference Q2 shape (daily count, ipynb:817–825) over the events table.

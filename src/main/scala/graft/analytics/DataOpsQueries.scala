@@ -2923,12 +2923,17 @@ object DataOpsQueries {
     // CountMin point-frequency estimates from a fixed-size sketch:
     // per-source token counts for a probe term set, answered from the
     // depth×width cell table — the FREQUENCY twin of the q164 HLL
-    // distinct table (rows-only: cells are xxhash64 placements no SQL
-    // engine reproduces; SketchesSpec pins est ≥ exact, the e/width
-    // overcount bound, cell-exact merge-of-parts, and stream ≡ batch).
+    // distinct table. ORACLE-GATED since round 16: the xxhash64
+    // placements ARE SQL-reproducible at fixture vocabulary scale —
+    // XxhSql replays Spark's XXH64 (short-string path + the two-arg
+    // int chain, pinned against tools/XxhProbe) in DuckDB limb
+    // arithmetic, so cells AND min-of-rows estimates replay exactly.
+    // SketchesSpec still pins est ≥ exact, the e/width overcount
+    // bound, cell-exact merge-of-parts, and stream ≡ batch.
     NamedQuery(
       "q184_countmin_freq",
-      None,
+      Some(XxhSql.q184Oracle(Seq("the", "a", "of", "table", "spark",
+        "query", "value", "zzz_absent"), depth = 4, width = 2048)),
       (s, dir) => {
         val toks = docs(s, dir).select(col("source"),
             explode(array_remove(TextFunctions.tokens(col("text")), ""))
@@ -6918,8 +6923,8 @@ object DataOpsQueries {
               probes.withColumnRenamed("probe_id", "fid"), "fid", "img_diff",
               idx, radius = 6)
             .select(col("q_id").as("probe_id"),
-              (col("n_id") / lit(VideoHash.MaxSlots)).cast("long").as("id"),
-              pmod(col("n_id"), lit(VideoHash.MaxSlots)).cast("long").as("slot"),
+              VectorOps.parentOf(col("n_id")).as("id"),
+              VectorOps.slotOf(col("n_id")).as("slot"),
               col("hamming"))
             .orderBy("probe_id", "id", "slot")
         })

@@ -1,0 +1,401 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coordinated document UPSERT across the persisted-index family
+  * (exact IVF [[VectorOps.ivfWriteIndex]], IVF-PQ [[Pq]], BM25
+  * [[LexIndex]], Hamming [[HammingIndex]]) — the daily-refresh loop
+  * the reference pipeline embodies (D-1 re-partitions,
+  * `ipynb:155`/`ipynb:562`), made crash-safe across ALL indexes at
+  * once instead of hand-sequenced per index.
+  *
+  * The problem it closes: every layout supports append (NEW ids) and
+  * delete (tombstone → probes exclude → purge), but a REVISED document
+  * is neither — re-appending under the same id would double it, and
+  * tombstoning the id would hide the new version along with the old
+  * (tombstones are id-keyed). The fix is the composite-key discipline
+  * the slot miners already use ([[VectorOps.SlotStride]]): every index
+  * row is keyed by `rid = doc_id·2^16 + rev`. A revision is then a NEW
+  * id (append contract holds verbatim), the superseded revision is a
+  * DIFFERENT id (tombstone contract holds verbatim), and decode is
+  * exact integer shift/mask for every doc_id < 2^47.
+  *
+  * One upsert batch (`key` = the caller's redelivery handle, e.g. the
+  * D-1 partition date) runs:
+  *
+  *   1. STAGE the delta payload under `root/batches/<key>/delta` —
+  *      retries re-use the frozen bytes, so a nondeterministic caller
+  *      recomputation cannot fork the batch's content.
+  *   2. ASSIGN revisions: new_rev = (max rev over all OTHER batches)
+  *      + 1, or 0 for first-seen docs — recomputed identically on
+  *      every retry because the batch's own `revs/batch=<key>` rows
+  *      are excluded from the lookup; then record them (overwrite,
+  *      idempotent).
+  *   3. Per index, in order: build the delta's index rows into a
+  *      staging dir that MIRRORS the index layout (`_graft_staged`
+  *      marker once complete), then PUBLISH by renaming each staged
+  *      file to a deterministic batch-keyed name inside the live
+  *      index, tombstone the superseded rids, and drop the
+  *      `applied-<index>` marker.
+  *   4. Drop the batch `done` marker.
+  *
+  * Exactly-once under redelivery, by construction: a retry skips a
+  * done batch at the `done` marker, skips a done index at its
+  * `applied` marker, re-stages only when `_graft_staged` is absent
+  * (never after a publish began — publish requires the marker), and
+  * re-publishing renames only the staged files still present (each
+  * rename is a per-file atomic move to a name derived from the staged
+  * file's own name, so a half-published stage completes without
+  * duplicating the files already moved). Tombstone re-adds are legal
+  * duplicates by the [[Tombstones]] contract. This is strictly
+  * stronger than a mode("append") retry, whose multi-job commit can
+  * leave a torn batch no marker protocol can repair (BM25's append is
+  * THREE writes — postings, doclen, stats).
+  *
+  * Crash-recovery order (documented contract): re-run the SAME
+  * `applyBatch` call until it returns. Serialization: one apply at a
+  * time per root, no concurrent purge/compaction (the maintenance
+  * window rule every index already has); purges run between batches
+  * on the normal cadence and need no coordination — tombstoned old
+  * revisions are invisible to probes the moment their index's
+  * tombstone lands, purge only reclaims bytes.
+  *
+  * Visibility during an apply: an index publishes the new revision
+  * BEFORE tombstoning the old one, so a concurrent probe sees (old),
+  * then briefly (old AND new), then (new) — never neither. Callers
+  * that need single-version reads mid-apply can post-filter with
+  * [[currentRevs]].
+  *
+  * 100 TB shape: per batch, every pass is delta-sized (stage writes,
+  * rev lookup join, tombstone appends) except nothing — the live
+  * indexes are never read, let alone rewritten (the publish is file
+  * METADATA, one rename per staged file); the rev ledger is
+  * one (doc, rev) row per revision ever applied, compactable by
+  * rewriting `revs/` to its max-rev rows. Probe cost inherits each
+  * index's own pruned-slice story.
+  */
+object CorpusUpsert {
+
+  /** Revision bits in the composite key: 65,536 revisions per doc,
+    * doc_id < 2^47.
+    */
+  val RevBits = 16
+  val MaxRev: Int = (1 << RevBits) - 1
+  val MaxDoc: Long = 1L << (62 - RevBits + 1) // 2^47: rid stays positive
+
+  /** The id column every target index is keyed by. */
+  val RidCol = "rid"
+
+  /** Composite rid — range-checked per row: an out-of-range doc or rev
+    * would alias another document's key and corrupt every index
+    * silently, so the job fails instead ([[VectorOps.SlotStride]]'s
+    * checkedSlot discipline).
+    */
+  def ridExpr(doc: Column, rev: Column): Column =
+    when(doc.cast("long").between(0L, MaxDoc - 1L) &&
+        rev.cast("long").between(0L, MaxRev.toLong),
+      shiftleft(doc.cast("long"), RevBits) + rev.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"CorpusUpsert: doc/rev out of [0,2^47)x[0,$MaxRev]: "),
+        doc.cast("string"), lit("/"), rev.cast("string"))))
+
+  /** Exact decode: integer shiftright (no Double-division cliff). */
+  def docOf(rid: Column): Column = shiftright(rid, RevBits)
+
+  def revOf(rid: Column): Column = rid.bitwiseAND(lit(MaxRev.toLong))
+
+  /** One coordinated index. `stage` writes the delta's rows (keyed by
+    * [[RidCol]]) under a staging root mirroring the index layout;
+    * `delete` tombstones superseded rids through the layout's own
+    * delete (idempotent under re-runs by the [[Tombstones]] dedup
+    * contract).
+    */
+  sealed trait IndexTarget {
+    def name: String
+    def path: String
+    private[ops] def stage(delta: DataFrame, stageDir: String): Unit
+    private[ops] def delete(rids: DataFrame): Unit
+  }
+
+  final case class IvfTarget(
+      path: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      name: String = "ivf") extends IndexTarget {
+    private[ops] def stage(delta: DataFrame, stageDir: String): Unit =
+      VectorOps.ivfStageAppend(delta, RidCol, vecCol, path, stageDir,
+        centroids)
+    private[ops] def delete(rids: DataFrame): Unit =
+      VectorOps.ivfDeleteIds(rids, RidCol, path)
+  }
+
+  final case class PqIvfTarget(
+      path: String,
+      vecCol: String,
+      model: Pq.PqModel,
+      centroids: Array[Array[Double]],
+      name: String = "pqivf") extends IndexTarget {
+    private[ops] def stage(delta: DataFrame, stageDir: String): Unit =
+      Pq.pqIvfStageAppend(delta, RidCol, vecCol, path, stageDir, model,
+        centroids)
+    private[ops] def delete(rids: DataFrame): Unit =
+      Pq.pqIvfDeleteIds(rids, RidCol, path)
+  }
+
+  final case class Bm25Target(
+      path: String,
+      textCol: String,
+      name: String = "bm25") extends IndexTarget {
+    private[ops] def stage(delta: DataFrame, stageDir: String): Unit =
+      LexIndex.stageAppend(delta, RidCol, textCol, path, stageDir)
+    private[ops] def delete(rids: DataFrame): Unit =
+      LexIndex.bm25DeleteIds(rids, RidCol, path)
+  }
+
+  final case class HammingTarget(
+      path: String,
+      vecCol: String,
+      name: String = "hamming") extends IndexTarget {
+    private[ops] def stage(delta: DataFrame, stageDir: String): Unit =
+      HammingIndex.stageAppend(delta, RidCol, vecCol, path, stageDir)
+    private[ops] def delete(rids: DataFrame): Unit =
+      HammingIndex.hammingDeleteIds(rids, RidCol, path)
+  }
+
+  final case class UpsertReport(
+      key: String,
+      alreadyApplied: Boolean,
+      nDocs: Long,
+      nUpdates: Long,
+      nInserts: Long)
+
+  /** Apply one upsert batch — see the object doc for the protocol.
+    * `delta` carries `docCol` plus every payload column the targets
+    * need (text and/or vector); exactly ONE row per doc (a batch with
+    * two revisions of a document is ambiguous — refused). Zero-norm
+    * vectors follow each vector layout's own drop contract (they
+    * never enter the index; BM25 still indexes the doc's text).
+    */
+  def applyBatch(
+      delta: DataFrame,
+      docCol: String,
+      key: String,
+      root: String,
+      targets: Seq[IndexTarget]): UpsertReport = {
+    require(key.nonEmpty && key.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"applyBatch: key '$key' must be non-empty [A-Za-z0-9._-]")
+    require(targets.nonEmpty, "applyBatch: no index targets")
+    require(targets.map(_.name).distinct.size == targets.size,
+      "applyBatch: duplicate target names")
+    val spark = delta.sparkSession
+    val batchDir = new Path(s"$root/batches/$key")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the per-target `applied` markers are AUTHORITATIVE; `done` is the
+    // fast path for the common full redelivery. A batch re-applied with
+    // targets that lack their marker (a crash between indexes, or an
+    // index added to the coordination set later — backfill = re-run
+    // every batch in original order against the extended set) falls
+    // through and applies just the missing ones.
+    val doneMarker = new Path(batchDir, "done")
+    if (fs.exists(doneMarker) && targets.forall(t =>
+        fs.exists(new Path(batchDir, s"applied-${t.name}"))))
+      return UpsertReport(key, alreadyApplied = true, 0L, 0L, 0L)
+
+    // 1. freeze the payload
+    val deltaDir = new Path(batchDir, "delta")
+    if (!fs.exists(new Path(deltaDir, "_SUCCESS")))
+      delta.write.mode("overwrite").parquet(deltaDir.toString)
+    val staged = spark.read.parquet(deltaDir.toString)
+
+    // 2. revision assignment (self-excluding, hence retry-stable).
+    // localCheckpoint ONCE: four index stagings then read materialized
+    // rows instead of each re-running the lookup join (and the rid
+    // range check fails the batch up front, before any index work).
+    val prior = priorRevs(spark, fs, root, excludeKey = key)
+      .withColumnRenamed("rev", "old_rev")
+      .withColumnRenamed("doc", docCol)
+    val withRid = staged.join(prior, Seq(docCol), "left")
+      .withColumn("new_rev",
+        when(col("old_rev").isNull, lit(0))
+          .otherwise(when(col("old_rev") < MaxRev, col("old_rev") + 1)
+            .otherwise(raise_error(concat(
+              lit(s"applyBatch: rev overflow (> $MaxRev) for doc "),
+              col(docCol).cast("string"))))))
+      .withColumn(RidCol, ridExpr(col(docCol), col("new_rev")))
+      .localCheckpoint(true)
+    val sizes = withRid.agg(count(lit(1)).as("n"),
+      countDistinct(col(docCol)).as("nd"),
+      count(col("old_rev")).as("nUpd")).head()
+    require(sizes.getLong(0) == sizes.getLong(1),
+      s"applyBatch: ${sizes.getLong(0) - sizes.getLong(1)} duplicate " +
+        s"$docCol rows in batch '$key' — one revision per doc per batch")
+    val nUpd = sizes.getLong(2)
+    withRid.select(col(docCol).cast("long").as("doc"),
+        col("new_rev").cast("int").as("rev"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/revs/batch=$key")
+    val oldRids = withRid.filter(col("old_rev").isNotNull)
+      .select(ridExpr(col(docCol), col("old_rev")).as(RidCol))
+
+    // 3. per-index stage → publish → tombstone → marker. The four
+    // index layouts are INDEPENDENT (each has its own stage dir,
+    // applied marker, and tombstone set), so their blocks run
+    // concurrently — wall time is the slowest layout, not the sum (the
+    // serial contract is across BATCHES, not across an one batch's
+    // indexes).
+    awaitAll(targets.map { t => inPool {
+      val appliedM = new Path(batchDir, s"applied-${t.name}")
+      val stageDir = new Path(batchDir, s"stage-${t.name}")
+      if (!fs.exists(appliedM)) {
+        val stagedM = new Path(stageDir, "_graft_staged")
+        if (!fs.exists(stagedM)) {
+          t.stage(withRid, stageDir.toString)
+          touch(fs, stagedM)
+        }
+        publishStage(fs, stageDir, new Path(t.path), key)
+        // an all-inserts batch (the bootstrap case) tombstones nothing;
+        // skipping the write keeps the index tombstone-free, so probes
+        // keep their fast no-tombstone path
+        if (nUpd > 0) t.delete(oldRids)
+        touch(fs, appliedM)
+      }
+      fs.delete(stageDir, true)
+    }})
+    touch(fs, doneMarker)
+    UpsertReport(key, alreadyApplied = false, sizes.getLong(0), nUpd,
+      sizes.getLong(0) - nUpd)
+  }
+
+  /** Retire documents from every target index: tombstones their
+    * CURRENT revision's rid (idempotent — re-running re-appends legal
+    * duplicate tombstone rows). Unknown doc ids are no-ops. The rev
+    * ledger keeps the retired doc's last rev, so a later re-upsert
+    * resumes at rev+1 (its rid is distinct from every tombstoned one).
+    */
+  def deleteDocs(
+      docIds: DataFrame,
+      docCol: String,
+      root: String,
+      targets: Seq[IndexTarget]): Unit = {
+    val spark = docIds.sparkSession
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rids = docIds.select(col(docCol).cast("long").as("doc")).distinct()
+      .join(currentRevs(spark, root), Seq("doc"))
+      .select(ridExpr(col("doc"), col("rev")).as(RidCol))
+      .localCheckpoint(true)
+    awaitAll(targets.map(t => inPool { t.delete(rids) }))
+  }
+
+  /** The current `(doc, rev)` per document — max rev over every batch
+    * ever RECORDED (a batch records its revs before its index work, so
+    * mid-apply this already reports the incoming revision; it is
+    * authoritative once `applyBatch` returned). Add
+    * `rid = doc·2^16 + rev` via [[ridExpr]] when joining against index
+    * relations.
+    */
+  def currentRevs(spark: SparkSession, root: String): DataFrame = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    priorRevs(spark, fs, root, excludeKey = "")
+  }
+
+  /** Decode an index/probe relation's rid column into (doc_id, rev). */
+  def withDocRev(df: DataFrame, ridCol: String): DataFrame =
+    df.withColumn("doc_id", docOf(col(ridCol)))
+      .withColumn("rev", revOf(col(ridCol)))
+
+  /** Max-rev per doc over every revs batch except `excludeKey` (the
+    * caller's own partition, for retry-stable assignment). Batch dirs
+    * are read as explicit paths — no partition-type inference to
+    * mistype a date-like batch key.
+    */
+  private def priorRevs(
+      spark: SparkSession,
+      fs: FileSystem,
+      root: String,
+      excludeKey: String): DataFrame = {
+    val revsRoot = new Path(s"$root/revs")
+    val dirs =
+      if (!fs.exists(revsRoot)) Seq.empty[String]
+      else fs.listStatus(revsRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => s.getPath.getName != s"batch=$excludeKey")
+        .map(_.getPath.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rev",
+            org.apache.spark.sql.types.IntegerType))))
+    else
+      spark.read.parquet(dirs: _*)
+        .groupBy("doc").agg(max("rev").as("rev"))
+  }
+
+  /** Publish a complete stage (`_graft_staged` present) into the live
+    * index root: every visible staged file moves — one atomic rename
+    * each — to `<index>/<same relative dir>/graft-ups-<key>-<staged
+    * name>`. Names derive from the staged files' OWN names, so a
+    * replayed half-publish finishes the remaining files without
+    * renumbering (the moved ones are simply gone from the stage).
+    */
+  private def publishStage(
+      fs: FileSystem, stageDir: Path, destRoot: Path, key: String): Unit = {
+    require(fs.exists(new Path(stageDir, "_graft_staged")),
+      s"publishStage: $stageDir has no _graft_staged marker")
+    def walk(dir: Path, rel: List[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith(".") && !n.startsWith("_"))
+            walk(st.getPath, rel :+ n)
+        } else if (!n.startsWith("_") && !n.startsWith(".")) {
+          val destDir = rel.foldLeft(destRoot)(new Path(_, _))
+          if (!fs.exists(destDir) && !fs.mkdirs(destDir))
+            throw new java.io.IOException(
+              s"publishStage: cannot create $destDir")
+          val dest = new Path(destDir, s"graft-ups-$key-$n")
+          if (!fs.exists(dest)) {
+            if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"publishStage: cannot publish ${st.getPath} -> $dest")
+          } else if (!fs.delete(st.getPath, false))
+            throw new java.io.IOException(
+              s"publishStage: $dest already published but stale stage " +
+                s"file ${st.getPath} cannot be deleted")
+        }
+      }
+    walk(stageDir, Nil)
+  }
+
+  private def touch(fs: FileSystem, p: Path): Unit = {
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Bounded pool for the concurrent per-index blocks — daemon threads
+    * so a driver shutdown never hangs on it. Spark actions are safe to
+    * launch from multiple threads against one session.
+    */
+  private lazy val indexPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-upsert-index")
+          t.setDaemon(true)
+          t
+        }))
+
+  private def inPool[A](body: => A): scala.concurrent.Future[A] =
+    scala.concurrent.Future(body)(indexPool)
+
+  private def awaitAll(fs: Seq[scala.concurrent.Future[_]]): Unit =
+    fs.foreach(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
+}

@@ -84,6 +84,23 @@ object HammingIndex {
       overwrite = false)
   }
 
+  /** The [[graft.ops.CorpusUpsert]] staging hook: the delta's band
+    * rows under the REAL index's persisted geometry, written to a
+    * staging root mirroring the index layout (`bands/band=/bb=`) —
+    * published into the live index by file rename, never by a direct
+    * append.
+    */
+  private[ops] def stageAppend(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      stagePath: String): Unit = {
+    val (nBands, dim, nBuckets) = readMeta(delta.sparkSession, indexPath)
+    writeBands(delta, idCol, vecCol, stagePath, nBands, dim, nBuckets,
+      overwrite = true)
+  }
+
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
     val m = spark.read.parquet(s"$path/meta")
       .select("nBands", "dim", "nBuckets").head()

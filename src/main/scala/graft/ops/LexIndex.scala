@@ -44,21 +44,34 @@ object LexIndex {
   private def termBucket(w: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(w), lit(buckets.toLong)).cast("int")
 
+  /** `positional = true` stores each posting's sorted 0-based token
+    * positions (`ps: array<int>`) next to its `tf` — the layout
+    * [[bm25PhraseProbe]]/[[bm25ProximityProbe]] verify against.
+    * Positions ride the posting ROW, so the entire maintenance
+    * lifecycle (append under the persisted fanout, tombstone delete,
+    * purge, compaction) carries them untouched — the purge/compact
+    * passes rewrite whole rows, never columns. Space cost is one int
+    * per token occurrence, the standard positional-postings trade.
+    */
   def bm25WriteIndex(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64,
+      positional: Boolean = false): Unit = {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     import docs.sparkSession.implicits._
-    Seq(buckets).toDF("buckets")
+    Seq((buckets, positional)).toDF("buckets", "positional")
       .write.mode("overwrite").parquet(s"$path/meta")
-    writeParts(docs, idCol, textCol, path, buckets, overwrite = true)
+    writeParts(docs, idCol, textCol, path, buckets, overwrite = true,
+      positional)
   }
 
   /** Append a delta of NEW documents (new ids — the ivfAppendIndex
-    * contract) under the index's persisted bucket fanout.
+    * contract) under the index's persisted bucket fanout (and its
+    * persisted positional flag — an appended batch can never disagree
+    * with the layout it lands in).
     */
   def bm25AppendIndex(
       delta: DataFrame,
@@ -66,10 +79,37 @@ object LexIndex {
       textCol: String,
       path: String): Unit =
     writeParts(delta, idCol, textCol, path,
-      readBuckets(delta.sparkSession, path), overwrite = false)
+      readBuckets(delta.sparkSession, path), overwrite = false,
+      readPositional(delta.sparkSession, path))
 
   private def readBuckets(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
+    spark.read.parquet(s"$path/meta").select("buckets").head().getInt(0)
+
+  /** Whether the index stores positional postings. Indexes written
+    * before the positional layout existed have a one-column meta —
+    * they are term-frequency-only by construction.
+    */
+  private def readPositional(spark: SparkSession, path: String): Boolean = {
+    val meta = spark.read.parquet(s"$path/meta")
+    meta.columns.contains("positional") &&
+      meta.select("positional").head().getBoolean(0)
+  }
+
+  /** The [[graft.ops.CorpusUpsert]] staging hook: the delta's index
+    * rows under the REAL index's persisted geometry, written to a
+    * staging root that mirrors the index layout (postings/doclen/
+    * stats) — published into the live index by file rename, never by
+    * a direct append.
+    */
+  private[ops] def stageAppend(
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      stagePath: String): Unit =
+    writeParts(delta, idCol, textCol, stagePath,
+      readBuckets(delta.sparkSession, indexPath), overwrite = true,
+      readPositional(delta.sparkSession, indexPath))
 
   private def writeParts(
       docs: DataFrame,
@@ -77,13 +117,21 @@ object LexIndex {
       textCol: String,
       path: String,
       buckets: Int,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean,
+      positional: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val toks = TextFunctions.tokens(col(textCol))
-    docs
-      .select(col(idCol), explode(toks).as("w"))
-      .groupBy(col(idCol), col("w"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val postings =
+      if (positional)
+        docs.select(col(idCol), posexplode(toks).as(Seq("p", "w")))
+          .groupBy(col(idCol), col("w"))
+          .agg(count(lit(1)).cast("double").as("tf"),
+            sort_array(collect_list(col("p").cast("int"))).as("ps"))
+      else
+        docs.select(col(idCol), explode(toks).as("w"))
+          .groupBy(col(idCol), col("w"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+    postings
       .withColumn("tb", termBucket(col("w"), buckets))
       .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
     docs
@@ -410,5 +458,110 @@ object LexIndex {
       .select(col(idCol), term.as("term"))
       .groupBy(col(idCol))
       .agg(round(sum("term"), 6).as("bm25"))
+  }
+
+  /** Candidate gather shared by the positional probes: for each doc
+    * containing ALL of `terms`, a `w → ps` map of just those terms'
+    * position arrays. The postings scan prunes to the terms' `tb=`
+    * directories at file listing (the [[bm25ProbeIndex]] treatment),
+    * tombstoned docs are excluded on the pruned slice, and the
+    * conjunctive cut (`size(m) = |terms|`) happens in the same hash
+    * aggregation — candidate volume entering the verify expression is
+    * the docs containing the RAREST term at most, never the corpus.
+    */
+  private def positionMaps(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "positional probe: empty term set")
+    require(readPositional(spark, path),
+      s"positional probe: index at $path was not written with " +
+        "positional = true — phrase/proximity need position arrays")
+    val buckets = readBuckets(spark, path)
+    import spark.implicits._
+    val probeBuckets = terms.distinct.toDF("w")
+      .withColumn("tb", termBucket(col("w"), buckets))
+      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    Tombstones.excludeFrom(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+        .filter(col("w").isin(terms.distinct: _*))
+        .select(col(idCol), col("w"), col("ps")),
+      path, idCol)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("ps"))))
+        .as("m"))
+      .filter(size(col("m")) === terms.distinct.size) // conjunctive
+  }
+
+  /** Exact PHRASE search over a positional index: `(<idCol>,
+    * phrase_tf)` for every document where `phrase`'s terms occur at
+    * CONSECUTIVE token positions, `phrase_tf` counting the phrase's
+    * occurrences (anchored at the first term: positions p with
+    * term(j) at p+j for every j). The verify is one codegen'd
+    * higher-order expression over the candidate docs' position arrays
+    * — no explode, no self-join: candidates are bounded by the rarest
+    * term's document frequency, and per-candidate work by its
+    * occurrence counts.
+    *
+    * Terms must be distinct (a repeated term is one map key; the
+    * anchor arithmetic would silently alias) — refused up front.
+    */
+  def bm25PhraseProbe(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "bm25PhraseProbe: need >= 2 phrase terms")
+    require(phrase.distinct.size == phrase.size,
+      "bm25PhraseProbe: repeated phrase terms are not supported")
+    val m = positionMaps(spark, path, idCol, phrase)
+    val anchors = element_at(col("m"), lit(phrase.head))
+    val matches = filter(anchors, p =>
+      phrase.zipWithIndex.tail
+        .map { case (t, j) =>
+          array_contains(element_at(col("m"), lit(t)), p + lit(j)) }
+        .reduce(_ && _))
+    m.select(col(idCol), size(matches).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+  }
+
+  /** PROXIMITY search over a positional index: `(<idCol>, span)` for
+    * every document whose tokens contain all of `terms` within a
+    * window of at most `window` tokens — `span` is the EXACT minimal
+    * window length (max − min + 1 over the best occurrence choice).
+    * The scan: for each anchor position p (any occurrence of any
+    * term), the tightest window starting at p ends at
+    * max over terms of (first occurrence ≥ p); the true minimum is
+    * attained when p is the window's leftmost occupant, so minimizing
+    * over all anchors is exact. O(occurrences × |terms|) per
+    * candidate, all inside one higher-order expression.
+    */
+  def bm25ProximityProbe(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.size >= 2, "bm25ProximityProbe: need >= 2 terms")
+    require(terms.distinct.size == terms.size,
+      "bm25ProximityProbe: repeated terms are not supported")
+    require(window >= terms.size,
+      s"bm25ProximityProbe: window=$window cannot fit ${terms.size} terms")
+    val m = positionMaps(spark, path, idCol, terms)
+    val far = lit(Int.MaxValue)
+    val anchors = sort_array(flatten(array(
+      terms.map(t => element_at(col("m"), lit(t))): _*)))
+    val spanAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      p => greatest(terms.map(t =>
+        coalesce(array_min(filter(element_at(col("m"), lit(t)),
+          q => q >= p)), far)): _*) - p
+    val minSpan = array_min(transform(anchors, p =>
+      // a far-coalesced term makes this anchor unusable; Int.MaxValue
+      // minus a real position still dominates every feasible span
+      spanAt(p))) + lit(1)
+    m.select(col(idCol), minSpan.cast("long").as("span"))
+      .filter(col("span") <= window)
   }
 }

@@ -286,6 +286,35 @@ object Pq {
     else Map.empty
   }
 
+  /** The [[graft.ops.CorpusUpsert]] staging hook for the compressed
+    * layout — [[VectorOps.ivfStageAppend]] plus the frozen-model PQ
+    * codes (same null-codes drop contract as every PQ write).
+    */
+  private[ops] def pqIvfStageAppend(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      stagePath: String,
+      model: PqModel,
+      centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "pqIvfStageAppend: empty centroid table")
+    val indexElem = VectorOps.recordedDvType(delta.sparkSession, indexPath)
+    val assigned = VectorOps
+      .assignClusters(delta, vecCol, VectorOps.indexedCents(centroids))
+      .select(col(idCol), codesCol(col("dv"), model).as("codes"),
+        col("dv"), col("nrm"), col("cluster"))
+      .filter(col("codes").isNotNull)
+    val dvAligned = indexElem match {
+      case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
+      case _ => col("dv")
+    }
+    assigned
+      .select(col(idCol), col("codes"), dvAligned.as("dv"), col("nrm"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(stagePath)
+  }
+
   /** Fold [[pqIvfAppendIndex]]/`pqIndexSink` append litter back into a
     * bounded per-cluster file count — the compressed twin of
     * [[VectorOps.ivfCompactIndex]], closing the last asymmetry in the

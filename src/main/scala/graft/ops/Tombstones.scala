@@ -53,7 +53,8 @@ object Tombstones {
     val p = new Path(dir(indexRoot))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isFile && !s.getPath.getName.startsWith("_"))
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")) // local-FS .crc sidecars
   }
 
   /** Append `ids` (deduplicated within the batch; duplicates vs prior

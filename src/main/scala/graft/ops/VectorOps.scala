@@ -655,9 +655,43 @@ object VectorOps {
   /** Composite slot-key stride for [[slotVotePairs]]/[[slotAlignPairs]]:
     * key = id·64 + slot keeps keys monotone in the parent id (so MIH's
     * `id_a < id_b` pair ordering at the slot level IS parent-id
-    * ordering across parents). Bounds: slot < 64, id < 2⁵⁷.
+    * ordering across parents). Bounds: slot < 64, id < 2⁵⁷ (the full
+    * Long headroom: encode is exact integer multiply-add, decode is
+    * [[parentOf]]'s shiftright/bitmask — no floating-point division
+    * anywhere, so no 2⁵³ Double-precision cliff).
     */
   val SlotStride = 64L
+
+  /** log2([[SlotStride]]) — the shift the exact composite-key decode
+    * uses. Slot keys must stay power-of-two-strided for this to hold.
+    */
+  val SlotShift = 6
+
+  /** Exact parent-id half of a composite slot key: integer shiftright,
+    * valid for every id the encode accepts (id < 2⁵⁷) — a Long/Long
+    * `/` in Catalyst is Double division, exact only below 2⁵³.
+    */
+  def parentOf(fid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(fid, SlotShift)
+
+  /** Exact slot half of a composite slot key (low [[SlotShift]] bits). */
+  def slotOf(fid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    fid.bitwiseAND(lit(SlotStride - 1L))
+
+  /** Range-checked slot column for the composite encode: any slot
+    * outside [0, bound) would alias another parent's key and corrupt
+    * the pair relation silently — fail the job instead. One codegen'd
+    * comparison per row; `bound` is [[SlotStride]] for the miners and
+    * [[SlotStride]]−1 for [[slotProbePairs]]' parent side (63 is the
+    * reserved probe slot there).
+    */
+  private def checkedSlot(
+      slotCol: String, bound: Long, op: String): org.apache.spark.sql.Column =
+    when(col(slotCol).cast("long").between(0L, bound - 1L),
+        col(slotCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: slot out of [0, ${bound - 1}]: "),
+        col(slotCol).cast("string"))))
 
   private def slotMatches(
       slots: DataFrame,
@@ -667,8 +701,8 @@ object VectorOps {
       radius: Int,
       nBands: Int): DataFrame = {
     val fid = slots.select(
-      (col(idCol).cast("long") * lit(SlotStride) + col(slotCol).cast("long"))
-        .as("fid"),
+      (col(idCol).cast("long") * lit(SlotStride) +
+        checkedSlot(slotCol, SlotStride, "slotMatches")).as("fid"),
       col(vecCol).as("v"))
     val dim = fid.select(size(rawVec(fid, "v")).as("d")).limit(1).head()
       .getInt(0)
@@ -686,10 +720,10 @@ object VectorOps {
       else hammingParamsFor(math.max(packed.count(), 1L), dim, radius).nBands
     hammingRadiusPairsPacked(packed, "fid", radius, BandSpec(bands, dim))
       .select(
-        (col("id_a") / lit(SlotStride)).cast("long").as("va"),
-        pmod(col("id_a"), lit(SlotStride)).as("slot_a"),
-        (col("id_b") / lit(SlotStride)).cast("long").as("vb"),
-        pmod(col("id_b"), lit(SlotStride)).as("slot_b"),
+        parentOf(col("id_a")).as("va"),
+        slotOf(col("id_a")).as("slot_a"),
+        parentOf(col("id_b")).as("vb"),
+        slotOf(col("id_b")).as("slot_b"),
         col("hamming"))
       .filter(col("va") =!= col("vb"))
   }
@@ -745,8 +779,11 @@ object VectorOps {
     * parent within radius of a probe.
     *
     * Contract: probe ids and parent ids must be DISJOINT (they share
-    * the composite key space), and the slot column must stay below
-    * [[SlotStride]]−1 = 63 (the samplers use 5).
+    * the composite key space — overlap is uncheckable here without a
+    * join, so it stays the caller's contract), and the slot column
+    * must stay below [[SlotStride]]−1 = 63 (the samplers use 5) —
+    * ENFORCED per row: a parent row carrying the reserved probe slot
+    * fails the job instead of silently reporting itself as a probe.
     */
   def slotProbePairs(
       probes: DataFrame,
@@ -763,8 +800,8 @@ object VectorOps {
       (col(probeIdCol).cast("long") * lit(SlotStride) + probeSlot).as("fid"),
       col(probeVecCol).as("v"))
       .unionAll(slots.select(
-        (col(idCol).cast("long") * lit(SlotStride) + col(slotCol).cast("long"))
-          .as("fid"),
+        (col(idCol).cast("long") * lit(SlotStride) +
+          checkedSlot(slotCol, SlotStride - 1L, "slotProbePairs")).as("fid"),
         col(vecCol).as("v")))
     val dim = fid.select(size(rawVec(fid, "v")).as("d")).limit(1).head()
       .getInt(0)
@@ -775,10 +812,10 @@ object VectorOps {
     val pairs = hammingRadiusPairsPacked(packed, "fid", radius,
       BandSpec(bands, dim))
       .select(
-        (col("id_a") / lit(SlotStride)).cast("long").as("pa"),
-        pmod(col("id_a"), lit(SlotStride)).as("sa"),
-        (col("id_b") / lit(SlotStride)).cast("long").as("pb"),
-        pmod(col("id_b"), lit(SlotStride)).as("sb"),
+        parentOf(col("id_a")).as("pa"),
+        slotOf(col("id_a")).as("sa"),
+        parentOf(col("id_b")).as("pb"),
+        slotOf(col("id_b")).as("sb"),
         col("hamming"))
     // keep exactly the probe-vs-slot pairs, normalized to probe-first
     // (id_a < id_b at the composite level can put either side first)
@@ -2096,6 +2133,33 @@ object VectorOps {
     if (autoCompact)
       ivfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)
     else Map.empty
+  }
+
+  /** The [[graft.ops.CorpusUpsert]] staging hook: the delta's index
+    * rows — cluster-assigned under the index's frozen centroids, `dv`
+    * aligned to the index's recorded element type — written to a
+    * staging root mirroring the index layout (`cluster=` dirs), to be
+    * published into the live index by file rename, never by a direct
+    * append. The dv-type cache is consulted for the REAL index path
+    * and never populated for the stage.
+    */
+  private[ops] def ivfStageAppend(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      stagePath: String,
+      centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "ivfStageAppend: empty centroid table")
+    val indexElem = recordedDvType(delta.sparkSession, indexPath)
+    val assigned = assignClusters(delta, vecCol, indexedCents(centroids))
+    val dvAligned = indexElem match {
+      case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
+      case _ => col("dv")
+    }
+    assigned
+      .select(col(idCol), dvAligned.as("dv"), col("nrm"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(stagePath)
   }
 
   /** Fold [[ivfAppendIndex]]'s per-batch files back into a bounded

@@ -60,8 +60,12 @@ import org.apache.spark.sql.functions._
   * Anything else — wrong magic, truncated frames, zero dimensions —
   * becomes a typed reject row, never a fake fingerprint. The
   * Spark-side plumbing (schema, single-pass tagged decode,
-  * partitioning, 8-byte codes out) is real and tested; swapping in a
-  * real demuxer replaces ONLY [[decodeGvf]].
+  * partitioning, 8-byte codes out) is real and tested. Since round 16
+  * the seam carries a REAL container too: [[decodeAvi]] demuxes
+  * RIFF/AVI-MJPEG payloads (frames through the `javax.imageio` JPEG
+  * path [[Phash]] already uses) into the same [[Gvf]] plane, and
+  * [[decodeVideo]] dispatches on magic — a further codec still
+  * replaces only this one function.
   *
   * The gate rides DETERMINISTIC STUB twins ([[stubTemporalDiff]],
   * [[stubFrameDiff]]) — pure Catalyst integer arithmetic over
@@ -154,6 +158,122 @@ object VideoHash {
   }
 
   // ------------------------------------------------------------------
+  // RIFF/AVI-MJPEG container (the real-media demuxer behind the seam)
+  // ------------------------------------------------------------------
+
+  private def readIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def isRiffAvi(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Pure-JVM RIFF/AVI demuxer for MJPEG streams: walks the chunk
+    * tree (word-aligned `<fourcc><size LE><data>` records, `LIST`
+    * recursion for `hdrl`/`movi`/`rec `), collects the `movi` video
+    * chunks (`##dc`/`##db`), decodes each frame through the SAME
+    * `javax.imageio` path [[Phash]] uses for stills (content-sniffed,
+    * so both baseline-JPEG MJPEG and PNG-in-AVI decode), and packs the
+    * frames into the [[Gvf]] RGB24 plane layout — every kernel
+    * downstream of the seam ([[frameLumSums]], [[frameGrid]], the
+    * whole fingerprint stack) is unchanged. Strict typed rejects, no
+    * fake fingerprints: structural damage (truncated chunk plan, zero
+    * video frames, frames whose dimensions disagree) → `corrupt_video`;
+    * a frame payload no installed reader understands (a real codec
+    * like cinepak, or garbage) → `unsupported_format`.
+    */
+  def decodeAvi(payload: Array[Byte]): Either[String, Gvf] = {
+    if (payload == null || payload.isEmpty) return Left("empty_payload")
+    if (!isRiffAvi(payload)) return Left("unsupported_format")
+    val riffEnd = math.min(payload.length.toLong,
+      8L + (readIntLE(payload, 4) & 0xffffffffL))
+    val frames =
+      scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+    def walk(off0: Long, end: Long, inMovi: Boolean): Option[String] = {
+      var off = off0
+      while (off + 8 <= end) {
+        val base = off.toInt
+        val size = readIntLE(payload, base + 4) & 0xffffffffL
+        val dataStart = off + 8
+        if (dataStart + size > end) return Some("corrupt_video")
+        val isList = payload(base) == 'L' && payload(base + 1) == 'I' &&
+          payload(base + 2) == 'S' && payload(base + 3) == 'T'
+        if (isList) {
+          if (size < 4) return Some("corrupt_video")
+          val lt = dataStart.toInt
+          val movi = inMovi || (payload(lt) == 'm' && payload(lt + 1) == 'o' &&
+            payload(lt + 2) == 'v' && payload(lt + 3) == 'i')
+          walk(dataStart + 4, dataStart + size, movi) match {
+            case some @ Some(_) => return some
+            case None => ()
+          }
+        } else if (inMovi && size > 0 &&
+            payload(base) >= '0' && payload(base) <= '9' &&
+            payload(base + 1) >= '0' && payload(base + 1) <= '9' &&
+            payload(base + 2) == 'd' &&
+            (payload(base + 3) == 'c' || payload(base + 3) == 'b')) {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              payload, dataStart.toInt, size.toInt))
+            catch { case _: Exception => null }
+          if (img == null) return Some("unsupported_format")
+          frames += img
+        }
+        off = dataStart + size + (size & 1L) // chunks are word-aligned
+      }
+      None
+    }
+    walk(12L, riffEnd, inMovi = false) match {
+      case Some(reason) => return Left(reason)
+      case None => ()
+    }
+    if (frames.isEmpty) return Left("corrupt_video")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    if (w <= 0 || h <= 0) return Left("corrupt_video")
+    if (frames.exists(f => f.getWidth != w || f.getHeight != h))
+      return Left("corrupt_video")
+    val n = frames.length
+    val bytes = new Array[Byte](HeaderLen + 3 * w * h * n)
+    bytes(0) = Magic(0); bytes(1) = Magic(1)
+    bytes(2) = Magic(2); bytes(3) = Magic(3)
+    def putIntBE(off: Int, v: Int): Unit = {
+      bytes(off) = (v >> 24).toByte; bytes(off + 1) = (v >> 16).toByte
+      bytes(off + 2) = (v >> 8).toByte; bytes(off + 3) = v.toByte
+    }
+    putIntBE(4, w); putIntBE(8, h); putIntBE(12, n)
+    var f = 0
+    while (f < n) {
+      val img = frames(f)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val off = HeaderLen + 3 * ((f * h + y) * w + x)
+          bytes(off) = ((rgb >> 16) & 0xff).toByte
+          bytes(off + 1) = ((rgb >> 8) & 0xff).toByte
+          bytes(off + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    Right(Gvf(w, h, n, bytes))
+  }
+
+  /** The container dispatch every decode path goes through: RIFF/AVI
+    * payloads demux through [[decodeAvi]] (real MJPEG), everything
+    * else through the [[decodeGvf]] stand-in — one seam, two
+    * containers, identical [[Gvf]] output and typed-reject vocabulary.
+    */
+  def decodeVideo(payload: Array[Byte]): Either[String, Gvf] =
+    if (isRiffAvi(payload)) decodeAvi(payload) else decodeGvf(payload)
+
+  // ------------------------------------------------------------------
   // Real kernels (exact-integer luminance, the Phash discipline)
   // ------------------------------------------------------------------
 
@@ -225,10 +345,12 @@ object VideoHash {
     * [[Phash.luminanceGrid]] box-sum arithmetic over the raw RGB24
     * plane (deliberately shared arithmetic AND geometry: the 9×9 grid
     * of a frame and of a still image yield directly comparable
-    * [[Phash.gridDiff256]] signatures — [[imageInVideo]]'s key).
+    * [[Phash.gridDiff256]] signatures — [[imageInVideo]]'s key). The
+    * DEFAULT geometry is that 9×9 grid: every signature path feeds
+    * [[frameDiff256]], whose gridDiff256 requires 81 cells — a 9×8
+    * default would compile but fail its require at runtime.
     */
-  def frameGrid(v: Gvf, f: Int, gw: Int = Phash.GridW,
-      gh: Int = Phash.GridH): Array[Double] = {
+  def frameGrid(v: Gvf, f: Int, gw: Int = 9, gh: Int = 9): Array[Double] = {
     val base = HeaderLen + f * v.w * v.h * 3
     val out = new Array[Double](gw * gh)
     var r = 0
@@ -354,7 +476,7 @@ object VideoHash {
       .mapPartitions { it =>
         it.map { case (id, p) =>
           val n = if (p == null) 0L else p.length.toLong
-          decodeGvf(p) match {
+          decodeVideo(p) match {
             case Right(v) =>
               VideoTagged(id, n, Some(temporalDiff(v)),
                 Some(frameDiffs(v).flatten), None)

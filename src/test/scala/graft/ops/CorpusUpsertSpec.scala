@@ -1,0 +1,302 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coordinated corpus upsert ([[CorpusUpsert]]) across all four
+  * persisted index layouts: final state ≡ a from-scratch build over
+  * the revised corpus (bit-identical probes), redelivery is a no-op,
+  * every crash window of the stage→publish→tombstone→marker protocol
+  * recovers by re-running the same call, rev assignment is stable
+  * under retries, and the downstream maintenance lifecycle (purge)
+  * composes unchanged.
+  */
+class CorpusUpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ups-$tag").toString
+
+  private val Rid = CorpusUpsert.RidCol
+
+  // 100-doc corpus with text + embedding payloads
+  private lazy val corpus0: DataFrame = {
+    val d = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select($"doc_id", $"text")
+    val e = Tables.load(spark, TestSpark.Sf001, "embeddings")
+      .select($"vec_id".as("doc_id"), $"embedding")
+    d.join(e, Seq("doc_id")).filter($"doc_id" < 100).localCheckpoint(true)
+  }
+  // revision batch: every third doc gets new text + negated embedding
+  private lazy val revised: DataFrame = corpus0
+    .filter($"doc_id" % 3 === 1)
+    .select($"doc_id", concat($"text", lit(" upsrev")).as("text"),
+      transform($"embedding", x => -x).as("embedding"))
+    .localCheckpoint(true)
+  // the corpus a clean rebuild should match, keyed (doc, rev)
+  private lazy val finalCorpus: DataFrame = corpus0
+    .filter($"doc_id" % 3 =!= 1).withColumn("rev", lit(0))
+    .unionByName(revised.withColumn("rev", lit(1)))
+    .withColumn(Rid, CorpusUpsert.ridExpr($"doc_id", $"rev"))
+    .localCheckpoint(true)
+
+  private lazy val cents =
+    VectorOps.kmeansCentroids(corpus0, "embedding", 4)
+  private lazy val model =
+    Pq.pqTrain(corpus0, "embedding", m = 8, codebook = 8)
+  private lazy val query: Seq[Double] = corpus0.filter($"doc_id" === 0)
+    .select(transform($"embedding", x => x.cast("double")).as("v"))
+    .head().getSeq[Double](0)
+
+  private case class Roots(root: String) {
+    val ups = s"$root/ups"
+    val bm25 = s"$root/bm25"
+    val ivf = s"$root/ivf"
+    val pq = s"$root/pq"
+    val ham = s"$root/ham"
+    def targets: Seq[CorpusUpsert.IndexTarget] = Seq(
+      CorpusUpsert.Bm25Target(bm25, "text"),
+      CorpusUpsert.IvfTarget(ivf, "embedding", cents),
+      CorpusUpsert.PqIvfTarget(pq, "embedding", model, cents),
+      CorpusUpsert.HammingTarget(ham, "embedding"))
+    def bootstrap(): Roots = {
+      LexIndex.bm25WriteIndex(
+        corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+        Rid, "text", bm25, buckets = 8)
+      HammingIndex.hammingWriteIndex(
+        corpus0.select($"doc_id".as(Rid), $"embedding").limit(0),
+        Rid, "embedding", ham, nBands = 8, nBuckets = 8, dim = 64)
+      this
+    }
+  }
+
+  private def probeAll(r: Roots): Seq[Seq[Seq[Any]]] = Seq(
+    LexIndex.bm25ProbeIndex(spark, r.bm25, Rid, Seq("vector", "scan"))
+      .orderBy(Rid).collect().toSeq.map(_.toSeq),
+    VectorOps.ivfProbeIndex(spark, r.ivf, cents, Rid, query, 15,
+      nProbe = cents.length).collect().toSeq.map(_.toSeq),
+    Pq.pqIvfProbe(spark, r.pq, model, cents, Rid, query, 15,
+      nProbe = cents.length, overFetch = 50).collect().toSeq.map(_.toSeq),
+    HammingIndex.hammingProbeIndex(spark,
+        corpus0.select($"doc_id".as(Rid), $"embedding"), Rid, "embedding",
+        r.ham, radius = 15)
+      .orderBy("q_id", "n_id").collect().toSeq.map(_.toSeq))
+
+  /** The reference: every layout built from scratch over the revised
+    * corpus under the SAME frozen geometry.
+    */
+  private lazy val rebuilt: Roots = {
+    val r = Roots(tmp("rebuild"))
+    val fc = finalCorpus
+    LexIndex.bm25WriteIndex(fc, Rid, "text", r.bm25, buckets = 8)
+    HammingIndex.hammingWriteIndex(fc, Rid, "embedding", r.ham,
+      nBands = 8, nBuckets = 8, dim = 64)
+    VectorOps.ivfStageAppend(fc, Rid, "embedding", r.ivf, r.ivf, cents)
+    Pq.pqIvfStageAppend(fc, Rid, "embedding", r.pq, r.pq, model, cents)
+    r
+  }
+  private lazy val rebuiltProbes = probeAll(rebuilt)
+
+  /** One cleanly-applied upsert root (base + revision), shared by the
+    * read-only assertions.
+    */
+  private lazy val applied: Roots = {
+    val r = Roots(tmp("clean")).bootstrap()
+    val rep0 = CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups,
+      r.targets)
+    assert(!rep0.alreadyApplied && rep0.nDocs === 100 &&
+      rep0.nInserts === 100 && rep0.nUpdates === 0)
+    val rep1 = CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups,
+      r.targets)
+    assert(!rep1.alreadyApplied && rep1.nUpdates === rep1.nDocs &&
+      rep1.nInserts === 0)
+    r
+  }
+
+  test("upsert ≡ from-scratch rebuild over the revised corpus, all four layouts") {
+    assert(probeAll(applied) === rebuiltProbes)
+  }
+
+  test("probes surface only the new revision; decode recovers (doc, rev)") {
+    val bm = CorpusUpsert.withDocRev(
+      LexIndex.bm25ProbeIndex(spark, applied.bm25, Rid,
+        Seq("upsrev")), Rid)
+    // 'upsrev' appears exactly in the revised docs' new revision
+    assert(bm.filter($"rev" =!= 1).count() === 0)
+    assert(bm.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      revised.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val perDoc = CorpusUpsert.withDocRev(
+      spark.read.parquet(s"${applied.ivf}")
+        .join(Tombstones.ids(spark, applied.ivf, Rid).get, Seq(Rid),
+          "left_anti"), Rid)
+      .groupBy("doc_id").agg(countDistinct("rev").as("n"),
+        max("rev").as("mx"))
+    assert(perDoc.filter($"n" =!= 1).count() === 0)
+    assert(perDoc.filter($"mx" === 1).count() === revised.count())
+  }
+
+  test("redelivery of a done batch is a no-op (markers short-circuit)") {
+    val before = probeAll(applied)
+    val rowsBefore = spark.read.parquet(s"${applied.ham}/bands").count()
+    val rep = CorpusUpsert.applyBatch(revised, "doc_id", "rev1",
+      applied.ups, applied.targets)
+    assert(rep.alreadyApplied)
+    assert(spark.read.parquet(s"${applied.ham}/bands").count() === rowsBefore)
+    assert(probeAll(applied) === before)
+  }
+
+  test("crash between indexes: a batch applied to a target subset completes on retry") {
+    val r = Roots(tmp("partial")).bootstrap()
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups, r.targets)
+    // 'crash' after the first two indexes of rev1: apply to a subset...
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups,
+      r.targets.take(2))
+    // ...then the retry runs the full set; markers skip the done ones
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups, r.targets)
+    assert(probeAll(r) === rebuiltProbes)
+  }
+
+  test("crash inside a publish: a half-moved stage completes without duplicates") {
+    val r = Roots(tmp("midpub")).bootstrap()
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups, r.targets)
+    // hand-build rev1's bm25 stage exactly as applyBatch would...
+    val withRid = revised.repartition(4).withColumn(Rid,
+      CorpusUpsert.ridExpr($"doc_id", lit(1)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stageDir = new Path(s"${r.ups}/batches/rev1/stage-bm25")
+    val fs = stageDir.getFileSystem(conf)
+    LexIndex.stageAppend(withRid, Rid, "text", r.bm25, stageDir.toString)
+    fs.create(new Path(stageDir, "_graft_staged"), true).close()
+    // ...move HALF its doclen files by hand with the publish naming
+    val doclenStage = new Path(stageDir, "doclen")
+    val parts = fs.listStatus(doclenStage)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName)
+    assert(parts.length >= 2, "fixture needs >= 2 staged doclen files")
+    val destDir = new Path(s"${r.bm25}/doclen")
+    parts.take(parts.length / 2).foreach { p =>
+      assert(fs.rename(p, new Path(destDir, s"graft-ups-rev1-${p.getName}")))
+    }
+    // the retry must finish the publish (and the other three indexes)
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups, r.targets)
+    assert(probeAll(r) === rebuiltProbes)
+    // exactly one doclen row per rid ever published
+    val dl = spark.read.parquet(s"${r.bm25}/doclen")
+    assert(dl.groupBy(Rid).count().filter($"count" > 1).count() === 0)
+  }
+
+  test("crash after publish, before the applied marker: retry re-tombstones, never re-publishes") {
+    val r = Roots(tmp("premark")).bootstrap()
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups, r.targets)
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups, r.targets)
+    // simulate the window: drop rev1's hamming applied marker and
+    // re-create the post-publish stage state (marker only, files moved)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val batchDir = new Path(s"${r.ups}/batches/rev1")
+    val fs = batchDir.getFileSystem(conf)
+    assert(fs.delete(new Path(batchDir, "applied-hamming"), false))
+    assert(fs.delete(new Path(batchDir, "done"), false))
+    val stageDir = new Path(batchDir, "stage-hamming")
+    fs.mkdirs(stageDir)
+    fs.create(new Path(stageDir, "_graft_staged"), true).close()
+    val rowsBefore = spark.read.parquet(s"${r.ham}/bands").count()
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups, r.targets)
+    assert(spark.read.parquet(s"${r.ham}/bands").count() === rowsBefore)
+    assert(probeAll(r) === rebuiltProbes)
+  }
+
+  test("rev assignment: three generations, inserts mid-stream, currentRevs tracks max") {
+    val r = Roots(tmp("revs")).bootstrap()
+    val t = r.targets.take(1) // rev machinery is index-independent
+    val b0 = corpus0.filter($"doc_id" < 10).select($"doc_id", $"text")
+    CorpusUpsert.applyBatch(b0, "doc_id", "g0", r.ups, t)
+    val b1 = b0.filter($"doc_id" < 6)
+      .unionByName(corpus0.filter($"doc_id".between(10, 12))
+        .select($"doc_id", $"text"))
+    val rep1 = CorpusUpsert.applyBatch(b1, "doc_id", "g1", r.ups, t)
+    assert(rep1.nUpdates === 6 && rep1.nInserts === 3)
+    val b2 = b0.filter($"doc_id" < 3)
+    CorpusUpsert.applyBatch(b2, "doc_id", "g2", r.ups, t)
+    val cur = CorpusUpsert.currentRevs(spark, r.ups)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert((0L until 3L).forall(cur(_) === 2))
+    assert((3L until 6L).forall(cur(_) === 1))
+    assert((6L until 10L).forall(cur(_) === 0))
+    assert((10L until 13L).forall(cur(_) === 0))
+  }
+
+  test("a batch with duplicate doc rows is refused") {
+    val r = Roots(tmp("dup")).bootstrap()
+    val bad = corpus0.filter($"doc_id" < 5)
+      .unionByName(corpus0.filter($"doc_id" < 2))
+    val e = intercept[IllegalArgumentException] {
+      CorpusUpsert.applyBatch(bad, "doc_id", "d0", r.ups,
+        r.targets.take(1))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("out-of-range doc ids fail the batch before any index work") {
+    val r = Roots(tmp("range")).bootstrap()
+    val bad = corpus0.filter($"doc_id" < 3)
+      .withColumn("doc_id", $"doc_id" - lit(10L))
+    val e = intercept[Exception] {
+      CorpusUpsert.applyBatch(bad, "doc_id", "r0", r.ups,
+        r.targets.take(1))
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("out of")))
+  }
+
+  test("deleteDocs retires the current revision everywhere; re-upsert resumes at rev+1") {
+    val r = Roots(tmp("del")).bootstrap()
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups, r.targets)
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups, r.targets)
+    val gone = corpus0.filter($"doc_id" % 10 === 4).select("doc_id")
+    CorpusUpsert.deleteDocs(gone, "doc_id", r.ups, r.targets)
+    CorpusUpsert.deleteDocs(gone, "doc_id", r.ups, r.targets) // idempotent
+    val goneSet = gone.collect().map(_.getLong(0)).toSet
+    probeAll(r).zip(Seq(0, 0, 0, 1)).foreach { case (rows, nIdx) =>
+      // column nIdx holds the rid (hamming reports it as n_id, col 1)
+      assert(rows.forall(row =>
+        !goneSet.contains(row(nIdx).asInstanceOf[Long] >> 16)))
+    }
+    // re-upsert one retired doc: new revision becomes visible again
+    val back = corpus0.filter($"doc_id" === 4)
+      .select($"doc_id", concat($"text", lit(" back")).as("text"),
+        $"embedding")
+    CorpusUpsert.applyBatch(back, "doc_id", "rev2", r.ups, r.targets)
+    val bm = CorpusUpsert.withDocRev(
+      LexIndex.bm25ProbeIndex(spark, r.bm25, Rid, Seq("back")), Rid)
+      .collect().toSeq
+    assert(bm.map(_.getAs[Long]("doc_id")) === Seq(4L))
+    // doc 4 was revised (rev 1) then retired; the ledger keeps its max
+    // rev, so the re-upsert lands at rev 2
+    assert(bm.map(_.getAs[Long]("rev")) === Seq(2L))
+  }
+
+  test("purges after upserts reclaim bytes without changing probes") {
+    val r = Roots(tmp("purge")).bootstrap()
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups, r.targets)
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups, r.targets)
+    val before = probeAll(r)
+    assert(LexIndex.bm25PurgeIndex(spark, r.bm25, Rid).nonEmpty)
+    assert(VectorOps.ivfPurgeIndex(spark, r.ivf, Rid).nonEmpty)
+    assert(Pq.pqIvfPurgeIndex(spark, r.pq, Rid).nonEmpty)
+    assert(HammingIndex.hammingPurgeIndex(spark, r.ham, Rid).nonEmpty)
+    Seq(r.bm25, r.ivf, r.pq, r.ham).foreach(p =>
+      assert(!Tombstones.exists(spark, p)))
+    // every superseded rid is physically gone
+    assert(spark.read.parquet(s"${r.ivf}")
+      .filter(CorpusUpsert.revOf(col(Rid)) === 0 &&
+        CorpusUpsert.docOf(col(Rid)) % 3 === 1).count() === 0)
+    assert(probeAll(r) === before)
+  }
+}

@@ -450,4 +450,138 @@ class VideoHashSpec extends AnyFunSuite {
         === fw, s"scalar kernel drifted: id=$id len=$len slot=$slot")
     }
   }
+
+  // ---------------------------------------------------------------
+  // RIFF/AVI-MJPEG demuxer (round 16: the real container behind the
+  // decode seam)
+  // ---------------------------------------------------------------
+
+  private def leChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val out = new Array[Byte](8 + data.length + pad)
+    System.arraycopy(id.getBytes("US-ASCII"), 0, out, 0, 4)
+    out(4) = (data.length & 0xff).toByte
+    out(5) = ((data.length >> 8) & 0xff).toByte
+    out(6) = ((data.length >> 16) & 0xff).toByte
+    out(7) = ((data.length >> 24) & 0xff).toByte
+    System.arraycopy(data, 0, out, 8, data.length)
+    out
+  }
+
+  private def leList(listType: String, children: Seq[Array[Byte]]): Array[Byte] =
+    leChunk("LIST",
+      listType.getBytes("US-ASCII") ++ children.flatten.toArray)
+
+  /** A structurally honest AVI: RIFF(AVI ) + LIST hdrl(avih) +
+    * LIST movi(00dc per frame).
+    */
+  private def buildAvi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    def putLE(off: Int, v: Int): Unit = {
+      avih(off) = (v & 0xff).toByte; avih(off + 1) = ((v >> 8) & 0xff).toByte
+      avih(off + 2) = ((v >> 16) & 0xff).toByte
+      avih(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLE(16, frames.length); putLE(24, 1); putLE(32, w); putLE(36, h)
+    leChunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      leList("hdrl", Seq(leChunk("avih", avih))) ++
+      leList("movi", frames.map(leChunk("00dc", _))))
+  }
+
+  /** Re-encode a GVF clip's frames (PNG = lossless, JPEG = real
+    * MJPEG) and wrap them as an AVI.
+    */
+  private def aviOf(payload: Array[Byte], format: String): Array[Byte] = {
+    val v = VideoHash.decodeGvf(payload).toOption.get
+    val frames = (0 until v.n).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        v.w, v.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < v.h) {
+        var x = 0
+        while (x < v.w) {
+          val off = VideoHash.HeaderLen + 3 * ((f * v.h + y) * v.w + x)
+          img.setRGB(x, y, ((v.bytes(off) & 0xff) << 16) |
+            ((v.bytes(off + 1) & 0xff) << 8) | (v.bytes(off + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos))
+      bos.toByteArray
+    }
+    buildAvi(v.w, v.h, frames)
+  }
+
+  test("AVI demux: lossless (PNG-frame) AVI decodes BIT-IDENTICAL to the raw-frame twin") {
+    val avi = aviOf(base, "png")
+    val got = VideoHash.decodeVideo(avi).toOption.get
+    assert((got.w, got.h, got.n) ===
+      (VideoHash.decodeGvf(base).toOption.get.w,
+        VideoHash.decodeGvf(base).toOption.get.h,
+        VideoHash.decodeGvf(base).toOption.get.n))
+    assert(java.util.Arrays.equals(got.bytes, base))
+  }
+
+  test("AVI demux: real MJPEG drifts within the perceptual band; distinct content stays far") {
+    val avi = aviOf(base, "jpg")
+    val got = VideoHash.decodeVideo(avi).toOption.get
+    val ref = VideoHash.decodeGvf(base).toOption.get
+    val td = dist(VideoHash.pack64(VideoHash.temporalDiff(got)),
+      VideoHash.pack64(VideoHash.temporalDiff(ref)))
+    assert(td <= 8, s"temporal drift $td over JPEG round-trip")
+    val fd = VideoHash.frameDiffs(got).map(packWide)
+      .zip(VideoHash.frameDiffs(ref).map(packWide))
+      .map { case (a, b) => a.zip(b).map { case (x, y) => dist(x, y) }.sum }
+    assert(fd.forall(_ <= 32), s"frame drifts $fd over JPEG round-trip")
+    // a different clip through the same lossy path stays far
+    val otherAvi = aviOf(other, "jpg")
+    val o = VideoHash.decodeVideo(otherAvi).toOption.get
+    assert(dist(VideoHash.pack64(VideoHash.temporalDiff(o)),
+      VideoHash.pack64(VideoHash.temporalDiff(ref))) > 16)
+  }
+
+  test("AVI demux: structural damage and alien codecs become typed rejects") {
+    val avi = aviOf(base, "png")
+    // truncation cuts a chunk's promised extent
+    assert(VideoHash.decodeVideo(avi.take(avi.length - 9))
+      === Left("corrupt_video"))
+    // a movi with zero video chunks
+    assert(VideoHash.decodeVideo(buildAvi(9, 9, Seq.empty))
+      === Left("corrupt_video"))
+    // frame payload no installed ImageIO reader understands
+    val garbage = buildAvi(9, 9, Seq("notajpeg".getBytes("US-ASCII")))
+    assert(VideoHash.decodeVideo(garbage) === Left("unsupported_format"))
+    // frames whose dimensions disagree
+    val mixed = {
+      val a = VideoHash.decodeGvf(base).toOption.get
+      val img1 = new java.awt.image.BufferedImage(9, 9,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val img2 = new java.awt.image.BufferedImage(18, 9,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      def png(i: java.awt.image.BufferedImage) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(i, "png", bos); bos.toByteArray
+      }
+      buildAvi(a.w, a.h, Seq(png(img1), png(img2)))
+    }
+    assert(VideoHash.decodeVideo(mixed) === Left("corrupt_video"))
+    // the GVF path is untouched by the dispatch
+    assert(VideoHash.decodeVideo(base).toOption.get.bytes eq base)
+  }
+
+  test("AVI demux: tagged decode routes AVI, GVF and rejects to the right relations in one pass") {
+    val avi = aviOf(base, "png")
+    val rows = Seq((1L, base), (2L, avi), (3L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val (codes, frames, rejects) =
+      VideoHash.videoFingerprint(rows, "id", "payload")
+    val c = codes.collect().map(r => r.id -> r.video_diff.toSeq).toMap
+    assert(c.keySet === Set(1L, 2L))
+    assert(c(1L) === c(2L)) // lossless AVI twin fingerprints identically
+    assert(frames.collect().map(_.id).toSet === Set(1L, 2L))
+    assert(rejects.collect().map(r => r.id -> r.reason).toSeq
+      === Seq(3L -> "unsupported_format"))
+  }
 }
