@@ -54,6 +54,10 @@ object Bench {
       // frame index + takedown + probe) — streaming section; its
       // append/probe machinery is q146's band and its scan q226's.
       "q229_stream_frame_index",
+      // q233 is a real micro-batch run (base batch apply + 3 streamed
+      // coordinated upsert batches + probes) — streaming section; its
+      // per-index machinery is q230's batch apply, benched there.
+      "q233_stream_upsert",
       "q24_embed_neardup")
     // Decomposition knob (never set by the driver): restrict the
     // headline set to a comma-separated name list, so suite-composition
@@ -162,7 +166,7 @@ object Bench {
       "q104_stream_ivf", "q110_stream_ivfpq", "q121_stream_neardup",
       "q173_stream_sketches", "q191_stream_scd2", "q212_stream_pii",
       "q215_stream_expectations", "q219_stream_phash_index",
-      "q229_stream_frame_index")
+      "q229_stream_frame_index", "q233_stream_upsert")
       .filter(n => only.forall(_.contains(n)))
     val streamingTimings = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2) {

@@ -254,11 +254,20 @@ object DataOpsQueries {
           .select("doc_id", "dup_count")
           .orderBy("doc_id")),
 
-    // MinHash+LSH near-dup (xxhash sketches → no SQL oracle; recall vs
-    // q22's exact relation is asserted in DedupSpec).
+    // MinHash+LSH near-dup. ORACLE-GATED since round 16 (the XxhSql
+    // conversion's hardest case): the oracle replays the COMPLETE
+    // engine dataflow — per-shingle seeded XXH64 string hashes (the 32
+    // per-hash seeds are data-independent xxh64_int4(h, 42) constants
+    // baked as literals), signed mins per signature slot, the
+    // array<long> band-bucket fold (running-seed hashLong per element,
+    // pinned against tools/XxhProbe), the maxBucket skew guard, and
+    // the exact-Jaccard verify — so the CANDIDATE SET itself, not just
+    // the verified scores, is hash-gated. DedupSpec keeps the recall
+    // band vs q22's exact relation.
     NamedQuery(
       "q21_minhash_lsh",
-      None,
+      Some(XxhSql.q21Oracle(shingleN = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, maxBucket = 1000)),
       (s, dir) =>
         Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
             shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
@@ -297,11 +306,16 @@ object DataOpsQueries {
             shingleN = 3, threshold = 0.5)
           .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup with pigeonhole chunk blocking (rows-only: xxhash
-    // sketch; hamming-vs-jaccard sanity in DedupSpec).
+    // SimHash near-dup with pigeonhole chunk blocking. ORACLE-GATED
+    // since round 16 (the q184 XxhSql conversion applied to the
+    // per-token single-arg hash): the oracle rebuilds every token's
+    // XXH64 in SQL, folds the ±1 bit contributions per doc, and takes
+    // brute-force Hamming pairs — exact because the engine's chunk
+    // blocking is pigeonhole-complete. DedupSpec keeps the
+    // hamming-vs-jaccard sanity band.
     NamedQuery(
       "q23_simhash",
-      None,
+      Some(XxhSql.q23Oracle(maxDistance = 3)),
       (s, dir) =>
         Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDistance = 3)
           .orderBy("id_a", "id_b")),

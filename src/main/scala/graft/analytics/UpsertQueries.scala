@@ -140,13 +140,22 @@ object UpsertQueries {
             s"$root/ham")
         // bootstrap the two meta-carrying layouts empty (the documented
         // stream pattern); the cluster layouts materialize on first
-        // publish
-        LexIndex.bm25WriteIndex(
-          corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
-          rid, "text", bm25P, buckets = 32)
-        HammingIndex.hammingWriteIndex(
-          corpus0.select(col("doc_id").as(rid), col("embedding")).limit(0),
-          rid, "embedding", hamP, nBands = 8, nBuckets = 32, dim = 64)
+        // publish. The two bootstraps are independent empty writes —
+        // run them concurrently.
+        locally {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Seq(
+            Future(LexIndex.bm25WriteIndex(
+              corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
+              rid, "text", bm25P, buckets = 32)),
+            Future(HammingIndex.hammingWriteIndex(
+              corpus0.select(col("doc_id").as(rid), col("embedding"))
+                .limit(0),
+              rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)))
+            .foreach(Await.result(_,
+              scala.concurrent.duration.Duration.Inf))
+        }
         val targets = Seq(
           CorpusUpsert.Bm25Target(bm25P, "text"),
           CorpusUpsert.IvfTarget(ivfP, "embedding", cents),
@@ -268,6 +277,124 @@ object UpsertQueries {
         LexIndex.bm25ProximityProbe(s, root.toString, "doc_id",
             Seq("vector", "window"), window = 5)
           .orderBy("doc_id")
+      }),
+
+    // The 15th REAL stream: the daily-refresh loop as a stream. The
+    // base corpus lands as a batch apply; three DISJOINT revision
+    // classes (doc%6=2 / doc%9=4 / doc%9=7 — provably non-overlapping
+    // residues, so micro-batch arrival order cannot change the final
+    // state) then stream through CorpusUpsertStream, each micro-batch
+    // one coordinated applyBatch across the BM25 + Hamming targets
+    // (the two bootstrap-able layouts — no trained geometry, so the
+    // stream entry prices the streaming wrapper, not k-means). No
+    // _graft_batches ledger: applyBatch's own markers absorb
+    // redelivery. HASH-GATED end to end: the final corpus is
+    // deterministic, so DuckDB replays BM25 scores and the sign-bit
+    // Hamming pair relation over it (the q219/q229 convention).
+    NamedQuery(
+      "q233_stream_upsert",
+      Some("""WITH base AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id % 6 = 2 THEN d.text || ' r1x'
+             |         WHEN d.doc_id % 9 = 4 THEN d.text || ' r2x'
+             |         WHEN d.doc_id % 9 = 7 THEN d.text || ' r3x'
+             |         ELSE d.text END AS text,
+             |    CASE WHEN d.doc_id % 6 = 2 OR d.doc_id % 9 = 4
+             |           OR d.doc_id % 9 = 7
+             |         THEN list_transform(e.embedding, x -> -x)
+             |         ELSE e.embedding END AS emb,
+             |    CASE WHEN d.doc_id % 6 = 2 OR d.doc_id % 9 = 4
+             |           OR d.doc_id % 9 = 7 THEN 1 ELSE 0 END AS rev
+             |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+             |tok AS (SELECT doc_id, rev, string_split(text, ' ') tok FROM base),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM tok),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |ex AS (SELECT doc_id, rev, unnest(tok) w FROM tok),
+             |tf AS (SELECT doc_id, rev, w, CAST(count(*) AS DOUBLE) tf FROM ex
+             |       WHERE w IN ('vector', 'join', 'scan') GROUP BY doc_id, rev, w),
+             |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w),
+             |bm AS (SELECT 'bm25' AS kind, CAST(-1 AS BIGINT) AS qid, tf.doc_id,
+             |         CAST(tf.rev AS BIGINT) AS rev,
+             |         ROUND(SUM(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             |           * tf.tf * 2.2
+             |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))), 6) AS score
+             |       FROM tf JOIN dfq USING (w) JOIN l USING (doc_id) CROSS JOIN st
+             |       GROUP BY tf.doc_id, tf.rev),
+             |hmraw AS (SELECT q.doc_id AS qid, n.doc_id, n.rev,
+             |            CAST(list_sum(list_transform(range(64),
+             |              i -> CASE WHEN (q.emb[i+1] > 0) = (n.emb[i+1] > 0)
+             |                   THEN 0 ELSE 1 END)) AS BIGINT) AS h
+             |          FROM base q, base n),
+             |hm AS (SELECT 'ham' AS kind, qid, doc_id, CAST(rev AS BIGINT) AS rev,
+             |         CAST(h AS DOUBLE) AS score FROM hmraw WHERE h <= 15)
+             |SELECT kind, qid, doc_id, rev, score FROM (
+             |  SELECT * FROM bm UNION ALL SELECT * FROM hm)
+             |ORDER BY kind, qid, doc_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.types._
+        val root = stageRoot("upstream", dir)
+        clearRoot(root)
+        val rid = CorpusUpsert.RidCol
+        val corpus0 = docs(s, dir).select(col("doc_id"), col("text"))
+          .join(embs(s, dir).select(col("vec_id").as("doc_id"),
+            col("embedding")), Seq("doc_id"))
+        def revClass(pred: org.apache.spark.sql.Column, marker: String) =
+          corpus0.filter(pred)
+            .select(col("doc_id"),
+              concat(col("text"), lit(marker)).as("text"),
+              transform(col("embedding"), x => -x).as("embedding"))
+        val r1 = revClass(col("doc_id") % 6 === 2, " r1x")
+        val r2 = revClass(col("doc_id") % 9 === 4, " r2x")
+        val r3 = revClass(col("doc_id") % 9 === 7, " r3x")
+        val (upsRoot, bm25P, hamP, src, ckpt) =
+          (s"$root/ups", s"$root/bm25", s"$root/ham", s"$root/src",
+            s"$root/ckpt")
+        LexIndex.bm25WriteIndex(
+          corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
+          rid, "text", bm25P, buckets = 32)
+        HammingIndex.hammingWriteIndex(
+          corpus0.select(col("doc_id").as(rid), col("embedding")).limit(0),
+          rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)
+        val targets = Seq(
+          CorpusUpsert.Bm25Target(bm25P, "text"),
+          CorpusUpsert.HammingTarget(hamP, "embedding"))
+        CorpusUpsert.applyBatch(corpus0, "doc_id", "base", upsRoot,
+          targets)
+        Seq(r1, r2, r3).foreach(
+          _.coalesce(1).write.mode("append").parquet(src))
+        val stream = s.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("text", StringType),
+            StructField("embedding", ArrayType(FloatType)))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+        val q = graft.streaming.CorpusUpsertStream
+          .upsertSink(stream, "doc_id", upsRoot, targets)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val bm = CorpusUpsert.withDocRev(
+          LexIndex.bm25ProbeIndex(s, bm25P, rid,
+            Seq("vector", "join", "scan")), rid)
+          .select(lit("bm25").as("kind"), lit(-1L).as("qid"),
+            col("doc_id"), col("rev"),
+            col("bm25").cast("double").as("score"))
+        val finalQ = corpus0
+          .filter(col("doc_id") % 6 =!= 2 && col("doc_id") % 9 =!= 4 &&
+            col("doc_id") % 9 =!= 7)
+          .unionByName(r1).unionByName(r2).unionByName(r3)
+          .select(col("doc_id").as(rid), col("embedding"))
+        val hm = CorpusUpsert.withDocRev(
+          HammingIndex.hammingProbeIndex(s, finalQ, rid, "embedding",
+            hamP, radius = 15)
+            .withColumnRenamed("n_id", rid), rid)
+          .select(lit("ham").as("kind"), col("q_id").cast("long").as("qid"),
+            col("doc_id"), col("rev"),
+            col("hamming").cast("double").as("score"))
+        bm.unionByName(hm).orderBy("kind", "qid", "doc_id")
       })
   )
 }

@@ -1,10 +1,12 @@
 package graft.analytics
 
-/** DuckDB-SQL replay of Spark's `xxhash64` (XXH64, seed 42) for SHORT
-  * ASCII strings (< 32 bytes — only the tail path) and the two-arg
-  * `xxhash64(string, int)` chain (the int is hashed through XXH64's
-  * 4-byte finalizer with the string's hash as seed — pinned
-  * empirically against Spark in tools/XxhProbe, all tokens exact).
+/** DuckDB-SQL replay of Spark's `xxhash64` (Yann Collet's public
+  * XXH64 algorithm — github.com/Cyan4973/xxHash spec — at Spark's
+  * fixed seed 42) for SHORT ASCII strings (< 32 bytes — only the tail
+  * path) and the two-arg `xxhash64(string, int)` chain (the int is
+  * hashed through XXH64's 4-byte finalizer with the string's hash as
+  * seed — pinned empirically against Spark in tools/XxhProbe, all
+  * tokens exact).
   *
   * This closes the "engine-hash placements no SQL engine reproduces"
   * oracle class for BOUNDED-vocabulary relations: 64-bit wraparound
@@ -51,40 +53,51 @@ object XxhSql {
     * bytes) to `xh_h1(tok, h1)` — h1 is Spark `xxhash64(tok)` as
     * UBIGINT.
     */
-  def h1Ctes(src: String): String =
-    s"""xh_b AS (SELECT tok, strlen(tok) n,
+  /** Strings must stay under 32 bytes (the XXH64 tail path — three
+    * unrolled 8-byte lanes + one 4-byte lane + per-byte fold); the
+    * ≥ 32-byte 4-accumulator main loop is deliberately out of scope
+    * (a wrong assumption fails the hash gate loudly, never silently).
+    */
+  def h1Ctes(src: String, seedExpr: String = "CAST(42 AS UBIGINT)",
+      carry: Seq[String] = Nil): String = {
+    val cc = carry.map(_ + ", ").mkString
+    val lane8 = "bs[i+1]+bs[i+2]*256+bs[i+3]*65536+bs[i+4]*16777216" +
+      "+bs[i+5]*4294967296+bs[i+6]*1099511627776+bs[i+7]*281474976710656" +
+      "+bs[i+8]*72057594037927936"
+    val laneRounds = (1 to 3).map { r =>
+      val in = if (r == 1) "xh_i0" else s"xh_l${r - 1}"
+      s"""xh_l$r AS (SELECT ${cc}tok, n, bs,
+         |        CASE WHEN n - i >= 8 THEN ${add(mul("k27", u(P1)), u(P4))}
+         |             ELSE acc END acc,
+         |        CASE WHEN n - i >= 8 THEN i + 8 ELSE i END i
+         |      FROM (SELECT *, ${rotl(xr("acc", "kk"), 27)} k27 FROM
+         |        (SELECT *, ${mul(rotl(mul("lane", u(P2)), 31), u(P1))} kk FROM
+         |          (SELECT *, CASE WHEN n - i >= 8 THEN $lane8
+         |             ELSE CAST(0 AS UBIGINT) END lane FROM $in))))""".stripMargin
+    }.mkString(",\n")
+    s"""xh_b AS (SELECT ${cc}tok, strlen(tok) n,
        |        list_transform(range(strlen(tok)),
        |          i -> CAST(ascii(substr(tok, CAST(i+1 AS INT), 1)) AS UBIGINT)) bs
        |      FROM $src),
-       |xh_s0 AS (SELECT tok, n, bs,
-       |        ${add(add(u("42"), u(P5)), "n")} acc0,
-       |        CASE WHEN n >= 8 THEN bs[1]+bs[2]*256+bs[3]*65536+bs[4]*16777216
-       |          +bs[5]*4294967296+bs[6]*1099511627776+bs[7]*281474976710656
-       |          +bs[8]*72057594037927936 ELSE CAST(0 AS UBIGINT) END lane8
+       |xh_i0 AS (SELECT ${cc}tok, n, bs,
+       |        ${add(add(seedExpr, u(P5)), "n")} acc, 0 AS i
        |      FROM xh_b),
-       |xh_s1 AS (SELECT tok, n, bs, acc0,
-       |        CASE WHEN n >= 8 THEN ${mul("k27", u(P1))} ELSE acc0 END acc1a,
-       |        CASE WHEN n >= 8 THEN 8 ELSE 0 END i1
-       |      FROM (SELECT *, ${rotl(xr("acc0", "kk"), 27)} k27 FROM
-       |        (SELECT *, ${mul(rotl(mul("lane8", u(P2)), 31), u(P1))} kk FROM xh_s0))),
-       |xh_s1b AS (SELECT tok, n, bs,
-       |        CASE WHEN n >= 8 THEN ${add("acc1a", u(P4))} ELSE acc1a END acc1, i1
-       |      FROM xh_s1),
-       |xh_s2 AS (SELECT tok, n, bs, i1, acc1,
-       |        CASE WHEN n - i1 >= 4 THEN bs[i1+1]+bs[i1+2]*256+bs[i1+3]*65536
-       |          +bs[i1+4]*16777216 ELSE CAST(0 AS UBIGINT) END lane4
-       |      FROM xh_s1b),
-       |xh_s3 AS (SELECT tok, n, bs,
-       |        CASE WHEN n - i1 >= 4 THEN ${add(mul("r23", u(P2)), u(P3))} ELSE acc1 END acc2,
-       |        CASE WHEN n - i1 >= 4 THEN i1 + 4 ELSE i1 END i2
-       |      FROM (SELECT *, ${rotl(xr("acc1", mul("lane4", u(P1))), 23)} r23 FROM xh_s2)),
-       |xh_s4 AS (SELECT tok, n,
+       |$laneRounds,
+       |xh_s3 AS (SELECT ${cc}tok, n, bs,
+       |        CASE WHEN n - i >= 4 THEN ${add(mul("r23", u(P2)), u(P3))} ELSE acc END acc2,
+       |        CASE WHEN n - i >= 4 THEN i + 4 ELSE i END i2
+       |      FROM (SELECT *, ${rotl(xr("acc", mul("lane4", u(P1))), 23)} r23 FROM
+       |        (SELECT *, CASE WHEN n - i >= 4 THEN bs[i+1]+bs[i+2]*256
+       |           +bs[i+3]*65536+bs[i+4]*16777216
+       |           ELSE CAST(0 AS UBIGINT) END lane4 FROM xh_l3))),
+       |xh_s4 AS (SELECT ${cc}tok, n,
        |        list_reduce(list_prepend(acc2, bs[i2+1:n]),
        |          (acc, byte) -> ${mul(rotl(xr("acc", mul("byte", u(P5))), 11), u(P1))}) acc3
        |      FROM xh_s3),
-       |xh_s5 AS (SELECT tok, ${mul(xr("acc3", "acc3 >> 33"), u(P2))} a FROM xh_s4),
-       |xh_s6 AS (SELECT tok, ${mul(xr("a", "a >> 29"), u(P3))} a FROM xh_s5),
-       |xh_h1 AS (SELECT tok, xor(a, a >> 32) h1 FROM xh_s6)""".stripMargin
+       |xh_s5 AS (SELECT ${cc}tok, ${mul(xr("acc3", "acc3 >> 33"), u(P2))} a FROM xh_s4),
+       |xh_s6 AS (SELECT ${cc}tok, ${mul(xr("a", "a >> 29"), u(P3))} a FROM xh_s5),
+       |xh_h1 AS (SELECT ${cc}tok, xor(a, a >> 32) h1 FROM xh_s6)""".stripMargin
+  }
 
   /** CTE chaining `xh_h1` through Spark's second-arg INT hash for
     * d ∈ [0, depth) → `xh_bk(tok, d, bucket)` with
@@ -104,6 +117,156 @@ object XxhSql {
        |xh_bk AS (SELECT tok, CAST(d AS INT) d,
        |        CAST(xor(a, a >> 32) % $width AS BIGINT) bucket FROM xh_f2)""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Pure-Scala XXH64 finalizers — used ONLY for data-INDEPENDENT
+  // constants baked into generated oracles (e.g. q21's 32 per-hash
+  // seeds = xxh64_int4(h, 42) for fixed h): Scala Long arithmetic
+  // wraps mod 2^64 natively, matching the algorithm's spec.
+  // ---------------------------------------------------------------
+
+  private val KP1 = java.lang.Long.parseUnsignedLong(P1)
+  private val KP2 = java.lang.Long.parseUnsignedLong(P2)
+  private val KP3 = java.lang.Long.parseUnsignedLong(P3)
+  private val KP4 = java.lang.Long.parseUnsignedLong(P4)
+  private val KP5 = java.lang.Long.parseUnsignedLong(P5)
+
+  private def kFmix(a0: Long): Long = {
+    var a = a0
+    a ^= a >>> 33; a *= KP2; a ^= a >>> 29; a *= KP3; a ^= a >>> 32
+    a
+  }
+
+  private[analytics] def xxhInt4(i: Int, seed: Long): Long = {
+    var acc = seed + KP5 + 4L
+    acc ^= (i.toLong & 0xffffffffL) * KP1
+    acc = java.lang.Long.rotateLeft(acc, 23) * KP2 + KP3
+    kFmix(acc)
+  }
+
+  /** Unsigned-decimal literal of a Long's 64-bit pattern. */
+  private def ulit(v: Long): String =
+    s"CAST(${java.lang.Long.toUnsignedString(v)} AS UBIGINT)"
+
+  /** CTE stages folding Spark's xxhash64 over an array of LONGs (the
+    * element-wise running-seed fold — no length finalizer between
+    * elements; each element goes through the 8-byte lane + fmix with
+    * the previous hash as seed). `src` must expose `e1..e<n>` as
+    * SIGNED BIGINT columns plus the `carry` columns; the final CTE
+    * `xh_lf` carries them plus `lh` (UBIGINT).
+    */
+  def longFoldCtes(src: String, nElems: Int, carry: Seq[String]): String = {
+    val cc = carry.map(_ + ", ").mkString
+    def bits(e: String): String =
+      s"CAST(CAST($e AS HUGEINT) + CASE WHEN $e < 0 THEN $M ELSE 0 END AS UBIGINT)"
+    val stages = (1 to nElems).flatMap { j =>
+      val in = if (j == 1) src else s"xh_lf_${j - 1}f"
+      val acc = if (j == 1) ulit(42L) else "lh"
+      Seq(
+        s"""xh_lf_${j}a AS (SELECT *, ${add(add(acc, u(P5)), u("8"))} a0,
+           |  ${mul(rotl(mul(bits(s"e$j"), u(P2)), 31), u(P1))} kk FROM $in)""",
+        s"""xh_lf_${j}b AS (SELECT *, ${add(mul(rotl(xr("a0", "kk"), 27), u(P1)), u(P4))} ac FROM xh_lf_${j}a)""",
+        s"""xh_lf_${j}c AS (SELECT *, ${mul(xr("ac", "ac >> 33"), u(P2))} f1 FROM xh_lf_${j}b)""",
+        s"""xh_lf_${j}d AS (SELECT *, ${mul(xr("f1", "f1 >> 29"), u(P3))} f2 FROM xh_lf_${j}c)""",
+        s"""xh_lf_${j}f AS (SELECT ${cc}${(1 to nElems).map(k => s"e$k").mkString(", ")}, xor(f2, f2 >> 32) lh FROM xh_lf_${j}d)""")
+    }
+    (stages.mkString(",\n") +
+      s",\nxh_lf AS (SELECT ${cc}lh FROM xh_lf_${nElems}f)")
+  }
+
+  /** The q21 oracle: MinHash signatures (per-shingle seeded string
+    * hashes, SIGNED min per hash slot), LSH band buckets (the
+    * array<long> fold above), bucket-grouped candidate pairs with the
+    * maxBucket skew guard, exact-Jaccard verify — the complete
+    * engine dataflow replayed from arithmetic. The 32 per-hash seeds
+    * are data-independent XXH64 constants baked as literals.
+    */
+  def q21Oracle(
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): String = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val seeds = (0 until numHashes)
+      .map(h => s"($h, ${ulit(xxhInt4(h, 42L))})").mkString(", ")
+    val toSigned =
+      s"CAST(CAST(h1 AS HUGEINT) - CASE WHEN h1 >= " +
+        s"CAST(${java.lang.Long.toUnsignedString(Long.MinValue)} AS UBIGINT) " +
+        s"THEN $M ELSE 0 END AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+       |shs AS (SELECT doc_id,
+       |          list_distinct(list_transform(range(len(tok) - ${shingleN - 1}),
+       |            i -> array_to_string(tok[i+1:i+$shingleN], ' '))) sh
+       |        FROM t WHERE len(tok) >= $shingleN),
+       |dsh AS (SELECT DISTINCT unnest(sh) tok FROM shs),
+       |hs AS (SELECT * FROM (VALUES $seeds) AS v(h, seed)),
+       |xsrc AS (SELECT hs.h, hs.seed, dsh.tok FROM dsh CROSS JOIN hs),
+       |${h1Ctes("xsrc", seedExpr = "seed", carry = Seq("h", "seed"))},
+       |shash AS (SELECT h, tok, $toSigned sv FROM xh_h1),
+       |expl AS (SELECT doc_id, unnest(sh) tok FROM shs),
+       |sigs AS (SELECT e.doc_id, x.h, min(x.sv) sig
+       |         FROM expl e JOIN shash x USING (tok)
+       |         GROUP BY e.doc_id, x.h),
+       |sigarr AS (SELECT doc_id, list(sig ORDER BY h) sig FROM sigs
+       |           GROUP BY doc_id),
+       |bandrows AS (SELECT doc_id, bb.b AS band,
+       |               ${(1 to rows).map(k => s"sig[bb.b*$rows+$k] e$k").mkString(", ")}
+       |             FROM sigarr CROSS JOIN
+       |               (SELECT unnest(range($bands)) b) bb),
+       |${longFoldCtes("bandrows", rows, carry = Seq("doc_id", "band"))},
+       |buckets AS (SELECT doc_id, band, lh AS bucket FROM xh_lf),
+       |sized AS (SELECT band, bucket, count(*) n FROM buckets
+       |          GROUP BY band, bucket),
+       |kept AS (SELECT b.* FROM buckets b JOIN sized USING (band, bucket)
+       |         WHERE sized.n <= $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |         FROM kept a JOIN kept b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id),
+       |ver AS (SELECT c.id_a, c.id_b,
+       |          ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |            / (len(sa.sh) + len(sb.sh)
+       |               - len(list_intersect(sa.sh, sb.sh))), 6) jaccard
+       |        FROM cand c
+       |        JOIN shs sa ON sa.doc_id = c.id_a
+       |        JOIN shs sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The q23 oracle: per-token XXH64 bit contributions → per-doc
+    * 64-bit SimHash signs → brute-force Hamming pairs ≤ maxDistance.
+    * The chunk blocking in `Dedup.simhashPairs` is exact pigeonhole
+    * (any pair within the radius shares a whole chunk), so the pair
+    * relation ≡ brute force — the oracle replays the SEMANTICS, the
+    * engine plan keeps its equi-join blocking.
+    */
+  def q23Oracle(maxDistance: Int): String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) tok
+       |        FROM documents)
+       |  GROUP BY doc_id, tok),
+       |xh_toks AS (SELECT DISTINCT tok FROM dt),
+       |${h1Ctes("xh_toks")},
+       |bits AS (SELECT d.doc_id, bb.b,
+       |           CASE WHEN sum(d.cnt *
+       |             (2 * CAST((h.h1 >> CAST(bb.b AS INT)) & 1 AS BIGINT) - 1))
+       |             > 0 THEN 1 ELSE 0 END AS bit
+       |         FROM dt d JOIN xh_h1 h USING (tok)
+       |         CROSS JOIN (SELECT unnest(range(64)) b) bb
+       |         GROUP BY d.doc_id, bb.b),
+       |sk AS (SELECT doc_id, list(bit ORDER BY b) bits
+       |       FROM bits GROUP BY doc_id),
+       |p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+       |        CAST(list_sum(list_transform(range(64),
+       |          i -> CASE WHEN a.bits[i+1] = b.bits[i+1] THEN 0 ELSE 1 END))
+       |          AS BIGINT) hamming
+       |      FROM sk a JOIN sk b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDistance
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** The full q184 oracle: CountMin cell placement + min-of-rows
     * estimate, replayed from pure arithmetic.

@@ -178,6 +178,13 @@ object CorpusUpsert {
     * vectors follow each vector layout's own drop contract (they
     * never enter the index; BM25 still indexes the doc's text).
     */
+  private def lap(tag: String, t0: Long): Long = {
+    val now = System.nanoTime()
+    if (sys.env.contains("GRAFT_UPSERT_TIMING"))
+      println(f"UPSERT_SUB $tag ${(now - t0) / 1e9}%.2f")
+    now
+  }
+
   def applyBatch(
       delta: DataFrame,
       docCol: String,
@@ -205,10 +212,12 @@ object CorpusUpsert {
       return UpsertReport(key, alreadyApplied = true, 0L, 0L, 0L)
 
     // 1. freeze the payload
+    var t0 = System.nanoTime()
     val deltaDir = new Path(batchDir, "delta")
     if (!fs.exists(new Path(deltaDir, "_SUCCESS")))
       delta.write.mode("overwrite").parquet(deltaDir.toString)
     val staged = spark.read.parquet(deltaDir.toString)
+    t0 = lap("stage_delta", t0)
 
     // 2. revision assignment (self-excluding, hence retry-stable).
     // localCheckpoint ONCE: four index stagings then read materialized
@@ -226,6 +235,7 @@ object CorpusUpsert {
               col(docCol).cast("string"))))))
       .withColumn(RidCol, ridExpr(col(docCol), col("new_rev")))
       .localCheckpoint(true)
+    t0 = lap("rev_join", t0)
     val sizes = withRid.agg(count(lit(1)).as("n"),
       countDistinct(col(docCol)).as("nd"),
       count(col("old_rev")).as("nUpd")).head()
@@ -233,12 +243,18 @@ object CorpusUpsert {
       s"applyBatch: ${sizes.getLong(0) - sizes.getLong(1)} duplicate " +
         s"$docCol rows in batch '$key' — one revision per doc per batch")
     val nUpd = sizes.getLong(2)
-    withRid.select(col(docCol).cast("long").as("doc"),
-        col("new_rev").cast("int").as("rev"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/revs/batch=$key")
+    // the batch's rev rows are only read by LATER batches (applies are
+    // serialized per root) and by currentRevs — overlap the tiny write
+    // with the index work, joined before the done marker
+    val revsWrite = inPool {
+      withRid.select(col(docCol).cast("long").as("doc"),
+          col("new_rev").cast("int").as("rev"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/revs/batch=$key")
+    }
     val oldRids = withRid.filter(col("old_rev").isNotNull)
       .select(ridExpr(col(docCol), col("old_rev")).as(RidCol))
+    t0 = lap("sizes_revs", t0)
 
     // 3. per-index stage → publish → tombstone → marker. The four
     // index layouts are INDEPENDENT (each has its own stage dir,
@@ -247,6 +263,7 @@ object CorpusUpsert {
     // serial contract is across BATCHES, not across an one batch's
     // indexes).
     awaitAll(targets.map { t => inPool {
+      var tt = System.nanoTime()
       val appliedM = new Path(batchDir, s"applied-${t.name}")
       val stageDir = new Path(batchDir, s"stage-${t.name}")
       if (!fs.exists(appliedM)) {
@@ -255,15 +272,19 @@ object CorpusUpsert {
           t.stage(withRid, stageDir.toString)
           touch(fs, stagedM)
         }
+        tt = lap(s"stage_${t.name}", tt)
         publishStage(fs, stageDir, new Path(t.path), key)
+        tt = lap(s"publish_${t.name}", tt)
         // an all-inserts batch (the bootstrap case) tombstones nothing;
         // skipping the write keeps the index tombstone-free, so probes
         // keep their fast no-tombstone path
         if (nUpd > 0) t.delete(oldRids)
+        lap(s"delete_${t.name}", tt)
         touch(fs, appliedM)
       }
       fs.delete(stageDir, true)
     }})
+    awaitAll(Seq(revsWrite))
     touch(fs, doneMarker)
     UpsertReport(key, alreadyApplied = false, sizes.getLong(0), nUpd,
       sizes.getLong(0) - nUpd)

@@ -72,16 +72,27 @@ object HammingIndex {
   }
 
   /** Append a delta of NEW vectors (new ids) under the persisted band
-    * geometry.
+    * geometry. `coPartition` (default true) shuffles the band rows to
+    * the (band, bb) directory layout before the write — ≤ one file per
+    * touched dir per append instead of tasks×dirs. The steady-state
+    * numbers that made this the DEFAULT (tools/GateSteadyProbe, 128k
+    * codes / 32 batches): without it every append wrote 2,048 files
+    * (32 tasks × 64 dirs), probe latency grew linearly with the litter
+    * (3.4 s fresh → 25.3 s at 65k files) and the eventual compaction
+    * of 65k files cost 113 s — the shuffle it adds is delta-sized.
+    * Pass false for a corpus-scale delta where the layout's partition
+    * count would bottleneck write parallelism (then compact on the
+    * normal cadence).
     */
   def hammingAppendIndex(
       delta: DataFrame,
       idCol: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String,
+      coPartition: Boolean = true): Unit = {
     val (nBands, dim, nBuckets) = readMeta(delta.sparkSession, path)
     writeBands(delta, idCol, vecCol, path, nBands, dim, nBuckets,
-      overwrite = false)
+      overwrite = false, coPartition = coPartition)
   }
 
   /** The [[graft.ops.CorpusUpsert]] staging hook: the delta's band
@@ -97,8 +108,14 @@ object HammingIndex {
       indexPath: String,
       stagePath: String): Unit = {
     val (nBands, dim, nBuckets) = readMeta(delta.sparkSession, indexPath)
+    // co-partition the band rows with the directory layout before the
+    // dynamic-partition write: without this every input task opens a
+    // writer per (band, bb) dir it touches — up to tasks×nBands×nBuckets
+    // small files per batch (measured 4–5 s of the upsert stage wall at
+    // 256 dirs), all of which the publish then renames one by one. One
+    // delta-sized shuffle cuts it to ≤ one file per touched dir.
     writeBands(delta, idCol, vecCol, stagePath, nBands, dim, nBuckets,
-      overwrite = true)
+      overwrite = true, coPartition = true)
   }
 
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -115,15 +132,20 @@ object HammingIndex {
       nBands: Int,
       dim: Int,
       nBuckets: Int,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean,
+      coPartition: Boolean = false): Unit = {
     val spec = VectorOps.BandSpec(nBands, dim)
     val mode = if (overwrite) "overwrite" else "append"
-    VectorOps.binaryQuantize(df, idCol, vecCol)
+    val rows = VectorOps.binaryQuantize(df, idCol, vecCol)
       .select(col(idCol), col("code"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bv", spec.bandVal(col("code"), col("band")))
       .withColumn("bb", pmod(col("bv"), lit(nBuckets.toLong)).cast("int"))
-      .write.mode(mode).partitionBy("band", "bb").parquet(s"$path/bands")
+    val laidOut =
+      if (coPartition) rows.repartition(col("band"), col("bb"))
+      else rows
+    laidOut.write.mode(mode).partitionBy("band", "bb")
+      .parquet(s"$path/bands")
   }
 
   /** Fold append litter back into a bounded file layout — the

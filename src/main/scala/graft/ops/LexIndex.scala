@@ -71,16 +71,21 @@ object LexIndex {
   /** Append a delta of NEW documents (new ids — the ivfAppendIndex
     * contract) under the index's persisted bucket fanout (and its
     * persisted positional flag — an appended batch can never disagree
-    * with the layout it lands in).
+    * with the layout it lands in). `coPartition` (default true)
+    * shuffles the postings to the tb= layout before the write — ≤ one
+    * file per touched bucket per append instead of tasks×buckets, the
+    * [[HammingIndex.hammingAppendIndex]] steady-state treatment; the
+    * shuffle is delta-sized. Pass false for corpus-scale deltas.
     */
   def bm25AppendIndex(
       delta: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): Unit =
+      path: String,
+      coPartition: Boolean = true): Unit =
     writeParts(delta, idCol, textCol, path,
       readBuckets(delta.sparkSession, path), overwrite = false,
-      readPositional(delta.sparkSession, path))
+      readPositional(delta.sparkSession, path), coPartition = coPartition)
 
   private def readBuckets(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/meta").select("buckets").head().getInt(0)
@@ -109,7 +114,12 @@ object LexIndex {
       stagePath: String): Unit =
     writeParts(delta, idCol, textCol, stagePath,
       readBuckets(delta.sparkSession, indexPath), overwrite = true,
-      readPositional(delta.sparkSession, indexPath))
+      readPositional(delta.sparkSession, indexPath),
+      // the three sub-relations land in three independent staging
+      // subtrees and publish atomically later — no ordering contract
+      // to preserve, so the stage pays max(postings, doclen, stats)
+      // wall instead of the sum
+      concurrent = true, coPartition = true)
 
   private def writeParts(
       docs: DataFrame,
@@ -118,7 +128,9 @@ object LexIndex {
       path: String,
       buckets: Int,
       overwrite: Boolean,
-      positional: Boolean): Unit = {
+      positional: Boolean,
+      concurrent: Boolean = false,
+      coPartition: Boolean = false): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val toks = TextFunctions.tokens(col(textCol))
     val postings =
@@ -131,15 +143,29 @@ object LexIndex {
         docs.select(col(idCol), explode(toks).as("w"))
           .groupBy(col(idCol), col("w"))
           .agg(count(lit(1)).cast("double").as("tf"))
-    postings
-      .withColumn("tb", termBucket(col("w"), buckets))
-      .write.mode(mode).partitionBy("tb").parquet(s"$path/postings")
-    docs
-      .select(col(idCol), size(toks).cast("double").as("dl"))
-      .write.mode(mode).parquet(s"$path/doclen")
-    docs
-      .agg(count(lit(1)).as("n"), sum(size(toks).cast("double")).as("sum_dl"))
-      .write.mode(mode).parquet(s"$path/stats")
+    val writes: Seq[() => Unit] = Seq(
+      () => {
+        val rows = postings.withColumn("tb", termBucket(col("w"), buckets))
+        // co-partition with the tb layout — one file per touched
+        // bucket per batch instead of tasks×tb (the append/stage
+        // small-file treatment; see bm25AppendIndex)
+        val laidOut = if (coPartition) rows.repartition(col("tb")) else rows
+        laidOut.write.mode(mode).partitionBy("tb")
+          .parquet(s"$path/postings")
+      },
+      () => docs
+        .select(col(idCol), size(toks).cast("double").as("dl"))
+        .write.mode(mode).parquet(s"$path/doclen"),
+      () => docs
+        .agg(count(lit(1)).as("n"),
+          sum(size(toks).cast("double")).as("sum_dl"))
+        .write.mode(mode).parquet(s"$path/stats"))
+    if (concurrent) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      writes.map(w => Future(w()))
+        .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } else writes.foreach(_())
   }
 
   /** Fold append litter back into a bounded file layout — the

@@ -475,7 +475,18 @@ object ScaleProbe {
         // q228: q226's probe hits composed with q214's manifest patch
         // (the q133-style composition row) — the probe join + the
         // chain + one takedown-sized broadcast.
-        "q228_content_takedown")
+        "q228_content_takedown",
+        // round-16: q230 runs the full coordinated upsert (two batch
+        // applies + a takedown + four probes); every apply pass is
+        // delta-sized (stage writes, rev-lookup join, tombstone
+        // appends), the publishes are file metadata, and the four
+        // probes are each index's own pruned/exhaustive-regime plan —
+        // all corpus-linear. q231/q232: positional postings keep the
+        // disjoint-replica vocabulary contract (the q117 postings
+        // band — k× posting rows, probe pruned to the phrase terms'
+        // buckets); candidates stay replica-0-sized while the scanned
+        // buckets grow k×, which is exactly the pruning story to price.
+        "q230_corpus_upsert", "q231_bm25_phrase", "q232_bm25_proximity")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -19,6 +19,15 @@ object XxhProbe {
       .withColumn("b_d0", pmod(xxhash64(col("tok"), lit(0)), lit(2048L)))
     df.collect().foreach(r => println(
       s"XXH ${r.getString(0)} ${r.getLong(1)} ${r.getLong(2)} ${r.getLong(3)} ${r.getLong(4)}"))
+    // the q21 chain shapes: int-seeded string hash (arg order h, s) and
+    // the array<long> element fold
+    val probes = spark.range(1).select(
+      xxhash64(lit(3), lit("the")).as("a"),
+      xxhash64(array(lit(111L), lit(-222L))).as("b"),
+      xxhash64(array(lit(7L))).as("c"),
+      xxhash64(lit(0), lit("vector scan here")).as("d")).head()
+    println(s"XXHCHAIN ${probes.getLong(0)} ${probes.getLong(1)} " +
+      s"${probes.getLong(2)} ${probes.getLong(3)}")
     spark.stop()
   }
 }

@@ -282,6 +282,48 @@ class CorpusUpsertSpec extends AnyFunSuite {
     assert(bm.map(_.getAs[Long]("rev")) === Seq(2L))
   }
 
+  test("streaming upsert: stream-applied revisions ≡ batch-applied; redelivery no-ops") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    def two(r: Roots) = r.targets.filter(t =>
+      t.name == "bm25" || t.name == "hamming")
+    val sr = Roots(tmp("stream")).bootstrap()
+    val tw = Roots(tmp("streamtwin")).bootstrap()
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", sr.ups, two(sr))
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", tw.ups, two(tw))
+    val src = tmp("streamsrc")
+    revised.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = graft.streaming.CorpusUpsertStream
+      .upsertSink(stream, "doc_id", sr.ups, two(sr))
+      .option("checkpointLocation", tmp("streamckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", tw.ups, two(tw))
+    def probes2(r: Roots) = Seq(
+      LexIndex.bm25ProbeIndex(spark, r.bm25, Rid, Seq("vector", "scan"))
+        .orderBy(Rid).collect().toSeq.map(_.toSeq),
+      HammingIndex.hammingProbeIndex(spark,
+          corpus0.select($"doc_id".as(Rid), $"embedding"), Rid,
+          "embedding", r.ham, radius = 15)
+        .orderBy("q_id", "n_id").collect().toSeq.map(_.toSeq))
+    assert(probes2(sr) === probes2(tw))
+    // redelivery of the stream's own batch is absorbed by the apply
+    // markers — no extra ledger
+    val queryId = q.id.toString
+    val rep = graft.streaming.CorpusUpsertStream.applyBatch(
+      revised, 0L, "doc_id", sr.ups, two(sr), streamId = queryId)
+    assert(rep.alreadyApplied)
+    assert(probes2(sr) === probes2(tw))
+  }
+
   test("purges after upserts reclaim bytes without changing probes") {
     val r = Roots(tmp("purge")).bootstrap()
     CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups, r.targets)
