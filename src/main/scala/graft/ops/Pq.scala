@@ -263,7 +263,8 @@ object Pq {
       model: PqModel,
       centroids: Array[Array[Double]],
       autoCompact: Boolean = false,
-      maxFilesPerCluster: Int = 8): Map[String, (Int, Int)] = {
+      maxFilesPerCluster: Int = 8,
+      coPartition: Boolean = true): Map[String, (Int, Int)] = {
     require(centroids.nonEmpty, "pqIvfAppendIndex: empty centroid table")
     val indexElem = VectorOps.recordedDvType(delta.sparkSession, path)
     val assigned = VectorOps
@@ -276,10 +277,13 @@ object Pq {
       case _ => col("dv")
     }
     val written = indexElem.getOrElse(assigned.schema("dv").dataType)
-    assigned
+    val rows = assigned
       .select(col(idCol), col("codes"), dvAligned.as("dv"), col("nrm"),
         col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(path)
+    // the ivfAppendIndex co-partition treatment (see there)
+    val laidOut =
+      if (coPartition) rows.repartition(col("cluster")) else rows
+    laidOut.write.mode("append").partitionBy("cluster").parquet(path)
     VectorOps.recordDvType(path, written)
     if (autoCompact)
       pqIvfCompactIndex(delta.sparkSession, path, maxFilesPerCluster)

@@ -2102,7 +2102,8 @@ object VectorOps {
       path: String,
       centroids: Array[Array[Double]],
       autoCompact: Boolean = false,
-      maxFilesPerCluster: Int = 8): Map[String, (Int, Int)] = {
+      maxFilesPerCluster: Int = 8,
+      coPartition: Boolean = true): Map[String, (Int, Int)] = {
     require(centroids.nonEmpty, "ivfAppendIndex: empty centroid table")
     // The index stores `dv` in the element type of the corpus that built
     // it (float stays float — see ivfWriteIndex). Appended files must
@@ -2124,9 +2125,16 @@ object VectorOps {
       case _ => col("dv")
     }
     val written = indexElem.getOrElse(assigned.schema("dv").dataType)
-    assigned
+    val rows = assigned
       .select(col(idCol), dvAligned.as("dv"), col("nrm"), col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(path)
+    // co-partition with the cluster layout before the dynamic-partition
+    // write — ≤ one file per touched cluster per append instead of
+    // tasks×clusters (the HammingIndex.hammingAppendIndex steady-state
+    // treatment: tools/GateSteadyProbe measured the litter curve); the
+    // shuffle is delta-sized, and corpus-scale deltas can opt out
+    val laidOut =
+      if (coPartition) rows.repartition(col("cluster")) else rows
+    laidOut.write.mode("append").partitionBy("cluster").parquet(path)
     // index now exists with `written` as its dv type — future appends
     // in this JVM skip the footer read entirely
     recordDvType(path, written)
