@@ -194,6 +194,8 @@ object CorpusUpsert {
     require(key.nonEmpty && key.forall(c =>
         c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
       s"applyBatch: key '$key' must be non-empty [A-Za-z0-9._-]")
+    require(!key.startsWith(CompactedKey),
+      s"applyBatch: key '$key' is reserved for [[compactRevs]]")
     require(targets.nonEmpty, "applyBatch: no index targets")
     require(targets.map(_.name).distinct.size == targets.size,
       "applyBatch: duplicate target names")
@@ -328,6 +330,54 @@ object CorpusUpsert {
   def withDocRev(df: DataFrame, ridCol: String): DataFrame =
     df.withColumn("doc_id", docOf(col(ridCol)))
       .withColumn("rev", revOf(col(ridCol)))
+
+  /** Fold the rev ledger to its current max-rev rows — the
+    * maintenance pass the per-batch `revs/batch=<key>` dirs need on a
+    * long-lived root (one dir per batch ever applied, like any ledger
+    * litter). Staged write → swap into `batch=$CompactedKey`, then the
+    * superseded batch dirs are deleted; a crash between the swap and
+    * the deletes leaves duplicates whose max-rev fold is identical
+    * (re-run to finish the deletes), so the pass is idempotent and
+    * rev lookups are correct in every interleaving. Run it in the
+    * quiesced maintenance window (no concurrent applyBatch — the
+    * serialized-applies contract already says so); the compacted
+    * partition participates in later batches' self-excluding lookups
+    * like any other batch.
+    */
+  def compactRevs(spark: SparkSession, root: String): Unit = {
+    val revsRoot = new Path(s"$root/revs")
+    val fs = revsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(revsRoot)) return
+    val old = fs.listStatus(revsRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    if (old.size <= 1) return
+    val stage = new Path(revsRoot, s".revs_compact")
+    priorRevs(spark, fs, root, excludeKey = "")
+      .select(col("doc"), col("rev").cast("int").as("rev"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val dest = new Path(revsRoot, s"batch=$CompactedKey")
+    val aside = new Path(revsRoot, s"batch=$CompactedKey-old")
+    // an earlier compacted partition (already folded into the stage)
+    // moves ASIDE — still a visible batch= dir, so no crash point ever
+    // hides its rows from a lookup; duplicates fold identically under
+    // the max-rev aggregation until the final deletes land
+    if (fs.exists(dest) && !fs.rename(dest, aside))
+      throw new java.io.IOException(s"compactRevs: cannot move $dest aside")
+    if (!fs.rename(stage, dest))
+      throw new java.io.IOException(s"compactRevs: cannot publish $stage -> $dest")
+    (old.filterNot(p => p.getName == dest.getName) :+ aside).foreach { p =>
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(s"compactRevs: cannot delete superseded $p")
+    }
+  }
+
+  /** The reserved batch key the compacted rev rows live under — [[
+    * applyBatch]] refuses it as a caller key so a compaction can never
+    * collide with a live batch.
+    */
+  val CompactedKey = "graft-compacted"
 
   /** Max-rev per doc over every revs batch except `excludeKey` (the
     * caller's own partition, for retry-stable assignment). Batch dirs

@@ -621,4 +621,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BuildRight"), p) // bucket-scale theta joins broadcast
   }
+
+  test("q231: phrase probe prunes the postings scan to the terms' tb= dirs; the verify is an aggregate, never a join") {
+    val p = formatted("q231_bm25_phrase")
+    // partition pruning at file listing: the scan carries tb filters
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      s"no tb partition filter in:\n$p")
+    // conjunctive candidate cut + anchor verify are one hash agg + a
+    // higher-order filter — a join here would mean the probe regressed
+    // to a positions self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"phrase probe grew a join:\n$p")
+  }
+
+  test("q232: proximity probe keeps the same pruned no-join shape") {
+    val p = formatted("q232_bm25_proximity")
+    assert(p.contains("PartitionFilters") && p.contains("tb#"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

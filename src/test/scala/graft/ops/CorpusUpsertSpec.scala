@@ -119,6 +119,17 @@ class CorpusUpsertSpec extends AnyFunSuite {
 
   test("upsert ≡ from-scratch rebuild over the revised corpus, all four layouts") {
     assert(probeAll(applied) === rebuiltProbes)
+    // the co-partitioned stage writes keep litter layout-bounded: at
+    // most one published file per touched (band, bb) dir per batch
+    val bands = new Path(s"${applied.ham}/bands")
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: Path): Int = fs.listStatus(p).map { s =>
+      if (s.isDirectory) files(s.getPath)
+      else if (!s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")) 1 else 0
+    }.sum
+    assert(files(bands) <= 8 * 8 * 2,
+      s"band litter exceeded one file per dir per batch: ${files(bands)}")
   }
 
   test("probes surface only the new revision; decode recovers (doc, rev)") {
@@ -280,6 +291,42 @@ class CorpusUpsertSpec extends AnyFunSuite {
     // doc 4 was revised (rev 1) then retired; the ledger keeps its max
     // rev, so the re-upsert lands at rev 2
     assert(bm.map(_.getAs[Long]("rev")) === Seq(2L))
+  }
+
+  test("compactRevs folds the ledger to one partition; lookups and later batches unchanged") {
+    val r = Roots(tmp("compactrevs")).bootstrap()
+    val t = r.targets.take(1)
+    val b0 = corpus0.filter($"doc_id" < 10).select($"doc_id", $"text")
+    CorpusUpsert.applyBatch(b0, "doc_id", "g0", r.ups, t)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 6), "doc_id", "g1", r.ups, t)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 3), "doc_id", "g2", r.ups, t)
+    def cur() = CorpusUpsert.currentRevs(spark, r.ups)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    def batchDirs(): Seq[String] = {
+      val p = new Path(s"${r.ups}/revs")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+        .filter(_.startsWith("batch=")).sorted
+    }
+    val before = cur()
+    assert(batchDirs().size === 3)
+    CorpusUpsert.compactRevs(spark, r.ups)
+    assert(batchDirs() === Seq(s"batch=${CorpusUpsert.CompactedKey}"))
+    assert(cur() === before)
+    // a later batch resumes on top of the compacted ledger
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 2), "doc_id", "g3",
+      r.ups, t)
+    assert(cur()(0L) === 3 && cur()(1L) === 3 && cur()(2L) === 2 &&
+      cur()(6L) === 0)
+    // re-compaction folds the new batch plus the previous compacted dir
+    CorpusUpsert.compactRevs(spark, r.ups)
+    assert(batchDirs() === Seq(s"batch=${CorpusUpsert.CompactedKey}"))
+    assert(cur()(0L) === 3 && cur()(6L) === 0)
+    // the reserved key is refused for live batches
+    val e = intercept[IllegalArgumentException](
+      CorpusUpsert.applyBatch(b0, "doc_id", CorpusUpsert.CompactedKey,
+        r.ups, t))
+    assert(e.getMessage.contains("reserved"))
   }
 
   test("streaming upsert: stream-applied revisions ≡ batch-applied; redelivery no-ops") {
