@@ -279,6 +279,42 @@ object UpsertQueries {
           .orderBy("doc_id")
       }),
 
+    // Phrase-RANKED retrieval: the q231 exact-phrase matches scored
+    // with the Okapi formula treating the phrase as one term (tf =
+    // occurrence count, df = matching-doc count) over the index's
+    // live tombstone-exact N/avgdl — the retrieval composition a
+    // phrase search feeds. END-TO-END ORACLE: DuckDB replays
+    // tokenisation, anchored adjacency, df/N/avgdl and the score.
+    NamedQuery(
+      "q234_bm25_phrase_rank",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok
+             |           FROM documents WHERE doc_id % 7 <> 3),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |p AS (SELECT doc_id, CAST(len(list_filter(range(len(tok) - 1),
+             |        i -> tok[i+1] = 'vector' AND tok[i+2] = 'scan'))
+             |        AS DOUBLE) ptf FROM t),
+             |m AS (SELECT * FROM p WHERE ptf > 0),
+             |dfp AS (SELECT CAST(count(*) AS DOUBLE) df_p FROM m)
+             |SELECT m.doc_id, CAST(m.ptf AS BIGINT) AS phrase_tf,
+             |  ROUND(ln((st.n_docs - dfp.df_p + 0.5) / (dfp.df_p + 0.5) + 1.0)
+             |    * m.ptf * 2.2
+             |    / (m.ptf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl)), 6) AS bm25
+             |FROM m JOIN l USING (doc_id) CROSS JOIN st CROSS JOIN dfp
+             |ORDER BY bm25 DESC, doc_id""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("phrank", dir)
+        clearRoot(root)
+        val d = docs(s, dir)
+        LexIndex.bm25WriteIndex(d, "doc_id", "text", root.toString,
+          buckets = 32, positional = true)
+        LexIndex.bm25DeleteIds(d.filter(col("doc_id") % 7 === 3),
+          "doc_id", root.toString)
+        LexIndex.bm25PhraseRank(s, root.toString, "doc_id",
+            Seq("vector", "scan"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      }),
+
     // The 15th REAL stream: the daily-refresh loop as a stream. The
     // base corpus lands as a batch apply; three DISJOINT revision
     // classes (doc%6=2 / doc%9=4 / doc%9=7 — provably non-overlapping

@@ -41,9 +41,13 @@ import org.apache.spark.sql.functions._
   *      `applied-<index>` marker.
   *   4. Drop the batch `done` marker.
   *
-  * Exactly-once under redelivery, by construction: a retry skips a
-  * done batch at the `done` marker, skips a done index at its
-  * `applied` marker, re-stages only when `_graft_staged` is absent
+  * Exactly-once under redelivery, by construction: the per-target
+  * `applied` markers are AUTHORITATIVE (`done` is only the fast path
+  * for a full redelivery — a batch re-applied with targets missing
+  * their marker falls through and applies just those, which is also
+  * how a later-added index backfills: re-run every batch in original
+  * order against the extended target set). A retry skips a done index
+  * at its `applied` marker, re-stages only when `_graft_staged` is absent
   * (never after a publish began — publish requires the marker), and
   * re-publishing renames only the staged files still present (each
   * rename is a per-file atomic move to a name derived from the staged

@@ -429,16 +429,43 @@ object LexIndex {
       .withColumn("tb", termBucket(col("w"), buckets))
     val probeBuckets = termsDf.select("tb").distinct()
       .collect().map(_.getInt(0)).toSeq
-    // N/avgdl: Σ(stats rows) minus the live tombstone decrement (the
-    // tombstone rows carry dl, so the decrement is takedown-sized and
-    // independent of purge progress). While tombstones exist, the
-    // CURRENT generation's published negative row — the purge's
-    // publish→clear crash window — is EXCLUDED from Σ(stats), so the
-    // live term and the physical row can never both count. dl values
-    // are integer-valued doubles: every path is exact, bit-identical
-    // to a rebuild without the ids.
     val lens = spark.read.parquet(s"$path/doclen")
-    val stats0 = tombstoneRows(spark, path, idCol) match {
+    val stats0 = corpusStats(spark, path, idCol)
+    // tombstone anti-join AFTER the bucket/term prune (slice-sized,
+    // skipped when no delete ever landed); df and the doclen attach
+    // inherit the exclusion through this relation
+    val tf = Tombstones.excludeFrom(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+        .filter(col("w").isin(queryTerms.distinct: _*))
+        .select(col(idCol), col("w"), col("tf")),
+      path, idCol)
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val term = idf * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("w"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats0))
+      .select(col(idCol), term.as("term"))
+      .groupBy(col(idCol))
+      .agg(round(sum("term"), 6).as("bm25"))
+  }
+
+  /** One (n_docs, avgdl) row — Σ(stats rows) minus the live tombstone
+    * decrement (the tombstone rows carry dl, so the decrement is
+    * takedown-sized and independent of purge progress). While
+    * tombstones exist, the CURRENT generation's published negative row
+    * — the purge's publish→clear crash window — is EXCLUDED from
+    * Σ(stats), so the live term and the physical row can never both
+    * count. dl values are integer-valued doubles: every path is exact,
+    * bit-identical to a rebuild without the ids. Shared by
+    * [[bm25ProbeIndex]] and [[bm25PhraseRank]].
+    */
+  private def corpusStats(
+      spark: SparkSession, path: String, idCol: String): DataFrame =
+    tombstoneRows(spark, path, idCol) match {
       case Some(t) =>
         import org.apache.hadoop.fs.Path
         val statsDir = new Path(s"$path/stats")
@@ -464,27 +491,6 @@ object LexIndex {
           .select(col("n_l").cast("double").as("n_docs"),
             (col("sum_dl") / col("n_l").cast("double")).as("avgdl"))
     }
-    // tombstone anti-join AFTER the bucket/term prune (slice-sized,
-    // skipped when no delete ever landed); df and the doclen attach
-    // inherit the exclusion through this relation
-    val tf = Tombstones.excludeFrom(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
-        .filter(col("w").isin(queryTerms.distinct: _*))
-        .select(col(idCol), col("w"), col("tf")),
-      path, idCol)
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    val idf = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val term = idf * col("tf") * (lit(k1) + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    tf.join(broadcast(dfreq), Seq("w"))
-      .join(lens, Seq(idCol))
-      .crossJoin(broadcast(stats0))
-      .select(col(idCol), term.as("term"))
-      .groupBy(col(idCol))
-      .agg(round(sum("term"), 6).as("bm25"))
-  }
 
   /** Candidate gather shared by the positional probes: for each doc
     * containing ALL of `terms`, a `w → ps` map of just those terms'
@@ -551,6 +557,38 @@ object LexIndex {
         .reduce(_ && _))
     m.select(col(idCol), size(matches).cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
+  }
+
+  /** PHRASE-RANKED retrieval: [[bm25PhraseProbe]]'s exact matches
+    * scored with the Okapi formula treating the whole phrase as one
+    * term — tf = the phrase's occurrence count, df = how many
+    * documents contain the phrase — over the index's live N/avgdl
+    * (tombstone-exact like every probe). `(<idCol>, phrase_tf, bm25)`
+    * for every matching doc. The plan adds one broadcast 1×1 df
+    * aggregate and the doclen attach to the phrase probe's no-join
+    * shape.
+    */
+  def bm25PhraseRank(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      phrase: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val m = bm25PhraseProbe(spark, path, idCol, phrase)
+    val lens = spark.read.parquet(s"$path/doclen")
+    val dfp = m.agg(count(lit(1)).cast("double").as("df_p"))
+    val stats = corpusStats(spark, path, idCol)
+    val ptf = col("phrase_tf").cast("double")
+    val score =
+      log((col("n_docs") - col("df_p") + lit(0.5)) /
+          (col("df_p") + lit(0.5)) + lit(1.0)) *
+        ptf * lit(k1 + 1.0) /
+        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    m.join(lens, Seq(idCol))
+      .crossJoin(broadcast(dfp))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("phrase_tf"), round(score, 6).as("bm25"))
   }
 
   /** PROXIMITY search over a positional index: `(<idCol>, span)` for

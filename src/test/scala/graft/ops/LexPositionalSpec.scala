@@ -115,6 +115,30 @@ class LexPositionalSpec extends AnyFunSuite {
     assert(!Tombstones.exists(spark, a))
     assert(phrase(a, "vector", "scan") === phrase(b, "vector", "scan"))
     assert(prox(a, 5, "vector", "window") === prox(b, 5, "vector", "window"))
+    // phrase-ranked scores stay bit-identical through the purge too
+    // (df and N/avgdl both tombstone-exact)
+    def rank(p: String) =
+      LexIndex.bm25PhraseRank(spark, p, "doc_id", Seq("vector", "scan"))
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(rank(a) === rank(b))
+    assert(rank(a).nonEmpty)
+  }
+
+  test("compaction folds positional append litter with bit-identical probes") {
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select($"doc_id", $"text")
+    val idx = tmp("compact")
+    LexIndex.bm25WriteIndex(docs.filter($"doc_id" < 100), "doc_id",
+      "text", idx, buckets = 8, positional = true)
+    (1 to 4).foreach(i => LexIndex.bm25AppendIndex(
+      docs.filter($"doc_id" >= i * 100 && $"doc_id" < (i + 1) * 100),
+      "doc_id", "text", idx))
+    val beforePhrase = phrase(idx, "vector", "scan")
+    val beforeProx = prox(idx, 5, "vector", "window")
+    val report = LexIndex.bm25CompactIndex(spark, idx, maxFilesPerDir = 1)
+    assert(report.nonEmpty)
+    assert(phrase(idx, "vector", "scan") === beforePhrase)
+    assert(prox(idx, 5, "vector", "window") === beforeProx)
   }
 
   test("refusals: non-positional index, repeated terms, infeasible window") {
