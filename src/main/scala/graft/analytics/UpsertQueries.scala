@@ -34,6 +34,27 @@ object UpsertQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** DuckDB replay of [[graft.ops.VideoHash.stubFrameDiffScalar]]'s
+    * 256 sign bits packed into 8×32-bit words (the q228/q229 macro):
+    * `idExpr`/`seed` are SQL expressions, `len` must be in scope.
+    */
+  private def mediaCell(idExpr: String, j: String, seed: String): String =
+    s"(($idExpr*(2*($j)+3)*(($j)+5) + len*(($j)+1)*(($j)+7)" +
+      s" + (($seed)+1)*(7*($j)+11)*(($j)+2)) % 1021)"
+  private def mediaBit(idExpr: String, seed: String): String = {
+    val base = "((i%64)//8)*9 + ((i%64)%8)"
+    s"CASE WHEN (CASE WHEN i < 64 THEN ${mediaCell(idExpr, s"$base + 1", seed)} - ${mediaCell(idExpr, base, seed)}" +
+      s" WHEN i < 128 THEN ${mediaCell(idExpr, s"$base + 9", seed)} - ${mediaCell(idExpr, base, seed)}" +
+      s" WHEN i < 192 THEN ${mediaCell(idExpr, s"$base + 10", seed)} - ${mediaCell(idExpr, base, seed)}" +
+      s" ELSE ${mediaCell(idExpr, s"$base + 1", seed)} - ${mediaCell(idExpr, s"$base + 9", seed)} END) > 0 " +
+      "THEN 1 ELSE 0 END"
+  }
+  private def mediaWords(idExpr: String, seed: String): String =
+    (0 until 8).map(k =>
+      s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+        s"          ${mediaBit(idExpr, seed)} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+        s"          AS BIGINT) w$k").mkString(",\n        ")
+
   private def clearRoot(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -113,13 +134,6 @@ object UpsertQueries {
              |  UNION ALL SELECT * FROM pq UNION ALL SELECT * FROM hm)
              |ORDER BY kind, qid, doc_id""".stripMargin),
       (s, dir) => {
-        var tLast = System.nanoTime()
-        def lap(tag: String): Unit = {
-          val now = System.nanoTime()
-          if (sys.env.contains("GRAFT_UPSERT_TIMING"))
-            println(f"UPSERT_LAP $tag ${(now - tLast) / 1e9}%.2f")
-          tLast = now
-        }
         val root = stageRoot("upsert", dir)
         clearRoot(root)
         val rid = CorpusUpsert.RidCol
@@ -130,11 +144,9 @@ object UpsertQueries {
           .select(col("doc_id"),
             concat(col("text"), lit(" graftrev")).as("text"),
             transform(col("embedding"), x => -x).as("embedding"))
-        lap("setup")
         val (cents, model) = q230GeoMemo.computeIfAbsent(dir, _ =>
           (VectorOps.kmeansCentroids(corpus0, "embedding", 16),
             Pq.pqTrain(corpus0, "embedding", m = 8, codebook = 16)))
-        lap("train")
         val (upsRoot, bm25P, ivfP, pqP, hamP) =
           (s"$root/ups", s"$root/bm25", s"$root/ivf", s"$root/pq",
             s"$root/ham")
@@ -161,15 +173,11 @@ object UpsertQueries {
           CorpusUpsert.IvfTarget(ivfP, "embedding", cents),
           CorpusUpsert.PqIvfTarget(pqP, "embedding", model, cents),
           CorpusUpsert.HammingTarget(hamP, "embedding"))
-        lap("bootstrap")
         CorpusUpsert.applyBatch(corpus0, "doc_id", "base", upsRoot, targets)
-        lap("base")
         CorpusUpsert.applyBatch(revised, "doc_id", "rev1", upsRoot, targets)
-        lap("rev1")
         CorpusUpsert.deleteDocs(
           corpus0.filter(col("doc_id") % 10 === 2).select("doc_id"),
           "doc_id", upsRoot, targets)
-        lap("delete")
         val query = embs(s, dir).filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0).map(_.toDouble)
         def decoded(df: DataFrame, kind: String, qid: org.apache.spark.sql.Column,
@@ -194,7 +202,6 @@ object UpsertQueries {
             .withColumnRenamed("n_id", rid), rid)
           .select(lit("ham").as("kind"), col("q_id").cast("long").as("qid"),
             col("doc_id"), col("rev"), col("hamming").cast("double").as("score"))
-        lap("probes_built")
         bm.unionByName(iv).unionByName(pqr).unionByName(hm)
           .orderBy("kind", "qid", "doc_id")
       }),
@@ -206,7 +213,10 @@ object UpsertQueries {
     // hash agg, and verifies adjacency with one higher-order
     // expression (anchor positions of the first term, array_contains
     // at p+j for the rest). Tombstoned docs (the delete lifecycle the
-    // positions ride through untouched) stay excluded. Oracle replays
+    // positions ride through untouched) stay excluded. REPEATED terms
+    // are first-class ("table table key" repeats at head, "a a" is an
+    // all-same run) — the anchored verify is multiplicity-safe and
+    // anchors on every occurrence of the head term. Oracle replays
     // tokenization + anchored adjacency with DuckDB list lambdas.
     NamedQuery(
       "q231_bm25_phrase",
@@ -220,9 +230,19 @@ object UpsertQueries {
              |         len(list_filter(range(len(tok) - 2),
              |           i -> tok[i+1] = 'the' AND tok[i+2] = 'table'
              |                AND tok[i+3] = 'key')) AS ptf
+             |       FROM t),
+             |p4 AS (SELECT 'table table key' AS phrase, doc_id,
+             |         len(list_filter(range(len(tok) - 2),
+             |           i -> tok[i+1] = 'table' AND tok[i+2] = 'table'
+             |                AND tok[i+3] = 'key')) AS ptf
+             |       FROM t),
+             |p5 AS (SELECT 'a a' AS phrase, doc_id,
+             |         len(list_filter(range(len(tok) - 1),
+             |           i -> tok[i+1] = 'a' AND tok[i+2] = 'a')) AS ptf
              |       FROM t)
              |SELECT phrase, doc_id, CAST(ptf AS BIGINT) AS phrase_tf
-             |FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+             |FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3
+             |      UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
              |WHERE ptf > 0 ORDER BY phrase, doc_id""".stripMargin),
       (s, dir) => {
         val root = stageRoot("phrase", dir)
@@ -238,15 +258,21 @@ object UpsertQueries {
               col("phrase_tf"))
         probe(Seq("vector", "scan"))
           .unionByName(probe(Seq("the", "table", "key")))
+          .unionByName(probe(Seq("table", "table", "key")))
+          .unionByName(probe(Seq("a", "a")))
           .orderBy("phrase", "doc_id")
       }),
 
-    // Proximity search over the same positional layout: documents
-    // where both terms occur within a 5-token window, with the EXACT
+    // Proximity search over the same positional layout, with the EXACT
     // minimal span (for each anchor occurrence p, the tightest window
     // starting at p ends at max over terms of first-occurrence >= p;
     // the optimum is attained at the window's leftmost occupant).
-    // Oracle replays the identical anchor scan in DuckDB list lambdas.
+    // Two probes: distinct terms within a 5-token window, and a
+    // MULTISET probe (two 'table' + one 'key' within 6 tokens) — a
+    // term listed k times needs its k-th occurrence >= p, replayed in
+    // DuckDB as the k-th element of the filtered position list (the
+    // len(pa) >= 2 cut is equivalent to the engine's contains-all cut
+    // because a one-occurrence doc's span coalesces past any window).
     NamedQuery(
       "q232_bm25_proximity",
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok
@@ -263,9 +289,27 @@ object UpsertQueries {
              |            coalesce(list_min(list_filter(pa, q -> q >= a)), 2147483647),
              |            coalesce(list_min(list_filter(pb, q -> q >= a)), 2147483647))
              |          - a)) + 1 AS span
-             |      FROM c)
-             |SELECT doc_id, CAST(span AS BIGINT) AS span FROM s
-             |WHERE span <= 5 ORDER BY doc_id""".stripMargin),
+             |      FROM c),
+             |p2 AS (SELECT doc_id,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'table') pa,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'key') pb
+             |      FROM t),
+             |c2 AS (SELECT doc_id, pa, pb, list_sort(list_concat(pa, pb)) anc
+             |      FROM p2 WHERE len(pa) >= 2 AND len(pb) >= 1),
+             |s2 AS (SELECT doc_id,
+             |        list_min(list_transform(anc, a ->
+             |          greatest(
+             |            coalesce(list_filter(pa, q -> q >= a)[2], 2147483647),
+             |            coalesce(list_filter(pb, q -> q >= a)[1], 2147483647))
+             |          - a)) + 1 AS span
+             |      FROM c2)
+             |SELECT probe, doc_id, CAST(span AS BIGINT) AS span FROM (
+             |  SELECT 'vector window' AS probe, doc_id, span FROM s
+             |  WHERE span <= 5
+             |  UNION ALL
+             |  SELECT 'table table key' AS probe, doc_id, span FROM s2
+             |  WHERE span <= 6)
+             |ORDER BY probe, doc_id""".stripMargin),
       (s, dir) => {
         val root = stageRoot("prox", dir)
         clearRoot(root)
@@ -274,9 +318,13 @@ object UpsertQueries {
           buckets = 32, positional = true)
         LexIndex.bm25DeleteIds(d.filter(col("doc_id") % 7 === 3),
           "doc_id", root.toString)
-        LexIndex.bm25ProximityProbe(s, root.toString, "doc_id",
-            Seq("vector", "window"), window = 5)
-          .orderBy("doc_id")
+        def probe(terms: Seq[String], w: Int): DataFrame =
+          LexIndex.bm25ProximityProbe(s, root.toString, "doc_id", terms, w)
+            .select(lit(terms.mkString(" ")).as("probe"), col("doc_id"),
+              col("span"))
+        probe(Seq("vector", "window"), 5)
+          .unionByName(probe(Seq("table", "table", "key"), 6))
+          .orderBy("probe", "doc_id")
       }),
 
     // Phrase-RANKED retrieval: the q231 exact-phrase matches scored
@@ -314,6 +362,266 @@ object UpsertQueries {
             Seq("vector", "scan"))
           .orderBy(col("bm25").desc, col("doc_id"))
       }),
+
+    // PROXIMITY-RANKED retrieval — the q234 Okapi treatment for
+    // proximity matches, completing the positional family: the match
+    // set scores as one pseudo-term whose frequency decays with the
+    // span (tf = |terms|/span, 1.0 at tightest packing), df = the
+    // matching-doc count, over the live tombstone-exact N/avgdl.
+    // END-TO-END ORACLE: DuckDB replays the exact anchor scan, then
+    // the identical score arithmetic.
+    NamedQuery(
+      "q235_bm25_prox_rank",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok
+             |           FROM documents WHERE doc_id % 7 <> 3),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |p AS (SELECT doc_id,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'vector') pa,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'window') pb
+             |      FROM t),
+             |c AS (SELECT doc_id, pa, pb, list_sort(list_concat(pa, pb)) anc
+             |      FROM p WHERE len(pa) > 0 AND len(pb) > 0),
+             |s AS (SELECT doc_id,
+             |        list_min(list_transform(anc, a ->
+             |          greatest(
+             |            coalesce(list_min(list_filter(pa, q -> q >= a)), 2147483647),
+             |            coalesce(list_min(list_filter(pb, q -> q >= a)), 2147483647))
+             |          - a)) + 1 AS span
+             |      FROM c),
+             |m AS (SELECT doc_id, span FROM s WHERE span <= 5),
+             |dfp AS (SELECT CAST(count(*) AS DOUBLE) df_p FROM m)
+             |SELECT m.doc_id, CAST(m.span AS BIGINT) AS span,
+             |  ROUND(ln((st.n_docs - dfp.df_p + 0.5) / (dfp.df_p + 0.5) + 1.0)
+             |    * (2.0 / m.span) * 2.2
+             |    / ((2.0 / m.span) + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl)), 6) AS bm25
+             |FROM m JOIN l USING (doc_id) CROSS JOIN st CROSS JOIN dfp
+             |ORDER BY bm25 DESC, doc_id""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("proxrank", dir)
+        clearRoot(root)
+        val d = docs(s, dir)
+        LexIndex.bm25WriteIndex(d, "doc_id", "text", root.toString,
+          buckets = 32, positional = true)
+        LexIndex.bm25DeleteIds(d.filter(col("doc_id") % 7 === 3),
+          "doc_id", root.toString)
+        LexIndex.bm25ProximityRank(s, root.toString, "doc_id",
+            Seq("vector", "window"), window = 5)
+          .orderBy(col("bm25").desc, col("doc_id"))
+      }),
+
+    // BATCH phrase retrieval: top-10 docs for EVERY phrase in a query
+    // relation in ONE postings pass — the q111 treatment for phrases
+    // (q231 is the single-phrase probe). Postings prune to the union
+    // of all phrases' terms' buckets at file listing, meet the
+    // exploded (qid, term) relation keyed by term (inverted-index
+    // cost), and the per-(qid, doc) candidate map feeds the same
+    // anchored verify, now generic over the phrase array column.
+    // Repeated-term phrases and a single-term degenerate ride along.
+    // Oracle replays per-phrase adjacency, df/N/avgdl, the Okapi
+    // score, and the rank tie order.
+    NamedQuery(
+      "q236_bm25_phrase_join",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok
+             |           FROM documents WHERE doc_id % 7 <> 3),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |am AS (
+             |  SELECT 1 AS qid, doc_id, CAST(len(list_filter(range(len(tok) - 1),
+             |    i -> tok[i+1] = 'vector' AND tok[i+2] = 'scan')) AS DOUBLE) ptf FROM t
+             |  UNION ALL
+             |  SELECT 2, doc_id, CAST(len(list_filter(range(len(tok) - 2),
+             |    i -> tok[i+1] = 'table' AND tok[i+2] = 'table'
+             |         AND tok[i+3] = 'key')) AS DOUBLE) FROM t
+             |  UNION ALL
+             |  SELECT 3, doc_id, CAST(len(list_filter(range(len(tok) - 1),
+             |    i -> tok[i+1] = 'a' AND tok[i+2] = 'a')) AS DOUBLE) FROM t
+             |  UNION ALL
+             |  SELECT 4, doc_id, CAST(len(list_filter(range(len(tok) - 2),
+             |    i -> tok[i+1] = 'the' AND tok[i+2] = 'table'
+             |         AND tok[i+3] = 'key')) AS DOUBLE) FROM t
+             |  UNION ALL
+             |  SELECT 5, doc_id, CAST(len(list_filter(range(len(tok)),
+             |    i -> tok[i+1] = 'spark')) AS DOUBLE) FROM t),
+             |m AS (SELECT * FROM am WHERE ptf > 0),
+             |dfp AS (SELECT qid, CAST(count(*) AS DOUBLE) df_p FROM m GROUP BY qid),
+             |sc AS (SELECT m.qid, m.doc_id, CAST(m.ptf AS BIGINT) phrase_tf,
+             |  ROUND(ln((st.n_docs - dfp.df_p + 0.5) / (dfp.df_p + 0.5) + 1.0)
+             |    * m.ptf * 2.2
+             |    / (m.ptf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl)), 6) bm25
+             |  FROM m JOIN l USING (doc_id) JOIN dfp USING (qid) CROSS JOIN st),
+             |r AS (SELECT qid, doc_id, phrase_tf, bm25,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY bm25 DESC, doc_id) AS "rank"
+             |      FROM sc)
+             |SELECT qid, doc_id, phrase_tf, bm25, CAST("rank" AS BIGINT) AS "rank"
+             |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val root = stageRoot("phjoin", dir)
+        clearRoot(root)
+        val d = docs(s, dir)
+        LexIndex.bm25WriteIndex(d, "doc_id", "text", root.toString,
+          buckets = 32, positional = true)
+        LexIndex.bm25DeleteIds(d.filter(col("doc_id") % 7 === 3),
+          "doc_id", root.toString)
+        val qs = Seq(
+          (1, Seq("vector", "scan")),
+          (2, Seq("table", "table", "key")),
+          (3, Seq("a", "a")),
+          (4, Seq("the", "table", "key")),
+          (5, Seq("spark")))
+          .toDF("qid", "phrase")
+        LexIndex.bm25PhraseJoin(qs, root.toString, "doc_id", "qid",
+            "phrase", k = 10)
+          .orderBy("qid", "rank")
+      }),
+
+    // MEDIA in the coordinated upsert: a media-bearing document
+    // revision propagates through text + vector + MEDIA indexes in ONE
+    // batch — the third target is a HammingIndex over the 256-bit stub
+    // frame fingerprint (q228's deterministic codes; the media column
+    // is just another vector column to the coordination protocol).
+    // Lifecycle: base batch (fingerprint seed 2) → revision batch
+    // (doc%6=2: new text, negated embedding, RE-FINGERPRINTED media,
+    // seed 3) → cross-index takedown (doc%10=2) → one probe per
+    // layout. END-TO-END ORACLE (the q230 regime): DuckDB rebuilds the
+    // revised corpus, replays BM25, the sign-bit embedding pairs, and
+    // the packed-word media pair relation (probe subset doc%50=0,
+    // radius 6 — matchers at hamming 0 are the docs whose fingerprint
+    // seed survived their own revision class).
+    {
+      val mw = mediaWords("doc_id", "sd")
+      NamedQuery(
+        "q237_media_upsert",
+        Some(s"""WITH base AS (
+               |  SELECT d.doc_id,
+               |    CASE WHEN d.doc_id % 6 = 2 THEN d.text || ' r1m'
+               |         ELSE d.text END AS text,
+               |    CASE WHEN d.doc_id % 6 = 2
+               |         THEN list_transform(e.embedding, x -> -x)
+               |         ELSE e.embedding END AS emb,
+               |    CASE WHEN d.doc_id % 6 = 2 THEN 1 ELSE 0 END AS rev,
+               |    CASE WHEN d.doc_id % 6 = 2 THEN 3 ELSE 2 END AS sd
+               |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+               |act AS (SELECT *, CAST(length(text) AS BIGINT) len FROM base
+               |        WHERE doc_id % 10 <> 2),
+               |tok AS (SELECT doc_id, rev, string_split(text, ' ') tok FROM act),
+               |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM tok),
+               |st AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+               |ex AS (SELECT doc_id, rev, unnest(tok) w FROM tok),
+               |tf AS (SELECT doc_id, rev, w, CAST(count(*) AS DOUBLE) tf FROM ex
+               |       WHERE w IN ('vector', 'join', 'scan') GROUP BY doc_id, rev, w),
+               |dfq AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY w),
+               |bm AS (SELECT 'bm25' AS kind, CAST(-1 AS BIGINT) AS qid, tf.doc_id,
+               |         CAST(tf.rev AS BIGINT) AS rev,
+               |         ROUND(SUM(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               |           * tf.tf * 2.2
+               |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl))), 6) AS score
+               |       FROM tf JOIN dfq USING (w) JOIN l USING (doc_id) CROSS JOIN st
+               |       GROUP BY tf.doc_id, tf.rev),
+               |hmraw AS (SELECT q.doc_id AS qid, n.doc_id, n.rev,
+               |            CAST(list_sum(list_transform(range(64),
+               |              i -> CASE WHEN (q.emb[i+1] > 0) = (n.emb[i+1] > 0)
+               |                   THEN 0 ELSE 1 END)) AS BIGINT) AS h
+               |          FROM act q, act n),
+               |hm AS (SELECT 'ham' AS kind, qid, doc_id, CAST(rev AS BIGINT) AS rev,
+               |         CAST(h AS DOUBLE) AS score FROM hmraw WHERE h <= 15),
+               |mwords AS (SELECT doc_id, rev,
+               |        $mw
+               |      FROM act),
+               |mprobe AS (SELECT * FROM mwords WHERE doc_id % 50 = 0),
+               |mpairs AS (SELECT p.doc_id AS qid, c.doc_id, c.rev,
+               |             CAST(bit_count(xor(p.w0, c.w0)) AS BIGINT)
+               |             + bit_count(xor(p.w1, c.w1)) + bit_count(xor(p.w2, c.w2))
+               |             + bit_count(xor(p.w3, c.w3)) + bit_count(xor(p.w4, c.w4))
+               |             + bit_count(xor(p.w5, c.w5)) + bit_count(xor(p.w6, c.w6))
+               |             + bit_count(xor(p.w7, c.w7)) AS h
+               |           FROM mprobe p, mwords c),
+               |mm AS (SELECT 'media' AS kind, qid, doc_id, CAST(rev AS BIGINT) AS rev,
+               |         CAST(h AS DOUBLE) AS score FROM mpairs WHERE h <= 6)
+               |SELECT kind, qid, doc_id, rev, score FROM (
+               |  SELECT * FROM bm UNION ALL SELECT * FROM hm
+               |  UNION ALL SELECT * FROM mm)
+               |ORDER BY kind, qid, doc_id""".stripMargin),
+        (s, dir) => {
+          import s.implicits._
+          val root = stageRoot("mediaups", dir)
+          clearRoot(root)
+          val rid = CorpusUpsert.RidCol
+          val base = docs(s, dir).select(col("doc_id"), col("text"))
+            .join(embs(s, dir).select(col("vec_id").as("doc_id"),
+              col("embedding")), Seq("doc_id"))
+          def withMedia(df: DataFrame, slot: Long): DataFrame =
+            df.join(
+              df.select(col("doc_id"), length(col("text")).cast("long")
+                  .as("len"))
+                .as[(Long, Long)]
+                .map { case (id, len) =>
+                  (id, VideoHash.stubFrameDiffScalar(id, len, slot)) }
+                .toDF("doc_id", "media"),
+              Seq("doc_id"))
+          val corpus0 = withMedia(base, 2L)
+          val revised = withMedia(
+            base.filter(col("doc_id") % 6 === 2)
+              .select(col("doc_id"),
+                concat(col("text"), lit(" r1m")).as("text"),
+                transform(col("embedding"), x => -x).as("embedding")),
+            3L)
+          val (upsRoot, bm25P, hamP, medP) =
+            (s"$root/ups", s"$root/bm25", s"$root/ham", s"$root/med")
+          LexIndex.bm25WriteIndex(
+            corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
+            rid, "text", bm25P, buckets = 32)
+          HammingIndex.hammingWriteIndex(
+            corpus0.select(col("doc_id").as(rid), col("embedding")).limit(0),
+            rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)
+          HammingIndex.hammingWriteIndex(
+            corpus0.select(col("doc_id").as(rid), col("media")).limit(0),
+            rid, "media", medP, nBands = 8, nBuckets = 8, dim = 256)
+          val targets = Seq(
+            CorpusUpsert.Bm25Target(bm25P, "text"),
+            CorpusUpsert.HammingTarget(hamP, "embedding"),
+            CorpusUpsert.HammingTarget(medP, "media", name = "media"))
+          CorpusUpsert.applyBatch(corpus0, "doc_id", "base", upsRoot,
+            targets)
+          CorpusUpsert.applyBatch(revised, "doc_id", "rev1", upsRoot,
+            targets)
+          CorpusUpsert.deleteDocs(
+            base.filter(col("doc_id") % 10 === 2).select("doc_id"),
+            "doc_id", upsRoot, targets)
+          val active = corpus0.filter(col("doc_id") % 6 =!= 2)
+            .unionByName(revised)
+            .filter(col("doc_id") % 10 =!= 2)
+          val bm = CorpusUpsert.withDocRev(
+            LexIndex.bm25ProbeIndex(s, bm25P, rid,
+              Seq("vector", "join", "scan")), rid)
+            .select(lit("bm25").as("kind"), lit(-1L).as("qid"),
+              col("doc_id"), col("rev"),
+              col("bm25").cast("double").as("score"))
+          val hm = CorpusUpsert.withDocRev(
+            HammingIndex.hammingProbeIndex(s,
+              active.select(col("doc_id").as(rid), col("embedding")),
+              rid, "embedding", hamP, radius = 15)
+              .withColumnRenamed("n_id", rid), rid)
+            .select(lit("ham").as("kind"),
+              col("q_id").cast("long").as("qid"),
+              col("doc_id"), col("rev"),
+              col("hamming").cast("double").as("score"))
+          val mm = CorpusUpsert.withDocRev(
+            HammingIndex.hammingProbeIndex(s,
+              active.filter(col("doc_id") % 50 === 0)
+                .select(col("doc_id").as(rid), col("media")),
+              rid, "media", medP, radius = 6)
+              .withColumnRenamed("n_id", rid), rid)
+            .select(lit("media").as("kind"),
+              col("q_id").cast("long").as("qid"),
+              col("doc_id"), col("rev"),
+              col("hamming").cast("double").as("score"))
+          bm.unionByName(hm).unionByName(mm)
+            .orderBy("kind", "qid", "doc_id")
+        })
+    },
 
     // The 15th REAL stream: the daily-refresh loop as a stream. The
     // base corpus lands as a batch apply; three DISJOINT revision

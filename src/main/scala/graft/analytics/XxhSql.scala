@@ -54,13 +54,23 @@ object XxhSql {
     * UBIGINT.
     */
   /** Strings must stay under 32 bytes (the XXH64 tail path — three
-    * unrolled 8-byte lanes + one 4-byte lane + per-byte fold); the
-    * ≥ 32-byte 4-accumulator main loop is deliberately out of scope
-    * (a wrong assumption fails the hash gate loudly, never silently).
+    * unrolled 8-byte lanes + one 4-byte lane + per-byte fold) and
+    * ASCII (strlen counts bytes, substr/ascii index characters); the
+    * ≥ 32-byte 4-accumulator main loop is deliberately out of scope.
+    * The guard below makes a scope violation NAME ITSELF — without it
+    * the 3-lane unroll silently skips bytes 24..31 and the mismatch
+    * surfaces as an opaque oracle false-RED with no diagnostic.
+    * `strlen(tok) <> length(tok)` (bytes vs characters) is the ASCII
+    * test.
     */
   def h1Ctes(src: String, seedExpr: String = "CAST(42 AS UBIGINT)",
       carry: Seq[String] = Nil): String = {
     val cc = carry.map(_ + ", ").mkString
+    val nGuard =
+      """CASE WHEN strlen(tok) >= 32 OR strlen(tok) <> length(tok)
+        |  THEN CAST(error('XxhSql: token out of replay scope """.stripMargin +
+        "(>= 32 bytes or non-ASCII): ' || tok) AS BIGINT)\n" +
+        "  ELSE strlen(tok) END"
     val lane8 = "bs[i+1]+bs[i+2]*256+bs[i+3]*65536+bs[i+4]*16777216" +
       "+bs[i+5]*4294967296+bs[i+6]*1099511627776+bs[i+7]*281474976710656" +
       "+bs[i+8]*72057594037927936"
@@ -75,7 +85,7 @@ object XxhSql {
          |          (SELECT *, CASE WHEN n - i >= 8 THEN $lane8
          |             ELSE CAST(0 AS UBIGINT) END lane FROM $in))))""".stripMargin
     }.mkString(",\n")
-    s"""xh_b AS (SELECT ${cc}tok, strlen(tok) n,
+    s"""xh_b AS (SELECT ${cc}tok, $nGuard n,
        |        list_transform(range(strlen(tok)),
        |          i -> CAST(ascii(substr(tok, CAST(i+1 AS INT), 1)) AS UBIGINT)) bs
        |      FROM $src),

@@ -182,19 +182,24 @@ object CorpusUpsert {
     * vectors follow each vector layout's own drop contract (they
     * never enter the index; BM25 still indexes the doc's text).
     */
-  private def lap(tag: String, t0: Long): Long = {
-    val now = System.nanoTime()
-    if (sys.env.contains("GRAFT_UPSERT_TIMING"))
-      println(f"UPSERT_SUB $tag ${(now - t0) / 1e9}%.2f")
-    now
-  }
-
+  /** `autoFoldRevsAt`: when the batch completes and the rev ledger
+    * holds MORE than this many `revs/batch=` dirs, [[compactRevs]]
+    * runs inline — without it, every later batch's rev lookup (and
+    * every [[currentRevs]] call) reads one parquet dir per batch ever
+    * applied, the same unbounded-litter curve the index appends had
+    * before co-partitioning (GateSteadyProbe). The fold runs AFTER the
+    * done marker inside the same serialized apply, so the quiesced-
+    * window contract holds by construction; a crash mid-fold leaves
+    * lookups exact in every interleaving (compactRevs' invariant) and
+    * the next batch's trigger re-runs it. ≤ 0 disables.
+    */
   def applyBatch(
       delta: DataFrame,
       docCol: String,
       key: String,
       root: String,
-      targets: Seq[IndexTarget]): UpsertReport = {
+      targets: Seq[IndexTarget],
+      autoFoldRevsAt: Int = 64): UpsertReport = {
     require(key.nonEmpty && key.forall(c =>
         c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
       s"applyBatch: key '$key' must be non-empty [A-Za-z0-9._-]")
@@ -218,12 +223,10 @@ object CorpusUpsert {
       return UpsertReport(key, alreadyApplied = true, 0L, 0L, 0L)
 
     // 1. freeze the payload
-    var t0 = System.nanoTime()
     val deltaDir = new Path(batchDir, "delta")
     if (!fs.exists(new Path(deltaDir, "_SUCCESS")))
       delta.write.mode("overwrite").parquet(deltaDir.toString)
     val staged = spark.read.parquet(deltaDir.toString)
-    t0 = lap("stage_delta", t0)
 
     // 2. revision assignment (self-excluding, hence retry-stable).
     // localCheckpoint ONCE: four index stagings then read materialized
@@ -241,7 +244,6 @@ object CorpusUpsert {
               col(docCol).cast("string"))))))
       .withColumn(RidCol, ridExpr(col(docCol), col("new_rev")))
       .localCheckpoint(true)
-    t0 = lap("rev_join", t0)
     val sizes = withRid.agg(count(lit(1)).as("n"),
       countDistinct(col(docCol)).as("nd"),
       count(col("old_rev")).as("nUpd")).head()
@@ -249,18 +251,19 @@ object CorpusUpsert {
       s"applyBatch: ${sizes.getLong(0) - sizes.getLong(1)} duplicate " +
         s"$docCol rows in batch '$key' — one revision per doc per batch")
     val nUpd = sizes.getLong(2)
-    // the batch's rev rows are only read by LATER batches (applies are
-    // serialized per root) and by currentRevs — overlap the tiny write
-    // with the index work, joined before the done marker
-    val revsWrite = inPool {
-      withRid.select(col(docCol).cast("long").as("doc"),
-          col("new_rev").cast("int").as("rev"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/revs/batch=$key")
-    }
+    // record the batch's rev rows BEFORE any index work: currentRevs'
+    // contract ("mid-apply this already reports the incoming
+    // revision") requires it — a mid-apply reader post-filtering with
+    // currentRevs while an index had already published the new rid and
+    // tombstoned the old one would otherwise see NEITHER version. The
+    // write is a tiny coalesce(1), so serializing it buys visibility
+    // for almost no wall time.
+    withRid.select(col(docCol).cast("long").as("doc"),
+        col("new_rev").cast("int").as("rev"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/revs/batch=$key")
     val oldRids = withRid.filter(col("old_rev").isNotNull)
       .select(ridExpr(col(docCol), col("old_rev")).as(RidCol))
-    t0 = lap("sizes_revs", t0)
 
     // 3. per-index stage → publish → tombstone → marker. The four
     // index layouts are INDEPENDENT (each has its own stage dir,
@@ -269,7 +272,6 @@ object CorpusUpsert {
     // serial contract is across BATCHES, not across an one batch's
     // indexes).
     awaitAll(targets.map { t => inPool {
-      var tt = System.nanoTime()
       val appliedM = new Path(batchDir, s"applied-${t.name}")
       val stageDir = new Path(batchDir, s"stage-${t.name}")
       if (!fs.exists(appliedM)) {
@@ -278,20 +280,24 @@ object CorpusUpsert {
           t.stage(withRid, stageDir.toString)
           touch(fs, stagedM)
         }
-        tt = lap(s"stage_${t.name}", tt)
         publishStage(fs, stageDir, new Path(t.path), key)
-        tt = lap(s"publish_${t.name}", tt)
         // an all-inserts batch (the bootstrap case) tombstones nothing;
         // skipping the write keeps the index tombstone-free, so probes
         // keep their fast no-tombstone path
         if (nUpd > 0) t.delete(oldRids)
-        lap(s"delete_${t.name}", tt)
         touch(fs, appliedM)
       }
       fs.delete(stageDir, true)
     }})
-    awaitAll(Seq(revsWrite))
     touch(fs, doneMarker)
+    if (autoFoldRevsAt > 0) {
+      val revsRoot = new Path(s"$root/revs")
+      val nDirs =
+        if (!fs.exists(revsRoot)) 0
+        else fs.listStatus(revsRoot).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch="))
+      if (nDirs > autoFoldRevsAt) compactRevs(spark, root)
+    }
     UpsertReport(key, alreadyApplied = false, sizes.getLong(0), nUpd,
       sizes.getLong(0) - nUpd)
   }
@@ -301,6 +307,13 @@ object CorpusUpsert {
     * duplicate tombstone rows). Unknown doc ids are no-ops. The rev
     * ledger keeps the retired doc's last rev, so a later re-upsert
     * resumes at rev+1 (its rid is distinct from every tombstoned one).
+    *
+    * Recovery contract — the same re-run-until-it-returns rule as
+    * [[applyBatch]]: a crash mid-delete leaves some targets tombstoned
+    * and others not; re-running the SAME call completes the rest, and
+    * the re-added tombstones on the already-done targets are legal
+    * duplicates. (No marker protocol is needed because tombstone
+    * appends are the only effect and they deduplicate.)
     */
   def deleteDocs(
       docIds: DataFrame,
@@ -308,8 +321,6 @@ object CorpusUpsert {
       root: String,
       targets: Seq[IndexTarget]): Unit = {
     val spark = docIds.sparkSession
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val rids = docIds.select(col(docCol).cast("long").as("doc")).distinct()
       .join(currentRevs(spark, root), Seq("doc"))
       .select(ridExpr(col("doc"), col("rev")).as(RidCol))
@@ -344,7 +355,13 @@ object CorpusUpsert {
     * (re-run to finish the deletes), so the pass is idempotent and
     * rev lookups are correct in every interleaving. Run it in the
     * quiesced maintenance window (no concurrent applyBatch — the
-    * serialized-applies contract already says so); the compacted
+    * serialized-applies contract already says so), and NOT while a
+    * crashed batch is awaiting its retry: folding an incomplete
+    * batch's already-recorded revs into the compacted partition would
+    * defeat the retry's self-excluding lookup (the retry would see its
+    * own prior assignment and bump the rev again). [[applyBatch]]'s
+    * auto-fold respects this by construction — it runs only after the
+    * done marker, inside the same serialized apply. The compacted
     * partition participates in later batches' self-excluding lookups
     * like any other batch.
     */
@@ -363,6 +380,15 @@ object CorpusUpsert {
       .write.mode("overwrite").parquet(stage.toString)
     val dest = new Path(revsRoot, s"batch=$CompactedKey")
     val aside = new Path(revsRoot, s"batch=$CompactedKey-old")
+    // a LEFTOVER aside dir (a prior pass crashed between its publish
+    // and its deletes) goes first: its rows were just folded into the
+    // freshly staged result by the excludeKey = "" scan above, and
+    // rename-onto-existing fails on local FS (nests on HDFS), so the
+    // documented re-run-to-finish recovery would otherwise wedge here
+    // on every retry
+    if (fs.exists(aside) && !fs.delete(aside, true))
+      throw new java.io.IOException(
+        s"compactRevs: cannot delete leftover $aside")
     // an earlier compacted partition (already folded into the stage)
     // moves ASIDE — still a visible batch= dir, so no crash point ever
     // hides its rows from a lookup; duplicates fold identically under

@@ -537,8 +537,15 @@ object LexIndex {
     * term's document frequency, and per-candidate work by its
     * occurrence counts.
     *
-    * Terms must be distinct (a repeated term is one map key; the
-    * anchor arithmetic would silently alias) — refused up front.
+    * Repeated terms are supported ("state of the union", "a b a",
+    * even all-same-term runs): the candidate map keys DISTINCT terms
+    * (the conjunctive cut counts distinct keys), and the anchored
+    * verify is multiplicity-safe as-is — `array_contains(ps(t), p+j)`
+    * asks about position p+j, and two phrase slots j≠j' can never
+    * claim the same token because p+j ≠ p+j'. Anchoring on EVERY
+    * occurrence of the first term stays exact when that term repeats
+    * later in the phrase: the later occurrence is just another anchor
+    * that passes iff a full phrase starts there.
     */
   def bm25PhraseProbe(
       spark: SparkSession,
@@ -546,8 +553,6 @@ object LexIndex {
       idCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "bm25PhraseProbe: need >= 2 phrase terms")
-    require(phrase.distinct.size == phrase.size,
-      "bm25PhraseProbe: repeated phrase terms are not supported")
     val m = positionMaps(spark, path, idCol, phrase)
     val anchors = element_at(col("m"), lit(phrase.head))
     val matches = filter(anchors, p =>
@@ -601,6 +606,16 @@ object LexIndex {
     * attained when p is the window's leftmost occupant, so minimizing
     * over all anchors is exact. O(occurrences × |terms|) per
     * candidate, all inside one higher-order expression.
+    *
+    * `terms` is a MULTISET: a term listed k times must occur at ≥ k
+    * distinct positions inside the window ("a a b" = two a's and a b
+    * within `window` tokens). The window starting at anchor p then
+    * ends at the max over distinct terms of the k-th smallest
+    * occurrence ≥ p — `get(after, k-1)` on the (sorted,
+    * order-preserving) filtered array generalizes the k = 1
+    * `array_min` bit-identically, and the leftmost-occupant argument
+    * is unchanged: the optimal window's left edge is still an
+    * occurrence of some term.
     */
   def bm25ProximityProbe(
       spark: SparkSession,
@@ -609,23 +624,183 @@ object LexIndex {
       terms: Seq[String],
       window: Int): DataFrame = {
     require(terms.size >= 2, "bm25ProximityProbe: need >= 2 terms")
-    require(terms.distinct.size == terms.size,
-      "bm25ProximityProbe: repeated terms are not supported")
     require(window >= terms.size,
       s"bm25ProximityProbe: window=$window cannot fit ${terms.size} terms")
-    val m = positionMaps(spark, path, idCol, terms)
-    val far = lit(Int.MaxValue)
+    val mult: Map[String, Int] =
+      terms.groupBy(identity).map { case (t, os) => (t, os.size) }
+    val dterms = terms.distinct
+    val m = positionMaps(spark, path, idCol, dterms)
+    // long arithmetic: when a doc holds FEWER than k occurrences of a
+    // term, every anchor coalesces far, and far − p + 1 at p = 0 would
+    // overflow int (ANSI error / silent negative span pre-ANSI); the
+    // distinct-term probe could never reach that state (the first
+    // anchor is always feasible) but the multiset one can
+    val far = lit(Int.MaxValue.toLong)
     val anchors = sort_array(flatten(array(
-      terms.map(t => element_at(col("m"), lit(t))): _*)))
+      dterms.map(t => element_at(col("m"), lit(t))): _*)))
     val spanAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      p => greatest(terms.map(t =>
-        coalesce(array_min(filter(element_at(col("m"), lit(t)),
-          q => q >= p)), far)): _*) - p
+      p => {
+        val ends = dterms.map { t =>
+          // k-th smallest occurrence of t at or after p (1-based k =
+          // the term's multiplicity); `get` is the null-safe 0-based
+          // accessor, so "fewer than k occurrences left" coalesces far
+          val after = filter(element_at(col("m"), lit(t)), q => q >= p)
+          coalesce(get(after, lit(mult(t) - 1)).cast("long"), far)
+        }
+        (if (ends.size == 1) ends.head else greatest(ends: _*)) - p
+      }
     val minSpan = array_min(transform(anchors, p =>
       // a far-coalesced term makes this anchor unusable; Int.MaxValue
       // minus a real position still dominates every feasible span
       spanAt(p))) + lit(1)
     m.select(col(idCol), minSpan.cast("long").as("span"))
       .filter(col("span") <= window)
+  }
+
+  /** PROXIMITY-RANKED retrieval — [[bm25PhraseRank]]'s Okapi treatment
+    * for [[bm25ProximityProbe]] matches, completing the positional
+    * family: the match set is scored as one pseudo-term whose
+    * "frequency" DECAYS with the span, tf_prox = |terms| / span — 1.0
+    * when the terms pack tightest (span = |terms|, the adjacent
+    * phrase-like hit), shrinking toward 0 as they spread (the
+    * Rasolofo–Savoy-style inverse-span weight), with df = how many
+    * documents match at all, over the index's live tombstone-exact
+    * N/avgdl. Returns `(<idCol>, span, bm25)` for every matching doc.
+    * Plan shape: the probe's no-join verify plus one broadcast 1×1 df
+    * aggregate and the doclen attach — exactly [[bm25PhraseRank]]'s.
+    */
+  def bm25ProximityRank(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      terms: Seq[String],
+      window: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val m = bm25ProximityProbe(spark, path, idCol, terms, window)
+    val lens = spark.read.parquet(s"$path/doclen")
+    val dfp = m.agg(count(lit(1)).cast("double").as("df_p"))
+    val stats = corpusStats(spark, path, idCol)
+    val ptf = lit(terms.size.toDouble) / col("span").cast("double")
+    val score =
+      log((col("n_docs") - col("df_p") + lit(0.5)) /
+          (col("df_p") + lit(0.5)) + lit(1.0)) *
+        ptf * lit(k1 + 1.0) /
+        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    m.join(lens, Seq(idCol))
+      .crossJoin(broadcast(dfp))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("span"), round(score, 6).as("bm25"))
+  }
+
+  /** BATCH phrase retrieval: top-`k` documents for EVERY phrase in a
+    * query RELATION — the [[graft.ops.TextAnalysis.bm25Join]] shape
+    * for phrases, built so a contamination-style workload (thousands
+    * of benchmark phrases vs the corpus) reads the postings ONCE
+    * instead of once per phrase. `phrases` is one row per query id:
+    * `(qidCol, phraseCol: array<string>)`, qids unique (two phrases
+    * under one qid would merge their term maps), phrases non-empty;
+    * a single-term "phrase" degenerates to that term's tf, and
+    * repeated terms are first-class (the [[bm25PhraseProbe]]
+    * multiplicity argument).
+    *
+    * One postings pass, no corpus×query product anywhere:
+    *   1. the scan prunes at FILE LISTING to the union of all
+    *      phrases' terms' `tb=` buckets (≤ `buckets` ints collected);
+    *   2. postings meet the exploded (qid, term) relation KEYED BY
+    *      TERM via broadcast — the joined volume is Σ_q Σ_{t∈q} df(t),
+    *      the inverted-index cost;
+    *   3. one hash agg per (qid, doc) rebuilds the per-candidate
+    *      `term → positions` map, and the conjunctive cut
+    *      (|map| = |distinct terms|) drops every doc missing a term —
+    *      at most the rarest term's df per phrase survives into
+    *   4. the same codegen'd anchored verify as [[bm25PhraseProbe]],
+    *      now generic over the phrase ARRAY column (slot j checked via
+    *      `zip_with(tail, sequence(1, n−1), array_contains at p+j)`);
+    *   5. scoring is [[bm25PhraseRank]]'s Okapi-as-one-term over the
+    *      live N/avgdl, df_p per qid from a query-scale broadcast agg;
+    *      per-qid top-k is a `row_number ≤ k` window Spark rewrites to
+    *      WindowGroupLimit (map-side pre-trim before the rank
+    *      exchange).
+    *
+    * Returns `(qidCol, <idCol>, phrase_tf, bm25, rank)`, rank 1..k by
+    * (bm25 desc, id) per qid.
+    */
+  def bm25PhraseJoin(
+      phrases: DataFrame,
+      path: String,
+      idCol: String,
+      qidCol: String,
+      phraseCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = phrases.sparkSession
+    require(k >= 1, s"bm25PhraseJoin: k=$k must be >= 1")
+    require(readPositional(spark, path),
+      s"bm25PhraseJoin: index at $path was not written with " +
+        "positional = true — phrase verification needs position arrays")
+    val buckets = readBuckets(spark, path)
+    val q = phrases
+      .select(col(qidCol), col(phraseCol).as("q_phrase"))
+      .filter(size(col("q_phrase")) >= 1)
+    val qterms = q.select(col(qidCol),
+      explode(array_distinct(col("q_phrase"))).as("w"))
+    // union vocabulary → bucket ids: the file-listing prune (≤ buckets
+    // ints on the driver, the bm25ProbeIndex treatment; the term-level
+    // filter is the broadcast join itself)
+    val probeBuckets = qterms.select("w").distinct()
+      .withColumn("tb", termBucket(col("w"), buckets))
+      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    // an empty phrase relation leaves probeBuckets empty; isin() with
+    // no values is constant-false, so the plan below degenerates to an
+    // empty result with the right schema — no special case needed
+    val postings = Tombstones.excludeFrom(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+        .select(col(idCol), col("w"), col("ps")),
+      path, idCol)
+    val cand = postings
+      .join(broadcast(qterms), Seq("w")) // inverted-index cost
+      .groupBy(col(qidCol), col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("ps"))))
+        .as("m"))
+      .join(broadcast(q), Seq(qidCol))
+      .filter(size(col("m")) === size(array_distinct(col("q_phrase"))))
+    val n = size(col("q_phrase"))
+    val anchors = element_at(col("m"), element_at(col("q_phrase"), 1))
+    val matches = filter(anchors, p =>
+      forall(zip_with(slice(col("q_phrase"), lit(2), n - 1),
+        sequence(lit(1), n - 1),
+        (t, j) => array_contains(element_at(col("m"), t), p + j)),
+        ok => ok))
+    // sequence(1, 0) would generate a DESCENDING [1, 0] for n = 1 —
+    // the single-term phrase is its own (tf-counting) branch; CaseWhen
+    // evaluates only the taken arm, so the n ≥ 2 expression never runs
+    // on a 1-term row
+    val ptfCol = when(n === 1, size(anchors)).otherwise(size(matches))
+    val m = cand
+      .select(col(qidCol), col(idCol), ptfCol.cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+    val lens = spark.read.parquet(s"$path/doclen")
+    val dfp = m.groupBy(col(qidCol))
+      .agg(count(lit(1)).cast("double").as("df_p"))
+    val stats = corpusStats(spark, path, idCol)
+    val ptf = col("phrase_tf").cast("double")
+    val score =
+      log((col("n_docs") - col("df_p") + lit(0.5)) /
+          (col("df_p") + lit(0.5)) + lit(1.0)) *
+        ptf * lit(k1 + 1.0) /
+        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val byScore = Window.partitionBy(qidCol)
+      .orderBy(col("bm25").desc, col(idCol))
+    m.join(lens, Seq(idCol))
+      .join(broadcast(dfp), Seq(qidCol)) // query-scale rows
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), col("phrase_tf"),
+        round(score, 6).as("bm25"))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

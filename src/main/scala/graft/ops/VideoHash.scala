@@ -349,6 +349,11 @@ object VideoHash {
     * DEFAULT geometry is that 9×9 grid: every signature path feeds
     * [[frameDiff256]], whose gridDiff256 requires 81 cells — a 9×8
     * default would compile but fail its require at runtime.
+    *
+    * NOTE (round 16): the default MOVED from (Phash.GridW = 9,
+    * Phash.GridH = 8) to (9, 9) — a caller that relied on the old
+    * default's 72-cell output (e.g. to feed [[Phash.dHashDiff]], which
+    * requires exactly 9×8) must now pass `gh = 8` explicitly.
     */
   def frameGrid(v: Gvf, f: Int, gw: Int = 9, gh: Int = 9): Array[Double] = {
     val base = HeaderLen + f * v.w * v.h * 3

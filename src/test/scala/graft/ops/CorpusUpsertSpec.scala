@@ -329,6 +329,90 @@ class CorpusUpsertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("compactRevs: a crash between publish and deletes recovers on re-run") {
+    val r = Roots(tmp("compactcrash")).bootstrap()
+    val t = r.targets.take(1)
+    val b0 = corpus0.filter($"doc_id" < 10).select($"doc_id", $"text")
+    CorpusUpsert.applyBatch(b0, "doc_id", "g0", r.ups, t)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 6), "doc_id", "g1", r.ups, t)
+    CorpusUpsert.compactRevs(spark, r.ups)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 3), "doc_id", "g2", r.ups, t)
+    def cur() = CorpusUpsert.currentRevs(spark, r.ups)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    val before = cur()
+    // replay compactRevs UP TO the crash point: fresh fold staged,
+    // old compacted moved aside, fresh fold published — then "crash"
+    // before any superseded dir is deleted
+    val revsRoot = new Path(s"${r.ups}/revs")
+    val fs = revsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(revsRoot, ".revs_compact")
+    val dest = new Path(revsRoot, s"batch=${CorpusUpsert.CompactedKey}")
+    val aside = new Path(revsRoot, s"batch=${CorpusUpsert.CompactedKey}-old")
+    CorpusUpsert.currentRevs(spark, r.ups)
+      .select($"doc", $"rev".cast("int").as("rev"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    assert(fs.rename(dest, aside))
+    assert(fs.rename(stage, dest))
+    def batchDirs(): Seq[String] =
+      fs.listStatus(revsRoot).filter(_.isDirectory).map(_.getPath.getName)
+        .toSeq.filter(_.startsWith("batch=")).sorted
+    // wedge state: dest + aside + the superseded g2 dir all visible —
+    // lookups stay exact (duplicates fold identically under max-rev)
+    assert(batchDirs().size === 3)
+    assert(cur() === before)
+    // pre-fix, this re-run threw ("cannot move dest aside": rename onto
+    // the existing aside fails); the documented re-run recovery must
+    // finish the deletes instead
+    CorpusUpsert.compactRevs(spark, r.ups)
+    assert(batchDirs() === Seq(s"batch=${CorpusUpsert.CompactedKey}"))
+    assert(cur() === before)
+  }
+
+  test("auto-fold: applyBatch triggers compactRevs past the threshold; a crash mid-fold heals on the next batch") {
+    val r = Roots(tmp("autofold")).bootstrap()
+    val t = r.targets.take(1)
+    val b0 = corpus0.filter($"doc_id" < 8).select($"doc_id", $"text")
+    def cur() = CorpusUpsert.currentRevs(spark, r.ups)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    val revsRoot = new Path(s"${r.ups}/revs")
+    val fs = revsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs(): Seq[String] =
+      fs.listStatus(revsRoot).filter(_.isDirectory).map(_.getPath.getName)
+        .toSeq.filter(_.startsWith("batch=")).sorted
+    (0 until 5).foreach { i =>
+      CorpusUpsert.applyBatch(b0.filter($"doc_id" >= i), "doc_id", s"a$i",
+        r.ups, t, autoFoldRevsAt = 2)
+      // the ledger never exceeds threshold + 1 dirs for more than the
+      // fold's own duration: after each apply it is ≤ 2 (the compacted
+      // dir from the previous fold + at most one new batch)
+      assert(batchDirs().size <= 2, s"after batch a$i: ${batchDirs()}")
+    }
+    // doc d rides batches a0..a_min(d,4), so its final rev = min(d, 4)
+    assert((0 until 5).forall(d => cur()(d.toLong) === d))
+    assert(cur()(7L) === 4)
+    // a redelivered batch whose revs dir was folded away still
+    // short-circuits at its markers — the fold never touches batches/
+    val rep = CorpusUpsert.applyBatch(b0, "doc_id", "a0", r.ups, t,
+      autoFoldRevsAt = 2)
+    assert(rep.alreadyApplied)
+    // crash mid-auto-fold (the publish→deletes window), then one more
+    // batch: its trigger re-runs the fold and heals the ledger
+    val stage = new Path(revsRoot, ".revs_compact")
+    val dest = new Path(revsRoot, s"batch=${CorpusUpsert.CompactedKey}")
+    val aside = new Path(revsRoot, s"batch=${CorpusUpsert.CompactedKey}-old")
+    val before = cur()
+    CorpusUpsert.currentRevs(spark, r.ups)
+      .select($"doc", $"rev".cast("int").as("rev"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    assert(fs.rename(dest, aside))
+    assert(fs.rename(stage, dest))
+    assert(cur() === before) // exact through the crash window
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 2), "doc_id", "a5",
+      r.ups, t, autoFoldRevsAt = 2)
+    assert(batchDirs() === Seq(s"batch=${CorpusUpsert.CompactedKey}"))
+    assert(cur()(0L) === 1 && cur()(1L) === 2 && cur()(7L) === 4)
+  }
+
   test("streaming upsert: stream-applied revisions ≡ batch-applied; redelivery no-ops") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
