@@ -3638,13 +3638,15 @@ object DataOpsQueries {
 
     // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):
     // per-doc count + position span of the window-minimum k-gram
-    // fingerprints. WHICH hashes are minimal is an xxhash64 artifact no
-    // SQL reproduces → rows-only; WinnowSpec pins native ≡ independent
-    // reference, the coverage theorem as a randomized property, the
-    // density bound, and the copy-pair report with its posting cap.
+    // fingerprints. HASH-GATED since round 17 via the XxhSql XXH64
+    // replay (the q21/q23/q184 class): per-token XXH64 in limb
+    // arithmetic, the FNV-64 rolling polynomial, and the rightmost-tie
+    // window-min selection over signed values, all in DuckDB;
+    // WinnowSpec keeps the native-vs-reference, coverage-theorem,
+    // density, and copy-pair suites.
     NamedQuery(
       "q129_winnow",
-      None,
+      Some(XxhSql.q129Oracle(k = 4, window = 4)),
       (s, dir) =>
         TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text",
             k = 4, window = 4)

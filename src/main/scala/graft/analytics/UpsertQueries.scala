@@ -477,6 +477,102 @@ object UpsertQueries {
           .orderBy("qid", "rank")
       }),
 
+    // BATCH proximity retrieval — q236's one-pass shape for proximity
+    // multisets (q232 is the single probe, q235 the single-probe
+    // ranker): four term multisets (one with a repeated term) scored
+    // within a shared 6-token window in one pruned postings pass, the
+    // span expression generic over the per-row terms array (per-term
+    // multiplicity from size(filter(terms, = t)), k-th occurrence via
+    // null-safe get), per-qid top-10 via WindowGroupLimit. Oracle
+    // replays spans, df/N/avgdl, the inverse-span Okapi score, and the
+    // rank tie order per qid.
+    NamedQuery(
+      "q238_bm25_prox_join",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') tok
+             |           FROM documents WHERE doc_id % 7 <> 3),
+             |l AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM t),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl FROM l),
+             |p1 AS (SELECT doc_id,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'vector') pa,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'window') pb
+             |      FROM t),
+             |s1 AS (SELECT 1 AS qid, 2 AS n_terms, doc_id,
+             |        list_min(list_transform(list_sort(list_concat(pa, pb)), a ->
+             |          greatest(
+             |            coalesce(list_filter(pa, q -> q >= a)[1], 2147483647),
+             |            coalesce(list_filter(pb, q -> q >= a)[1], 2147483647))
+             |          - a)) + 1 AS span
+             |      FROM p1 WHERE len(pa) >= 1 AND len(pb) >= 1),
+             |p2 AS (SELECT doc_id,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'table') pa,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'key') pb
+             |      FROM t),
+             |s2 AS (SELECT 2 AS qid, 3 AS n_terms, doc_id,
+             |        list_min(list_transform(list_sort(list_concat(pa, pb)), a ->
+             |          greatest(
+             |            coalesce(list_filter(pa, q -> q >= a)[2], 2147483647),
+             |            coalesce(list_filter(pb, q -> q >= a)[1], 2147483647))
+             |          - a)) + 1 AS span
+             |      FROM p2 WHERE len(pa) >= 2 AND len(pb) >= 1),
+             |p3 AS (SELECT doc_id,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'scan') pa,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'filter') pb
+             |      FROM t),
+             |s3 AS (SELECT 3 AS qid, 2 AS n_terms, doc_id,
+             |        list_min(list_transform(list_sort(list_concat(pa, pb)), a ->
+             |          greatest(
+             |            coalesce(list_filter(pa, q -> q >= a)[1], 2147483647),
+             |            coalesce(list_filter(pb, q -> q >= a)[1], 2147483647))
+             |          - a)) + 1 AS span
+             |      FROM p3 WHERE len(pa) >= 1 AND len(pb) >= 1),
+             |p4 AS (SELECT doc_id,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'the') pa,
+             |        list_filter(range(len(tok)), i -> tok[i+1] = 'a') pb
+             |      FROM t),
+             |s4 AS (SELECT 4 AS qid, 2 AS n_terms, doc_id,
+             |        list_min(list_transform(list_sort(list_concat(pa, pb)), a ->
+             |          greatest(
+             |            coalesce(list_filter(pa, q -> q >= a)[1], 2147483647),
+             |            coalesce(list_filter(pb, q -> q >= a)[1], 2147483647))
+             |          - a)) + 1 AS span
+             |      FROM p4 WHERE len(pa) >= 1 AND len(pb) >= 1),
+             |m AS (SELECT * FROM (
+             |        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+             |        UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+             |      WHERE span <= 6),
+             |dfp AS (SELECT qid, CAST(count(*) AS DOUBLE) df_p FROM m GROUP BY qid),
+             |sc AS (SELECT m.qid, m.doc_id, CAST(m.span AS BIGINT) span,
+             |  ROUND(ln((st.n_docs - dfp.df_p + 0.5) / (dfp.df_p + 0.5) + 1.0)
+             |    * (CAST(m.n_terms AS DOUBLE) / CAST(m.span AS DOUBLE)) * 2.2
+             |    / ((CAST(m.n_terms AS DOUBLE) / CAST(m.span AS DOUBLE))
+             |       + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / st.avgdl)), 6) bm25
+             |  FROM m JOIN l USING (doc_id) JOIN dfp USING (qid) CROSS JOIN st),
+             |r AS (SELECT qid, doc_id, span, bm25,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY bm25 DESC, doc_id) AS "rank"
+             |      FROM sc)
+             |SELECT qid, doc_id, span, bm25, CAST("rank" AS BIGINT) AS "rank"
+             |FROM r WHERE "rank" <= 10 ORDER BY qid, "rank"""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val root = stageRoot("proxjoin", dir)
+        clearRoot(root)
+        val d = docs(s, dir)
+        LexIndex.bm25WriteIndex(d, "doc_id", "text", root.toString,
+          buckets = 32, positional = true)
+        LexIndex.bm25DeleteIds(d.filter(col("doc_id") % 7 === 3),
+          "doc_id", root.toString)
+        val qs = Seq(
+          (1, Seq("vector", "window")),
+          (2, Seq("table", "table", "key")),
+          (3, Seq("scan", "filter")),
+          (4, Seq("the", "a")))
+          .toDF("qid", "terms")
+        LexIndex.bm25ProximityJoin(qs, root.toString, "doc_id", "qid",
+            "terms", window = 6, k = 10)
+          .orderBy("qid", "rank")
+      }),
+
     // MEDIA in the coordinated upsert: a media-bearing document
     // revision propagates through text + vector + MEDIA indexes in ONE
     // batch — the third target is a HammingIndex over the 256-bit stub
@@ -622,6 +718,89 @@ object UpsertQueries {
             .orderBy("kind", "qid", "doc_id")
         })
     },
+
+    // Container-METADATA catalog over opaque media payloads — the
+    // triage stage before any decode: REAL MP4 box walking, MP3
+    // frame-header walking, and WAV fmt/data parsing (MediaMeta),
+    // over payloads the builder synthesizes as genuine container
+    // bytes (not stubs) deterministically from doc_id. Corrupt
+    // payloads (truncated mp4 box / mp3 frame) and garbage become
+    // typed rejects with the container still identified. HASH-GATED:
+    // every extracted field is arithmetic over doc_id, so DuckDB
+    // replays the whole catalog — durations via the same integer
+    // floor divisions the parsers use.
+    NamedQuery(
+      "q239_media_meta",
+      Some("""WITH d AS (SELECT doc_id AS id FROM documents),
+             |m AS (
+             |  SELECT id,
+             |    CAST(132 + 8 * (1 + id % 3) AS BIGINT) n_bytes,
+             |    'mp4' container,
+             |    CAST(1000 + (id * 37) % 60000 AS BIGINT) duration_ms,
+             |    CAST(NULL AS INT) sample_rate, CAST(NULL AS INT) channels,
+             |    CAST(1 + id % 3 AS INT) tracks, CAST(NULL AS INT) width,
+             |    CAST(NULL AS INT) height, CAST(NULL AS INT) frames,
+             |    CAST(NULL AS VARCHAR) reason
+             |  FROM d WHERE id % 6 = 0
+             |  UNION ALL
+             |  SELECT id, CAST((1 + id % 40) * 417 AS BIGINT), 'mp3',
+             |    CAST(((1 + id % 40) * 1152 * 1000) // 44100 AS BIGINT),
+             |    44100, CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS INT),
+             |    NULL, NULL, NULL, CAST(1 + id % 40 AS INT), NULL
+             |  FROM d WHERE id % 6 = 1
+             |  UNION ALL
+             |  SELECT id, CAST((1 + id % 25) * 208 AS BIGINT), 'mp3',
+             |    CAST(((1 + id % 25) * 576 * 1000) // 22050 AS BIGINT),
+             |    22050, 2, NULL, NULL, NULL, CAST(1 + id % 25 AS INT), NULL
+             |  FROM d WHERE id % 6 = 2
+             |  UNION ALL
+             |  SELECT id,
+             |    CAST(44 + (800 + id % 1600) * (1 + id % 2) * 2 AS BIGINT),
+             |    'wav', CAST(((800 + id % 1600) * 1000) // 8000 AS BIGINT),
+             |    8000, CAST(1 + id % 2 AS INT), NULL, NULL, NULL, NULL, NULL
+             |  FROM d WHERE id % 6 = 3
+             |  UNION ALL
+             |  SELECT id, CAST(136 AS BIGINT), 'mp4', NULL, NULL, NULL,
+             |    NULL, NULL, NULL, NULL, 'truncated_box'
+             |  FROM d WHERE id % 6 = 4 AND id % 2 = 0
+             |  UNION ALL
+             |  SELECT id, CAST(1661 AS BIGINT), 'mp3', NULL, NULL, NULL,
+             |    NULL, NULL, NULL, NULL, 'truncated_frame'
+             |  FROM d WHERE id % 6 = 4 AND id % 2 = 1
+             |  UNION ALL
+             |  SELECT id,
+             |    CAST(length('GARBLE-' || CAST(id AS VARCHAR)) AS BIGINT),
+             |    'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+             |    'unsupported_format'
+             |  FROM d WHERE id % 6 = 5)
+             |SELECT id, n_bytes, container, duration_ms, sample_rate,
+             |  channels, tracks, width, height, frames, reason
+             |FROM m ORDER BY id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val payloads = docs(s, dir).select(col("doc_id")).as[Long]
+          .map { id =>
+            val p: Array[Byte] = (id % 6) match {
+              case 0 => MediaMeta.encodeMp4(1000 + (id * 37) % 60000, 1000,
+                (1 + id % 3).toInt)
+              case 1 => MediaMeta.encodeMp3((1 + id % 40).toInt, v1 = true,
+                bitrateKbps = 128, sampleRate = 44100, mono = id % 2 == 0)
+              case 2 => MediaMeta.encodeMp3((1 + id % 25).toInt, v1 = false,
+                bitrateKbps = 64, sampleRate = 22050, mono = false)
+              case 3 => MediaMeta.encodeWav((800 + id % 1600).toInt,
+                sampleRate = 8000, channels = (1 + id % 2).toInt)
+              case 4 =>
+                if (id % 2 == 0)
+                  MediaMeta.encodeMp4(5000, 1000, 2).dropRight(12)
+                else MediaMeta.encodeMp3(4, v1 = true, bitrateKbps = 128,
+                  sampleRate = 44100, mono = true).dropRight(7)
+              case _ => s"GARBLE-$id".getBytes("UTF-8")
+            }
+            (id, p)
+          }.toDF("doc_id", "payload")
+        MediaMeta.probe(payloads, "doc_id", "payload")
+          .toDF().orderBy("id")
+      }),
 
     // The 15th REAL stream: the daily-refresh loop as a stream. The
     // base corpus lands as a batch apply; three DISJOINT revision

@@ -278,6 +278,63 @@ object XxhSql {
        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDistance
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The q129 oracle: winnowing fingerprint selection (Schleimer et
+    * al. 2003) replayed from pure arithmetic — per-token XXH64 (the
+    * [[h1Ctes]] replay), the FNV-64 rolling k-gram polynomial
+    * `acc = acc·B + h mod 2^64` (B = the engine's RollB, odd FNV
+    * prime; spelled in the same 32-bit-limb HUGEINT arithmetic), and
+    * the window-minimum selection with the RIGHTMOST tie rule over
+    * SIGNED hash values (the engine compares Scala Longs): for each
+    * window end, the selected position is found by taking
+    * `list_position` of the min in the REVERSED window slice — first
+    * occurrence in the reversal = rightmost in the original.
+    * Documents shorter than one full window of k-gram hashes winnow
+    * to their single global minimum (the `LEAST(window, m)` effective
+    * window); documents with fewer than k tokens produce no hashes
+    * and no row. Output matches q129's per-doc rollup.
+    */
+  def q129Oracle(k: Int, window: Int): String = {
+    require(k >= 2, "q129Oracle: k >= 2 (the fold below needs e1..ek)")
+    val B = "CAST(1099511628211 AS UBIGINT)" // 0x100000001b3, HashSketches.RollB
+    val wCols = (1 to k).map(j => s"hs[wp+$j] e$j").mkString(", ")
+    val fold = (2 to k).map { j =>
+      val in = if (j == 2) "wr" else s"wf${j - 1}"
+      val acc = if (j == 2) "e1" else s"a${j - 1}"
+      val out = if (j == k) s"wh" else s"a$j"
+      s"wf$j AS (SELECT doc_id, wp, ${(j + 1 to k).map(x => s"e$x, ").mkString}" +
+        s"${add(mul(acc, B), s"e$j")} $out FROM $in)"
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+       |dtok AS (SELECT DISTINCT unnest(tok) tok FROM t),
+       |${h1Ctes("dtok")},
+       |px AS (SELECT doc_id, unnest(tok) w, unnest(range(len(tok))) p FROM t),
+       |ph AS (SELECT px.doc_id, px.p, h.h1 FROM px JOIN xh_h1 h ON px.w = h.tok),
+       |hlist AS (SELECT doc_id, list(h1 ORDER BY p) hs, count(*) n
+       |          FROM ph GROUP BY doc_id),
+       |wr AS (SELECT doc_id, wp, $wCols FROM
+       |         (SELECT doc_id, hs, unnest(range(n - ${k - 1})) wp
+       |          FROM hlist WHERE n >= $k)),
+       |$fold,
+       |sw AS (SELECT doc_id, wp,
+       |         CAST(CAST(wh AS HUGEINT) - CASE WHEN wh >=
+       |           CAST(9223372036854775808 AS UBIGINT)
+       |           THEN CAST($M AS HUGEINT) ELSE 0 END AS BIGINT) sh
+       |       FROM wf$k),
+       |wl AS (SELECT doc_id, list(sh ORDER BY wp) hl, count(*) m
+       |       FROM sw GROUP BY doc_id),
+       |sel AS (SELECT doc_id, list_distinct(list_transform(
+       |          range(LEAST($window, m) - 1, m),
+       |          e -> e - (list_position(
+       |                 list_reverse(hl[e - LEAST($window, m) + 2 : e + 1]),
+       |                 list_min(hl[e - LEAST($window, m) + 2 : e + 1])) - 1)))
+       |          sels
+       |        FROM wl)
+       |SELECT doc_id, CAST(len(sels) AS BIGINT) n_fps,
+       |  CAST(list_min(sels) AS INT) first_pos,
+       |  CAST(list_max(sels) AS INT) last_pos
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+
   /** The full q184 oracle: CountMin cell placement + min-of-rows
     * estimate, replayed from pure arithmetic.
     */

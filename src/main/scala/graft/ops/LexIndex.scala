@@ -803,4 +803,97 @@ object LexIndex {
       .withColumn("rank", row_number().over(byScore).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** BATCH proximity retrieval — [[bm25PhraseJoin]]'s one-pass shape
+    * for proximity queries: top-`k` documents for EVERY term MULTISET
+    * in a query relation `(qidCol, termsCol: array<string>)` (qids
+    * unique, ≥ 2 terms per row; repeats = required multiplicity, the
+    * [[bm25ProximityProbe]] semantics; a row whose multiset cannot fit
+    * the window is DROPPED rather than erroring the batch — the
+    * relation twin of the probe's infeasible-window refusal), all
+    * within one shared `window`,
+    * scored with [[bm25ProximityRank]]'s inverse-span Okapi. The span
+    * expression is the probe's exact anchor scan made generic over the
+    * per-row terms array: per-term multiplicities come from
+    * `size(filter(terms, x = t))`, the k-th-occurrence end from the
+    * null-safe `get`, everything inside one codegen'd higher-order
+    * expression per candidate. Same plan skeleton as the phrase join:
+    * one bucket-pruned postings pass, term-keyed broadcast join,
+    * per-(qid, doc) conjunctive cut, WindowGroupLimit top-k. Returns
+    * `(qidCol, <idCol>, span, bm25, rank)`.
+    */
+  def bm25ProximityJoin(
+      queries: DataFrame,
+      path: String,
+      idCol: String,
+      qidCol: String,
+      termsCol: String,
+      window: Int,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    require(k >= 1, s"bm25ProximityJoin: k=$k must be >= 1")
+    require(window >= 2, s"bm25ProximityJoin: window=$window must be >= 2")
+    require(readPositional(spark, path),
+      s"bm25ProximityJoin: index at $path was not written with " +
+        "positional = true — proximity needs position arrays")
+    val buckets = readBuckets(spark, path)
+    val q = queries
+      .select(col(qidCol), col(termsCol).as("q_terms"))
+      .filter(size(col("q_terms")) >= 2 &&
+        size(col("q_terms")) <= window)
+    val qterms = q.select(col(qidCol),
+      explode(array_distinct(col("q_terms"))).as("w"))
+    val probeBuckets = qterms.select("w").distinct()
+      .withColumn("tb", termBucket(col("w"), buckets))
+      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val postings = Tombstones.excludeFrom(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+        .select(col(idCol), col("w"), col("ps")),
+      path, idCol)
+    val dterms = array_distinct(col("q_terms"))
+    val cand = postings
+      .join(broadcast(qterms), Seq("w")) // inverted-index cost
+      .groupBy(col(qidCol), col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("ps"))))
+        .as("m"))
+      .join(broadcast(q), Seq(qidCol))
+      .filter(size(col("m")) === size(dterms))
+    val far = lit(Int.MaxValue.toLong)
+    val anchors = sort_array(flatten(transform(dterms,
+      t => element_at(col("m"), t))))
+    val spanAt: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      p => array_max(transform(dterms, t => {
+        val after = filter(element_at(col("m"), t), o => o >= p)
+        val mult = size(filter(col("q_terms"), x => x === t))
+        coalesce(get(after, mult - 1).cast("long"), far)
+      })) - p
+    val minSpan = array_min(transform(anchors, p => spanAt(p))) + lit(1)
+    val m = cand
+      .select(col(qidCol), col(idCol), size(col("q_terms")).as("n_terms"),
+        minSpan.cast("long").as("span"))
+      .filter(col("span") <= window)
+    val lens = spark.read.parquet(s"$path/doclen")
+    val dfp = m.groupBy(col(qidCol))
+      .agg(count(lit(1)).cast("double").as("df_p"))
+    val stats = corpusStats(spark, path, idCol)
+    val ptf = col("n_terms").cast("double") / col("span").cast("double")
+    val score =
+      log((col("n_docs") - col("df_p") + lit(0.5)) /
+          (col("df_p") + lit(0.5)) + lit(1.0)) *
+        ptf * lit(k1 + 1.0) /
+        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val byScore = Window.partitionBy(qidCol)
+      .orderBy(col("bm25").desc, col(idCol))
+    m.join(lens, Seq(idCol))
+      .join(broadcast(dfp), Seq(qidCol))
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), col("span"),
+        round(score, 6).as("bm25"))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

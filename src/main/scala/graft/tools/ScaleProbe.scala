@@ -486,7 +486,22 @@ object ScaleProbe {
         // band — k× posting rows, probe pruned to the phrase terms'
         // buckets); candidates stay replica-0-sized while the scanned
         // buckets grow k×, which is exactly the pruning story to price.
-        "q230_corpus_upsert", "q231_bm25_phrase", "q232_bm25_proximity")
+        "q230_corpus_upsert", "q231_bm25_phrase", "q232_bm25_proximity",
+        // round-17: q234/q235 add one broadcast 1×1 df aggregate + the
+        // doclen attach to the probes above; q236 is the batch shape —
+        // its postings scan count is CONSTANT (PlanSpec pin), so the
+        // 64× term is the pruned-bucket growth, with candidates still
+        // replica-0-sized per phrase (bounded by the rarest term's
+        // replica-0 df after the conjunctive cut). q237 is the q230
+        // lifecycle with the 256-bit media Hamming layout as the third
+        // target — delta-sized passes, metadata publishes.
+        "q234_bm25_phrase_rank", "q235_bm25_prox_rank",
+        "q236_bm25_phrase_join", "q237_media_upsert",
+        // q238 = the batch-proximity twin of q236 (same constant-scan
+        // skeleton); q239 = the map-only container-metadata catalog —
+        // synth + parse are both per-row, so the honest expectation is
+        // ~linear in rows with no shuffle term
+        "q238_bm25_prox_join", "q239_media_meta")
       if only.forall(_.exists(q.startsWith))) {
       // Warm BOTH scales before timing. Through round 7 only the 1x dir
       // was warmed, so the kx run paid the cold first read of the kx

@@ -28,14 +28,14 @@ class CoverageSpec extends AnyFunSuite {
   test("every oracle-less query has a written rationale in COVERAGE.md") {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")))
-    val section = text.indexOf("## Why the 22 oracle-less queries cannot have a hash oracle")
+    val section = text.indexOf("## Why the 21 oracle-less queries cannot have a hash oracle")
     assert(section >= 0, "COVERAGE.md no-oracle rationale section missing")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val missing = noOracle.filterNot(q => text.indexOf(q, section) > section)
     assert(missing.isEmpty,
       s"oracle-less queries without a rationale in COVERAGE.md: $missing")
     // the section header hard-codes the count; keep it honest too
-    assert(noOracle.size === 22,
+    assert(noOracle.size === 21,
       s"no-oracle count changed (${noOracle.size}) — update the COVERAGE.md section header")
   }
 }

@@ -639,4 +639,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("tb#"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q235: proximity rank keeps the pruned scan; its only nested-loop is the broadcast 1-row stats attach") {
+    val p = formatted("q235_bm25_prox_rank")
+    assert(p.contains("PartitionFilters") && p.contains("tb#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight"), p)
+  }
+
+  test("q236: batch phrase join scans postings a CONSTANT 2x (candidates + df tree) — never once per phrase — pruned to tb= dirs, no product, top-k via WindowGroupLimit") {
+    val p = formatted("q236_bm25_phrase_join")
+    assert(p.contains("PartitionFilters") && p.contains("tb#"), p)
+    val postingsScans = p.split("\n")
+      .count(l => l.contains("Location") && l.contains("postings"))
+    assert(postingsScans > 0 && postingsScans <= 2,
+      s"postings scanned $postingsScans times (5 phrases would mean a per-phrase rescan regressed in):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q238: batch proximity join keeps the phrase join's constant-scan pruned no-product shape") {
+    val p = formatted("q238_bm25_prox_join")
+    assert(p.contains("PartitionFilters") && p.contains("tb#"), p)
+    val postingsScans = p.split("\n")
+      .count(l => l.contains("Location") && l.contains("postings"))
+    assert(postingsScans > 0 && postingsScans <= 2,
+      s"postings scanned $postingsScans times:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

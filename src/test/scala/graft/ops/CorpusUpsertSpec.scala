@@ -329,6 +329,31 @@ class CorpusUpsertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("positional postings ride the coordinated upsert: phrase/proximity probes ≡ rebuild") {
+    val r = Roots(tmp("positional"))
+    // positional bootstrap: stageAppend inherits the flag from the
+    // real index's meta, so the whole lifecycle carries ps arrays
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", r.bm25, buckets = 8, positional = true)
+    val t = Seq[CorpusUpsert.IndexTarget](CorpusUpsert.Bm25Target(r.bm25, "text"))
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", r.ups, t)
+    CorpusUpsert.applyBatch(revised, "doc_id", "rev1", r.ups, t)
+    val b = tmp("positional-rebuild")
+    LexIndex.bm25WriteIndex(finalCorpus, Rid, "text", b, buckets = 8,
+      positional = true)
+    def ph(p: String) = LexIndex
+      .bm25PhraseProbe(spark, p, Rid, Seq("vector", "scan"))
+      .orderBy(Rid).collect().toSeq.map(_.toSeq)
+    assert(ph(r.bm25) === ph(b))
+    assert(ph(r.bm25).nonEmpty)
+    def px(p: String) = LexIndex
+      .bm25ProximityProbe(spark, p, Rid, Seq("vector", "window"), 5)
+      .orderBy(Rid).collect().toSeq.map(_.toSeq)
+    assert(px(r.bm25) === px(b))
+    assert(px(r.bm25).nonEmpty)
+  }
+
   test("compactRevs: a crash between publish and deletes recovers on re-run") {
     val r = Roots(tmp("compactcrash")).bootstrap()
     val t = r.targets.take(1)

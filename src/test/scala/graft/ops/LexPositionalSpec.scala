@@ -265,6 +265,35 @@ class LexPositionalSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 4).forall(_._3 >= 1))
   }
 
+  test("proximity-join: one-pass batch ≡ per-multiset rank probes, top-k; infeasible rows drop") {
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select($"doc_id", $"text")
+    val idx = tmp("proxjoin")
+    LexIndex.bm25WriteIndex(docs, "doc_id", "text", idx, buckets = 8,
+      positional = true)
+    val qs = Seq(
+      (1, Seq("vector", "window")),
+      (2, Seq("table", "table", "key")),
+      (3, Seq("a", "a", "a", "a", "a", "a", "a"))) // 7 > window: dropped
+      .toDF("qid", "terms")
+    val got = LexIndex.bm25ProximityJoin(qs, idx, "doc_id", "qid",
+        "terms", window = 6, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    assert(!got.exists(_._1 == 3), "infeasible multiset must drop, not score")
+    for ((qid, terms) <- Seq(1 -> Seq("vector", "window"),
+        2 -> Seq("table", "table", "key"))) {
+      val want = LexIndex.bm25ProximityRank(spark, idx, "doc_id", terms, 6)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(5)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), r.getDouble(2), (i + 1).toLong) }
+      assert(got.filter(_._1 == qid) === want, s"qid $qid")
+    }
+  }
+
   test("phrase-join: tombstoned docs stay excluded") {
     val docs = Tables.load(spark, TestSpark.Sf001, "documents")
       .select($"doc_id", $"text")
