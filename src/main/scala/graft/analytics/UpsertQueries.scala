@@ -741,11 +741,18 @@ object UpsertQueries {
              |    CAST(1 + id % 3 AS INT) tracks, CAST(NULL AS INT) width,
              |    CAST(NULL AS INT) height, CAST(NULL AS INT) frames,
              |    CAST(NULL AS VARCHAR) reason
-             |  FROM d WHERE id % 6 = 0
+             |  FROM d WHERE id % 6 = 0 AND (id // 6) % 2 = 0
+             |  UNION ALL
+             |  SELECT id, CAST(232 AS BIGINT), 'mp4',
+             |    CAST(1000 + (id * 37) % 60000 AS BIGINT),
+             |    NULL, NULL, CAST(1 AS INT),
+             |    CAST(320 + 16 * (id % 8) AS INT),
+             |    CAST(240 + 16 * (id % 5) AS INT), NULL, NULL
+             |  FROM d WHERE id % 6 = 0 AND (id // 6) % 2 = 1
              |  UNION ALL
              |  SELECT id, CAST((1 + id % 40) * 417 AS BIGINT), 'mp3',
              |    CAST(((1 + id % 40) * 1152 * 1000) // 44100 AS BIGINT),
-             |    44100, CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS INT),
+             |    44100, CAST(CASE WHEN (id // 6) % 2 = 0 THEN 1 ELSE 2 END AS INT),
              |    NULL, NULL, NULL, CAST(1 + id % 40 AS INT), NULL
              |  FROM d WHERE id % 6 = 1
              |  UNION ALL
@@ -762,17 +769,23 @@ object UpsertQueries {
              |  UNION ALL
              |  SELECT id, CAST(136 AS BIGINT), 'mp4', NULL, NULL, NULL,
              |    NULL, NULL, NULL, NULL, 'truncated_box'
-             |  FROM d WHERE id % 6 = 4 AND id % 2 = 0
+             |  FROM d WHERE id % 6 = 4 AND (id // 6) % 2 = 0
              |  UNION ALL
              |  SELECT id, CAST(1661 AS BIGINT), 'mp3', NULL, NULL, NULL,
              |    NULL, NULL, NULL, NULL, 'truncated_frame'
-             |  FROM d WHERE id % 6 = 4 AND id % 2 = 1
+             |  FROM d WHERE id % 6 = 4 AND (id // 6) % 2 = 1
+             |  UNION ALL
+             |  SELECT id, CAST(42 AS BIGINT), 'flac',
+             |    CAST(((44100 + (id * 13) % 441000) * 1000) // 44100 AS BIGINT),
+             |    44100, CAST(1 + (id // 6) % 2 AS INT), NULL, NULL, NULL,
+             |    NULL, NULL
+             |  FROM d WHERE id % 6 = 5 AND (id // 6) % 2 = 0
              |  UNION ALL
              |  SELECT id,
              |    CAST(length('GARBLE-' || CAST(id AS VARCHAR)) AS BIGINT),
              |    'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
              |    'unsupported_format'
-             |  FROM d WHERE id % 6 = 5)
+             |  FROM d WHERE id % 6 = 5 AND (id // 6) % 2 = 1)
              |SELECT id, n_bytes, container, duration_ms, sample_rate,
              |  channels, tracks, width, height, frames, reason
              |FROM m ORDER BY id""".stripMargin),
@@ -781,20 +794,32 @@ object UpsertQueries {
         val payloads = docs(s, dir).select(col("doc_id")).as[Long]
           .map { id =>
             val p: Array[Byte] = (id % 6) match {
-              case 0 => MediaMeta.encodeMp4(1000 + (id * 37) % 60000, 1000,
-                (1 + id % 3).toInt)
+              case 0 =>
+                if ((id / 6) % 2 == 0)
+                  MediaMeta.encodeMp4(1000 + (id * 37) % 60000, 1000,
+                    (1 + id % 3).toInt)
+                else MediaMeta.encodeMp4Video(1000 + (id * 37) % 60000,
+                  1000, w = (320 + 16 * (id % 8)).toInt,
+                  h = (240 + 16 * (id % 5)).toInt)
               case 1 => MediaMeta.encodeMp3((1 + id % 40).toInt, v1 = true,
-                bitrateKbps = 128, sampleRate = 44100, mono = id % 2 == 0)
+                bitrateKbps = 128, sampleRate = 44100,
+                mono = (id / 6) % 2 == 0)
               case 2 => MediaMeta.encodeMp3((1 + id % 25).toInt, v1 = false,
                 bitrateKbps = 64, sampleRate = 22050, mono = false)
               case 3 => MediaMeta.encodeWav((800 + id % 1600).toInt,
                 sampleRate = 8000, channels = (1 + id % 2).toInt)
               case 4 =>
-                if (id % 2 == 0)
+                // id % 6 == 4 forces id even, id % 6 == 5 forces odd —
+                // sub-splits must key on id / 6, not id % 2
+                if ((id / 6) % 2 == 0)
                   MediaMeta.encodeMp4(5000, 1000, 2).dropRight(12)
                 else MediaMeta.encodeMp3(4, v1 = true, bitrateKbps = 128,
                   sampleRate = 44100, mono = true).dropRight(7)
-              case _ => s"GARBLE-$id".getBytes("UTF-8")
+              case _ =>
+                if ((id / 6) % 2 == 0)
+                  MediaMeta.encodeFlac(44100 + (id * 13) % 441000,
+                    sampleRate = 44100, channels = (1 + (id / 6) % 2).toInt)
+                else s"GARBLE-$id".getBytes("UTF-8")
             }
             (id, p)
           }.toDF("doc_id", "payload")

@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *     per-frame; trailing ID3v1 `TAG` tolerated),
   *   - WAV / RIFF (fmt chunk: channels/rate/bits; duration from the
   *     data chunk length),
+  *   - FLAC (metadata-block walk to STREAMINFO: sample rate /
+  *     channels / total samples as packed bit fields — duration is
+  *     exact without touching a single audio frame),
   *   - AVI and GVF (delegated to [[VideoHash.decodeVideo]]'s demux:
   *     dimensions + frame count — those containers carry no timebase
   *     in the fields the demux keeps).
@@ -73,6 +76,7 @@ object MediaMeta {
       "mp3"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
     else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
+    else if (at(0, "fLaC")) "flac"
     else if (at(0, "GVF1")) "gvf"
     else "unknown"
   }
@@ -85,6 +89,7 @@ object MediaMeta {
       case "mp4" => parseMp4(id, p)
       case "mp3" => parseMp3(id, p)
       case "wav" => parseWav(id, p)
+      case "flac" => parseFlac(id, p)
       case c @ ("avi" | "gvf") =>
         VideoHash.decodeVideo(p) match {
           case Right(v) => MediaInfo(id, n, c, None, None, None, None,
@@ -150,12 +155,32 @@ object MediaMeta {
     var duration: Option[Long] = None
     var tracks = 0
     var sawMoov = false
+    var dims: Option[(Int, Int)] = None
     var bad: Option[String] = None
     val topErr = walkBoxes(p, 0, n) { (t, ps, pe) =>
       if (t == "moov" && bad.isEmpty) {
         sawMoov = true
         val err = walkBoxes(p, ps, pe) { (ct, cps, cpe) =>
-          if (ct == "trak") tracks += 1
+          if (ct == "trak") {
+            tracks += 1
+            // first trak with a nonzero tkhd presentation size wins —
+            // width/height are 16.16 fixed point at v0 offset 76/80
+            // (v1: 88/92, the 64-bit ctime/mtime/duration shift)
+            if (dims.isEmpty && bad.isEmpty) {
+              val terr = walkBoxes(p, cps, cpe) { (tt, tps, tpe) =>
+                if (tt == "tkhd" && dims.isEmpty && tpe - tps >= 4) {
+                  val v1 = (p(tps.toInt) & 0xff) == 1
+                  val wOff = if (v1) 88 else 76
+                  if (tpe - tps >= wOff + 8) {
+                    val w = (be32(p, tps.toInt + wOff) >> 16).toInt
+                    val h = (be32(p, tps.toInt + wOff + 4) >> 16).toInt
+                    if (w > 0 && h > 0) dims = Some((w, h))
+                  }
+                }
+              }
+              if (terr.isDefined && bad.isEmpty) bad = terr
+            }
+          }
           else if (ct == "mvhd" && bad.isEmpty) {
             if (cpe - cps < 4) bad = Some("truncated_box")
             else {
@@ -189,7 +214,7 @@ object MediaMeta {
         if (!sawMoov) rej(id, n, "mp4", "no_moov")
         else if (duration.isEmpty) rej(id, n, "mp4", "no_mvhd")
         else MediaInfo(id, n, "mp4", duration, None, None, Some(tracks),
-          None, None, None, None)
+          dims.map(_._1), dims.map(_._2), None, None)
     }
   }
 
@@ -306,9 +331,97 @@ object MediaMeta {
   }
 
   // ---------------------------------------------------------------
+  // FLAC — metadata-block walk to STREAMINFO (block type 0, 34 bytes):
+  // the packed fields at byte offset 10 of the block body are
+  // sample rate (20 bits), channels−1 (3), bits/sample−1 (5), and
+  // total samples (36) — duration needs no frame ever read.
+  // ---------------------------------------------------------------
+
+  private def parseFlac(id: Long, p: Array[Byte]): MediaInfo = {
+    val n = p.length.toLong
+    var off = 4L
+    var last = false
+    while (!last) {
+      if (n - off < 4) return rej(id, n, "flac", "truncated_block")
+      val i = off.toInt
+      last = (p(i) & 0x80) != 0
+      val btype = p(i) & 0x7f
+      val size = ((p(i + 1) & 0xffL) << 16) | ((p(i + 2) & 0xffL) << 8) |
+        (p(i + 3) & 0xffL)
+      if (off + 4 + size > n) return rej(id, n, "flac", "truncated_block")
+      if (btype == 0) {
+        if (size < 34) return rej(id, n, "flac", "bad_streaminfo")
+        val b = i + 4
+        // bytes 10..17 of the body: 20-bit rate, 3-bit ch−1, 5-bit
+        // bps−1, 36-bit total samples
+        val rate = (((p(b + 10) & 0xffL) << 12) | ((p(b + 11) & 0xffL) << 4) |
+          ((p(b + 12) & 0xf0L) >> 4)).toInt
+        val ch = (((p(b + 12) & 0x0e) >> 1) + 1)
+        val total = ((p(b + 13) & 0x0fL) << 32) | ((p(b + 14) & 0xffL) << 24) |
+          ((p(b + 15) & 0xffL) << 16) | ((p(b + 16) & 0xffL) << 8) |
+          (p(b + 17) & 0xffL)
+        if (rate <= 0) return rej(id, n, "flac", "bad_streaminfo")
+        return MediaInfo(id, n, "flac", Some(total * 1000L / rate),
+          Some(rate), Some(ch), None, None, None, None, None)
+      }
+      off += 4 + size
+    }
+    rej(id, n, "flac", "no_streaminfo")
+  }
+
+  // ---------------------------------------------------------------
   // Fixture encoders — minimal VALID files (used by the gate query
   // and the spec; also handy to smoke a real tool against the parser)
   // ---------------------------------------------------------------
+
+  /** Minimal VIDEO mp4: [[encodeMp4]]'s layout with ONE trak holding
+    * a version-0 `tkhd` whose 16.16 presentation size is (w, h).
+    * 232 bytes.
+    */
+  def encodeMp4Video(durationTicks: Long, timescale: Int,
+      w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 0x10000 && h < 0x10000,
+      "encodeMp4Video: dims must fit the 16.16 integer part")
+    val base = encodeMp4(durationTicks, timescale, tracks = 0)
+    val trak = new Array[Byte](8 + 8 + 84)
+    def putBE(a: Array[Byte], off: Int, v: Long): Unit = {
+      a(off) = (v >> 24).toByte; a(off + 1) = (v >> 16).toByte
+      a(off + 2) = (v >> 8).toByte; a(off + 3) = v.toByte
+    }
+    def putType(a: Array[Byte], off: Int, s: String): Unit =
+      s.indices.foreach(i => a(off + i) = s.charAt(i).toByte)
+    putBE(trak, 0, trak.length.toLong); putType(trak, 4, "trak")
+    putBE(trak, 8, 8 + 84); putType(trak, 12, "tkhd")
+    putBE(trak, 16 + 76, w.toLong << 16)
+    putBE(trak, 16 + 80, h.toLong << 16)
+    // grow moov's size field to cover the appended trak
+    val out = base ++ trak
+    putBE(out, 16, (8 + 108 + trak.length).toLong)
+    out
+  }
+
+  /** Minimal FLAC: magic + one last-flagged STREAMINFO block (no
+    * audio frames — legal for the metadata layer this parser reads).
+    */
+  def encodeFlac(totalSamples: Long, sampleRate: Int, channels: Int): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20) && channels >= 1 &&
+      channels <= 8 && totalSamples >= 0 && totalSamples < (1L << 36),
+      "encodeFlac: fields out of STREAMINFO range")
+    val out = new Array[Byte](4 + 4 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last block, type 0 (STREAMINFO)
+    out(7) = 34          // 24-bit block size
+    val b = 8
+    out(b + 10) = ((sampleRate >> 12) & 0xff).toByte
+    out(b + 11) = ((sampleRate >> 4) & 0xff).toByte
+    out(b + 12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1)).toByte
+    out(b + 13) = ((totalSamples >> 32) & 0x0f).toByte
+    out(b + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(b + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(b + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(b + 17) = (totalSamples & 0xff).toByte
+    out
+  }
 
   /** Minimal ISO-BMFF file: 16-byte `ftyp` (major isom) + `moov`
     * holding one version-0 `mvhd` (rate/volume/matrix zeroed — the

@@ -55,6 +55,18 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(info(big).duration_ms.contains(1000L), info(big))
   }
 
+  test("mp4: tkhd presentation size surfaces as width/height") {
+    val p = MediaMeta.encodeMp4Video(durationTicks = 7000, timescale = 1000,
+      w = 640, h = 360)
+    val m = info(p)
+    assert(m.reason.isEmpty && m.container == "mp4")
+    assert(m.width.contains(640) && m.height.contains(360))
+    assert(m.tracks.contains(1) && m.duration_ms.contains(7000L))
+    // audio-style mp4 (empty traks, no tkhd) keeps dims absent
+    val a = info(MediaMeta.encodeMp4(5000, 1000, 2))
+    assert(a.width.isEmpty && a.height.isEmpty && a.tracks.contains(2))
+  }
+
   test("mp4: typed rejects — truncation, no moov, bad timescale") {
     val p = MediaMeta.encodeMp4(90500, 1000, 2)
     assert(info(p.dropRight(20)).reason.contains("truncated_box"))
@@ -116,6 +128,24 @@ class MediaMetaSpec extends AnyFunSuite {
       m.channels.contains(2))
     assert(info(p.dropRight(5)).reason.contains("truncated_chunk"))
     assert(info(p.take(36)).reason.contains("no_data"))
+  }
+
+  test("flac: STREAMINFO bit fields round-trip; rejects") {
+    val p = MediaMeta.encodeFlac(totalSamples = 441000, sampleRate = 44100,
+      channels = 2)
+    val m = info(p)
+    assert(m.reason.isEmpty && m.container == "flac")
+    assert(m.duration_ms.contains(10000L) && m.sample_rate.contains(44100) &&
+      m.channels.contains(2))
+    // non-typical rate exercises the full 20-bit field
+    val hi = info(MediaMeta.encodeFlac(96000, 96000, 8))
+    assert(hi.duration_ms.contains(1000L) && hi.sample_rate.contains(96000)
+      && hi.channels.contains(8))
+    assert(info(p.take(20)).reason.contains("truncated_block"))
+    // a last-flagged non-STREAMINFO block only → no_streaminfo
+    val noSi = p.clone
+    noSi(4) = (0x80 | 4).toByte // VORBIS_COMMENT
+    assert(info(noSi).reason.contains("no_streaminfo"))
   }
 
   test("avi/gvf delegate to the video demux; unknown/empty reject") {
