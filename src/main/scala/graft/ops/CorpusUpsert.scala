@@ -46,7 +46,14 @@ import org.apache.spark.sql.functions._
   * for a full redelivery — a batch re-applied with targets missing
   * their marker falls through and applies just those, which is also
   * how a later-added index backfills: re-run every batch in original
-  * order against the extended target set). A retry skips a done index
+  * order against the extended target set; the backfill reproduces the
+  * ORIGINAL rids because rev assignment is frozen — a re-apply reads
+  * `revs/batch=<key>` back instead of recomputing, which would
+  * otherwise see LATER batches' higher revs and diverge. Backfill
+  * therefore requires the per-batch ledger: [[compactRevs]] folds it,
+  * and a backfill into a folded batch is refused loudly — compact on
+  * a cadence that keeps the backfill horizon you need, or rebuild a
+  * late-added index from the corpus instead). A retry skips a done index
   * at its `applied` marker, re-stages only when `_graft_staged` is absent
   * (never after a publish began — publish requires the marker), and
   * re-publishing renames only the staged files still present (each
@@ -191,7 +198,10 @@ object CorpusUpsert {
     * done marker inside the same serialized apply, so the quiesced-
     * window contract holds by construction; a crash mid-fold leaves
     * lookups exact in every interleaving (compactRevs' invariant) and
-    * the next batch's trigger re-runs it. ≤ 0 disables.
+    * the next batch's trigger re-runs it. ≤ 0 disables. The fold
+    * TRADES the backfill horizon (see the object doc): a later-added
+    * target can only backfill batches whose per-batch revs survive,
+    * so pick the threshold from how far back you add indexes.
     */
   def applyBatch(
       delta: DataFrame,
@@ -228,21 +238,61 @@ object CorpusUpsert {
       delta.write.mode("overwrite").parquet(deltaDir.toString)
     val staged = spark.read.parquet(deltaDir.toString)
 
-    // 2. revision assignment (self-excluding, hence retry-stable).
+    // 2. revision assignment. Once recorded, a batch's revs are
+    // FROZEN — a re-apply REUSES `revs/batch=<key>` instead of
+    // recomputing. The self-excluding recompute is only retry-stable
+    // while no LATER batch has landed (applies are serialized, so
+    // that covers every crash-retry); for a BACKFILL (re-running old
+    // batches against a target added later) the recompute would see
+    // the later batches' higher revs and assign a revision no other
+    // index has — corrupting the ledger and the new index at once.
+    // Reusing the recorded rows makes backfill exact through revision
+    // chains: new_rev is read back, and old_rev is derivable from it
+    // alone (new_rev = old + 1, or 0 first-seen ⇒ old = rev − 1 when
+    // rev > 0, else none).
     // localCheckpoint ONCE: four index stagings then read materialized
     // rows instead of each re-running the lookup join (and the rid
     // range check fails the batch up front, before any index work).
-    val prior = priorRevs(spark, fs, root, excludeKey = key)
-      .withColumnRenamed("rev", "old_rev")
-      .withColumnRenamed("doc", docCol)
-    val withRid = staged.join(prior, Seq(docCol), "left")
-      .withColumn("new_rev",
+    val revsDir = new Path(s"$root/revs/batch=$key")
+    val revsFrozen = fs.exists(new Path(revsDir, "_SUCCESS"))
+    // reaching here with the done marker set means a BACKFILL (some
+    // target lacks its marker). Backfill needs this batch's frozen
+    // revs; if compactRevs already folded them away, recomputing would
+    // assign revisions the other indexes never saw — refuse loudly.
+    // (A crash-retry can never trip this: `done` is the LAST write, so
+    // an incomplete apply either has no done marker, or has frozen
+    // revs — they land before any index work.)
+    require(!(fs.exists(doneMarker) && !revsFrozen),
+      s"applyBatch: batch '$key' is done but its revs/batch dir is gone " +
+        "(compacted) — backfilling a later-added target requires the " +
+        "per-batch rev ledger; re-apply batches newer than the last " +
+        "compaction only, or rebuild the new index from the corpus")
+    val prior =
+      if (revsFrozen)
+        spark.read.parquet(revsDir.toString)
+          .select(col("doc").as(docCol),
+            when(col("rev") > 0, col("rev") - 1).as("old_rev"),
+            col("rev").as("frozen_rev"))
+      else
+        priorRevs(spark, fs, root, excludeKey = key)
+          .withColumnRenamed("rev", "old_rev")
+          .withColumnRenamed("doc", docCol)
+    val newRev =
+      if (revsFrozen)
+        coalesce(col("frozen_rev"), raise_error(concat(
+          lit(s"applyBatch: batch '$key' has frozen revs but doc "),
+          col(docCol).cast("string"),
+          lit(" is not in them — the redelivered payload diverged"))))
+      else
         when(col("old_rev").isNull, lit(0))
           .otherwise(when(col("old_rev") < MaxRev, col("old_rev") + 1)
             .otherwise(raise_error(concat(
               lit(s"applyBatch: rev overflow (> $MaxRev) for doc "),
-              col(docCol).cast("string"))))))
+              col(docCol).cast("string")))))
+    val withRid = staged.join(prior, Seq(docCol), "left")
+      .withColumn("new_rev", newRev)
       .withColumn(RidCol, ridExpr(col(docCol), col("new_rev")))
+      .drop("frozen_rev")
       .localCheckpoint(true)
     val sizes = withRid.agg(count(lit(1)).as("n"),
       countDistinct(col(docCol)).as("nd"),
@@ -258,10 +308,11 @@ object CorpusUpsert {
     // tombstoned the old one would otherwise see NEITHER version. The
     // write is a tiny coalesce(1), so serializing it buys visibility
     // for almost no wall time.
-    withRid.select(col(docCol).cast("long").as("doc"),
-        col("new_rev").cast("int").as("rev"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/revs/batch=$key")
+    if (!revsFrozen)
+      withRid.select(col(docCol).cast("long").as("doc"),
+          col("new_rev").cast("int").as("rev"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(revsDir.toString)
     val oldRids = withRid.filter(col("old_rev").isNotNull)
       .select(ridExpr(col(docCol), col("old_rev")).as(RidCol))
 

@@ -354,6 +354,82 @@ class CorpusUpsertSpec extends AnyFunSuite {
     assert(px(r.bm25).nonEmpty)
   }
 
+  test("backfill reproduces ORIGINAL rids through revision chains (frozen rev assignment)") {
+    val r = Roots(tmp("backfill"))
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", r.bm25, buckets = 8)
+    val t1 = Seq[CorpusUpsert.IndexTarget](
+      CorpusUpsert.Bm25Target(r.bm25, "text"))
+    val b0 = corpus0.filter($"doc_id" < 20).select($"doc_id", $"text")
+      .localCheckpoint(true)
+    val b1 = b0.filter($"doc_id" < 10)
+      .select($"doc_id", concat($"text", lit(" r1")).as("text"))
+      .localCheckpoint(true)
+    val b2 = b0.filter($"doc_id" < 5)
+      .select($"doc_id", concat($"text", lit(" r2")).as("text"))
+      .localCheckpoint(true)
+    CorpusUpsert.applyBatch(b0, "doc_id", "b0", r.ups, t1)
+    CorpusUpsert.applyBatch(b1, "doc_id", "b1", r.ups, t1)
+    CorpusUpsert.applyBatch(b2, "doc_id", "b2", r.ups, t1)
+    def cur() = CorpusUpsert.currentRevs(spark, r.ups)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    val before = cur()
+    assert(before(0L) === 2 && before(7L) === 1 && before(15L) === 0)
+    // add a SECOND index later; backfill = re-run b0, b1, b2 in order.
+    // Without frozen rev assignment, re-running b1 would see b2's
+    // rev-2 rows (its self-excluding lookup only excludes b1) and
+    // assign rev 3 — corrupting the ledger and staging rids no other
+    // index has. The frozen path reads revs/batch=b1 back instead.
+    val second = s"${r.root}/bm25b"
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", second, buckets = 8)
+    val t2 = t1 :+ CorpusUpsert.Bm25Target(second, "text", name = "bm25b")
+    CorpusUpsert.applyBatch(b0, "doc_id", "b0", r.ups, t2)
+    CorpusUpsert.applyBatch(b1, "doc_id", "b1", r.ups, t2)
+    CorpusUpsert.applyBatch(b2, "doc_id", "b2", r.ups, t2)
+    assert(cur() === before, "backfill must not move the ledger")
+    // the backfilled index ≡ a from-scratch build over the final
+    // corpus under the ORIGINAL rids
+    val rebuild = tmp("backfill-rebuild")
+    val fc = b2.withColumn("rev", lit(2))
+      .unionByName(b1.filter($"doc_id" >= 5).withColumn("rev", lit(1)))
+      .unionByName(b0.filter($"doc_id" >= 10).withColumn("rev", lit(0)))
+      .withColumn(Rid, CorpusUpsert.ridExpr($"doc_id", $"rev"))
+    LexIndex.bm25WriteIndex(fc, Rid, "text", rebuild, buckets = 8)
+    def probe(p: String) =
+      LexIndex.bm25ProbeIndex(spark, p, Rid, Seq("vector", "scan"))
+        .orderBy(Rid).collect().toSeq.map(_.toSeq)
+    assert(probe(second) === probe(rebuild))
+    assert(probe(second).nonEmpty)
+    // and the FIRST index (its markers short-circuited the backfill)
+    // still matches too
+    assert(probe(r.bm25) === probe(rebuild))
+  }
+
+  test("backfill into a compacted ledger is refused loudly") {
+    val r = Roots(tmp("backfillfold"))
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", r.bm25, buckets = 8)
+    val t1 = Seq[CorpusUpsert.IndexTarget](
+      CorpusUpsert.Bm25Target(r.bm25, "text"))
+    val b0 = corpus0.filter($"doc_id" < 8).select($"doc_id", $"text")
+    CorpusUpsert.applyBatch(b0, "doc_id", "f0", r.ups, t1)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 4), "doc_id", "f1",
+      r.ups, t1)
+    CorpusUpsert.compactRevs(spark, r.ups)
+    val second = s"${r.root}/bm25b"
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", second, buckets = 8)
+    val t2 = t1 :+ CorpusUpsert.Bm25Target(second, "text", name = "bm25b")
+    val e = intercept[IllegalArgumentException](
+      CorpusUpsert.applyBatch(b0, "doc_id", "f0", r.ups, t2))
+    assert(e.getMessage.contains("compacted"))
+  }
+
   test("compactRevs: a crash between publish and deletes recovers on re-run") {
     val r = Roots(tmp("compactcrash")).bootstrap()
     val t = r.targets.take(1)
