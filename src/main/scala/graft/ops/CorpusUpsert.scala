@@ -232,9 +232,20 @@ object CorpusUpsert {
         fs.exists(new Path(batchDir, s"applied-${t.name}"))))
       return UpsertReport(key, alreadyApplied = true, 0L, 0L, 0L)
 
-    // 1. freeze the payload
+    // 1. freeze the payload. A done batch whose delta is GONE was
+    // vacuumed ([[vacuumBatches]]) — re-freezing from the caller's
+    // redelivered frame would let a nondeterministic recomputation
+    // fork the backfilled index's content from the originals, so the
+    // backfill is refused (same horizon trade as the compacted
+    // ledger). A crash-retry can never trip this: `done` is the last
+    // write.
     val deltaDir = new Path(batchDir, "delta")
-    if (!fs.exists(new Path(deltaDir, "_SUCCESS")))
+    val deltaFrozen = fs.exists(new Path(deltaDir, "_SUCCESS"))
+    require(!(fs.exists(doneMarker) && !deltaFrozen),
+      s"applyBatch: batch '$key' is done but its frozen delta is gone " +
+        "(vacuumed) — backfilling a later-added target requires the " +
+        "original payload; rebuild the new index from the corpus instead")
+    if (!deltaFrozen)
       delta.write.mode("overwrite").parquet(deltaDir.toString)
     val staged = spark.read.parquet(deltaDir.toString)
 
@@ -351,6 +362,54 @@ object CorpusUpsert {
     }
     UpsertReport(key, alreadyApplied = false, sizes.getLong(0), nUpd,
       sizes.getLong(0) - nUpd)
+  }
+
+  /** Reclaim the frozen delta payloads of fully-applied batches — the
+    * storage maintenance pass `batches/` needs on a long-lived root:
+    * every batch keeps its complete payload bytes forever (that freeze
+    * IS the exactly-once redelivery story), which at corpus scale is a
+    * second copy of all data ever ingested. Vacuuming a batch deletes
+    * `delta/` and any leftover `stage-*` dirs but KEEPS the markers
+    * and the frozen revs, so:
+    *   - a full redelivery still short-circuits (markers),
+    *   - rev lookups are untouched (`revs/` is not here),
+    *   - a BACKFILL into the vacuumed batch is refused loudly by
+    *     [[applyBatch]] (re-freezing from a redelivered frame could
+    *     fork the new index's content) — the same backfill-horizon
+    *     trade as [[compactRevs]], so vacuum on the cadence that keeps
+    *     the horizon you need.
+    * Only batches with their `done` marker are touched (`keep` exempts
+    * keys, e.g. the horizon you still want backfillable). Idempotent;
+    * safe between applies (the serialized-applies contract). Returns
+    * (key → bytes reclaimed).
+    */
+  def vacuumBatches(
+      spark: SparkSession,
+      root: String,
+      keep: Set[String] = Set.empty): Map[String, Long] = {
+    val batchesRoot = new Path(s"$root/batches")
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(batchesRoot)) return Map.empty
+    fs.listStatus(batchesRoot).toSeq
+      .filter(s => s.isDirectory && !keep(s.getPath.getName))
+      .filter(s => fs.exists(new Path(s.getPath, "done")))
+      .flatMap { s =>
+        val victims = fs.listStatus(s.getPath)
+          .filter(c => c.isDirectory &&
+            (c.getPath.getName == "delta" ||
+              c.getPath.getName.startsWith("stage-")))
+        if (victims.isEmpty) None
+        else {
+          val bytes = victims.map(v =>
+            fs.getContentSummary(v.getPath).getLength).sum
+          victims.foreach { v =>
+            if (!fs.delete(v.getPath, true))
+              throw new java.io.IOException(
+                s"vacuumBatches: cannot delete ${v.getPath}")
+          }
+          Some(s.getPath.getName -> bytes)
+        }
+      }.toMap
   }
 
   /** Retire documents from every target index: tombstones their

@@ -408,6 +408,48 @@ class CorpusUpsertSpec extends AnyFunSuite {
     assert(probe(r.bm25) === probe(rebuild))
   }
 
+  test("vacuumBatches reclaims frozen deltas; redelivery still no-ops; backfill refused") {
+    val r = Roots(tmp("vacuum"))
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", r.bm25, buckets = 8)
+    val t1 = Seq[CorpusUpsert.IndexTarget](
+      CorpusUpsert.Bm25Target(r.bm25, "text"))
+    val b0 = corpus0.filter($"doc_id" < 12).select($"doc_id", $"text")
+    CorpusUpsert.applyBatch(b0, "doc_id", "v0", r.ups, t1)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 6), "doc_id", "v1",
+      r.ups, t1)
+    def cur() = CorpusUpsert.currentRevs(spark, r.ups)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    val before = cur()
+    def probe() =
+      LexIndex.bm25ProbeIndex(spark, r.bm25, Rid, Seq("vector", "scan"))
+        .orderBy(Rid).collect().toSeq.map(_.toSeq)
+    val beforeProbe = probe()
+    // keep v1 backfillable, vacuum v0
+    val rep = CorpusUpsert.vacuumBatches(spark, r.ups, keep = Set("v1"))
+    assert(rep.keySet === Set("v0") && rep("v0") > 0)
+    // idempotent; the kept batch still holds its delta
+    assert(CorpusUpsert.vacuumBatches(spark, r.ups, keep = Set("v1")).isEmpty)
+    // ledger, probes, and redelivery untouched
+    assert(cur() === before)
+    assert(probe() === beforeProbe)
+    assert(CorpusUpsert.applyBatch(b0, "doc_id", "v0", r.ups, t1)
+      .alreadyApplied)
+    // backfill into the vacuumed batch is refused; the kept one works
+    val second = s"${r.root}/bm25b"
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", second, buckets = 8)
+    val t2 = t1 :+ CorpusUpsert.Bm25Target(second, "text", name = "bm25b")
+    val e = intercept[IllegalArgumentException](
+      CorpusUpsert.applyBatch(b0, "doc_id", "v0", r.ups, t2))
+    assert(e.getMessage.contains("vacuumed"))
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 6), "doc_id", "v1",
+      r.ups, t2) // backfills only the kept batch — no refusal
+    assert(cur() === before)
+  }
+
   test("backfill into a compacted ledger is refused loudly") {
     val r = Roots(tmp("backfillfold"))
     LexIndex.bm25WriteIndex(
