@@ -228,7 +228,8 @@ object CorpusUpsert {
     // every batch in original order against the extended set) falls
     // through and applies just the missing ones.
     val doneMarker = new Path(batchDir, "done")
-    if (fs.exists(doneMarker) && targets.forall(t =>
+    val wasDone = fs.exists(doneMarker)
+    if (wasDone && targets.forall(t =>
         fs.exists(new Path(batchDir, s"applied-${t.name}"))))
       return UpsertReport(key, alreadyApplied = true, 0L, 0L, 0L)
 
@@ -352,7 +353,11 @@ object CorpusUpsert {
       fs.delete(stageDir, true)
     }})
     touch(fs, doneMarker)
-    if (autoFoldRevsAt > 0) {
+    // never fold on a BACKFILL re-apply (the batch was already done, so
+    // nothing new landed in the ledger): the remaining backfill batches
+    // NEED their per-batch revs, and the first re-applied batch would
+    // otherwise compact them all away and wedge the rest
+    if (autoFoldRevsAt > 0 && !wasDone) {
       val revsRoot = new Path(s"$root/revs")
       val nDirs =
         if (!fs.exists(revsRoot)) 0
@@ -465,15 +470,15 @@ object CorpusUpsert {
     * (re-run to finish the deletes), so the pass is idempotent and
     * rev lookups are correct in every interleaving. Run it in the
     * quiesced maintenance window (no concurrent applyBatch — the
-    * serialized-applies contract already says so), and NOT while a
-    * crashed batch is awaiting its retry: folding an incomplete
-    * batch's already-recorded revs into the compacted partition would
-    * defeat the retry's self-excluding lookup (the retry would see its
-    * own prior assignment and bump the rev again). [[applyBatch]]'s
-    * auto-fold respects this by construction — it runs only after the
-    * done marker, inside the same serialized apply. The compacted
-    * partition participates in later batches' self-excluding lookups
-    * like any other batch.
+    * serialized-applies contract already says so). A crashed batch
+    * awaiting its retry (revs recorded, no done marker) is detected
+    * and makes the pass SKIP (stderr note, no fold): folding an
+    * incomplete batch's already-recorded revs into the compacted
+    * partition would defeat the retry's self-excluding lookup — the
+    * retry would see its own prior assignment under the compacted key
+    * and bump the rev again, diverging from its crashed attempt's
+    * already-staged index rows. The compacted partition participates
+    * in later batches' self-excluding lookups like any other batch.
     */
   def compactRevs(spark: SparkSession, root: String): Unit = {
     val revsRoot = new Path(s"$root/revs")
@@ -483,6 +488,24 @@ object CorpusUpsert {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath)
     if (old.size <= 1) return
+    // a CRASHED batch awaiting its retry (revs recorded, no done
+    // marker) must keep its own batch= dir: folding it into the
+    // compacted partition would defeat the retry's self-excluding
+    // lookup — the retry would see its OWN prior assignment under the
+    // compacted key and bump every rev a second time, diverging from
+    // the index rows its crashed attempt already staged or published.
+    // Skip the pass entirely while one pends (it resolves on retry;
+    // the next fold proceeds). The compacted partitions themselves
+    // have no batch dir — exempt.
+    val pending = old.map(_.getName.stripPrefix("batch=")).filter(k =>
+      k != CompactedKey && k != s"$CompactedKey-old" &&
+        !fs.exists(new Path(s"$root/batches/$k/done")))
+    if (pending.nonEmpty) {
+      System.err.println(s"[graft] compactRevs: skipped — batch(es) " +
+        s"${pending.mkString(", ")} recorded revs but never completed; " +
+        "re-run their applyBatch to completion first")
+      return
+    }
     val stage = new Path(revsRoot, s".revs_compact")
     priorRevs(spark, fs, root, excludeKey = "")
       .select(col("doc"), col("rev").cast("int").as("rev"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted BM25 lexical index — the lexical twin of the persisted
@@ -43,6 +43,18 @@ object LexIndex {
   /** Stable term bucket: layout hash only — scores never depend on it. */
   private def termBucket(w: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(w), lit(buckets.toLong)).cast("int")
+
+  /** The robust-idf Okapi score every probe/rank/join variant shares —
+    * idf(df) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) — reading
+    * `n_docs`/`avgdl`/`dl` from scope. ONE definition (and one
+    * operation order, which the DuckDB oracles replay bit-for-bit) so
+    * a smoothing tweak can never desynchronize the variants.
+    */
+  private def okapiScore(tf: Column, df: Column,
+      k1: Double, b: Double): Column =
+    log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+      tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
 
   /** `positional = true` stores each posting's sorted 0-based token
     * positions (`ps: array<int>`) next to its `tf` — the layout
@@ -441,14 +453,10 @@ object LexIndex {
         .select(col(idCol), col("w"), col("tf")),
       path, idCol)
     val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    val idf = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val term = idf * col("tf") * (lit(k1) + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
     tf.join(broadcast(dfreq), Seq("w"))
       .join(lens, Seq(idCol))
       .crossJoin(broadcast(stats0))
-      .select(col(idCol), term.as("term"))
+      .select(col(idCol), okapiScore(col("tf"), col("df"), k1, b).as("term"))
       .groupBy(col(idCol))
       .agg(round(sum("term"), 6).as("bm25"))
   }
@@ -584,12 +592,8 @@ object LexIndex {
     val lens = spark.read.parquet(s"$path/doclen")
     val dfp = m.agg(count(lit(1)).cast("double").as("df_p"))
     val stats = corpusStats(spark, path, idCol)
-    val ptf = col("phrase_tf").cast("double")
-    val score =
-      log((col("n_docs") - col("df_p") + lit(0.5)) /
-          (col("df_p") + lit(0.5)) + lit(1.0)) *
-        ptf * lit(k1 + 1.0) /
-        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val score = okapiScore(col("phrase_tf").cast("double"), col("df_p"),
+      k1, b)
     m.join(lens, Seq(idCol))
       .crossJoin(broadcast(dfp))
       .crossJoin(broadcast(stats))
@@ -682,11 +686,7 @@ object LexIndex {
     val dfp = m.agg(count(lit(1)).cast("double").as("df_p"))
     val stats = corpusStats(spark, path, idCol)
     val ptf = lit(terms.size.toDouble) / col("span").cast("double")
-    val score =
-      log((col("n_docs") - col("df_p") + lit(0.5)) /
-          (col("df_p") + lit(0.5)) + lit(1.0)) *
-        ptf * lit(k1 + 1.0) /
-        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val score = okapiScore(ptf, col("df_p"), k1, b)
     m.join(lens, Seq(idCol))
       .crossJoin(broadcast(dfp))
       .crossJoin(broadcast(stats))
@@ -726,6 +726,68 @@ object LexIndex {
     * Returns `(qidCol, <idCol>, phrase_tf, bm25, rank)`, rank 1..k by
     * (bm25 desc, id) per qid.
     */
+  /** Shared scaffold of the batch retrieval joins: from a `(qid,
+    * terms-array)` relation, the per-(qid, doc) candidate maps over
+    * ONE bucket-pruned, tombstone-excluded postings pass — exploded
+    * distinct (qid, w) meets postings keyed by term (inverted-index
+    * cost), one hash agg rebuilds the `w → ps` map, and the
+    * conjunctive cut (|map| = |distinct terms|) drops every doc
+    * missing a term. The terms array rides along as `q_terms`.
+    */
+  private def queryCandidates(
+      q: DataFrame, path: String, idCol: String, qidCol: String): DataFrame = {
+    val spark = q.sparkSession
+    val buckets = readBuckets(spark, path)
+    val qterms = q.select(col(qidCol),
+      explode(array_distinct(col("q_terms"))).as("w"))
+    // union vocabulary → bucket ids: the file-listing prune (≤ buckets
+    // ints on the driver, the bm25ProbeIndex treatment; the term-level
+    // filter is the broadcast join itself). An empty query relation
+    // leaves this empty, and isin() with no values is constant-false —
+    // the plan degenerates to an empty result with the right schema.
+    val probeBuckets = qterms.select("w").distinct()
+      .withColumn("tb", termBucket(col("w"), buckets))
+      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val postings = Tombstones.excludeFrom(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+        .select(col(idCol), col("w"), col("ps")),
+      path, idCol)
+    postings
+      .join(broadcast(qterms), Seq("w")) // inverted-index cost
+      .groupBy(col(qidCol), col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("ps"))))
+        .as("m"))
+      .join(broadcast(q), Seq(qidCol))
+      .filter(size(col("m")) === size(array_distinct(col("q_terms"))))
+  }
+
+  /** Shared tail of the batch retrieval joins: Okapi over the live
+    * N/avgdl with per-qid df from a query-scale broadcast agg, then
+    * the per-qid `row_number ≤ k` top-k Spark rewrites to
+    * WindowGroupLimit. `m` is `(qidCol, idCol, carry)`; `ptf` reads
+    * from `m`'s columns.
+    */
+  private def scoreAndRank(
+      m: DataFrame, path: String, idCol: String, qidCol: String,
+      carry: String, ptf: Column, k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = m.sparkSession
+    val lens = spark.read.parquet(s"$path/doclen")
+    val dfp = m.groupBy(col(qidCol))
+      .agg(count(lit(1)).cast("double").as("df_p"))
+    val stats = corpusStats(spark, path, idCol)
+    val byScore = Window.partitionBy(qidCol)
+      .orderBy(col("bm25").desc, col(idCol))
+    m.join(lens, Seq(idCol))
+      .join(broadcast(dfp), Seq(qidCol)) // query-scale rows
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), col(carry),
+        round(okapiScore(ptf, col("df_p"), k1, b), 6).as("bm25"))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def bm25PhraseJoin(
       phrases: DataFrame,
       path: String,
@@ -735,39 +797,16 @@ object LexIndex {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = phrases.sparkSession
     require(k >= 1, s"bm25PhraseJoin: k=$k must be >= 1")
     require(readPositional(spark, path),
       s"bm25PhraseJoin: index at $path was not written with " +
         "positional = true — phrase verification needs position arrays")
-    val buckets = readBuckets(spark, path)
     val q = phrases
-      .select(col(qidCol), col(phraseCol).as("q_phrase"))
-      .filter(size(col("q_phrase")) >= 1)
-    val qterms = q.select(col(qidCol),
-      explode(array_distinct(col("q_phrase"))).as("w"))
-    // union vocabulary → bucket ids: the file-listing prune (≤ buckets
-    // ints on the driver, the bm25ProbeIndex treatment; the term-level
-    // filter is the broadcast join itself)
-    val probeBuckets = qterms.select("w").distinct()
-      .withColumn("tb", termBucket(col("w"), buckets))
-      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    // an empty phrase relation leaves probeBuckets empty; isin() with
-    // no values is constant-false, so the plan below degenerates to an
-    // empty result with the right schema — no special case needed
-    val postings = Tombstones.excludeFrom(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
-        .select(col(idCol), col("w"), col("ps")),
-      path, idCol)
-    val cand = postings
-      .join(broadcast(qterms), Seq("w")) // inverted-index cost
-      .groupBy(col(qidCol), col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("ps"))))
-        .as("m"))
-      .join(broadcast(q), Seq(qidCol))
-      .filter(size(col("m")) === size(array_distinct(col("q_phrase"))))
+      .select(col(qidCol), col(phraseCol).as("q_terms"))
+      .filter(size(col("q_terms")) >= 1)
+    val cand = queryCandidates(q, path, idCol, qidCol)
+      .withColumnRenamed("q_terms", "q_phrase")
     val n = size(col("q_phrase"))
     val anchors = element_at(col("m"), element_at(col("q_phrase"), 1))
     val matches = filter(anchors, p =>
@@ -783,25 +822,8 @@ object LexIndex {
     val m = cand
       .select(col(qidCol), col(idCol), ptfCol.cast("long").as("phrase_tf"))
       .filter(col("phrase_tf") > 0)
-    val lens = spark.read.parquet(s"$path/doclen")
-    val dfp = m.groupBy(col(qidCol))
-      .agg(count(lit(1)).cast("double").as("df_p"))
-    val stats = corpusStats(spark, path, idCol)
-    val ptf = col("phrase_tf").cast("double")
-    val score =
-      log((col("n_docs") - col("df_p") + lit(0.5)) /
-          (col("df_p") + lit(0.5)) + lit(1.0)) *
-        ptf * lit(k1 + 1.0) /
-        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val byScore = Window.partitionBy(qidCol)
-      .orderBy(col("bm25").desc, col(idCol))
-    m.join(lens, Seq(idCol))
-      .join(broadcast(dfp), Seq(qidCol)) // query-scale rows
-      .crossJoin(broadcast(stats))
-      .select(col(qidCol), col(idCol), col("phrase_tf"),
-        round(score, 6).as("bm25"))
-      .withColumn("rank", row_number().over(byScore).cast("long"))
-      .filter(col("rank") <= k)
+    scoreAndRank(m, path, idCol, qidCol, "phrase_tf",
+      col("phrase_tf").cast("double"), k, k1, b)
   }
 
   /** BATCH proximity retrieval — [[bm25PhraseJoin]]'s one-pass shape
@@ -832,36 +854,18 @@ object LexIndex {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     require(k >= 1, s"bm25ProximityJoin: k=$k must be >= 1")
     require(window >= 2, s"bm25ProximityJoin: window=$window must be >= 2")
     require(readPositional(spark, path),
       s"bm25ProximityJoin: index at $path was not written with " +
         "positional = true — proximity needs position arrays")
-    val buckets = readBuckets(spark, path)
     val q = queries
       .select(col(qidCol), col(termsCol).as("q_terms"))
       .filter(size(col("q_terms")) >= 2 &&
         size(col("q_terms")) <= window)
-    val qterms = q.select(col(qidCol),
-      explode(array_distinct(col("q_terms"))).as("w"))
-    val probeBuckets = qterms.select("w").distinct()
-      .withColumn("tb", termBucket(col("w"), buckets))
-      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    val postings = Tombstones.excludeFrom(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
-        .select(col(idCol), col("w"), col("ps")),
-      path, idCol)
     val dterms = array_distinct(col("q_terms"))
-    val cand = postings
-      .join(broadcast(qterms), Seq("w")) // inverted-index cost
-      .groupBy(col(qidCol), col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("ps"))))
-        .as("m"))
-      .join(broadcast(q), Seq(qidCol))
-      .filter(size(col("m")) === size(dterms))
+    val cand = queryCandidates(q, path, idCol, qidCol)
     val far = lit(Int.MaxValue.toLong)
     val anchors = sort_array(flatten(transform(dterms,
       t => element_at(col("m"), t))))
@@ -876,24 +880,7 @@ object LexIndex {
       .select(col(qidCol), col(idCol), size(col("q_terms")).as("n_terms"),
         minSpan.cast("long").as("span"))
       .filter(col("span") <= window)
-    val lens = spark.read.parquet(s"$path/doclen")
-    val dfp = m.groupBy(col(qidCol))
-      .agg(count(lit(1)).cast("double").as("df_p"))
-    val stats = corpusStats(spark, path, idCol)
-    val ptf = col("n_terms").cast("double") / col("span").cast("double")
-    val score =
-      log((col("n_docs") - col("df_p") + lit(0.5)) /
-          (col("df_p") + lit(0.5)) + lit(1.0)) *
-        ptf * lit(k1 + 1.0) /
-        (ptf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val byScore = Window.partitionBy(qidCol)
-      .orderBy(col("bm25").desc, col(idCol))
-    m.join(lens, Seq(idCol))
-      .join(broadcast(dfp), Seq(qidCol))
-      .crossJoin(broadcast(stats))
-      .select(col(qidCol), col(idCol), col("span"),
-        round(score, 6).as("bm25"))
-      .withColumn("rank", row_number().over(byScore).cast("long"))
-      .filter(col("rank") <= k)
+    scoreAndRank(m, path, idCol, qidCol, "span",
+      col("n_terms").cast("double") / col("span").cast("double"), k, k1, b)
   }
 }

@@ -231,11 +231,13 @@ object MediaMeta {
   private def parseMp3(id: Long, p: Array[Byte]): MediaInfo = {
     val n = p.length.toLong
     var off = 0L
-    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4), then body
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4), then body;
+    // the size EXCLUDES the 10-byte header and the optional 10-byte
+    // ID3v2.4 footer (flags bit 0x10), so a footer adds 10 more
     if (n >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
       val sz = ((p(6) & 0x7fL) << 21) | ((p(7) & 0x7fL) << 14) |
         ((p(8) & 0x7fL) << 7) | (p(9) & 0x7fL)
-      off = 10 + sz
+      off = 10 + sz + (if ((p(5) & 0x10) != 0) 10 else 0)
       if (off >= n) return rej(id, n, "mp3", "truncated_frame")
     }
     var frames = 0

@@ -408,6 +408,58 @@ class CorpusUpsertSpec extends AnyFunSuite {
     assert(probe(r.bm25) === probe(rebuild))
   }
 
+  test("a backfill re-apply never auto-folds; compactRevs skips while a crashed batch pends") {
+    val r = Roots(tmp("foldguards"))
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", r.bm25, buckets = 8)
+    val t1 = Seq[CorpusUpsert.IndexTarget](
+      CorpusUpsert.Bm25Target(r.bm25, "text"))
+    val b0 = corpus0.filter($"doc_id" < 6).select($"doc_id", $"text")
+    // three batches with the fold disabled — the operator is keeping
+    // the backfill horizon
+    CorpusUpsert.applyBatch(b0, "doc_id", "g0", r.ups, t1, autoFoldRevsAt = 0)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 4), "doc_id", "g1",
+      r.ups, t1, autoFoldRevsAt = 0)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 2), "doc_id", "g2",
+      r.ups, t1, autoFoldRevsAt = 0)
+    val revsRoot = new Path(s"${r.ups}/revs")
+    val fs = revsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs(): Seq[String] =
+      fs.listStatus(revsRoot).filter(_.isDirectory).map(_.getPath.getName)
+        .toSeq.filter(_.startsWith("batch=")).sorted
+    assert(batchDirs().size === 3)
+    // backfill a later-added target WITH the default-ish threshold:
+    // the re-apply of a done batch must NOT fold (it would destroy the
+    // ledger the remaining backfill batches need)
+    val second = s"${r.root}/bm25b"
+    LexIndex.bm25WriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", second, buckets = 8)
+    val t2 = t1 :+ CorpusUpsert.Bm25Target(second, "text", name = "bm25b")
+    CorpusUpsert.applyBatch(b0, "doc_id", "g0", r.ups, t2, autoFoldRevsAt = 2)
+    assert(batchDirs().size === 3, "backfill re-apply must not fold")
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 4), "doc_id", "g1",
+      r.ups, t2, autoFoldRevsAt = 2)
+    CorpusUpsert.applyBatch(b0.filter($"doc_id" < 2), "doc_id", "g2",
+      r.ups, t2, autoFoldRevsAt = 2)
+    // a CRASHED batch (revs recorded, no done marker) blocks the fold
+    import spark.implicits._
+    Seq((100L, 0)).toDF("doc", "rev").coalesce(1)
+      .write.mode("overwrite").parquet(s"${r.ups}/revs/batch=crash1")
+    CorpusUpsert.compactRevs(spark, r.ups)
+    assert(batchDirs().size === 4, "fold must skip while a batch pends")
+    // completing the crashed batch unblocks it (markers land)
+    val crashDir = new Path(s"${r.ups}/batches/crash1")
+    fs.mkdirs(crashDir)
+    fs.create(new Path(crashDir, "done"), true).close()
+    CorpusUpsert.compactRevs(spark, r.ups)
+    assert(batchDirs() === Seq(s"batch=${CorpusUpsert.CompactedKey}"))
+    val cur = CorpusUpsert.currentRevs(spark, r.ups)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert(cur(0L) === 2 && cur(5L) === 0 && cur(100L) === 0)
+  }
+
   test("vacuumBatches reclaims frozen deltas; redelivery still no-ops; backfill refused") {
     val r = Roots(tmp("vacuum"))
     LexIndex.bm25WriteIndex(

@@ -104,6 +104,15 @@ class MediaMetaSpec extends AnyFunSuite {
     // trailing ID3v1: 128-byte "TAG..." block after the last frame
     val v1tag = body ++ ("TAG".getBytes ++ new Array[Byte](125))
     assert(info(v1tag).frames.contains(5))
+    // ID3v2.4 FOOTER flag (0x10): the tag occupies 10 + size + 10
+    // bytes — without the extra skip the parser lands on the footer
+    // and false-rejects a valid file
+    val footered = {
+      val h = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 20)
+      h ++ new Array[Byte](20) ++ ("3DI".getBytes ++ new Array[Byte](7)) ++
+        body
+    }
+    assert(info(footered).frames.contains(5), info(footered))
     assert(info(body.dropRight(3)).reason.contains("truncated_frame"))
     // first sync ok, second frame header corrupted
     val desync = body.clone
