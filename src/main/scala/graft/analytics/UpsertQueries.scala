@@ -765,7 +765,12 @@ object UpsertQueries {
              |    CAST(44 + (800 + id % 1600) * (1 + id % 2) * 2 AS BIGINT),
              |    'wav', CAST(((800 + id % 1600) * 1000) // 8000 AS BIGINT),
              |    8000, CAST(1 + id % 2 AS INT), NULL, NULL, NULL, NULL, NULL
-             |  FROM d WHERE id % 6 = 3
+             |  FROM d WHERE id % 6 = 3 AND (id // 6) % 2 = 0
+             |  UNION ALL
+             |  SELECT id, CAST(76 AS BIGINT), 'ogg',
+             |    CAST(((4800 + (id * 29) % 96000) * 1000) // 48000 AS BIGINT),
+             |    48000, CAST(2 AS INT), NULL, NULL, NULL, NULL, NULL
+             |  FROM d WHERE id % 6 = 3 AND (id // 6) % 2 = 1
              |  UNION ALL
              |  SELECT id, CAST(136 AS BIGINT), 'mp4', NULL, NULL, NULL,
              |    NULL, NULL, NULL, NULL, 'truncated_box'
@@ -806,8 +811,12 @@ object UpsertQueries {
                 mono = (id / 6) % 2 == 0)
               case 2 => MediaMeta.encodeMp3((1 + id % 25).toInt, v1 = false,
                 bitrateKbps = 64, sampleRate = 22050, mono = false)
-              case 3 => MediaMeta.encodeWav((800 + id % 1600).toInt,
-                sampleRate = 8000, channels = (1 + id % 2).toInt)
+              case 3 =>
+                if ((id / 6) % 2 == 0)
+                  MediaMeta.encodeWav((800 + id % 1600).toInt,
+                    sampleRate = 8000, channels = (1 + id % 2).toInt)
+                else MediaMeta.encodeOggOpus(4800 + (id * 29) % 96000,
+                  inputRate = 48000, channels = 2)
               case 4 =>
                 // id % 6 == 4 forces id even, id % 6 == 5 forces odd —
                 // sub-splits must key on id / 6, not id % 2

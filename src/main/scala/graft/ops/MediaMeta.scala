@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *   - FLAC (metadata-block walk to STREAMINFO: sample rate /
   *     channels / total samples as packed bit fields — duration is
   *     exact without touching a single audio frame),
+  *   - OGG/Opus (page walk: the terminal granule position is the
+  *     48 kHz sample count, so duration = (granule − preskip)/48
+  *     exactly; OpusHead carries channels and the input rate;
+  *     non-Opus Ogg streams become a typed `unsupported_codec`),
   *   - AVI and GVF (delegated to [[VideoHash.decodeVideo]]'s demux:
   *     dimensions + frame count — those containers carry no timebase
   *     in the fields the demux keeps).
@@ -77,6 +81,7 @@ object MediaMeta {
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
     else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
     else if (at(0, "fLaC")) "flac"
+    else if (at(0, "OggS")) "ogg"
     else if (at(0, "GVF1")) "gvf"
     else "unknown"
   }
@@ -90,6 +95,7 @@ object MediaMeta {
       case "mp3" => parseMp3(id, p)
       case "wav" => parseWav(id, p)
       case "flac" => parseFlac(id, p)
+      case "ogg" => parseOgg(id, p)
       case c @ ("avi" | "gvf") =>
         VideoHash.decodeVideo(p) match {
           case Right(v) => MediaInfo(id, n, c, None, None, None, None,
@@ -372,9 +378,127 @@ object MediaMeta {
   }
 
   // ---------------------------------------------------------------
+  // OGG / Opus — page walk + the OpusHead identification header.
+  // Opus granule positions are ALWAYS 48 kHz samples (RFC 7845 §4)
+  // regardless of the input rate, so the terminal granule minus the
+  // preskip is the exact playable sample count.
+  // ---------------------------------------------------------------
+
+  private def le64(p: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (p(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  private def parseOgg(id: Long, p: Array[Byte]): MediaInfo = {
+    val n = p.length.toLong
+    var off = 0L
+    var first = true
+    var chans = -1
+    var rate = -1
+    var preskip = 0
+    var lastGranule = -1L
+    while (off < n) {
+      if (n - off < 27) return rej(id, n, "ogg", "truncated_page")
+      val i = off.toInt
+      if (!(p(i) == 'O' && p(i + 1) == 'g' && p(i + 2) == 'g' &&
+          p(i + 3) == 'S'))
+        return rej(id, n, "ogg", "bad_page_magic")
+      if ((p(i + 4) & 0xff) != 0) return rej(id, n, "ogg", "bad_version")
+      val granule = le64(p, i + 6)
+      val nsegs = p(i + 26) & 0xff
+      if (n - off < 27 + nsegs) return rej(id, n, "ogg", "truncated_page")
+      var body = 0L
+      var s = 0
+      while (s < nsegs) { body += (p(i + 27 + s) & 0xff); s += 1 }
+      val bodyStart = off + 27 + nsegs
+      if (bodyStart + body > n) return rej(id, n, "ogg", "truncated_page")
+      if (first) {
+        // the BOS page must carry the codec id header; only Opus is
+        // parsed (Vorbis etc become a typed reject, not a guess)
+        val b = bodyStart.toInt
+        val isOpus = body >= 19 &&
+          "OpusHead".indices.forall(k =>
+            (p(b + k) & 0xff) == "OpusHead".charAt(k))
+        if (!isOpus) return rej(id, n, "ogg", "unsupported_codec")
+        chans = p(b + 9) & 0xff
+        preskip = le16(p, b + 10)
+        rate = le32(p, b + 12).toInt
+        first = false
+      }
+      if (granule >= 0) lastGranule = math.max(lastGranule, granule)
+      off = bodyStart + body
+    }
+    if (first) rej(id, n, "ogg", "no_pages")
+    else if (lastGranule < 0) rej(id, n, "ogg", "no_granule")
+    else MediaInfo(id, n, "ogg",
+      Some(math.max(0L, lastGranule - preskip) * 1000L / 48000L),
+      Some(rate), Some(chans), None, None, None, None, None)
+  }
+
+  // ---------------------------------------------------------------
   // Fixture encoders — minimal VALID files (used by the gate query
   // and the spec; also handy to smoke a real tool against the parser)
   // ---------------------------------------------------------------
+
+  /** The Ogg page CRC (CRC-32, poly 0x04c11db7, no reflection, zero
+    * init/xorout), computed with the crc field zeroed — emitted so the
+    * fixture files check out under real tools, though [[parseOgg]]
+    * itself does not verify it.
+    */
+  private def oggCrc(page: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < page.length) {
+      crc ^= (page(i) & 0xff) << 24
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+              else crc << 1
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Minimal Ogg/Opus: a BOS page carrying OpusHead (version 1,
+    * preskip 0) and an EOS page with a 1-byte packet whose granule
+    * position is `totalSamples` (48 kHz units).
+    */
+  def encodeOggOpus(totalSamples: Long, inputRate: Int,
+      channels: Int): Array[Byte] = {
+    require(totalSamples >= 0 && inputRate > 0 && channels >= 1 &&
+      channels <= 255, "encodeOggOpus")
+    def page(headerType: Int, granule: Long, seq: Int,
+        packet: Array[Byte]): Array[Byte] = {
+      require(packet.length < 255, "single-segment fixture pages only")
+      val out = new Array[Byte](27 + 1 + packet.length)
+      out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+      out(5) = headerType.toByte
+      var g = granule
+      (0 until 8).foreach { k => out(6 + k) = (g & 0xff).toByte; g >>= 8 }
+      out(14) = 1 // serial 1, LE
+      out(18) = seq.toByte
+      out(26) = 1 // one lacing segment
+      out(27) = packet.length.toByte
+      System.arraycopy(packet, 0, out, 28, packet.length)
+      val crc = oggCrc(out)
+      (0 until 4).foreach(k => out(22 + k) = ((crc >> (8 * k)) & 0xff).toByte)
+      out
+    }
+    val head = new Array[Byte](19)
+    "OpusHead".indices.foreach(k => head(k) = "OpusHead".charAt(k).toByte)
+    head(8) = 1 // version
+    head(9) = channels.toByte
+    head(12) = (inputRate & 0xff).toByte
+    head(13) = ((inputRate >> 8) & 0xff).toByte
+    head(14) = ((inputRate >> 16) & 0xff).toByte
+    head(15) = ((inputRate >> 24) & 0xff).toByte
+    page(0x02, 0L, 0, head) ++
+      page(0x04, totalSamples, 1, Array[Byte](0))
+  }
 
   /** Minimal VIDEO mp4: [[encodeMp4]]'s layout with ONE trak holding
     * a version-0 `tkhd` whose 16.16 presentation size is (w, h).

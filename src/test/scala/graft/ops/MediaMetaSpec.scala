@@ -157,6 +157,24 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(info(noSi).reason.contains("no_streaminfo"))
   }
 
+  test("ogg/opus: terminal granule gives the exact duration; rejects") {
+    val p = MediaMeta.encodeOggOpus(totalSamples = 96000, inputRate = 48000,
+      channels = 2)
+    val m = info(p)
+    assert(m.reason.isEmpty && m.container == "ogg", m)
+    assert(m.duration_ms.contains(2000L) && m.sample_rate.contains(48000) &&
+      m.channels.contains(2))
+    // Opus granules are 48 kHz regardless of the declared input rate
+    val m2 = info(MediaMeta.encodeOggOpus(24000, inputRate = 16000,
+      channels = 1))
+    assert(m2.duration_ms.contains(500L) && m2.sample_rate.contains(16000))
+    assert(info(p.dropRight(3)).reason.contains("truncated_page"))
+    // a BOS page carrying a non-Opus id header is a typed reject
+    val vorb = p.clone
+    "VorbisXX".indices.foreach(k => vorb(28 + k) = "VorbisXX".charAt(k).toByte)
+    assert(info(vorb).reason.contains("unsupported_codec"))
+  }
+
   test("avi/gvf delegate to the video demux; unknown/empty reject") {
     val gvf = {
       val out = new Array[Byte](16 + 3 * 4 * 3 * 2) // 4x3, 2 frames
