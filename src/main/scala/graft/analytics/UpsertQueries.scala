@@ -952,6 +952,83 @@ object UpsertQueries {
             col("doc_id"), col("rev"),
             col("hamming").cast("double").as("score"))
         bm.unionByName(hm).orderBy("kind", "qid", "doc_id")
+      }),
+
+    // Near-dup pairs SERVED FROM THE PERSISTED MinHash-LSH INDEX —
+    // q21's XXH64-replay oracle verbatim through the build → append →
+    // probe path (the q117/q146 treatment): build the (band,
+    // bucket)-partitioned index on half the corpus, append the other
+    // half, probe it with the corpus, keep q < n. The probe reads only
+    // the probe band values' partition directories and applies the
+    // scan path's maxBucket skew guard on the index side; the oracle
+    // stays the complete MinHash dataflow the index must reproduce
+    // exactly.
+    NamedQuery(
+      "q240_neardup_index",
+      Some(XxhSql.q21Oracle(shingleN = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, maxBucket = 1000)),
+      (s, dir) => {
+        val root = stageRoot("ndidx", dir)
+        clearRoot(root)
+        val d = docs(s, dir).select("doc_id", "text")
+        NearDupIndex.neardupWriteIndex(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", root.toString, shingleN = 3, numHashes = 32,
+          bands = 8, nBuckets = 32, nDocBuckets = 16)
+        NearDupIndex.neardupAppendIndex(d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", root.toString)
+        NearDupIndex.neardupProbeIndex(s, d, "doc_id", "text",
+            root.toString, threshold = 0.5, maxBucket = 1000,
+            pruneDocLookup = false)
+          .filter(col("q_id") < col("n_id"))
+          .select(col("q_id").as("id_a"), col("n_id").as("id_b"),
+            col("jaccard"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // The ingest dedup gate: a NEW batch judged against the indexed
+    // corpus WITHOUT rescanning it ([[NearDupIndex.dedupGate]]) — the
+    // incremental-dedup loop that replaces re-mining pairs over
+    // corpus+batch from scratch. The batch is derived from the corpus
+    // identically in both engines (near-copies, exact copies,
+    // within-batch twins, novel docs); the oracle replays the FULL
+    // decision: probe candidates under the corpus-side skew guard,
+    // within-batch pairs under the batch-side guard, exact-Jaccard
+    // verifies, and the (jaccard DESC, dup_of ASC) election.
+    NamedQuery(
+      "q241_dedup_gate",
+      Some(XxhSql.q241Oracle(shingleN = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, maxBucket = 1000, off = 10000000L)),
+      (s, dir) => {
+        val root = stageRoot("ndgate", dir)
+        clearRoot(root)
+        val c = docs(s, dir).select("doc_id", "text")
+        NearDupIndex.neardupWriteIndex(c, "doc_id", "text", root.toString,
+          shingleN = 3, numHashes = 32, bands = 8, nBuckets = 32,
+          nDocBuckets = 16)
+        val off = 10000000L
+        val id = col("doc_id").cast("string")
+        val nbText = concat(lit("nb"), id, lit(" x"), id, lit("a x"), id,
+          lit("b x"), id, lit("c x"), id, lit("d"))
+        val batch = c.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            concat(col("text"), lit(" zz"),
+              (col("doc_id") % 3).cast("string")).as("text"))
+          .unionByName(c.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + off).as("doc_id"), col("text")))
+          .unionByName(c.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 2 * off).as("doc_id"), col("text")))
+          .unionByName(c.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + off).as("doc_id"), nbText.as("text")))
+          .unionByName(c.filter(col("doc_id") % 10 === 2)
+            .select((col("doc_id") + 2 * off).as("doc_id"),
+              nbText.as("text")))
+          .unionByName(c.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + off).as("doc_id"),
+              concat(lit("solo"), id, lit(" s"), id, lit("a s"), id,
+                lit("b s"), id, lit("c s"), id, lit("d")).as("text")))
+        NearDupIndex.dedupGate(batch, "doc_id", "text", root.toString,
+            threshold = 0.5, maxBucket = 1000)
+          .orderBy("doc_id")
       })
   )
 }

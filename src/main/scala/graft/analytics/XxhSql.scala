@@ -184,19 +184,18 @@ object XxhSql {
       s",\nxh_lf AS (SELECT ${cc}lh FROM xh_lf_${nElems}f)")
   }
 
-  /** The q21 oracle: MinHash signatures (per-shingle seeded string
-    * hashes, SIGNED min per hash slot), LSH band buckets (the
-    * array<long> fold above), bucket-grouped candidate pairs with the
-    * maxBucket skew guard, exact-Jaccard verify — the complete
-    * engine dataflow replayed from arithmetic. The 32 per-hash seeds
-    * are data-independent XXH64 constants baked as literals.
+  /** Shared MinHash replay block — the q21 oracle's front half,
+    * parameterized by the docs relation so the gate oracles that judge
+    * a DERIVED batch against the corpus (q241) reuse the identical
+    * arithmetic without colliding CTE names. `docsRel` must expose
+    * `(doc_id, text)`; the block ends with CTEs `shs` (doc_id, sh) and
+    * `buckets` (doc_id, band, bucket). No leading WITH.
     */
-  def q21Oracle(
+  def minhashCtes(
+      docsRel: String,
       shingleN: Int,
       numHashes: Int,
-      bands: Int,
-      threshold: Double,
-      maxBucket: Int): String = {
+      bands: Int): String = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val seeds = (0 until numHashes)
@@ -205,7 +204,7 @@ object XxhSql {
       s"CAST(CAST(h1 AS HUGEINT) - CASE WHEN h1 >= " +
         s"CAST(${java.lang.Long.toUnsignedString(Long.MinValue)} AS UBIGINT) " +
         s"THEN $M ELSE 0 END AS BIGINT)"
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') tok FROM $docsRel),
        |shs AS (SELECT doc_id,
        |          list_distinct(list_transform(range(len(tok) - ${shingleN - 1}),
        |            i -> array_to_string(tok[i+1:i+$shingleN], ' '))) sh
@@ -226,7 +225,29 @@ object XxhSql {
        |             FROM sigarr CROSS JOIN
        |               (SELECT unnest(range($bands)) b) bb),
        |${longFoldCtes("bandrows", rows, carry = Seq("doc_id", "band"))},
-       |buckets AS (SELECT doc_id, band, lh AS bucket FROM xh_lf),
+       |buckets AS (SELECT doc_id, band, lh AS bucket FROM xh_lf)""".stripMargin
+  }
+
+  /** The exact-Jaccard verify expression over two `shs` aliases. */
+  private def jaccardSql(a: String, b: String): String =
+    s"""ROUND(CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE)
+       |            / (len($a.sh) + len($b.sh)
+       |               - len(list_intersect($a.sh, $b.sh))), 6)""".stripMargin
+
+  /** The q21 oracle: MinHash signatures (per-shingle seeded string
+    * hashes, SIGNED min per hash slot), LSH band buckets (the
+    * array<long> fold above), bucket-grouped candidate pairs with the
+    * maxBucket skew guard, exact-Jaccard verify — the complete
+    * engine dataflow replayed from arithmetic. The 32 per-hash seeds
+    * are data-independent XXH64 constants baked as literals.
+    */
+  def q21Oracle(
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): String = {
+    s"""WITH ${minhashCtes("documents", shingleN, numHashes, bands)},
        |sized AS (SELECT band, bucket, count(*) n FROM buckets
        |          GROUP BY band, bucket),
        |kept AS (SELECT b.* FROM buckets b JOIN sized USING (band, bucket)
@@ -236,14 +257,100 @@ object XxhSql {
        |           ON a.band = b.band AND a.bucket = b.bucket
        |          AND a.doc_id < b.doc_id),
        |ver AS (SELECT c.id_a, c.id_b,
-       |          ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |            / (len(sa.sh) + len(sb.sh)
-       |               - len(list_intersect(sa.sh, sb.sh))), 6) jaccard
+       |          ${jaccardSql("sa", "sb")} jaccard
        |        FROM cand c
        |        JOIN shs sa ON sa.doc_id = c.id_a
        |        JOIN shs sb ON sb.doc_id = c.id_b)
        |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The q241 oracle: the ingest dedup gate
+    * ([[graft.ops.NearDupIndex.dedupGate]]) replayed end to end. The
+    * batch is DERIVED from the corpus identically in both engines
+    * (near-copies, exact copies, within-batch twins, novel docs — the
+    * lacing pattern), the MinHash machinery runs ONCE over
+    * corpus ∪ batch (disjoint id spaces split it back), the
+    * probe-vs-index candidates apply the skew guard on the CORPUS side
+    * only (probe rows are unguarded — the probeIndex contract), the
+    * within-batch candidates guard on the BATCH side (the
+    * minhashLshPairs contract), and the election replays
+    * (jaccard DESC, dup_of ASC) first-match-wins.
+    */
+  def q241Oracle(
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+      off: Long): String = {
+    val id = "CAST(doc_id AS VARCHAR)"
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |batch AS (
+       |  SELECT doc_id + $off AS doc_id,
+       |         text || ' zz' || CAST(doc_id % 3 AS VARCHAR) AS text
+       |  FROM corpus WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $off, text FROM corpus WHERE doc_id % 10 = 1
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * off}, text FROM corpus WHERE doc_id % 10 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $off,
+       |    'nb' || $id || ' x' || $id || 'a x' || $id || 'b x'
+       |      || $id || 'c x' || $id || 'd'
+       |  FROM corpus WHERE doc_id % 10 = 2
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * off},
+       |    'nb' || $id || ' x' || $id || 'a x' || $id || 'b x'
+       |      || $id || 'c x' || $id || 'd'
+       |  FROM corpus WHERE doc_id % 10 = 2
+       |  UNION ALL
+       |  SELECT doc_id + $off,
+       |    'solo' || $id || ' s' || $id || 'a s' || $id || 'b s'
+       |      || $id || 'c s' || $id || 'd'
+       |  FROM corpus WHERE doc_id % 10 = 3),
+       |alldocs AS (SELECT doc_id, text FROM corpus
+       |            UNION ALL SELECT doc_id, text FROM batch),
+       |${minhashCtes("alldocs", shingleN, numHashes, bands)},
+       |cbk AS (SELECT * FROM buckets WHERE doc_id < $off),
+       |bbk AS (SELECT * FROM buckets WHERE doc_id >= $off),
+       |sized_c AS (SELECT band, bucket, count(*) n FROM cbk
+       |            GROUP BY band, bucket),
+       |kept_c AS (SELECT c.* FROM cbk c JOIN sized_c USING (band, bucket)
+       |           WHERE sized_c.n <= $maxBucket),
+       |cand_vs AS (SELECT DISTINCT q.doc_id q_id, c.doc_id n_id
+       |            FROM bbk q JOIN kept_c c
+       |              ON q.band = c.band AND q.bucket = c.bucket),
+       |sized_b AS (SELECT band, bucket, count(*) n FROM bbk
+       |            GROUP BY band, bucket),
+       |kept_b AS (SELECT b.* FROM bbk b JOIN sized_b USING (band, bucket)
+       |           WHERE sized_b.n <= $maxBucket),
+       |cand_wb AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |            FROM kept_b a JOIN kept_b b
+       |              ON a.band = b.band AND a.bucket = b.bucket
+       |             AND a.doc_id < b.doc_id),
+       |ver_vs AS (SELECT c.q_id id, c.n_id dup_of,
+       |             ${jaccardSql("sa", "sb")} jaccard
+       |           FROM cand_vs c
+       |           JOIN shs sa ON sa.doc_id = c.q_id
+       |           JOIN shs sb ON sb.doc_id = c.n_id),
+       |ver_wb AS (SELECT c.id_b id, c.id_a dup_of,
+       |             ${jaccardSql("sa", "sb")} jaccard
+       |           FROM cand_wb c
+       |           JOIN shs sa ON sa.doc_id = c.id_b
+       |           JOIN shs sb ON sb.doc_id = c.id_a),
+       |matches AS (SELECT * FROM ver_vs WHERE jaccard >= $threshold
+       |            UNION ALL
+       |            SELECT * FROM ver_wb WHERE jaccard >= $threshold),
+       |elected AS (SELECT id, dup_of, jaccard FROM (
+       |              SELECT id, dup_of, jaccard,
+       |                row_number() OVER (PARTITION BY id
+       |                  ORDER BY jaccard DESC, dup_of) rn
+       |              FROM matches)
+       |            WHERE rn = 1)
+       |SELECT b.doc_id, (e.id IS NULL) AS kept, e.dup_of, e.jaccard
+       |FROM batch b LEFT JOIN elected e ON b.doc_id = e.id
+       |ORDER BY b.doc_id""".stripMargin
   }
 
   /** The q23 oracle: per-token XXH64 bit contributions → per-doc

@@ -175,6 +175,22 @@ object CorpusUpsert {
       HammingIndex.hammingDeleteIds(rids, RidCol, path)
   }
 
+  /** The [[NearDupIndex]] MinHash-LSH layout as a coordinated target:
+    * a revision's bucket+shingle rows stage under the persisted
+    * geometry and the superseded rid tombstones out, so the ingest
+    * dedup gate ([[NearDupIndex.dedupGate]]) always judges against the
+    * corpus's CURRENT revisions.
+    */
+  final case class NearDupTarget(
+      path: String,
+      textCol: String,
+      name: String = "neardup") extends IndexTarget {
+    private[ops] def stage(delta: DataFrame, stageDir: String): Unit =
+      NearDupIndex.stageAppend(delta, RidCol, textCol, path, stageDir)
+    private[ops] def delete(rids: DataFrame): Unit =
+      NearDupIndex.neardupDeleteIds(rids, RidCol, path)
+  }
+
   final case class UpsertReport(
       key: String,
       alreadyApplied: Boolean,

@@ -667,4 +667,52 @@ class CorpusUpsertSpec extends AnyFunSuite {
         CorpusUpsert.docOf(col(Rid)) % 3 === 1).count() === 0)
     assert(probeAll(r) === before)
   }
+
+  test("NearDupTarget: revisions propagate through the near-dup index; the gate judges against CURRENT revisions") {
+    val root = tmp("ndtarget")
+    val (ups, nd) = (s"$root/ups", s"$root/nd")
+    NearDupIndex.neardupWriteIndex(
+      corpus0.select($"doc_id".as(Rid), $"text").limit(0),
+      Rid, "text", nd, nBuckets = 8, nDocBuckets = 4)
+    val t = Seq(CorpusUpsert.NearDupTarget(nd, "text"))
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "base", ups, t)
+    // the revision REPLACES the text entirely (id-derived tokens), so
+    // old and new revisions are provably dissimilar
+    val ndText = concat(lit("nd"), $"doc_id".cast("string"), lit("a nd"),
+      $"doc_id".cast("string"), lit("b nd"), $"doc_id".cast("string"),
+      lit("c nd"), $"doc_id".cast("string"), lit("d nd"),
+      $"doc_id".cast("string"), lit("e"))
+    val rev = corpus0.filter($"doc_id" % 3 === 1)
+      .select($"doc_id", ndText.as("text"))
+    CorpusUpsert.applyBatch(rev, "doc_id", "rev1", ups, t)
+    // upsert ≡ from-scratch rebuild over the revised corpus
+    val fc = corpus0.select($"doc_id", $"text")
+      .filter($"doc_id" % 3 =!= 1).withColumn("rev", lit(0))
+      .unionByName(rev.withColumn("rev", lit(1)))
+      .withColumn(Rid, CorpusUpsert.ridExpr($"doc_id", $"rev"))
+      .select(col(Rid), $"text").localCheckpoint(true)
+    val fresh = s"$root/fresh"
+    NearDupIndex.neardupWriteIndex(fc, Rid, "text", fresh,
+      nBuckets = 8, nDocBuckets = 4)
+    def probe(p: String) = NearDupIndex.neardupProbeIndex(spark, fc, Rid,
+        "text", p, threshold = 0.5, pruneDocLookup = false)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1),
+        r0.getDouble(2))).toSet
+    assert(probe(nd) === probe(fresh))
+    // the ingest gate: a copy of doc 1's CURRENT revision is rejected
+    // against its rid; the SUPERSEDED revision can never be elected
+    val oldText = corpus0.filter($"doc_id" === 1L)
+      .select("text").head().getString(0)
+    val batch = Seq(
+      (1000000000L, oldText),
+      (1000000001L, "nd1a nd1b nd1c nd1d nd1e"))
+      .toDF(Rid, "text")
+    val out = NearDupIndex.dedupGate(batch, Rid, "text", nd)
+      .collect().map(r0 => r0.getLong(0) ->
+        (r0.getBoolean(1), if (r0.isNullAt(2)) -1L else r0.getLong(2)))
+      .toMap
+    val ridNew = 1L * 65536 + 1
+    assert(out(1000000001L) === (false, ridNew))
+    assert(out(1000000000L)._2 !== 1L * 65536) // tombstoned rid unfindable
+  }
 }
