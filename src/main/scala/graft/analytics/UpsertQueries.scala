@@ -1029,6 +1029,79 @@ object UpsertQueries {
         NearDupIndex.dedupGate(batch, "doc_id", "text", root.toString,
             threshold = 0.5, maxBucket = 1000)
           .orderBy("doc_id")
+      }),
+
+    // Native GIF decode, END-TO-END ORACLE — the first real compressed
+    // media format whose ENTROPY CODING the gate replays: per-doc
+    // animated GIFs (palette, dims, frame count, delays all closed-form
+    // in doc_id; odd ids interlaced — decode-invariant, so the same
+    // oracle covers both row orders) are LZW-encoded by [[Gif]]'s
+    // writer, decoded back through the [[VideoHash.decodeVideo]] seam,
+    // and reduced to exact integer BT.601 frame luminance sums, which
+    // DuckDB recomputes pixel-by-pixel from the closed forms. A wrong
+    // bit anywhere in the LZW table arithmetic, the interlace pass
+    // order, or the palette lookup shifts some frame's sum. The
+    // catalog columns ride along from [[MediaMeta.parse]] (the
+    // structure-only walk), so both GIF paths are gated at once.
+    // (GifSpec additionally pins the coder against the JDK's
+    // independent ImageIO GIF implementation, sub-rect/transparency/
+    // disposal composition, and decoder totality under fuzz.)
+    NamedQuery(
+      "q242_gif_decode",
+      Some("""WITH d AS (SELECT doc_id AS id FROM documents),
+             |g AS (SELECT id, CAST(6 + id % 5 AS INT) w,
+             |        CAST(5 + id % 4 AS INT) h,
+             |        CAST(1 + id % 3 AS INT) n_frames,
+             |        CAST((1 + id % 3) * (4 + id % 6) * 10 AS BIGINT)
+             |          duration_ms
+             |      FROM d),
+             |px AS (
+             |  SELECT g.id, f.f, g.w, g.h, g.n_frames, g.duration_ms,
+             |    ((x.x + 7 * y.y + 11 * f.f + g.id) % 64) AS idx
+             |  FROM g
+             |  CROSS JOIN range(0, 3) f(f)
+             |  CROSS JOIN range(0, 8) y(y)
+             |  CROSS JOIN range(0, 10) x(x)
+             |  WHERE f.f < g.n_frames AND y.y < g.h AND x.x < g.w)
+             |SELECT id, CAST(f AS INT) frame,
+             |  CAST(SUM(299 * ((idx * 37 + 11) % 256)
+             |         + 587 * ((idx * 59 + 3) % 256)
+             |         + 114 * ((idx * 83 + 7) % 256)) AS BIGINT) lum_sum,
+             |  w, h, n_frames, duration_ms
+             |FROM px
+             |GROUP BY id, f, w, h, n_frames, duration_ms
+             |ORDER BY id, frame""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val w = (6 + id % 5).toInt
+            val h = (5 + id % 4).toInt
+            val n = (1 + id % 3).toInt
+            val delay = (4 + id % 6).toInt
+            val pal = Array.tabulate(64)(i =>
+              (((i * 37 + 11) % 256) << 16) |
+                (((i * 59 + 3) % 256) << 8) | ((i * 83 + 7) % 256))
+            val frames = (0 until n).map { f =>
+              Gif.Frame(0, 0, w, h,
+                Array.tabulate(w * h)(i =>
+                  (((i % w) + 7L * (i / w) + 11L * f + id) % 64).toByte),
+                delayCs = delay, interlaced = id % 2 == 1)
+            }
+            val p = Gif.encodeGif(w, h, pal, bg = 0, frames)
+            val mi = MediaMeta.parse(id, p)
+            val v = VideoHash.decodeVideo(p) match {
+              case Right(ok) => ok
+              case Left(why) => throw new IllegalStateException(
+                s"q242: fixture gif for doc $id rejected: $why")
+            }
+            val sums = VideoHash.frameLumSums(v)
+            sums.indices.map(f => (id, f, sums(f), mi.width.get,
+              mi.height.get, mi.frames.get, mi.duration_ms.get))
+          }
+          .toDF("id", "frame", "lum_sum", "w", "h", "n_frames",
+            "duration_ms")
+          .orderBy("id", "frame")
       })
   )
 }

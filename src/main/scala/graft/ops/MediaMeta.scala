@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   *     non-Opus Ogg streams become a typed `unsupported_codec`),
   *   - AVI and GVF (delegated to [[VideoHash.decodeVideo]]'s demux:
   *     dimensions + frame count — those containers carry no timebase
-  *     in the fields the demux keeps).
+  *     in the fields the demux keeps),
+  *   - GIF87a/89a ([[Gif.meta]]'s structure-only block walk: logical
+  *     screen dims, image count, duration from the graphic-control
+  *     delays — LZW data skipped by sub-block length, never decoded;
+  *     the full pixel decode lives behind [[VideoHash.decodeVideo]]).
   *
   * This parses STRUCTURE only — no entropy decoding, so MP4/MP3
   * handling here does not contradict the decode seam's typed-reject
@@ -83,6 +87,7 @@ object MediaMeta {
     else if (at(0, "fLaC")) "flac"
     else if (at(0, "OggS")) "ogg"
     else if (at(0, "GVF1")) "gvf"
+    else if (Gif.isGif(p)) "gif"
     else "unknown"
   }
 
@@ -101,6 +106,15 @@ object MediaMeta {
           case Right(v) => MediaInfo(id, n, c, None, None, None, None,
             Some(v.w), Some(v.h), Some(v.n), None)
           case Left(why) => rej(id, n, c, why)
+        }
+      case "gif" =>
+        // structure-only walk (Gif.meta) — frame data sub-blocks are
+        // skipped by length, never LZW-decoded, the catalog discipline;
+        // GIF delays make this the one video container with a duration
+        Gif.meta(p) match {
+          case Right(m) => MediaInfo(id, n, "gif", Some(m.durationMs),
+            None, None, None, Some(m.w), Some(m.h), Some(m.frames), None)
+          case Left(why) => rej(id, n, "gif", why)
         }
       case _ => rej(id, n, "unknown", "unsupported_format")
     }

@@ -266,12 +266,16 @@ object VideoHash {
   }
 
   /** The container dispatch every decode path goes through: RIFF/AVI
-    * payloads demux through [[decodeAvi]] (real MJPEG), everything
-    * else through the [[decodeGvf]] stand-in — one seam, two
-    * containers, identical [[Gvf]] output and typed-reject vocabulary.
+    * payloads demux through [[decodeAvi]] (real MJPEG), GIF87a/89a
+    * through [[Gif.decodeGif]] (native LZW — animated GIFs are a real
+    * frame-sequence container), everything else through the
+    * [[decodeGvf]] stand-in — one seam, three containers, identical
+    * [[Gvf]] output and typed-reject vocabulary.
     */
   def decodeVideo(payload: Array[Byte]): Either[String, Gvf] =
-    if (isRiffAvi(payload)) decodeAvi(payload) else decodeGvf(payload)
+    if (isRiffAvi(payload)) decodeAvi(payload)
+    else if (Gif.isGif(payload)) Gif.decodeGif(payload)
+    else decodeGvf(payload)
 
   // ------------------------------------------------------------------
   // Real kernels (exact-integer luminance, the Phash discipline)
