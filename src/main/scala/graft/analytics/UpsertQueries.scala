@@ -1102,6 +1102,134 @@ object UpsertQueries {
           .toDF("id", "frame", "lum_sum", "w", "h", "n_frames",
             "duration_ms")
           .orderBy("id", "frame")
+      }),
+
+    // SNAPSHOT (as-of) reads over the upsert corpus, END-TO-END ORACLE:
+    // three batches build a revision chain (b0 = base, b1 revises
+    // doc%6=2 with negated embeddings, b2 revises doc%12=2 back to the
+    // original signs), then a takedown deletes doc%10=8. The probe
+    // scans WITH tombstoned rows ([[HammingIndex.hammingProbeIndex]]
+    // includeTombstoned — superseded revisions are history, not
+    // garbage) and [[CorpusUpsert.snapshotFilter]] post-filters to the
+    // as-of (b0, b1) rid set: Hamming distance is per-pair arithmetic,
+    // so the snapshot rows are EXACT historical results — DuckDB
+    // replays them from the closed-form state-1 corpus. The same
+    // output also carries the LIVE pair relation (current state) and
+    // the as-of rev ledger, and the takedown is visible in the gate:
+    // doc%10=8 appears in the ledger rows (revs persist) but in
+    // NEITHER pair relation (snapshot reads never resurrect deleted
+    // content — the permanence contract, here replayed by the oracle).
+    NamedQuery(
+      "q243_corpus_snapshot",
+      Some("""WITH base AS (
+             |  SELECT d.doc_id, e.embedding AS emb
+             |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+             |s1 AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 6 = 2
+             |              THEN list_transform(emb, x -> -x)
+             |              ELSE emb END AS emb,
+             |         CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS rev
+             |       FROM base),
+             |cur AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 12 = 2 THEN emb
+             |              WHEN doc_id % 6 = 2
+             |              THEN list_transform(emb, x -> -x)
+             |              ELSE emb END AS emb,
+             |         CASE WHEN doc_id % 12 = 2 THEN 2
+             |              WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS rev
+             |       FROM base),
+             |act1 AS (SELECT * FROM s1 WHERE doc_id % 10 <> 8),
+             |act2 AS (SELECT * FROM cur WHERE doc_id % 10 <> 8),
+             |q1 AS (SELECT * FROM s1 WHERE doc_id % 50 = 0),
+             |q2 AS (SELECT * FROM cur WHERE doc_id % 50 = 0),
+             |h1r AS (SELECT q.doc_id AS qid, n.doc_id, n.rev,
+             |          CAST(list_sum(list_transform(range(64), i ->
+             |            CASE WHEN (q.emb[i+1] > 0) = (n.emb[i+1] > 0)
+             |                 THEN 0 ELSE 1 END)) AS BIGINT) AS h
+             |        FROM q1 q, act1 n),
+             |h2r AS (SELECT q.doc_id AS qid, n.doc_id, n.rev,
+             |          CAST(list_sum(list_transform(range(64), i ->
+             |            CASE WHEN (q.emb[i+1] > 0) = (n.emb[i+1] > 0)
+             |                 THEN 0 ELSE 1 END)) AS BIGINT) AS h
+             |        FROM q2 q, act2 n),
+             |h1 AS (SELECT 'ham1' AS kind, qid, doc_id,
+             |         CAST(rev AS BIGINT) AS rev, CAST(h AS DOUBLE) AS score
+             |       FROM h1r WHERE h <= 15),
+             |h2 AS (SELECT 'ham2' AS kind, qid, doc_id,
+             |         CAST(rev AS BIGINT) AS rev, CAST(h AS DOUBLE) AS score
+             |       FROM h2r WHERE h <= 15),
+             |rv AS (SELECT 'rev' AS kind, CAST(-1 AS BIGINT) AS qid,
+             |         doc_id,
+             |         CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END
+             |              AS BIGINT) AS rev,
+             |         CAST(NULL AS DOUBLE) AS score
+             |       FROM base)
+             |SELECT kind, qid, doc_id, rev, score FROM (
+             |  SELECT * FROM h1 UNION ALL SELECT * FROM h2
+             |  UNION ALL SELECT * FROM rv)
+             |ORDER BY kind, qid, doc_id, rev""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("snapq", dir)
+        clearRoot(root)
+        val rid = CorpusUpsert.RidCol
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+          .join(embs(s, dir).select(col("vec_id").as("doc_id"),
+            col("embedding")), Seq("doc_id"))
+        val b1 = base.filter(col("doc_id") % 6 === 2)
+          .select(col("doc_id"), concat(col("text"), lit(" s1")).as("text"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        val b2 = base.filter(col("doc_id") % 12 === 2)
+          .select(col("doc_id"), concat(col("text"), lit(" s2")).as("text"),
+            col("embedding"))
+        val (upsRoot, bm25P, hamP) = (s"$root/ups", s"$root/bm25",
+          s"$root/ham")
+        LexIndex.bm25WriteIndex(
+          base.select(col("doc_id").as(rid), col("text")).limit(0),
+          rid, "text", bm25P, buckets = 32)
+        HammingIndex.hammingWriteIndex(
+          base.select(col("doc_id").as(rid), col("embedding")).limit(0),
+          rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)
+        val targets = Seq(
+          CorpusUpsert.Bm25Target(bm25P, "text"),
+          CorpusUpsert.HammingTarget(hamP, "embedding"))
+        CorpusUpsert.applyBatch(base, "doc_id", "b0", upsRoot, targets)
+        CorpusUpsert.applyBatch(b1, "doc_id", "b1", upsRoot, targets)
+        CorpusUpsert.applyBatch(b2, "doc_id", "b2", upsRoot, targets)
+        CorpusUpsert.deleteDocs(
+          base.filter(col("doc_id") % 10 === 8).select("doc_id"),
+          "doc_id", upsRoot, targets)
+        val state1Emb = when(col("doc_id") % 6 === 2,
+          transform(col("embedding"), x => -x)).otherwise(col("embedding"))
+        val curEmb = when(col("doc_id") % 12 === 2, col("embedding"))
+          .otherwise(state1Emb)
+        val queries1 = base.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as(rid), state1Emb.as("embedding"))
+        val queries2 = base.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as(rid), curEmb.as("embedding"))
+        val ham1 = CorpusUpsert.withDocRev(
+          CorpusUpsert.snapshotFilter(
+            HammingIndex.hammingProbeIndex(s, queries1, rid,
+                "embedding", hamP, radius = 15, includeTombstoned = true)
+              .withColumnRenamed("n_id", rid),
+            rid, upsRoot, Seq("b0", "b1"), indexPath = hamP),
+          rid)
+          .select(lit("ham1").as("kind"), col("q_id").as("qid"),
+            col("doc_id"), col("rev").cast("long").as("rev"),
+            col("hamming").cast("double").as("score"))
+        val ham2 = CorpusUpsert.withDocRev(
+          HammingIndex.hammingProbeIndex(s, queries2, rid,
+              "embedding", hamP, radius = 15)
+            .withColumnRenamed("n_id", rid),
+          rid)
+          .select(lit("ham2").as("kind"), col("q_id").as("qid"),
+            col("doc_id"), col("rev").cast("long").as("rev"),
+            col("hamming").cast("double").as("score"))
+        val rv = CorpusUpsert.revsAsOf(s, upsRoot, Seq("b0", "b1"))
+          .select(lit("rev").as("kind"), lit(-1L).as("qid"),
+            col("doc").as("doc_id"), col("rev").cast("long").as("rev"),
+            lit(null).cast("double").as("score"))
+        ham1.unionByName(ham2).unionByName(rv)
+          .orderBy("kind", "qid", "doc_id", "rev")
       })
   )
 }

@@ -477,6 +477,122 @@ object CorpusUpsert {
     df.withColumn("doc_id", docOf(col(ridCol)))
       .withColumn("rev", revOf(col(ridCol)))
 
+  /** SNAPSHOT reads — the corpus `(doc, rev)` AS OF the completion of
+    * exactly the batches in `keys`: max rev over those batches' frozen
+    * `revs/batch=` rows. Because a published index row stays
+    * physically present under its composite rid until a purge reclaims
+    * it (a revision tombstones the OLD rid, and tombstones only hide
+    * rows from live probes), the as-of rid set reproduces any
+    * historical corpus state still on disk — [[snapshotFilter]]
+    * post-filters an index/probe relation to it.
+    *
+    * The contract, precisely:
+    *   - `keys` must be a PREFIX of the serialized apply order
+    *     restricted to the docs it touches — equivalently, per doc the
+    *     included revs must be exactly {0..max}. A gap (batch B's rev 2
+    *     included without batch A's rev 1) means the requested state
+    *     never existed; it is DETECTED (one ledger-sized aggregate) and
+    *     refused, not silently served. Batches over disjoint docs
+    *     commute, so any such set is valid regardless of order.
+    *   - Every key must be `done` with its per-batch revs still
+    *     unfolded: [[compactRevs]] trades the as-of horizon exactly
+    *     like the backfill horizon (fold on the cadence that keeps the
+    *     history you need), and a mid-apply batch has no defined state.
+    *   - The PHYSICAL horizon is the purge cadence: a superseded
+    *     revision's rows are tombstoned at upsert time (hidden from
+    *     live probes) but remain on disk until the index's purge
+    *     reclaims them — snapshot probes scan with
+    *     `includeTombstoned = true` (e.g.
+    *     [[HammingIndex.hammingProbeIndex]]) and reach exactly the
+    *     revisions whose rows still exist. Like a lakehouse VACUUM,
+    *     purging trades time-travel depth for bytes; run purges on
+    *     the cadence that keeps the history you need.
+    *   - TAKEDOWNS ARE PERMANENT: [[snapshotFilter]] drops every doc
+    *     whose CURRENT revision is tombstoned (that is [[deleteDocs]]'
+    *     signature — revision tombstones always have a successor rev
+    *     in the ledger; takedown tombstones are the ledger's max),
+    *     and once purged the rows are physically gone — so a snapshot
+    *     read never resurrects deleted content even when `keys`
+    *     predates the delete: the compliance semantics a
+    *     training-data corpus needs (an erasure request must not be
+    *     undone by time travel). Pinned in CorpusUpsertSpec.
+    *   - Distance/containment probes (Hamming, cosine, phrase match)
+    *     are per-pair arithmetic, so post-filtered results are EXACT
+    *     historical results. Corpus-statistic scores (BM25's df/N/
+    *     avgdl) are computed over the LIVE corpus — the filtered set
+    *     is the historical MEMBERSHIP, the scores are not historical.
+    *
+    * 100 TB shape: reads only the named batches' rev dirs (delta-sized
+    * each), one ledger aggregate to validate, one max-rev aggregate;
+    * the snapshot filter is a semi-join against a ledger-sized rid
+    * relation.
+    */
+  def revsAsOf(
+      spark: SparkSession, root: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "revsAsOf: empty batch-key set")
+    require(keys.distinct.size == keys.size, "revsAsOf: duplicate keys")
+    keys.foreach(k => require(!k.startsWith(CompactedKey),
+      s"revsAsOf: '$k' is the compacted partition — it holds max-revs " +
+        "at fold time, not a batch; as-of reads need unfolded batches"))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    keys.foreach { k =>
+      require(fs.exists(new Path(s"$root/revs/batch=$k/_SUCCESS")),
+        s"revsAsOf: batch '$k' has no frozen revs — never applied, or " +
+          "folded by compactRevs (the as-of horizon is the unfolded " +
+          "ledger; fold on the cadence that keeps the history you need)")
+      require(fs.exists(new Path(s"$root/batches/$k/done")),
+        s"revsAsOf: batch '$k' recorded revs but never completed — a " +
+          "mid-apply batch has no defined snapshot state")
+    }
+    val all = spark.read.parquet(
+      keys.map(k => s"$root/revs/batch=$k"): _*)
+    // historical-state validation: per doc the included revs must be
+    // exactly {0..max} — a gap means some earlier batch touching this
+    // doc was left out and the requested state never existed
+    val bad = all.groupBy("doc")
+      .agg(count(lit(1)).as("n"), max("rev").as("maxr"))
+      .filter(col("n") =!= col("maxr") + 1)
+      .limit(1).collect() // bounded: 0 or 1 row
+    require(bad.isEmpty,
+      s"revsAsOf: batch set is not a prefix of the apply order — doc " +
+        s"${bad.headOption.map(_.get(0)).getOrElse("?")} has a revision " +
+        "gap; include every earlier batch that touched its docs")
+    all.groupBy("doc").agg(max("rev").cast("int").as("rev"))
+  }
+
+  /** Restrict an index/probe relation (keyed by `ridCol`) to the
+    * snapshot [[revsAsOf]] defines — a semi-join against the as-of rid
+    * set, so rows from newer revisions AND superseded older revisions
+    * both drop out. `indexPath` is the probed index's root: docs whose
+    * CURRENT revision sits in ITS tombstone set were taken down
+    * ([[deleteDocs]]) and are excluded at EVERY revision — snapshot
+    * reads must not resurrect them (see [[revsAsOf]]'s permanence
+    * contract; the probe ran `includeTombstoned = true`, so the
+    * superseded-revision tombstones it ignored are re-applied here by
+    * the as-of semi-join itself).
+    */
+  def snapshotFilter(
+      df: DataFrame, ridCol: String, root: String,
+      keys: Seq[String], indexPath: String): DataFrame = {
+    val spark = df.sparkSession
+    val asOf = revsAsOf(spark, root, keys)
+      .select(ridExpr(col("doc"), col("rev")).as(ridCol))
+    val rids = Tombstones.ids(spark, indexPath, ridCol) match {
+      case Some(t) =>
+        // taken-down docs: tombstoned rid = the doc's CURRENT rid
+        val takenDocs = t.join(
+            currentRevs(spark, root)
+              .select(ridExpr(col("doc"), col("rev")).as(ridCol)),
+            Seq(ridCol), "left_semi")
+          .select(docOf(col(ridCol)).as("doc"))
+        asOf.join(takenDocs,
+          docOf(asOf(ridCol)) === takenDocs("doc"), "left_anti")
+      case None => asOf
+    }
+    df.join(rids, Seq(ridCol), "left_semi")
+  }
+
   /** Fold the rev ledger to its current max-rev rows — the
     * maintenance pass the per-batch `revs/batch=<key>` dirs need on a
     * long-lived root (one dir per batch ever applied, like any ledger

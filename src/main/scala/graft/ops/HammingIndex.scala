@@ -217,6 +217,14 @@ object HammingIndex {
     * Tombstoned ids ([[hammingDeleteIds]]) are excluded from the
     * scanned slice (never from the caller's query batch — a deleted
     * vector can still be ASKED about; it just can't be FOUND).
+    *
+    * `includeTombstoned = true` keeps tombstoned rows in the scan —
+    * the SNAPSHOT-read mode ([[CorpusUpsert.snapshotFilter]]): a
+    * superseded revision's rows are tombstoned but still physically
+    * present until a purge, and Hamming distance is per-pair
+    * arithmetic, so post-filtering these results by an as-of rid set
+    * gives exact historical results. (The same one-line treatment
+    * applies to any layout whose probe is per-pair.)
     */
   def hammingProbeIndex(
       spark: SparkSession,
@@ -224,7 +232,8 @@ object HammingIndex {
       idCol: String,
       vecCol: String,
       path: String,
-      radius: Int): DataFrame = {
+      radius: Int,
+      includeTombstoned: Boolean = false): DataFrame = {
     val (nBands, dim, nBuckets) = readMeta(spark, path)
     val spec = VectorOps.BandSpec(nBands, dim)
     val s = spec.probeBits(radius)
@@ -251,9 +260,9 @@ object HammingIndex {
     // broadcast would ship |corpus|·nBands·(1+cb) rows to every task —
     // the round-12 probe measured 18.9× vs 8.6× at 64× for exactly
     // that hint before it was removed
-    Tombstones.excludeFrom(
-      spark.read.parquet(s"$path/bands").filter(prune), // pruned at listing
-      path, idCol)
+    val slice = spark.read.parquet(s"$path/bands").filter(prune) // pruned
+    (if (includeTombstoned) slice
+     else Tombstones.excludeFrom(slice, path, idCol))
       .join(probes, Seq("band", "bv", "bb"))
       .select(col("q_id"), col(idCol).as("n_id"),
         graft.functions.GraftFunctions.hamming(col("qcode"), col("code"))

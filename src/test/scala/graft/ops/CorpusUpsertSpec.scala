@@ -715,4 +715,104 @@ class CorpusUpsertSpec extends AnyFunSuite {
     assert(out(1000000001L) === (false, ridNew))
     assert(out(1000000000L)._2 !== 1L * 65536) // tombstoned rid unfindable
   }
+
+  test("snapshot reads: every prefix state exact, non-prefix/folded/" +
+      "mid-apply refused, takedowns never resurrected") {
+    val r = Roots(tmp("snap")).bootstrap()
+    val targets = Seq(
+      CorpusUpsert.Bm25Target(r.bm25, "text"),
+      CorpusUpsert.HammingTarget(r.ham, "embedding"))
+    val revised2 = corpus0.filter($"doc_id" % 6 === 1)
+      .select($"doc_id", concat($"text", lit(" snap2")).as("text"),
+        $"embedding") // back to the ORIGINAL sign pattern (rev 2)
+      .localCheckpoint(true)
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "b0", r.ups, targets)
+    CorpusUpsert.applyBatch(revised, "doc_id", "b1", r.ups, targets)
+    CorpusUpsert.applyBatch(revised2, "doc_id", "b2", r.ups, targets)
+
+    def revMap(df: DataFrame): Map[Long, Int] =
+      df.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // prefix states
+    val asOf0 = revMap(CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0")))
+    assert(asOf0.size === 100 && asOf0.values.forall(_ == 0))
+    val asOf1 = revMap(CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0", "b1")))
+    assert(asOf1 === (0L until 100L)
+      .map(d => d -> (if (d % 3 == 1) 1 else 0)).toMap)
+    val asOf2 = revMap(
+      CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0", "b1", "b2")))
+    assert(asOf2 === revMap(CorpusUpsert.currentRevs(spark, r.ups)
+      .select($"doc", $"rev".cast("int").as("rev"))))
+    assert(asOf2(1L) === 2 && asOf2(4L) === 1 && asOf2(0L) === 0)
+
+    // snapshot probe as-of (b0, b1) ≡ a fresh index built over that
+    // state — per-pair Hamming is exact history
+    val queries = corpus0.select($"doc_id".as(Rid), $"embedding")
+    def pairs(df: DataFrame): Set[(Long, Long, Long)] =
+      df.select($"q_id", col(Rid), $"hamming").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val live = HammingIndex.hammingProbeIndex(spark, queries, Rid,
+        "embedding", r.ham, radius = 15, includeTombstoned = true)
+      .withColumnRenamed("n_id", Rid)
+    val snap1 = CorpusUpsert.snapshotFilter(live, Rid, r.ups,
+      Seq("b0", "b1"), indexPath = r.ham)
+    val state1 = corpus0.filter($"doc_id" % 3 =!= 1).withColumn("rev", lit(0))
+      .unionByName(revised.withColumn("rev", lit(1)))
+      .withColumn(Rid, CorpusUpsert.ridExpr($"doc_id", $"rev"))
+    val freshP = s"${tmp("snapfresh")}/ham"
+    HammingIndex.hammingWriteIndex(state1, Rid, "embedding", freshP,
+      nBands = 8, nBuckets = 8, dim = 64)
+    val ref1 = HammingIndex.hammingProbeIndex(spark, queries, Rid,
+        "embedding", freshP, radius = 15)
+      .withColumnRenamed("n_id", Rid)
+    assert(pairs(snap1) === pairs(ref1))
+
+    // refusals: a revision gap (b2's rev 2 without b1's rev 1), an
+    // unknown batch, the reserved compacted key
+    val gap = intercept[IllegalArgumentException](
+      CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0", "b2")))
+    assert(gap.getMessage.contains("revision gap"))
+    assert(intercept[IllegalArgumentException](
+      CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0", "nope")))
+      .getMessage.contains("no frozen revs"))
+    assert(intercept[IllegalArgumentException](
+      CorpusUpsert.revsAsOf(spark, r.ups,
+        Seq(CorpusUpsert.CompactedKey)))
+      .getMessage.contains("compacted partition"))
+
+    // mid-apply: revs recorded but no done marker (crash window)
+    CorpusUpsert.applyBatch(
+      corpus0.filter($"doc_id" % 9 === 5)
+        .select($"doc_id", concat($"text", lit(" b3")).as("text"),
+          $"embedding"),
+      "doc_id", "b3", r.ups, targets)
+    val doneB3 = new Path(s"${r.ups}/batches/b3/done")
+    val fs = doneB3.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(doneB3, false))
+    assert(intercept[IllegalArgumentException](
+      CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0", "b1", "b2", "b3")))
+      .getMessage.contains("never completed"))
+    fs.create(doneB3, true).close()
+
+    // takedown permanence: deleted docs stay deleted in EVERY snapshot,
+    // including ones whose keys predate the delete
+    CorpusUpsert.deleteDocs(
+      corpus0.filter($"doc_id" % 10 === 0).select("doc_id"),
+      "doc_id", r.ups, targets)
+    val live2 = HammingIndex.hammingProbeIndex(spark, queries, Rid,
+        "embedding", r.ham, radius = 15, includeTombstoned = true)
+      .withColumnRenamed("n_id", Rid)
+    val snap0 = CorpusUpsert.snapshotFilter(live2, Rid, r.ups,
+      Seq("b0"), indexPath = r.ham)
+    val survivors = pairs(snap0).map(_._2 >> 16)
+    assert(survivors.nonEmpty && survivors.forall(_ % 10 != 0))
+    // superseded revisions (not takedowns) stay REACHABLE: doc 1's
+    // rev-0 row is tombstoned by the b1 revision yet serves snapshots
+    assert(pairs(snap0).exists(_._2 === 1L << 16))
+
+    // folding the ledger trades the as-of horizon, loudly
+    CorpusUpsert.compactRevs(spark, r.ups)
+    assert(intercept[IllegalArgumentException](
+      CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0")))
+      .getMessage.contains("no frozen revs"))
+  }
 }
