@@ -1230,6 +1230,53 @@ object UpsertQueries {
             lit(null).cast("double").as("score"))
         ham1.unionByName(ham2).unionByName(rv)
           .orderBy("kind", "qid", "doc_id", "rev")
+      }),
+
+    // BATCH retrieval from the PERSISTED IVF index
+    // ([[graft.ops.VectorOps.ivfProbeJoin]]) — the q111/q236 treatment
+    // for vectors: a query RELATION routes itself to its probe
+    // clusters in one map-only pass, the scan prunes to the union of
+    // probed clusters at file listing, and per-query top-k is one
+    // WindowGroupLimit. Run in the EXHAUSTIVE regime (nProbe = every
+    // cluster) the readout is the exact per-query cosine top-k over
+    // the active (non-tombstoned) corpus — pure arithmetic DuckDB
+    // replays end to end (q25's list_dot_product parity), including a
+    // takedown's exclusion: deleted vectors can still ASK (they are
+    // queries) but can never be FOUND.
+    NamedQuery(
+      "q244_ivf_probe_join",
+      Some("""WITH e AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |          FROM embeddings),
+             |c AS (SELECT vec_id, v FROM e
+             |      WHERE list_dot_product(v, v) > 0 AND vec_id % 9 <> 4),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e
+             |      WHERE vec_id % 25 = 0 AND list_dot_product(v, v) > 0),
+             |s AS (SELECT q.qid, c.vec_id AS n_id,
+             |        ROUND(list_dot_product(q.qv, c.v)
+             |          / (sqrt(list_dot_product(q.qv, q.qv))
+             |             * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+             |      FROM q, c),
+             |r AS (SELECT qid AS q_id, n_id, cosine,
+             |        CAST(row_number() OVER (PARTITION BY qid
+             |          ORDER BY cosine DESC, n_id) AS INT) AS rank
+             |      FROM s)
+             |SELECT q_id, n_id, cosine, rank FROM r
+             |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("ivfjoin", dir)
+        clearRoot(root)
+        val e = embs(s, dir)
+        val idxP = s"$root/ivf"
+        val cents = VectorOps.ivfWriteIndex(e, "vec_id", "embedding",
+          idxP, nCentroids = 16)
+        VectorOps.ivfDeleteIds(
+          e.filter(col("vec_id") % 9 === 4).select("vec_id"),
+          "vec_id", idxP)
+        VectorOps.ivfProbeJoin(
+          e.filter(col("vec_id") % 25 === 0), idxP, cents,
+          "vec_id", "embedding", k = 10, nProbe = cents.length)
+          .orderBy("q_id", "rank")
       })
   )
 }

@@ -2282,6 +2282,88 @@ object VectorOps {
       .limit(k)
   }
 
+  /** BATCH top-k cosine retrieval served from a PERSISTED
+    * [[ivfWriteIndex]] index — [[ivfKnnJoin]]'s one-pass query-RELATION
+    * shape against the stored layout instead of a freshly assigned
+    * corpus, and [[ivfProbeIndex]]'s persisted-index treatment freed
+    * from its one-query-per-call driver routing (a retrieval service
+    * answering thousands of queries would otherwise re-open the index
+    * per query). The moving parts, all established:
+    *
+    *   1. each query routes itself to its `nProbe` nearest centroids
+    *      in ONE map-only pass (the native
+    *      [[graft.functions.NearestCentroids]] expression; the
+    *      coarse→fine hierarchical routing takes over past
+    *      `hierThreshold` centroids, [[ivfKnnJoin]]'s rule);
+    *   2. the UNION of probed clusters prunes the index scan at file
+    *      listing (≤ nClusters ints collected — the
+    *      [[graft.ops.LexIndex.bm25PhraseJoin]] discipline);
+    *   3. tombstoned ids are anti-joined out of the pruned slice only;
+    *   4. the cluster-keyed join meets each query with just its probed
+    *      clusters' vectors (the IVF scan-fraction contract — scored
+    *      work is nProbe × expected cluster size dots per query, a (q,
+    *      n) pair can never score twice since a row lives in exactly
+    *      one cluster and probe lists are distinct);
+    *   5. per-query top-k via `row_number ≤ k` → WindowGroupLimit
+    *      (map-side pre-trim before the rank exchange).
+    *
+    * Returns `(q_id, n_id, cosine, rank)`, rank 1..k by (cosine desc,
+    * n_id) on the `roundTo`-rounded score. Exact when nProbe covers
+    * every cluster (the oracle regime); approximate below that with
+    * [[ivfKnnJoin]]'s recall characteristics (same routing, same
+    * suite gates). Zero-norm queries drop (cosine undefined).
+    */
+  def ivfProbeJoin(
+      queries: DataFrame,
+      path: String,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      roundTo: Int = 6,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    require(k >= 1, s"ivfProbeJoin: k=$k must be >= 1")
+    require(nProbe >= 1, s"ivfProbeJoin: nProbe=$nProbe must be >= 1")
+    require(centroids.nonEmpty, "ivfProbeJoin: empty centroid table")
+    val np = math.min(nProbe, centroids.length)
+    val routing = routingFor(centroids, hierThreshold)
+    val q = queries
+      .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0)
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(routing match {
+          case Some((coarse, starts, mem)) =>
+            graft.functions.GraftFunctions.nearestCentroidsHier(
+              col("qv"), col("qn"), centroids, np, coarse, starts, mem,
+              coarseProbes)
+          case None =>
+            graft.functions.GraftFunctions.nearestCentroids(
+              col("qv"), col("qn"), centroids, np)
+        }).as("cluster"))
+    // union of probed clusters → the file-listing prune (≤ nClusters
+    // ints on the driver; empty when every query was zero-norm, and
+    // isin() with no values is constant-false — the empty result keeps
+    // the right schema)
+    val probed = q.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val slice = Tombstones.excludeFrom(
+      spark.read.parquet(path).filter(col("cluster").isin(probed: _*)),
+      path, idCol)
+    val scored = slice.join(q, Seq("cluster"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("nrm")),
+          roundTo).as("cosine"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k via SRP-LSH: score only vectors sharing the query's
     * bucket in at least one of `tables` independent hash tables.
     * Approximate — recall is tested against [[bruteForceTopK]] in the

@@ -845,4 +845,49 @@ class SimilaritySpec extends AnyFunSuite {
         k = 10, dupCeiling = 1.5)
     }
   }
+  test("ivfProbeJoin: batch retrieval from the persisted index — " +
+      "exhaustive ≡ per-query probes, tombstones excluded, sane recall") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfjoin").toString + "/idx"
+    val cents = VectorOps.ivfWriteIndex(embs, "vec_id", "embedding", dir,
+      nCentroids = 8, kmeansIters = 4)
+    val queries = embs.filter(col("vec_id") % 40 === 0)
+    def byQid(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toList).toMap
+    val batch = byQid(VectorOps.ivfProbeJoin(queries, dir, cents,
+      "vec_id", "embedding", k = 5, nProbe = cents.length))
+    val qids = queries.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(batch.keySet === qids.toSet)
+    // exhaustive regime: row-for-row the per-query probe's answer
+    // (same rounding, same (cosine desc, id) ties), self at rank 1
+    qids.foreach { qid =>
+      val qv = embs.filter(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val one = VectorOps.ivfProbeIndex(spark, dir, cents, "vec_id", qv,
+          5, nProbe = cents.length)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(batch(qid) === one, s"qid $qid diverged from the per-query probe")
+      assert(batch(qid).head._1 === qid)
+    }
+    // approximation contract below exhaustive: self-cluster always
+    // probed (rank-1 self survives), aggregate recall stays sane
+    val narrow = byQid(VectorOps.ivfProbeJoin(queries, dir, cents,
+      "vec_id", "embedding", k = 5, nProbe = 2))
+    qids.foreach(qid => assert(narrow(qid).head._1 === qid))
+    val recall = qids.map { qid =>
+      (narrow(qid).map(_._1).toSet & batch(qid).map(_._1).toSet).size / 5.0
+    }.sum / qids.size
+    assert(recall >= 0.3, s"batch recall@5 = $recall — routing degenerated")
+    // takedown: deleted vectors can still ASK but never be FOUND
+    VectorOps.ivfDeleteIds(queries.select("vec_id"), "vec_id", dir)
+    val after = VectorOps.ivfProbeJoin(queries, dir, cents, "vec_id",
+        "embedding", k = 5, nProbe = cents.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.nonEmpty)
+    assert(after.forall { case (_, n) => !qids.contains(n) })
+    assert(after.map(_._1).toSet === qids.toSet)
+  }
 }
