@@ -1277,6 +1277,109 @@ object UpsertQueries {
           e.filter(col("vec_id") % 25 === 0), idxP, cents,
           "vec_id", "embedding", k = 10, nProbe = cents.length)
           .orderBy("q_id", "rank")
+      }),
+
+    // HISTORICAL BM25 over a snapshot ([[graft.ops.LexIndex
+    // .bm25ProbeRids]]) — closing the one caveat q243 documents:
+    // post-filtering a live probe gives historical MEMBERSHIP with
+    // live scores, but a corpus-statistic score needs its statistics
+    // recomputed over the snapshot. bm25ProbeRids restricts the
+    // postings slice to the as-of rid set (scanned WITH tombstoned
+    // rows — superseded revisions are history), recomputes df from
+    // that slice and N/avgdl from the rid-filtered doclen, so the
+    // scores are bit-identical to probing an index that only ever
+    // held the snapshot corpus. Same revision chain + takedown as
+    // q243; DuckDB rebuilds BOTH corpora (as-of and current) and
+    // replays the full Okapi arithmetic over each — takedown docs
+    // absent from both relations at every revision.
+    NamedQuery(
+      "q245_bm25_asof",
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |s1 AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 6 = 2 THEN text || ' s1'
+             |              ELSE text END AS text,
+             |         CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS rev
+             |       FROM d WHERE doc_id % 10 <> 8),
+             |cur AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 12 = 2 THEN text || ' s2'
+             |              WHEN doc_id % 6 = 2 THEN text || ' s1'
+             |              ELSE text END AS text,
+             |         CASE WHEN doc_id % 12 = 2 THEN 2
+             |              WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS rev
+             |       FROM d WHERE doc_id % 10 <> 8),
+             |tok1 AS (SELECT doc_id, rev, string_split(text, ' ') tok FROM s1),
+             |l1 AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM tok1),
+             |st1 AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl
+             |        FROM l1),
+             |ex1 AS (SELECT doc_id, rev, unnest(tok) w FROM tok1),
+             |tf1 AS (SELECT doc_id, rev, w, CAST(count(*) AS DOUBLE) tf
+             |        FROM ex1 WHERE w IN ('vector', 'join', 'scan')
+             |        GROUP BY doc_id, rev, w),
+             |df1 AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf1 GROUP BY w),
+             |bm1 AS (SELECT 'asof' AS kind, tf1.doc_id,
+             |          CAST(tf1.rev AS BIGINT) AS rev,
+             |          ROUND(SUM(ln((st1.n_docs - df1.df + 0.5)
+             |              / (df1.df + 0.5) + 1.0) * tf1.tf * 2.2
+             |            / (tf1.tf + 1.2 * (1.0 - 0.75
+             |               + 0.75 * l1.dl / st1.avgdl))), 6) AS score
+             |        FROM tf1 JOIN df1 USING (w) JOIN l1 USING (doc_id)
+             |        CROSS JOIN st1
+             |        GROUP BY tf1.doc_id, tf1.rev),
+             |tok2 AS (SELECT doc_id, rev, string_split(text, ' ') tok FROM cur),
+             |l2 AS (SELECT doc_id, CAST(len(tok) AS DOUBLE) dl FROM tok2),
+             |st2 AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl
+             |        FROM l2),
+             |ex2 AS (SELECT doc_id, rev, unnest(tok) w FROM tok2),
+             |tf2 AS (SELECT doc_id, rev, w, CAST(count(*) AS DOUBLE) tf
+             |        FROM ex2 WHERE w IN ('vector', 'join', 'scan')
+             |        GROUP BY doc_id, rev, w),
+             |df2 AS (SELECT w, CAST(count(*) AS DOUBLE) df FROM tf2 GROUP BY w),
+             |bm2 AS (SELECT 'live' AS kind, tf2.doc_id,
+             |          CAST(tf2.rev AS BIGINT) AS rev,
+             |          ROUND(SUM(ln((st2.n_docs - df2.df + 0.5)
+             |              / (df2.df + 0.5) + 1.0) * tf2.tf * 2.2
+             |            / (tf2.tf + 1.2 * (1.0 - 0.75
+             |               + 0.75 * l2.dl / st2.avgdl))), 6) AS score
+             |        FROM tf2 JOIN df2 USING (w) JOIN l2 USING (doc_id)
+             |        CROSS JOIN st2
+             |        GROUP BY tf2.doc_id, tf2.rev)
+             |SELECT kind, doc_id, rev, score FROM (
+             |  SELECT * FROM bm1 UNION ALL SELECT * FROM bm2)
+             |ORDER BY kind, doc_id""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("bmasof", dir)
+        clearRoot(root)
+        val rid = CorpusUpsert.RidCol
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val b1 = base.filter(col("doc_id") % 6 === 2)
+          .select(col("doc_id"), concat(col("text"), lit(" s1")).as("text"))
+        val b2 = base.filter(col("doc_id") % 12 === 2)
+          .select(col("doc_id"), concat(col("text"), lit(" s2")).as("text"))
+        val (upsRoot, bm25P) = (s"$root/ups", s"$root/bm25")
+        LexIndex.bm25WriteIndex(
+          base.select(col("doc_id").as(rid), col("text")).limit(0),
+          rid, "text", bm25P, buckets = 32)
+        val targets = Seq(CorpusUpsert.Bm25Target(bm25P, "text"))
+        CorpusUpsert.applyBatch(base, "doc_id", "b0", upsRoot, targets)
+        CorpusUpsert.applyBatch(b1, "doc_id", "b1", upsRoot, targets)
+        CorpusUpsert.applyBatch(b2, "doc_id", "b2", upsRoot, targets)
+        CorpusUpsert.deleteDocs(
+          base.filter(col("doc_id") % 10 === 8).select("doc_id"),
+          "doc_id", upsRoot, targets)
+        val terms = Seq("vector", "join", "scan")
+        val asof = CorpusUpsert.withDocRev(
+          LexIndex.bm25ProbeRids(s, bm25P, rid, terms,
+            CorpusUpsert.asOfRids(s, upsRoot, Seq("b0", "b1"), bm25P)),
+          rid)
+          .select(lit("asof").as("kind"), col("doc_id"),
+            col("rev").cast("long").as("rev"),
+            col("bm25").cast("double").as("score"))
+        val live = CorpusUpsert.withDocRev(
+          LexIndex.bm25ProbeIndex(s, bm25P, rid, terms), rid)
+          .select(lit("live").as("kind"), col("doc_id"),
+            col("rev").cast("long").as("rev"),
+            col("bm25").cast("double").as("score"))
+        asof.unionByName(live).orderBy("kind", "doc_id")
       })
   )
 }

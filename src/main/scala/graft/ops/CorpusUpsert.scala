@@ -518,9 +518,12 @@ object CorpusUpsert {
     *     undone by time travel). Pinned in CorpusUpsertSpec.
     *   - Distance/containment probes (Hamming, cosine, phrase match)
     *     are per-pair arithmetic, so post-filtered results are EXACT
-    *     historical results. Corpus-statistic scores (BM25's df/N/
-    *     avgdl) are computed over the LIVE corpus — the filtered set
-    *     is the historical MEMBERSHIP, the scores are not historical.
+    *     historical results. Corpus-statistic scores need their stats
+    *     recomputed over the snapshot — [[LexIndex.bm25ProbeRids]]
+    *     does exactly that (df from the rid-filtered postings slice,
+    *     N/avgdl from the rid-filtered doclen), so historical BM25
+    *     scores are exact too; post-filtering a LIVE-stats probe gives
+    *     historical membership with live scores.
     *
     * 100 TB shape: reads only the named batches' rev dirs (delta-sized
     * each), one ledger aggregate to validate, one max-rev aggregate;
@@ -574,11 +577,23 @@ object CorpusUpsert {
     */
   def snapshotFilter(
       df: DataFrame, ridCol: String, root: String,
-      keys: Seq[String], indexPath: String): DataFrame = {
-    val spark = df.sparkSession
+      keys: Seq[String], indexPath: String): DataFrame =
+    df.join(asOfRids(df.sparkSession, root, keys, indexPath, ridCol),
+      Seq(ridCol), "left_semi")
+
+  /** The snapshot's rid SET (one `ridCol` column): [[revsAsOf]]'s
+    * (doc, rev) as composite rids, minus every doc whose CURRENT
+    * revision sits in `indexPath`'s tombstone set (a takedown — see
+    * the permanence contract on [[revsAsOf]]). This is the relation
+    * [[snapshotFilter]] semi-joins against and the `rids` input
+    * [[LexIndex.bm25ProbeRids]] expects for historical BM25.
+    */
+  def asOfRids(
+      spark: SparkSession, root: String, keys: Seq[String],
+      indexPath: String, ridCol: String = RidCol): DataFrame = {
     val asOf = revsAsOf(spark, root, keys)
       .select(ridExpr(col("doc"), col("rev")).as(ridCol))
-    val rids = Tombstones.ids(spark, indexPath, ridCol) match {
+    Tombstones.ids(spark, indexPath, ridCol) match {
       case Some(t) =>
         // taken-down docs: tombstoned rid = the doc's CURRENT rid
         val takenDocs = t.join(
@@ -590,7 +605,6 @@ object CorpusUpsert {
           docOf(asOf(ridCol)) === takenDocs("doc"), "left_anti")
       case None => asOf
     }
-    df.join(rids, Seq(ridCol), "left_semi")
   }
 
   /** Fold the rev ledger to its current max-rev rows — the

@@ -461,6 +461,75 @@ object LexIndex {
       .agg(round(sum("term"), 6).as("bm25"))
   }
 
+  /** HISTORICAL BM25 — the probe restricted to an explicit id set,
+    * with corpus statistics computed over THAT set: `rids` is a
+    * one-column relation of `idCol` values (for the upsert corpus, the
+    * as-of rid set from [[graft.ops.CorpusUpsert.asOfRids]]), and
+    * every moving part of the score is historical —
+    *
+    *   - tf: the bucket-pruned postings slice scanned WITHOUT the
+    *     tombstone exclusion (a superseded revision's rows are history
+    *     until purged) and semi-joined to `rids`;
+    *   - df: recomputed from that filtered slice — per-term document
+    *     frequency IN the snapshot, free;
+    *   - N / avgdl: one aggregate over the rid-filtered `doclen/`
+    *     (doclen rows persist per revision until purge, so the
+    *     snapshot's exact length distribution is on disk).
+    *
+    * This closes the caveat [[graft.ops.CorpusUpsert.revsAsOf]]
+    * documents for corpus-statistic scores: the result is
+    * bit-identical to [[bm25ProbeIndex]] against an index holding
+    * exactly the snapshot corpus (LexIndexSpec pins it). REFUSED
+    * loudly when any requested rid has no doclen row — its revision's
+    * rows were already purged, and serving a silently smaller corpus
+    * would corrupt every score (the purge-horizon contract).
+    *
+    * 100 TB shape: the postings work is [[bm25ProbeIndex]]'s pruned
+    * slice plus one semi-join against the ledger-sized rid set; the
+    * stats aggregate is one column-pruned pass over `doclen/` (rows =
+    * revisions ever written — corpus-count-sized, not corpus-BYTES-
+    * sized), and the completeness check is one anti-join on the same
+    * relation.
+    */
+  def bm25ProbeRids(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      rids: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25ProbeRids: empty query-term set")
+    val buckets = readBuckets(spark, path)
+    import spark.implicits._
+    val idSet = rids.select(col(idCol))
+    val doclen = spark.read.parquet(s"$path/doclen")
+    val purged = idSet.join(doclen, Seq(idCol), "left_anti")
+      .limit(1).collect() // bounded: 0 or 1 row
+    require(purged.isEmpty,
+      s"bm25ProbeRids: id ${purged.headOption.map(_.get(0)).getOrElse("?")} " +
+        "has no doclen row — its revision was already purged; the " +
+        "snapshot horizon is the purge cadence (see CorpusUpsert.revsAsOf)")
+    val probeBuckets = queryTerms.distinct.toDF("w")
+      .withColumn("tb", termBucket(col("w"), buckets))
+      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val lens = doclen.join(idSet, Seq(idCol), "left_semi")
+    val stats0 = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+      .filter(col("w").isin(queryTerms.distinct: _*))
+      .select(col(idCol), col("w"), col("tf"))
+      .join(idSet, Seq(idCol), "left_semi") // the snapshot cut
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("w"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats0))
+      .select(col(idCol), okapiScore(col("tf"), col("df"), k1, b).as("term"))
+      .groupBy(col(idCol))
+      .agg(round(sum("term"), 6).as("bm25"))
+  }
+
   /** One (n_docs, avgdl) row — Σ(stats rows) minus the live tombstone
     * decrement (the tombstone rows carry dl, so the decrement is
     * takedown-sized and independent of purge progress). While

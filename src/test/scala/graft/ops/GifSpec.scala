@@ -182,6 +182,37 @@ class GifSpec extends AnyFunSuite {
     assert(VideoHash.frameLumSums(viaDispatch).length == 3)
   }
 
+  test("format independence: the same footage as GIF and as GVF1 decodes " +
+      "to BIT-IDENTICAL planes, so every fingerprint agrees") {
+    val (w, h, n) = (18, 12, 4)
+    val idx = (0 until n).map(f => fullFrame(w, h, f, seed = 21))
+    val gif = Gif.encodeGif(w, h, pal64, 0,
+      idx.zipWithIndex.map { case (px, f) =>
+        Gif.Frame(0, 0, w, h, px, interlaced = f % 2 == 1) })
+    val gvf = new Array[Byte](VideoHash.HeaderLen + 3 * w * h * n)
+    gvf(0) = 'G'; gvf(1) = 'V'; gvf(2) = 'F'; gvf(3) = '1'
+    def be(o: Int, v: Int): Unit = {
+      gvf(o) = (v >> 24).toByte; gvf(o + 1) = (v >> 16).toByte
+      gvf(o + 2) = (v >> 8).toByte; gvf(o + 3) = v.toByte
+    }
+    be(4, w); be(8, h); be(12, n)
+    for (f <- 0 until n; i <- 0 until w * h) {
+      val rgb = pal64(idx(f)(i) & 0xff)
+      val o = VideoHash.HeaderLen + 3 * (f * w * h + i)
+      gvf(o) = ((rgb >> 16) & 0xff).toByte
+      gvf(o + 1) = ((rgb >> 8) & 0xff).toByte
+      gvf(o + 2) = (rgb & 0xff).toByte
+    }
+    val a = VideoHash.decodeVideo(gif).toOption.get
+    val b = VideoHash.decodeVideo(gvf).toOption.get
+    assert(java.util.Arrays.equals(a.bytes, b.bytes),
+      "GIF and GVF planes diverged")
+    // the whole fingerprint stack therefore agrees bit-for-bit
+    assert(VideoHash.frameLumSums(a).toSeq === VideoHash.frameLumSums(b).toSeq)
+    assert(VideoHash.frameDiffs(a).map(_.toSeq).toSeq ===
+      VideoHash.frameDiffs(b).map(_.toSeq).toSeq)
+  }
+
   test("typed rejects and totality: truncation, bad rects, fuzzed bytes") {
     val good = Gif.encodeGif(9, 9, pal64, 0,
       Seq(Gif.Frame(0, 0, 9, 9, fullFrame(9, 9, 0, 1))))

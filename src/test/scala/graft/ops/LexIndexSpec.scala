@@ -134,4 +134,47 @@ class LexIndexSpec extends AnyFunSuite {
       b1, 0L, "doc_id", "text", reIdx, streamId = "s2"))
     assert(spark.read.parquet(s"$reIdx/doclen").count() === after + b1.count())
   }
+  test("bm25ProbeRids: snapshot scores ≡ an index holding exactly the " +
+      "snapshot corpus; purged revisions refuse loudly") {
+    import spark.implicits._
+    // a "big" index: the full corpus plus revision rows under shifted
+    // ids (the superseded originals stay physically present — no
+    // tombstone machinery needed to exercise the rid cut itself)
+    val off = 1000000L
+    val revised = docs.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" revx")).as("text"))
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft-lex-asof-full").toString + "/idx"
+    LexIndex.bm25WriteIndex(
+      docs.select("doc_id", "text").unionByName(revised),
+      "doc_id", "text", fullDir, buckets = 16)
+    // snapshot = originals for %4!=1 docs + revised rows for %4==1
+    val snapIds = docs.filter(col("doc_id") % 4 =!= 1).select("doc_id")
+      .unionByName(revised.select("doc_id"))
+    val got = scores(LexIndex.bm25ProbeRids(spark, fullDir, "doc_id",
+      terms, snapIds))
+    // reference: a fresh index that only ever held the snapshot corpus
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-lex-asof-snap").toString + "/idx"
+    val snapCorpus = docs.filter(col("doc_id") % 4 =!= 1)
+      .select("doc_id", "text").unionByName(revised)
+    LexIndex.bm25WriteIndex(snapCorpus, "doc_id", "text", snapDir,
+      buckets = 16)
+    val want = scores(LexIndex.bm25ProbeIndex(spark, snapDir, "doc_id",
+      terms))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // live stats differ from snapshot stats (the caveat is real): the
+    // full index's live probe scores diverge on shared ids
+    val live = scores(LexIndex.bm25ProbeIndex(spark, fullDir, "doc_id",
+      terms))
+    assert(live.exists { case (id, s) => got.get(id).exists(_ != s) })
+    // a rid with no doclen row (purged / never indexed) refuses loudly
+    val bad = snapIds.unionByName(Seq(99999999L).toDF("doc_id"))
+    val err = intercept[IllegalArgumentException](
+      LexIndex.bm25ProbeRids(spark, fullDir, "doc_id", terms, bad)
+        .collect())
+    assert(err.getMessage.contains("purged"))
+  }
 }
