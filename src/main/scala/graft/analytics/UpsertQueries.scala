@@ -1380,6 +1380,56 @@ object UpsertQueries {
             col("rev").cast("long").as("rev"),
             col("bm25").cast("double").as("score"))
         asof.unionByName(live).orderBy("kind", "doc_id")
+      }),
+
+    // BATCH retrieval from the COMPRESSED (IVF-PQ) index
+    // ([[graft.ops.Pq.pqIvfProbeJoin]]) — q244's query-relation shape
+    // through the two-stage ADC-shortlist → exact-rerank plan, with
+    // the per-query ADC LUT built by the native PqLut kernel and
+    // scored by PqAdcPair (LUT as a COLUMN — one LUT per query row,
+    // never per corpus row). In the exhaustive regime (every cluster
+    // probed, shortlist ≥ corpus) the rerank output is the exact
+    // per-query cosine top-k over the active corpus — the trained
+    // codebook only selects the shortlist, so DuckDB replays the
+    // result without modeling PQ at all (q244's oracle ground); real
+    // shortlisting keeps its recall suite in PqSpec.
+    NamedQuery(
+      "q246_pqivf_probe_join",
+      Some("""WITH e AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |          FROM embeddings),
+             |c AS (SELECT vec_id, v FROM e
+             |      WHERE list_dot_product(v, v) > 0 AND vec_id % 7 <> 3),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e
+             |      WHERE vec_id % 30 = 0 AND list_dot_product(v, v) > 0),
+             |s AS (SELECT q.qid, c.vec_id AS n_id,
+             |        ROUND(list_dot_product(q.qv, c.v)
+             |          / (sqrt(list_dot_product(q.qv, q.qv))
+             |             * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+             |      FROM q, c),
+             |r AS (SELECT qid AS q_id, n_id, cosine,
+             |        CAST(row_number() OVER (PARTITION BY qid
+             |          ORDER BY cosine DESC, n_id) AS INT) AS rank
+             |      FROM s)
+             |SELECT q_id, n_id, cosine, rank FROM r
+             |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("pqjoin", dir)
+        clearRoot(root)
+        val e = embs(s, dir)
+        val idxP = s"$root/pqivf"
+        val (cents, model) = q230GeoMemo.computeIfAbsent(s"$dir/q246",
+          _ => (VectorOps.kmeansCentroids(e, "embedding", 16),
+            Pq.pqTrain(e, "embedding", m = 8, codebook = 16)))
+        Pq.pqIvfWriteIndex(e, "vec_id", "embedding", idxP, model, cents)
+        VectorOps.ivfDeleteIds(
+          e.filter(col("vec_id") % 7 === 3).select("vec_id"),
+          "vec_id", idxP)
+        Pq.pqIvfProbeJoin(
+          e.filter(col("vec_id") % 30 === 0), idxP, model, cents,
+          "vec_id", "embedding", k = 8, nProbe = cents.length,
+          overFetch = 1000000)
+          .orderBy("q_id", "rank")
       })
   )
 }

@@ -26,6 +26,8 @@ object GraftFunctions {
   val NearestCentroidsHierName = "graft_nearest_centroids_hier"
   val PqCodesName = "graft_pq_codes"
   val PqAdcName = "graft_pq_adc"
+  val PqLutName = "graft_pq_lut"
+  val PqAdcPairName = "graft_pq_adc_pair"
   val BpeEncodeName = "graft_bpe_encode"
   val UnigramEncodeName = "graft_unigram_encode"
   val RollingHashesName = "graft_rolling_hashes"
@@ -284,6 +286,19 @@ object GraftFunctions {
         s"$PqAdcName: LUT length ${lut.length} is not a positive multiple of m=$m")
       PqAdc(exprs.head, lut, m, lut.length / m)
     }),
+    (PqLutName, 4, exprs => {
+      val flat = literalDoubleArray(exprs(1), PqLutName, "flatCodebook")
+      val m = literalInt(exprs(2), PqLutName, "m")
+      val subDim = literalInt(exprs(3), PqLutName, "subDim")
+      require(m >= 1 && subDim >= 1 && flat.nonEmpty &&
+        flat.length % (m * subDim) == 0,
+        s"$PqLutName: flat length ${flat.length} is not a positive " +
+          s"multiple of m*subDim = ${m * subDim}")
+      PqLut(exprs.head, flat, m, flat.length / (m * subDim), subDim)
+    }),
+    (PqAdcPairName, 4, exprs => PqAdcPair(exprs.head, exprs(1),
+      literalInt(exprs(2), PqAdcPairName, "m"),
+      literalInt(exprs(3), PqAdcPairName, "k"))),
     (BpeEncodeName, 3, exprs => {
       val lefts = literalStringArray(exprs(1), BpeEncodeName, "lefts")
       val rights = literalStringArray(exprs(2), BpeEncodeName, "rights")
@@ -347,6 +362,25 @@ object GraftFunctions {
     call_function(PqAdcName, codes,
       org.apache.spark.sql.functions.lit(flatLut),
       org.apache.spark.sql.functions.lit(m))
+
+  /** Native per-row ADC-LUT construction: a raw query-vector column →
+    * its flat [subspace][centroid] LUT against a fixed codebook — the
+    * per-query half of batch IVF-PQ retrieval (requires
+    * `register(spark)`).
+    */
+  def pqLut(vec: Column, flatCodebook: Array[Double], m: Int, subDim: Int): Column =
+    call_function(PqLutName, vec,
+      org.apache.spark.sql.functions.lit(flatCodebook),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(subDim))
+
+  /** Native ADC scoring of a codes column against a per-row LUT column
+    * (requires `register(spark)`).
+    */
+  def pqAdcPair(codes: Column, lut: Column, m: Int, k: Int): Column =
+    call_function(PqAdcPairName, codes, lut,
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k))
 
   /** Native BPE subword encode of a token array under a fixed
     * rank-ordered merge table (requires `register(spark)`).

@@ -94,6 +94,80 @@ object PqEval {
     }
     java.lang.Double.valueOf(s)
   }
+
+  /** The flat [subspace][centroid] ADC LUT of a RAW query vector —
+    * what `graft.ops.Pq.flatLut(model, unitQueryArr(query))` computes
+    * on the driver for one query, as a per-ROW kernel so a query
+    * RELATION can build its own LUT column: unit-normalize (same
+    * left-to-right norm order as [[codes]]), then
+    * lut(i·k + c) = Σ_j (u(i·subDim+j) − cent(i,c,j))², components
+    * accumulated left-to-right — bit-identical to the driver path
+    * (PqSpec pins it). Null for malformed / zero-norm vectors.
+    */
+  def lut(
+      vec: ArrayData,
+      flat: Array[Double],
+      m: Int,
+      k: Int,
+      subDim: Int,
+      vecIsFloat: Boolean): Array[Double] = {
+    val dim = m * subDim
+    if (vec.numElements() != dim) return null
+    var d = 0
+    while (d < dim) {
+      if (vec.isNullAt(d)) return null
+      d += 1
+    }
+    @inline def at(j: Int): Double =
+      if (vecIsFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+    var nrm2 = 0.0
+    var j = 0
+    while (j < dim) { val x = at(j); nrm2 += x * x; j += 1 }
+    val nrm = math.sqrt(nrm2)
+    if (!(nrm > 0)) return null
+    val out = new Array[Double](m * k)
+    var i = 0
+    while (i < m) {
+      var c = 0
+      while (c < k) {
+        val off = (i * k + c) * subDim
+        var s = 0.0
+        var jj = 0
+        while (jj < subDim) {
+          val x = at(i * subDim + jj) / nrm - flat(off + jj)
+          s += x * x
+          jj += 1
+        }
+        out(i * k + c) = s
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** [[adc]] with the LUT as a per-row COLUMN instead of a constant —
+    * the batch-retrieval pairing (each query row carries its own
+    * [[lut]]). Same ascending-subspace accumulation, null for
+    * malformed codes or a LUT of the wrong length.
+    */
+  def adcPair(
+      codes: ArrayData, lut: ArrayData, m: Int, k: Int): java.lang.Double = {
+    if (codes.numElements() != m) return null
+    if (lut.numElements() != m * k) return null
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k) return null
+      val idx = i * k + c
+      if (lut.isNullAt(idx)) return null
+      s += lut.getDouble(idx)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }
 
 /** Native PQ encode: raw vector → m sub-centroid codes (see
@@ -218,4 +292,120 @@ case class PqAdc(
   override def hashCode(): Int =
     java.util.Objects.hash(child, Int.box(m), Int.box(k),
       Int.box(java.util.Arrays.hashCode(lut)))
+}
+
+/** Native per-row ADC-LUT construction (see [[PqEval.lut]]): a query
+  * RELATION builds its own `array<double>` LUT column against the fixed
+  * codebook — the per-query half of the batch IVF-PQ retrieval pairing
+  * ([[PqAdcPair]]); runs once per QUERY row, never per corpus row.
+  */
+case class PqLut(
+    child: Expression,
+    flat: Array[Double],
+    m: Int,
+    k: Int,
+    subDim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _)
+        if m >= 1 && k >= 1 && subDim >= 1 && flat.length == m * k * subDim =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType | FloatType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_lut: inconsistent codebook " +
+          s"(flat=${flat.length}, m=$m, k=$k, subDim=$subDim)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_lut expects array<double|float>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(vec: Any): Any = {
+    val r = PqEval.lut(
+      vec.asInstanceOf[ArrayData], flat, m, k, subDim, vecIsFloat)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val arr = ctx.freshName("lut")
+      s"""
+         |final double[] $arr = graft.functions.PqEval.lut(
+         |  $v, $flatRef, $m, $k, $subDim, $vecIsFloat);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+
+  override def equals(other: Any): Boolean = other match {
+    case o: PqLut =>
+      child == o.child && m == o.m && k == o.k && subDim == o.subDim &&
+        java.util.Arrays.equals(flat, o.flat)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(m), Int.box(k), Int.box(subDim),
+      Int.box(java.util.Arrays.hashCode(flat)))
+}
+
+/** Native ADC scoring of a codes column against a per-row LUT COLUMN
+  * (see [[PqEval.adcPair]]) — the corpus×query half of the batch
+  * IVF-PQ retrieval pairing ([[PqLut]] builds the LUT side).
+  */
+case class PqAdcPair(
+    left: Expression,
+    right: Expression,
+    m: Int,
+    k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _))
+          if m >= 1 && k >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc_pair: m=$m, k=$k must be >= 1")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc_pair expects (array<int>, array<double>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    PqEval.adcPair(codes.asInstanceOf[ArrayData],
+      lut.asInstanceOf[ArrayData], m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val r = ctx.freshName("adist")
+      s"""
+         |final java.lang.Double $r = graft.functions.PqEval.adcPair(
+         |  $c, $l, $m, $k);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcPair =
+    copy(left = newLeft, right = newRight)
 }

@@ -482,4 +482,96 @@ object Pq {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** BATCH IVF-PQ retrieval — [[VectorOps.ivfProbeJoin]]'s
+    * query-RELATION shape for the COMPRESSED index: top-`k` exact
+    * cosine for every query in one pass through the two-stage
+    * shortlist-then-rerank plan [[pqIvfProbe]] runs per query.
+    *
+    *   1. each query builds its own ADC LUT in one map-only pass (the
+    *      native [[graft.functions.PqLut]] kernel — m·k doubles per
+    *      QUERY row, never touched per corpus row) and routes to its
+    *      `nProbe` clusters (native top-n centroids; hier routing past
+    *      `hierThreshold`);
+    *   2. ONE pruned scan of the union of probed clusters (file-listing
+    *      prune, tombstones excluded on the slice);
+    *   3. compressed-domain shortlist: the cluster-keyed join scores
+    *      `codes` against the query's LUT column via the native
+    *      [[graft.functions.PqAdcPair]] kernel — same rounding and
+    *      (adist, id) tie order as the per-query probe — keeping
+    *      `overFetch·k` per query via WindowGroupLimit;
+    *   4. exact rerank: the shortlist joins back to the SAME pruned
+    *      slice for dv/nrm, per-query top-k by (cosine desc, id).
+    *
+    * Exact whenever the shortlist covers the true top-k (identical to
+    * [[pqIvfProbe]] per query — PqSpec pins the batch ≡ per-query
+    * identity and the full-over-fetch exactness); scored work per
+    * query is nProbe × expected-cluster-size ADC lookups (compressed
+    * domain) plus overFetch·k exact dots.
+    */
+  def pqIvfProbeJoin(
+      queries: DataFrame,
+      path: String,
+      model: PqModel,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      overFetch: Int = 3,
+      hierThreshold: Int = 4096,
+      coarseProbes: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    require(k >= 1, s"pqIvfProbeJoin: k=$k must be >= 1")
+    require(nProbe >= 1, s"pqIvfProbeJoin: nProbe=$nProbe must be >= 1")
+    require(overFetch >= 1, s"pqIvfProbeJoin: overFetch=$overFetch must be >= 1")
+    require(centroids.nonEmpty, "pqIvfProbeJoin: empty centroid table")
+    import org.apache.spark.sql.expressions.Window
+    val np = math.min(nProbe, centroids.length)
+    val kCents = model.cents.head.length
+    val routing = VectorOps.routingFor(centroids, hierThreshold)
+    val qBase = queries
+      .select(col(idCol).as("q_id"), VectorOps.rawVec(queries, vecCol).as("qv"))
+      .withColumn("qn", VectorOps.l2Norm(col("qv")))
+      .filter(col("qn") > 0)
+      .withColumn("lut", graft.functions.GraftFunctions.pqLut(
+        col("qv"), flatCodebook(model), model.m, model.subDim))
+      .filter(col("lut").isNotNull) // uncodable queries drop, like zero-norm
+    val q = qBase.select(col("q_id"), col("lut"),
+      explode(routing match {
+        case Some((coarse, starts, mem)) =>
+          graft.functions.GraftFunctions.nearestCentroidsHier(
+            col("qv"), col("qn"), centroids, np, coarse, starts, mem,
+            coarseProbes)
+        case None =>
+          graft.functions.GraftFunctions.nearestCentroids(
+            col("qv"), col("qn"), centroids, np)
+      }).as("cluster"))
+    val probed = q.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ nClusters ints
+    val slice = Tombstones.excludeFrom(
+      spark.read.parquet(path).filter(col("cluster").isin(probed: _*)),
+      path, idCol)
+    val byAdist = Window.partitionBy("q_id")
+      .orderBy(col("adist"), col(idCol))
+    val shortlist = slice
+      .filter(col("codes").isNotNull) // pre-drop-contract indexes
+      .join(q, Seq("cluster"))
+      .select(col("q_id"), col(idCol),
+        round(graft.functions.GraftFunctions.pqAdcPair(
+          col("codes"), col("lut"), model.m, kCents), 6).as("adist"))
+      .withColumn("srank", row_number().over(byAdist))
+      .filter(col("srank") <= overFetch * k)
+      .select("q_id", idCol)
+    val byScore = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    slice
+      .join(shortlist, Seq(idCol))
+      .join(qBase.select("q_id", "qv", "qn"), Seq("q_id")) // query-scale
+      .select(col("q_id"), col(idCol).as("n_id"),
+        round(VectorOps.dot(col("qv"), col("dv")) /
+          (col("qn") * col("nrm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+  }
 }

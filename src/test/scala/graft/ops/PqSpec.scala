@@ -302,4 +302,60 @@ class PqSpec extends AnyFunSuite {
       Pq.pqTrain(embs, "embedding", m = 7) // 64 % 7 != 0
     }
   }
+  test("pqIvfProbeJoin: batch ≡ the per-query probe loop; native LUT/" +
+      "pair kernels ≡ the driver LUT; tombstones excluded") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-pqjoin")
+    val idx = s"$root/idx"
+    val cents = VectorOps.kmeansCentroids(embs, "embedding", 8)
+    val model = Pq.pqTrain(embs, "embedding", m = 8, codebook = 16)
+    Pq.pqIvfWriteIndex(embs, "vec_id", "embedding", idx, model, cents)
+    val queries = embs.filter(col("vec_id") % 40 === 0)
+    val qids = queries.select("vec_id").collect().map(_.getLong(0)).toSeq
+    def byQid(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toList).toMap
+    // batch ≡ per-query loop at a REAL over-fetch (the shortlist stage
+    // must agree choice-for-choice, not just the reranked survivors)
+    val batch = byQid(Pq.pqIvfProbeJoin(queries, idx, model, cents,
+      "vec_id", "embedding", k = 5, nProbe = 3, overFetch = 3))
+    assert(batch.keySet === qids.toSet)
+    qids.foreach { qid =>
+      val qv = embs.filter(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val one = Pq.pqIvfProbe(spark, idx, model, cents, "vec_id", qv, 5,
+          nProbe = 3, overFetch = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+      assert(batch(qid) === one, s"qid $qid diverged from pqIvfProbe")
+      assert(batch(qid).head._1 === qid) // self at rank 1
+    }
+    // the per-row LUT kernel is bit-identical to the driver LUT the
+    // scalar probe uses (same norm order, same component accumulation)
+    import spark.implicits._
+    val someQ = embs.filter(col("vec_id") === qids.head)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val kernelLut = embs.filter(col("vec_id") === qids.head)
+      .select(graft.functions.GraftFunctions.pqLut(col("embedding"),
+        model.cents.flatten.flatten.toArray, model.m, model.subDim))
+      .head().getSeq[Double](0)
+    val qn = math.sqrt(someQ.map(x => x * x).sum)
+    val unit = someQ.map(_ / qn).toArray
+    val driverLut = Array.tabulate(model.m * model.cents.head.length) { i =>
+      val sub = i / model.cents.head.length
+      val c = i % model.cents.head.length
+      val slice = unit.slice(sub * model.subDim, (sub + 1) * model.subDim)
+      slice.zip(model.cents(sub)(c)).map { case (a, b) =>
+        (a - b) * (a - b) }.sum
+    }
+    assert(kernelLut.toArray.toSeq === driverLut.toSeq)
+    // takedown: deleted vectors can still ask, never be found
+    VectorOps.ivfDeleteIds(queries.select("vec_id"), "vec_id", idx)
+    val after = Pq.pqIvfProbeJoin(queries, idx, model, cents, "vec_id",
+        "embedding", k = 5, nProbe = cents.length, overFetch = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.nonEmpty)
+    assert(after.forall { case (_, n) => !qids.contains(n) })
+  }
 }
