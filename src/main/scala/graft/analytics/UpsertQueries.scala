@@ -1163,10 +1163,16 @@ object UpsertQueries {
              |         CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END
              |              AS BIGINT) AS rev,
              |         CAST(NULL AS DOUBLE) AS score
-             |       FROM base)
+             |       FROM base),
+             |ch AS (SELECT 'chg' AS kind, CAST(-1 AS BIGINT) AS qid,
+             |         doc_id,
+             |         CAST(CASE WHEN doc_id % 12 = 2 THEN 2 ELSE 1 END
+             |              AS BIGINT) AS rev,
+             |         CAST(0 AS DOUBLE) AS score
+             |       FROM base WHERE doc_id % 6 = 2)
              |SELECT kind, qid, doc_id, rev, score FROM (
              |  SELECT * FROM h1 UNION ALL SELECT * FROM h2
-             |  UNION ALL SELECT * FROM rv)
+             |  UNION ALL SELECT * FROM rv UNION ALL SELECT * FROM ch)
              |ORDER BY kind, qid, doc_id, rev""".stripMargin),
       (s, dir) => {
         val root = stageRoot("snapq", dir)
@@ -1228,7 +1234,15 @@ object UpsertQueries {
           .select(lit("rev").as("kind"), lit(-1L).as("qid"),
             col("doc").as("doc_id"), col("rev").cast("long").as("rev"),
             lit(null).cast("double").as("score"))
-        ham1.unionByName(ham2).unionByName(rv)
+        // the CDC feed between the two gated snapshots — every change
+        // here is an update from rev 0 (the revision chain revises
+        // existing docs; inserts are pinned in CorpusUpsertSpec)
+        val chg = CorpusUpsert.changesBetween(s, upsRoot,
+            Seq("b0"), Seq("b0", "b1", "b2"))
+          .select(lit("chg").as("kind"), lit(-1L).as("qid"),
+            col("doc").as("doc_id"), col("to_rev").cast("long").as("rev"),
+            col("from_rev").cast("double").as("score"))
+        ham1.unionByName(ham2).unionByName(rv).unionByName(chg)
           .orderBy("kind", "qid", "doc_id", "rev")
       }),
 

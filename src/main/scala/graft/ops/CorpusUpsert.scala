@@ -581,6 +581,40 @@ object CorpusUpsert {
     df.join(asOfRids(df.sparkSession, root, keys, indexPath, ridCol),
       Seq(ridCol), "left_semi")
 
+  /** CDC between two snapshots — one row per document whose state
+    * DIFFERS between as-of(`fromKeys`) and as-of(`toKeys`): `(doc,
+    * from_rev, to_rev, op)` with `op` = `insert` (doc absent from the
+    * earlier snapshot, `from_rev` null) or `update` (rev advanced) —
+    * the `table_changes` feed a downstream consumer replays instead of
+    * re-reading the corpus. `fromKeys` must be a SUBSET of `toKeys`
+    * (snapshots along one history; anything else has no well-defined
+    * direction and is refused), and both sets pass [[revsAsOf]]'s full
+    * validation. Takedowns are deliberately NOT in the feed: deletes
+    * live on the tombstone side, never in the rev ledger, and the
+    * permanence contract means a consumer must drop erased docs via
+    * its own takedown channel, not discover them by diffing history.
+    *
+    * 100 TB shape: two delta-sized ledger reads + one doc-keyed join —
+    * the feed costs what changed, not what exists.
+    */
+  def changesBetween(
+      spark: SparkSession, root: String,
+      fromKeys: Seq[String], toKeys: Seq[String]): DataFrame = {
+    require(fromKeys.toSet.subsetOf(toKeys.toSet),
+      s"changesBetween: fromKeys must be a subset of toKeys — " +
+        s"${fromKeys.toSet -- toKeys.toSet} appear only on the FROM side, " +
+        "so the two snapshots are not points on one history")
+    val a = revsAsOf(spark, root, fromKeys)
+      .withColumnRenamed("rev", "from_rev")
+    val b = revsAsOf(spark, root, toKeys)
+      .withColumnRenamed("rev", "to_rev")
+    b.join(a, Seq("doc"), "left")
+      .filter(col("from_rev").isNull || col("to_rev") > col("from_rev"))
+      .select(col("doc"), col("from_rev"), col("to_rev"),
+        when(col("from_rev").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"))
+  }
+
   /** The snapshot's rid SET (one `ridCol` column): [[revsAsOf]]'s
     * (doc, rev) as composite rids, minus every doc whose CURRENT
     * revision sits in `indexPath`'s tombstone set (a takedown — see

@@ -793,6 +793,26 @@ class CorpusUpsertSpec extends AnyFunSuite {
       .getMessage.contains("never completed"))
     fs.create(doneB3, true).close()
 
+    // CDC: changes between snapshots — updates from the revision
+    // chain, inserts from a batch of NEW docs; from ⊄ to refused
+    val chg01 = CorpusUpsert.changesBetween(spark, r.ups,
+        Seq("b0"), Seq("b0", "b1"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2),
+        x.getString(3))).toSet
+    assert(chg01 === (0L until 100L).filter(_ % 3 == 1)
+      .map(d => (d, 0, 1, "update")).toSet)
+    val newDocs = corpus0.filter($"doc_id" < 5)
+      .select(($"doc_id" + 500).as("doc_id"), $"text", $"embedding")
+    CorpusUpsert.applyBatch(newDocs, "doc_id", "b4", r.ups, targets)
+    val chg4 = CorpusUpsert.changesBetween(spark, r.ups,
+        Seq("b0", "b1", "b2", "b3"), Seq("b0", "b1", "b2", "b3", "b4"))
+      .collect().map(x => (x.getLong(0), x.isNullAt(1), x.getInt(2),
+        x.getString(3))).toSet
+    assert(chg4 === (500L until 505L).map(d => (d, true, 0, "insert")).toSet)
+    assert(intercept[IllegalArgumentException](
+      CorpusUpsert.changesBetween(spark, r.ups, Seq("b0", "b4"), Seq("b0")))
+      .getMessage.contains("subset"))
+
     // takedown permanence: deleted docs stay deleted in EVERY snapshot,
     // including ones whose keys predate the delete
     CorpusUpsert.deleteDocs(
