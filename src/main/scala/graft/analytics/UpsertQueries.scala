@@ -1444,6 +1444,111 @@ object UpsertQueries {
           "vec_id", "embedding", k = 8, nProbe = cents.length,
           overFetch = 1000000)
           .orderBy("q_id", "rank")
+      }),
+
+    // SNAPSHOT phrase retrieval — the positional family's as-of mode
+    // (`rids` on [[graft.ops.LexIndex.bm25PhraseRank]]): revisions ADD
+    // phrase occurrences, so the same probe answers differently at
+    // each point in history — phrase_tf, df_p and N/avgdl are all
+    // computed over the snapshot (q245's historical-statistics
+    // treatment, for phrases). DuckDB rebuilds both corpora and
+    // replays tokenization + anchored adjacency + the Okapi score
+    // with each corpus's own statistics; the takedown (doc%10=4) is
+    // absent from both relations at every revision.
+    NamedQuery(
+      "q247_phrase_asof",
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |s1 AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 6 = 2 THEN text || ' vector scan'
+             |              ELSE text END AS text,
+             |         CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS rev
+             |       FROM d WHERE doc_id % 10 <> 4),
+             |cur AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 12 = 2
+             |              THEN text || ' vector scan vector scan'
+             |              WHEN doc_id % 6 = 2 THEN text || ' vector scan'
+             |              ELSE text END AS text,
+             |         CASE WHEN doc_id % 12 = 2 THEN 2
+             |              WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS rev
+             |       FROM d WHERE doc_id % 10 <> 4),
+             |m1 AS (SELECT doc_id, rev,
+             |         CAST(len(tok) AS DOUBLE) dl,
+             |         len(list_filter(range(len(tok) - 1),
+             |           i -> tok[i+1] = 'vector' AND tok[i+2] = 'scan')) ptf
+             |       FROM (SELECT doc_id, rev, string_split(text, ' ') tok
+             |             FROM s1)),
+             |st1 AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl
+             |        FROM m1),
+             |dfp1 AS (SELECT CAST(count(*) AS DOUBLE) df_p FROM m1
+             |         WHERE ptf > 0),
+             |bm1 AS (SELECT 'asof' AS kind, doc_id,
+             |          CAST(rev AS BIGINT) AS rev,
+             |          CAST(ptf AS BIGINT) AS phrase_tf,
+             |          ROUND(ln((st1.n_docs - dfp1.df_p + 0.5)
+             |              / (dfp1.df_p + 0.5) + 1.0)
+             |            * CAST(ptf AS DOUBLE) * 2.2
+             |            / (CAST(ptf AS DOUBLE) + 1.2 * (1.0 - 0.75
+             |               + 0.75 * dl / st1.avgdl)), 6) AS score
+             |        FROM m1 CROSS JOIN st1 CROSS JOIN dfp1 WHERE ptf > 0),
+             |m2 AS (SELECT doc_id, rev,
+             |         CAST(len(tok) AS DOUBLE) dl,
+             |         len(list_filter(range(len(tok) - 1),
+             |           i -> tok[i+1] = 'vector' AND tok[i+2] = 'scan')) ptf
+             |       FROM (SELECT doc_id, rev, string_split(text, ' ') tok
+             |             FROM cur)),
+             |st2 AS (SELECT CAST(count(*) AS DOUBLE) n_docs, AVG(dl) avgdl
+             |        FROM m2),
+             |dfp2 AS (SELECT CAST(count(*) AS DOUBLE) df_p FROM m2
+             |         WHERE ptf > 0),
+             |bm2 AS (SELECT 'live' AS kind, doc_id,
+             |          CAST(rev AS BIGINT) AS rev,
+             |          CAST(ptf AS BIGINT) AS phrase_tf,
+             |          ROUND(ln((st2.n_docs - dfp2.df_p + 0.5)
+             |              / (dfp2.df_p + 0.5) + 1.0)
+             |            * CAST(ptf AS DOUBLE) * 2.2
+             |            / (CAST(ptf AS DOUBLE) + 1.2 * (1.0 - 0.75
+             |               + 0.75 * dl / st2.avgdl)), 6) AS score
+             |        FROM m2 CROSS JOIN st2 CROSS JOIN dfp2 WHERE ptf > 0)
+             |SELECT kind, doc_id, rev, phrase_tf, score FROM (
+             |  SELECT * FROM bm1 UNION ALL SELECT * FROM bm2)
+             |ORDER BY kind, doc_id""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("phasof", dir)
+        clearRoot(root)
+        val rid = CorpusUpsert.RidCol
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val b1 = base.filter(col("doc_id") % 6 === 2)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" vector scan")).as("text"))
+        val b2 = base.filter(col("doc_id") % 12 === 2)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" vector scan vector scan")).as("text"))
+        val (upsRoot, bmP) = (s"$root/ups", s"$root/bm25")
+        LexIndex.bm25WriteIndex(
+          base.select(col("doc_id").as(rid), col("text")).limit(0),
+          rid, "text", bmP, buckets = 32, positional = true)
+        val targets = Seq(CorpusUpsert.Bm25Target(bmP, "text"))
+        CorpusUpsert.applyBatch(base, "doc_id", "b0", upsRoot, targets)
+        CorpusUpsert.applyBatch(b1, "doc_id", "b1", upsRoot, targets)
+        CorpusUpsert.applyBatch(b2, "doc_id", "b2", upsRoot, targets)
+        CorpusUpsert.deleteDocs(
+          base.filter(col("doc_id") % 10 === 4).select("doc_id"),
+          "doc_id", upsRoot, targets)
+        val phrase = Seq("vector", "scan")
+        val asofRids = CorpusUpsert.asOfRids(s, upsRoot, Seq("b0", "b1"),
+          bmP)
+        val asof = CorpusUpsert.withDocRev(
+          LexIndex.bm25PhraseRank(s, bmP, rid, phrase,
+            rids = Some(asofRids)), rid)
+          .select(lit("asof").as("kind"), col("doc_id"),
+            col("rev").cast("long").as("rev"), col("phrase_tf"),
+            col("bm25").cast("double").as("score"))
+        val live = CorpusUpsert.withDocRev(
+          LexIndex.bm25PhraseRank(s, bmP, rid, phrase), rid)
+          .select(lit("live").as("kind"), col("doc_id"),
+            col("rev").cast("long").as("rev"), col("phrase_tf"),
+            col("bm25").cast("double").as("score"))
+        asof.unionByName(live).orderBy("kind", "doc_id")
       })
   )
 }

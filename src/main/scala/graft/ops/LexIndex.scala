@@ -503,19 +503,13 @@ object LexIndex {
     val buckets = readBuckets(spark, path)
     import spark.implicits._
     val idSet = rids.select(col(idCol))
-    val doclen = spark.read.parquet(s"$path/doclen")
-    val purged = idSet.join(doclen, Seq(idCol), "left_anti")
-      .limit(1).collect() // bounded: 0 or 1 row
-    require(purged.isEmpty,
-      s"bm25ProbeRids: id ${purged.headOption.map(_.get(0)).getOrElse("?")} " +
-        "has no doclen row — its revision was already purged; the " +
-        "snapshot horizon is the purge cadence (see CorpusUpsert.revsAsOf)")
+    requireUnpurged(spark, path, idCol, idSet, "bm25ProbeRids")
     val probeBuckets = queryTerms.distinct.toDF("w")
       .withColumn("tb", termBucket(col("w"), buckets))
       .select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    val lens = doclen.join(idSet, Seq(idCol), "left_semi")
-    val stats0 = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    val lens = spark.read.parquet(s"$path/doclen")
+      .join(idSet, Seq(idCol), "left_semi")
+    val stats0 = snapshotStats(spark, path, idCol, idSet)
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
       .filter(col("w").isin(queryTerms.distinct: _*))
@@ -529,6 +523,36 @@ object LexIndex {
       .groupBy(col(idCol))
       .agg(round(sum("term"), 6).as("bm25"))
   }
+
+  /** The snapshot-read purge guard: every requested id must still have
+    * its doclen row (rows persist per revision until a purge reclaims
+    * them) — otherwise the snapshot is silently smaller than requested
+    * and every statistic computed over it is wrong. Shared by
+    * [[bm25ProbeRids]] and the positional probes' rids mode.
+    */
+  private def requireUnpurged(
+      spark: SparkSession, path: String, idCol: String,
+      idSet: DataFrame, op: String): Unit = {
+    val purged = idSet
+      .join(spark.read.parquet(s"$path/doclen"), Seq(idCol), "left_anti")
+      .limit(1).collect() // bounded: 0 or 1 row
+    require(purged.isEmpty,
+      s"$op: id ${purged.headOption.map(_.get(0)).getOrElse("?")} " +
+        "has no doclen row — its revision was already purged; the " +
+        "snapshot horizon is the purge cadence (see CorpusUpsert.revsAsOf)")
+  }
+
+  /** (n_docs, avgdl) over the SNAPSHOT corpus — one aggregate over the
+    * rid-filtered doclen (dl are integer-valued doubles; sum and
+    * count are exact, so the division is bit-stable cross-engine).
+    */
+  private def snapshotStats(
+      spark: SparkSession, path: String, idCol: String,
+      idSet: DataFrame): DataFrame =
+    spark.read.parquet(s"$path/doclen")
+      .join(idSet, Seq(idCol), "left_semi")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
 
   /** One (n_docs, avgdl) row — Σ(stats rows) minus the live tombstone
     * decrement (the tombstone rows carry dl, so the decrement is
@@ -578,26 +602,39 @@ object LexIndex {
     * aggregation — candidate volume entering the verify expression is
     * the docs containing the RAREST term at most, never the corpus.
     */
+  /** `rids = Some(idSet)` switches to SNAPSHOT mode: the slice keeps
+    * tombstoned rows (superseded revisions are history until a purge)
+    * and cuts to the id set instead — the
+    * [[graft.ops.CorpusUpsert.asOfRids]] pairing, with the purge guard
+    * [[bm25ProbeRids]] documents.
+    */
   private def positionMaps(
       spark: SparkSession,
       path: String,
       idCol: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String],
+      rids: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "positional probe: empty term set")
     require(readPositional(spark, path),
       s"positional probe: index at $path was not written with " +
         "positional = true — phrase/proximity need position arrays")
+    rids.foreach(r => requireUnpurged(spark, path, idCol,
+      r.select(col(idCol)), "positional probe (rids)"))
     val buckets = readBuckets(spark, path)
     import spark.implicits._
     val probeBuckets = terms.distinct.toDF("w")
       .withColumn("tb", termBucket(col("w"), buckets))
       .select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    Tombstones.excludeFrom(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
-        .filter(col("w").isin(terms.distinct: _*))
-        .select(col(idCol), col("w"), col("ps")),
-      path, idCol)
+    val slice0 = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+      .filter(col("w").isin(terms.distinct: _*))
+      .select(col(idCol), col("w"), col("ps"))
+    val slice = rids match {
+      case Some(r) => slice0.join(r.select(col(idCol)), Seq(idCol),
+        "left_semi") // the snapshot cut — tombstoned rows stay
+      case None => Tombstones.excludeFrom(slice0, path, idCol)
+    }
+    slice
       .groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("w"), col("ps"))))
         .as("m"))
@@ -624,13 +661,19 @@ object LexIndex {
     * later in the phrase: the later occurrence is just another anchor
     * that passes iff a full phrase starts there.
     */
+  /** `rids = Some(idSet)` runs the probe over a SNAPSHOT (the
+    * [[graft.ops.CorpusUpsert.asOfRids]] id set): tombstoned rows
+    * stay visible as history, the result cut to the set — exact
+    * historical phrase matches (every statistic here is per-document).
+    */
   def bm25PhraseProbe(
       spark: SparkSession,
       path: String,
       idCol: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String],
+      rids: Option[DataFrame] = None): DataFrame = {
     require(phrase.size >= 2, "bm25PhraseProbe: need >= 2 phrase terms")
-    val m = positionMaps(spark, path, idCol, phrase)
+    val m = positionMaps(spark, path, idCol, phrase, rids)
     val anchors = element_at(col("m"), lit(phrase.head))
     val matches = filter(anchors, p =>
       phrase.zipWithIndex.tail
@@ -650,17 +693,26 @@ object LexIndex {
     * aggregate and the doclen attach to the phrase probe's no-join
     * shape.
     */
+  /** `rids = Some(idSet)` scores over the SNAPSHOT: matches from the
+    * rid-cut probe, df_p from those matches, N/avgdl from the
+    * rid-filtered doclen — fully historical scores, the
+    * [[bm25ProbeRids]] treatment for phrases.
+    */
   def bm25PhraseRank(
       spark: SparkSession,
       path: String,
       idCol: String,
       phrase: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    val m = bm25PhraseProbe(spark, path, idCol, phrase)
+      b: Double = 0.75,
+      rids: Option[DataFrame] = None): DataFrame = {
+    val m = bm25PhraseProbe(spark, path, idCol, phrase, rids)
     val lens = spark.read.parquet(s"$path/doclen")
     val dfp = m.agg(count(lit(1)).cast("double").as("df_p"))
-    val stats = corpusStats(spark, path, idCol)
+    val stats = rids match {
+      case Some(r) => snapshotStats(spark, path, idCol, r.select(col(idCol)))
+      case None => corpusStats(spark, path, idCol)
+    }
     val score = okapiScore(col("phrase_tf").cast("double"), col("df_p"),
       k1, b)
     m.join(lens, Seq(idCol))
@@ -695,14 +747,15 @@ object LexIndex {
       path: String,
       idCol: String,
       terms: Seq[String],
-      window: Int): DataFrame = {
+      window: Int,
+      rids: Option[DataFrame] = None): DataFrame = {
     require(terms.size >= 2, "bm25ProximityProbe: need >= 2 terms")
     require(window >= terms.size,
       s"bm25ProximityProbe: window=$window cannot fit ${terms.size} terms")
     val mult: Map[String, Int] =
       terms.groupBy(identity).map { case (t, os) => (t, os.size) }
     val dterms = terms.distinct
-    val m = positionMaps(spark, path, idCol, dterms)
+    val m = positionMaps(spark, path, idCol, dterms, rids)
     // long arithmetic: when a doc holds FEWER than k occurrences of a
     // term, every anchor coalesces far, and far − p + 1 at p = 0 would
     // overflow int (ANSI error / silent negative span pre-ANSI); the
@@ -749,11 +802,15 @@ object LexIndex {
       terms: Seq[String],
       window: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    val m = bm25ProximityProbe(spark, path, idCol, terms, window)
+      b: Double = 0.75,
+      rids: Option[DataFrame] = None): DataFrame = {
+    val m = bm25ProximityProbe(spark, path, idCol, terms, window, rids)
     val lens = spark.read.parquet(s"$path/doclen")
     val dfp = m.agg(count(lit(1)).cast("double").as("df_p"))
-    val stats = corpusStats(spark, path, idCol)
+    val stats = rids match {
+      case Some(r) => snapshotStats(spark, path, idCol, r.select(col(idCol)))
+      case None => corpusStats(spark, path, idCol)
+    }
     val ptf = lit(terms.size.toDouble) / col("span").cast("double")
     val score = okapiScore(ptf, col("df_p"), k1, b)
     m.join(lens, Seq(idCol))

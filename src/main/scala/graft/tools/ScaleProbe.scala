@@ -1119,6 +1119,71 @@ object ScaleProbe {
           f"warm_ms=${warmLat() * 1000}%6.1f (${16 * scale} clusters)")
       }
     }
+    // Batch retrieval joins under the nClusters ~ N rule: a FIXED
+    // query relation (the 1x replica's ids — byte-identical at both
+    // scales) against 1x vs kx indexes. Scored work per query is
+    // nProbe × expected-cluster-size (constant by the rule), so the
+    // whole-relation wall must sit near the 1x point — the batch
+    // analogue of ivfpq_probe's flat scalar latency, amortizing the
+    // listing/plan overhead over the relation instead of per query.
+    if (only.forall(_.exists("batch_join".startsWith))) {
+      for ((label, d, scale) <- Seq(("1x", dir, 1), (s"${k}x", tmp, k))) {
+        val embs = Tables.load(spark, d, "embeddings")
+        val cents = graft.ops.VectorOps.kmeansCentroids(
+          embs, "embedding", 16 * scale,
+          sampleRows = math.max(4096, 8 * 16 * scale))
+        val model = graft.ops.Pq.pqTrain(embs, "embedding", 8, 16)
+        val exPath = s"$tmp/batchjoin_ivf_$label"
+        val pqPath = s"$tmp/batchjoin_pq_$label"
+        graft.ops.VectorOps.ivfAppendIndex(
+          embs, "vec_id", "embedding", exPath, cents)
+        graft.ops.Pq.pqIvfWriteIndex(
+          embs, "vec_id", "embedding", pqPath, model, cents)
+        val queries = Tables.load(spark, dir, "embeddings")
+          .filter(col("vec_id") % 20 === 0)
+        val nq = queries.count()
+        def lat(f: => org.apache.spark.sql.DataFrame): Double =
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            f.collect()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        lat(graft.ops.VectorOps.ivfProbeJoin(queries, exPath, cents,
+          "vec_id", "embedding", k = 10, nProbe = 4)) // warm
+        val exSec = lat(graft.ops.VectorOps.ivfProbeJoin(queries, exPath,
+          cents, "vec_id", "embedding", k = 10, nProbe = 4))
+        lat(graft.ops.Pq.pqIvfProbeJoin(queries, pqPath, model, cents,
+          "vec_id", "embedding", k = 10, nProbe = 4, overFetch = 3)) // warm
+        val pqSec = lat(graft.ops.Pq.pqIvfProbeJoin(queries, pqPath,
+          model, cents, "vec_id", "embedding", k = 10, nProbe = 4,
+          overFetch = 3))
+        // the scalar baseline the join amortizes away: the same
+        // queries one WARM pqIvfProbeFrom/ivfProbeIndex call at a
+        // time (10 sampled, extrapolated per query)
+        val qvecs = queries.limit(10).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+        val pqIdxOpened = spark.read.parquet(pqPath)
+        qvecs.take(2).foreach { qv => // warm both scalar paths
+          graft.ops.VectorOps.ivfProbeIndex(spark, exPath, cents,
+            "vec_id", qv, 10, nProbe = 4).collect()
+          graft.ops.Pq.pqIvfProbeFrom(pqIdxOpened, model, cents,
+            "vec_id", qv, 10, nProbe = 4, overFetch = 3).collect()
+        }
+        val t0 = System.nanoTime()
+        qvecs.foreach(qv => graft.ops.VectorOps.ivfProbeIndex(spark,
+          exPath, cents, "vec_id", qv, 10, nProbe = 4).collect())
+        val exScalarMs = (System.nanoTime() - t0) / 1e6 / qvecs.length
+        val t1 = System.nanoTime()
+        qvecs.foreach(qv => graft.ops.Pq.pqIvfProbeFrom(pqIdxOpened,
+          model, cents, "vec_id", qv, 10, nProbe = 4, overFetch = 3)
+          .collect())
+        val pqScalarMs = (System.nanoTime() - t1) / 1e6 / qvecs.length
+        println(f"[scale] batch_join $label%-4s ivf_s=$exSec%6.2f " +
+          f"pqivf_s=$pqSec%6.2f scalar_ivf_ms/q=$exScalarMs%6.1f " +
+          f"scalar_pqivf_ms/q=$pqScalarMs%6.1f " +
+          f"(${16 * scale} clusters, $nq queries)")
+      }
+    }
     // Incremental-manifest repair cost: the round-8 default flip made
     // min-id re-election the default manifest path; this measures what
     // the repair costs per call next to the raw first-seen read.

@@ -323,4 +323,59 @@ class LexPositionalSpec extends AnyFunSuite {
       prox(repIdx, 2, "a", "a", "b"))
     assert(e3.getMessage.contains("window"))
   }
+  test("rids (snapshot) mode: probes/ranks ≡ a fresh positional index " +
+      "over exactly the snapshot corpus; purged ids refuse") {
+    // big index = snapshot docs + extra revision rows under shifted ids
+    val docs = Tables.load(spark, TestSpark.Sf001, "documents")
+      .select($"doc_id", $"text")
+    val off = 1000000L
+    val revised = docs.filter($"doc_id" % 5 === 2)
+      .select(($"doc_id" + off).as("doc_id"),
+        concat($"text", lit(" vector scan")).as("text"))
+    val fullIdx = tmp("asof-full")
+    LexIndex.bm25WriteIndex(docs.unionByName(revised), "doc_id", "text",
+      fullIdx, buckets = 16, positional = true)
+    val snapIds = docs.filter($"doc_id" % 5 =!= 2).select("doc_id")
+      .unionByName(revised.select("doc_id"))
+    val snapIdx = tmp("asof-snap")
+    LexIndex.bm25WriteIndex(
+      docs.filter($"doc_id" % 5 =!= 2).select("doc_id", "text")
+        .unionByName(revised),
+      "doc_id", "text", snapIdx, buckets = 16, positional = true)
+    val ph = Seq("vector", "scan")
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(LexIndex.bm25PhraseProbe(spark, fullIdx, "doc_id", ph,
+        rids = Some(snapIds))) ===
+      rows(LexIndex.bm25PhraseProbe(spark, snapIdx, "doc_id", ph)))
+    assert(rows(LexIndex.bm25PhraseRank(spark, fullIdx, "doc_id", ph,
+        rids = Some(snapIds))) ===
+      rows(LexIndex.bm25PhraseRank(spark, snapIdx, "doc_id", ph)))
+    assert(rows(LexIndex.bm25ProximityProbe(spark, fullIdx, "doc_id",
+        Seq("vector", "join"), window = 12, rids = Some(snapIds))) ===
+      rows(LexIndex.bm25ProximityProbe(spark, snapIdx, "doc_id",
+        Seq("vector", "join"), window = 12)))
+    assert(rows(LexIndex.bm25ProximityRank(spark, fullIdx, "doc_id",
+        Seq("vector", "join"), window = 12, rids = Some(snapIds))) ===
+      rows(LexIndex.bm25ProximityRank(spark, snapIdx, "doc_id",
+        Seq("vector", "join"), window = 12)))
+    // snapshot mode sees THROUGH tombstones (superseded rows are
+    // history): deleting a snapshot doc hides it from the live probe
+    // but not from the rids probe
+    val victim = LexIndex.bm25PhraseRank(spark, fullIdx, "doc_id", ph,
+        rids = Some(snapIds))
+      .select("doc_id").head().getLong(0)
+    LexIndex.bm25DeleteIds(Seq(victim).toDF("doc_id"), "doc_id", fullIdx)
+    assert(!LexIndex.bm25PhraseProbe(spark, fullIdx, "doc_id", ph)
+      .collect().map(_.getLong(0)).contains(victim))
+    assert(LexIndex.bm25PhraseProbe(spark, fullIdx, "doc_id", ph,
+        rids = Some(snapIds))
+      .collect().map(_.getLong(0)).contains(victim))
+    // an id with no doclen row (purged / never indexed) refuses loudly
+    val bad = snapIds.unionByName(Seq(99999999L).toDF("doc_id"))
+    val err = intercept[IllegalArgumentException](
+      LexIndex.bm25PhraseProbe(spark, fullIdx, "doc_id", ph,
+        rids = Some(bad)).collect())
+    assert(err.getMessage.contains("purged"))
+  }
 }
