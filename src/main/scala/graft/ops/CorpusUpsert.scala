@@ -128,6 +128,10 @@ object CorpusUpsert {
     def path: String
     private[ops] def stage(delta: DataFrame, stageDir: String): Unit
     private[ops] def delete(rids: DataFrame): Unit
+    /** The layout's physical tombstone drop (quiesced window). */
+    private[ops] def purge(spark: SparkSession): Map[String, (Int, Int)]
+    /** The layout's append-litter fold (quiesced window, tombstone-free). */
+    private[ops] def compact(spark: SparkSession): Map[String, (Int, Int)]
   }
 
   final case class IvfTarget(
@@ -140,6 +144,10 @@ object CorpusUpsert {
         centroids)
     private[ops] def delete(rids: DataFrame): Unit =
       VectorOps.ivfDeleteIds(rids, RidCol, path)
+    private[ops] def purge(spark: SparkSession): Map[String, (Int, Int)] =
+      VectorOps.ivfPurgeIndex(spark, path, RidCol)
+    private[ops] def compact(spark: SparkSession): Map[String, (Int, Int)] =
+      VectorOps.ivfCompactIndex(spark, path)
   }
 
   final case class PqIvfTarget(
@@ -153,6 +161,10 @@ object CorpusUpsert {
         centroids)
     private[ops] def delete(rids: DataFrame): Unit =
       Pq.pqIvfDeleteIds(rids, RidCol, path)
+    private[ops] def purge(spark: SparkSession): Map[String, (Int, Int)] =
+      VectorOps.ivfPurgeIndex(spark, path, RidCol) // same cluster= layout
+    private[ops] def compact(spark: SparkSession): Map[String, (Int, Int)] =
+      VectorOps.ivfCompactIndex(spark, path)
   }
 
   final case class Bm25Target(
@@ -163,6 +175,10 @@ object CorpusUpsert {
       LexIndex.stageAppend(delta, RidCol, textCol, path, stageDir)
     private[ops] def delete(rids: DataFrame): Unit =
       LexIndex.bm25DeleteIds(rids, RidCol, path)
+    private[ops] def purge(spark: SparkSession): Map[String, (Int, Int)] =
+      LexIndex.bm25PurgeIndex(spark, path, RidCol)
+    private[ops] def compact(spark: SparkSession): Map[String, (Int, Int)] =
+      LexIndex.bm25CompactIndex(spark, path)
   }
 
   final case class HammingTarget(
@@ -173,6 +189,10 @@ object CorpusUpsert {
       HammingIndex.stageAppend(delta, RidCol, vecCol, path, stageDir)
     private[ops] def delete(rids: DataFrame): Unit =
       HammingIndex.hammingDeleteIds(rids, RidCol, path)
+    private[ops] def purge(spark: SparkSession): Map[String, (Int, Int)] =
+      HammingIndex.hammingPurgeIndex(spark, path, RidCol)
+    private[ops] def compact(spark: SparkSession): Map[String, (Int, Int)] =
+      HammingIndex.hammingCompactIndex(spark, path)
   }
 
   /** The [[NearDupIndex]] MinHash-LSH layout as a coordinated target:
@@ -189,6 +209,10 @@ object CorpusUpsert {
       NearDupIndex.stageAppend(delta, RidCol, textCol, path, stageDir)
     private[ops] def delete(rids: DataFrame): Unit =
       NearDupIndex.neardupDeleteIds(rids, RidCol, path)
+    private[ops] def purge(spark: SparkSession): Map[String, (Int, Int)] =
+      NearDupIndex.neardupPurgeIndex(spark, path, RidCol)
+    private[ops] def compact(spark: SparkSession): Map[String, (Int, Int)] =
+      NearDupIndex.neardupCompactIndex(spark, path)
   }
 
   final case class UpsertReport(
@@ -431,6 +455,66 @@ object CorpusUpsert {
           Some(s.getPath.getName -> bytes)
         }
       }.toMap
+  }
+
+  final case class MaintenanceReport(
+      purged: Map[String, Map[String, (Int, Int)]],
+      compacted: Map[String, Map[String, (Int, Int)]],
+      vacuumedBytes: Map[String, Long],
+      revsDirsBefore: Int,
+      revsDirsAfter: Int)
+
+  /** ONE quiesced-window maintenance pass for a coordinated corpus
+    * root — the operational entry point that runs every layout's
+    * maintenance in the order their individual contracts require,
+    * instead of leaving an operator to hand-sequence five indexes ×
+    * two passes + two ledger passes:
+    *
+    *   1. per-target PURGE (concurrently across targets — each is its
+    *      own layout): the physical drop of tombstoned rows, clearing
+    *      each index's tombstone set. FIRST because compaction refuses
+    *      while tombstones pend, and purging first avoids rewriting
+    *      the same bytes twice;
+    *   2. per-target COMPACT (concurrently): fold append litter into
+    *      bounded files — probe-score-identical by each layout's
+    *      contract;
+    *   3. [[vacuumBatches]] (keep = `keepBatches`): reclaim done
+    *      batches' frozen payloads;
+    *   4. [[compactRevs]] when `foldRevs` (default true): fold the rev
+    *      ledger to its max-rev rows — skips loudly if a crashed batch
+    *      awaits its retry.
+    *
+    * Horizon trades, restated: purges bound SNAPSHOT reads (superseded
+    * rows are reclaimed), the vacuum and the fold bound BACKFILL and
+    * as-of granularity — pass `keepBatches` / `foldRevs = false` on
+    * the cadence that keeps the history you need. Idempotent end to
+    * end: every stage is individually idempotent and the order is
+    * data-independent, so after a crash anywhere, re-running the SAME
+    * call completes the pass. Serialized with applies like every
+    * maintenance operation (the quiesced-window rule).
+    */
+  def maintain(
+      spark: SparkSession,
+      root: String,
+      targets: Seq[IndexTarget],
+      keepBatches: Set[String] = Set.empty,
+      foldRevs: Boolean = true): MaintenanceReport = {
+    require(targets.map(_.name).distinct.size == targets.size,
+      "maintain: duplicate target names")
+    val purged = targets.map(t => t.name -> inPool(t.purge(spark)))
+      .map { case (n, f) => n -> await(f) }.toMap
+    val compacted = targets.map(t => t.name -> inPool(t.compact(spark)))
+      .map { case (n, f) => n -> await(f) }.toMap
+    val vacuumed = vacuumBatches(spark, root, keepBatches)
+    val revsRoot = new Path(s"$root/revs")
+    val fs = revsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def revsDirs(): Int =
+      if (!fs.exists(revsRoot)) 0
+      else fs.listStatus(revsRoot).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val before = revsDirs()
+    if (foldRevs) compactRevs(spark, root)
+    MaintenanceReport(purged, compacted, vacuumed, before, revsDirs())
   }
 
   /** Retire documents from every target index: tombstones their
@@ -809,7 +893,10 @@ object CorpusUpsert {
   private def inPool[A](body: => A): scala.concurrent.Future[A] =
     scala.concurrent.Future(body)(indexPool)
 
+  private def await[A](f: scala.concurrent.Future[A]): A =
+    scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf)
+
   private def awaitAll(fs: Seq[scala.concurrent.Future[_]]): Unit =
-    fs.foreach(f => scala.concurrent.Await.result(f,
-      scala.concurrent.duration.Duration.Inf))
+    fs.foreach(await(_))
 }

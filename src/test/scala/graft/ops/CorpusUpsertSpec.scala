@@ -835,4 +835,46 @@ class CorpusUpsertSpec extends AnyFunSuite {
       CorpusUpsert.revsAsOf(spark, r.ups, Seq("b0")))
       .getMessage.contains("no frozen revs"))
   }
+  test("maintain: one idempotent pass — purge, compact, vacuum, ledger " +
+      "fold — with bit-identical probes") {
+    val r = Roots(tmp("maint")).bootstrap()
+    val targets = Seq(
+      CorpusUpsert.Bm25Target(r.bm25, "text"),
+      CorpusUpsert.HammingTarget(r.ham, "embedding"))
+    CorpusUpsert.applyBatch(corpus0, "doc_id", "b0", r.ups, targets,
+      autoFoldRevsAt = 0)
+    CorpusUpsert.applyBatch(revised, "doc_id", "b1", r.ups, targets,
+      autoFoldRevsAt = 0)
+    CorpusUpsert.deleteDocs(
+      corpus0.filter($"doc_id" % 10 === 3).select("doc_id"),
+      "doc_id", r.ups, targets)
+    def probes(): (Seq[Seq[Any]], Seq[Seq[Any]]) = (
+      LexIndex.bm25ProbeIndex(spark, r.bm25, Rid, Seq("vector", "scan"))
+        .orderBy(Rid).collect().toSeq.map(_.toSeq),
+      HammingIndex.hammingProbeIndex(spark,
+          corpus0.select($"doc_id".as(Rid), $"embedding"), Rid,
+          "embedding", r.ham, radius = 15)
+        .orderBy("q_id", "n_id").collect().toSeq.map(_.toSeq))
+    val before = probes()
+    val rep = CorpusUpsert.maintain(spark, r.ups, targets)
+    assert(!Tombstones.exists(spark, r.bm25))
+    assert(!Tombstones.exists(spark, r.ham))
+    assert(probes() === before) // purge+compact are probe-invisible
+    assert(rep.purged.keySet === Set("bm25", "hamming"))
+    assert(rep.purged("bm25").nonEmpty) // tombstoned rows were dropped
+    assert(rep.vacuumedBytes.keySet === Set("b0", "b1"))
+    assert(rep.revsDirsBefore === 2 && rep.revsDirsAfter === 1)
+    // second pass is a no-op with identical probes
+    val rep2 = CorpusUpsert.maintain(spark, r.ups, targets)
+    assert(rep2.purged.values.forall(_.isEmpty))
+    assert(rep2.vacuumedBytes.isEmpty)
+    assert(rep2.revsDirsAfter === 1)
+    assert(probes() === before)
+    // later applies work unchanged on the maintained root
+    val b2 = corpus0.filter($"doc_id" % 9 === 2)
+      .select($"doc_id", concat($"text", lit(" m2")).as("text"),
+        $"embedding")
+    val repB2 = CorpusUpsert.applyBatch(b2, "doc_id", "b2", r.ups, targets)
+    assert(!repB2.alreadyApplied && repB2.nUpdates > 0)
+  }
 }
