@@ -509,6 +509,11 @@ object Pq {
     * query is nProbe × expected-cluster-size ADC lookups (compressed
     * domain) plus overFetch·k exact dots.
     */
+  /** `rids = Some(idSet)` runs the retrieval over a SNAPSHOT — the
+    * [[VectorOps.ivfProbeJoin]] rids contract verbatim (cut BEFORE the
+    * shortlist window AND the rerank, tombstoned rows kept as history,
+    * the same no-side-ledger purge caveat).
+    */
   def pqIvfProbeJoin(
       queries: DataFrame,
       path: String,
@@ -520,7 +525,8 @@ object Pq {
       nProbe: Int = 4,
       overFetch: Int = 3,
       hierThreshold: Int = 4096,
-      coarseProbes: Int = 8): DataFrame = {
+      coarseProbes: Int = 8,
+      rids: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     require(k >= 1, s"pqIvfProbeJoin: k=$k must be >= 1")
     require(nProbe >= 1, s"pqIvfProbeJoin: nProbe=$nProbe must be >= 1")
@@ -549,9 +555,13 @@ object Pq {
       }).as("cluster"))
     val probed = q.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ nClusters ints
-    val slice = Tombstones.excludeFrom(
-      spark.read.parquet(path).filter(col("cluster").isin(probed: _*)),
-      path, idCol)
+    val slice0 = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed: _*))
+    val slice = rids match {
+      case Some(r) => slice0.join(r.select(col(idCol)), Seq(idCol),
+        "left_semi") // snapshot cut — tombstoned rows stay (history)
+      case None => Tombstones.excludeFrom(slice0, path, idCol)
+    }
     val byAdist = Window.partitionBy("q_id")
       .orderBy(col("adist"), col(idCol))
     val shortlist = slice

@@ -2312,6 +2312,18 @@ object VectorOps {
     * every cluster (the oracle regime); approximate below that with
     * [[ivfKnnJoin]]'s recall characteristics (same routing, same
     * suite gates). Zero-norm queries drop (cosine undefined).
+    *
+    * `rids = Some(idSet)` runs the retrieval over a SNAPSHOT (the
+    * [[graft.ops.CorpusUpsert.asOfRids]] id set): the pruned slice
+    * keeps tombstoned rows (superseded revisions are history until a
+    * purge) and cuts to the set BEFORE ranking — post-filtering top-k
+    * OUTPUT would drop below-k survivors, so the cut must precede the
+    * window. Cosine is per-pair, so snapshot results are exact
+    * history. One caveat vs the BM25 twin: vector layouts carry no
+    * side ledger, so a rid whose rows a purge already reclaimed
+    * silently vanishes rather than refusing — run purges on the
+    * snapshot cadence you need (a corpus root with a BM25 target can
+    * gate via [[graft.ops.LexIndex.bm25ProbeRids]]'s doclen check).
     */
   def ivfProbeJoin(
       queries: DataFrame,
@@ -2323,7 +2335,8 @@ object VectorOps {
       nProbe: Int = 4,
       roundTo: Int = 6,
       hierThreshold: Int = 4096,
-      coarseProbes: Int = 8): DataFrame = {
+      coarseProbes: Int = 8,
+      rids: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     require(k >= 1, s"ivfProbeJoin: k=$k must be >= 1")
     require(nProbe >= 1, s"ivfProbeJoin: nProbe=$nProbe must be >= 1")
@@ -2350,9 +2363,13 @@ object VectorOps {
     // the right schema)
     val probed = q.select("cluster").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val slice = Tombstones.excludeFrom(
-      spark.read.parquet(path).filter(col("cluster").isin(probed: _*)),
-      path, idCol)
+    val slice0 = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed: _*))
+    val slice = rids match {
+      case Some(r) => slice0.join(r.select(col(idCol)), Seq(idCol),
+        "left_semi") // snapshot cut — tombstoned rows stay (history)
+      case None => Tombstones.excludeFrom(slice0, path, idCol)
+    }
     val scored = slice.join(q, Seq("cluster"))
       .select(col("q_id"), col(idCol).as("n_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("nrm")),

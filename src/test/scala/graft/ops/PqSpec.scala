@@ -358,4 +358,30 @@ class PqSpec extends AnyFunSuite {
     assert(after.nonEmpty)
     assert(after.forall { case (_, n) => !qids.contains(n) })
   }
+  test("pqIvfProbeJoin rids mode ≡ a fresh compressed index over the snapshot") {
+    val embs = Tables.load(spark, TestSpark.Sf001, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-pqsnap")
+    val off = 1000000L
+    val revised = embs.filter(col("vec_id") % 5 === 2)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val big = embs.select("vec_id", "embedding").unionByName(revised)
+    val snapCorpus = embs.filter(col("vec_id") % 5 =!= 2)
+      .select("vec_id", "embedding").unionByName(revised)
+    val cents = VectorOps.kmeansCentroids(big, "embedding", 8)
+    val model = Pq.pqTrain(big, "embedding", m = 8, codebook = 16)
+    Pq.pqIvfWriteIndex(big, "vec_id", "embedding", s"$root/full", model, cents)
+    Pq.pqIvfWriteIndex(snapCorpus, "vec_id", "embedding", s"$root/snap",
+      model, cents)
+    val queries = embs.filter(col("vec_id") % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val got = rows(Pq.pqIvfProbeJoin(queries, s"$root/full", model, cents,
+      "vec_id", "embedding", k = 5, nProbe = cents.length,
+      overFetch = 1000, rids = Some(snapCorpus.select("vec_id"))))
+    val want = rows(Pq.pqIvfProbeJoin(queries, s"$root/snap", model, cents,
+      "vec_id", "embedding", k = 5, nProbe = cents.length,
+      overFetch = 1000))
+    assert(got === want && got.nonEmpty)
+  }
 }

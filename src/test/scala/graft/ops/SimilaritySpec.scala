@@ -890,4 +890,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after.forall { case (_, n) => !qids.contains(n) })
     assert(after.map(_._1).toSet === qids.toSet)
   }
+  test("ivfProbeJoin rids (snapshot) mode: ≡ a fresh index over exactly " +
+      "the snapshot corpus; sees through tombstones; cut precedes ranking") {
+    import spark.implicits._
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-ivfjoin-snapf").toString + "/idx"
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft-ivfjoin-snaps").toString + "/idx"
+    val off = 1000000L
+    // "revisions": negated twins under shifted ids for every 5th vector
+    val revised = embs.filter(col("vec_id") % 5 === 2)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val big = embs.select("vec_id", "embedding").unionByName(revised)
+    val cents = VectorOps.kmeansCentroids(big, "embedding", 8)
+    VectorOps.ivfAppendIndex(big, "vec_id", "embedding", full, cents)
+    val snapCorpus = embs.filter(col("vec_id") % 5 =!= 2)
+      .select("vec_id", "embedding").unionByName(revised)
+    VectorOps.ivfAppendIndex(snapCorpus, "vec_id", "embedding", snap, cents)
+    val snapIds = snapCorpus.select("vec_id")
+    val queries = embs.filter(col("vec_id") % 40 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val got = rows(VectorOps.ivfProbeJoin(queries, full, cents, "vec_id",
+      "embedding", k = 5, nProbe = cents.length, rids = Some(snapIds)))
+    val want = rows(VectorOps.ivfProbeJoin(queries, snap, cents, "vec_id",
+      "embedding", k = 5, nProbe = cents.length))
+    assert(got === want && got.nonEmpty)
+    // tombstoning a snapshot member hides it from the live join but
+    // not from the rids join (the cut replaces the exclusion)
+    val victim = snapIds.orderBy("vec_id").head().getLong(0)
+    VectorOps.ivfDeleteIds(Seq(victim).toDF("vec_id"), "vec_id", full)
+    val live = VectorOps.ivfProbeJoin(queries, full, cents, "vec_id",
+        "embedding", k = 100000, nProbe = cents.length)
+      .collect().map(_.getLong(1)).toSet
+    assert(!live.contains(victim))
+    val snapAfter = rows(VectorOps.ivfProbeJoin(queries, full, cents,
+      "vec_id", "embedding", k = 5, nProbe = cents.length,
+      rids = Some(snapIds)))
+    assert(snapAfter === want)
+  }
 }
