@@ -1549,6 +1549,48 @@ object UpsertQueries {
             col("rev").cast("long").as("rev"), col("phrase_tf"),
             col("bm25").cast("double").as("score"))
         asof.unionByName(live).orderBy("kind", "doc_id")
+      }),
+
+    // SNAPSHOT ANN through the batch join ([[graft.ops.VectorOps
+    // .ivfProbeJoin]] rids mode) — q244's exhaustive-regime oracle
+    // with a snapshot cut: the rid set (even ids) restricts the
+    // candidate space BEFORE the rank window, so per-query top-k is
+    // the exact top-k OVER THE SNAPSHOT — which a post-filter of the
+    // live join could not produce (it would drop below-k survivors).
+    // DuckDB replays the snapshot corpus directly.
+    NamedQuery(
+      "q248_ivf_asof_join",
+      Some("""WITH e AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+             |          FROM embeddings),
+             |c AS (SELECT vec_id, v FROM e
+             |      WHERE list_dot_product(v, v) > 0 AND vec_id % 2 = 0),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e
+             |      WHERE vec_id % 35 = 0 AND list_dot_product(v, v) > 0),
+             |s AS (SELECT q.qid, c.vec_id AS n_id,
+             |        ROUND(list_dot_product(q.qv, c.v)
+             |          / (sqrt(list_dot_product(q.qv, q.qv))
+             |             * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+             |      FROM q, c),
+             |r AS (SELECT qid AS q_id, n_id, cosine,
+             |        CAST(row_number() OVER (PARTITION BY qid
+             |          ORDER BY cosine DESC, n_id) AS INT) AS rank
+             |      FROM s)
+             |SELECT q_id, n_id, cosine, rank FROM r
+             |WHERE rank <= 7 ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val root = stageRoot("ivfasof", dir)
+        clearRoot(root)
+        val e = embs(s, dir)
+        val idxP = s"$root/ivf"
+        val cents = VectorOps.ivfWriteIndex(e, "vec_id", "embedding",
+          idxP, nCentroids = 16)
+        val snapIds = e.filter(col("vec_id") % 2 === 0).select("vec_id")
+        VectorOps.ivfProbeJoin(
+          e.filter(col("vec_id") % 35 === 0), idxP, cents,
+          "vec_id", "embedding", k = 7, nProbe = cents.length,
+          rids = Some(snapIds))
+          .orderBy("q_id", "rank")
       })
   )
 }
