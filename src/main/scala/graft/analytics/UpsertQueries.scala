@@ -34,6 +34,24 @@ object UpsertQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** DuckDB replay of the REAL 9×9 frame-grid gradient signs over a
+    * decoded GIF's pixels (q249): `garr` (the 81 box means, 1-based)
+    * must be in scope; `j` is the 0-based bit index 0..255. The four
+    * families are [[graft.ops.Phash.gridDiff256]]'s verbatim.
+    */
+  private def gifBit(j: String): String = {
+    val base = s"(($j)%64)//8*9 + (($j)%64)%8"
+    s"CASE WHEN (CASE WHEN ($j) < 64 THEN garr[$base + 2] - garr[$base + 1] " +
+      s"WHEN ($j) < 128 THEN garr[$base + 10] - garr[$base + 1] " +
+      s"WHEN ($j) < 192 THEN garr[$base + 11] - garr[$base + 1] " +
+      s"ELSE garr[$base + 2] - garr[$base + 10] END) > 0 " +
+      "THEN 1 ELSE 0 END"
+  }
+  private def gifWords: String = (0 until 8).map(k =>
+    s"CAST(list_sum(list_transform(range(${32 * k}, ${32 * (k + 1)}), i ->\n" +
+      s"          ${gifBit("i")} * (CAST(1 AS BIGINT) << (i - ${32 * k}))))\n" +
+      s"          AS BIGINT) w$k").mkString(",\n        ")
+
   /** DuckDB replay of [[graft.ops.VideoHash.stubFrameDiffScalar]]'s
     * 256 sign bits packed into 8×32-bit words (the q228/q229 macro):
     * `idExpr`/`seed` are SQL expressions, `len` must be in scope.
@@ -1591,6 +1609,102 @@ object UpsertQueries {
           "vec_id", "embedding", k = 7, nProbe = cents.length,
           rids = Some(snapIds))
           .orderBy("q_id", "rank")
+      }),
+
+    // REAL perceptual video fingerprints, END-TO-END ORACLE — the
+    // first media fingerprint gate that does NOT ride a stub twin:
+    // the cross-modal gates replay integer stand-in formulas because
+    // real decoders weren't cross-engine replayable, but GIF fixtures
+    // are closed-form in doc_id AND losslessly decoded (q242), so the
+    // ENTIRE real chain — LZW decode → exact-integer BT.601 9×9 box
+    // sums ([[graft.ops.VideoHash.frameGrid]], floor-partition boxes
+    // at w,h ≥ 9) → box means (exact-rational doubles: integer sums
+    // ÷ integer areas, correctly rounded identically in both
+    // engines) → [[graft.ops.Phash.gridDiff256]]'s four gradient
+    // families → 256 sign bits packed into 8×32-bit words — is
+    // replayed by DuckDB pixel-for-pixel, bit-for-bit, including the
+    // [[graft.ops.VideoHash.sampleIndex]] frame-slot clamp for clips
+    // shorter than 5 frames.
+    NamedQuery(
+      "q249_gif_fingerprint",
+      Some(s"""WITH d AS (SELECT doc_id AS id FROM documents),
+             |g0 AS (SELECT id, CAST(9 + id % 4 AS INT) w,
+             |         CAST(9 + id % 3 AS INT) h,
+             |         CAST(1 + id % 3 AS INT) n FROM d),
+             |px AS (
+             |  SELECT g0.id, g0.w, g0.h, f.f, y.y, x.x,
+             |    ((x.x + 7 * y.y + 11 * f.f + g0.id) % 64) AS idx
+             |  FROM g0
+             |  CROSS JOIN range(0, 3) f(f)
+             |  CROSS JOIN range(0, 11) y(y)
+             |  CROSS JOIN range(0, 12) x(x)
+             |  WHERE f.f < g0.n AND y.y < g0.h AND x.x < g0.w),
+             |cells AS (
+             |  SELECT p.id, p.f, ky.k AS ky, kx.k AS kx,
+             |    SUM(299 * ((idx * 37 + 11) % 256)
+             |      + 587 * ((idx * 59 + 3) % 256)
+             |      + 114 * ((idx * 83 + 7) % 256)) AS lum,
+             |    ((ky.k + 1) * p.h // 9 - ky.k * p.h // 9)
+             |      * ((kx.k + 1) * p.w // 9 - kx.k * p.w // 9) AS np
+             |  FROM px p
+             |  CROSS JOIN range(0, 9) ky(k)
+             |  CROSS JOIN range(0, 9) kx(k)
+             |  WHERE p.y >= ky.k * p.h // 9 AND p.y < (ky.k + 1) * p.h // 9
+             |    AND p.x >= kx.k * p.w // 9 AND p.x < (kx.k + 1) * p.w // 9
+             |  GROUP BY p.id, p.f, ky.k, kx.k, p.h, p.w),
+             |grids AS (
+             |  SELECT id, f,
+             |    list(CAST(lum AS DOUBLE) / (np * 1000.0)
+             |      ORDER BY ky * 9 + kx) AS garr
+             |  FROM cells GROUP BY id, f),
+             |slots AS (SELECT g0.id, s.s AS slot,
+             |    LEAST(((2 * s.s + 1) * g0.n) // 10, g0.n - 1) AS f
+             |  FROM g0 CROSS JOIN range(0, 5) s(s)),
+             |fp AS (SELECT sl.id, sl.slot, gr.garr
+             |       FROM slots sl JOIN grids gr
+             |       ON sl.id = gr.id AND sl.f = gr.f)
+             |SELECT id, CAST(slot AS INT) AS slot,
+             |        $gifWords
+             |FROM fp ORDER BY id, slot""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val w = (9 + id % 4).toInt
+            val h = (9 + id % 3).toInt
+            val n = (1 + id % 3).toInt
+            val pal = Array.tabulate(64)(i =>
+              (((i * 37 + 11) % 256) << 16) |
+                (((i * 59 + 3) % 256) << 8) | ((i * 83 + 7) % 256))
+            val frames = (0 until n).map { f =>
+              Gif.Frame(0, 0, w, h,
+                Array.tabulate(w * h)(i =>
+                  (((i % w) + 7L * (i / w) + 11L * f + id) % 64).toByte),
+                interlaced = id % 2 == 1)
+            }
+            val p = Gif.encodeGif(w, h, pal, bg = 0, frames)
+            val v = VideoHash.decodeVideo(p) match {
+              case Right(ok) => ok
+              case Left(why) => throw new IllegalStateException(
+                s"q249: fixture gif for doc $id rejected: $why")
+            }
+            VideoHash.frameDiffs(v).zipWithIndex.map { case (diff, slot) =>
+              val words = Array.tabulate(8) { k =>
+                var word = 0L
+                var b = 0
+                while (b < 32) {
+                  if (diff(32 * k + b) > 0) word |= 1L << b
+                  b += 1
+                }
+                word
+              }
+              (id, slot, words(0), words(1), words(2), words(3),
+                words(4), words(5), words(6), words(7))
+            }
+          }
+          .toDF("id", "slot", "w0", "w1", "w2", "w3", "w4", "w5", "w6",
+            "w7")
+          .orderBy("id", "slot")
       })
   )
 }
