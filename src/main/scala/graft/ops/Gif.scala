@@ -91,6 +91,13 @@ object Gif {
     val w = le16(p, 6)
     val h = le16(p, 8)
     if (w <= 0 || h <= 0) return Left("corrupt_video")
+    // structural allocation bound BEFORE any canvas allocation: a
+    // single frame must fit the Gvf plane (w·h up to 65535² overflows
+    // Int — unguarded, a 13-byte crafted header would throw
+    // NegativeArraySizeException out of the typed-reject contract or
+    // force a multi-GB allocation)
+    val pixels = w.toLong * h
+    if (3L * pixels + 16 > Int.MaxValue) return Left("corrupt_video")
     val packed = p(10) & 0xff
     val hasGct = (packed & 0x80) != 0
     val gctSize = 2 << (packed & 7)
@@ -181,6 +188,11 @@ object Gif {
             }
             r += 1
           }
+          // the Gvf total bound, enforced per frame BEFORE the clone —
+          // a small payload declaring thousands of frames over a large
+          // screen must reject, not accumulate gigabytes of clones
+          if (16L + 3L * pixels * (frames.length + 1) > Int.MaxValue)
+            return Left("corrupt_video")
           frames += canvas.clone()
           pendingDisposal match {
             case 2 =>
@@ -202,8 +214,7 @@ object Gif {
     }
     if (frames.isEmpty) return Left("corrupt_video")
     val n = frames.length
-    val total = 16L + 3L * w * h * n
-    if (total > Int.MaxValue) return Left("corrupt_video")
+    val total = 16L + 3L * pixels * n // ≤ Int.MaxValue by the per-frame bound
     val bytes = new Array[Byte](total.toInt)
     bytes(0) = 'G'; bytes(1) = 'V'; bytes(2) = 'F'; bytes(3) = '1'
     def putIntBE(o: Int, v: Int): Unit = {
@@ -355,18 +366,7 @@ object Gif {
     if (produced != out.length) return -1
     // skip unread padding: `blockEnd` is the next length byte whether
     // the last code landed mid-block or exactly on its boundary
-    skipRest(p, blockEnd)
-  }
-
-  private def skipRest(p: Array[Byte], off0: Int): Int = {
-    var off = off0
-    while (off < p.length) {
-      val len = p(off) & 0xff
-      if (len == 0) return off + 1
-      if (off + 1 + len > p.length) return -1
-      off += 1 + len
-    }
-    -1
+    skipSubBlocks(p, blockEnd)
   }
 
   // ------------------------------------------------------------------
@@ -600,6 +600,15 @@ object Gif {
       i += 1
     }
     put(cur)
+    // the decoder adds a table entry for this final data code too, and
+    // bumps its width when that entry lands on index 2^width − 1 — so
+    // a strict decoder reads EOI at the BUMPED width; mirror the
+    // accounting (sans the now-useless table insert) or EOI would be
+    // emitted one bit short on exactly-boundary streams
+    if (next < 4096) {
+      if (next == (1 << width) && width < 12) width += 1
+      next += 1
+    }
     put(eoi)
     if (bits > 0) out.write((acc & 0xff).toInt)
     out.toByteArray

@@ -430,28 +430,55 @@ object LexIndex {
       idCol: String,
       queryTerms: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25ProbeIndex: empty query-term set")
+      b: Double = 0.75): DataFrame =
+    bm25Probe(spark, path, idCol, queryTerms, None, k1, b)
+
+  /** ONE probe implementation behind [[bm25ProbeIndex]] (live:
+    * tombstones excluded, corpus-wide stats) and [[bm25ProbeRids]]
+    * (snapshot: tombstoned rows kept, rid cut, snapshot stats) — the
+    * positional family's `rids` switch applied to the term probe, so
+    * a smoothing/rounding change can never desynchronize the modes.
+    */
+  private def bm25Probe(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      rids: Option[DataFrame],
+      k1: Double,
+      b: Double): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 probe: empty query-term set")
+    rids.foreach(r => requireUnpurged(spark, path, idCol,
+      r.select(col(idCol)), "bm25ProbeRids"))
     val buckets = readBuckets(spark, path)
     // bucket routing must reproduce the WRITE path's hash exactly: do
     // it with the same Catalyst expression over a literal term table,
     // not a reimplementation of xxhash64 on the driver
     import spark.implicits._
-    val termsDf = queryTerms.distinct.toDF("w")
+    val probeBuckets = queryTerms.distinct.toDF("w")
       .withColumn("tb", termBucket(col("w"), buckets))
-    val probeBuckets = termsDf.select("tb").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val lens = spark.read.parquet(s"$path/doclen")
-    val stats0 = corpusStats(spark, path, idCol)
-    // tombstone anti-join AFTER the bucket/term prune (slice-sized,
-    // skipped when no delete ever landed); df and the doclen attach
-    // inherit the exclusion through this relation
-    val tf = Tombstones.excludeFrom(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
-        .filter(col("w").isin(queryTerms.distinct: _*))
-        .select(col(idCol), col("w"), col("tf")),
-      path, idCol)
+      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val doclen = spark.read.parquet(s"$path/doclen")
+    val (lens, stats0) = rids match {
+      case Some(r) =>
+        val idSet = r.select(col(idCol))
+        (doclen.join(idSet, Seq(idCol), "left_semi"),
+          snapshotStats(spark, path, idCol, idSet))
+      case None => (doclen, corpusStats(spark, path, idCol))
+    }
+    val slice0 = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
+      .filter(col("w").isin(queryTerms.distinct: _*))
+      .select(col(idCol), col("w"), col("tf"))
+    // live: tombstone anti-join AFTER the bucket/term prune (slice-
+    // sized, skipped when no delete ever landed); snapshot: the rid
+    // cut replaces it (superseded rows are history). df and the doclen
+    // attach inherit the cut through this relation either way.
+    val tf = rids match {
+      case Some(r) => slice0.join(r.select(col(idCol)), Seq(idCol),
+        "left_semi")
+      case None => Tombstones.excludeFrom(slice0, path, idCol)
+    }
     val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), Seq("w"))
       .join(lens, Seq(idCol))
@@ -498,31 +525,8 @@ object LexIndex {
       queryTerms: Seq[String],
       rids: DataFrame,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25ProbeRids: empty query-term set")
-    val buckets = readBuckets(spark, path)
-    import spark.implicits._
-    val idSet = rids.select(col(idCol))
-    requireUnpurged(spark, path, idCol, idSet, "bm25ProbeRids")
-    val probeBuckets = queryTerms.distinct.toDF("w")
-      .withColumn("tb", termBucket(col("w"), buckets))
-      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
-    val lens = spark.read.parquet(s"$path/doclen")
-      .join(idSet, Seq(idCol), "left_semi")
-    val stats0 = snapshotStats(spark, path, idCol, idSet)
-    val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
-      .filter(col("w").isin(queryTerms.distinct: _*))
-      .select(col(idCol), col("w"), col("tf"))
-      .join(idSet, Seq(idCol), "left_semi") // the snapshot cut
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(dfreq), Seq("w"))
-      .join(lens, Seq(idCol))
-      .crossJoin(broadcast(stats0))
-      .select(col(idCol), okapiScore(col("tf"), col("df"), k1, b).as("term"))
-      .groupBy(col(idCol))
-      .agg(round(sum("term"), 6).as("bm25"))
-  }
+      b: Double = 0.75): DataFrame =
+    bm25Probe(spark, path, idCol, queryTerms, Some(rids), k1, b)
 
   /** The snapshot-read purge guard: every requested id must still have
     * its doclen row (rows persist per revision until a purge reclaims

@@ -533,9 +533,7 @@ object Pq {
     require(overFetch >= 1, s"pqIvfProbeJoin: overFetch=$overFetch must be >= 1")
     require(centroids.nonEmpty, "pqIvfProbeJoin: empty centroid table")
     import org.apache.spark.sql.expressions.Window
-    val np = math.min(nProbe, centroids.length)
     val kCents = model.cents.head.length
-    val routing = VectorOps.routingFor(centroids, hierThreshold)
     val qBase = queries
       .select(col(idCol).as("q_id"), VectorOps.rawVec(queries, vecCol).as("qv"))
       .withColumn("qn", VectorOps.l2Norm(col("qv")))
@@ -543,25 +541,12 @@ object Pq {
       .withColumn("lut", graft.functions.GraftFunctions.pqLut(
         col("qv"), flatCodebook(model), model.m, model.subDim))
       .filter(col("lut").isNotNull) // uncodable queries drop, like zero-norm
-    val q = qBase.select(col("q_id"), col("lut"),
-      explode(routing match {
-        case Some((coarse, starts, mem)) =>
-          graft.functions.GraftFunctions.nearestCentroidsHier(
-            col("qv"), col("qn"), centroids, np, coarse, starts, mem,
-            coarseProbes)
-        case None =>
-          graft.functions.GraftFunctions.nearestCentroids(
-            col("qv"), col("qn"), centroids, np)
-      }).as("cluster"))
-    val probed = q.select("cluster").distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ nClusters ints
-    val slice0 = spark.read.parquet(path)
-      .filter(col("cluster").isin(probed: _*))
-    val slice = rids match {
-      case Some(r) => slice0.join(r.select(col(idCol)), Seq(idCol),
-        "left_semi") // snapshot cut — tombstoned rows stay (history)
-      case None => Tombstones.excludeFrom(slice0, path, idCol)
-    }
+    // routing + pruned slice shared with the exact join — one
+    // definition, the two paths can never diverge
+    val q = VectorOps.routeProbeExplode(qBase, centroids, nProbe,
+      hierThreshold, coarseProbes)
+      .select(col("q_id"), col("lut"), col("cluster"))
+    val slice = VectorOps.probedSlice(spark, path, idCol, q, rids)
     val byAdist = Window.partitionBy("q_id")
       .orderBy(col("adist"), col(idCol))
     val shortlist = slice

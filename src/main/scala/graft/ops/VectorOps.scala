@@ -2341,35 +2341,13 @@ object VectorOps {
     require(k >= 1, s"ivfProbeJoin: k=$k must be >= 1")
     require(nProbe >= 1, s"ivfProbeJoin: nProbe=$nProbe must be >= 1")
     require(centroids.nonEmpty, "ivfProbeJoin: empty centroid table")
-    val np = math.min(nProbe, centroids.length)
-    val routing = routingFor(centroids, hierThreshold)
-    val q = queries
+    val qBase = queries
       .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .filter(col("qn") > 0)
-      .select(col("q_id"), col("qv"), col("qn"),
-        explode(routing match {
-          case Some((coarse, starts, mem)) =>
-            graft.functions.GraftFunctions.nearestCentroidsHier(
-              col("qv"), col("qn"), centroids, np, coarse, starts, mem,
-              coarseProbes)
-          case None =>
-            graft.functions.GraftFunctions.nearestCentroids(
-              col("qv"), col("qn"), centroids, np)
-        }).as("cluster"))
-    // union of probed clusters → the file-listing prune (≤ nClusters
-    // ints on the driver; empty when every query was zero-norm, and
-    // isin() with no values is constant-false — the empty result keeps
-    // the right schema)
-    val probed = q.select("cluster").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val slice0 = spark.read.parquet(path)
-      .filter(col("cluster").isin(probed: _*))
-    val slice = rids match {
-      case Some(r) => slice0.join(r.select(col(idCol)), Seq(idCol),
-        "left_semi") // snapshot cut — tombstoned rows stay (history)
-      case None => Tombstones.excludeFrom(slice0, path, idCol)
-    }
+    val q = routeProbeExplode(qBase, centroids, nProbe, hierThreshold,
+      coarseProbes)
+    val slice = probedSlice(spark, path, idCol, q, rids)
     val scored = slice.join(q, Seq("cluster"))
       .select(col("q_id"), col(idCol).as("n_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("nrm")),
@@ -2379,6 +2357,56 @@ object VectorOps {
     scored
       .withColumn("rank", row_number().over(byScore))
       .filter(col("rank") <= k)
+  }
+
+  /** The shared head of the batch probe joins (exact IVF here,
+    * [[Pq.pqIvfProbeJoin]] for the compressed layout): explode
+    * `qBase` (a `(q_id, qv, qn, …extras)` relation, zero-norm rows
+    * already dropped) by its `nProbe` nearest clusters — native
+    * kernels, hier routing past `hierThreshold` — one definition so
+    * the exact and compressed paths can never route differently.
+    */
+  private[ops] def routeProbeExplode(
+      qBase: DataFrame,
+      centroids: Array[Array[Double]],
+      nProbe: Int,
+      hierThreshold: Int,
+      coarseProbes: Int): DataFrame = {
+    val np = math.min(nProbe, centroids.length)
+    qBase.withColumn("cluster",
+      explode(routingFor(centroids, hierThreshold) match {
+        case Some((coarse, starts, mem)) =>
+          graft.functions.GraftFunctions.nearestCentroidsHier(
+            col("qv"), col("qn"), centroids, np, coarse, starts, mem,
+            coarseProbes)
+        case None =>
+          graft.functions.GraftFunctions.nearestCentroids(
+            col("qv"), col("qn"), centroids, np)
+      }))
+  }
+
+  /** The shared slice of the batch probe joins: the index pruned at
+    * file listing to the UNION of `q`'s probed clusters (≤ nClusters
+    * ints on the driver; empty when every query was zero-norm, and
+    * isin() with no values is constant-false — the empty result keeps
+    * the right schema), then either the live tombstone exclusion or
+    * the snapshot rid cut (tombstoned rows stay — they are history).
+    */
+  private[ops] def probedSlice(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      q: DataFrame,
+      rids: Option[DataFrame]): DataFrame = {
+    val probed = q.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val slice0 = spark.read.parquet(path)
+      .filter(col("cluster").isin(probed: _*))
+    rids match {
+      case Some(r) => slice0.join(r.select(col(idCol)), Seq(idCol),
+        "left_semi")
+      case None => Tombstones.excludeFrom(slice0, path, idCol)
+    }
   }
 
   /** ANN top-k via SRP-LSH: score only vectors sharing the query's

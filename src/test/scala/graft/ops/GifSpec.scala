@@ -213,11 +213,120 @@ class GifSpec extends AnyFunSuite {
       VideoHash.frameDiffs(b).map(_.toSeq).toSeq)
   }
 
+  /** A STRICT spec-schedule GIF-LZW reader: consumes codes through the
+    * EOI (which the repo decoder and ImageIO never read — they stop at
+    * pixel count), erroring if the stream runs dry or over-produces.
+    * Pins the encoder's width accounting on the FINAL code: the
+    * decoder-side table add for it can bump the width, and EOI must be
+    * written at the bumped width for validating decoders.
+    */
+  private def strictLzwDecode(gif: Array[Byte]): Array[Byte] = {
+    def le16(o: Int) = (gif(o) & 0xff) | ((gif(o + 1) & 0xff) << 8)
+    val w = le16(6); val h = le16(8)
+    var off = 13 + (if ((gif(10) & 0x80) != 0) 3 * (2 << (gif(10) & 7)) else 0)
+    while ((gif(off) & 0xff) == 0x21) { // skip extensions
+      off += 2
+      while ((gif(off) & 0xff) != 0) off += 1 + (gif(off) & 0xff)
+      off += 1
+    }
+    assert((gif(off) & 0xff) == 0x2c)
+    off += 10 // full-frame fixtures: no LCT
+    val minCode = gif(off) & 0xff; off += 1
+    val data = new java.io.ByteArrayOutputStream()
+    while ((gif(off) & 0xff) != 0) {
+      val len = gif(off) & 0xff
+      data.write(gif, off + 1, len); off += 1 + len
+    }
+    val bytesIn = data.toByteArray
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var next = clear + 2; var width = minCode + 1; var prev = -1
+    var acc = 0L; var bits = 0; var pos = 0
+    val out = new java.io.ByteArrayOutputStream()
+    def firstOf(c0: Int): Byte = {
+      var c = c0; while (c >= clear + 2) c = prefix(c); c.toByte
+    }
+    def emit(c0: Int, extra: Int): Unit = {
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      if (extra >= 0) stack += extra.toByte
+      var c = c0
+      while (c >= clear + 2) { stack += suffix(c); c = prefix(c) }
+      stack += c.toByte
+      stack.reverse.foreach(out.write(_))
+    }
+    var done = false
+    while (!done) {
+      while (bits < width) {
+        assert(pos < bytesIn.length,
+          s"strict decoder ran out of data reading a $width-bit code " +
+            s"(next=$next) — encoder/decoder width schedules diverged")
+        acc |= (bytesIn(pos) & 0xffL) << bits; bits += 8; pos += 1
+      }
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; bits -= width
+      if (code == clear) { next = clear + 2; width = minCode + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else if (prev == -1) { emit(code, -1); prev = code }
+      else {
+        if (code == next) emit(prev, firstOf(prev) & 0xff)
+        else { assert(code < next, s"code $code past table $next"); emit(code, -1) }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = if (code == next) firstOf(prev) else firstOf(code)
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          next += 1
+        }
+        prev = code
+      }
+    }
+    val px = out.toByteArray
+    assert(px.length == w * h, s"strict decode: ${px.length} != ${w * h}")
+    px
+  }
+
+  test("strict-schedule LZW: EOI is consumed at the correct width over " +
+      "many randomized streams (incl. width-bump-boundary cases)") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 300) {
+      val w = 3 + rnd.nextInt(30)
+      val h = 3 + rnd.nextInt(24)
+      val palBits = 1 + rnd.nextInt(7) // 2..128 colors
+      val palN = 1 << palBits
+      val pal = Array.tabulate(palN)(i => i * 0x010203)
+      // mix of high-entropy and runny streams to sweep boundary cases
+      val px = Array.tabulate(w * h) { i =>
+        if (trial % 3 == 0) (rnd.nextInt(palN)).toByte
+        else if (trial % 3 == 1) ((i / (1 + trial % 7)) % palN).toByte
+        else ((i * 31 + trial) % palN).toByte
+      }
+      val gif = Gif.encodeGif(w, h, pal, 0, Seq(Gif.Frame(0, 0, w, h, px)))
+      assert(strictLzwDecode(gif).toSeq === px.toSeq, s"trial $trial")
+      // and our own decoder agrees
+      val v = Gif.decodeGif(gif).toOption.get
+      for (i <- 0 until w * h)
+        assert(gvfPixel(v, 0, i % w, i / w) == pal(px(i) & 0xff))
+    }
+  }
+
   test("typed rejects and totality: truncation, bad rects, fuzzed bytes") {
     val good = Gif.encodeGif(9, 9, pal64, 0,
       Seq(Gif.Frame(0, 0, 9, 9, fullFrame(9, 9, 0, 1))))
     assert(Gif.decodeGif("GIF8".getBytes) == Left("unsupported_format"))
     assert(Gif.decodeGif("GIF89a".getBytes) == Left("corrupt_video"))
+    // crafted huge dimensions must typed-reject BEFORE any allocation:
+    // 65535×65535 overflows Int (NegativeArraySizeException unguarded),
+    // and a small payload declaring many frames over a large screen
+    // must not accumulate gigabytes of canvas clones
+    val huge = "GIF89a".getBytes ++ Array[Byte](
+      -1, -1, -1, -1, 0, 0, 0) // w = h = 0xffff, no GCT
+    assert(Gif.decodeGif(huge) == Left("corrupt_video"))
+    val wide = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes)
+      out.write(Array[Byte](-1, 127, -1, 127, 0, 0, 0)) // 32767×32767
+      out.toByteArray
+    }
+    assert(Gif.decodeGif(wide) == Left("corrupt_video")) // 3·w·h > MaxInt
     assert(Gif.decodeGif(good.dropRight(5)) == Left("corrupt_video"))
     assert(Gif.meta(good.dropRight(5)) == Left("corrupt_video"))
     assert(Gif.decodeGif(Array.emptyByteArray) == Left("empty_payload"))
