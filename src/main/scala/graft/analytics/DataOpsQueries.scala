@@ -1214,7 +1214,7 @@ object DataOpsQueries {
         HammingIndex.hammingWriteIndex(e, "vec_id", "embedding",
           root.toString, nBands = 8, nBuckets = 32)
         HammingIndex.hammingProbeIndex(s, e, "vec_id", "embedding",
-            root.toString, radius = 15)
+            root.toString, radius = 15, pruneListing = false)
           .filter(col("q_id") < col("n_id"))
           .select(col("q_id").as("id_a"), col("n_id").as("id_b"),
             col("hamming"))
@@ -4702,7 +4702,7 @@ object DataOpsQueries {
         HammingIndex.hammingDeleteIds(e.filter(col("vec_id") % 7 === 3),
           "vec_id", root.toString)
         HammingIndex.hammingProbeIndex(s, e, "vec_id", "embedding",
-            root.toString, radius = 15)
+            root.toString, radius = 15, pruneListing = false)
           .filter(col("q_id") =!= col("n_id"))
           .orderBy("q_id", "n_id")
       }),

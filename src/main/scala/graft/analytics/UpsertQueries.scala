@@ -216,7 +216,7 @@ object UpsertQueries {
           .select(col("doc_id").as(rid), col("embedding"))
         val hm = CorpusUpsert.withDocRev(
           HammingIndex.hammingProbeIndex(s, finalQ, rid, "embedding",
-            hamP, radius = 15)
+            hamP, radius = 15, pruneListing = false)
             .withColumnRenamed("n_id", rid), rid)
           .select(lit("ham").as("kind"), col("q_id").cast("long").as("qid"),
             col("doc_id"), col("rev"), col("hamming").cast("double").as("score"))
@@ -716,7 +716,7 @@ object UpsertQueries {
           val hm = CorpusUpsert.withDocRev(
             HammingIndex.hammingProbeIndex(s,
               active.select(col("doc_id").as(rid), col("embedding")),
-              rid, "embedding", hamP, radius = 15)
+              rid, "embedding", hamP, radius = 15, pruneListing = false)
               .withColumnRenamed("n_id", rid), rid)
             .select(lit("ham").as("kind"),
               col("q_id").cast("long").as("qid"),
@@ -964,7 +964,7 @@ object UpsertQueries {
           .select(col("doc_id").as(rid), col("embedding"))
         val hm = CorpusUpsert.withDocRev(
           HammingIndex.hammingProbeIndex(s, finalQ, rid, "embedding",
-            hamP, radius = 15)
+            hamP, radius = 15, pruneListing = false)
             .withColumnRenamed("n_id", rid), rid)
           .select(lit("ham").as("kind"), col("q_id").cast("long").as("qid"),
             col("doc_id"), col("rev"),
@@ -996,7 +996,7 @@ object UpsertQueries {
           "doc_id", "text", root.toString)
         NearDupIndex.neardupProbeIndex(s, d, "doc_id", "text",
             root.toString, threshold = 0.5, maxBucket = 1000,
-            pruneDocLookup = false)
+            pruneDocLookup = false, pruneListing = false)
           .filter(col("q_id") < col("n_id"))
           .select(col("q_id").as("id_a"), col("n_id").as("id_b"),
             col("jaccard"))

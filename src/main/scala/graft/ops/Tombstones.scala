@@ -123,19 +123,28 @@ object Tombstones {
       beforeClear: () => Unit = () => ()): Map[String, (Int, Int)] =
     ids(spark, indexRoot, idCol) match {
       case None => Map.empty
-      case Some(tombs) =>
-        // layout hooks around the rewrite, for layouts that must stage
-        // derived state off the PRE-rewrite data (LexIndex stages the
-        // negative stats row here) and publish it before the tombstone
-        // clear — both run inside the same crash-idempotent protocol
-        beforeRewrite(tombs)
-        val affected = affectedOf(tombs, candidateDirs)
-        val report = Compaction.rewriteDirs(spark, affected, targetBytes,
-          opName,
-          shouldRewrite = (_, _) => true,
-          transform = df => df.join(tombs, Seq(idCol), "left_anti"))
-        beforeClear()
-        clear(spark, indexRoot)
-        report
+      case Some(tombs0) =>
+        // materialize the deduplicated tombstone set ONCE: every
+        // affected directory's rewrite anti-joins against it, and
+        // without the checkpoint each of those (now concurrent)
+        // per-dir jobs would re-read the tombstone files and re-run
+        // the distinct — takedown-sized work, but multiplied by up to
+        // hundreds of dirs it dominated the round-17 purge probe
+        val tombs = tombs0.localCheckpoint(true)
+        try {
+          // layout hooks around the rewrite, for layouts that must stage
+          // derived state off the PRE-rewrite data (LexIndex stages the
+          // negative stats row here) and publish it before the tombstone
+          // clear — both run inside the same crash-idempotent protocol
+          beforeRewrite(tombs)
+          val affected = affectedOf(tombs, candidateDirs)
+          val report = Compaction.rewriteDirs(spark, affected, targetBytes,
+            opName,
+            shouldRewrite = (_, _) => true,
+            transform = df => df.join(tombs, Seq(idCol), "left_anti"))
+          beforeClear()
+          clear(spark, indexRoot)
+          report
+        } finally { tombs.unpersist(); () }
     }
 }

@@ -2133,7 +2133,9 @@ object VectorOps {
     // treatment: tools/GateSteadyProbe measured the litter curve); the
     // shuffle is delta-sized, and corpus-scale deltas can opt out
     val laidOut =
-      if (coPartition) rows.repartition(col("cluster")) else rows
+      if (coPartition)
+        DirLayout.appendToDirs(rows, centroids.length, col("cluster"))
+      else rows
     laidOut.write.mode("append").partitionBy("cluster").parquet(path)
     // index now exists with `written` as its dv type — future appends
     // in this JVM skip the footer read entirely
@@ -2165,8 +2167,14 @@ object VectorOps {
       case Some(t) if assigned.schema("dv").dataType != t => col("dv").cast(t)
       case _ => col("dv")
     }
-    assigned
-      .select(col(idCol), dvAligned.as("dv"), col("nrm"), col("cluster"))
+    // co-partition to the cluster layout (explicit-count — see
+    // DirLayout) so the staged files are ≤ 1 per touched cluster and
+    // their creation parallelizes instead of serializing on whatever
+    // single task the delta scan produced
+    DirLayout.appendToDirs(
+      assigned
+        .select(col(idCol), dvAligned.as("dv"), col("nrm"), col("cluster")),
+      centroids.length, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(stagePath)
   }
 

@@ -177,4 +177,19 @@ class LexIndexSpec extends AnyFunSuite {
         .collect())
     assert(err.getMessage.contains("purged"))
   }
+
+  test("driver-side term bucket ≡ the Catalyst xxhash64 write-path bucket") {
+    // the probe's zero-job bucket routing must reproduce the write
+    // layout's hash bit-for-bit — ASCII, multi-byte UTF-8, empty, long
+    val words = Seq("vector", "join", "scan", "", "a", "naïve", "héllo",
+      "日本語テキスト", "x" * 100, "the", "ZZ-9_pq", "é́")
+    import spark.implicits._
+    for (buckets <- Seq(1, 16, 32, 64)) {
+      val expected = words.toDF("w")
+        .select(pmod(xxhash64(col("w")), lit(buckets.toLong)).cast("int"))
+        .collect().map(_.getInt(0)).toSeq
+      val got = words.map(LexIndex.termBucketForTest(_, buckets))
+      assert(got === expected, s"buckets=$buckets")
+    }
+  }
 }
