@@ -309,8 +309,13 @@ object NearDupIndex {
       pruneDocLookup: Boolean = true,
       pruneListing: Boolean = true): DataFrame = {
     val m = readMeta(spark, path)
+    // materialized ONCE (localCheckpoint): the query shingle sets feed
+    // the band rows AND the exact-Jaccard verify join — without the
+    // checkpoint the shingle pass recomputes per consumer (A/B'd at
+    // sf0.1: probe 3.1 s → 2.8 s, dedupGate 4.4 s → 3.6 s)
     val qsets = shingleSets(queries, idCol, textCol, m.shingleN)
       .select(col(idCol).as("q_id"), col("sh").as("qsh"))
+      .localCheckpoint(true)
     // bucket keys only on the probe shuffle — sets join back at verify
     // (the minhashLshPairs discipline: never carry text-scale arrays
     // through the band explode)

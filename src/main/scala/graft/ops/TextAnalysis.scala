@@ -1229,13 +1229,18 @@ object TextAnalysis {
       s"editDistance1Pairs: key ${tooLong.map(_.getString(0).take(32)).getOrElse("")}… " +
         s"exceeds maxKeyLen=$maxKeyLen — raise the knob if the key space is real")
     // {self} ∪ {1-deletions}, deduped per word (deleting either of two
-    // equal adjacent chars yields the same variant)
+    // equal adjacent chars yields the same variant). Materialized ONCE
+    // (localCheckpoint): the variant expansion feeds the skew guard's
+    // bucket-size aggregate AND both sides of the candidate self-join —
+    // without the checkpoint the explode ran three times (the guard
+    // pass was a full extra expansion, measured ~1/3 of the q162 wall).
     val keyed = words
       .select(col("w"), explode(array_distinct(expr(
         "concat(array(w), transform(sequence(1, length(w)), " +
           "i -> concat(substr(w, 1, i - 1), substr(w, i + 1))))")))
         .as("v"))
       .select(col("w"), xxhash64(col("v")).as("vh"))
+      .localCheckpoint(true)
     val worst = keyed.groupBy("vh").agg(count(lit(1)).as("n"))
       .agg(max("n")).head().getLong(0)
     require(worst <= maxBucket,

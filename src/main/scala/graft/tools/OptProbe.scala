@@ -201,6 +201,67 @@ object OptProbe {
       }
     }
 
+    if (on("clf")) {
+      val labels = d.select(col("doc_id"),
+        when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)
+          .otherwise(0.0).as("y"))
+      val feats = Classifier.hashedFeatures(d, "doc_id", "text",
+        dim = 1 << 15).cache()
+      val isTrain = col("doc_id") % 5 =!= 0
+      t("clf features cache") { feats.count() }
+      val w = jobs(spark, "clfTrain16") {
+        Classifier.trainLogReg(feats.filter(isTrain),
+          labels.filter(isTrain), "doc_id", iters = 16, lr = 2.0)
+      }
+      t("clf score+buckets") {
+        Classifier.scoreLogReg(feats.filter(!isTrain), w, "doc_id")
+          .join(labels, Seq("doc_id"))
+          .select(least(floor(col("p") * 10), lit(9L)).cast("long")
+            .as("bucket"), col("y"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+          .count()
+      }
+      feats.unpersist()
+    }
+
+    if (on("pr")) {
+      val o = Tables.load(spark, dir, "orders")
+      val l = Tables.load(spark, dir, "lineitem")
+      val edges = o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      jobs(spark, "pagerank5") {
+        GraphOps.pageRank(edges, "src", "dst", iterations = 5).count()
+      }
+    }
+
+    if (on("gate")) {
+      val root = tmp("gate")
+      val c = d.select("doc_id", "text")
+      t("gate build corpus") {
+        NearDupIndex.neardupWriteIndex(c, "doc_id", "text", root,
+          shingleN = 3, numHashes = 32, bands = 8, nBuckets = 32,
+          nDocBuckets = 16)
+      }
+      val off = 10000000L
+      val id = col("doc_id").cast("string")
+      val nbText = concat(lit("nb"), id, lit(" x"), id, lit("a x"), id,
+        lit("b x"), id, lit("c x"), id, lit("d"))
+      val batch = c.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(" zz"),
+            (col("doc_id") % 3).cast("string")).as("text"))
+        .unionByName(c.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+        .unionByName(c.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + off).as("doc_id"), nbText.as("text")))
+      jobs(spark, "dedupGate") {
+        NearDupIndex.dedupGate(batch, "doc_id", "text", root,
+          threshold = 0.5, maxBucket = 1000).count()
+      }
+    }
+
     if (on("upsert")) {
       val root = tmp("ups")
       val rid = CorpusUpsert.RidCol
