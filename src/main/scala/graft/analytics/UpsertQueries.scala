@@ -684,15 +684,23 @@ object UpsertQueries {
             3L)
           val (upsRoot, bm25P, hamP, medP) =
             (s"$root/ups", s"$root/bm25", s"$root/ham", s"$root/med")
-          LexIndex.bm25WriteIndex(
-            corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
-            rid, "text", bm25P, buckets = 32)
-          HammingIndex.hammingWriteIndex(
-            corpus0.select(col("doc_id").as(rid), col("embedding")).limit(0),
-            rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)
-          HammingIndex.hammingWriteIndex(
-            corpus0.select(col("doc_id").as(rid), col("media")).limit(0),
-            rid, "media", medP, nBands = 8, nBuckets = 8, dim = 256)
+          locally { // three independent empty bootstraps — concurrent
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            implicit val ec: ExecutionContext = ExecutionContext.global
+            Seq(
+              Future(LexIndex.bm25WriteIndex(
+                corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
+                rid, "text", bm25P, buckets = 32)),
+              Future(HammingIndex.hammingWriteIndex(
+                corpus0.select(col("doc_id").as(rid), col("embedding"))
+                  .limit(0),
+                rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)),
+              Future(HammingIndex.hammingWriteIndex(
+                corpus0.select(col("doc_id").as(rid), col("media")).limit(0),
+                rid, "media", medP, nBands = 8, nBuckets = 8, dim = 256)))
+              .foreach(Await.result(_,
+                scala.concurrent.duration.Duration.Inf))
+          }
           val targets = Seq(
             CorpusUpsert.Bm25Target(bm25P, "text"),
             CorpusUpsert.HammingTarget(hamP, "embedding"),

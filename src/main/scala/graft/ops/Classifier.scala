@@ -59,7 +59,12 @@ object Classifier {
     require(dim >= 1, s"dim=$dim must be >= 1")
     // split("", " ") is [""] — drop empty tokens so blank docs vanish
     val toks = array_remove(TextFunctions.tokens(col(textCol)), "")
-    val base = df
+    // tokenize+hash+explode is the CPU-heavy stage of the whole fit —
+    // spread a degenerate scan first (DirLayout.spread: no-op when the
+    // input already parallelizes; the three consumers below share the
+    // one exchange through ReuseExchange)
+    val src = DirLayout.spread(df, col(idCol))
+    val base = src
       .filter(size(toks) >= 1)
       .select(col(idCol), size(toks).cast("double").as("dl"),
         explode(toks).as("tok"))
@@ -67,12 +72,12 @@ object Classifier {
         pmod(xxhash64(col("tok")), lit(dim.toLong)).as("idx"))
       .groupBy(col(idCol), col("idx"))
       .agg((count(lit(1)) / first("dl")).as("x"))
-    val bias = df.filter(size(toks) >= 1)
+    val bias = src.filter(size(toks) >= 1)
       .select(col(idCol), lit(BiasIdx).as("idx"), lit(1.0).as("x"))
     val withBias = base.unionByName(bias)
     if (!lengthFeature) withBias
     else withBias.unionByName(
-      df.filter(size(toks) >= 1)
+      src.filter(size(toks) >= 1)
         .select(col(idCol), lit(LenIdx).as("idx"),
           least(size(toks).cast("double") / lit(lenSat), lit(1.0)).as("x")))
   }

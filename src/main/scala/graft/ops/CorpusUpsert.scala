@@ -286,9 +286,15 @@ object CorpusUpsert {
       s"applyBatch: batch '$key' is done but its frozen delta is gone " +
         "(vacuumed) — backfilling a later-added target requires the " +
         "original payload; rebuild the new index from the corpus instead")
-    if (!deltaFrozen)
-      delta.write.mode("overwrite").parquet(deltaDir.toString)
-    val staged = spark.read.parquet(deltaDir.toString)
+    // the freeze write and the prior-rev materialization below read
+    // disjoint inputs (the caller's frame vs revs/batch= dirs) — start
+    // the freeze in the pool so the rev lookup's jobs fill its tail
+    // (guide §2.6; the await before `staged` keeps the read-frozen-
+    // bytes contract intact)
+    val freezeF =
+      if (deltaFrozen) None
+      else Some(inPool {
+        delta.write.mode("overwrite").parquet(deltaDir.toString) })
 
     // 2. revision assignment. Once recorded, a batch's revs are
     // FROZEN — a re-apply REUSES `revs/batch=<key>` instead of
@@ -319,7 +325,7 @@ object CorpusUpsert {
         "(compacted) — backfilling a later-added target requires the " +
         "per-batch rev ledger; re-apply batches newer than the last " +
         "compaction only, or rebuild the new index from the corpus")
-    val prior =
+    val prior0 =
       if (revsFrozen)
         spark.read.parquet(revsDir.toString)
           .select(col("doc").as(docCol),
@@ -329,6 +335,11 @@ object CorpusUpsert {
         priorRevs(spark, fs, root, excludeKey = key)
           .withColumnRenamed("rev", "old_rev")
           .withColumnRenamed("doc", docCol)
+    // ledger-sized; materialized NOW so its jobs overlap the in-flight
+    // freeze write instead of serializing after it
+    val prior = prior0.localCheckpoint(true)
+    freezeF.foreach(await(_))
+    val staged = spark.read.parquet(deltaDir.toString)
     val newRev =
       if (revsFrozen)
         coalesce(col("frozen_rev"), raise_error(concat(
@@ -346,6 +357,7 @@ object CorpusUpsert {
       .withColumn(RidCol, ridExpr(col(docCol), col("new_rev")))
       .drop("frozen_rev")
       .localCheckpoint(true)
+    prior.unpersist() // folded into withRid's checkpoint above
     val sizes = withRid.agg(count(lit(1)).as("n"),
       countDistinct(col(docCol)).as("nd"),
       count(col("old_rev")).as("nUpd")).head()

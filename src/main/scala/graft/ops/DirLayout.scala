@@ -64,4 +64,23 @@ object DirLayout {
   private def shufflePartitions(df: DataFrame): Int =
     df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
       .flatMap(_.toIntOption).getOrElse(200)
+
+  /** Spread a CPU-heavy map stage's input across the session's
+    * parallelism when the SCAN degenerated to a handful of partitions —
+    * the guide §2.5 "unsplittable input" treatment: at gate scale the
+    * corpus tables are single-row-group parquet, so tokenize/hash/
+    * shingle projections over them run as ONE task regardless of core
+    * count (measured: the q120 feature build spent ~2 s single-
+    * threaded). A no-op whenever the scan already parallelizes (real
+    * multi-split inputs at cluster scale — no shuffle is added there);
+    * when it fires, the exchange carries the raw rows once and
+    * identical downstream exchanges are deduplicated by ReuseExchange.
+    * The count is explicit so AQE cannot coalesce the spread away
+    * (the [[toDirs]] lesson).
+    */
+  private[ops] def spread(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df
+    else df.repartition(p, key)
+  }
 }

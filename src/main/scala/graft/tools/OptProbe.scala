@@ -68,6 +68,15 @@ object OptProbe {
     val e = Tables.load(spark, dir, "embeddings")
     t("warmup docs+embs count") { d.count(); e.count() }
 
+    // `q:<name>` entries: run the declared query end-to-end (count
+    // sink, the Bench action) under the per-job listener — run twice,
+    // the second run isolates steady-state from first-run codegen
+    which.filter(_.startsWith("q:")).map(_.stripPrefix("q:")).foreach { qn =>
+      val fn = SparkEntry.queries(qn)
+      t(s"$qn run1") { fn(spark, dir).count() }
+      jobs(spark, qn.take(12)) { fn(spark, dir).count() }
+    }
+
     if (on("bm25")) {
       val root = tmp("bm25")
       t("bm25 build (plain)") {
