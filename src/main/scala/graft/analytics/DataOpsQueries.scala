@@ -430,8 +430,12 @@ object DataOpsQueries {
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
         val delta = e.filter(col("vec_id") >= 250).unionAll(twins)
         val cents = VectorOps.kmeansCentroids(base0, "embedding", 16)
+        // the base pass's kept set feeds the delta pass (which references
+        // it more than once) — cut the lineage so the base subplan is
+        // computed once, not re-expanded per reference
         val baseKept = VectorOps.semDedupDelta(e.limit(0), base0,
           "vec_id", "embedding", 0.9, cents)
+          .localCheckpoint(true)
         VectorOps.semDedupDelta(baseKept, delta, "vec_id", "embedding", 0.9, cents)
           .select("vec_id").orderBy("vec_id")
       }),
@@ -5286,15 +5290,22 @@ object DataOpsQueries {
       (s, dir) => {
         val ev = Tables.load(s, dir, "events").select(col("event_type"),
           to_date(col("ts")).as("d"), col("value"), col("event_id"))
+        // per-event_type scalar relations (a handful of rows) are each
+        // consumed by 2+ downstream stages — materialize them so the
+        // quantile/calibration subplans don't re-expand per consumer
+        // (the before-plan carried 119 Exchanges from the repeats;
+        // guide §3.3 on truncating repeated subtrees)
         val med = Stats.exactQuantilesByGroup(
             ev.filter(col("d") <= lit("2024-01-15")),
             Seq("event_type"), "value", Seq(("yhat", 1, 2)))
           .select("event_type", "yhat")
+          .localCheckpoint(true)
         val cal = ev.filter(col("d").between("2024-01-16", "2024-01-23"))
           .join(med, "event_type")
           .withColumn("s", abs(col("value") - col("yhat")))
         val iv = Classifier.conformalCalibrate(
           cal, Seq("event_type"), "s", "event_id", alphaNum = 1, alphaDen = 10)
+          .localCheckpoint(true)
         val applied = Classifier.conformalApply(
           ev.filter(col("d") > lit("2024-01-23")).join(med, "event_type"),
           iv, Seq("event_type"), "yhat")
