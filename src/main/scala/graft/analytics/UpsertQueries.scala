@@ -34,6 +34,18 @@ object UpsertQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Run independent eager blocks (empty-index bootstraps) concurrently
+    * — guide §2.6: each is a handful of tiny jobs whose wall is
+    * scheduling, so overlapping them costs nothing and the lifecycle
+    * queries stop paying them serially.
+    */
+  private def concurrently(units: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    units.map(u => Future(u()))
+      .foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+  }
+
   /** DuckDB replay of the REAL 9×9 frame-grid gradient signs over a
     * decoded GIF's pixels (q249): `garr` (the 81 box means, 1-based)
     * must be in scope; `j` is the 0-based bit index 0..255. The four
@@ -666,15 +678,16 @@ object UpsertQueries {
           val base = docs(s, dir).select(col("doc_id"), col("text"))
             .join(embs(s, dir).select(col("vec_id").as("doc_id"),
               col("embedding")), Seq("doc_id"))
-          def withMedia(df: DataFrame, slot: Long): DataFrame =
-            df.join(
-              df.select(col("doc_id"), length(col("text")).cast("long")
-                  .as("len"))
-                .as[(Long, Long)]
-                .map { case (id, len) =>
-                  (id, VideoHash.stubFrameDiffScalar(id, len, slot)) }
-                .toDF("doc_id", "media"),
-              Seq("doc_id"))
+          // the scalar kernel as a UDF COLUMN, not a typed map joined
+          // back: the former self-join shuffled the corpus a second
+          // time just to attach a value derivable per row (round-17
+          // opt; same values, VideoHashSpec pins scalar ≡ Column)
+          def withMedia(df: DataFrame, slot: Long): DataFrame = {
+            val grid = udf((id: Long, len: Long) =>
+              VideoHash.stubFrameDiffScalar(id, len, slot))
+            df.withColumn("media",
+              grid(col("doc_id"), length(col("text")).cast("long")))
+          }
           val corpus0 = withMedia(base, 2L)
           val revised = withMedia(
             base.filter(col("doc_id") % 6 === 2)
@@ -684,23 +697,17 @@ object UpsertQueries {
             3L)
           val (upsRoot, bm25P, hamP, medP) =
             (s"$root/ups", s"$root/bm25", s"$root/ham", s"$root/med")
-          locally { // three independent empty bootstraps — concurrent
-            import scala.concurrent.{Await, ExecutionContext, Future}
-            implicit val ec: ExecutionContext = ExecutionContext.global
-            Seq(
-              Future(LexIndex.bm25WriteIndex(
-                corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
-                rid, "text", bm25P, buckets = 32)),
-              Future(HammingIndex.hammingWriteIndex(
-                corpus0.select(col("doc_id").as(rid), col("embedding"))
-                  .limit(0),
-                rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)),
-              Future(HammingIndex.hammingWriteIndex(
-                corpus0.select(col("doc_id").as(rid), col("media")).limit(0),
-                rid, "media", medP, nBands = 8, nBuckets = 8, dim = 256)))
-              .foreach(Await.result(_,
-                scala.concurrent.duration.Duration.Inf))
-          }
+          concurrently( // three independent empty bootstraps
+            () => LexIndex.bm25WriteIndex(
+              corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
+              rid, "text", bm25P, buckets = 32),
+            () => HammingIndex.hammingWriteIndex(
+              corpus0.select(col("doc_id").as(rid), col("embedding"))
+                .limit(0),
+              rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64),
+            () => HammingIndex.hammingWriteIndex(
+              corpus0.select(col("doc_id").as(rid), col("media")).limit(0),
+              rid, "media", medP, nBands = 8, nBuckets = 8, dim = 256))
           val targets = Seq(
             CorpusUpsert.Bm25Target(bm25P, "text"),
             CorpusUpsert.HammingTarget(hamP, "embedding"),
@@ -933,12 +940,13 @@ object UpsertQueries {
         val (upsRoot, bm25P, hamP, src, ckpt) =
           (s"$root/ups", s"$root/bm25", s"$root/ham", s"$root/src",
             s"$root/ckpt")
-        LexIndex.bm25WriteIndex(
-          corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
-          rid, "text", bm25P, buckets = 32)
-        HammingIndex.hammingWriteIndex(
-          corpus0.select(col("doc_id").as(rid), col("embedding")).limit(0),
-          rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)
+        concurrently( // independent empty bootstraps (the q237 pattern)
+          () => LexIndex.bm25WriteIndex(
+            corpus0.select(col("doc_id").as(rid), col("text")).limit(0),
+            rid, "text", bm25P, buckets = 32),
+          () => HammingIndex.hammingWriteIndex(
+            corpus0.select(col("doc_id").as(rid), col("embedding")).limit(0),
+            rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64))
         val targets = Seq(
           CorpusUpsert.Bm25Target(bm25P, "text"),
           CorpusUpsert.HammingTarget(hamP, "embedding"))
@@ -1215,12 +1223,13 @@ object UpsertQueries {
             col("embedding"))
         val (upsRoot, bm25P, hamP) = (s"$root/ups", s"$root/bm25",
           s"$root/ham")
-        LexIndex.bm25WriteIndex(
-          base.select(col("doc_id").as(rid), col("text")).limit(0),
-          rid, "text", bm25P, buckets = 32)
-        HammingIndex.hammingWriteIndex(
-          base.select(col("doc_id").as(rid), col("embedding")).limit(0),
-          rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64)
+        concurrently( // independent empty bootstraps (the q237 pattern)
+          () => LexIndex.bm25WriteIndex(
+            base.select(col("doc_id").as(rid), col("text")).limit(0),
+            rid, "text", bm25P, buckets = 32),
+          () => HammingIndex.hammingWriteIndex(
+            base.select(col("doc_id").as(rid), col("embedding")).limit(0),
+            rid, "embedding", hamP, nBands = 8, nBuckets = 8, dim = 64))
         val targets = Seq(
           CorpusUpsert.Bm25Target(bm25P, "text"),
           CorpusUpsert.HammingTarget(hamP, "embedding"))

@@ -537,19 +537,39 @@ object Dedup {
     // shuffle volume than carrying the arrays through the explode.
     // Sets are recomputed per consumer rather than cached: the native
     // shingle expression makes recompute cheaper than the cache-eviction
-    // risk of persisting inside a library call the caller can't unpersist.
+    // risk of persisting inside a library call the caller can't unpersist
+    // — and on the CORPUS-scale scan path a materialized shingle relation
+    // would be a full second copy of the corpus, which the 100 TB shape
+    // forbids. Callers holding a BATCH-sized relation they already
+    // materialized (the dedup gate) use [[minhashLshPairsFromSets]].
     val sets = df
       .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val candidates = minhashCandidatePairs(
-      df, idCol, textCol, shingleN, numHashes, bands, maxBucket)
-    val result = candidates
+    minhashLshPairsFromSets(sets, idCol, numHashes, bands, threshold,
+      maxBucket)
+  }
+
+  /** [[minhashLshPairs]] over an ALREADY-SHINGLED relation `sets` =
+    * (idCol, sh) — the back half shared with callers that hold a
+    * materialized (batch-sized) shingle relation, so the shingle front
+    * is paid once, not per consumer. Semantics identical: same banding,
+    * same skew guard, same exact-Jaccard verify.
+    */
+  private[ops] def minhashLshPairsFromSets(
+      sets: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val candidates = minhashCandidatePairsFromSets(
+      sets, idCol, numHashes, bands, maxBucket)
+    candidates
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    result
   }
 
   /** The LSH front half of [[minhashLshPairs]]: banded bucket generation,
@@ -592,11 +612,23 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sets = df
       .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+    minhashCandidatePairsFromSets(sets, idCol, numHashes, bands, maxBucket)
+  }
+
+  /** [[minhashCandidatePairs]] over an already-shingled (idCol, sh)
+    * relation — see [[minhashLshPairsFromSets]].
+    */
+  private[ops] def minhashCandidatePairsFromSets(
+      sets: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     val buckets = sets
       .select(col(idCol),
         explode(lshBands(minhashSignature(col("sh"), numHashes), bands, r)).as("bb"))

@@ -316,6 +316,25 @@ object NearDupIndex {
     val qsets = shingleSets(queries, idCol, textCol, m.shingleN)
       .select(col(idCol).as("q_id"), col("sh").as("qsh"))
       .localCheckpoint(true)
+    probeFromSets(spark, qsets, idCol, path, m, threshold, maxBucket,
+      pruneDocLookup, pruneListing)
+  }
+
+  /** [[neardupProbeIndex]] over ALREADY-MATERIALIZED query shingle sets
+    * (`qsets` = (q_id, qsh), checkpointed by the caller) — the shared
+    * back half that lets [[dedupGate]] shingle its batch exactly once
+    * for the index probe AND the within-batch pair mining.
+    */
+  private def probeFromSets(
+      spark: SparkSession,
+      qsets: DataFrame,
+      idCol: String,
+      path: String,
+      m: Meta,
+      threshold: Double,
+      maxBucket: Int,
+      pruneDocLookup: Boolean,
+      pruneListing: Boolean): DataFrame = {
     // bucket keys only on the probe shuffle — sets join back at verify
     // (the minhashLshPairs discipline: never carry text-scale arrays
     // through the band explode)
@@ -412,12 +431,21 @@ object NearDupIndex {
       maxBucket: Int = 1000): DataFrame = {
     val spark = batch.sparkSession
     val m = readMeta(spark, path)
-    val vsIndex = neardupProbeIndex(spark, batch, idCol, textCol, path,
-        threshold, maxBucket, pruneDocLookup = true)
+    // ONE shingle pass over the batch (batch-sized, so the checkpoint
+    // is delta-bounded at any corpus scale): the index probe and the
+    // within-batch pair mining previously each re-shingled (and the
+    // miner re-minhashed) the same rows from scratch — round-17 probe:
+    // the gate paid the batch's shingle front three times.
+    val bsets = shingleSets(batch, idCol, textCol, m.shingleN)
+      .select(col(idCol).as("q_id"), col("sh").as("qsh"))
+      .localCheckpoint(true)
+    val vsIndex = probeFromSets(spark, bsets, idCol, path, m,
+        threshold, maxBucket, pruneDocLookup = true, pruneListing = true)
       .select(col("q_id").as("id"), col("n_id").as("dup_of"),
         col("jaccard"))
-    val within = Dedup.minhashLshPairs(batch, idCol, textCol,
-        m.shingleN, m.numHashes, m.bands, threshold, maxBucket)
+    val within = Dedup.minhashLshPairsFromSets(
+        bsets.select(col("q_id").as(idCol), col("qsh").as("sh")),
+        idCol, m.numHashes, m.bands, threshold, maxBucket)
       .select(col("id_b").as("id"), col("id_a").as("dup_of"),
         col("jaccard")) // id_a < id_b: earlier batch doc wins
     val elected = vsIndex.unionByName(within)

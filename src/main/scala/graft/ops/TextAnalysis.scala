@@ -1223,18 +1223,24 @@ object TextAnalysis {
       s"editDistance1Pairs: maxKeyLen=$maxKeyLen, maxBucket=$maxBucket out of range")
     val words = df.select(col(keyCol).cast("string").as("w"))
       .na.drop().distinct()
-    val tooLong = words.filter(length(col("w")) > maxKeyLen).limit(1)
-      .collect().headOption
-    require(tooLong.isEmpty,
-      s"editDistance1Pairs: key ${tooLong.map(_.getString(0).take(32)).getOrElse("")}… " +
-        s"exceeds maxKeyLen=$maxKeyLen — raise the knob if the key space is real")
     // {self} ∪ {1-deletions}, deduped per word (deleting either of two
     // equal adjacent chars yields the same variant). Materialized ONCE
     // (localCheckpoint): the variant expansion feeds the skew guard's
     // bucket-size aggregate AND both sides of the candidate self-join —
     // without the checkpoint the explode ran three times (the guard
     // pass was a full extra expansion, measured ~1/3 of the q162 wall).
+    // The maxKeyLen guard rides INSIDE the expansion (raise_error on
+    // the offending row) instead of a separate full validation pass
+    // over the distinct key set — it still fails fast, now naming the
+    // key from the task that hit it (round-17 opt: the guard pass was
+    // its own ~0.3 s job at sf0.1, and at corpus scale a full extra
+    // scan of the key set).
     val keyed = words
+      .select(when(length(col("w")) <= maxKeyLen, col("w"))
+        .otherwise(raise_error(concat(
+          lit("editDistance1Pairs: key "), substring(col("w"), 1, 32),
+          lit(s"… exceeds maxKeyLen=$maxKeyLen — raise the knob if the " +
+            "key space is real")))).as("w"))
       .select(col("w"), explode(array_distinct(expr(
         "concat(array(w), transform(sequence(1, length(w)), " +
           "i -> concat(substr(w, 1, i - 1), substr(w, i + 1))))")))

@@ -511,11 +511,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.editDistance1Pairs(degenerate, "w", maxBucket = 10)
     }
     assert(e.getMessage.contains("variant bucket"))
+    // the length guard rides inside the expansion expression
+    // (raise_error — round-17 opt removed the separate validation
+    // pass), so it surfaces as a Spark task failure whose cause chain
+    // carries the self-naming message
     val long = Seq("x" * 300).toDF("w")
-    val e2 = intercept[IllegalArgumentException] {
+    val e2 = intercept[Exception] {
       TextAnalysis.editDistance1Pairs(long, "w")
     }
-    assert(e2.getMessage.contains("maxKeyLen"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("maxKeyLen")))
   }
 
   test("spanCorruption: corpus-wide splice-back round-trip; mask rate near 15%; empty docs absent") {
