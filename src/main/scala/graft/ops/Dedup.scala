@@ -542,7 +542,11 @@ object Dedup {
     // would be a full second copy of the corpus, which the 100 TB shape
     // forbids. Callers holding a BATCH-sized relation they already
     // materialized (the dedup gate) use [[minhashLshPairsFromSets]].
-    val sets = df
+    // Spread first (no-op on multi-split inputs): the recompute-per-
+    // consumer choice makes the shingle+minhash front run on the SCAN's
+    // partitioning in every consumer, and a single-row-group corpus
+    // pins all of them to one task.
+    val sets = DirLayout.spread(df, col(idCol))
       .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     minhashLshPairsFromSets(sets, idCol, numHashes, bands, threshold,
@@ -612,7 +616,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
-    val sets = df
+    val sets = DirLayout.spread(df, col(idCol))
       .select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     minhashCandidatePairsFromSets(sets, idCol, numHashes, bands, maxBucket)
@@ -730,7 +734,15 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Int = 0): DataFrame = {
-    val s = df.select(col(idCol), TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
+    // Spread a degenerate scan first: one posting side of the
+    // inverted-index self-join below is broadcast, so the join + the
+    // pair-count partial aggregation run at the STREAM side's scan
+    // parallelism — a single-row-group parquet corpus put the whole
+    // 2 s join stage on ONE task (round-17 probe, q22/q50/q100's
+    // dominant job). No-op whenever the scan already parallelizes.
+    val spreadDf = DirLayout.spread(df, col(idCol))
+    val s = spreadDf.select(col(idCol),
+        TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col(idCol), col("sh"), size(col("sh")).as("sz"))
     val ex = s.select(col(idCol), col("sz"), explode(col("sh")).as("shingle"))

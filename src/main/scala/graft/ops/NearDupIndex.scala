@@ -134,12 +134,18 @@ object NearDupIndex {
     }
 
   /** (id, sh) for every indexable doc — the shared map-only front of
-    * build, append, and probe.
+    * build, append, and probe. The input is SPREAD first
+    * ([[DirLayout.spread]], a no-op whenever the scan already
+    * parallelizes): shingling + the minhash signatures downstream are
+    * the CPU-heavy front of every path here, and a single-row-group
+    * parquet corpus otherwise runs them on ONE task however many cores
+    * the session has (round-17: the q240/q241 builds and probes each
+    * carried ~0.5–0.7 s serial jobs of exactly this).
     */
   private def shingleSets(
       df: DataFrame, idCol: String, textCol: String, shingleN: Int)
       : DataFrame =
-    df.select(col(idCol),
+    DirLayout.spread(df, col(idCol)).select(col(idCol),
         TextFunctions.shingleSet(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 

@@ -939,10 +939,22 @@ object VectorOps {
     // the true cluster's group is probed) and sits behind the same
     // suite recall gates; below the threshold both passes stay exact.
     val routing = routingFor(base, hierThreshold)
-    val c = assignClustersRouted(corpus, vecCol, base, routing, coarseProbes)
+    // Spread degenerate scans BEFORE the probe/join chain: the planner
+    // broadcasts whichever side fits, so the pair-scoring stage's
+    // parallelism is the STREAM side's partition count — and a
+    // single-row-group parquet input runs the entire
+    // nProbe × cluster-size dot scoring on ONE task (round-17 probe:
+    // the q101 join stage measured 2.3 s serial of a ~2.9 s query,
+    // 2.3 µs/pair against a native dot; the build side there was the
+    // exploded QUERY relation, so the serial side was the corpus).
+    // Both sides get the treatment — either can end up streaming —
+    // and DirLayout.spread is a no-op whenever the scan already
+    // parallelizes (any real multi-split input at cluster scale).
+    val c = assignClustersRouted(DirLayout.spread(corpus, col(idCol)),
+        vecCol, base, routing, coarseProbes)
       .select(col("cluster"), col(idCol).as("n_id"),
         col("dv").as("nv"), col("nrm").as("nn"))
-    val q = queries
+    val q = DirLayout.spread(queries, col(idCol))
       .select(col(idCol).as("q_id"), rawVec(queries, vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
       .filter(col("qn") > 0)

@@ -210,6 +210,44 @@ object OptProbe {
       }
     }
 
+    if (on("knn")) {
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val base = VectorOps.kmeansCentroidsRefined(e, "embedding", 16, 4,
+        42L, 4096, 0, 4096, 8)
+      t("knn centroids (driver)") { base.length }
+      val c = e.withColumn("dv", col("embedding"))
+        .withColumn("nrm", VectorOps.l2Norm(col("dv")))
+        .filter(col("nrm") > 0)
+        .withColumn("cluster",
+          graft.functions.GraftFunctions.nearestCentroid(
+            col("dv"), col("nrm"), base))
+      t("knn corpus assign (noop)") { noop(c) }
+      t("knn corpus assign again") { noop(c) }
+      val q = e.select(col("vec_id").as("q_id"),
+          col("embedding").as("qv"))
+        .withColumn("qn", VectorOps.l2Norm(col("qv")))
+        .filter(col("qn") > 0)
+        .select(col("q_id"), col("qv"), col("qn"),
+          explode(graft.functions.GraftFunctions.nearestCentroids(
+            col("qv"), col("qn"), base, 4)).as("cluster"))
+      t("knn query probes (noop)") { noop(q) }
+      val scored = q.join(
+        c.select(col("cluster"), col("vec_id").as("n_id"),
+          col("dv").as("nv"), col("nrm").as("nn")), Seq("cluster"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VectorOps.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+            .as("cosine"))
+      t("knn join+cosine (noop)") { noop(scored) }
+      val byScore = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+      t("knn full with window (noop)") {
+        noop(scored.withColumn("rank", row_number().over(byScore))
+          .filter(col("rank") <= 5))
+      }
+    }
+
     if (on("clf")) {
       val labels = d.select(col("doc_id"),
         when(TextAnalysis.qualityScoreCol(col("text")) >= 0.65, 1.0)

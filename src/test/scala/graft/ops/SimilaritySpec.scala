@@ -261,6 +261,24 @@ class SimilaritySpec extends AnyFunSuite {
     } finally knn.unpersist()
   }
 
+  test("ivfKnnJoin: query-side spread is partitioning-invariant — identical rows at any partition count") {
+    // the round-17 degenerate-scan spread (DirLayout.spread before the
+    // probe/join chain) must never change the pair set or any rank:
+    // pin the relation bit-for-bit across partition regimes, including
+    // a pre-repartitioned query side where the spread is a no-op
+    val sub = embs.filter(col("vec_id") < 600)
+    def rows(qs: org.apache.spark.sql.DataFrame) =
+      VectorOps.ivfKnnJoin(sub, qs, "vec_id", "embedding",
+          k = 5, nClusters = 8, nProbe = 2, excludeSelf = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val spreadPath = rows(sub)                      // degenerate scan → spread fires
+    val noopPath = rows(sub.repartition(64))        // already parallel → no-op
+    assert(spreadPath.nonEmpty)
+    assert(noopPath === spreadPath)
+  }
+
   test("ivfKnnJoin: recall >= 0.95 vs exact on clustered data, scanning one cluster per query") {
     import spark.implicits._
     // same three-well-separated-clusters construction as the centroid
